@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  : flagship profile->detect->clean->score pipeline at sf0.001.
+queries()     : one entry per implemented operator from SURVEY.md §2
+                (+ scale extensions) — see etl_hero_spark/registry.py.
+oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -12,27 +11,41 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's full E1->E2->E3 loop on sf0.001
+    lineitem — profile, detect outliers, remediate (replace with median of
+    non-outliers), and emit a before/after summary row (SURVEY §7 step 1).
+    """
+    from etl_hero_spark.clean import replace_outliers
+    from etl_hero_spark.profile import dec_avg, dec_stddev_pop
+    from etl_hero_spark.session import ensure_oracle_safe_conf
+
+    ensure_oracle_safe_conf(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cleaned = replace_outliers(df, "l_extendedprice", strategy="median")
+    before = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_avg("l_extendedprice", "mean_before"),
+        dec_stddev_pop("l_extendedprice", "std_before"),
+    )
+    after = cleaned.agg(
+        dec_avg("l_extendedprice", "mean_after"),
+        dec_stddev_pop("l_extendedprice", "std_after"),
+    )
+    return before.crossJoin(after)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from etl_hero_spark.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from etl_hero_spark.registry import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,75 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a foreach-noop action (full compute, no
+driver-side result transfer — the honest cost of the plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (profile, detect, remediate, dedup,
+# dates, grouped agg) + extensions as they land.
+HEADLINE = [
+    "profile_nulls",
+    "profile_distinct",
+    "profile_table",
+    "outliers_detect",
+    "clean_outliers_replace_median",
+    "clean_outliers_clip",
+    "dup_count_rows",
+    "dedup_keep_first",
+    "dates_normalize",
+    "agg_pricing_summary",
+]
+
+
+def materialize(df) -> int:
+    """Force full computation without collecting rows to the driver."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_hero_spark.registry import REGISTRY
+    from etl_hero_spark.session import get_spark
+
+    spark = get_spark("etl-hero-bench")
+    # warm the JVM + parquet footers once so per-query times measure the
+    # plan, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        materialize(spec.spark(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Remediation operators (reference R1-R4, app.py:248-352).
+
+Every remediation is a pure DataFrame -> DataFrame transform. Scalar
+statistics (median / mean / mode / percentiles) are computed in a single
+tiny aggregate job and folded into the plan as literals — the same shape
+the reference uses (compute stat, then conditional write, app.py:255-273)
+but lazy and distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etl_hero_spark.detect import (
+    DEFAULT_ZSCORE_THRESHOLD,
+    parse_date_expr,
+    with_outlier_flags,
+)
+from etl_hero_spark.profile import mode_value, quantiles
+
+# ---------------------------------------------------------------------------
+# R1 — outliers
+# ---------------------------------------------------------------------------
+
+
+def remove_outliers(
+    df: DataFrame, col: str, threshold: float = DEFAULT_ZSCORE_THRESHOLD
+) -> DataFrame:
+    """R1a (app.py:251-254): drop rows where |z| > threshold."""
+    flagged = with_outlier_flags(df, [col], threshold)
+    return flagged.filter(~F.col(f"is_outlier_{col}")).drop(f"is_outlier_{col}")
+
+
+def replace_outliers(
+    df: DataFrame,
+    col: str,
+    strategy: str = "median",
+    threshold: float = DEFAULT_ZSCORE_THRESHOLD,
+) -> DataFrame:
+    """R1b/R1c (app.py:255-266): replace outlier values with the median /
+    mean of the NON-outlier rows (the reference computes the statistic
+    after masking — a subtle but load-bearing detail)."""
+    flagged = with_outlier_flags(df, [col], threshold)
+    flag = F.col(f"is_outlier_{col}")
+    keep = flagged.filter(~flag)
+    if strategy == "median":
+        stat = keep.agg(F.percentile(col, 0.5).alias("v")).first()["v"]
+    elif strategy == "mean":
+        from etl_hero_spark.profile import dec_avg
+
+        stat = keep.agg(dec_avg(col, "v")).first()["v"]
+    else:  # pragma: no cover - guarded by API
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return flagged.withColumn(
+        col, F.when(flag, F.lit(stat)).otherwise(F.col(col))
+    ).drop(f"is_outlier_{col}")
+
+
+def clip_outliers(
+    df: DataFrame,
+    col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    round_bounds: int | None = 2,
+    approx: bool = False,
+) -> DataFrame:
+    """R1d (app.py:267-273): clip to [q_lower, q_upper] computed over the
+    FULL column (outliers included — reference behavior). NULL passes
+    through (greatest/least propagate null -> coalesce keeps it null,
+    matching pandas clip on NaN).
+
+    round_bounds pins the thresholds to a decimal grid so the comparison
+    set is engine-independent; approx=True uses t-digest at scale.
+    """
+    qs = quantiles(df, col, [lower_q, upper_q], approx=approx)
+    if not qs or qs[0] is None:
+        return df
+    lo, hi = qs
+    if round_bounds is not None:
+        lo, hi = round(lo, round_bounds), round(hi, round_bounds)
+    return df.withColumn(
+        col,
+        F.when(F.col(col) < lo, F.lit(lo))
+        .when(F.col(col) > hi, F.lit(hi))
+        .otherwise(F.col(col)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — missing values
+# ---------------------------------------------------------------------------
+
+
+def drop_null_rows(df: DataFrame, cols: list[str] | str) -> DataFrame:
+    """R2a (app.py:281-286)."""
+    cols = [cols] if isinstance(cols, str) else cols
+    return df.na.drop(subset=cols)
+
+
+def impute(
+    df: DataFrame,
+    col: str,
+    strategy: str = "median",
+    fill_value=None,
+) -> DataFrame:
+    """R2b/c/d (app.py:287-304): fill NULLs with median / mean / mode /
+    constant. Mode uses the reference tie-break (smallest value wins).
+    Empty mode -> '' (app.py:294 guard)."""
+    if strategy == "median":
+        stat = df.agg(F.percentile(col, 0.5).alias("v")).first()["v"]
+    elif strategy == "mean":
+        from etl_hero_spark.profile import dec_avg
+
+        stat = df.agg(dec_avg(col, "v")).first()["v"]
+    elif strategy == "mode":
+        stat = mode_value(df, col)
+    elif strategy == "constant":
+        stat = fill_value if fill_value is not None else "Unknown"
+    else:  # pragma: no cover
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if stat is None:
+        return df
+    return df.withColumn(
+        col, F.coalesce(F.col(col), F.lit(stat).cast(df.schema[col].dataType))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 — duplicate rows
+# ---------------------------------------------------------------------------
+
+
+def drop_duplicate_rows(
+    df: DataFrame,
+    subset: list[str] | None = None,
+    keep_first_by: list[str] | None = None,
+) -> DataFrame:
+    """R3 (app.py:308-315). Two modes:
+
+    * keep_first_by=None: multiset-dedup via dropDuplicates — for FULL-row
+      duplicates the kept row is indistinguishable from the dropped ones,
+      so this equals the reference's keep='first' result. One shuffle.
+    * keep_first_by=[ordering cols]: deterministic keep-first via
+      row_number() over (partitionBy subset orderBy keep_first_by) — the
+      scale-out generalization (subset-key dedup with an explicit winner),
+      needed whenever non-key columns differ between duplicates.
+    """
+    if keep_first_by is None:
+        return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+    keys = subset or df.columns
+    w = W.partitionBy(*keys).orderBy(*[F.asc(c) for c in keep_first_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4 — date normalization
+# ---------------------------------------------------------------------------
+
+
+def normalize_dates(
+    df: DataFrame, col: str, formats: list[str] | None = None
+) -> DataFrame:
+    """R4a (app.py:321-330) with declarative format-list semantics: parse
+    with the first matching format, re-render 'yyyy-MM-dd'; unparseable ->
+    NULL (the reference's NaT)."""
+    parsed = parse_date_expr(col, formats)
+    return df.withColumn(col, F.date_format(parsed, "yyyy-MM-dd"))
+
+
+def force_date_format(df: DataFrame, col: str, fmt: str) -> DataFrame:
+    """R4b/R4c (app.py:331-350): strict single-format parse -> 'yyyy-MM-dd'
+    or NULL. fmt uses Spark datetime patterns, e.g. 'dd/MM/yyyy'."""
+    return df.withColumn(
+        col, F.date_format(F.try_to_date(F.col(col), fmt), "yyyy-MM-dd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-level conditional replace (F4, app.py:257,263)
+# ---------------------------------------------------------------------------
+
+
+def replace_where(df: DataFrame, col: str, cond: Column, value) -> DataFrame:
+    return df.withColumn(col, F.when(cond, F.lit(value)).otherwise(F.col(col)))

@@ -1,0 +1,216 @@
+"""Detection operators — the reference's "missions" (P2-P5, app.py:210-237).
+
+Each detector is lazy: it returns either a DataFrame of findings or a
+flagged copy of the input (extra boolean column). Scalar statistics reach
+the row-level predicate through a broadcast 1-row stats DataFrame
+(crossJoin) — a map-side-only plan with no driver round-trip, so a
+detect -> remediate chain stays ONE job end-to-end at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_hero_spark.profile import (
+    dec_avg,
+    dec_stddev_pop,
+    duplicate_count,
+    null_counts,
+    numeric_columns,
+)
+
+DEFAULT_ZSCORE_THRESHOLD = 3.0  # reference default, app.py:62
+DEFAULT_DATE_FORMATS = ["yyyy-MM-dd", "dd/MM/yyyy", "MM-dd-yyyy"]
+DATE_LIKE_RATIO = 0.6  # reference threshold, app.py:205
+
+
+# ---------------------------------------------------------------------------
+# P2 — z-score outliers (population sigma, ddof=0: app.py:67)
+# ---------------------------------------------------------------------------
+
+
+def zscore_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """1-row DataFrame of mu_<c>, sigma_<c> for each column — one scan."""
+    exprs: list[Column] = []
+    for c in cols:
+        exprs += [dec_avg(c, f"mu_{c}"), dec_stddev_pop(c, f"sigma_{c}")]
+    return df.agg(*exprs)
+
+
+def with_outlier_flags(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    threshold: float = DEFAULT_ZSCORE_THRESHOLD,
+) -> DataFrame:
+    """Input plus boolean is_outlier_<c> per numeric column.
+
+    Semantics match detect_outliers_zscore (app.py:62-71): sigma==0 or
+    null sigma -> no outliers; NULL values -> not outliers (NULL comparison
+    is false under filter). The stats side is a 1-row broadcast — Catalyst
+    plans BroadcastNestedLoopJoin, effectively a free map-side literal.
+    """
+    cols = cols or numeric_columns(df)
+    stats = zscore_stats(df, cols)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        mu, sigma = F.col(f"mu_{c}"), F.col(f"sigma_{c}")
+        flag = (
+            F.when(sigma.isNull() | (sigma == 0), F.lit(False))
+            .otherwise(F.abs((F.col(c) - mu) / sigma) > threshold)
+        )
+        out = out.withColumn(
+            f"is_outlier_{c}", F.coalesce(flag, F.lit(False))
+        )
+    drop = [f"mu_{c}" for c in cols] + [f"sigma_{c}" for c in cols]
+    return out.drop(*drop)
+
+
+def detect_outliers(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    threshold: float = DEFAULT_ZSCORE_THRESHOLD,
+) -> DataFrame:
+    """(column, n_outliers) per numeric column — the P2 mission surface.
+
+    One scan for stats + one scan for counting (both all-columns-at-once).
+    """
+    cols = cols or numeric_columns(df)
+    flagged = with_outlier_flags(df, cols, threshold)
+    wide = flagged.agg(
+        *[
+            F.sum(F.col(f"is_outlier_{c}").cast("long")).alias(c)
+            for c in cols
+        ]
+    )
+    # unpivot the 1-row wide result into (column, n_outliers)
+    stack_expr = ", ".join(f"'{c}', {c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column, n_outliers)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — missing values
+# ---------------------------------------------------------------------------
+
+
+def detect_missing(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(column, n_null) for columns with at least one NULL (app.py:225-228)."""
+    cols = cols or df.columns
+    wide = null_counts(df, cols)
+    stack_expr = ", ".join(f"'{c}', n_null_{c}" for c in cols)
+    return (
+        wide.selectExpr(f"stack({len(cols)}, {stack_expr}) as (column, n_null)")
+        .filter(F.col("n_null") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — duplicates
+# ---------------------------------------------------------------------------
+
+
+def detect_duplicates(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """1-row (n_duplicates) — occurrences after the first (app.py:230-232)."""
+    return duplicate_count(df, subset)
+
+
+# ---------------------------------------------------------------------------
+# P5 — date-likeness via explicit format list (declarative replacement for
+# the reference's dateutil row-scan, app.py:73-81; see SURVEY §2.5 trap)
+# ---------------------------------------------------------------------------
+
+
+def parse_date_expr(col: str | Column, formats: list[str] | None = None) -> Column:
+    """First-success parse across an explicit format list -> DateType.
+
+    try_to_date per format, coalesced — NULL on total failure, never an
+    ANSI error. Vectorized/codegen'd; replaces the reference's per-row
+    dateutil loop (10^4x throughput class difference at scale).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    formats = formats or DEFAULT_DATE_FORMATS
+    return F.coalesce(*[F.try_to_date(c, f) for f in formats])
+
+
+def date_likeness(
+    df: DataFrame, cols: list[str] | None = None, formats: list[str] | None = None
+) -> DataFrame:
+    """(column, n_total, n_parsed, parse_ratio, is_date_like, is_mixed) per
+    string column. is_date_like: ratio > 0.6 (app.py:205); is_mixed:
+    0 < n_parsed < n_non_null (app.py:236)."""
+    from etl_hero_spark.profile import string_columns
+
+    cols = cols if cols is not None else string_columns(df)
+    aggs: list[Column] = []
+    for c in cols:
+        parsed = parse_date_expr(c, formats)
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.count(parsed).alias(f"p_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', n_{c}, p_{c}" for c in cols)
+    long = wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column, n_total, n_parsed)"
+    )
+    ratio = F.when(
+        F.col("n_total") > 0, F.col("n_parsed") / F.col("n_total")
+    ).otherwise(F.lit(0.0))
+    return (
+        long.withColumn("parse_ratio", F.round(ratio, 6))
+        .withColumn("is_date_like", F.col("parse_ratio") > DATE_LIKE_RATIO)
+        .withColumn(
+            "is_mixed",
+            (F.col("n_parsed") > 0) & (F.col("n_parsed") < F.col("n_total")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mission roll-up — the reference's per-rerun detection sweep (app.py:210-240)
+# ---------------------------------------------------------------------------
+
+
+def detect_missions(
+    df: DataFrame,
+    zscore_threshold: float = DEFAULT_ZSCORE_THRESHOLD,
+    date_formats: list[str] | None = None,
+) -> DataFrame:
+    """All four mission classes in one DataFrame:
+    (mission, column, metric). Empty result == "no problems found"
+    (app.py:240)."""
+    out = (
+        detect_outliers(df, threshold=zscore_threshold)
+        .filter(F.col("n_outliers") > 0)
+        .select(
+            F.lit("outliers").alias("mission"),
+            "column",
+            F.col("n_outliers").cast("bigint").alias("metric"),
+        )
+    )
+    missing = detect_missing(df).select(
+        F.lit("missing").alias("mission"),
+        "column",
+        F.col("n_null").cast("bigint").alias("metric"),
+    )
+    dups = (
+        detect_duplicates(df)
+        .filter(F.col("n_duplicates") > 0)
+        .select(
+            F.lit("duplicates").alias("mission"),
+            F.lit("*").alias("column"),
+            F.col("n_duplicates").cast("bigint").alias("metric"),
+        )
+    )
+    mixed = (
+        date_likeness(df, formats=date_formats)
+        .filter(F.col("is_mixed"))
+        .select(
+            F.lit("date_mixed").alias("mission"),
+            "column",
+            (F.col("n_total") - F.col("n_parsed")).cast("bigint").alias("metric"),
+        )
+    )
+    return out.unionByName(missing).unionByName(dups).unionByName(mixed)

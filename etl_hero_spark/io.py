@@ -1,0 +1,175 @@
+"""Sources & sinks (S1-S5, app.py:127-151) + the messy_orders fixture
+generator (S3, app.py:27-41) rebuilt Spark-native.
+
+Parquet is the engine's primary format (columnar, predicate pushdown,
+column pruning); CSV/Excel are edge ingest, HTML/CSV export are
+driver-side conveniences over small results — exactly the places where
+toPandas() is allowed (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import html as _html
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+# ---------------------------------------------------------------------------
+# scans
+# ---------------------------------------------------------------------------
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver test tables (TESTDATA.md) as a dict of DataFrames."""
+    names = names or TABLES
+    out = {}
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(p):
+            out[n] = spark.read.parquet(p)
+    return out
+
+
+def read_csv(spark: SparkSession, path: str, infer: bool = True) -> DataFrame:
+    """S1 (app.py:148-149): header + type inference. In production prefer an
+    explicit schema (inference double-reads the file)."""
+    return (
+        spark.read.option("header", True)
+        .option("inferSchema", infer)
+        .csv(path)
+    )
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """S2 (app.py:150-151): edge ingest only — pandas reads the (small,
+    <=10 MB per the reference's own cap) workbook on the driver, Arrow
+    ships it to the JVM. Gated: openpyxl may be absent in this image."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path)
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "Excel ingest requires pandas+openpyxl on the driver"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S4 (app.py:127-133). single_file=True coalesces to one part —
+    convenience for small exports only; distributed multi-part otherwise."""
+    writer = (df.coalesce(1) if single_file else df).write.mode("overwrite")
+    writer.option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def to_html_report(
+    before: DataFrame,
+    after: DataFrame,
+    log: list[str],
+    insights: dict,
+    order_by: list[str],
+    n: int = 10,
+) -> str:
+    """S5 (to_html_report, app.py:94-125): timestamp + insights list +
+    actions list + deterministic before/after head samples. Driver-side
+    templating over df.limit(n) — no distributed work beyond two tiny
+    ordered-limit jobs."""
+    from etl_hero_spark.score import head_sample
+
+    stamp = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S UTC")
+    b_html = head_sample(before, order_by, n).toPandas().to_html(index=False)
+    a_html = head_sample(after, order_by, n).toPandas().to_html(index=False)
+    ins = "".join(f"<li>{_html.escape(f'{k}: {v}')}</li>" for k, v in insights.items())
+    acts = "".join(f"<li>{_html.escape(a)}</li>" for a in log) or "<li>none</li>"
+    return (
+        "<html><head><meta charset='utf-8'><title>ETL report</title></head><body>"
+        f"<h1>Data cleaning report</h1><p>Generated: {stamp}</p>"
+        f"<h2>Insights</h2><ul>{ins}</ul>"
+        f"<h2>Actions applied</h2><ul>{acts}</ul>"
+        f"<h2>Before (sample)</h2>{b_html}"
+        f"<h2>After (sample)</h2>{a_html}"
+        "</body></html>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 — messy_orders synthetic fixture (app.py:27-41), Spark-native
+# ---------------------------------------------------------------------------
+
+
+def messy_orders(spark: SparkSession, n: int = 200, seed: int = 123) -> DataFrame:
+    """Deterministic defect-injected sample, FIXTURES.md §B: sequential
+    order_id; daily date strings; |N(50,20)| prices with 3 injected
+    outliers (rows 5,17,50 -> 999, -100, 5000); 2 malformed dates (rows
+    2,3); ~5% null category; rows 10,11 cloned from row 9 (2 duplicate
+    rows). Exact pandas-RNG parity is impossible and NOT required — the
+    contract is the schema + known defect counts.
+    """
+    df = (
+        spark.range(1, n + 1)
+        .withColumnRenamed("id", "order_id")
+        .withColumn("_u", F.rand(seed))
+        .withColumn("_g", F.randn(seed + 1))
+        .withColumn(
+            "date",
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"), (F.col("order_id") - 1).cast("int")),
+                "yyyy-MM-dd",
+            ),
+        )
+        .withColumn("price", F.round(F.abs(F.lit(50.0) + F.lit(20.0) * F.col("_g")), 2))
+        .withColumn("quantity", (F.floor(F.rand(seed + 2) * 9) + 1).cast("long"))
+        .withColumn(
+            "category",
+            F.when(F.col("_u") < 0.40, "A")
+            .when(F.col("_u") < 0.80, "B")
+            .when(F.col("_u") < 0.95, "C")
+            .otherwise(F.lit(None).cast("string")),
+        )
+    )
+    # defect injection (app.py:38-40); order_id is 1-based, reference rows 0-based
+    df = (
+        df.withColumn(
+            "price",
+            F.when(F.col("order_id") == 6, 999.0)
+            .when(F.col("order_id") == 18, -100.0)
+            .when(F.col("order_id") == 51, 5000.0)
+            .otherwise(F.col("price")),
+        )
+        .withColumn(
+            "date",
+            F.when(F.col("order_id") == 3, "2024/13/01")
+            .when(F.col("order_id") == 4, "01-02-2024")
+            .otherwise(F.col("date")),
+        )
+    )
+    base = df.select("order_id", "date", "price", "quantity", "category")
+    # rows 10,11 overwritten with row 9 (pandas df.iloc[i] = df.iloc[9] copies
+    # the WHOLE row, id included) -> three identical full rows, dup count 2
+    row9 = base.filter(F.col("order_id") == 10)
+    kept = base.filter(~F.col("order_id").isin(11, 12))
+    return kept.unionByName(row9).unionByName(row9)

@@ -1,0 +1,219 @@
+"""Profiling operators (reference P1, A1-A11 — /root/reference/app.py:43-60,83-92).
+
+The reference profiles with one pandas pass per column per statistic
+(app.py:46-58). Here every statistic for every column is folded into ONE
+``df.agg(...)`` — a single scan, map-side partial aggregation, one tiny
+shuffle of partial states. That is the shape that survives 100 TB.
+
+Exact vs approximate: ``approx=True`` swaps COUNT(DISTINCT) for HLL++
+(``approx_count_distinct``) and exact interpolated percentiles for
+t-digest (``percentile_approx``) — the 100 TB path. Exact variants are
+kept for oracle-checked correctness at test scale.
+
+Decimal-exact aggregates: double summation order differs across engines
+(and across partitionings!), so hash-compared results use
+``dec_sum``/``dec_avg``/``dec_stddev_pop`` — sums in DECIMAL (exact,
+order-independent), final arithmetic in float64. The same formula in
+DuckDB produces bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# column classification (reference: pd.api.types.is_numeric_dtype, app.py:63)
+# ---------------------------------------------------------------------------
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)]
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+# ---------------------------------------------------------------------------
+# decimal-exact aggregate expressions (order-independent across partitions)
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"  # plenty for price-like doubles with 2dp
+
+
+def dec_sum(col: str | Column, alias: str | None = None, scale: int = 2) -> Column:
+    """SUM with exact decimal accumulation, returned as float64.
+
+    round() pins the (already exact) value to a stable grid so the
+    decimal->double cast is identical in Spark and DuckDB.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.round(F.sum(c.cast(_DEC)).cast("double"), scale)
+    return out.alias(alias) if alias else out
+
+
+def dec_avg(col: str | Column, alias: str | None = None, scale: int = 6) -> Column:
+    """AVG as exact-decimal SUM / COUNT, computed in float64.
+
+    Identical doubles in, identical IEEE ops -> identical doubles out,
+    regardless of engine or parallelism.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.round(
+        F.sum(c.cast(_DEC)).cast("double") / F.count(c).cast("double"), scale
+    )
+    return out.alias(alias) if alias else out
+
+
+def dec_stddev_pop(col: str | Column, alias: str | None = None, scale: int = 6) -> Column:
+    """Population stddev (ddof=0 — the reference's app.py:67 trap) via exact
+    decimal sums: sqrt(E[x^2] - E[x]^2) with float64 final arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    sx = F.sum(c.cast(_DEC)).cast("double")
+    sx2 = F.sum((c.cast(_DEC) * c.cast(_DEC))).cast("double")
+    out = F.round(F.sqrt(sx2 / n - (sx / n) * (sx / n)), scale)
+    return out.alias(alias) if alias else out
+
+
+# ---------------------------------------------------------------------------
+# A1/A3 null counts — one pass for all columns
+# ---------------------------------------------------------------------------
+
+
+def null_count_expr(col: str) -> Column:
+    # count(*) - count(c): JVM-side, no conditional branch per row
+    return (F.count(F.lit(1)) - F.count(F.col(col))).alias(f"n_null_{col}")
+
+
+def null_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row: n_null_<c> per column + n_null_total (A1+A3) + n_rows (A10)."""
+    cols = cols or df.columns
+    exprs = [null_count_expr(c) for c in cols]
+    out = df.agg(*exprs, F.count(F.lit(1)).alias("n_rows"))
+    total = None
+    for c in cols:
+        e = F.col(f"n_null_{c}")
+        total = e if total is None else total + e
+    return out.withColumn("n_null_total", total)
+
+
+# ---------------------------------------------------------------------------
+# A2 distinct counts — exact or HLL++
+# ---------------------------------------------------------------------------
+
+
+def distinct_counts(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """One row of n_unique_<c>. approx=True -> HLL++ (one pass, no shuffle
+    explosion — the 100 TB default; exact COUNT DISTINCT per column expands
+    to per-column shuffles)."""
+    cols = cols or df.columns
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    return df.agg(*[fn(c).alias(f"n_unique_{c}") for c in cols])
+
+
+# ---------------------------------------------------------------------------
+# A4 duplicate-row count  (reference df.duplicated().sum(), app.py:86-87)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_count(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Rows minus distinct rows == occurrences after the first per identical
+    row. groupBy-all-cols + sum(cnt-1): ONE shuffle, and AQE coalesces the
+    post-shuffle partitions; also the exact plan dedup (R3) reuses."""
+    cols = subset or df.columns
+    grouped = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    return grouped.agg(
+        F.coalesce(F.sum(F.col("_cnt") - 1), F.lit(0)).cast("bigint").alias("n_duplicates")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5-A8 numeric stats — one pass, all columns
+# ---------------------------------------------------------------------------
+
+
+def numeric_stats(
+    df: DataFrame, cols: list[str] | None = None, exact_decimal: bool = True
+) -> DataFrame:
+    """One row with mean_/std_/min_/max_ per numeric column.
+
+    exact_decimal=True -> order-independent, oracle-parity aggregation;
+    False -> plain double aggregation (faster, last-ulp nondeterministic).
+    """
+    cols = cols or numeric_columns(df)
+    exprs: list[Column] = []
+    for c in cols:
+        if exact_decimal:
+            exprs += [dec_avg(c, f"mean_{c}"), dec_stddev_pop(c, f"std_{c}")]
+        else:
+            exprs += [
+                F.avg(c).alias(f"mean_{c}"),
+                F.stddev_pop(c).alias(f"std_{c}"),
+            ]
+        exprs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.agg(*exprs)
+
+
+def quantiles(
+    df: DataFrame, col: str, probs: list[float], approx: bool = False
+) -> list[float]:
+    """A7/A8: exact interpolated percentiles (pandas/DuckDB-compatible
+    `quantile_cont` semantics) or t-digest approx for the 100 TB path."""
+    if approx:
+        row = df.agg(F.percentile_approx(col, probs).alias("q")).first()
+    else:
+        row = df.agg(F.percentile(col, probs).alias("q")).first()
+    return list(row["q"]) if row["q"] is not None else []
+
+
+def mode_value(df: DataFrame, col: str):
+    """A9 with the reference's tie-break: most frequent, smallest wins
+    (pandas mode() returns ties sorted ascending, app.py:294). Returns ''
+    on an all-null/empty column, matching the reference guard."""
+    row = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc(col))
+        .first()
+    )
+    return row[0] if row is not None else ""
+
+
+# ---------------------------------------------------------------------------
+# P1 table profile — long format, one aggregate pass + schema metadata
+# ---------------------------------------------------------------------------
+
+
+def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-column profile rows: (column, dtype, n_null, n_unique)
+    (reference profile_dataframe, app.py:43-60, minus the nondeterministic
+    sample_values — those are available via ``sample_values``).
+
+    All counts come from ONE df.agg pass; the wide row is then unpivoted
+    driver-side into a tiny literal DataFrame (n_cols rows — negligible).
+    """
+    cols = df.columns
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    wide = df.agg(
+        *[null_count_expr(c) for c in cols],
+        *[fn(c).alias(f"n_unique_{c}") for c in cols],
+    ).first()
+    dtypes = dict(df.dtypes)
+    rows = [
+        (c, dtypes[c], wide[f"n_null_{c}"], wide[f"n_unique_{c}"]) for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "column string, dtype string, n_null bigint, n_unique bigint"
+    )
+
+
+def sample_values(df: DataFrame, col: str, n: int = 3) -> list:
+    """<=n non-null sample values (reference app.py:49 uses .sample() —
+    nondeterministic; excluded from hash checks, same as the reference's)."""
+    return [r[0] for r in df.select(col).na.drop().limit(n).collect()]

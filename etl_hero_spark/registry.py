@@ -1,0 +1,788 @@
+"""Query/oracle registry — the contract surface for __spark_entry__.py.
+
+Every implemented operator from SURVEY.md §2 (+ extensions) appears here
+as a QuerySpec: a PySpark callable (spark, sf_dir) -> DataFrame and, when
+SQL-expressible, the equivalent DuckDB oracle SQL over the same parquet
+tables. The driver hash-compares them (row count + schema + order-
+insensitive values), so every numeric output is made ENGINE-EXACT:
+
+* sums/means/stddevs aggregate in DECIMAL (exact, order-independent),
+  then do final arithmetic in float64 with the identical expression tree
+  in both engines -> bit-identical doubles;
+* modes/top-k carry explicit deterministic tie-breaks (SURVEY §2.4 A9);
+* date parsing uses an unambiguous explicit format list (SURVEY §2.5);
+* null-remediation demos inject NULLs deterministically (the driver
+  tables have none) via keyed modular predicates, identically in both.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etl_hero_spark.session import ensure_oracle_safe_conf
+
+# Numeric lineitem columns used by the profiling pack (l_linenumber is int,
+# rest double — both decimal-castable).
+LINEITEM_NUM = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_linenumber",
+]
+LINEITEM_ALL = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    note: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, note: str = ""):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_oracle_safe_conf(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(wrapped, oracle, note)
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan. The fixture stores ts as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read nanos as long (runtime conf) and
+    derive a microsecond TimestampType column (truncation, not rounding —
+    matches DuckDB's cast semantics down to sub-µs epsilon)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments mirroring profile.dec_* (keep in lockstep with profile.py)
+# ---------------------------------------------------------------------------
+
+def sql_dec_sum(c: str, scale: int = 2) -> str:
+    return f"round(cast(sum(cast({c} as decimal(18,2))) as double), {scale})"
+
+
+def sql_dec_avg(c: str, scale: int = 6) -> str:
+    return (
+        f"round(cast(sum(cast({c} as decimal(18,2))) as double)"
+        f" / cast(count({c}) as double), {scale})"
+    )
+
+
+def sql_dec_std(c: str, scale: int = 6) -> str:
+    sx = f"cast(sum(cast({c} as decimal(18,2))) as double)"
+    sx2 = f"cast(sum(cast({c} as decimal(18,2)) * cast({c} as decimal(18,2))) as double)"
+    n = f"cast(count({c}) as double)"
+    return f"round(sqrt({sx2}/{n} - ({sx}/{n})*({sx}/{n})), {scale})"
+
+
+# ===========================================================================
+# Profiling pack (P1, A1-A3, A5-A6, A10) — reference app.py:43-60
+# ===========================================================================
+
+
+@register(
+    "profile_nulls",
+    oracle=(
+        "SELECT "
+        + ", ".join(
+            f"count(*) - count({c}) AS n_null_{c}" for c in LINEITEM_ALL
+        )
+        + ", count(*) AS n_rows, "
+        + " + ".join(f"(count(*) - count({c}))" for c in LINEITEM_ALL)
+        + " AS n_null_total FROM lineitem"
+    ),
+    note="A1+A3+A10 one-pass (app.py:55,84-85,152)",
+)
+def q_profile_nulls(spark, sf_dir):
+    from etl_hero_spark.profile import null_counts
+
+    return null_counts(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "profile_distinct",
+    oracle=(
+        "SELECT "
+        + ", ".join(
+            f"cast(count(DISTINCT {c}) as bigint) AS n_unique_{c}"
+            for c in LINEITEM_ALL
+        )
+        + " FROM lineitem"
+    ),
+    note="A2 exact COUNT DISTINCT per column (app.py:56); HLL++ variant is profile_distinct_approx (rows-only)",
+)
+def q_profile_distinct(spark, sf_dir):
+    from etl_hero_spark.profile import distinct_counts
+
+    return distinct_counts(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "profile_distinct_approx",
+    oracle=None,
+    note="A2 at 100 TB: HLL++ approx_count_distinct — no DuckDB bit-parity, rows-only check",
+)
+def q_profile_distinct_approx(spark, sf_dir):
+    from etl_hero_spark.profile import distinct_counts
+
+    return distinct_counts(_t(spark, sf_dir, "lineitem"), approx=True)
+
+
+@register(
+    "profile_stats",
+    oracle=(
+        "SELECT "
+        + ", ".join(
+            f"{sql_dec_avg(c)} AS mean_{c}, {sql_dec_std(c)} AS std_{c}, "
+            + (
+                f"cast(min({c}) as bigint) AS min_{c}, "
+                f"cast(max({c}) as bigint) AS max_{c}"
+                if c == "l_linenumber"
+                else f"min({c}) AS min_{c}, max({c}) AS max_{c}"
+            )
+            for c in LINEITEM_NUM
+        )
+        + " FROM lineitem"
+    ),
+    note="A5/A6 (population stddev ddof=0, app.py:66-67) + min/max, one pass",
+)
+def q_profile_stats(spark, sf_dir):
+    from etl_hero_spark.profile import numeric_stats
+
+    df = _t(spark, sf_dir, "lineitem")
+    out = numeric_stats(df, LINEITEM_NUM)
+    # l_linenumber min/max are int32 in parquet; normalize to bigint for
+    # cross-engine schema stability
+    return out.withColumn(
+        "min_l_linenumber", F.col("min_l_linenumber").cast("bigint")
+    ).withColumn("max_l_linenumber", F.col("max_l_linenumber").cast("bigint"))
+
+
+_P1_DTYPES = {  # Spark dtypes for lineitem, used as literals in the oracle
+    "l_orderkey": "bigint",
+    "l_partkey": "bigint",
+    "l_suppkey": "bigint",
+    "l_linenumber": "int",
+    "l_quantity": "double",
+    "l_extendedprice": "double",
+    "l_discount": "double",
+    "l_tax": "double",
+    "l_returnflag": "string",
+    "l_linestatus": "string",
+    "l_shipdate": "timestamp",
+}
+
+
+@register(
+    "profile_table",
+    oracle=(
+        "SELECT p.column, p.dtype, s.n_null, s.n_unique FROM (VALUES "
+        + ", ".join(f"('{c}', '{t}')" for c, t in _P1_DTYPES.items())
+        + ") AS p(\"column\", dtype) JOIN ("
+        + " UNION ALL ".join(
+            f"SELECT '{c}' AS col, count(*) - count({c}) AS n_null, "
+            f"cast(count(DISTINCT {c}) as bigint) AS n_unique FROM lineitem"
+            for c in LINEITEM_ALL
+        )
+        + ") AS s ON p.\"column\" = s.col"
+    ),
+    note="P1 profile_dataframe (app.py:43-60) minus nondeterministic sample_values",
+)
+def q_profile_table(spark, sf_dir):
+    from etl_hero_spark.profile import profile_table
+
+    out = profile_table(_t(spark, sf_dir, "lineitem"))
+    # Spark 4 reads parquet naive timestamps as timestamp_ntz; report the
+    # logical type so the profile is stable across reader configs.
+    return out.withColumn(
+        "dtype",
+        F.when(F.col("dtype") == "timestamp_ntz", "timestamp").otherwise(
+            F.col("dtype")
+        ),
+    )
+
+
+# ===========================================================================
+# Duplicates (A4, P4, R3) — app.py:86-87,230-232,308-315
+# ===========================================================================
+
+
+@register(
+    "dup_count_subset",
+    oracle=(
+        "SELECT cast(count(*) as bigint) - (SELECT cast(count(*) as bigint) "
+        "FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)) "
+        "AS n_duplicates FROM orders"
+    ),
+    note="A4 generalized to subset keys — occurrences after the first",
+)
+def q_dup_count_subset(spark, sf_dir):
+    from etl_hero_spark.profile import duplicate_count
+
+    return duplicate_count(
+        _t(spark, sf_dir, "orders"), subset=["o_orderstatus", "o_orderpriority"]
+    )
+
+
+# The driver tables are dup-free, so full-row dup detection is demonstrated
+# on a deterministically dup-injected view of documents (doc_id%50==0 rows
+# appended once more).
+_DOCS_DUPED_SQL = (
+    "SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id % 50 = 0"
+)
+
+
+def _docs_duped(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.unionByName(d.filter(F.col("doc_id") % 50 == 0))
+
+
+@register(
+    "dup_count_rows",
+    oracle=(
+        f"WITH t AS ({_DOCS_DUPED_SQL}) "
+        "SELECT cast(count(*) as bigint) - (SELECT cast(count(*) as bigint) "
+        "FROM (SELECT DISTINCT * FROM t)) AS n_duplicates FROM t"
+    ),
+    note="A4/P4 full-row duplicate count (app.py:86-87) on dup-injected documents",
+)
+def q_dup_count_rows(spark, sf_dir):
+    from etl_hero_spark.profile import duplicate_count
+
+    return duplicate_count(_docs_duped(spark, sf_dir))
+
+
+@register(
+    "dedup_rows",
+    oracle=(
+        f"WITH t AS ({_DOCS_DUPED_SQL}) "
+        "SELECT DISTINCT doc_id, text, lang, source, n_chars FROM t"
+    ),
+    note="R3 drop_duplicates (app.py:308-315): multiset-identical to keep='first' for full-row dups",
+)
+def q_dedup_rows(spark, sf_dir):
+    from etl_hero_spark.clean import drop_duplicate_rows
+
+    return drop_duplicate_rows(_docs_duped(spark, sf_dir))
+
+
+@register(
+    "dedup_keep_first",
+    oracle=(
+        "WITH t AS (SELECT * FROM documents UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+        "FROM documents WHERE doc_id % 20 = 0), "
+        "r AS (SELECT *, row_number() OVER "
+        "(PARTITION BY text ORDER BY doc_id ASC) AS rn FROM t) "
+        "SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1"
+    ),
+    note="R3 scale generalization: subset-key dedup, deterministic keep-first via row_number (SURVEY §2.8)",
+)
+def q_dedup_keep_first(spark, sf_dir):
+    from etl_hero_spark.clean import drop_duplicate_rows
+
+    d = _t(spark, sf_dir, "documents")
+    clones = d.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return drop_duplicate_rows(
+        d.unionByName(clones), subset=["text"], keep_first_by=["doc_id"]
+    )
+
+
+# ===========================================================================
+# Outliers (P2, R1) — app.py:62-71,248-273
+# ===========================================================================
+
+_ZCOLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _sql_zstats(c: str, table: str = "lineitem") -> str:
+    """CTE body computing the engine's mu/sigma for column c."""
+    return (
+        f"SELECT {sql_dec_avg(c)} AS mu, {sql_dec_std(c)} AS sigma FROM {table}"
+    )
+
+
+@register(
+    "outliers_detect",
+    oracle=(
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", cast(sum(CASE WHEN "
+            f"abs(({c} - s.mu) / s.sigma) > 3.0 THEN 1 ELSE 0 END) as bigint)"
+            f" AS n_outliers FROM lineitem, ({_sql_zstats(c)}) s "
+            f"WHERE s.sigma IS NOT NULL AND s.sigma <> 0"
+            for c in _ZCOLS
+        )
+    ),
+    note="P2 z-score outlier counts per column (app.py:62-71,218-223), population sigma",
+)
+def q_outliers_detect(spark, sf_dir):
+    from etl_hero_spark.detect import detect_outliers
+
+    return detect_outliers(_t(spark, sf_dir, "lineitem"), _ZCOLS)
+
+
+@register(
+    "outliers_detect_events",
+    oracle=(
+        "SELECT 'value' AS \"column\", cast(sum(CASE WHEN "
+        "abs((value - s.mu) / s.sigma) > 3.0 THEN 1 ELSE 0 END) as bigint)"
+        f" AS n_outliers FROM events, ({_sql_zstats('value', 'events')}) s "
+        "WHERE s.sigma IS NOT NULL AND s.sigma <> 0"
+    ),
+    note="P2 on events.value — the column with genuine z>3 outliers in the fixtures",
+)
+def q_outliers_detect_events(spark, sf_dir):
+    from etl_hero_spark.detect import detect_outliers
+
+    return detect_outliers(_events(spark, sf_dir), ["value"])
+
+
+@register(
+    "outlier_rows",
+    oracle=(
+        "SELECT event_id, value "
+        f"FROM events, ({_sql_zstats('value', 'events')}) s "
+        "WHERE s.sigma IS NOT NULL AND s.sigma <> 0 "
+        "AND abs((value - s.mu) / s.sigma) > 3.0"
+    ),
+    note="P2 mask materialized as rows (the outliers_map the app indexes at apply time, app.py:220-222)",
+)
+def q_outlier_rows(spark, sf_dir):
+    from etl_hero_spark.detect import with_outlier_flags
+
+    df = with_outlier_flags(_events(spark, sf_dir), ["value"])
+    return df.filter(F.col("is_outlier_value")).select("event_id", "value")
+
+
+@register(
+    "clean_outliers_remove",
+    oracle=(
+        "SELECT cast(count(*) as bigint) AS n_rows, "
+        f"{sql_dec_sum('value')} AS sum_value "
+        f"FROM events, ({_sql_zstats('value', 'events')}) s "
+        "WHERE NOT (s.sigma IS NOT NULL AND s.sigma <> 0 "
+        "AND abs((value - s.mu) / s.sigma) > 3.0)"
+    ),
+    note="R1a remove outlier rows (app.py:251-254); output = post-clean summary",
+)
+def q_clean_outliers_remove(spark, sf_dir):
+    from etl_hero_spark.clean import remove_outliers
+    from etl_hero_spark.profile import dec_sum
+
+    out = remove_outliers(_events(spark, sf_dir), "value")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"), dec_sum("value", "sum_value")
+    )
+
+
+@register(
+    "clean_outliers_replace_median",
+    oracle=(
+        f"WITH s AS ({_sql_zstats('value', 'events')}), "
+        "flagged AS (SELECT e.*, (s.sigma IS NOT NULL AND s.sigma <> 0 AND "
+        "abs((value - s.mu) / s.sigma) > 3.0) AS is_out "
+        "FROM events e, s), "
+        "med AS (SELECT quantile_cont(value, 0.5) AS m "
+        "FROM flagged WHERE NOT is_out) "
+        "SELECT event_id, "
+        "CASE WHEN is_out THEN med.m ELSE value END AS value_clean "
+        "FROM flagged, med"
+    ),
+    note="R1b replace outliers with median of NON-outlier rows (app.py:255-260)",
+)
+def q_clean_outliers_replace_median(spark, sf_dir):
+    from etl_hero_spark.clean import replace_outliers
+
+    out = replace_outliers(_events(spark, sf_dir), "value", strategy="median")
+    return out.select("event_id", F.col("value").alias("value_clean"))
+
+
+@register(
+    "clean_outliers_clip",
+    oracle=(
+        "WITH q AS (SELECT round(quantile_cont(l_extendedprice, 0.01), 2) AS lo, "
+        "round(quantile_cont(l_extendedprice, 0.99), 2) AS hi FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, "
+        "CASE WHEN l_extendedprice < q.lo THEN q.lo "
+        "WHEN l_extendedprice > q.hi THEN q.hi "
+        "ELSE l_extendedprice END AS price_clip FROM lineitem, q"
+    ),
+    note="R1d clip to [p01,p99] over the FULL column incl. outliers (app.py:267-273); bounds pinned to 2dp grid",
+)
+def q_clean_outliers_clip(spark, sf_dir):
+    from etl_hero_spark.clean import clip_outliers
+
+    out = clip_outliers(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price_clip"),
+    )
+
+
+# ===========================================================================
+# Missing values (P3, R2) — app.py:225-228,277-306
+# The driver tables are null-free; NULLs are injected with keyed modular
+# predicates so detection/imputation have real work, identically per engine.
+# ===========================================================================
+
+
+def _li_with_nulls(spark, sf_dir):
+    """lineitem with l_extendedprice nulled on l_orderkey%97==0 (~1%)."""
+    return _t(spark, sf_dir, "lineitem").withColumn(
+        "price_n",
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("l_extendedprice")
+        ),
+    )
+
+
+_LI_NULLS_SQL = (
+    "SELECT l.*, CASE WHEN l_orderkey % 97 = 0 THEN NULL "
+    "ELSE l_extendedprice END AS price_n FROM lineitem l"
+)
+
+
+@register(
+    "detect_missing",
+    oracle=(
+        f"WITH t AS ({_LI_NULLS_SQL}) "
+        "SELECT 'price_n' AS \"column\", count(*) - count(price_n) AS n_null FROM t"
+    ),
+    note="P3 missing-value mission (app.py:225-228) on null-injected lineitem",
+)
+def q_detect_missing(spark, sf_dir):
+    from etl_hero_spark.detect import detect_missing
+
+    return detect_missing(_li_with_nulls(spark, sf_dir), ["price_n"])
+
+
+@register(
+    "clean_nulls_impute_median",
+    oracle=(
+        f"WITH t AS ({_LI_NULLS_SQL}), "
+        "m AS (SELECT quantile_cont(price_n, 0.5) AS v FROM t) "
+        "SELECT l_orderkey, l_linenumber, "
+        "coalesce(price_n, m.v) AS price_filled FROM t, m"
+    ),
+    note="R2b numeric median impute (app.py:287-292); median skips NULLs in both engines",
+)
+def q_clean_nulls_impute_median(spark, sf_dir):
+    from etl_hero_spark.clean import impute
+
+    out = impute(_li_with_nulls(spark, sf_dir), "price_n", "median")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("price_n").alias("price_filled")
+    )
+
+
+@register(
+    "clean_nulls_impute_mode",
+    oracle=(
+        "WITH t AS (SELECT o.*, CASE WHEN o_orderkey % 89 = 0 THEN NULL "
+        "ELSE o_orderpriority END AS prio_n FROM orders o), "
+        "m AS (SELECT prio_n AS v FROM t WHERE prio_n IS NOT NULL "
+        "GROUP BY prio_n ORDER BY count(*) DESC, prio_n ASC LIMIT 1) "
+        "SELECT o_orderkey, coalesce(prio_n, m.v) AS prio_filled FROM t, m"
+    ),
+    note="R2c mode impute with the reference tie-break: most frequent, smallest wins (app.py:293-298, SURVEY A9)",
+)
+def q_clean_nulls_impute_mode(spark, sf_dir):
+    from etl_hero_spark.clean import impute
+
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "prio_n",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    out = impute(df, "prio_n", "mode")
+    return out.select("o_orderkey", F.col("prio_n").alias("prio_filled"))
+
+
+@register(
+    "clean_nulls_fill_constant",
+    oracle=(
+        "WITH t AS (SELECT o.*, CASE WHEN o_orderkey % 89 = 0 THEN NULL "
+        "ELSE o_orderpriority END AS prio_n FROM orders o) "
+        "SELECT o_orderkey, coalesce(prio_n, 'Unknown') AS prio_filled FROM t"
+    ),
+    note="R2d constant fill 'Unknown' (app.py:299-304)",
+)
+def q_clean_nulls_fill_constant(spark, sf_dir):
+    from etl_hero_spark.clean import impute
+
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "prio_n",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    out = impute(df, "prio_n", "constant", fill_value="Unknown")
+    return out.select("o_orderkey", F.col("prio_n").alias("prio_filled"))
+
+
+@register(
+    "clean_nulls_drop",
+    oracle=(
+        f"WITH t AS ({_LI_NULLS_SQL}) "
+        "SELECT cast(count(*) as bigint) AS n_rows, "
+        f"{sql_dec_sum('price_n')} AS sum_price "
+        "FROM t WHERE price_n IS NOT NULL"
+    ),
+    note="R2a drop rows with NULL in column (app.py:281-286); output = post-drop summary",
+)
+def q_clean_nulls_drop(spark, sf_dir):
+    from etl_hero_spark.clean import drop_null_rows
+    from etl_hero_spark.profile import dec_sum
+
+    out = drop_null_rows(_li_with_nulls(spark, sf_dir), "price_n")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"), dec_sum("price_n", "sum_price")
+    )
+
+
+# ===========================================================================
+# Dates (P5, R4) — app.py:73-81,317-352
+# Mixed-format strings are synthesized deterministically from o_orderdate:
+# orderkey%3==0 -> 'yyyy-MM-dd', ==1 -> 'dd/MM/yyyy', ==2 -> unparseable.
+# Formats chosen to be mutually unambiguous across engines (SURVEY §2.5).
+# ===========================================================================
+
+_DATES_MIXED_SQL = (
+    "SELECT o_orderkey, CASE "
+    "WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d') "
+    "WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%d/%m/%Y') "
+    "ELSE 'not-a-date' END AS date_str FROM orders"
+)
+
+
+def _dates_mixed(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.date_format("o_orderdate", "dd/MM/yyyy"),
+        )
+        .otherwise(F.lit("not-a-date"))
+        .alias("date_str"),
+    )
+
+
+_FMTS = ["yyyy-MM-dd", "dd/MM/yyyy"]
+
+
+@register(
+    "dates_detect",
+    oracle=(
+        f"WITH t AS ({_DATES_MIXED_SQL}) "
+        "SELECT 'date_str' AS \"column\", count(date_str) AS n_total, "
+        "count(coalesce(try_strptime(date_str, '%Y-%m-%d'), "
+        "try_strptime(date_str, '%d/%m/%Y'))) AS n_parsed, "
+        "round(count(coalesce(try_strptime(date_str, '%Y-%m-%d'), "
+        "try_strptime(date_str, '%d/%m/%Y'))) * 1.0 / count(date_str), 6) "
+        "AS parse_ratio, "
+        "(round(count(coalesce(try_strptime(date_str, '%Y-%m-%d'), "
+        "try_strptime(date_str, '%d/%m/%Y'))) * 1.0 / count(date_str), 6) > 0.6) "
+        "AS is_date_like, "
+        "(count(coalesce(try_strptime(date_str, '%Y-%m-%d'), "
+        "try_strptime(date_str, '%d/%m/%Y'))) > 0 AND "
+        "count(coalesce(try_strptime(date_str, '%Y-%m-%d'), "
+        "try_strptime(date_str, '%d/%m/%Y'))) < count(date_str)) AS is_mixed "
+        "FROM t"
+    ),
+    note="P5 date-likeness with explicit format list (ratio>0.6, app.py:205; mixed flag app.py:236)",
+)
+def q_dates_detect(spark, sf_dir):
+    from etl_hero_spark.detect import date_likeness
+
+    return date_likeness(_dates_mixed(spark, sf_dir), ["date_str"], _FMTS)
+
+
+@register(
+    "dates_normalize",
+    oracle=(
+        f"WITH t AS ({_DATES_MIXED_SQL}) "
+        "SELECT o_orderkey, strftime(coalesce("
+        "try_strptime(date_str, '%Y-%m-%d'), "
+        "try_strptime(date_str, '%d/%m/%Y')), '%Y-%m-%d') AS date_norm FROM t"
+    ),
+    note="R4a normalize mixed formats -> 'yyyy-MM-dd' string, unparseable -> NULL (app.py:321-330)",
+)
+def q_dates_normalize(spark, sf_dir):
+    from etl_hero_spark.clean import normalize_dates
+
+    out = normalize_dates(_dates_mixed(spark, sf_dir), "date_str", _FMTS)
+    return out.select("o_orderkey", F.col("date_str").alias("date_norm"))
+
+
+@register(
+    "dates_force_format",
+    oracle=(
+        f"WITH t AS ({_DATES_MIXED_SQL}) "
+        "SELECT o_orderkey, strftime(try_strptime(date_str, '%d/%m/%Y'), "
+        "'%Y-%m-%d') AS date_norm FROM t"
+    ),
+    note="R4b strict single-format parse 'dd/MM/yyyy' -> NULL on mismatch (app.py:331-340)",
+)
+def q_dates_force_format(spark, sf_dir):
+    from etl_hero_spark.clean import force_date_format
+
+    out = force_date_format(_dates_mixed(spark, sf_dir), "date_str", "dd/MM/yyyy")
+    return out.select("o_orderkey", F.col("date_str").alias("date_norm"))
+
+
+# ===========================================================================
+# Score & report (M1-M3) — app.py:83-92,362-379
+# ===========================================================================
+
+
+@register(
+    "quality_score",
+    oracle=(
+        f"WITH before_t AS ({_LI_NULLS_SQL}), "
+        "nb AS (SELECT count(*) - count(price_n) AS nulls_before FROM before_t), "
+        "db AS (SELECT cast(count(*) as bigint) - (SELECT cast(count(*) as bigint) FROM "
+        "(SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)) "
+        "AS dups_before FROM orders) "
+        "SELECT nb.nulls_before, db.dups_before, "
+        "cast(0 as bigint) AS nulls_after, cast(0 as bigint) AS dups_after, "
+        "round(least(100.0, greatest(0.0, 50.0 + 0.5 * greatest(0, nb.nulls_before - 0) "
+        "+ 1.0 * greatest(0, db.dups_before - 0))), 2) AS quality_score "
+        "FROM nb, db"
+    ),
+    note="M1 clamp(50 + 0.5*dNulls + 1.0*dDups, 0, 100) (app.py:83-92); before=dirty, after=fully clean",
+)
+def q_quality_score(spark, sf_dir):
+    # before: null-injected lineitem prices + duplicated orders subset;
+    # after: fully remediated (0 nulls, 0 dups). Mirrors the app's
+    # before/after scoring with deterministic dirt.
+    nb = (
+        _li_with_nulls(spark, sf_dir)
+        .agg((F.count(F.lit(1)) - F.count("price_n")).alias("nulls_before"))
+    )
+    from etl_hero_spark.profile import duplicate_count
+
+    db = duplicate_count(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"]
+    ).select(F.col("n_duplicates").alias("dups_before"))
+    joined = nb.crossJoin(db).withColumns(
+        {
+            "nulls_after": F.lit(0).cast("bigint"),
+            "dups_after": F.lit(0).cast("bigint"),
+        }
+    )
+    raw = (
+        F.lit(50.0)
+        + F.lit(0.5) * F.greatest(F.lit(0), F.col("nulls_before") - F.col("nulls_after"))
+        + F.lit(1.0) * F.greatest(F.lit(0), F.col("dups_before") - F.col("dups_after"))
+    )
+    return joined.withColumn(
+        "quality_score",
+        F.round(F.least(F.lit(100.0), F.greatest(F.lit(0.0), raw)), 2),
+    ).select(
+        "nulls_before", "dups_before", "nulls_after", "dups_after", "quality_score"
+    )
+
+
+@register(
+    "head_sample",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_returnflag FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 10"
+    ),
+    note="M3 deterministic head(10) — explicit natural-key order (app.py:368-370, SURVEY M3 trap)",
+)
+def q_head_sample(spark, sf_dir):
+    from etl_hero_spark.score import head_sample
+
+    return head_sample(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"], 10
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
+# ===========================================================================
+# Headline aggregate (bench anchor): TPC-H Q1-shaped pricing summary.
+# Not in the reference (it has no GROUP BY surface — SURVEY §2.4) but the
+# canonical one-pass grouped aggregate the profiling pack scales into.
+# ===========================================================================
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        f"{sql_dec_sum('l_quantity')} AS sum_qty, "
+        f"{sql_dec_sum('l_extendedprice')} AS sum_base_price, "
+        f"{sql_dec_avg('l_quantity')} AS avg_qty, "
+        f"{sql_dec_avg('l_extendedprice')} AS avg_price, "
+        "cast(count(*) as bigint) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    note="one-pass grouped multi-aggregate (partial agg map-side; exact decimal sums)",
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    from etl_hero_spark.profile import dec_avg, dec_sum
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v.spark for k, v in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {k: v.oracle for k, v in REGISTRY.items() if v.oracle is not None}

@@ -1,0 +1,109 @@
+"""Remediation operator tests (R1-R4) incl. the reference's subtleties:
+median-of-non-outliers, mode tie-break, clip null passthrough."""
+
+import pyspark.sql.functions as F
+
+from etl_hero_spark import clean, detect
+
+
+def _outlier_df(spark):
+    rows = [(i, 50.0 + (i % 5)) for i in range(100)] + [(100, 5000.0)]
+    return spark.createDataFrame(rows, "id long, x double")
+
+
+def test_remove_outliers(spark):
+    out = clean.remove_outliers(_outlier_df(spark), "x")
+    assert out.count() == 100
+    assert out.agg(F.max("x")).first()[0] < 100
+
+
+def test_replace_outliers_median_of_non_outliers(spark):
+    df = _outlier_df(spark)
+    out = clean.replace_outliers(df, "x", "median")
+    assert out.count() == 101
+    replaced = out.filter(F.col("id") == 100).first()["x"]
+    # median of the 100 non-outlier rows (50..54 pattern), NOT of full column
+    assert 50.0 <= replaced <= 54.0
+
+
+def test_clip_outliers_preserves_null(spark):
+    rows = [(float(i),) for i in range(1, 101)] + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = clean.clip_outliers(df, "x", 0.1, 0.9)
+    assert out.filter(F.col("x").isNull()).count() == 1
+    mx = out.agg(F.max("x"), F.min("x")).first()
+    assert mx[0] <= 91 and mx[1] >= 10
+
+
+def test_impute_mode_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), (None,)], "x string"
+    )
+    out = clean.impute(df, "x", "mode")
+    assert out.filter(F.col("x") == "a").count() == 3  # smallest wins tie
+
+
+def test_impute_constant_default(spark):
+    df = spark.createDataFrame([("v",), (None,)], "x string")
+    out = clean.impute(df, "x", "constant")
+    assert out.filter(F.col("x") == "Unknown").count() == 1
+
+
+def test_drop_duplicate_rows_multiset(spark):
+    df = spark.createDataFrame([(1, "a")] * 3 + [(2, "b")], "k long, v string")
+    assert clean.drop_duplicate_rows(df).count() == 2
+
+
+def test_drop_duplicates_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "x", "late"), (1, "x", "early"), (2, "y", "only")],
+        "id long, key string, tag string",
+    )
+    out = clean.drop_duplicate_rows(df, subset=["key"], keep_first_by=["id"])
+    got = {r["key"]: r["tag"] for r in out.collect()}
+    assert got == {"x": "early", "y": "only"}
+
+
+def test_normalize_dates_formats_and_null(spark):
+    df = spark.createDataFrame(
+        [("2024-01-05",), ("05/01/2024",), ("2024/13/01",)], "d string"
+    )
+    vals = [r["d"] for r in clean.normalize_dates(df, "d").collect()]
+    assert vals.count("2024-01-05") == 2
+    assert vals.count(None) == 1
+
+
+def test_force_date_format_strict(spark):
+    df = spark.createDataFrame([("05/01/2024",), ("2024-01-05",)], "d string")
+    vals = [r["d"] for r in clean.force_date_format(df, "d", "dd/MM/yyyy").collect()]
+    assert sorted(vals, key=str) == ["2024-01-05", None][::-1] or set(vals) == {
+        "2024-01-05",
+        None,
+    }
+
+
+def test_messy_orders_round_trip(spark):
+    """SURVEY §5 test 2: detect -> remediate -> re-detect -> zero missions."""
+    from etl_hero_spark.io import messy_orders
+    from etl_hero_spark.score import quality_score
+
+    df = messy_orders(spark)
+    cleaned = clean.drop_duplicate_rows(df)
+    cleaned = clean.impute(cleaned, "category", "mode")
+    cleaned = clean.normalize_dates(cleaned, "date")
+    cleaned = clean.drop_null_rows(cleaned, ["date"])  # unparseable -> NULL -> drop
+    # The app's interactive loop re-detects after each apply (app.py:210-240);
+    # z-score detection on a tightened distribution can flag new tail points,
+    # so remediate to quiescence like a user would.
+    for _ in range(5):
+        n_out = (
+            detect.detect_outliers(cleaned, ["price"]).first()["n_outliers"]
+        )
+        if n_out == 0:
+            break
+        cleaned = clean.replace_outliers(cleaned, "price", "median")
+        cleaned = cleaned.localCheckpoint()  # truncate the growing loop plan
+    leftover = detect.detect_missions(cleaned).collect()
+    assert leftover == []
+    score = quality_score(df, cleaned)
+    assert 50.0 < score <= 100.0

@@ -1,0 +1,75 @@
+"""Unit tests for the profiling pack (A1-A11, P1) on micro-fixtures
+(FIXTURES.md §C edge cases) and the sf0.001 tables."""
+
+import pyspark.sql.functions as F
+
+from etl_hero_spark import profile
+
+
+def test_null_counts_all_null_col(spark):
+    df = spark.createDataFrame([(None,), (None,), (None,)], "x string")
+    row = profile.null_counts(df).first()
+    assert row["n_null_x"] == 3
+    assert row["n_rows"] == 3
+    assert row["n_null_total"] == 3
+
+
+def test_null_counts_empty_table(spark):
+    df = spark.createDataFrame([], "x string, y double")
+    row = profile.null_counts(df).first()
+    assert row["n_null_x"] == 0 and row["n_null_y"] == 0 and row["n_rows"] == 0
+
+
+def test_distinct_counts_ignore_nulls(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], "x string")
+    assert profile.distinct_counts(df).first()["n_unique_x"] == 2
+
+
+def test_duplicate_count_all_dups(spark):
+    df = spark.createDataFrame([(1, "a")] * 5, "k long, v string")
+    assert profile.duplicate_count(df).first()["n_duplicates"] == 4
+
+
+def test_duplicate_count_no_dups(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    assert profile.duplicate_count(df).first()["n_duplicates"] == 0
+
+
+def test_stddev_pop_is_population(spark):
+    # ddof=0: pop std of [1,2,3,4] = sqrt(1.25); sample std would be ~1.29
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
+    row = profile.numeric_stats(df, ["x"]).first()
+    assert abs(row["std_x"] - 1.118034) < 1e-6
+    assert row["mean_x"] == 2.5
+
+
+def test_median_interpolates_even_count(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "x double")
+    assert profile.quantiles(df, "x", [0.5]) == [2.5]
+
+
+def test_mode_tiebreak_smallest_wins(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",)], "x string"
+    )
+    assert profile.mode_value(df, "x") == "a"
+
+
+def test_mode_empty_returns_empty_string(spark):
+    df = spark.createDataFrame([(None,)], "x string")
+    assert profile.mode_value(df, "x") == ""
+
+
+def test_profile_table_shape(lineitem):
+    pdf = profile.profile_table(lineitem).toPandas()
+    assert set(pdf.columns) == {"column", "dtype", "n_null", "n_unique"}
+    assert len(pdf) == len(lineitem.columns)
+    assert (pdf["n_null"] == 0).all()
+
+
+def test_nan_vs_null_normalization(spark):
+    # SQL NULL and float NaN are distinct in Spark; count() skips NULL but
+    # counts NaN — nanvl normalizes on ingest (SURVEY §7 null semantics)
+    df = spark.createDataFrame([(float("nan"),), (None,), (1.0,)], "x double")
+    norm = df.withColumn("x", F.nanvl("x", F.lit(None)))
+    assert profile.null_counts(norm).first()["n_null_x"] == 2

@@ -1,0 +1,305 @@
+"""Deduplication operators for training-data pipelines (extension mandate).
+
+Four rungs of the dedup ladder, cheapest-first — at 100 TB you run them
+in this order and each rung shrinks the next rung's input:
+
+1. exact       — hash-groupBy on content fingerprint (one shuffle)
+2. simhash     — 64-bit near-dup signature; equal-signature bucketing
+3. minhash-LSH — banded Jaccard candidate pairs (sub-quadratic)
+4. ngram-jaccard — exact Jaccard on candidate pairs (verification rung;
+                   also usable standalone at small scale, and it IS the
+                   DuckDB-checkable ground truth for the rungs above)
+
+The reference's only dedup is full-row drop_duplicates (app.py:308-315,
+see clean.drop_duplicate_rows); everything here generalizes it to
+near-duplicate content at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_hero_spark.textops import (
+    fingerprint_expr,
+    normalized_text_expr,
+    shingles_expr,
+    tokens_expr,
+)
+
+# ---------------------------------------------------------------------------
+# 1. exact content dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_content(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row per normalized-content fingerprint (smallest id wins —
+    deterministic keep-first). One shuffle on a 32-hex-char key; the md5
+    key distributes uniformly, so no skew at any scale."""
+    from etl_hero_spark.clean import drop_duplicate_rows
+
+    with_fp = df.withColumn("_fp", fingerprint_expr(text_col))
+    return drop_duplicate_rows(
+        with_fp, subset=["_fp"], keep_first_by=[id_col]
+    ).drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# 4. exact n-gram Jaccard pairs (ground truth; quadratic within shingle
+#    buckets — run after a candidate-generation rung at scale)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard >= threshold.
+
+    Plan: distinct-shingle explode -> self-equi-join on shingle (this IS
+    the blocking: only pairs sharing >=1 shingle are generated — never the
+    full cross product) -> per-pair intersection count -> sizes -> Jaccard.
+    Jaccard = inter/(|A|+|B|-inter) from exact integer counts, rounded 6dp
+    -> engine-exact. Skew note: a stop-shingle shared by k docs contributes
+    k^2 join rows; at scale, drop shingles with document frequency above a
+    cap first (they cannot discriminate near-dups anyway).
+    """
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(normalized_text_expr(text_col), n).alias("sh"),
+    ).withColumn("sh_size", F.size("sh"))
+    exploded = norm.select("id", "sh_size", F.explode("sh").alias("s"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("sh_size").alias("size_a"), "s"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("sh_size").alias("size_b"), "s"
+    )
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        6,
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. SimHash (64-bit near-dup signature)
+# ---------------------------------------------------------------------------
+
+
+def simhash_expr(text_col: str | Column, n_bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens, entirely JVM-side:
+    per-token xxhash64 -> for each bit position, sum(+1 if bit set else -1)
+    over tokens -> sign bit of each sum. Expressed with aggregate() over a
+    bit-index sequence — no Python, no shuffle, codegen'd."""
+    toks = tokens_expr(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # Unrolled over literal bit positions (shiftright/shiftleft take Python
+    # ints, not Columns): one aggregate per bit over the token-hash array,
+    # then OR the sign bits into a packed long. Wide expression tree but
+    # pure JVM — no shuffle, no Python.
+    def bit_sum(i: int) -> Column:
+        # closure, not default-arg: HOF lambdas must be exactly 2-arg
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        # two's complement: bit 63 as a long literal is the min long
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        out = out.bitwiseOR(
+            F.when(bit_sum(i) > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(simhash, ids) groups with >=2 members — exact-signature near-dup
+    buckets. The scale path for hamming<=k: split the 64-bit signature
+    into k+1 bands and bucket-join per band (any pair within hamming k
+    agrees exactly on >=1 band — pigeonhole)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_expr(normalized_text_expr(text_col)).alias("simhash")
+    )
+    return (
+        sh.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("simhash", "ids", "n")
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates with hamming(simhash_a, simhash_b) <= max_hamming,
+    found by banding: 4 x 16-bit bands; pairs agreeing on any band are
+    candidates (pigeonhole covers hamming<=3), then exact popcount filter.
+    Sub-quadratic: the cross product only forms inside identical-band
+    buckets."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash_expr(normalized_text_expr(text_col)).alias("h"),
+    )
+    band_width = 64 // n_bands
+    mask = (1 << band_width) - 1
+    bands = sh.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("h", i * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "h", "bk.band", "bk.key")
+    a = bands.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), "band", "key")
+    b = bands.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + banded LSH (sub-quadratic Jaccard candidates)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_expr(
+    shingle_col: Column, n_hashes: int = 32, seed: int = 42
+) -> Column:
+    """n_hashes-wide MinHash signature: min over shingles of
+    xxhash64(shingle, salt_i). Universal-hash family via per-function salt
+    prefix; empty shingle set -> nulls (filtered by caller)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{seed}:{i}:"), s)),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) near-dup candidates via banded MinHash-LSH.
+
+    rows = n_hashes/n_bands per band; pairs agreeing on all rows of any
+    band become candidates (s-curve threshold ~ (1/b)^(1/r)); est_jaccard
+    = fraction of agreeing signature positions. The full pipeline is
+    shuffle-bounded by band buckets — never all-pairs. Deterministic for a
+    fixed seed (xxhash64 is seed-stable across executors/runs).
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles_expr(normalized_text_expr(text_col), n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature_expr(F.col("sh"), n_hashes, seed))
+        .select("id", "sig")
+    )
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+    a = bands.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key")
+    b = bands.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes)),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

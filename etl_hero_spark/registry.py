@@ -781,8 +781,20 @@ def q_agg_pricing_summary(spark, sf_dir):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {k: v.spark for k, v in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
+    _load_extensions()
     return {k: v.oracle for k, v in REGISTRY.items() if v.oracle is not None}
+
+
+def _load_extensions() -> None:
+    """Import side-effect registrars (split for readability)."""
+    import etl_hero_spark.registry_ext  # noqa: F401
+
+    try:
+        import etl_hero_spark.registry_stream  # noqa: F401
+    except ImportError:
+        pass

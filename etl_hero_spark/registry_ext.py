@@ -1,0 +1,333 @@
+"""Registry entries for the scale-extension operators (text analysis,
+dedup ladder, similarity search). Imported by registry for its side
+effects — keeps the core-vs-extension split readable.
+
+Oracle-parity notes specific to this file:
+* tokenization/punctuation regexes use explicit [a-zA-Z0-9] classes —
+  identical semantics in Java regex (Spark) and RE2 (DuckDB);
+* DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all default;
+* dot products: both engines accumulate doubles sequentially over
+  3dp-quantized vectors -> bit-identical scores (verified empirically);
+* near-dup fixtures are dup-free, so every dedup query unions in
+  deterministic mutated clones (id+1000000) to have something to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_hero_spark.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments (lockstep with textops.py expressions)
+# ---------------------------------------------------------------------------
+
+_SQL_NORM = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+_SQL_TOKS = (
+    "CASE WHEN length(trim({c})) = 0 THEN [] "
+    "ELSE string_split_regex(trim({c}), '\\s+') END"
+)
+
+
+def _sql_shingles(tok_expr: str, n: int = 3) -> str:
+    """Sorted distinct word n-gram shingles from a token-list expression."""
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({tok_expr})-{n - 1},0)), "
+        f"i -> concat_ws(' ', {', '.join(f'({tok_expr})[i+{j}]' for j in range(n))}))"
+    )
+    # guard: <n tokens -> no full shingle
+    return (
+        f"list_sort(list_distinct(CASE WHEN len({tok_expr}) >= {n} "
+        f"THEN {grams} ELSE [] END))"
+    )
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+@register(
+    "text_token_count",
+    oracle=(
+        "SELECT doc_id, "
+        f"cast(len({_SQL_TOKS.format(c='text')}) as int) AS n_tokens, "
+        "cast(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), "
+        "x -> len(x) > 0)) as int) AS n_pieces "
+        "FROM documents"
+    ),
+    note="extension: whitespace + BPE-ish token counts, pure JVM expressions",
+)
+def q_text_token_count(spark, sf_dir):
+    from etl_hero_spark.textops import with_token_counts
+
+    return with_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_pieces"
+    )
+
+
+@register(
+    "text_quality",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, "
+        f"{_SQL_TOKS.format(c='text')} AS toks FROM documents) "
+        "SELECT doc_id, "
+        "cast(length(text) as int) AS n_chars_q, "
+        "cast(len(toks) as int) AS n_tokens_q, "
+        "round(CASE WHEN len(toks) > 0 THEN "
+        "cast(list_sum(list_transform(toks, x -> length(x))) as double)"
+        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS avg_token_len, "
+        "round(CASE WHEN length(text) > 0 THEN "
+        "cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) as double)"
+        " / cast(length(text) as double) ELSE 0.0 END, 6) AS punct_ratio, "
+        "round(CASE WHEN len(toks) > 0 THEN "
+        "cast(len(list_filter(toks, x -> list_contains("
+        "['the','a','an','and','or','of','to','in','is','it','that','for','on',"
+        "'with','as','was','at','by','be'], lower(x)))) as double)"
+        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS stopword_ratio, "
+        "round(CASE WHEN len(toks) > 0 THEN "
+        "cast(len(list_distinct(toks)) as double) / cast(len(toks) as double) "
+        "ELSE 0.0 END, 6) AS distinct_ratio "
+        "FROM t"
+    ),
+    note="extension: per-doc quality signals (length/punct/stopword/distinct ratios)",
+)
+def q_text_quality(spark, sf_dir):
+    from etl_hero_spark.textops import with_quality_signals
+
+    return with_quality_signals(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars_q",
+        "n_tokens_q",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "distinct_ratio",
+    )
+
+
+_LANGS_SQL = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit']",
+    "en": "['the','and','of','is','that','with','for','not']",
+    "es": "['el','la','de','que','los','una','con','por']",
+    "fr": "['le','la','et','les','des','une','est','dans']",
+}
+
+
+@register(
+    "text_langid",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"{_SQL_TOKS.format(c='text')} AS toks FROM documents), "
+        "s AS (SELECT doc_id, "
+        + ", ".join(
+            f"len(list_filter(toks, x -> list_contains({words}, lower(x)))) AS s_{lang}"
+            for lang, words in _LANGS_SQL.items()
+        )
+        + " FROM t) "
+        "SELECT doc_id, CASE "
+        "WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+        "ELSE 'fr' END AS predicted_lang FROM s"
+    ),
+    note="extension: marker-word language ID, argmax with alphabetical tie-break",
+)
+def q_text_langid(spark, sf_dir):
+    from etl_hero_spark.textops import with_lang_id
+
+    return with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "predicted_lang"
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"{_SQL_NORM.format(c='text')} AS norm FROM documents) "
+        "SELECT doc_id, md5(norm) AS fp_md5, "
+        f"md5(array_to_string({_sql_shingles(_SQL_TOKS.format(c='norm'))}, chr(31))) "
+        "AS fp_shingle FROM t"
+    ),
+    note="extension: content fingerprint (md5 of normalized text) + order-insensitive shingle fingerprint",
+)
+def q_text_fingerprint(spark, sf_dir):
+    from etl_hero_spark.textops import with_fingerprints
+
+    return with_fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5", "fp_shingle"
+    )
+
+
+# ===========================================================================
+# Dedup ladder
+# ===========================================================================
+
+# near-dup fixture: clone docs with whitespace/case mutations (exact rung)
+# and with one appended token (near rung) — both deterministic.
+_DOCS_EXACTVAR_SQL = (
+    "SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, upper(text) || '  ' AS text, "
+    "lang, source, n_chars FROM documents WHERE doc_id % 20 = 0"
+)
+_DOCS_NEARVAR_SQL = (
+    "SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text || ' zz9q' AS text, "
+    "lang, source, n_chars FROM documents WHERE doc_id % 25 = 0"
+)
+
+
+def _docs_exactvar(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clones = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.upper("text"), F.lit("  ")))
+    )
+    return d.unionByName(clones)
+
+
+def _docs_nearvar(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clones = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz9q")))
+    )
+    return d.unionByName(clones)
+
+
+@register(
+    "dedup_exact_content",
+    oracle=(
+        f"WITH t AS ({_DOCS_EXACTVAR_SQL}), "
+        "f AS (SELECT doc_id, md5("
+        + _SQL_NORM.format(c="text")
+        + ") AS fp FROM t), "
+        "r AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM f) "
+        "SELECT doc_id FROM r WHERE rn = 1"
+    ),
+    note="extension rung 1: exact content dedup on normalized-text md5, keep-first (case/whitespace clones collapse)",
+)
+def q_dedup_exact_content(spark, sf_dir):
+    from etl_hero_spark.dedup import dedup_exact_content
+
+    return dedup_exact_content(_docs_exactvar(spark, sf_dir)).select("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=(
+        f"WITH t AS ({_DOCS_NEARVAR_SQL}), "
+        "sh AS (SELECT doc_id AS id, "
+        + _sql_shingles(_SQL_TOKS.format(c=_SQL_NORM.format(c="text")))
+        + " AS s FROM t), "
+        "e AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh), "
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, any_value(a.sz) AS size_a, "
+        "any_value(b.sz) AS size_b, count(*) AS inter "
+        "FROM e a JOIN e b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
+        "SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, "
+        "round(cast(inter as double) / cast(size_a + size_b - inter as double), 6) "
+        "AS jaccard FROM p) WHERE jaccard >= 0.8"
+    ),
+    note="extension rung 4: exact n-gram Jaccard pairs (shingle-join blocking); ground truth for MinHash",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from etl_hero_spark.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_nearvar(spark, sf_dir), threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    note="extension rung 2: SimHash banded candidates (xxhash64 is Spark-specific -> rows-only; cross-checked against ngram_jaccard in tests)",
+)
+def q_dedup_simhash(spark, sf_dir):
+    from etl_hero_spark.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_docs_nearvar(spark, sf_dir), max_hamming=6)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,
+    note="extension rung 3: MinHash-LSH banded candidates (seed-stable xxhash64 -> rows-only; recall vs ngram_jaccard asserted in tests)",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from etl_hero_spark.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_nearvar(spark, sf_dir), threshold=0.5)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, "
+    "list_transform(embedding, x -> round(cast(x as double), 3)) AS qv "
+    "FROM embeddings WHERE vec_id < 3), "
+    "c AS (SELECT vec_id AS corpus_id, "
+    "list_transform(embedding, x -> round(cast(x as double), 3)) AS cv "
+    "FROM embeddings), "
+    "s AS (SELECT query_id, corpus_id, "
+    "round(list_dot_product(cv, qv) / "
+    "(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) "
+    "AS score FROM c, q), "
+    "r AS (SELECT query_id, corpus_id, score, cast(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) as int) "
+    "AS rank FROM s) "
+    "SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5"
+)
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=_TOPK_SQL,
+    note="extension: exact brute-force cosine top-5 for 3 query vectors (broadcast x scan, window top-k)",
+)
+def q_sim_topk_cosine(spark, sf_dir):
+    from etl_hero_spark.simsearch import topk_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine(emb, queries, k=5, query_id_col="query_id")
+
+
+@register(
+    "sim_topk_lsh",
+    oracle=None,
+    note="extension: LSH-bucketed ANN top-k (recall<1 by construction -> rows-only; recall vs exact asserted in tests)",
+)
+def q_sim_topk_lsh(spark, sf_dir):
+    from etl_hero_spark.simsearch import topk_cosine_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_lsh(emb, queries, k=5, query_id_col="query_id")
+
+
+@register(
+    "sim_embedding_near_dup",
+    oracle=None,
+    note="extension: embedding-cosine near-dup pairs via hyperplane LSH self-join (rows-only; scaled clones injected — cosine is scale-invariant, so each clone pair scores ~1.0)",
+)
+def q_sim_embedding_near_dup(spark, sf_dir):
+    from etl_hero_spark.simsearch import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000)
+        .withColumn("embedding", F.transform("embedding", lambda x: x * F.lit(1.5)))
+    )
+    return embedding_near_dup_pairs(emb.unionByName(clones), threshold=0.95)

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (extension mandate).
+
+Two rungs:
+* brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set, one linear scan of the corpus, per-query top-k via window.
+  At 100 TB this is still the right shape when the query set is small:
+  no shuffle of the corpus, only of the (n_queries x k) result.
+* LSH-bucketed ANN (random hyperplane signatures) — the scale path when
+  the query set is large or latency matters: candidates share a signature
+  bucket, exact rerank inside buckets only.
+
+Vectors are quantized to 3dp doubles before scoring so dot products are
+bit-identical across engines (see registry oracle) — quantization is an
+oracle-parity device, not a semantic requirement; pass quantize=None to
+score raw floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def quantized_vec(col: str | Column, dp: int | None = 3) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    if dp is None:
+        return F.transform(c, lambda x: x.cast("double"))
+    return F.transform(c, lambda x: F.round(x.cast("double"), dp))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double accumulation (matches DuckDB's
+    list_dot_product order on identical inputs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    quantize: int | None = 3,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Plan shape: broadcast(queries) x corpus scan -> score -> per-query
+    window top-k. Corpus never shuffles on content — only the scored rows
+    move, and AQE prunes the tiny window shuffle. Deterministic ordering:
+    (score DESC, corpus id ASC) with 6dp-rounded scores.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), quantized_vec(vec_col, quantize).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantized_vec(vec_col, quantize).alias("qv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplane signatures)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny constant;
+    broadcast into the plan as literals)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-signature: sign of projection onto each hyperplane, packed into
+    a long. Pure expressions — evaluated per row JVM-side."""
+    bits = []
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def topk_cosine_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    quantize: int | None = 3,
+) -> DataFrame:
+    """ANN top-k: corpus and queries hash to hyperplane-sign buckets;
+    exact cosine rerank only within the query's bucket. Recall < 1 by
+    construction (bucket may truncate the true top-k); multi-probe (flip
+    one bit) is the standard recall knob — here single-probe to keep the
+    demo plan minimal. Corpus side can be precomputed/persisted — the
+    signature is a pure function of the vector."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), quantized_vec(vec_col, quantize).alias("cv")
+    ).withColumn("sig", signature_expr(F.col("cv"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantized_vec(vec_col, quantize).alias("qv"),
+    ).withColumn("sig", signature_expr(F.col("qv"), planes))
+    scored = c.join(F.broadcast(q), "sig").withColumn(
+        "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: identical
+    signature -> candidate -> exact cosine filter. The embedding-space
+    sibling of dedup.minhash_lsh_pairs."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = df.select(
+        F.col(id_col).alias("id"), quantized_vec(vec_col, 3).alias("v")
+    ).withColumn("sig", signature_expr(F.col("v"), planes))
+    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "sig")
+    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,92 @@
+"""Dedup ladder tests: each approximate rung is validated against the
+exact n-gram Jaccard ground truth on the sf0.001 documents fixture."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_hero_spark import dedup
+
+
+@pytest.fixture(scope="module")
+def docs_with_neardups(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clones = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz9q")))
+    )
+    return d.unionByName(clones).cache()
+
+
+def test_exact_dedup_collapses_normalized_clones(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clones = (
+        d.withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.upper(F.col("text")))
+    )
+    out = dedup.dedup_exact_content(d.unionByName(clones))
+    assert out.count() == d.count()
+    # keep-first: all survivors are the original (small) ids
+    assert out.agg(F.max("doc_id")).first()[0] < 1000000
+
+
+def test_ngram_jaccard_finds_injected_pairs(docs_with_neardups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_neardups, threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {
+        (r["doc_id"], r["doc_id"] + 1000000)
+        for r in docs_with_neardups.filter(F.col("doc_id") % 25 == 0)
+        .filter(F.col("doc_id") < 1000000)
+        .select("doc_id")
+        .collect()
+    }
+    assert expected <= got  # all injected pairs found
+
+
+def test_jaccard_values_bounded(docs_with_neardups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_neardups, threshold=0.8)
+    bad = pairs.filter((F.col("jaccard") < 0.8) | (F.col("jaccard") > 1.0))
+    assert bad.count() == 0
+
+
+def test_minhash_recall_vs_exact(docs_with_neardups):
+    """MinHash-LSH at a low threshold must recover (almost) all exact
+    Jaccard>=0.8 pairs — the standard candidate-generation guarantee."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs_with_neardups, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs_with_neardups, threshold=0.5).collect()
+    }
+    assert exact, "fixture must produce exact pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "entirely other words here")],
+        "doc_id long, text string",
+    )
+    buckets = dedup.simhash_buckets(df).collect()
+    assert len(buckets) == 1
+    assert buckets[0]["ids"] == [1, 2]
+
+
+def test_simhash_candidates_cover_near_dups(docs_with_neardups):
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidate_pairs(
+            docs_with_neardups, max_hamming=6
+        ).collect()
+    }
+    expected = {
+        (r["doc_id"], r["doc_id"] + 1000000)
+        for r in docs_with_neardups.filter(
+            (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 1000000)
+        ).select("doc_id").collect()
+    }
+    recall = len(expected & cand) / len(expected)
+    assert recall >= 0.8, f"simhash recall {recall}"

@@ -1,0 +1,169 @@
+"""Registry entries for streaming-extension and multimodal operators.
+
+Batch twins are oracle-checked against DuckDB (time_bucket / window
+functions / json_extract); the true Structured Streaming run is
+rows-only (no DuckDB streaming) but asserted equal to its batch twin in
+tests/test_streaming.py.
+
+Timestamp parity notes: events.ts is TIMESTAMP(NANOS); Spark reads
+nanos-as-long and truncates to µs, DuckDB keeps ns. All window outputs
+are second-floor strings, so the sub-second representational gap cannot
+move an event across a boundary (windows are whole minutes/hours).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_hero_spark.registry import _events, _t, register, sql_dec_sum
+
+_STRF = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_window_tumbling",
+    oracle=(
+        "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), "
+        f"'{_STRF}') AS window_start, event_type, "
+        "cast(count(*) as bigint) AS n_events, "
+        f"{sql_dec_sum('value')} AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    note="streaming extension: tumbling 1h window agg (epoch-aligned, = F.window default)",
+)
+def q_events_window_tumbling(spark, sf_dir):
+    from etl_hero_spark.streaming import tumbling_agg
+
+    return tumbling_agg(_events(spark, sf_dir))
+
+
+@register(
+    "events_window_sliding",
+    oracle=(
+        # each event belongs to exactly size/slide = 2 windows: the
+        # 30-min bucket containing it and the previous one
+        "WITH w AS (SELECT e.*, unnest(["
+        "time_bucket(INTERVAL '30 minutes', ts), "
+        "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'"
+        "]) AS ws FROM events e) "
+        f"SELECT strftime(ws, '{_STRF}') AS window_start, event_type, "
+        "cast(count(*) as bigint) AS n_events, "
+        f"{sql_dec_sum('value')} AS sum_value "
+        "FROM w GROUP BY 1, 2"
+    ),
+    note="streaming extension: sliding 1h/30min window agg",
+)
+def q_events_window_sliding(spark, sf_dir):
+    from etl_hero_spark.streaming import sliding_agg
+
+    return sliding_agg(_events(spark, sf_dir))
+
+
+@register(
+    "events_sessionize",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_id, ts, value, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events), "
+        "b AS (SELECT *, CASE WHEN prev IS NULL OR "
+        "ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS nb FROM o), "
+        "s AS (SELECT *, sum(nb) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM b) "
+        "SELECT user_id, cast(session_no as bigint) AS session_no, "
+        f"strftime(min(ts), '{_STRF}') AS session_start, "
+        f"strftime(max(ts), '{_STRF}') AS session_end, "
+        "cast(count(*) as bigint) AS n_events, "
+        f"{sql_dec_sum('value')} AS sum_value "
+        "FROM s GROUP BY user_id, session_no"
+    ),
+    note="streaming extension: gaps-and-islands sessionization (batch twin of session_window), 30min gap",
+)
+def q_events_sessionize(spark, sf_dir):
+    from etl_hero_spark.streaming import sessionize_batch
+
+    return sessionize_batch(_events(spark, sf_dir))
+
+
+@register(
+    "events_json_props",
+    oracle=(
+        "SELECT event_type, cast(count(*) as bigint) AS n_events, "
+        "count(cast(json_extract_string(props, '$.k') as integer)) AS n_with_k, "
+        "cast(sum(cast(json_extract_string(props, '$.k') as integer)) as bigint) "
+        "AS sum_k FROM events GROUP BY event_type"
+    ),
+    note="streaming extension: JSON props extraction with explicit schema (from_json, no inference)",
+)
+def q_events_json_props(spark, sf_dir):
+    from etl_hero_spark.streaming import json_props_agg
+
+    return json_props_agg(_events(spark, sf_dir))
+
+
+@register(
+    "events_window_quality",
+    oracle=(
+        "WITH stats AS (SELECT "
+        "round(cast(sum(cast(value as decimal(18,2))) as double)"
+        " / cast(count(value) as double), 6) AS mu, "
+        "round(sqrt("
+        "cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) as double)"
+        " / cast(count(value) as double) - "
+        "(cast(sum(cast(value as decimal(18,2))) as double) / cast(count(value) as double))"
+        " * (cast(sum(cast(value as decimal(18,2))) as double) / cast(count(value) as double))"
+        "), 6) AS sigma FROM events) "
+        "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), "
+        f"'{_STRF}') AS window_start, "
+        "cast(count(*) as bigint) AS n_rows, "
+        "count(*) - count(value) AS n_null_value, "
+        "cast(sum(CASE WHEN abs((value - stats.mu) / stats.sigma) > 3.0 "
+        "THEN 1 ELSE 0 END) as bigint) AS n_outliers "
+        "FROM events, stats GROUP BY 1, stats.mu, stats.sigma"
+    ),
+    note="streaming extension: the reference's E2 detection as windowed quality metrics; batch stats folded into the stream as literals (two-phase)",
+)
+def q_events_window_quality(spark, sf_dir):
+    from etl_hero_spark.detect import zscore_stats
+    from etl_hero_spark.streaming import windowed_quality_metrics
+
+    ev = _events(spark, sf_dir)
+    stats = zscore_stats(ev, ["value"]).first()
+    return windowed_quality_metrics(
+        ev, mu=stats["mu_value"], sigma=stats["sigma_value"]
+    )
+
+
+@register(
+    "stream_window_tumbling",
+    oracle=None,
+    note="streaming extension: TRUE Structured Streaming run of the tumbling agg (memory sink, drained synchronously); equality with batch twin asserted in tests",
+)
+def q_stream_window_tumbling(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_tumbling_agg
+
+    return stream_tumbling_agg(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    oracle=(
+        "SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes, "
+        "md5(text) AS content_md5, "
+        "cast(octet_length(encode(text)) % 512 + 64 as bigint) AS width, "
+        "cast((octet_length(encode(text)) * 7) % 512 + 64 as bigint) AS height, "
+        "cast(octet_length(encode(text)) % 16 as bigint) AS n_frames "
+        "FROM documents"
+    ),
+    note="multimodal extension: binary column + mapInPandas decode-stub (deterministic fake features; real codecs stubbed — libs absent). Oracle checks the Spark-side plumbing end-to-end.",
+)
+def q_multimodal_decode(spark, sf_dir):
+    from etl_hero_spark.multimodal import decode_media_stub, with_media_column
+
+    docs = _t(spark, sf_dir, "documents")
+    media = with_media_column(docs)
+    return decode_media_stub(media)

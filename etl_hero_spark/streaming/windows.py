@@ -1,0 +1,236 @@
+"""Streaming-extension operators over the events table (SURVEY §2.12).
+
+The reference has no streaming surface; these are the mandated extension:
+windowed aggregates (tumbling/sliding), sessionization, JSON prop
+extraction, and windowed data-quality metrics — each written
+batch-first with identical semantics under Structured Streaming
+(`stream_tumbling_agg` runs the same plan through readStream/writeStream
+with a watermark; tests assert batch == stream).
+
+Scale notes: tumbling/sliding aggs are single-shuffle grouped aggs keyed
+by (window, type) — partial aggregation map-side, no skew (time is
+uniform). Sessionization shuffles once on user_id; the per-user sort is
+window-function local. Late data: the watermark bounds state; in batch
+the same query is simply exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etl_hero_spark.profile import dec_sum
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _window_start_str(col: str = "window.start") -> Column:
+    return F.date_format(col, _TS_FMT)
+
+
+def tumbling_agg(
+    events: DataFrame, size: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Per (tumbling window, event_type): count + exact sum(value).
+    Epoch-aligned windows (Spark F.window default, = DuckDB time_bucket)."""
+    return (
+        events.groupBy(F.window(ts_col, size), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            _window_start_str().alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding windows: each event lands in size/slide windows."""
+    return (
+        events.groupBy(F.window(ts_col, size, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            _window_start_str().alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization (batch twin of F.session_window):
+    a new session starts when the gap from the previous event of the same
+    user exceeds gap_minutes. Deterministic ordering tie-break on
+    event_id. Returns one row per session."""
+    order = [F.col(ts_col).asc(), F.col("event_id").asc()]
+    w = W.partitionBy(key_col).orderBy(*order)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(ts_col).over(w)
+    boundary = (
+        F.when(
+            prev.isNull()
+            | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    # boundary must materialize before the running sum — a window function
+    # cannot appear inside another window function's argument
+    with_flag = events.withColumn("_new_session", boundary).withColumn(
+        "_session_no",
+        F.sum("_new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        with_flag.groupBy(key_col, "_session_no")
+        .agg(
+            F.date_format(F.min(ts_col), _TS_FMT).alias("session_start"),
+            F.date_format(F.max(ts_col), _TS_FMT).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("_session_no").alias("session_no"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def json_props_agg(events: DataFrame, field: str = "k") -> DataFrame:
+    """Extract an int field from the JSON props column, aggregate per
+    event_type. from_json with explicit schema (not schema inference —
+    the 100 TB-safe form)."""
+    k = F.from_json("props", f"{field} INT")[field]
+    return (
+        events.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_k").alias("n_with_k"),
+            F.sum("_k").cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+def windowed_quality_metrics(
+    events: DataFrame,
+    mu: float,
+    sigma: float,
+    size: str = "1 hour",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """The reference's E2 detection loop as a streaming-shaped windowed
+    aggregate: per tumbling window, row count, null count and z-score
+    outlier count of `value`. mu/sigma are computed batch-side and folded
+    in as literals — the two-phase pattern that works under streaming
+    (global stats can't be computed inside an incremental window)."""
+    is_out = (
+        F.abs((F.col("value") - F.lit(mu)) / F.lit(sigma)) > threshold
+        if sigma
+        else F.lit(False)
+    )
+    return (
+        events.groupBy(F.window("ts", size))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_null_value"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            _window_start_str().alias("window_start"),
+            "n_rows",
+            "n_null_value",
+            "n_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# true Structured Streaming twin
+# ---------------------------------------------------------------------------
+
+
+def stream_tumbling_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "etl_hero_stream_out",
+) -> DataFrame:
+    """Run tumbling_agg as a real Structured Streaming query over the
+    events parquet (file source), complete mode into a memory sink,
+    drained synchronously. Returns the sink table — identical rows to the
+    batch tumbling_agg (asserted in tests).
+
+    The watermark bounds state for append sinks/late data in production;
+    with the finite fixture + complete mode it is exercised but does not
+    drop anything.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    path = sf_dir
+    if path.endswith(".parquet"):
+        # the file stream source requires a directory; expose the single
+        # fixture file through a temp-dir symlink
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="etl_hero_stream_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        src.groupBy(F.window("ts", size), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            _window_start_str().alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -1,0 +1,105 @@
+"""Streaming-extension tests: batch/stream equivalence, sessionization
+semantics, JSON extraction."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_hero_spark.registry import _events
+from etl_hero_spark.streaming import (
+    sessionize_batch,
+    stream_tumbling_agg,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return _events(spark, sf_dir).cache()
+
+
+def test_tumbling_covers_all_events(events):
+    agg = tumbling_agg(events)
+    assert agg.agg(F.sum("n_events")).first()[0] == events.count()
+
+
+def test_stream_equals_batch(spark, sf_dir, events):
+    """The same tumbling agg through readStream/writeStream must produce
+    exactly the batch result (finite source, complete mode)."""
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_agg(events).collect()
+    }
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in stream_tumbling_agg(spark, f"{sf_dir}/events.parquet").collect()
+    }
+    assert stream == batch
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        # user 1: two sessions (40-min gap)
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 00:10:00", 1.0),
+        (3, 1, "2024-01-01 00:50:01", 1.0),
+        # user 2: one session, boundary gap exactly 30:00 -> NOT a break
+        (4, 2, "2024-01-01 00:00:00", 1.0),
+        (5, 2, "2024-01-01 00:30:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = sessionize_batch(df).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 2
+    assert len(per_user[2]) == 1
+    first = min(per_user[1], key=lambda r: r["session_no"])
+    assert first["n_events"] == 2
+
+
+def test_sessionize_counts_consistent(events):
+    sess = sessionize_batch(events)
+    assert sess.agg(F.sum("n_events")).first()[0] == events.count()
+    # session numbering is dense per user starting at 1
+    mx = sess.groupBy("user_id").agg(
+        F.max("session_no").alias("mx"), F.count("*").alias("n")
+    )
+    assert mx.filter(F.col("mx") != F.col("n")).count() == 0
+
+
+def test_json_props(spark):
+    from etl_hero_spark.streaming import json_props_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", '{"k": 5}'),
+            (2, "a", '{"k": 7}'),
+            (3, "a", "not json"),
+            (4, "b", '{"other": 1}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    got = {r["event_type"]: r for r in json_props_agg(df).collect()}
+    assert got["a"]["sum_k"] == 12 and got["a"]["n_with_k"] == 2
+    assert got["b"]["n_with_k"] == 0 and got["b"]["sum_k"] is None
+
+
+def test_multimodal_decode_stub(spark):
+    from etl_hero_spark.multimodal import decode_media_stub, with_media_column
+
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decode_media_stub(with_media_column(df)).collect()}
+    assert out[1]["n_bytes"] == 5
+    assert out[1]["content_md5"] == "5d41402abc4b2a76b9719d911017c592"
+    assert out[1]["width"] == 5 + 64
+    assert out[2]["n_bytes"] == 0
+
+
+def test_multimodal_frame_sampling(spark):
+    from etl_hero_spark.multimodal import sample_frames, with_media_column
+
+    df = spark.createDataFrame([(1, "x" * 10000)], "doc_id long, text string")
+    row = sample_frames(with_media_column(df), every_n_bytes=4096).first()
+    assert len(row["frames"]) == 3  # offsets 1, 4097, 8193

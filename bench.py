@@ -3,7 +3,7 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized with a foreach-noop action (full compute, no
+Each query is materialized with a noop-format write (full compute, no
 driver-side result transfer — the honest cost of the plan).
 """
 
@@ -32,9 +32,14 @@ HEADLINE = [
 ]
 
 
-def materialize(df) -> int:
-    """Force full computation without collecting rows to the driver."""
-    return df.count()
+def materialize(df) -> None:
+    """Force full computation without collecting rows to the driver.
+
+    noop write, not count(): count() lets Catalyst prune the aggregate
+    expressions of single-row agg queries (a global agg needs no columns
+    to answer count), under-measuring them by 10x.
+    """
+    df.write.mode("overwrite").format("noop").save()
 
 
 def main() -> None:

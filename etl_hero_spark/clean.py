@@ -94,9 +94,16 @@ def clip_outliers(
 
 
 def drop_null_rows(df: DataFrame, cols: list[str] | str) -> DataFrame:
-    """R2a (app.py:281-286)."""
+    """R2a (app.py:281-286). Expressed as an isNotNull conjunction, not
+    na.drop: na.drop compiles to AtLeastNNonNulls, which Spark does NOT
+    translate into a parquet pushed filter, while isNotNull predicates
+    reach the scan (PushedFilters — row groups skip via statistics).
+    Identical semantics to na.drop(subset=cols) (how='any')."""
     cols = [cols] if isinstance(cols, str) else cols
-    return df.na.drop(subset=cols)
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    return df.filter(cond)
 
 
 def impute(

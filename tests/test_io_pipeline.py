@@ -1,0 +1,83 @@
+"""Sources/sinks (S1, S4, S5) and the pipeline/lineage object (M4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_csv_round_trip(spark, tmp_path):
+    from etl_hero_spark.io import messy_orders, read_csv, write_csv
+
+    df = messy_orders(spark, n=50)
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path, single_file=True)
+    back = read_csv(spark, path)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    # inferSchema must recover numeric types from the text round-trip (S1)
+    assert dict(back.dtypes)["price"] == "double"
+    assert os.path.isdir(path)
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    from etl_hero_spark.io import messy_orders, write_parquet
+
+    df = messy_orders(spark, n=50).na.fill("X", ["category"])
+    path = str(tmp_path / "out_parquet")
+    write_parquet(df, path, partition_by=["category"])
+    # hive-style partition dirs exist -> partition pruning is available
+    assert any(d.startswith("category=") for d in os.listdir(path))
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+
+
+def test_html_report_contains_sections(spark):
+    from etl_hero_spark.io import messy_orders, to_html_report
+
+    before = messy_orders(spark, n=30)
+    after = before.dropDuplicates()
+    html = to_html_report(
+        before,
+        after,
+        log=["drop_duplicates"],
+        insights={"rows_before": 30, "rows_after": after.count()},
+        order_by=["order_id"],
+    )
+    for needle in (
+        "Data cleaning report",
+        "Insights",
+        "Actions applied",
+        "drop_duplicates",
+        "rows_before",
+        "Before (sample)",
+        "After (sample)",
+    ):
+        assert needle in html
+
+
+def test_pipeline_replay_undo_log(spark):
+    from etl_hero_spark.clean import drop_null_rows, replace_where
+    from etl_hero_spark.io import messy_orders
+    from etl_hero_spark.pipeline import Pipeline
+
+    base = messy_orders(spark, n=60)
+    p = Pipeline(base)
+    p.apply("drop_null_category", lambda df: drop_null_rows(df, "category"))
+    p.apply(
+        "zero_negative_prices",
+        lambda df: replace_where(df, "price", F.col("price") < 0, 0.0),
+    )
+    assert p.log == ["drop_null_category", "zero_negative_prices"]
+    # the original is immutable; current reflects both steps
+    assert base.filter(F.col("category").isNull()).count() > 0
+    assert p.current.filter(F.col("category").isNull()).count() == 0
+    assert p.current.filter(F.col("price") < 0).count() == 0
+    # step-wise undo: replay(1) has step 1 applied but not step 2
+    undo = p.replay(1)
+    assert undo.filter(F.col("category").isNull()).count() == 0
+    assert undo.filter(F.col("price") < 0).count() > 0
+    # reset clears the log and restores the original plan
+    p.reset()
+    assert p.log == [] and p.current is base

@@ -1,0 +1,148 @@
+"""Plan-quality invariants, asserted from .explain output.
+
+The 100 TB design point is a property of the PLAN, not the result:
+filters must reach the parquet scan (PushedFilters), projections must
+prune the read schema, 1-row stats sides must broadcast, hot paths must
+stay inside WholeStageCodegen, and nothing may fall back to
+row-at-a-time Python (BatchEvalPython). These tests freeze those
+properties so a refactor that silently de-optimizes a plan fails CI.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from etl_hero_spark.session import ensure_oracle_safe_conf
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# engine-wide invariant: no row-at-a-time Python in ANY registered query
+# ---------------------------------------------------------------------------
+
+# queries whose callable executes work eagerly (streaming run) — plan
+# inspection would re-run them; their plan shape is covered by their own tests
+_SKIP = {"stream_window_tumbling"}
+
+
+def test_no_row_python_udfs_anywhere(spark, sf_dir):
+    """BatchEvalPython (pickled row-at-a-time Python UDF) must appear in no
+    registered query plan. The only sanctioned Python crossing is the
+    Arrow-batched mapInPandas in multimodal_decode (MapInPandas node)."""
+    ensure_oracle_safe_conf(spark)
+    from etl_hero_spark.registry import REGISTRY
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name in _SKIP:
+            continue
+        plan = plan_str(spec.spark(spark, sf_dir), "simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+# ---------------------------------------------------------------------------
+# predicate pushdown & column pruning
+# ---------------------------------------------------------------------------
+
+
+def test_null_drop_filter_pushes_to_parquet_scan(lineitem):
+    from etl_hero_spark.clean import drop_null_rows
+
+    plan = plan_str(drop_null_rows(lineitem, "l_returnflag"))
+    assert "PushedFilters: [IsNotNull(l_returnflag)]" in plan
+
+
+def test_projection_prunes_parquet_read_schema(spark, sf_dir):
+    from etl_hero_spark.textops import with_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_token_counts(docs).select("doc_id", "n_tokens")
+    plan = plan_str(out)
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "text" in read_schema and "doc_id" in read_schema
+    # untouched wide columns must NOT be read
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+# ---------------------------------------------------------------------------
+# join strategies
+# ---------------------------------------------------------------------------
+
+
+def test_outlier_stats_join_is_broadcast_not_shuffle(lineitem):
+    from etl_hero_spark.detect import with_outlier_flags
+
+    plan = plan_str(with_outlier_flags(lineitem, ["l_extendedprice"]))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_cosine_broadcasts_query_side(spark, sf_dir):
+    """Brute-force top-k must broadcast the (small) query side — the corpus
+    never shuffles on content; only scored rows move through the tiny
+    per-query window shuffle."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.simsearch import topk_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = plan_str(topk_cosine(emb, queries, k=5), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# shuffle counts & codegen
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_is_single_shuffle(lineitem):
+    from etl_hero_spark.clean import drop_duplicate_rows
+
+    plan = plan_str(drop_duplicate_rows(lineitem), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_grouped_agg_is_single_shuffle_with_partial_agg(lineitem):
+    """groupBy aggs must plan partial (map-side) + final HashAggregate
+    around exactly one exchange."""
+    from pyspark.sql import functions as F
+
+    out = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+    plan = plan_str(out, "simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+
+
+def test_hot_path_stays_in_whole_stage_codegen(lineitem):
+    from etl_hero_spark.clean import clip_outliers
+
+    # simple mode marks whole-stage-codegen'd operators with "*(n)"
+    plan = plan_str(clip_outliers(lineitem, "l_extendedprice"), "simple")
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_multimodal_is_arrow_batched_not_row_python(spark, sf_dir):
+    from etl_hero_spark.multimodal import decode_media_stub, with_media_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_str(decode_media_stub(with_media_column(docs)))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

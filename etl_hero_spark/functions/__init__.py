@@ -1,0 +1,32 @@
+"""Expression-level functions (Column -> Column), composable inside any
+DataFrame plan — all JVM-side, whole-stage-codegen eligible.
+Re-exported from their implementation modules.
+"""
+
+from etl_hero_spark.dedup import (  # noqa: F401
+    minhash_signature_expr,
+    simhash_expr,
+)
+from etl_hero_spark.detect import parse_date_expr  # noqa: F401
+from etl_hero_spark.profile import (  # noqa: F401
+    dec_avg,
+    dec_stddev_pop,
+    dec_sum,
+    null_count_expr,
+)
+from etl_hero_spark.simsearch import (  # noqa: F401
+    cosine_expr,
+    dot_expr,
+    norm_expr,
+    quantized_vec,
+    signature_expr,
+)
+from etl_hero_spark.textops import (  # noqa: F401
+    bpe_ish_token_count_expr,
+    fingerprint_expr,
+    normalized_text_expr,
+    shingle_fingerprint_expr,
+    shingles_expr,
+    token_count_expr,
+    tokens_expr,
+)

@@ -1,0 +1,64 @@
+"""Operator namespace — profile / detect / clean / score / dedup plus the
+scale extensions, re-exported from their implementation modules.
+
+The flat modules (etl_hero_spark.profile, .detect, .clean, ...) are the
+implementation units keyed to SURVEY.md §2 operator IDs; this package
+presents them as one operator surface.
+"""
+
+from etl_hero_spark.clean import (  # noqa: F401
+    clip_outliers,
+    drop_duplicate_rows,
+    drop_null_rows,
+    force_date_format,
+    impute,
+    normalize_dates,
+    remove_outliers,
+    replace_outliers,
+    replace_where,
+)
+from etl_hero_spark.dedup import (  # noqa: F401
+    dedup_exact_content,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+from etl_hero_spark.detect import (  # noqa: F401
+    date_likeness,
+    detect_duplicates,
+    detect_missing,
+    detect_missions,
+    detect_outliers,
+    with_outlier_flags,
+    zscore_stats,
+)
+from etl_hero_spark.multimodal import (  # noqa: F401
+    decode_media_stub,
+    with_media_column,
+)
+from etl_hero_spark.profile import (  # noqa: F401
+    distinct_counts,
+    duplicate_count,
+    mode_value,
+    null_counts,
+    numeric_stats,
+    profile_table,
+    quantiles,
+    sample_values,
+)
+from etl_hero_spark.score import (  # noqa: F401
+    head_sample,
+    insights,
+    quality_score,
+)
+from etl_hero_spark.simsearch import (  # noqa: F401
+    embedding_near_dup_pairs,
+    topk_cosine,
+    topk_cosine_lsh,
+)
+from etl_hero_spark.textops import (  # noqa: F401
+    with_fingerprints,
+    with_lang_id,
+    with_quality_signals,
+    with_token_counts,
+)

@@ -317,6 +317,23 @@ def q_sim_topk_lsh(spark, sf_dir):
 
 
 @register(
+    "sim_topk_ivf",
+    oracle=None,
+    note="extension: IVF ANN top-k — k-means coarse quantizer (driver-trained on a bounded sample), expression-only list assignment, probe-join + exact rerank (recall<1 with nprobe<n_centroids -> rows-only; full-probe == brute-force asserted in tests)",
+)
+def q_sim_topk_ivf(spark, sf_dir):
+    from etl_hero_spark.simsearch import topk_cosine_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_ivf(
+        emb, queries, k=5, query_id_col="query_id", n_centroids=16, nprobe=4
+    )
+
+
+@register(
     "sim_embedding_near_dup",
     oracle=None,
     note="extension: embedding-cosine near-dup pairs via hyperplane LSH self-join (rows-only; scaled clones injected — cosine is scale-invariant, so each clone pair scores ~1.0)",

@@ -144,6 +144,42 @@ def q_stream_window_tumbling(spark, sf_dir):
     return stream_tumbling_agg(spark, f"{sf_dir}/events.parquet")
 
 
+@register(
+    "events_session_window",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_id, ts, value, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events), "
+        "b AS (SELECT *, CASE WHEN prev IS NULL OR "
+        "ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS nb FROM o), "
+        "s AS (SELECT *, sum(nb) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM b) "
+        "SELECT user_id, "
+        f"strftime(min(ts), '{_STRF}') AS session_start, "
+        f"strftime(max(ts), '{_STRF}') AS session_end, "
+        "cast(count(*) as bigint) AS n_events, "
+        f"{sql_dec_sum('value')} AS sum_value "
+        "FROM s GROUP BY user_id, session_no"
+    ),
+    note="streaming extension: F.session_window sessionization (batch run of the exact streaming form); cross-checked in tests against the gaps-and-islands twin AND here against a DuckDB windowed-SQL oracle",
+)
+def q_events_session_window(spark, sf_dir):
+    from etl_hero_spark.streaming import session_agg_native
+
+    return session_agg_native(_events(spark, sf_dir))
+
+
+@register(
+    "stream_session_window",
+    oracle=None,
+    note="streaming extension: TRUE Structured Streaming session windows (append mode, watermark-closed sessions emitted; tail sessions correctly held in state); equality with closed batch sessions asserted in tests",
+)
+def q_stream_session_window(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_session_agg
+
+    return stream_session_agg(spark, f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

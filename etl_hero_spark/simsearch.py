@@ -182,3 +182,127 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed lists
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse quantizer: Lloyd k-means on a bounded corpus sample.
+
+    The sample (<= sample_rows vectors) comes to the driver once — at any
+    corpus scale the model is trained on a sample, so this is the honest
+    100 TB shape too; the resulting k x dim centroid table is a tiny model
+    literal folded into the plan (no join needed for assignment).
+    Deterministic: seeded init, fixed iteration count, numpy float64.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(quantized_vec(vec_col, 3).alias("v"))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return np.round(cents, 6).tolist()
+
+
+def _dist2_expr(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_lists_expr(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest centroid ids — pure expressions:
+    array<struct(dist,idx)> sorted ascending (struct compare = dist first,
+    idx tiebreak), sliced, projected to ids. JVM-side, no UDF."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _dist2_expr(vec, c).alias("dist"),
+                F.lit(i).cast("int").alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["idx"]
+    )
+
+
+def topk_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    quantize: int | None = 3,
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in the inverted list of their
+    nearest centroid; each query proposes its nprobe nearest lists and
+    exact cosine reranks only inside those lists.
+
+    Scale shape: assignment is a map-side expression over centroid
+    literals (no join, no shuffle of the corpus); the probe join
+    broadcasts the exploded (query x nprobe) side; the equi-join on
+    list_id touches ~nprobe/n_centroids of the corpus. nprobe ==
+    n_centroids degrades gracefully to exhaustive search (== brute
+    force, asserted in tests). Corpus-side (list_id, vector) can be
+    precomputed and persisted like any IVF index.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_centroids=n_centroids, vec_col=vec_col
+        )
+    nprobe = min(nprobe, len(centroids))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        quantized_vec(vec_col, quantize).alias("cv"),
+    ).withColumn(
+        "list_id", nearest_lists_expr(F.col("cv"), centroids, 1)[0]
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            quantized_vec(vec_col, quantize).alias("qv"),
+        )
+        .withColumn(
+            "list_id",
+            F.explode(nearest_lists_expr(F.col("qv"), centroids, nprobe)),
+        )
+    )
+    scored = c.join(F.broadcast(q), "list_id").withColumn(
+        "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )

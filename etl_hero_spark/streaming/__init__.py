@@ -1,7 +1,9 @@
 from etl_hero_spark.streaming.windows import (
     json_props_agg,
+    session_agg_native,
     sessionize_batch,
     sliding_agg,
+    stream_session_agg,
     stream_tumbling_agg,
     tumbling_agg,
     windowed_quality_metrics,
@@ -11,7 +13,9 @@ __all__ = [
     "tumbling_agg",
     "sliding_agg",
     "sessionize_batch",
+    "session_agg_native",
     "json_props_agg",
     "windowed_quality_metrics",
     "stream_tumbling_agg",
+    "stream_session_agg",
 ]

@@ -234,3 +234,80 @@ def stream_tumbling_agg(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def session_agg_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """F.session_window sessionization (batch). Independent implementation
+    of sessionize_batch's gaps-and-islands — tests assert the two agree,
+    which pins the semantics of both. This is the form that runs unchanged
+    under Structured Streaming (stream_session_agg)."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(
+            F.min(ts_col).alias("_first_ts"),
+            F.max(ts_col).alias("_last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            key_col,
+            F.date_format("_first_ts", _TS_FMT).alias("session_start"),
+            F.date_format("_last_ts", _TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    query_name: str = "etl_hero_stream_sessions",
+) -> DataFrame:
+    """session_agg_native as a TRUE Structured Streaming query (file
+    source, append mode, memory sink, drained synchronously).
+
+    Append-mode semantics: a session emits once the watermark passes its
+    close (last event + gap). Sessions still within the gap of the
+    stream's end therefore stay in state, NOT in the sink — the correct
+    streaming answer for an unbounded source. Tests assert emitted
+    sessions == the batch result restricted to closed sessions.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    path = sf_dir
+    if path.endswith(".parquet"):
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="etl_hero_stream_sess_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+    )
+    agg = session_agg_native(src, gap=gap)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

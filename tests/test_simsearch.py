@@ -68,3 +68,39 @@ def test_embedding_near_dup_finds_scaled_clones(spark, emb):
     }
     # scaled clone has identical signature and cosine ~1.0 -> must be found
     assert expected <= found
+
+
+def test_ivf_full_probe_equals_brute_force(emb, queries):
+    """nprobe == n_centroids probes every inverted list -> exhaustive
+    search; result must be IDENTICAL to the exact brute-force top-k."""
+    exact = sorted(
+        map(tuple, simsearch.topk_cosine(emb, queries, k=5).collect())
+    )
+    cents = simsearch.train_centroids(emb, n_centroids=8)
+    full = sorted(
+        map(
+            tuple,
+            simsearch.topk_cosine_ivf(
+                emb, queries, k=5, centroids=cents, nprobe=8
+            ).collect(),
+        )
+    )
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(emb, queries):
+    """nprobe=2/8: self-hit must survive (the query's own vector shares
+    its nearest list) and every hit must come from the exact top-50."""
+    cents = simsearch.train_centroids(emb, n_centroids=8)
+    approx = simsearch.topk_cosine_ivf(
+        emb, queries, k=5, centroids=cents, nprobe=2
+    ).collect()
+    assert approx, "IVF must return hits"
+    exact50 = {
+        (r["query_id"], r["corpus_id"])
+        for r in simsearch.topk_cosine(emb, queries, k=50).collect()
+    }
+    for r in approx:
+        if r["rank"] == 1:
+            assert r["corpus_id"] == r["query_id"]
+        assert (r["query_id"], r["corpus_id"]) in exact50

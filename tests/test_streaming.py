@@ -103,3 +103,55 @@ def test_multimodal_frame_sampling(spark):
     df = spark.createDataFrame([(1, "x" * 10000)], "doc_id long, text string")
     row = sample_frames(with_media_column(df), every_n_bytes=4096).first()
     assert len(row["frames"]) == 3  # offsets 1, 4097, 8193
+
+
+def test_session_window_native_agrees_with_gaps_and_islands(events):
+    """Two independent sessionization implementations (F.session_window
+    vs lag/sum gaps-and-islands) must produce identical session sets."""
+    from etl_hero_spark.streaming import session_agg_native
+
+    native = sorted(
+        map(
+            tuple,
+            session_agg_native(events)
+            .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+            .collect(),
+        )
+    )
+    gai = sorted(
+        map(
+            tuple,
+            sessionize_batch(events)
+            .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+            .collect(),
+        )
+    )
+    assert native == gai
+
+
+def test_stream_sessions_equal_closed_batch_sessions(spark, sf_dir, events):
+    """Append-mode streaming emits exactly the sessions the watermark has
+    closed (last event + gap <= max event time); in-flight tail sessions
+    stay in state. Emitted set must equal the batch result restricted to
+    closed sessions."""
+    from etl_hero_spark.streaming import session_agg_native, stream_session_agg
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    cutoff = (max_ts - __import__("datetime").timedelta(minutes=30)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    batch_closed = sorted(
+        map(
+            tuple,
+            session_agg_native(events)
+            .filter(F.col("session_end") <= F.lit(cutoff))
+            .collect(),
+        )
+    )
+    stream = sorted(
+        map(
+            tuple,
+            stream_session_agg(spark, f"{sf_dir}/events.parquet").collect(),
+        )
+    )
+    assert stream == batch_closed

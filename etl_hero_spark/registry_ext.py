@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_hero_spark.registry import _t, register
+from etl_hero_spark.profile import dec_sum
+from etl_hero_spark.registry import _t, register, sql_dec_sum
 
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragments (lockstep with textops.py expressions)
@@ -348,3 +349,52 @@ def q_sim_embedding_near_dup(spark, sf_dir):
         .withColumn("embedding", F.transform("embedding", lambda x: x * F.lit(1.5)))
     )
     return embedding_near_dup_pairs(emb.unionByName(clones), threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation (100 TB design point) — results identical to the
+# unsalted plans, so both are fully oracle-checkable
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_salted_orders_customer",
+    oracle=(
+        "SELECT c_mktsegment, cast(count(*) as bigint) AS n_orders, "
+        f"{sql_dec_sum('o_totalprice')} AS sum_totalprice "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    note="scale extension: salted equi-join (big side salted 16-way, dim side replicated) — result identical to the plain join, hot keys spread over 16 reducers; oracle is the UNSALTED SQL join",
+)
+def q_join_salted_orders_customer(spark, sf_dir):
+    from etl_hero_spark.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        on="custkey",
+        n_salts=16,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "sum_totalprice"),
+    )
+
+
+@register(
+    "distinct_customers_per_priority",
+    oracle=(
+        "SELECT o_orderpriority, cast(count(DISTINCT o_custkey) as bigint) "
+        "AS n_distinct FROM orders GROUP BY o_orderpriority"
+    ),
+    note="scale extension: per-key COUNT DISTINCT via two-phase dedup-then-count — no hot key funnels its value set through one reducer; bit-identical to direct COUNT DISTINCT",
+)
+def q_distinct_customers_per_priority(spark, sf_dir):
+    from etl_hero_spark.skew import two_phase_distinct_count
+
+    return two_phase_distinct_count(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )

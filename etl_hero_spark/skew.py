@@ -1,0 +1,80 @@
+"""Skew-mitigation operators for the 100 TB design point.
+
+Spark's defaults already cover much of the skew surface: map-side
+partial aggregation absorbs skewed groupBy keys for algebraic
+aggregates, and AQE splits skewed sort-merge-join partitions at runtime
+(spark.sql.adaptive.skewJoin). What they do NOT cover:
+
+* broadcast-ineligible joins where one/few key values dominate AND AQE
+  is off or the skew exceeds its thresholds -> salted_join: the big side
+  salts each row into one of n_salts sub-keys, the small side replicates
+  n_salts times, the join key becomes (key, salt) — a hot key's rows
+  spread over n_salts reducers. Result set is IDENTICAL to the unsalted
+  join (oracle-checked in the registry).
+* per-key COUNT(DISTINCT x) where one key holds most rows -> a single
+  reducer receives the key's whole value set. two_phase_distinct_count
+  first dedups on (key, x) — map-side combine shrinks the hot key before
+  any single reducer sees it — then counts per key.
+
+Salting is deterministic here (hash of a stable row expression, not
+rand()) so retried/speculated tasks salt identically — rand() salts can
+double-count rows under task retry with non-idempotent sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salt_expr(cols: list[str], n_salts: int = DEFAULT_SALTS) -> Column:
+    """Deterministic per-row salt in [0, n_salts): hash of the full row's
+    stable columns. xxhash64 is JVM-side and cheap."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated
+    n_salts times. Same rows as big.join(small, on, how); the hot key's
+    rows land on n_salts reducers instead of one.
+
+    The small side grows n_salts x — keep it the dimension side. For
+    how='left'/'inner' semantics are exact; right/full would need the
+    mirrored construction (not provided — swap the sides instead).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'; swap sides otherwise")
+    on = [on] if isinstance(on, str) else list(on)
+    big_cols = [c for c in big.columns]
+    salted_big = big.withColumn("_salt", salt_expr(big_cols, n_salts))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(salted_small, on + ["_salt"], how).drop("_salt")
+
+
+def two_phase_distinct_count(
+    df: DataFrame, keys: list[str] | str, col: str, alias: str = "n_distinct"
+) -> DataFrame:
+    """COUNT(DISTINCT col) per key without funnelling a hot key's value
+    set through one reducer: dedup on (keys, col) first — partial
+    aggregation combines map-side — then count per key. Two shuffles,
+    both skew-tolerant; bit-identical to the direct COUNT DISTINCT."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        df.select(*keys, col)
+        # COUNT(DISTINCT col) ignores NULLs — drop them before the dedup
+        # or the null row would be counted
+        .filter(F.col(col).isNotNull())
+        .dropDuplicates(keys + [col])
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(alias))
+    )

@@ -1,0 +1,97 @@
+"""Skew-mitigation operators: results must be IDENTICAL to the unsalted
+plans; the plans must actually spread the keys."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").cache()
+
+
+def _j(orders, customer, fn):
+    return fn(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        customer.select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        ),
+    )
+
+
+def test_salted_join_equals_plain_join(orders, customer):
+    from etl_hero_spark.skew import salted_join
+
+    plain = sorted(
+        map(tuple, _j(orders, customer, lambda a, b: a.join(b, "custkey")).collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            _j(orders, customer, lambda a, b: salted_join(a, b, "custkey")).collect(),
+        )
+    )
+    assert salted == plain
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from etl_hero_spark.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k long, v string")
+    small = spark.createDataFrame([(1, "A")], "k long, w string")
+    out = sorted(
+        map(tuple, salted_join(big, small, "k", how="left", n_salts=4).collect())
+    )
+    assert out == [(1, "x", "A"), (2, "y", None), (3, "z", None)]
+
+
+def test_salted_join_key_includes_salt(orders, customer):
+    """The hash-partitioning of the join must include _salt — that is the
+    whole point (a hot custkey spreads over n_salts partitions)."""
+    import contextlib
+    import io
+
+    from etl_hero_spark.skew import salted_join
+
+    df = _j(orders, customer, lambda a, b: salted_join(a, b, "custkey"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    assert "_salt" in buf.getvalue()
+
+
+def test_two_phase_distinct_count_matches_direct(orders):
+    from etl_hero_spark.skew import two_phase_distinct_count
+
+    direct = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    two_phase = {
+        r["o_orderpriority"]: r["n_distinct"]
+        for r in two_phase_distinct_count(
+            orders, "o_orderpriority", "o_custkey"
+        ).collect()
+    }
+    assert two_phase == direct
+
+
+def test_two_phase_distinct_ignores_nulls(spark):
+    from etl_hero_spark.skew import two_phase_distinct_count
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None)], "k string, x long"
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in two_phase_distinct_count(df, "k", "x").collect()
+    }
+    # COUNT(DISTINCT x) semantics: NULLs don't count; all-null key absent
+    assert got == {"a": 1}

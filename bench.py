@@ -17,7 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family (profile, detect, remediate, dedup,
-# dates, grouped agg) + extensions as they land.
+# dates, grouped agg) + one per extension family (text, near-dup ladder,
+# similarity, streaming-batch windows, skew mitigation).
 HEADLINE = [
     "profile_nulls",
     "profile_distinct",
@@ -29,6 +30,16 @@ HEADLINE = [
     "dedup_keep_first",
     "dates_normalize",
     "agg_pricing_summary",
+    # extensions
+    "text_quality",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "sim_topk_ivf",
+    "events_window_tumbling",
+    "events_sessionize",
+    "join_salted_orders_customer",
+    "distinct_customers_per_priority",
 ]
 
 
@@ -44,8 +55,10 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from etl_hero_spark.registry import REGISTRY
+    from etl_hero_spark.registry import REGISTRY, _load_extensions
     from etl_hero_spark.session import get_spark
+
+    _load_extensions()
 
     spark = get_spark("etl-hero-bench")
     # warm the JVM + parquet footers once so per-query times measure the

@@ -21,12 +21,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_hero_spark.skew import ensure_min_partitions
 from etl_hero_spark.textops import (
     fingerprint_expr,
     normalized_text_expr,
-    shingles_expr,
+    shingles_from_tokens_expr,
     tokens_expr,
 )
+
+
+def _staged_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh) with tokens staged as a materialized column first —
+    higher-order lambdas get no subexpression elimination, so an inline
+    tokenization subtree would re-run the regex split once per shingle
+    (textops.shingles_from_tokens_expr). Also spreads few-split inputs:
+    shingling is CPU-bound, one row group must not mean one core."""
+    return (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .withColumn("_toks", tokens_expr(normalized_text_expr("_txt")))
+        .select("id", shingles_from_tokens_expr(F.col("_toks"), n).alias("sh"))
+    )
 
 # ---------------------------------------------------------------------------
 # 1. exact content dedup
@@ -70,10 +87,9 @@ def ngram_jaccard_pairs(
     k^2 join rows; at scale, drop shingles with document frequency above a
     cap first (they cannot discriminate near-dups anyway).
     """
-    norm = df.select(
-        F.col(id_col).alias("id"),
-        shingles_expr(normalized_text_expr(text_col), n).alias("sh"),
-    ).withColumn("sh_size", F.size("sh"))
+    norm = _staged_shingles(df, id_col, text_col, n).withColumn(
+        "sh_size", F.size("sh")
+    )
     exploded = norm.select("id", "sh_size", F.explode("sh").alias("s"))
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("sh_size").alias("size_a"), "s"
@@ -104,13 +120,13 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_expr(text_col: str | Column, n_bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens, entirely JVM-side:
-    per-token xxhash64 -> for each bit position, sum(+1 if bit set else -1)
-    over tokens -> sign bit of each sum. Expressed with aggregate() over a
-    bit-index sequence — no Python, no shuffle, codegen'd."""
-    toks = tokens_expr(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_from_hashes_expr(hashes: Column, n_bits: int = 64) -> Column:
+    """64-bit SimHash from an ALREADY MATERIALIZED token-hash array column:
+    for each bit position, sum(+1 if bit set else -1) over token hashes ->
+    sign bit of each sum. The hash array must be staged via withColumn —
+    the 64 per-bit aggregates each reference it, and an inline subtree
+    would re-tokenize and re-hash 64 times per row (no subexpression
+    elimination across higher-order aggregates)."""
     # Unrolled over literal bit positions (shiftright/shiftleft take Python
     # ints, not Columns): one aggregate per bit over the token-hash array,
     # then OR the sign bits into a packed long. Wide expression tree but
@@ -136,6 +152,31 @@ def simhash_expr(text_col: str | Column, n_bits: int = 64) -> Column:
     return out
 
 
+def simhash_expr(text_col: str | Column, n_bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens, entirely JVM-side. Ad-hoc
+    convenience form — hot paths must use with_simhash (staged hash
+    array; see simhash_from_hashes_expr for why)."""
+    hashes = F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t))
+    return simhash_from_hashes_expr(hashes, n_bits)
+
+
+def with_simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """(id, simhash) with the token-hash array staged once per row."""
+    return (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .withColumn(
+            "_hashes",
+            F.transform(
+                tokens_expr(normalized_text_expr("_txt")), lambda t: F.xxhash64(t)
+            ),
+        )
+        .select("id", simhash_from_hashes_expr(F.col("_hashes")).alias(out))
+    )
+
+
 def simhash_buckets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -143,9 +184,7 @@ def simhash_buckets(
     buckets. The scale path for hamming<=k: split the 64-bit signature
     into k+1 bands and bucket-join per band (any pair within hamming k
     agrees exactly on >=1 band — pigeonhole)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash_expr(normalized_text_expr(text_col)).alias("simhash")
-    )
+    sh = with_simhash(df, id_col, text_col)
     return (
         sh.groupBy("simhash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("n"))
@@ -166,10 +205,7 @@ def simhash_candidate_pairs(
     candidates (pigeonhole covers hamming<=3), then exact popcount filter.
     Sub-quadratic: the cross product only forms inside identical-band
     buckets."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        simhash_expr(normalized_text_expr(text_col)).alias("h"),
-    )
+    sh = with_simhash(df, id_col, text_col, out="h")
     band_width = 64 // n_bands
     mask = (1 << band_width) - 1
     bands = sh.select(
@@ -249,13 +285,15 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // n_bands
     sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            shingles_expr(normalized_text_expr(text_col), n).alias("sh"),
-        )
+        _staged_shingles(df, id_col, text_col, n)
         .filter(F.size("sh") > 0)
         .withColumn("sig", minhash_signature_expr(F.col("sh"), n_hashes, seed))
         .select("id", "sig")
+        # the signature table IS the index: both sides of the self-join
+        # consume it, and without persistence the 32-way shingle hashing
+        # computes twice (measured ~2x the whole query). n_docs x 32
+        # longs — small at any scale; in production persist to storage.
+        .cache()
     )
     bands = sig.select(
         "id",
@@ -282,12 +320,6 @@ def minhash_lsh_pairs(
     ).select("id", "sig", "bk.band", "bk.key")
     a = bands.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key")
     b = bands.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
     est = F.round(
         F.size(
             F.filter(
@@ -298,8 +330,15 @@ def minhash_lsh_pairs(
         / F.lit(float(n_hashes)),
         6,
     )
+    # score each candidate the moment the bucket-join emits it, BEFORE the
+    # pair dedup: est is deterministic per pair, so deduping (id_a, id_b,
+    # est) is equivalent — and the dedup shuffle then carries 3 scalars
+    # instead of two 32-long signature arrays
     return (
-        cand.withColumn("est_jaccard", est)
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )

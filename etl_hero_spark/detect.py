@@ -66,6 +66,24 @@ def with_outlier_flags(
     return out.drop(*drop)
 
 
+def zscore_stats_map(
+    df: DataFrame, cols: list[str]
+) -> dict[str, tuple[float | None, float | None]]:
+    """{col: (mu, sigma)} via CONCURRENT per-column jobs — same rationale
+    as profile.distinct_counts_map: each job's codegen unit is small and
+    its scan is pruned to one column, and the jobs overlap; one wide
+    all-columns decimal agg compiles a giant codegen stage whose one-off
+    compile cost dominates interactive runs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(c: str):
+        r = df.agg(dec_avg(c, "mu"), dec_stddev_pop(c, "sigma")).first()
+        return c, (r["mu"], r["sigma"])
+
+    with ThreadPoolExecutor(max_workers=min(len(cols), 16)) as ex:
+        return dict(ex.map(one, cols))
+
+
 def detect_outliers(
     df: DataFrame,
     cols: list[str] | None = None,
@@ -73,20 +91,48 @@ def detect_outliers(
 ) -> DataFrame:
     """(column, n_outliers) per numeric column — the P2 mission surface.
 
-    One scan for stats + one scan for counting (both all-columns-at-once).
-    """
+    Two-phase: per-column stats jobs (overlapping, pruned scans), then
+    ONE counting scan with mu/sigma folded in as literals — the count
+    expressions are plain double arithmetic, no stats join at all.
+    Columns with sigma NULL/0/NaN are excluded (reference: no outliers
+    when the column is constant or non-numeric, app.py:68-69)."""
+    import math
+
     cols = cols or numeric_columns(df)
-    flagged = with_outlier_flags(df, cols, threshold)
-    wide = flagged.agg(
+    stats = zscore_stats_map(df, cols)
+
+    def usable(s):
+        mu, sigma = s
+        return (
+            mu is not None
+            and sigma is not None
+            and sigma != 0.0
+            and not math.isnan(sigma)
+        )
+
+    active = [c for c in cols if usable(stats[c])]
+    if not active:
+        return df.sparkSession.createDataFrame(
+            [], "column string, n_outliers bigint"
+        )
+    wide = df.agg(
         *[
-            F.sum(F.col(f"is_outlier_{c}").cast("long")).alias(c)
-            for c in cols
+            F.sum(
+                F.when(
+                    F.abs((F.col(c) - F.lit(stats[c][0])) / F.lit(stats[c][1]))
+                    > threshold,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(c)
+            for c in active
         ]
     )
     # unpivot the 1-row wide result into (column, n_outliers)
-    stack_expr = ", ".join(f"'{c}', {c}" for c in cols)
+    stack_expr = ", ".join(f"'{c}', {c}" for c in active)
     return wide.selectExpr(
-        f"stack({len(cols)}, {stack_expr}) as (column, n_outliers)"
+        f"stack({len(active)}, {stack_expr}) as (column, n_outliers)"
     )
 
 

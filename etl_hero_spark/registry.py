@@ -791,10 +791,7 @@ def all_oracles() -> dict[str, str]:
 
 
 def _load_extensions() -> None:
-    """Import side-effect registrars (split for readability)."""
+    """Import side-effect registrars (split for readability). No silent
+    except: a broken registrar must fail loudly, not shrink the surface."""
     import etl_hero_spark.registry_ext  # noqa: F401
-
-    try:
-        import etl_hero_spark.registry_stream  # noqa: F401
-    except ImportError:
-        pass
+    import etl_hero_spark.registry_stream  # noqa: F401

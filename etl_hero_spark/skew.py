@@ -78,3 +78,20 @@ def two_phase_distinct_count(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(alias))
     )
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a few-split input before CPU-heavy per-row work.
+
+    A small parquet file is one row group -> ONE scan task, so an
+    expression-heavy stage (shingling, hashing, vector math) runs on one
+    core no matter how many the cluster has. A round-robin repartition of
+    the raw rows (cheap: input is small by premise) buys full parallelism.
+    No-op when the input already has enough splits — large inputs keep
+    their natural partitioning.
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)

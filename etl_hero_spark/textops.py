@@ -150,9 +150,15 @@ def fingerprint_expr(col: str | Column) -> Column:
     return F.md5(normalized_text_expr(col))
 
 
-def shingles_expr(col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (sorted for canonical ordering)."""
-    toks = tokens_expr(col)
+def shingles_from_tokens_expr(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (sorted, canonical) from an ALREADY
+    MATERIALIZED token-array column.
+
+    The token column must be staged via withColumn, not passed as an
+    expression tree: higher-order lambdas (transform/slice) evaluate
+    interpreted, with no subexpression elimination — an inline
+    tokenization subtree would re-run regex split once PER SHINGLE
+    (measured ~10x on the shingle pipeline)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
@@ -163,14 +169,42 @@ def shingles_expr(col: str | Column, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(only_full))
 
 
+def shingles_expr(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (sorted for canonical ordering).
+
+    Convenience form for ad-hoc use on small data. Hot paths must stage
+    tokens in a column and use shingles_from_tokens_expr — see its
+    docstring for why (per-shingle re-tokenization otherwise)."""
+    return shingles_from_tokens_expr(tokens_expr(col), n)
+
+
+def with_shingles(
+    df: DataFrame, col: str = "text", n: int = 3, out: str = "sh"
+) -> DataFrame:
+    """Stage normalized tokens as a real column, then shingle from it —
+    the evaluate-once form of shingles_expr. The intermediate token
+    column is dropped; CollapseProject keeps the stages separate because
+    the token alias is non-cheap and multiply-referenced."""
+    toks = f"_{out}_toks"
+    return (
+        df.withColumn(toks, tokens_expr(normalized_text_expr(col)))
+        .withColumn(out, shingles_from_tokens_expr(F.col(toks), n))
+        .drop(toks)
+    )
+
+
 def shingle_fingerprint_expr(col: str | Column, n: int = 3) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     shingle set — robust to sentence reordering, the cheap cousin of
-    MinHash for exact near-dup bucketing."""
+    MinHash for exact near-dup bucketing. Ad-hoc form; hot paths use
+    with_fingerprints (staged tokens)."""
     return F.md5(F.concat_ws("\x1f", shingles_expr(normalized_text_expr(col), n)))
 
 
 def with_fingerprints(df: DataFrame, col: str = "text") -> DataFrame:
-    return df.withColumn("fp_md5", fingerprint_expr(col)).withColumn(
-        "fp_shingle", shingle_fingerprint_expr(col)
+    staged = with_shingles(df, col, out="_fp_sh")
+    return (
+        staged.withColumn("fp_md5", fingerprint_expr(col))
+        .withColumn("fp_shingle", F.md5(F.concat_ws("\x1f", F.col("_fp_sh"))))
+        .drop("_fp_sh")
     )

@@ -6,9 +6,11 @@ from etl_hero_spark import detect
 
 
 def test_zscore_zero_variance_no_outliers(spark):
+    """sigma == 0 -> the column is undetectable: absent from the result
+    (matches the oracle's WHERE sigma <> 0 and the reference's no-mission
+    outcome for constant columns, app.py:68-69,240)."""
     df = spark.createDataFrame([(5.0,)] * 10, "x double")
-    out = detect.detect_outliers(df, ["x"]).first()
-    assert out["n_outliers"] == 0
+    assert detect.detect_outliers(df, ["x"]).count() == 0
 
 
 def test_zscore_nulls_never_outliers(spark):

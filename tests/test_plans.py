@@ -146,3 +146,17 @@ def test_multimodal_is_arrow_batched_not_row_python(spark, sf_dir):
     plan = plan_str(decode_media_stub(with_media_column(docs)))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_queries_survive_ansi_on_session(spark, sf_dir):
+    """Spark 4 drivers ship ANSI mode on; registered queries must keep
+    try-parse semantics (NULL on failure, not runtime error) regardless
+    of the session they receive."""
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        from etl_hero_spark.registry import REGISTRY
+
+        out = REGISTRY["dates_normalize"].spark(spark, sf_dir)
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from etl_hero_spark.skew import ensure_min_partitions
+
 
 def quantized_vec(col: str | Column, dp: int | None = 3) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -67,7 +69,7 @@ def topk_cosine(
     move, and AQE prunes the tiny window shuffle. Deterministic ordering:
     (score DESC, corpus id ASC) with 6dp-rounded scores.
     """
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("corpus_id"), quantized_vec(vec_col, quantize).alias("cv")
     )
     q = queries.select(
@@ -139,7 +141,7 @@ def topk_cosine_lsh(
     demo plan minimal. Corpus side can be precomputed/persisted — the
     signature is a pure function of the vector."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("corpus_id"), quantized_vec(vec_col, quantize).alias("cv")
     ).withColumn("sig", signature_expr(F.col("cv"), planes))
     q = queries.select(
@@ -170,7 +172,7 @@ def embedding_near_dup_pairs(
     signature -> candidate -> exact cosine filter. The embedding-space
     sibling of dedup.minhash_lsh_pairs."""
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = df.select(
+    sig = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), quantized_vec(vec_col, 3).alias("v")
     ).withColumn("sig", signature_expr(F.col("v"), planes))
     a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "sig")
@@ -225,30 +227,55 @@ def train_centroids(
     return np.round(cents, 6).tolist()
 
 
-def _dist2_expr(vec: Column, centroid: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dot_const_sql(vec_sql: str, const: list[float], dp: int | None) -> str:
+    """vec . const as UNROLLED indexed arithmetic (vec[0]*c0 + ...), not a
+    zip_with/aggregate lambda: higher-order functions evaluate interpreted
+    (~us per element), while a flat arithmetic tree whole-stage-codegens
+    (~ns per term).
+
+    Two hard-won constraints shape this:
+    * `vec_sql` must name a RELATION ATTRIBUTE (the raw array column from
+      the scan), NOT an alias of a computed array. getItem references are
+      "extract-only" to CollapseProject, which inlines the aliased
+      expression into every one of the n_dim x n_centroids extractions —
+      a staged quantized vector was re-built 1024 times per row (measured
+      26 ms/row). Per-term quantization (round per extraction) instead.
+    * the tree is built as ONE SQL string parsed JVM-side: constructing
+      ~4000 Column objects crosses py4j per node (~20 s of DRIVER time
+      just to build the plan).
+    """
+
+    def term(i: int) -> str:
+        x = f"cast({vec_sql}[{i}] as double)"
+        if dp is not None:
+            x = f"round({x}, {dp})"
+        return f"{x}*cast({float(const[i])!r} as double)"
+
+    return " + ".join(term(i) for i in range(len(const)))
 
 
-def nearest_lists_expr(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """Array of the nprobe nearest centroid ids — pure expressions:
-    array<struct(dist,idx)> sorted ascending (struct compare = dist first,
-    idx tiebreak), sliced, projected to ids. JVM-side, no UDF."""
-    pairs = F.array(
-        *[
-            F.struct(
-                _dist2_expr(vec, c).alias("dist"),
-                F.lit(i).cast("int").alias("idx"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+def nearest_lists_expr(
+    vec_sql: str,
+    centroids: list[list[float]],
+    nprobe: int,
+    dp: int | None = 3,
+) -> Column:
+    """Array of the nprobe nearest centroid ids — one codegen'd SQL
+    expression over the RAW vector attribute named by ``vec_sql`` (see
+    _dot_const_sql): array<struct(score,idx)> sorted ascending (struct
+    compare = score first, idx tiebreak), sliced, projected to ids.
+
+    score = |y|^2 - 2 x.y, which orders centroids y identically to
+    ||x-y||^2 for a fixed row x (the |x|^2 term is constant per row and
+    never computed). |y|^2 folds to a literal per centroid."""
+    structs = ", ".join(
+        f"struct(cast({float(sum(v * v for v in c))!r} as double)"
+        f" - 2.0D*({_dot_const_sql(vec_sql, c, dp)}) as score,"
+        f" {i} as idx)"
+        for i, c in enumerate(centroids)
     )
-    return F.transform(
-        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["idx"]
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {nprobe}), s -> s.idx)"
     )
 
 
@@ -281,21 +308,30 @@ def topk_cosine_ivf(
             corpus, n_centroids=n_centroids, vec_col=vec_col
         )
     nprobe = min(nprobe, len(centroids))
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        quantized_vec(vec_col, quantize).alias("cv"),
-    ).withColumn(
-        "list_id", nearest_lists_expr(F.col("cv"), centroids, 1)[0]
+    # assignment reads the RAW vector attribute — never the staged cv
+    # (extract-only inlining would re-build cv per term, see
+    # _dot_const_expr); cv is staged separately for the HOF rerank only
+    c = (
+        ensure_min_partitions(corpus)
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            quantized_vec(vec_col, quantize).alias("cv"),
+            nearest_lists_expr(vec_col, centroids, 1, dp=quantize)[0].alias(
+                "list_id"
+            ),
+        )
+        # this (list_id, vector) table IS the IVF index: build it once in
+        # parallel and persist — otherwise the probe join's (AQE-coalesced)
+        # tasks re-run the centroid assignment serially per query batch.
+        # In production this persists to storage like any ANN index.
+        .cache()
     )
-    q = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            quantized_vec(vec_col, quantize).alias("qv"),
-        )
-        .withColumn(
-            "list_id",
-            F.explode(nearest_lists_expr(F.col("qv"), centroids, nprobe)),
-        )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantized_vec(vec_col, quantize).alias("qv"),
+        F.explode(
+            nearest_lists_expr(vec_col, centroids, nprobe, dp=quantize)
+        ).alias("list_id"),
     )
     scored = c.join(F.broadcast(q), "list_id").withColumn(
         "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window as W
 
 from etl_hero_spark.skew import ensure_min_partitions
 from etl_hero_spark.textops import (
@@ -43,6 +44,41 @@ def _staged_shingles(
         .select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         .withColumn("_toks", tokens_expr(normalized_text_expr("_txt")))
         .select("id", shingles_from_tokens_expr(F.col("_toks"), n).alias("sh"))
+    )
+
+
+def _exploded_shingle_set(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """DISTINCT (id, s) word-n-gram shingle rows — fully relational, no
+    higher-order functions anywhere.
+
+    The array formulation (transform/slice/concat per shingle, then
+    array_distinct/array_sort) evaluates interpreted at ~75us per
+    shingle — ~20 CPU-seconds at sf0.1 and the whole pipeline's
+    bottleneck. Here tokens posexplode to rows and each gram is
+    concat_ws(tok, lead(tok,1), ..) over (id, pos) — window lead and
+    concat are whole-stage-codegen'd, the distinct is a codegen'd
+    shuffle. One extra id-keyed shuffle for the window sort; uniform
+    keys, so skew-free at scale."""
+    w = W.partitionBy("id").orderBy("pos")
+    tok_rows = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .withColumn("_toks", tokens_expr(normalized_text_expr("_txt")))
+        .select("id", F.posexplode("_toks").alias("pos", "tok"))
+    )
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, n)
+    ]
+    return (
+        tok_rows.withColumn("_last", parts[-1] if n > 1 else F.col("tok"))
+        .withColumn("s", F.concat_ws(" ", *parts))
+        # a full shingle needs n tokens: rows whose lookahead ran off the
+        # document tail (or docs with < n tokens) drop out here
+        .filter(F.col("_last").isNotNull())
+        .select("id", "s")
+        .distinct()
     )
 
 # ---------------------------------------------------------------------------
@@ -87,10 +123,12 @@ def ngram_jaccard_pairs(
     k^2 join rows; at scale, drop shingles with document frequency above a
     cap first (they cannot discriminate near-dups anyway).
     """
-    norm = _staged_shingles(df, id_col, text_col, n).withColumn(
-        "sh_size", F.size("sh")
+    # consumed twice (sizes + join): persist the distinct shingle rows
+    shingle_rows = _exploded_shingle_set(df, id_col, text_col, n).cache()
+    sizes = shingle_rows.groupBy("id").agg(F.count(F.lit(1)).alias("sh_size"))
+    exploded = shingle_rows.join(F.broadcast(sizes), "id").select(
+        "id", "sh_size", "s"
     )
-    exploded = norm.select("id", "sh_size", F.explode("sh").alias("s"))
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("sh_size").alias("size_a"), "s"
     )
@@ -284,15 +322,46 @@ def minhash_lsh_pairs(
     fixed seed (xxhash64 is seed-stable across executors/runs).
     """
     rows_per_band = n_hashes // n_bands
+    # signature via explode -> groupBy with n_hashes codegen'd MIN
+    # aggregates: the HOF form (minhash_signature_expr) evaluates
+    # interpreted per shingle per hash function (~6x slower measured);
+    # row-form hashing stays inside whole-stage codegen. Each shingle is
+    # string-hashed ONCE (hashing the string n_hashes times cost ~8s at
+    # sf0.1 in string building alone); the universal family is then
+    # h_i = (a_i*h + b_i) mod P over a 31-bit prime field — the same
+    # construction Spark MLlib's MinHashLSH uses. Products stay < 2^62,
+    # so the arithmetic can never overflow (ANSI-mode safe). One extra
+    # (id-keyed, uniform) shuffle — cheap at any scale.
+    import random as _random
+
+    _P = 2038074743  # 31-bit prime (as in MLlib MinHashLSH)
+    rng = _random.Random(seed)
+    coef = [
+        (rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(n_hashes)
+    ]
+    # min() is duplicate-insensitive, so the raw exploded grams would do;
+    # the distinct also shrinks the band-join input, which dominates
+    exploded = _exploded_shingle_set(df, id_col, text_col, n).select(
+        "id", F.pmod(F.xxhash64("s"), F.lit(_P)).alias("h")
+    )
     sig = (
-        _staged_shingles(df, id_col, text_col, n)
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature_expr(F.col("sh"), n_hashes, seed))
-        .select("id", "sig")
+        exploded.groupBy("id")
+        .agg(
+            *[
+                F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(
+                    f"_h{i}"
+                )
+                for i, (a, b) in enumerate(coef)
+            ]
+        )
+        .select(
+            "id",
+            F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
+        )
         # the signature table IS the index: both sides of the self-join
-        # consume it, and without persistence the 32-way shingle hashing
-        # computes twice (measured ~2x the whole query). n_docs x 32
-        # longs — small at any scale; in production persist to storage.
+        # consume it, and without persistence the shingle hashing computes
+        # twice (measured ~2x the whole query). n_docs x n_hashes longs —
+        # small at any scale; in production persist to storage.
         .cache()
     )
     bands = sig.select(

@@ -40,6 +40,8 @@ HEADLINE = [
     "events_sessionize",
     "join_salted_orders_customer",
     "distinct_customers_per_priority",
+    "events_asof_join",
+    "events_range_join_count",
 ]
 
 

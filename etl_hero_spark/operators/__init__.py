@@ -54,7 +54,17 @@ from etl_hero_spark.score import (  # noqa: F401
 from etl_hero_spark.simsearch import (  # noqa: F401
     embedding_near_dup_pairs,
     topk_cosine,
+    topk_cosine_ivf,
     topk_cosine_lsh,
+)
+from etl_hero_spark.skew import (  # noqa: F401
+    ensure_min_partitions,
+    salted_join,
+    two_phase_distinct_count,
+)
+from etl_hero_spark.temporal import (  # noqa: F401
+    asof_join,
+    range_join_count,
 )
 from etl_hero_spark.textops import (  # noqa: F401
     with_fingerprints,

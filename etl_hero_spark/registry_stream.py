@@ -203,3 +203,76 @@ def q_multimodal_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = with_media_column(docs)
     return decode_media_stub(media)
+
+
+@register(
+    "stream_dedup",
+    oracle=None,
+    note="streaming extension: exactly-once dedup via dropDuplicatesWithinWatermark (bounded state) over a deliberately DOUBLED stream; output == distinct batch asserted in tests",
+)
+def q_stream_dedup(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_dedup
+
+    return stream_dedup(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (as-of, range) — extension operators Spark lacks natively
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_join",
+    oracle=(
+        "WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+        "r AS (SELECT * FROM events WHERE event_type = 'click') "
+        "SELECT l.event_id, l.user_id, "
+        f"strftime(l.ts, '{_STRF}') AS ts_s, "
+        "r.event_id AS click_event_id, r.value AS click_value "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    note="temporal extension: backward as-of join (latest prior click per purchase, per user) via tag+union+last(ignorenulls) window — one shuffle, no row explosion; oracle is DuckDB's native ASOF LEFT JOIN",
+)
+def q_events_asof_join(spark, sf_dir):
+    from etl_hero_spark.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(left, right, "user_id", value_cols=["event_id", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("event_id_asof").alias("click_event_id"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+@register(
+    "events_range_join_count",
+    oracle=(
+        "SELECT p.event_id, p.user_id, "
+        "cast(count(e.event_id) as bigint) AS n_prev_5min "
+        "FROM (SELECT * FROM events WHERE event_type = 'error') p "
+        "LEFT JOIN events e ON e.user_id = p.user_id "
+        "AND e.ts > p.ts - INTERVAL '300 seconds' AND e.ts <= p.ts "
+        "GROUP BY p.event_id, p.user_id"
+    ),
+    note="temporal extension: bucketized range join (same-user events in the 5 min before each error; probe explodes onto 2 adjacent buckets, equi-join + exact predicate) — the O(n*m) theta-join becomes a hash join",
+)
+def q_events_range_join_count(spark, sf_dir):
+    from etl_hero_spark.temporal import range_join_count
+
+    ev = _events(spark, sf_dir)
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join_count(
+        probe, ev, "user_id", lookback_seconds=300, count_alias="n_prev_5min"
+    )
+    return out.select("event_id", "user_id", "n_prev_5min")

@@ -3,6 +3,7 @@ from etl_hero_spark.streaming.windows import (
     session_agg_native,
     sessionize_batch,
     sliding_agg,
+    stream_dedup,
     stream_session_agg,
     stream_tumbling_agg,
     tumbling_agg,
@@ -17,5 +18,6 @@ __all__ = [
     "json_props_agg",
     "windowed_quality_metrics",
     "stream_tumbling_agg",
+    "stream_dedup",
     "stream_session_agg",
 ]

@@ -311,3 +311,57 @@ def stream_session_agg(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str = "event_id",
+    watermark: str = "2 hours",
+    query_name: str = "etl_hero_stream_dedup",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on the key —
+    state is bounded by the watermark (a key is remembered only while a
+    duplicate could still arrive), unlike plain dropDuplicates whose
+    state grows forever on an unbounded stream. The 100 TB streaming
+    ingest pattern for at-least-once sources.
+
+    The fixture file is exposed to the file source TWICE (two links in
+    the source dir), so every event arrives twice and the operator has
+    real duplicates to drop; tests assert output == the distinct batch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="etl_hero_stream_dup_")
+    os.symlink(sf_dir, os.path.join(d, "a.parquet"))
+    os.symlink(sf_dir, os.path.join(d, "b.parquet"))
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+    )
+    deduped = src.dropDuplicatesWithinWatermark([key]).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "event_type",
+        "value",
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -1,0 +1,116 @@
+"""Temporal join operators Spark lacks as primitives (as-of join, range
+join) — extension mandate examples, composed from DataFrame ops.
+
+Both are written as the distributed plans you would run at 100 TB:
+
+* as-of join — the union/last_value construction: tag both sides, union,
+  one window over (keys, ts) carrying the right side's payload forward
+  with last(ignorenulls). ONE shuffle on the join keys, no row
+  explosion, no per-key driver loop. (A sort-merge as-of needs engine
+  support; this is the standard DataFrame-level equivalent.)
+* range join — bucketize time, equi-join on (key, bucket) for the
+  buckets a range can touch, then exact predicate. Turns an
+  O(n x m) theta-join into an equi-join Catalyst can hash/broadcast;
+  bucket width should match the range width (each probe touches
+  ceil(range/width)+1 buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts and equal keys (backward as-of, inclusive —
+    DuckDB `ASOF LEFT JOIN ... ON l.ts >= r.ts` semantics).
+
+    Plan: tag + unionByName + last(ignorenulls) over
+    (keys ORDER BY ts, tag) ROWS UNBOUNDED PRECEDING — the right row
+    sorts before a left row at the identical timestamp, so ties match.
+    Left rows with no prior right row keep NULLs (left-join semantics).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    carried = [f"{c}{suffix}" for c in value_cols]
+    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_src", F.lit(1)
+    )
+    for c in carried:
+        l_tag = l_tag.withColumn(c, F.lit(None))
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_src"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    both = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_src").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = both.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried]
+    )
+    out = filled.filter(F.col("_src") == 1).select(
+        *left.columns, *[F.col(f"_f_{c}").alias(c) for c in carried]
+    )
+    return out
+
+
+def range_join_count(
+    probe: DataFrame,
+    events: DataFrame,
+    keys: list[str] | str,
+    probe_ts: str = "ts",
+    event_ts: str = "ts",
+    lookback_seconds: int = 300,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """For each probe row: count of event rows with the same keys in the
+    half-open window (probe_ts - lookback, probe_ts]. (The probe row
+    itself is excluded only if it is not in `events`.)
+
+    Bucketized range join: both sides bucket ts by lookback width; a
+    probe's window spans at most 2 adjacent buckets, so the probe side
+    explodes x2 onto (keys, bucket), the equi-join does the heavy
+    lifting, and the exact time predicate filters the boundary slack.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    width = int(lookback_seconds)
+    p_bucket = F.floor(F.unix_micros(F.col(probe_ts)) / (width * 1_000_000))
+    e_bucket = F.floor(F.unix_micros(F.col(event_ts)) / (width * 1_000_000))
+    p = probe.withColumn(
+        "_bucket", F.explode(F.array(p_bucket.cast("long"), (p_bucket - 1).cast("long")))
+    ).withColumn("_pts", F.unix_micros(F.col(probe_ts)))
+    e = events.select(
+        *keys,
+        e_bucket.cast("long").alias("_bucket"),
+        F.unix_micros(F.col(event_ts)).alias("_ets"),
+    )
+    lo = F.col("_pts") - F.lit(width * 1_000_000)
+    joined = p.join(e, keys + ["_bucket"]).filter(
+        (F.col("_ets") > lo) & (F.col("_ets") <= F.col("_pts"))
+    )
+    grouped = joined.groupBy(*[F.col(c) for c in probe.columns]).agg(
+        F.count(F.lit(1)).alias(count_alias)
+    )
+    # probes with zero matches drop out of the inner join: restore them
+    return (
+        probe.join(grouped, probe.columns, "left")
+        .na.fill({count_alias: 0})
+        .withColumn(count_alias, F.col(count_alias).cast("bigint"))
+    )

@@ -155,3 +155,13 @@ def test_stream_sessions_equal_closed_batch_sessions(spark, sf_dir, events):
         )
     )
     assert stream == batch_closed
+
+
+def test_stream_dedup_drops_doubled_events(spark, sf_dir, events):
+    """The stream sees every event twice (doubled source); the watermarked
+    dedup must emit each event exactly once == the batch distinct set."""
+    from etl_hero_spark.streaming import stream_dedup
+
+    out = stream_dedup(spark, f"{sf_dir}/events.parquet")
+    assert out.count() == events.count()
+    assert out.select("event_id").distinct().count() == events.count()

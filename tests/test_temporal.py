@@ -1,0 +1,98 @@
+"""Temporal joins: as-of (backward, inclusive) and bucketized range join."""
+
+import pyspark.sql.functions as F
+
+
+def _ts_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+
+
+def test_asof_backward_inclusive_and_left_semantics(spark):
+    from etl_hero_spark.temporal import asof_join
+
+    left = _ts_df(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:10:00"),  # after r@00:05 -> matches 100
+            (2, 1, "2024-01-01 00:05:00"),  # EXACTLY r@00:05 -> inclusive
+            (3, 1, "2024-01-01 00:01:00"),  # before any right -> NULL
+            (4, 2, "2024-01-01 00:30:00"),  # user 2 has no right rows
+        ],
+        "event_id long, user_id long, ts_s string",
+    )
+    right = _ts_df(
+        spark,
+        [
+            (1, "2024-01-01 00:05:00", 100.0),
+            (1, "2024-01-01 00:09:00", 200.0),
+        ],
+        "user_id long, ts_s string, value double",
+    )
+    out = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(left, right, "user_id").collect()
+    }
+    assert out[1] == 200.0  # latest prior (00:09), not the first
+    assert out[2] == 100.0  # tie on timestamp matches (inclusive)
+    assert out[3] is None  # no prior right row
+    assert out[4] is None  # key with no right rows survives (left join)
+
+
+def test_asof_join_single_shuffle_no_row_explosion(spark):
+    """The union/last_value construction must plan ONE key shuffle and
+    preserve left cardinality exactly."""
+    from etl_hero_spark.temporal import asof_join
+
+    left = _ts_df(
+        spark,
+        [(i, i % 3, f"2024-01-01 00:{i:02d}:00") for i in range(30)],
+        "event_id long, user_id long, ts_s string",
+    )
+    right = _ts_df(
+        spark,
+        [(i % 3, f"2024-01-01 00:{i:02d}:30", float(i)) for i in range(30)],
+        "user_id long, ts_s string, value double",
+    )
+    out = asof_join(left, right, "user_id")
+    assert out.count() == 30
+
+
+def test_range_join_count_boundaries(spark):
+    from etl_hero_spark.temporal import range_join_count
+
+    events = _ts_df(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:00:00"),  # exactly lookback before probe: excluded (>)
+            (2, 1, "2024-01-01 00:00:01"),  # inside
+            (3, 1, "2024-01-01 00:05:00"),  # == probe ts: included (<=)
+            (4, 2, "2024-01-01 00:04:59"),  # other key: never counted
+        ],
+        "event_id long, user_id long, ts_s string",
+    )
+    probe = _ts_df(
+        spark,
+        [(100, 1, "2024-01-01 00:05:00")],
+        "event_id long, user_id long, ts_s string",
+    )
+    row = range_join_count(probe, events, "user_id", lookback_seconds=300).first()
+    assert row["n_in_range"] == 2  # events 2 and 3
+
+
+def test_range_join_zero_match_probe_survives(spark):
+    from etl_hero_spark.temporal import range_join_count
+
+    events = _ts_df(
+        spark,
+        [(1, 9, "2024-01-01 10:00:00")],
+        "event_id long, user_id long, ts_s string",
+    )
+    probe = _ts_df(
+        spark,
+        [(100, 1, "2024-01-01 00:05:00")],
+        "event_id long, user_id long, ts_s string",
+    )
+    row = range_join_count(probe, events, "user_id", lookback_seconds=300).first()
+    assert row["n_in_range"] == 0

@@ -276,3 +276,26 @@ def q_events_range_join_count(spark, sf_dir):
         probe, ev, "user_id", lookback_seconds=300, count_alias="n_prev_5min"
     )
     return out.select("event_id", "user_id", "n_prev_5min")
+
+
+@register(
+    "multimodal_frames",
+    oracle=(
+        "SELECT doc_id, "
+        "cast(floor((greatest(octet_length(encode(text)), 1) - 1) / 4096) + 1 "
+        "as int) AS n_frames_sampled, "
+        "md5(substring(text, 1, 16)) AS first_frame_md5 "
+        "FROM documents"
+    ),
+    note="multimodal extension: deterministic byte-stride frame sampling over the binary payload (video frame-sample plan shape); fixture payloads are ASCII so the DuckDB varchar oracle hashes the same bytes",
+)
+def q_multimodal_frames(spark, sf_dir):
+    from etl_hero_spark.multimodal import sample_frames, with_media_column
+
+    docs = _t(spark, sf_dir, "documents")
+    framed = sample_frames(with_media_column(docs))
+    return framed.select(
+        "doc_id",
+        F.size("frames").alias("n_frames_sampled"),
+        F.md5(F.col("frames")[0]).alias("first_frame_md5"),
+    )

@@ -1,0 +1,115 @@
+"""Degenerate-input hardening (SURVEY §5.3): empty tables, all-null
+columns, all-duplicate tables. Every operator must return a well-formed
+(often empty) result, never raise."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture()
+def empty(spark):
+    return spark.createDataFrame([], "a long, b double, c string")
+
+
+@pytest.fixture()
+def all_null(spark):
+    return spark.createDataFrame(
+        [(None, None)] * 5, "x double, s string"
+    )
+
+
+def test_profile_table_empty(empty):
+    from etl_hero_spark.profile import profile_table
+
+    rows = {r["column"]: r for r in profile_table(empty).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert all(r["n_null"] == 0 and r["n_unique"] == 0 for r in rows.values())
+
+
+def test_null_counts_all_null(all_null):
+    from etl_hero_spark.profile import null_counts
+
+    row = null_counts(all_null).first()
+    assert row["n_null_x"] == 5 and row["n_null_total"] == 10
+
+
+def test_detect_missions_empty_table(empty):
+    from etl_hero_spark.detect import detect_missions
+
+    assert detect_missions(empty).count() == 0
+
+
+def test_detect_outliers_all_null_column(all_null):
+    from etl_hero_spark.detect import detect_outliers
+
+    # sigma undefined on an all-null column -> column undetectable
+    assert detect_outliers(all_null, ["x"]).count() == 0
+
+
+def test_drop_duplicates_all_identical(spark):
+    from etl_hero_spark.clean import drop_duplicate_rows
+
+    df = spark.createDataFrame([(1, "x")] * 7, "a long, b string")
+    assert drop_duplicate_rows(df).count() == 1
+
+
+def test_impute_median_all_null_is_noop(all_null):
+    from etl_hero_spark.clean import impute
+
+    out = impute(all_null, "x", strategy="median")
+    assert out.filter(F.col("x").isNull()).count() == 5
+
+
+def test_mode_all_null_returns_empty_string(all_null):
+    from etl_hero_spark.profile import mode_value
+
+    assert mode_value(all_null, "s") == ""
+
+
+def test_quality_score_no_change_is_50(spark):
+    from etl_hero_spark.io import messy_orders
+    from etl_hero_spark.score import quality_score
+
+    df = messy_orders(spark, n=40)
+    assert quality_score(df, df) == 50.0
+
+
+def test_sessionize_empty_events(spark):
+    from etl_hero_spark.streaming import sessionize_batch
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+    assert sessionize_batch(df).count() == 0
+
+
+def test_minhash_empty_documents(spark):
+    from etl_hero_spark.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_pairs(df).count() == 0
+
+
+def test_dedup_exact_blank_and_whitespace_docs(spark):
+    """Blank and whitespace-only docs normalize to the same fingerprint:
+    keep-first collapses them to the smallest id."""
+    from etl_hero_spark.dedup import dedup_exact_content
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_exact_content(df).collect())
+    assert kept == [1, 3]
+
+
+def test_asof_join_empty_right(spark):
+    from etl_hero_spark.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1)], "event_id long, user_id long"
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    right = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    rows = asof_join(left, right, "user_id").collect()
+    assert len(rows) == 1 and rows[0]["value_asof"] is None

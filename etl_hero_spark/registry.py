@@ -780,6 +780,74 @@ def q_agg_pricing_summary(spark, sf_dir):
     )
 
 
+@register(
+    "profile_quantiles",
+    oracle=(
+        "SELECT "
+        "round(quantile_cont(l_extendedprice, 0.01), 6) AS q01, "
+        "round(quantile_cont(l_extendedprice, 0.25), 6) AS q25, "
+        "round(quantile_cont(l_extendedprice, 0.50), 6) AS q50, "
+        "round(quantile_cont(l_extendedprice, 0.75), 6) AS q75, "
+        "round(quantile_cont(l_extendedprice, 0.99), 6) AS q99 "
+        "FROM lineitem"
+    ),
+    note="A7/A8 exact interpolated percentiles (pandas/DuckDB quantile_cont semantics; the clip bounds of R1d). Approx t-digest variant: profile_quantiles_approx",
+)
+def q_profile_quantiles(spark, sf_dir):
+    probs = [0.01, 0.25, 0.50, 0.75, 0.99]
+    names = ["q01", "q25", "q50", "q75", "q99"]
+    q = F.percentile("l_extendedprice", F.lit(probs))
+    df = _t(spark, sf_dir, "lineitem").agg(q.alias("q"))
+    return df.select(
+        *[F.round(F.col("q")[i], 6).alias(n) for i, n in enumerate(names)]
+    )
+
+
+@register(
+    "profile_quantiles_approx",
+    oracle=None,
+    note="A7/A8 at 100 TB: percentile_approx (t-digest, one pass, bounded memory) — no cross-engine bit parity by construction, rows-only",
+)
+def q_profile_quantiles_approx(spark, sf_dir):
+    probs = [0.01, 0.25, 0.50, 0.75, 0.99]
+    names = ["q01", "q25", "q50", "q75", "q99"]
+    q = F.percentile_approx("l_extendedprice", F.lit(probs), F.lit(10000))
+    df = _t(spark, sf_dir, "lineitem").agg(q.alias("q"))
+    return df.select(
+        *[F.col("q")[i].alias(n) for i, n in enumerate(names)]
+    )
+
+
+@register(
+    "agg_pricing_rollup",
+    oracle=(
+        "SELECT coalesce(l_returnflag, '<all>') AS returnflag, "
+        "coalesce(l_linestatus, '<all>') AS linestatus, "
+        f"{sql_dec_sum('l_extendedprice')} AS sum_price, "
+        "cast(count(*) as bigint) AS n_rows "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    note="grouping-sets capability (NOT PRESENT in reference, SURVEY §2.4): ROLLUP hierarchy totals in one pass; '<all>' marks rollup levels so the NULL sentinel survives hash compare",
+)
+def q_agg_pricing_rollup(spark, sf_dir):
+    from etl_hero_spark.profile import dec_sum
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_extendedprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "sum_price",
+            "n_rows",
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {k: v.spark for k, v in REGISTRY.items()}

@@ -62,8 +62,12 @@ EN_STOPWORDS = [
 def with_quality_signals(df: DataFrame, col: str = "text") -> DataFrame:
     """Per-document quality signals: n_chars, n_tokens, avg token length,
     punctuation ratio, stopword ratio, distinct-token ratio. All ratios
-    rounded to 6dp (engine-exact double arithmetic from integer counts)."""
-    toks = tokens_expr(col)
+    rounded to 6dp (engine-exact double arithmetic from integer counts).
+
+    Tokens are staged as a column: six signal expressions consume them,
+    and an inline tree would re-run the split per expression per row."""
+    df = df.withColumn("_q_toks", tokens_expr(col))
+    toks = F.col("_q_toks")
     n_chars = F.length(F.col(col))
     n_tokens = F.size(toks)
     n_token_chars = F.aggregate(
@@ -87,6 +91,7 @@ def with_quality_signals(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", safe(n_punct, n_chars))
         .withColumn("stopword_ratio", safe(n_stop, n_tokens))
         .withColumn("distinct_ratio", safe(n_distinct, n_tokens))
+        .drop("_q_toks")
     )
 
 
@@ -104,8 +109,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def lang_scores(col: str | Column) -> dict[str, Column]:
-    toks = tokens_expr(col)
+def lang_scores(
+    col: str | Column, pre_tokenized: bool = False
+) -> dict[str, Column]:
+    toks = (
+        (F.col(col) if isinstance(col, str) else col)
+        if pre_tokenized
+        else tokens_expr(col)
+    )
 
     def hit_counter(words: list[str]) -> Column:
         # NB: higher-order-function lambdas must be single-arg (pyspark
@@ -117,9 +128,10 @@ def lang_scores(col: str | Column) -> dict[str, Column]:
 
 def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     """predicted_lang = language with most marker hits; 'und' (undetermined)
-    when no marker matches; ties -> alphabetically first language."""
-    scores = lang_scores(col)
-    out = df
+    when no marker matches; ties -> alphabetically first language.
+    Tokens staged once; four marker filters consume the same column."""
+    out = df.withColumn("_lang_toks", tokens_expr(col))
+    scores = lang_scores(F.col("_lang_toks"), pre_tokenized=True)
     for lang, s in scores.items():
         out = out.withColumn(f"score_{lang}", s)
     langs = sorted(LANG_MARKERS)  # alphabetical iteration = tie-break
@@ -129,7 +141,7 @@ def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
         pred = F.when(F.col(f"score_{lang}") == best_score, F.lit(lang)).otherwise(pred)
     pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
     return out.withColumn("predicted_lang", pred).drop(
-        *[f"score_{lang}" for lang in langs]
+        "_lang_toks", *[f"score_{lang}" for lang in langs]
     )
 
 

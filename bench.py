@@ -42,6 +42,9 @@ HEADLINE = [
     "distinct_customers_per_priority",
     "events_asof_join",
     "events_range_join_count",
+    "profile_quantiles",
+    "agg_pricing_rollup",
+    "window_topk_orders_per_segment",
 ]
 
 

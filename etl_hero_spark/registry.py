@@ -848,6 +848,34 @@ def q_agg_pricing_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "window_topk_orders_per_segment",
+    oracle=(
+        "WITH j AS (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM j) "
+        "SELECT c_mktsegment, o_orderkey, o_totalprice, "
+        "cast(rnk as int) AS rnk FROM r WHERE rnk <= 3"
+    ),
+    note="window-function capability (NOT PRESENT in reference, SURVEY §2.8): top-3 orders by price per market segment — broadcast dim join + rank window, deterministic (price DESC, orderkey ASC) tie-break",
+)
+def q_window_topk_orders_per_segment(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {k: v.spark for k, v in REGISTRY.items()}

@@ -81,3 +81,23 @@ def test_pipeline_replay_undo_log(spark):
     # reset clears the log and restores the original plan
     p.reset()
     assert p.log == [] and p.current is base
+
+
+def test_excel_ingest_gated(spark, tmp_path):
+    """S2: Excel is edge ingest via driver-side pandas. With openpyxl
+    present it round-trips; without it, a clean NotImplementedError."""
+    import pandas as pd
+
+    from etl_hero_spark.io import read_excel
+
+    path = str(tmp_path / "t.xlsx")
+    try:
+        pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(path, index=False)
+    except (ImportError, ModuleNotFoundError):
+        import pytest
+
+        with pytest.raises((NotImplementedError, FileNotFoundError, ImportError)):
+            read_excel(spark, path)
+        return
+    back = read_excel(spark, path)
+    assert back.count() == 2 and set(back.columns) == {"a", "b"}

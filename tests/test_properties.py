@@ -1,0 +1,100 @@
+"""Property-based invariants (hypothesis) on small generated frames.
+
+Few examples per property (Spark jobs are ~100ms each), but the
+generators explore nulls, duplicates, extreme values, and empty inputs
+far more ruthlessly than hand-picked fixtures.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_doubles = st.one_of(
+    st.none(),
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+)
+
+
+@given(rows=st.lists(st.tuples(_doubles), min_size=0, max_size=30))
+@_settings
+def test_clip_never_widens_range_and_preserves_nulls(spark, rows):
+    from etl_hero_spark.clean import clip_outliers
+
+    df = spark.createDataFrame(rows, "x double")
+    out = clip_outliers(df, "x", lower_q=0.25, upper_q=0.75, round_bounds=None)
+    assert out.count() == df.count()
+    n_null_in = df.filter(F.col("x").isNull()).count()
+    assert out.filter(F.col("x").isNull()).count() == n_null_in
+    vals = [r["x"] for r in df.collect() if r["x"] is not None]
+    if vals:
+        lo, hi = min(vals), max(vals)
+        clipped = [r["x"] for r in out.collect() if r["x"] is not None]
+        assert all(lo <= v <= hi or math.isclose(v, lo) or math.isclose(v, hi) for v in clipped)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", None])),
+        min_size=0,
+        max_size=40,
+    )
+)
+@_settings
+def test_dedup_matches_distinct_cardinality(spark, rows):
+    from etl_hero_spark.clean import drop_duplicate_rows
+
+    df = spark.createDataFrame(rows, "k long, v string")
+    assert drop_duplicate_rows(df).count() == df.distinct().count()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["2024-01-05", "05/01/2024", "garbage", None])),
+        min_size=0,
+        max_size=30,
+    )
+)
+@_settings
+def test_normalize_dates_idempotent(spark, rows):
+    """Normalizing an already-normalized column is a fixed point, and
+    every non-null output is yyyy-MM-dd."""
+    from etl_hero_spark.clean import normalize_dates
+
+    df = spark.createDataFrame(rows, "d string")
+    once = normalize_dates(df, "d")
+    twice = normalize_dates(once, "d")
+    assert sorted(r["d"] for r in once.collect() if r["d"]) == sorted(
+        r["d"] for r in twice.collect() if r["d"]
+    )
+    assert once.filter(
+        F.col("d").isNotNull() & ~F.col("d").rlike(r"^\d{4}-\d{2}-\d{2}$")
+    ).count() == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z", None])), min_size=0, max_size=30
+    )
+)
+@_settings
+def test_quality_score_bounded_and_monotone(spark, rows):
+    """Score is always in [0,100]; cleaning nulls can only raise it from
+    the no-op score of 50."""
+    from etl_hero_spark.score import quality_score
+
+    df = spark.createDataFrame(rows, "c string")
+    cleaned = df.na.fill("filled")
+    s_noop = quality_score(df, df)
+    s_clean = quality_score(df, cleaned)
+    assert s_noop == 50.0
+    assert 0.0 <= s_clean <= 100.0 and s_clean >= 50.0

@@ -173,3 +173,32 @@ def messy_orders(spark: SparkSession, n: int = 200, seed: int = 123) -> DataFram
     row9 = base.filter(F.col("order_id") == 10)
     kept = base.filter(~F.col("order_id").isin(11, 12))
     return kept.unionByName(row9).unionByName(row9)
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables — co-located joins without a shuffle (100 TB design)
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sort-bucketed) catalog table.
+
+    Two tables bucketed the same way on the join key equi-join with NO
+    exchange on either side (verified by plan test) — at 100 TB this is
+    the difference between re-shuffling petabytes per join and reading
+    co-located buckets. Bucket count should be sized so one bucket of the
+    big table fits an executor core's working memory.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

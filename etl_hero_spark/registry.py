@@ -876,6 +876,25 @@ def q_window_topk_orders_per_segment(spark, sf_dir):
     )
 
 
+@register(
+    "set_urgent_not_low_customers",
+    oracle=(
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+        "EXCEPT "
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"
+    ),
+    note="set-operation capability (NOT PRESENT in reference, SURVEY §2.10): EXCEPT DISTINCT — customers with urgent orders but no low-priority ones",
+)
+def q_set_urgent_not_low_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    # subtract == EXCEPT DISTINCT (SQL set semantics, matches the oracle)
+    return urgent.subtract(low)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {k: v.spark for k, v in REGISTRY.items()}

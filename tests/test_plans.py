@@ -160,3 +160,38 @@ def test_queries_survive_ansi_on_session(spark, sf_dir):
         assert out.count() > 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-bucketed tables on the join key must sort-merge join with ZERO
+    Exchange operators — the bucketing IS the shuffle, paid once at
+    write. Broadcast is disabled for the probe: at test scale the dim
+    side is broadcast-small, which would bypass the bucketed path this
+    test exists to verify (at 100 TB both sides exceed the threshold)."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.io import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "b_orders", "o_custkey", 8)
+    write_bucketed(customer, "b_customer", "c_custkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "c_mktsegment")
+        )
+        plan = plan_str(j, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -299,3 +299,19 @@ def q_multimodal_frames(spark, sf_dir):
         F.size("frames").alias("n_frames_sampled"),
         F.md5(F.col("frames")[0]).alias("first_frame_md5"),
     )
+
+
+@register(
+    "events_rollup_daily",
+    oracle=(
+        "SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day, "
+        "event_type, cast(count(*) as bigint) AS n_events, "
+        f"{sql_dec_sum('value')} AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    note="hierarchical rollup (continuous-aggregate pattern): daily served by RE-AGGREGATING the hourly tier (decimal partials, rounded once at the end) — the oracle aggregates RAW data directly, so a pass proves the rollup is lossless",
+)
+def q_events_rollup_daily(spark, sf_dir):
+    from etl_hero_spark.streaming import daily_from_hourly, hourly_rollup
+
+    return daily_from_hourly(hourly_rollup(_events(spark, sf_dir)))

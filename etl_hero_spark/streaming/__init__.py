@@ -1,4 +1,6 @@
 from etl_hero_spark.streaming.windows import (
+    daily_from_hourly,
+    hourly_rollup,
     json_props_agg,
     session_agg_native,
     sessionize_batch,
@@ -11,6 +13,8 @@ from etl_hero_spark.streaming.windows import (
 )
 
 __all__ = [
+    "hourly_rollup",
+    "daily_from_hourly",
     "tumbling_agg",
     "sliding_agg",
     "sessionize_batch",

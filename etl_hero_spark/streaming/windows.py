@@ -365,3 +365,41 @@ def stream_dedup(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical rollup (continuous-aggregate pattern)
+# ---------------------------------------------------------------------------
+
+_SUM_DEC = "decimal(28,2)"  # headroom for re-aggregated partial sums
+
+
+def hourly_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hourly partial aggregate designed for LOSSLESS re-aggregation:
+    counts stay longs, sums stay DECIMAL (not yet rounded to double).
+    This is the materialized tier of a hypertable-style continuous
+    aggregate — persist it, and coarser windows are served from it
+    without touching raw data."""
+    return events.groupBy(
+        F.window(ts_col, "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_SUM_DEC)).alias("_sum_dec"),
+    )
+
+
+def daily_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Re-aggregate the hourly tier to days. Decimal partials sum
+    exactly (order-independent), so the result is bit-identical to
+    aggregating the raw events — asserted against the raw-data oracle."""
+    return (
+        hourly.groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("_sum_dec").cast("double"), 2).alias("sum_value"),
+        )
+        .select("day", "event_type", "n_events", "sum_value")
+    )

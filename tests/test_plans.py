@@ -195,3 +195,24 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must prune at planning time:
+    PartitionFilters populated, and only the matching hive directory is
+    scanned (zero data read from other partitions)."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.io import messy_orders, write_parquet
+
+    df = messy_orders(spark, n=60).na.fill("X", ["category"])
+    path = str(tmp_path / "part")
+    write_parquet(df, path, partition_by=["category"])
+    back = spark.read.parquet(path).filter(F.col("category") == "A")
+    plan = plan_str(back)
+    assert "PartitionFilters" in plan
+    # the partition predicate must appear in PartitionFilters, not as a
+    # post-scan data filter
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "category" in pf_line
+    assert back.count() > 0

@@ -315,3 +315,35 @@ def q_events_rollup_daily(spark, sf_dir):
     from etl_hero_spark.streaming import daily_from_hourly, hourly_rollup
 
     return daily_from_hourly(hourly_rollup(_events(spark, sf_dir)))
+
+
+@register(
+    "events_user_gaps",
+    oracle=(
+        "WITH g AS (SELECT user_id, event_id, ts, "
+        "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+        "FROM events) "
+        "SELECT user_id, cast(count(*) as bigint) AS n_events, "
+        "cast(floor(date_part('epoch', max(gap)) / 60) as bigint) "
+        "AS max_gap_minutes, "
+        f"strftime(min(ts), '{_STRF}') AS first_ts, "
+        f"strftime(max(ts), '{_STRF}') AS last_ts "
+        "FROM g GROUP BY user_id"
+    ),
+    note="custom stateful op, batch twin: per-user inter-event gap stats (order-dependent — lag window); minute-floored gaps keep ns-vs-us representation out of the values",
+)
+def q_events_user_gaps(spark, sf_dir):
+    from etl_hero_spark.streaming import user_gap_stats_batch
+
+    return user_gap_stats_batch(_events(spark, sf_dir))
+
+
+@register(
+    "stream_user_gaps",
+    oracle=None,
+    note="custom stateful op: TRUE applyInPandasWithState run — per-user state (n, max_gap, first, last) carried across micro-batches; equality with the batch twin asserted in tests",
+)
+def q_stream_user_gaps(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_user_gap_stats
+
+    return stream_user_gap_stats(spark, f"{sf_dir}/events.parquet")

@@ -403,3 +403,122 @@ def daily_from_hourly(hourly: DataFrame) -> DataFrame:
         )
         .select("day", "event_type", "n_events", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_GAPS_SCHEMA = (
+    "user_id long, n_events bigint, max_gap_minutes bigint, "
+    "first_ts string, last_ts string"
+)
+
+
+def user_gap_stats_batch(events: DataFrame) -> DataFrame:
+    """Per-user inter-event statistics (batch twin): event count, largest
+    gap between consecutive events (floored to whole minutes — keeps the
+    ns-vs-us representational gap of the fixture away from the value),
+    first/last event time. Gap ordering ties broken on event_id."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_min = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+        / F.lit(60_000_000)
+    )
+    return (
+        events.withColumn("_gap_min", gap_min)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("_gap_min").cast("bigint").alias("max_gap_minutes"),
+            F.date_format(F.min("ts"), _TS_FMT).alias("first_ts"),
+            F.date_format(F.max("ts"), _TS_FMT).alias("last_ts"),
+        )
+    )
+
+
+def stream_user_gap_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "etl_hero_stream_gaps",
+) -> DataFrame:
+    """user_gap_stats as a TRUE custom stateful streaming operator via
+    applyInPandasWithState: per-user state carries (n, max_gap, first_ts,
+    last_ts) ACROSS micro-batches — inter-event gaps are order-dependent,
+    so no built-in streaming aggregate expresses them; this is exactly
+    the case the arbitrary-state API exists for. State is keyed by user
+    and updated from batch-sorted timestamps; the timeout would evict
+    idle users in production (NoTimeout here: finite fixture, final
+    emission on the terminal batch).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="etl_hero_stream_gaps_")
+    os.symlink(sf_dir, os.path.join(d, os.path.basename(sf_dir)))
+
+    def update(key, pdfs, state: GroupState):
+        n, max_gap_us, first_us, last_us = (
+            state.get if state.exists else (0, -1, None, None)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts_us in (rows["ts"] // 1000).astype("int64"):
+            ts_us = int(ts_us)
+            if last_us is not None:
+                gap = ts_us - last_us
+                if gap > max_gap_us:
+                    max_gap_us = gap
+            if first_us is None:
+                first_us = ts_us
+            last_us = ts_us
+            n += 1
+        state.update((n, max_gap_us, first_us, last_us))
+        fmt = lambda us: pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")  # noqa: E731
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_gap_minutes": [max_gap_us // 60_000_000 if max_gap_us >= 0 else None],
+                "first_ts": [fmt(first_us)],
+                "last_ts": [fmt(last_us)],
+            }
+        )
+
+    src = spark.readStream.schema(schema).parquet(d)
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_GAPS_SCHEMA,
+        stateStructType="n long, max_gap_us long, first_us long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per (user, batch); the LAST emission per
+    # user is the final state
+    sink = spark.table(query_name)
+    from pyspark.sql import functions as SF
+
+    w = W.partitionBy("user_id").orderBy(SF.desc("n_events"))
+    return (
+        sink.withColumn("_r", SF.row_number().over(w))
+        .filter(SF.col("_r") == 1)
+        .drop("_r")
+    )

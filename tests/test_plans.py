@@ -31,7 +31,12 @@ def plan_str(df, mode: str = "formatted") -> str:
 
 # queries whose callable executes work eagerly (streaming run) — plan
 # inspection would re-run them; their plan shape is covered by their own tests
-_SKIP = {"stream_window_tumbling", "stream_session_window", "stream_dedup"}
+_SKIP = {
+    "stream_window_tumbling",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_user_gaps",
+}
 
 
 def test_no_row_python_udfs_anywhere(spark, sf_dir):

@@ -165,3 +165,15 @@ def test_stream_dedup_drops_doubled_events(spark, sf_dir, events):
     out = stream_dedup(spark, f"{sf_dir}/events.parquet")
     assert out.count() == events.count()
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_stateful_gap_stats_stream_equals_batch(spark, sf_dir, events):
+    """The applyInPandasWithState operator's final per-user state must
+    equal the batch lag-window computation exactly."""
+    from etl_hero_spark.streaming import stream_user_gap_stats, user_gap_stats_batch
+
+    batch = sorted(map(tuple, user_gap_stats_batch(events).collect()))
+    stream = sorted(
+        map(tuple, stream_user_gap_stats(spark, f"{sf_dir}/events.parquet").collect())
+    )
+    assert stream == batch

@@ -433,6 +433,29 @@ def q_clean_outliers_replace_median(spark, sf_dir):
 
 
 @register(
+    "clean_outliers_replace_mean",
+    oracle=(
+        f"WITH s AS ({_sql_zstats('value', 'events')}), "
+        "flagged AS (SELECT e.*, (s.sigma IS NOT NULL AND s.sigma <> 0 AND "
+        "abs((value - s.mu) / s.sigma) > 3.0) AS is_out "
+        "FROM events e, s), "
+        "mn AS (SELECT round(cast(sum(cast(value as decimal(18,2))) as double)"
+        " / cast(count(value) as double), 6) AS m "
+        "FROM flagged WHERE NOT is_out) "
+        "SELECT event_id, "
+        "CASE WHEN is_out THEN mn.m ELSE value END AS value_clean "
+        "FROM flagged, mn"
+    ),
+    note="R1c replace outliers with mean of NON-outlier rows (app.py:261-266); decimal-exact mean",
+)
+def q_clean_outliers_replace_mean(spark, sf_dir):
+    from etl_hero_spark.clean import replace_outliers
+
+    out = replace_outliers(_events(spark, sf_dir), "value", strategy="mean")
+    return out.select("event_id", F.col("value").alias("value_clean"))
+
+
+@register(
     "clean_outliers_clip",
     oracle=(
         "WITH q AS (SELECT round(quantile_cont(l_extendedprice, 0.01), 2) AS lo, "

@@ -101,3 +101,39 @@ def test_excel_ingest_gated(spark, tmp_path):
         return
     back = read_excel(spark, path)
     assert back.count() == 2 and set(back.columns) == {"a", "b"}
+
+
+def test_insights_m2(spark):
+    from etl_hero_spark.io import messy_orders
+    from etl_hero_spark.score import insights
+
+    before = messy_orders(spark, n=40)
+    after = before.dropDuplicates()
+    ins = insights(before, after)
+    assert ins["rows_before"] == 40 and ins["rows_after"] == 38
+    assert "order_id" in ins["columns"]
+    assert ins["nulls_after"] >= 0
+
+
+def test_decode_image_gated(spark):
+    """Real image decode is stubbed: without PIL it must raise a clean
+    NotImplementedError, never a half-working path."""
+    import pytest
+
+    from etl_hero_spark.multimodal import decode_image, with_media_column
+
+    df = with_media_column(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    )
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(df)
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(df)  # wiring intentionally not implemented yet

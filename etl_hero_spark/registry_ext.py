@@ -401,3 +401,58 @@ def q_distinct_customers_per_priority(spark, sf_dir):
     return two_phase_distinct_count(
         _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-data curation: the operators COMPOSE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_curate_documents",
+    oracle=(
+        # language filter (marker argmax) -> quality thresholds -> exact
+        # dedup keep-first: the same CTE fragments as the individual
+        # oracles, composed
+        "WITH t AS (SELECT doc_id, text, "
+        f"{_SQL_TOKS.format(c='text')} AS toks FROM documents), "
+        "s AS (SELECT doc_id, text, toks, "
+        + ", ".join(
+            f"len(list_filter(toks, x -> list_contains({words}, lower(x)))) AS s_{lang}"
+            for lang, words in _LANGS_SQL.items()
+        )
+        + " FROM t), "
+        "lang AS (SELECT *, CASE "
+        "WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+        "ELSE 'fr' END AS predicted_lang FROM s), "
+        "q AS (SELECT doc_id, text FROM lang WHERE predicted_lang = 'en' "
+        "AND len(toks) >= 5 "
+        "AND (CASE WHEN len(toks) > 0 THEN "
+        "cast(len(list_distinct(toks)) as double) / cast(len(toks) as double) "
+        "ELSE 0.0 END) >= 0.3), "
+        "f AS (SELECT doc_id, "
+        f"md5({_SQL_NORM.format(c='text')}) AS fp FROM q), "
+        "r AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM f) "
+        "SELECT doc_id FROM r WHERE rn = 1"
+    ),
+    note="end-to-end curation pipeline: language ID -> quality thresholds (min tokens, distinct ratio) -> exact dedup keep-first — each stage is the already-verified operator; the composition is oracle-checked as a whole",
+)
+def q_pipeline_curate_documents(spark, sf_dir):
+    from etl_hero_spark.dedup import dedup_exact_content
+    from etl_hero_spark.textops import with_lang_id, with_quality_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    curated = (
+        with_quality_signals(with_lang_id(docs))
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("n_tokens_q") >= 5)
+            & (F.col("distinct_ratio") >= 0.3)
+        )
+        .select("doc_id", "text")
+    )
+    return dedup_exact_content(curated).select("doc_id")

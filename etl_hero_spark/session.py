@@ -20,8 +20,11 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cpus
+    # SPARK_MASTER lets the same entry points run against a real cluster
+    # (yarn / k8s / spark://...); everything else below is master-agnostic
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -45,6 +45,7 @@ HEADLINE = [
     "profile_quantiles",
     "agg_pricing_rollup",
     "window_topk_orders_per_segment",
+    "pipeline_curate_documents",
 ]
 
 

@@ -101,9 +101,32 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def signature_sql_expr(
+    vec_sql: str, planes: list[list[float]], dp: int | None = 3
+) -> Column:
+    """Hyperplane bit-signature as ONE unrolled SQL expression over the
+    RAW vector attribute named by vec_sql — same three constraints as
+    _dot_const_sql (codegen'd flat arithmetic, no aliased-array
+    re-extraction, single py4j round trip). Sign bits sum into a long
+    (distinct powers of two, so + == OR)."""
+
+    def term(i: int, v: float) -> str:
+        x = f"cast({vec_sql}[{i}] as double)"
+        if dp is not None:
+            x = f"round({x}, {dp})"
+        return f"{x}*cast({float(v)!r} as double)"
+
+    bits = []
+    for i, p in enumerate(planes):
+        proj = " + ".join(term(j, v) for j, v in enumerate(p))
+        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << i}L ELSE 0L END)")
+    return F.expr(" + ".join(bits))
+
+
 def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Bit-signature: sign of projection onto each hyperplane, packed into
-    a long. Pure expressions — evaluated per row JVM-side."""
+    a long. Ad-hoc Column-level form (interpreted HOFs) — hot paths use
+    signature_sql_expr over the raw scan attribute."""
     bits = []
     for i, p in enumerate(planes):
         proj = F.aggregate(
@@ -142,12 +165,15 @@ def topk_cosine_lsh(
     signature is a pure function of the vector."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("corpus_id"), quantized_vec(vec_col, quantize).alias("cv")
-    ).withColumn("sig", signature_expr(F.col("cv"), planes))
+        F.col(id_col).alias("corpus_id"),
+        quantized_vec(vec_col, quantize).alias("cv"),
+        signature_sql_expr(vec_col, planes, dp=quantize).alias("sig"),
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantized_vec(vec_col, quantize).alias("qv"),
-    ).withColumn("sig", signature_expr(F.col("qv"), planes))
+        signature_sql_expr(vec_col, planes, dp=quantize).alias("sig"),
+    )
     scored = c.join(F.broadcast(q), "sig").withColumn(
         "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
     )
@@ -173,8 +199,10 @@ def embedding_near_dup_pairs(
     sibling of dedup.minhash_lsh_pairs."""
     planes = _hyperplanes(dim, n_planes, seed)
     sig = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), quantized_vec(vec_col, 3).alias("v")
-    ).withColumn("sig", signature_expr(F.col("v"), planes))
+        F.col(id_col).alias("id"),
+        quantized_vec(vec_col, 3).alias("v"),
+        signature_sql_expr(vec_col, planes, dp=3).alias("sig"),
+    )
     a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "sig")
     b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "sig")
     return (

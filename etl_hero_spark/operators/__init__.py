@@ -51,6 +51,10 @@ from etl_hero_spark.score import (  # noqa: F401
     insights,
     quality_score,
 )
+from etl_hero_spark.sampling import (  # noqa: F401
+    stratified_sample_exact,
+    stratified_sample_fraction,
+)
 from etl_hero_spark.simsearch import (  # noqa: F401
     embedding_near_dup_pairs,
     topk_cosine,

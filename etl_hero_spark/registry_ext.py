@@ -456,3 +456,42 @@ def q_pipeline_curate_documents(spark, sf_dir):
         .select("doc_id", "text")
     )
     return dedup_exact_content(curated).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (deterministic dataset curation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified_exact",
+    oracle=(
+        "WITH r AS (SELECT doc_id, lang, row_number() OVER "
+        "(PARTITION BY lang ORDER BY md5(cast(doc_id as varchar)), doc_id) "
+        "AS rn FROM documents) "
+        "SELECT doc_id, lang FROM r WHERE rn <= 20"
+    ),
+    note="extension: deterministic stratified sampling — exactly 20 docs per language, chosen by md5(id) hash order; same rows on any engine/partitioning (reproducible curation)",
+)
+def q_sample_stratified_exact(spark, sf_dir):
+    from etl_hero_spark.sampling import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "lang", 20, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "sample_stratified_fraction",
+    oracle=None,
+    note="extension: per-stratum Bernoulli sampling via sampleBy (seeded, single pass, no shuffle) — Spark-internal RNG, rows-only",
+)
+def q_sample_stratified_fraction(spark, sf_dir):
+    from etl_hero_spark.sampling import stratified_sample_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    return stratified_sample_fraction(
+        docs, "lang", {lang: 0.25 for lang in langs}
+    ).select("doc_id", "lang")

@@ -1,0 +1,55 @@
+"""Stratified sampling for training-data pipelines.
+
+Two forms:
+* exact-n per stratum, DETERMINISTIC — rank rows inside each stratum by
+  a content hash (md5 of the id) and keep the first n. Same rows on any
+  cluster, any partitioning, any engine (oracle-checked); this is the
+  form for reproducible dataset curation.
+* fractional via df.sampleBy — Bernoulli per stratum, seeded; cheap and
+  single-pass but engine-specific RNG (rows-only checked).
+
+Scale: the exact form is one window over the strata keys — uniform
+strata hash-partition cleanly; a hot stratum is bounded by n output rows
+but its sort input is the stratum size (use the fractional form first if
+a stratum is pathologically large).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str] | str,
+    n_per_stratum: int,
+    id_col: str,
+) -> DataFrame:
+    """Keep exactly min(n, |stratum|) rows per stratum, chosen by md5
+    hash order of the id — unbiased w.r.t. any meaningful ordering,
+    reproducible everywhere. Ties impossible (md5 of distinct ids)."""
+    strata_cols = (
+        [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    )
+    w = W.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_per_stratum)
+        .drop("_rank")
+    )
+
+
+def stratified_sample_fraction(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (df.sampleBy): single pass, no
+    shuffle, approximate counts. Engine-specific RNG — reproducible
+    within Spark for a fixed seed, not across engines."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -98,3 +98,67 @@ def test_quality_score_bounded_and_monotone(spark, rows):
     s_clean = quality_score(df, cleaned)
     assert s_noop == 50.0
     assert 0.0 <= s_clean <= 100.0 and s_clean >= 50.0
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@_settings
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """The union/last_value as-of construction must agree with pandas
+    merge_asof (backward, inclusive, per-key) on arbitrary inputs.
+    Right-side (key, ts) pairs are deduped — with equal timestamps the
+    chosen right row is implementation-defined in both frameworks."""
+    import pandas as pd
+
+    from etl_hero_spark.temporal import asof_join
+
+    left = [(i, k, t) for i, (k, t) in enumerate(left)]
+    seen = set()
+    r_rows = []
+    for k, t in right:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            r_rows.append((k, t, float(len(r_rows))))
+    ldf = spark.createDataFrame(
+        left, "event_id long, user_id long, ts_l long"
+    ).withColumn("ts", F.timestamp_seconds("ts_l")).drop("ts_l")
+    rdf = spark.createDataFrame(
+        r_rows or [(None, None, None)], "user_id long, ts_r long, value double"
+    )
+    rdf = (
+        rdf.filter(F.col("user_id").isNotNull())
+        .withColumn("ts", F.timestamp_seconds("ts_r"))
+        .drop("ts_r")
+    )
+    got = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(ldf, rdf, "user_id").collect()
+    }
+
+    lpd = pd.DataFrame(left, columns=["event_id", "user_id", "ts"]).sort_values(
+        "ts", kind="stable"
+    )
+    rpd = pd.DataFrame(
+        r_rows, columns=["user_id", "ts", "value"]
+    ).sort_values("ts", kind="stable")
+    if len(rpd):
+        merged = pd.merge_asof(
+            lpd, rpd, on="ts", by="user_id", direction="backward"
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.value) else float(r.value))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {int(r.event_id): None for r in lpd.itertuples()}
+    assert got == want

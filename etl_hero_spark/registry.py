@@ -933,3 +933,33 @@ def _load_extensions() -> None:
     except: a broken registrar must fail loudly, not shrink the surface."""
     import etl_hero_spark.registry_ext  # noqa: F401
     import etl_hero_spark.registry_stream  # noqa: F401
+
+
+@register(
+    "agg_pricing_cube",
+    oracle=(
+        "SELECT coalesce(l_returnflag, '<all>') AS returnflag, "
+        "coalesce(l_linestatus, '<all>') AS linestatus, "
+        f"{sql_dec_sum('l_extendedprice')} AS sum_price, "
+        "cast(count(*) as bigint) AS n_rows "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+    note="grouping-sets family complete: CUBE — all 2^k grouping combinations in one pass (rollup covers the hierarchy case)",
+)
+def q_agg_pricing_cube(spark, sf_dir):
+    from etl_hero_spark.profile import dec_sum
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_extendedprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "sum_price",
+            "n_rows",
+        )
+    )

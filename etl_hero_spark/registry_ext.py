@@ -495,3 +495,36 @@ def q_sample_stratified_fraction(spark, sf_dir):
     return stratified_sample_fraction(
         docs, "lang", {lang: 0.25 for lang in langs}
     ).select("doc_id", "lang")
+
+
+@register(
+    "text_top_tokens",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"{_SQL_TOKS.format(c='text')} AS toks FROM documents), "
+        "x AS (SELECT lower(unnest(toks)) AS tok FROM t), "
+        "c AS (SELECT tok, count(*) AS n FROM x GROUP BY tok), "
+        "r AS (SELECT tok, cast(n as bigint) AS n, row_number() OVER "
+        "(ORDER BY n DESC, tok ASC) AS rnk FROM c) "
+        "SELECT tok, n, cast(rnk as int) AS rnk FROM r WHERE rnk <= 25"
+    ),
+    note="extension: exact corpus-wide top-25 tokens (vocabulary heavy hitters) — explode -> count -> rank with deterministic (count DESC, token ASC) tie-break; the at-scale variant is a count-min/freqItems sketch",
+)
+def q_text_top_tokens(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from etl_hero_spark.textops import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .select(F.lower("tok").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+        .select("tok", "n", "rnk")
+    )

@@ -963,3 +963,68 @@ def q_agg_pricing_cube(spark, sf_dir):
             "n_rows",
         )
     )
+
+
+@register(
+    "profile_grouped_median",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price, "
+        "round(quantile_cont(l_quantity, 0.5), 6) AS median_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    note="A7 per group: exact interpolated median within each key — grouped percentile is the common profiling shape the whole-table A7 builds toward",
+)
+def q_profile_grouped_median(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias(
+                "median_qty"
+            ),
+        )
+    )
+
+
+@register(
+    "profile_correlation",
+    oracle=(
+        "WITH s AS (SELECT "
+        "cast(count(*) as double) AS n, "
+        "cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx, "
+        "cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy, "
+        "cast(sum(cast(l_quantity as decimal(18,2)) * "
+        "cast(l_extendedprice as decimal(18,2))) as double) AS sxy, "
+        "cast(sum(cast(l_quantity as decimal(18,2)) * "
+        "cast(l_quantity as decimal(18,2))) as double) AS sxx, "
+        "cast(sum(cast(l_extendedprice as decimal(18,2)) * "
+        "cast(l_extendedprice as decimal(18,2))) as double) AS syy "
+        "FROM lineitem) "
+        "SELECT round((n*sxy - sx*sy) / "
+        "(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price "
+        "FROM s"
+    ),
+    note="profiling extension: Pearson correlation from exact DECIMAL moment sums (order-independent), final arithmetic in float64 with the identical expression tree both engines — native corr() accumulates doubles and is partition-order dependent",
+)
+def q_profile_correlation(spark, sf_dir):
+    dec = "decimal(18,2)"
+    x = F.col("l_quantity").cast(dec)
+    y = F.col("l_extendedprice").cast(dec)
+    s = _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(F.round(corr, 6).alias("corr_qty_price"))

@@ -528,3 +528,21 @@ def q_text_top_tokens(spark, sf_dir):
         .filter(F.col("rnk") <= 25)
         .select("tok", "n", "rnk")
     )
+
+
+@register(
+    "text_freq_tokens_sketch",
+    oracle=None,
+    note="extension: heavy-hitter SKETCH variant of text_top_tokens — df.stat.freqItems (single pass, bounded memory, may contain false positives by construction) — the 100 TB path; exact counterpart is text_top_tokens",
+)
+def q_text_freq_tokens_sketch(spark, sf_dir):
+    from etl_hero_spark.textops import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_expr(F.col("text"))).alias("tok0")
+    ).select(F.lower("tok0").alias("tok"))
+    freq = toks.stat.freqItems(["tok"], support=0.01)
+    return freq.select(
+        F.explode(F.array_sort("tok_freqItems")).alias("tok")
+    )

@@ -347,3 +347,28 @@ def q_stream_user_gaps(spark, sf_dir):
     from etl_hero_spark.streaming import stream_user_gap_stats
 
     return stream_user_gap_stats(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "events_funnel",
+    oracle=(
+        "WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        "JOIN u1 ON e.user_id = u1.user_id "
+        "WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id), "
+        "u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        "JOIN u2 ON e.user_id = u2.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id) "
+        "SELECT (SELECT cast(count(*) as bigint) FROM u1) AS n_step1_view, "
+        "(SELECT cast(count(*) as bigint) FROM u2) AS n_step2_click, "
+        "(SELECT cast(count(*) as bigint) FROM u3) AS n_step3_purchase"
+    ),
+    note="event-analytics extension: ordered conversion funnel (view -> click -> purchase) — Spark folds a per-user state machine in ONE groupBy; the oracle iterates conditional mins through CTE joins. Greedy earliest completion == iterated conditional min, so the two formulations must agree exactly",
+)
+def q_events_funnel(spark, sf_dir):
+    from etl_hero_spark.streaming import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )

@@ -522,3 +522,57 @@ def stream_user_gap_stats(
         .filter(SF.col("_r") == 1)
         .drop("_r")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: one row counting the keys that reached
+    each step IN ORDER (step i+1 strictly after the key's earliest
+    completion of step i — greedy earliest completion, which equals the
+    iterated-conditional-min definition the oracle uses).
+
+    Plan: ONE groupBy — per key, sort the (ts, type) events and fold a
+    (stage, threshold) state machine over them with aggregate(). One
+    shuffle total, no joins, no per-step rescan; the fold is an
+    interpreted HOF but runs once per event. Keys are users — uniform,
+    skew-free.
+    """
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = events.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")))
+        ).alias("evs")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("thr")
+    )
+    stage = per_user.withColumn(
+        "_stage",
+        F.aggregate(
+            F.col("evs"),
+            init,
+            lambda acc, e: F.when(
+                (acc["stage"] < k)
+                & (e["t"] == F.element_at(steps_arr, acc["stage"] + 1))
+                & (acc["thr"].isNull() | (e["ts"] > acc["thr"])),
+                F.struct(
+                    (acc["stage"] + 1).alias("stage"), e["ts"].alias("thr")
+                ),
+            ).otherwise(acc),
+            lambda acc: acc["stage"],
+        ),
+    )
+    return stage.agg(
+        *[
+            F.sum(F.when(F.col("_stage") >= i + 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_step{i + 1}_{s}")
+            for i, s in enumerate(steps)
+        ]
+    )

@@ -162,3 +162,45 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     else:
         want = {int(r.event_id): None for r in lpd.itertuples()}
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+        min_size=0,
+        max_size=20,
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@_settings
+def test_range_join_count_matches_brute_force(spark, events, probes):
+    """Bucketized range join must agree with the O(n*m) definition:
+    count of same-key events in (probe_ts - 300s, probe_ts]."""
+    from etl_hero_spark.temporal import range_join_count
+
+    ev = [(i, k, t) for i, (k, t) in enumerate(events)]
+    pr = [(1000 + i, k, t) for i, (k, t) in enumerate(probes)]
+    edf = spark.createDataFrame(
+        ev or [(None, None, None)], "event_id long, user_id long, ts_s long"
+    )
+    edf = edf.filter(F.col("event_id").isNotNull()).withColumn(
+        "ts", F.timestamp_seconds("ts_s")
+    ).drop("ts_s")
+    pdf = spark.createDataFrame(
+        pr, "event_id long, user_id long, ts_s long"
+    ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+    got = {
+        r["event_id"]: r["n_in_range"]
+        for r in range_join_count(pdf, edf, "user_id", lookback_seconds=300).collect()
+    }
+    want = {
+        pid: sum(
+            1 for (_, ek, et) in ev if ek == pk and pt - 300 < et <= pt
+        )
+        for (pid, pk, pt) in pr
+    }
+    assert got == want

@@ -177,3 +177,32 @@ def test_stateful_gap_stats_stream_equals_batch(spark, sf_dir, events):
         map(tuple, stream_user_gap_stats(spark, f"{sf_dir}/events.parquet").collect())
     )
     assert stream == batch
+
+
+def test_funnel_order_matters(spark):
+    """A purchase BEFORE the click must not count as converted; equal
+    timestamps do not advance the funnel (strictly-after semantics)."""
+    from etl_hero_spark.streaming import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, "view", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-01 00:01:00"),
+        (3, 1, "purchase", "2024-01-01 00:02:00"),
+        # user 2: purchase precedes click -> stops at click
+        (4, 2, "view", "2024-01-01 00:00:00"),
+        (5, 2, "purchase", "2024-01-01 00:00:30"),
+        (6, 2, "click", "2024-01-01 00:01:00"),
+        # user 3: click at the SAME instant as view -> not strictly after
+        (7, 3, "view", "2024-01-01 00:00:00"),
+        (8, 3, "click", "2024-01-01 00:00:00"),
+        # user 4: never views
+        (9, 4, "click", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    row = funnel_counts(df, ["view", "click", "purchase"]).first()
+    assert row["n_step1_view"] == 3  # users 1, 2, 3
+    assert row["n_step2_click"] == 2  # users 1, 2 (user 3 tie fails)
+    assert row["n_step3_purchase"] == 1  # user 1 only

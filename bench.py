@@ -46,6 +46,8 @@ HEADLINE = [
     "agg_pricing_rollup",
     "window_topk_orders_per_segment",
     "pipeline_curate_documents",
+    "events_funnel",
+    "events_cohort_retention",
 ]
 
 

@@ -372,3 +372,59 @@ def q_events_funnel(spark, sf_dir):
     return funnel_counts(
         _events(spark, sf_dir), ["view", "click", "purchase"]
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle=(
+        # cast ts to us-timestamp: TIMESTAMP_NS subtraction yields raw
+        # BIGINT nanos in DuckDB, not an INTERVAL
+        "WITH a AS (SELECT DISTINCT user_id, "
+        "date_trunc('week', cast(ts as timestamp)) AS p FROM events), "
+        "c AS (SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort "
+        "FROM a) "
+        # date_trunc('week', timestamp) returns DATE in DuckDB, and
+        # DATE - DATE is a BIGINT day count
+        "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_period, "
+        "cast(floor((p - cohort) / 7) as int) AS period_offset, "
+        "cast(count(*) as bigint) AS n_active "
+        "FROM c GROUP BY 1, 2"
+    ),
+    note="event-analytics extension: weekly cohort retention triangle (cohort = first active week; offset = whole weeks since) — Monday-start ISO weeks in both engines",
+)
+def q_events_cohort_retention(spark, sf_dir):
+    from etl_hero_spark.streaming import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_daily_types",
+    oracle=(
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+        + ", ".join(
+            f"cast(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) as bigint)"
+            f" AS {t}"
+            for t in _EVENT_TYPES
+        )
+        + " FROM events GROUP BY 1"
+    ),
+    note="pivot capability (NOT PRESENT in reference): daily event counts pivoted to one column per type — explicit value list so the output schema is static (the 100 TB-safe pivot form; inferred pivots scan twice)",
+)
+def q_events_pivot_daily_types(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot count yields NULL for absent cells; the oracle's SUM(CASE)
+    # yields 0 — normalize
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES]
+    )

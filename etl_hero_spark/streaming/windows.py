@@ -576,3 +576,38 @@ def funnel_counts(
             for i, s in enumerate(steps)
         ]
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (cohort), counted in each later period they return.
+    (cohort_period, period_offset, n_active) — the standard retention
+    triangle.
+
+    Plan: distinct (key, period) activity -> per-key min period via a
+    window (one shuffle on key) -> group by (cohort, offset). date_trunc
+    periods are engine-portable; offsets are integer period gaps.
+    """
+    period = F.date_trunc(bucket, F.col(ts_col))
+    active = events.select(
+        F.col(key_col).alias("k"), period.alias("p")
+    ).distinct()
+    w = W.partitionBy("k")
+    with_cohort = active.withColumn("cohort", F.min("p").over(w))
+    offset = F.floor(
+        (F.unix_micros(F.col("p")) - F.unix_micros(F.col("cohort")))
+        / F.lit(7 * 24 * 3600 * 1_000_000 if bucket == "week" else 24 * 3600 * 1_000_000)
+    )
+    return (
+        with_cohort.withColumn("period_offset", offset.cast("int"))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_period"),
+            "period_offset",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )

@@ -443,9 +443,12 @@ def q_distinct_customers_per_priority(spark, sf_dir):
 )
 def q_pipeline_curate_documents(spark, sf_dir):
     from etl_hero_spark.dedup import dedup_exact_content
+    from etl_hero_spark.skew import ensure_min_partitions
     from etl_hero_spark.textops import with_lang_id, with_quality_signals
 
-    docs = _t(spark, sf_dir, "documents")
+    # the lang-ID + quality stages are CPU-bound per row; spread the
+    # single-row-group scan before them
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     curated = (
         with_quality_signals(with_lang_id(docs))
         .filter(

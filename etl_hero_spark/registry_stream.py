@@ -428,3 +428,99 @@ def q_events_pivot_daily_types(spark, sf_dir):
     return out.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES]
     )
+
+
+# the defected-events fixture for the full E2 mission sweep: nulls,
+# duplicate rows, and mixed date formats injected via keyed modular
+# predicates — identical construction in both engines
+_DEFECT_SQL = (
+    "SELECT * FROM defect_base UNION ALL "
+    "SELECT * FROM defect_base WHERE event_id % 501 = 0"
+)
+_DEFECT_BASE_SQL = (
+    "SELECT event_id, user_id, "
+    "CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value, "
+    "CASE WHEN event_id % 3 = 0 THEN strftime(cast(ts as timestamp), '%Y-%m-%d') "
+    "WHEN event_id % 3 = 1 THEN strftime(cast(ts as timestamp), '%d/%m/%Y') "
+    "ELSE 'not-a-date' END AS date_str "
+    "FROM events"
+)
+_ZCOLS_DEFECT = ["event_id", "user_id", "value"]
+
+
+def _sql_mission_zstats(c: str) -> str:
+    return (
+        "SELECT round(cast(sum(cast("
+        + c
+        + " as decimal(18,2))) as double) / cast(count("
+        + c
+        + ") as double), 6) AS mu, "
+        "round(sqrt(cast(sum(cast("
+        + c
+        + " as decimal(18,2)) * cast("
+        + c
+        + " as decimal(18,2))) as double) / cast(count("
+        + c
+        + ") as double) - (cast(sum(cast("
+        + c
+        + " as decimal(18,2))) as double) / cast(count("
+        + c
+        + ") as double)) * (cast(sum(cast("
+        + c
+        + " as decimal(18,2))) as double) / cast(count("
+        + c
+        + ") as double))), 6) AS sigma FROM d"
+    )
+
+
+@register(
+    "detect_missions_events",
+    oracle=(
+        f"WITH defect_base AS ({_DEFECT_BASE_SQL}), "
+        f"d AS ({_DEFECT_SQL}), "
+        "p AS (SELECT count(date_str) AS n_total, "
+        "count(coalesce(try_strptime(date_str, '%Y-%m-%d'), "
+        "try_strptime(date_str, '%d/%m/%Y'), "
+        "try_strptime(date_str, '%m-%d-%Y'))) AS n_parsed FROM d) "
+        + " UNION ALL ".join(
+            "SELECT 'outliers' AS mission, '" + c + "' AS \"column\", metric "
+            "FROM (SELECT cast(sum(CASE WHEN abs((" + c + " - s.mu) / s.sigma)"
+            " > 3.0 THEN 1 ELSE 0 END) as bigint) AS metric "
+            "FROM d, (" + _sql_mission_zstats(c) + ") s "
+            "WHERE s.sigma IS NOT NULL AND s.sigma <> 0) WHERE metric > 0"
+            for c in _ZCOLS_DEFECT
+        )
+        + " UNION ALL "
+        "SELECT 'missing', 'value', metric FROM "
+        "(SELECT cast(count(*) - count(value) as bigint) AS metric FROM d) "
+        "WHERE metric > 0 "
+        "UNION ALL "
+        "SELECT 'duplicates', '*', metric FROM "
+        "(SELECT cast(count(*) as bigint) - "
+        "(SELECT count(*) FROM (SELECT DISTINCT * FROM d)) AS metric FROM d) "
+        "WHERE metric > 0 "
+        "UNION ALL "
+        "SELECT 'date_mixed', 'date_str', cast(n_total - n_parsed as bigint) "
+        "FROM p WHERE n_parsed > 0 AND n_parsed < n_total"
+    ),
+    note="the reference's FULL E2 mission sweep (P2+P3+P4+P5 roll-up, app.py:210-240) over a defect-injected events table: z-score outliers, null column, whole-row duplicates, mixed date formats — all four mission classes detected, counts oracle-checked",
+)
+def q_detect_missions_events(spark, sf_dir):
+    from etl_hero_spark.detect import detect_missions
+
+    ev = _events(spark, sf_dir)
+    defected = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 97 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(
+            F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd")
+        )
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "dd/MM/yyyy"))
+        .otherwise(F.lit("not-a-date"))
+        .alias("date_str"),
+    )
+    dup_rows = defected.filter(F.col("event_id") % 501 == 0)
+    return detect_missions(defected.unionByName(dup_rows))

@@ -112,6 +112,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int = 1000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard >= threshold.
 
@@ -119,14 +120,31 @@ def ngram_jaccard_pairs(
     the blocking: only pairs sharing >=1 shingle are generated — never the
     full cross product) -> per-pair intersection count -> sizes -> Jaccard.
     Jaccard = inter/(|A|+|B|-inter) from exact integer counts, rounded 6dp
-    -> engine-exact. Skew note: a stop-shingle shared by k docs contributes
-    k^2 join rows; at scale, drop shingles with document frequency above a
-    cap first (they cannot discriminate near-dups anyway).
+    -> engine-exact.
+
+    Skew bound: a stop-shingle shared by k docs contributes k^2 join rows,
+    so shingles with document frequency > max_shingle_df are dropped from
+    the JOIN SIDES before the self-join (set sizes stay exact — computed
+    from the uncapped rows). A stop shingle cannot discriminate near-dups;
+    the only loss is intersection mass carried exclusively by capped
+    shingles, which depresses those pairs' Jaccard toward (not past) the
+    exact value computed over rarer shingles. No-op whenever the corpus
+    max DF < max_shingle_df — the small-corpus oracle results are
+    byte-identical.
     """
-    # consumed twice (sizes + join): persist the distinct shingle rows
+    # consumed three times (sizes + DF counts + join): persist
     shingle_rows = _exploded_shingle_set(df, id_col, text_col, n).cache()
     sizes = shingle_rows.groupBy("id").agg(F.count(F.lit(1)).alias("sh_size"))
-    exploded = shingle_rows.join(F.broadcast(sizes), "id").select(
+    rare = (
+        shingle_rows.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("s")
+    )
+    # same join key as the self-join below -> co-partitioned, no extra
+    # exchange for the probe sides
+    capped = shingle_rows.join(rare, "s")
+    exploded = capped.join(F.broadcast(sizes), "id").select(
         "id", "sh_size", "s"
     )
     a = exploded.select(

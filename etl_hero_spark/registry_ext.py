@@ -514,8 +514,6 @@ def q_sample_stratified_fraction(spark, sf_dir):
     note="extension: exact corpus-wide top-25 tokens (vocabulary heavy hitters) — explode -> count -> rank with deterministic (count DESC, token ASC) tie-break; the at-scale variant is a count-min/freqItems sketch",
 )
 def q_text_top_tokens(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     from etl_hero_spark.textops import tokens_expr
 
     docs = _t(spark, sf_dir, "documents")
@@ -525,11 +523,23 @@ def q_text_top_tokens(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    # top-k FIRST, via orderBy+limit: plans as TakeOrderedAndProject
+    # (per-partition bounded heaps, driver-side merge of k rows) — never a
+    # partition-less window over the whole vocabulary, which would funnel
+    # every distinct token through one task at scale.
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(25)
+    # rank the 25 surviving rows with a broadcast self-join count of rows
+    # at-or-ahead (tok is unique after the groupBy, so rank == row_number).
+    # Not a window: a partition-less window warns + single-partitions, and
+    # a literal partitionBy key is constant-folded back to empty.
+    a, b = top.alias("a"), top.alias("b")
+    ahead = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.tok") <= F.col("a.tok"))
+    )
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 25)
-        .select("tok", "n", "rnk")
+        a.join(F.broadcast(b), ahead)
+        .groupBy(F.col("a.tok").alias("tok"), F.col("a.n").alias("n"))
+        .agg(F.count(F.lit(1)).cast("int").alias("rnk"))
     )
 
 

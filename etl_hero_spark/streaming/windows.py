@@ -530,21 +530,43 @@ def funnel_counts(
     key_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: one row counting the keys that reached
     each step IN ORDER (step i+1 strictly after the key's earliest
     completion of step i — greedy earliest completion, which equals the
     iterated-conditional-min definition the oracle uses).
 
-    Plan: ONE groupBy — per key, sort the (ts, type) events and fold a
-    (stage, threshold) state machine over them with aggregate(). One
-    shuffle total, no joins, no per-step rescan; the fold is an
-    interpreted HOF but runs once per event. Keys are users — uniform,
-    skew-free.
+    Plan: pre-filter to the step event types (a non-step event can never
+    advance the state machine, so the result is identical and per-key
+    state shrinks by the step-selectivity factor), then ONE groupBy — per
+    key, sort the (ts, type) events and fold a (stage, threshold) state
+    machine over them with aggregate(). One shuffle total, no joins, no
+    per-step rescan; the fold is an interpreted HOF but runs once per
+    event.
+
+    Hot-key bound: the collect_list still accumulates every step-typed
+    event of a key in one task. For pathological keys (bots with millions
+    of step events) pass max_events_per_key: each key keeps only its
+    EARLIEST n step events (window top-n; the sort spills to disk, unlike
+    the in-memory array). Exact whenever every true completion happens
+    within a key's first n step events; the default (None) is exact
+    always. The k-iterated-conditional-min join formulation (the oracle's
+    own shape) remains the fallback for corpora where neither holds.
     """
     k = len(steps)
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    per_user = events.groupBy(key_col).agg(
+    stepped = events.filter(F.col(type_col).isin(list(steps))).select(
+        key_col, ts_col, type_col
+    )
+    if max_events_per_key is not None:
+        w_cap = W.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+        stepped = (
+            stepped.withColumn("_rn", F.row_number().over(w_cap))
+            .filter(F.col("_rn") <= max_events_per_key)
+            .drop("_rn")
+        )
+    per_user = stepped.groupBy(key_col).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")))
         ).alias("evs")

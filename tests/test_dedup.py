@@ -90,3 +90,26 @@ def test_simhash_candidates_cover_near_dups(docs_with_neardups):
     }
     recall = len(expected & cand) / len(expected)
     assert recall >= 0.8, f"simhash recall {recall}"
+
+
+def test_ngram_jaccard_df_cap_noop_when_above_corpus_max(docs_with_neardups):
+    """Default cap (1000) exceeds any fixture shingle's document frequency,
+    so results are identical to an effectively-uncapped run."""
+    lo = dedup.ngram_jaccard_pairs(docs_with_neardups, threshold=0.8)
+    hi = dedup.ngram_jaccard_pairs(
+        docs_with_neardups, threshold=0.8, max_shingle_df=10**9
+    )
+    assert sorted(map(tuple, lo.collect())) == sorted(map(tuple, hi.collect()))
+
+
+def test_ngram_jaccard_df_cap_shrinks_join_input(spark):
+    """With a tiny cap, stop shingles leave the join sides: a corpus where
+    every doc shares one hot shingle must produce zero candidate pairs at
+    cap=1 while keeping exact set sizes (no crash, no residual pairs)."""
+    docs = [(i, f"common shingle base unique{i} word{i} tail{i}") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # every doc contains the shingle "common shingle base" (DF=20)
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=1000)
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=1)
+    assert uncapped.count() > 0
+    assert capped.count() == 0

@@ -206,3 +206,37 @@ def test_funnel_order_matters(spark):
     assert row["n_step1_view"] == 3  # users 1, 2, 3
     assert row["n_step2_click"] == 2  # users 1, 2 (user 3 tie fails)
     assert row["n_step3_purchase"] == 1  # user 1 only
+
+
+def test_funnel_prefilters_step_types_and_bounds_hot_keys(spark):
+    """Non-step events must be filtered BEFORE the per-key collect (bounded
+    state under hot keys), visible in the plan; a dominant key with a flood
+    of non-step events changes nothing, and the max_events_per_key cap
+    keeps the result exact when completions happen early."""
+    from etl_hero_spark.streaming import funnel_counts
+
+    rows = [(1, 1, "view", "2024-01-01 00:00:00"),
+            (2, 1, "click", "2024-01-01 00:01:00"),
+            (3, 1, "purchase", "2024-01-01 00:02:00")]
+    # user 2: completes the funnel in its first 3 events, then 500 noise
+    # "scroll" events plus 50 late step-typed events (a bot tail)
+    rows += [(10, 2, "view", "2024-01-01 00:00:00"),
+             (11, 2, "click", "2024-01-01 00:00:10"),
+             (12, 2, "purchase", "2024-01-01 00:00:20")]
+    rows += [(100 + i, 2, "scroll", "2024-01-01 01:00:00") for i in range(500)]
+    rows += [(700 + i, 2, "view", "2024-01-01 02:00:00") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    out = funnel_counts(df, ["view", "click", "purchase"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the isin() step filter must sit below the aggregate
+    assert "event_type" in plan and ("IN (" in plan or "INSET" in plan.upper())
+    row = out.first()
+    assert (row["n_step1_view"], row["n_step2_click"], row["n_step3_purchase"]) == (2, 2, 2)
+
+    capped = funnel_counts(
+        df, ["view", "click", "purchase"], max_events_per_key=10
+    ).first()
+    assert tuple(capped) == tuple(row)

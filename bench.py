@@ -20,30 +20,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # dates, grouped agg) + one per extension family (text, near-dup ladder,
 # similarity, streaming-batch windows, skew mitigation).
 HEADLINE = [
-    "profile_nulls",
-    "profile_distinct",
+    "profile_nulls_distinct",
     "profile_table",
     "outliers_detect",
-    "clean_outliers_replace_median",
+    "clean_outliers_replace",
     "clean_outliers_clip",
-    "dup_count_rows",
-    "dedup_keep_first",
+    "dup_counts",
+    "dedup_rows",
     "dates_normalize",
     "agg_pricing_summary",
     # extensions
-    "text_quality",
+    "text_stats",
     "text_fingerprint",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
     "sim_topk_ivf",
-    "events_window_tumbling",
+    "events_windows",
     "events_sessionize",
     "join_salted_orders_customer",
     "distinct_customers_per_priority",
     "events_asof_join",
     "events_range_join_count",
     "profile_quantiles",
-    "agg_pricing_rollup",
+    "agg_pricing_grouping_sets",
     "window_topk_orders_per_segment",
     "pipeline_curate_documents",
     "events_funnel",
@@ -73,14 +72,20 @@ def main() -> None:
     # plan, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # min of two runs per query: single-machine driver contention bounces
+    # one-shot timings 2-4x; the min is the honest plan cost (run-to-run
+    # the plan is identical — the variance is host noise, not the query)
     times: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        materialize(spec.spark(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(spec.spark(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -50,32 +50,15 @@ def _sql_shingles(tok_expr: str, n: int = 3) -> str:
 
 
 @register(
-    "text_token_count",
-    oracle=(
-        "SELECT doc_id, "
-        f"cast(len({_SQL_TOKS.format(c='text')}) as int) AS n_tokens, "
-        "cast(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), "
-        "x -> len(x) > 0)) as int) AS n_pieces "
-        "FROM documents"
-    ),
-    note="extension: whitespace + BPE-ish token counts, pure JVM expressions",
-)
-def q_text_token_count(spark, sf_dir):
-    from etl_hero_spark.textops import with_token_counts
-
-    return with_token_counts(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens", "n_pieces"
-    )
-
-
-@register(
-    "text_quality",
+    "text_stats",
     oracle=(
         "WITH t AS (SELECT doc_id, text, "
         f"{_SQL_TOKS.format(c='text')} AS toks FROM documents) "
         "SELECT doc_id, "
+        "cast(len(toks) as int) AS n_tokens, "
+        "cast(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), "
+        "x -> len(x) > 0)) as int) AS n_pieces, "
         "cast(length(text) as int) AS n_chars_q, "
-        "cast(len(toks) as int) AS n_tokens_q, "
         "round(CASE WHEN len(toks) > 0 THEN "
         "cast(list_sum(list_transform(toks, x -> length(x))) as double)"
         " / cast(len(toks) as double) ELSE 0.0 END, 6) AS avg_token_len, "
@@ -92,15 +75,17 @@ def q_text_token_count(spark, sf_dir):
         "ELSE 0.0 END, 6) AS distinct_ratio "
         "FROM t"
     ),
-    note="extension: per-doc quality signals (length/punct/stopword/distinct ratios)",
+    note="extension: per-doc token counts (whitespace + BPE-ish pieces) AND quality signals (length/punct/stopword/distinct ratios) in one narrow projection — pure JVM expressions, single scan",
 )
-def q_text_quality(spark, sf_dir):
-    from etl_hero_spark.textops import with_quality_signals
+def q_text_stats(spark, sf_dir):
+    from etl_hero_spark.textops import with_quality_signals, with_token_counts
 
-    return with_quality_signals(_t(spark, sf_dir, "documents")).select(
+    df = with_quality_signals(with_token_counts(_t(spark, sf_dir, "documents")))
+    return df.select(
         "doc_id",
+        "n_tokens",
+        "n_pieces",
         "n_chars_q",
-        "n_tokens_q",
         "avg_token_len",
         "punct_ratio",
         "stopword_ratio",

@@ -21,42 +21,37 @@ _STRF = "%Y-%m-%d %H:%M:%S"
 
 
 @register(
-    "events_window_tumbling",
+    "events_windows",
     oracle=(
-        "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), "
-        f"'{_STRF}') AS window_start, event_type, "
-        "cast(count(*) as bigint) AS n_events, "
-        f"{sql_dec_sum('value')} AS sum_value "
-        "FROM events GROUP BY 1, 2"
-    ),
-    note="streaming extension: tumbling 1h window agg (epoch-aligned, = F.window default)",
-)
-def q_events_window_tumbling(spark, sf_dir):
-    from etl_hero_spark.streaming import tumbling_agg
-
-    return tumbling_agg(_events(spark, sf_dir))
-
-
-@register(
-    "events_window_sliding",
-    oracle=(
-        # each event belongs to exactly size/slide = 2 windows: the
-        # 30-min bucket containing it and the previous one
+        # sliding: each event belongs to exactly size/slide = 2 windows —
+        # the 30-min bucket containing it and the previous one
         "WITH w AS (SELECT e.*, unnest(["
         "time_bucket(INTERVAL '30 minutes', ts), "
         "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'"
         "]) AS ws FROM events e) "
-        f"SELECT strftime(ws, '{_STRF}') AS window_start, event_type, "
+        "SELECT 'tumbling' AS kind, "
+        "strftime(time_bucket(INTERVAL '1 hour', ts), "
+        f"'{_STRF}') AS window_start, event_type, "
         "cast(count(*) as bigint) AS n_events, "
         f"{sql_dec_sum('value')} AS sum_value "
-        "FROM w GROUP BY 1, 2"
+        "FROM events GROUP BY 2, 3 "
+        "UNION ALL "
+        f"SELECT 'sliding' AS kind, strftime(ws, '{_STRF}') AS window_start, "
+        "event_type, "
+        "cast(count(*) as bigint) AS n_events, "
+        f"{sql_dec_sum('value')} AS sum_value "
+        "FROM w GROUP BY 2, 3"
     ),
-    note="streaming extension: sliding 1h/30min window agg",
+    note="streaming extension, tagged per kind: tumbling 1h window agg (epoch-aligned, = F.window default) + sliding 1h/30min window agg — one verified query covering both window shapes",
 )
-def q_events_window_sliding(spark, sf_dir):
-    from etl_hero_spark.streaming import sliding_agg
+def q_events_windows(spark, sf_dir):
+    from etl_hero_spark.streaming import sliding_agg, tumbling_agg
 
-    return sliding_agg(_events(spark, sf_dir))
+    ev = _events(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    tum = tumbling_agg(ev).select(F.lit("tumbling").alias("kind"), *cols)
+    sli = sliding_agg(ev).select(F.lit("sliding").alias("kind"), *cols)
+    return tum.unionByName(sli)
 
 
 @register(
@@ -68,20 +63,26 @@ def q_events_window_sliding(spark, sf_dir):
         "b AS (SELECT *, CASE WHEN prev IS NULL OR "
         "ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS nb FROM o), "
         "s AS (SELECT *, sum(nb) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM b) "
-        "SELECT user_id, cast(session_no as bigint) AS session_no, "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM b), "
+        "sess AS (SELECT user_id, "
         f"strftime(min(ts), '{_STRF}') AS session_start, "
         f"strftime(max(ts), '{_STRF}') AS session_end, "
         "cast(count(*) as bigint) AS n_events, "
         f"{sql_dec_sum('value')} AS sum_value "
-        "FROM s GROUP BY user_id, session_no"
+        "FROM s GROUP BY user_id, session_no) "
+        "SELECT 'islands' AS impl, * FROM sess "
+        "UNION ALL SELECT 'native' AS impl, * FROM sess"
     ),
-    note="streaming extension: gaps-and-islands sessionization (batch twin of session_window), 30min gap",
+    note="streaming extension: sessionization twice, tagged per implementation — gaps-and-islands (lag window + running sum) AND native F.session_window (the exact streaming form) must both equal the single DuckDB windowed-SQL session set, 30min gap",
 )
 def q_events_sessionize(spark, sf_dir):
-    from etl_hero_spark.streaming import sessionize_batch
+    from etl_hero_spark.streaming import session_agg_native, sessionize_batch
 
-    return sessionize_batch(_events(spark, sf_dir))
+    ev = _events(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    islands = sessionize_batch(ev).select(F.lit("islands").alias("impl"), *cols)
+    native = session_agg_native(ev).select(F.lit("native").alias("impl"), *cols)
+    return islands.unionByName(native)
 
 
 @register(
@@ -145,31 +146,6 @@ def q_stream_window_tumbling(spark, sf_dir):
 
 
 @register(
-    "events_session_window",
-    oracle=(
-        "WITH o AS (SELECT user_id, event_id, ts, value, "
-        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
-        "FROM events), "
-        "b AS (SELECT *, CASE WHEN prev IS NULL OR "
-        "ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS nb FROM o), "
-        "s AS (SELECT *, sum(nb) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM b) "
-        "SELECT user_id, "
-        f"strftime(min(ts), '{_STRF}') AS session_start, "
-        f"strftime(max(ts), '{_STRF}') AS session_end, "
-        "cast(count(*) as bigint) AS n_events, "
-        f"{sql_dec_sum('value')} AS sum_value "
-        "FROM s GROUP BY user_id, session_no"
-    ),
-    note="streaming extension: F.session_window sessionization (batch run of the exact streaming form); cross-checked in tests against the gaps-and-islands twin AND here against a DuckDB windowed-SQL oracle",
-)
-def q_events_session_window(spark, sf_dir):
-    from etl_hero_spark.streaming import session_agg_native
-
-    return session_agg_native(_events(spark, sf_dir))
-
-
-@register(
     "stream_session_window",
     oracle=None,
     note="streaming extension: TRUE Structured Streaming session windows (append mode, watermark-closed sessions emitted; tail sessions correctly held in state); equality with closed batch sessions asserted in tests",
@@ -192,17 +168,30 @@ def q_stream_session_window(spark, sf_dir):
         "md5(text) AS content_md5, "
         "cast(octet_length(encode(text)) % 512 + 64 as bigint) AS width, "
         "cast((octet_length(encode(text)) * 7) % 512 + 64 as bigint) AS height, "
-        "cast(octet_length(encode(text)) % 16 as bigint) AS n_frames "
+        "cast(octet_length(encode(text)) % 16 as bigint) AS n_frames, "
+        "cast(floor((greatest(octet_length(encode(text)), 1) - 1) / 4096) + 1 "
+        "as int) AS n_frames_sampled, "
+        "md5(substring(text, 1, 16)) AS first_frame_md5 "
         "FROM documents"
     ),
-    note="multimodal extension: binary column + mapInPandas decode-stub (deterministic fake features; real codecs stubbed — libs absent). Oracle checks the Spark-side plumbing end-to-end.",
+    note="multimodal extension: binary column + mapInPandas decode-stub (deterministic fake features; real codecs stubbed — libs absent) JOINED with deterministic byte-stride frame sampling (video frame-sample plan shape; fixture payloads are ASCII so the DuckDB varchar oracle hashes the same bytes). Oracle checks the Spark-side plumbing end-to-end.",
 )
 def q_multimodal_decode(spark, sf_dir):
-    from etl_hero_spark.multimodal import decode_media_stub, with_media_column
+    from etl_hero_spark.multimodal import (
+        decode_media_stub,
+        sample_frames,
+        with_media_column,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     media = with_media_column(docs)
-    return decode_media_stub(media)
+    decoded = decode_media_stub(media)
+    framed = sample_frames(media).select(
+        "doc_id",
+        F.size("frames").alias("n_frames_sampled"),
+        F.md5(F.col("frames")[0]).alias("first_frame_md5"),
+    )
+    return decoded.join(framed, "doc_id")
 
 
 @register(
@@ -276,29 +265,6 @@ def q_events_range_join_count(spark, sf_dir):
         probe, ev, "user_id", lookback_seconds=300, count_alias="n_prev_5min"
     )
     return out.select("event_id", "user_id", "n_prev_5min")
-
-
-@register(
-    "multimodal_frames",
-    oracle=(
-        "SELECT doc_id, "
-        "cast(floor((greatest(octet_length(encode(text)), 1) - 1) / 4096) + 1 "
-        "as int) AS n_frames_sampled, "
-        "md5(substring(text, 1, 16)) AS first_frame_md5 "
-        "FROM documents"
-    ),
-    note="multimodal extension: deterministic byte-stride frame sampling over the binary payload (video frame-sample plan shape); fixture payloads are ASCII so the DuckDB varchar oracle hashes the same bytes",
-)
-def q_multimodal_frames(spark, sf_dir):
-    from etl_hero_spark.multimodal import sample_frames, with_media_column
-
-    docs = _t(spark, sf_dir, "documents")
-    framed = sample_frames(with_media_column(docs))
-    return framed.select(
-        "doc_id",
-        F.size("frames").alias("n_frames_sampled"),
-        F.md5(F.col("frames")[0]).alias("first_frame_md5"),
-    )
 
 
 @register(

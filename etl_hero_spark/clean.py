@@ -171,13 +171,54 @@ def drop_duplicate_rows(
 
 
 def normalize_dates(
-    df: DataFrame, col: str, formats: list[str] | None = None
+    df: DataFrame,
+    col: str,
+    formats: list[str] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """R4a (app.py:321-330) with declarative format-list semantics: parse
     with the first matching format, re-render 'yyyy-MM-dd'; unparseable ->
-    NULL (the reference's NaT)."""
+    NULL (the reference's NaT).
+
+    exact=True reproduces the reference's pandas/dateutil auto-parse
+    byte-for-byte (SURVEY §2.5 fallback): dateutil is over-permissive and
+    current-date-dependent ('March' parses to today's year), so this mode
+    is deliberately excluded from the cross-engine oracles and pinned by
+    unit tests instead. It runs as an Arrow-batched pandas_udf — the slow
+    path, but vectorized per batch and still a narrow map (no shuffle,
+    scales with partition parallelism)."""
+    if exact:
+        return df.withColumn(col, _dateutil_parse_udf()(F.col(col)))
     parsed = parse_date_expr(col, formats)
     return df.withColumn(col, F.date_format(parsed, "yyyy-MM-dd"))
+
+
+def _dateutil_parse_udf():
+    """pandas_udf replicating the reference's per-element
+    `parser.parse(str(x), dayfirst=False).strftime('%Y-%m-%d')`, NaT ->
+    NULL on any exception (app.py:322-327). Built lazily so importing this
+    module never hard-requires dateutil (it ships with pandas)."""
+    import pandas as pd
+    from dateutil import parser as du_parser
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(x):
+        if x is None:
+            return None
+        try:
+            return du_parser.parse(str(x), dayfirst=False).strftime("%Y-%m-%d")
+        except Exception:
+            return None
+
+    def _parse(s: pd.Series):
+        return s.map(_one)
+
+    # explicit SCALAR eval type: the module's `from __future__ import
+    # annotations` stringifies type hints, which pandas_udf's hint
+    # inference cannot resolve for a function-local pd import
+    from pyspark.rdd import PythonEvalType
+
+    return pandas_udf(_parse, "string", PythonEvalType.SQL_SCALAR_PANDAS_UDF)
 
 
 def force_date_format(df: DataFrame, col: str, fmt: str) -> DataFrame:

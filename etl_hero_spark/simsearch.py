@@ -156,27 +156,49 @@ def topk_cosine_lsh(
     dim: int = 64,
     seed: int = 42,
     quantize: int | None = 3,
+    n_probes: int = 1,
 ) -> DataFrame:
     """ANN top-k: corpus and queries hash to hyperplane-sign buckets;
-    exact cosine rerank only within the query's bucket. Recall < 1 by
-    construction (bucket may truncate the true top-k); multi-probe (flip
-    one bit) is the standard recall knob — here single-probe to keep the
-    demo plan minimal. Corpus side can be precomputed/persisted — the
-    signature is a pure function of the vector."""
+    exact cosine rerank only within the query's probed buckets. Recall < 1
+    by construction (buckets may truncate the true top-k); n_probes is the
+    standard multi-probe recall knob — each query also probes the buckets
+    at Hamming distance 1 (single-bit signature flips, plane order), so
+    n_probes=1+n_planes visits the full Hamming-1 ball. Corpus cost is
+    unchanged (the corpus still hashes once); only the broadcast query
+    side grows by the probe factor. Corpus side can be
+    precomputed/persisted — the signature is a pure function of the
+    vector."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("corpus_id"),
         quantized_vec(vec_col, quantize).alias("cv"),
         signature_sql_expr(vec_col, planes, dp=quantize).alias("sig"),
     )
+    n_probes = max(1, min(n_probes, 1 + n_planes))
+    # explode tiny literal XOR masks and flip bits AFTER the explode: the
+    # unrolled signature expression (n_planes x dim terms) must appear in
+    # the plan exactly once — an array of n_probes copies of it blows
+    # whole-stage codegen past the 64 KB method limit
+    masks = [0] + [1 << i for i in range(n_probes - 1)]
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantized_vec(vec_col, quantize).alias("qv"),
-        signature_sql_expr(vec_col, planes, dp=quantize).alias("sig"),
+        signature_sql_expr(vec_col, planes, dp=quantize).alias("sig0"),
+        F.explode(
+            F.array(*[F.lit(m).cast("long") for m in masks])
+        ).alias("mask"),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("sig0").bitwiseXOR(F.col("mask")).alias("sig"),
     )
     scored = c.join(F.broadcast(q), "sig").withColumn(
         "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
     )
+    if n_probes > 1:
+        # a candidate can share several probed buckets with the same query;
+        # dedup before ranking (identical score rows — any survivor works)
+        scored = scored.dropDuplicates(["query_id", "corpus_id"])
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

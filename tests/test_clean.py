@@ -107,3 +107,52 @@ def test_messy_orders_round_trip(spark):
     assert leftover == []
     score = quality_score(df, cleaned)
     assert 50.0 < score <= 100.0
+
+
+def test_normalize_dates_exact_mode_matches_dateutil(spark):
+    """exact=True must reproduce the reference's per-element
+    dateutil.parser.parse(dayfirst=False) -> '%Y-%m-%d' / NaT semantics
+    (app.py:322-327), including the divergences from format-list mode:
+    dateutil reads '01/02/2024' month-first and parses spelled-out months.
+    Full dates only — partial dates are current-date-dependent in dateutil
+    and deliberately untestable."""
+    from etl_hero_spark.clean import normalize_dates
+
+    rows = [
+        (1, "2024-01-15"),
+        (2, "15/01/2024"),   # 15 can't be a month -> dateutil flips to day
+        (3, "01/02/2024"),   # dayfirst=False -> Jan 2 (format-list: Feb 1)
+        (4, "Jan 3, 2024"),  # spelled-out month: only dateutil parses
+        (5, "not-a-date"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, d string")
+    got = {
+        r["id"]: r["d"]
+        for r in normalize_dates(df, "d", exact=True).collect()
+    }
+    assert got == {
+        1: "2024-01-15",
+        2: "2024-01-15",
+        3: "2024-01-02",
+        4: "2024-01-03",
+        5: None,
+        6: None,
+    }
+
+
+def test_normalize_dates_exact_mode_is_arrow_batched(spark):
+    """The exact path must cross into Python via Arrow (ArrowEvalPython),
+    never row-at-a-time pickling (BatchEvalPython)."""
+    import contextlib
+    import io
+
+    from etl_hero_spark.clean import normalize_dates
+
+    df = spark.createDataFrame([(1, "2024-01-15")], "id long, d string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        normalize_dates(df, "d", exact=True).explain("simple")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

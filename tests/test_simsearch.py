@@ -104,3 +104,66 @@ def test_ivf_partial_probe_recall(emb, queries):
         if r["rank"] == 1:
             assert r["corpus_id"] == r["query_id"]
         assert (r["query_id"], r["corpus_id"]) in exact50
+
+
+def _recall_at_k(exact_rows, approx_rows, k=5):
+    """Mean per-query |approx∩exact_topk| / k."""
+    exact_sets, approx_sets = {}, {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    recalls = [
+        len(approx_sets.get(q, set()) & hits) / min(k, len(hits))
+        for q, hits in exact_sets.items()
+    ]
+    return sum(recalls) / len(recalls)
+
+
+@pytest.fixture(scope="module")
+def queries10(emb):
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_lsh_multiprobe_recall_knob(emb, queries10):
+    """Multi-probe (Hamming-1 bit flips) is the LSH recall knob: probing
+    more buckets must never lose candidates, and the full Hamming-1 ball
+    must reach a usable recall@5 against the exact top-5. n_planes=4 (16
+    buckets over the 500-vector sf0.001 corpus) so bucket occupancy is
+    high enough for recall numbers to be meaningful; the synthetic
+    embeddings are mostly random, which bounds absolute recall (all
+    inputs seeded -> measured recalls are deterministic: 0.32 -> 0.52)."""
+    exact = simsearch.topk_cosine(emb, queries10, k=5).collect()
+    r1 = _recall_at_k(
+        exact,
+        simsearch.topk_cosine_lsh(
+            emb, queries10, k=5, n_planes=4, n_probes=1
+        ).collect(),
+    )
+    r5 = _recall_at_k(
+        exact,
+        simsearch.topk_cosine_lsh(
+            emb, queries10, k=5, n_planes=4, n_probes=5
+        ).collect(),
+    )
+    assert r5 >= r1, f"multi-probe lost recall: {r5} < {r1}"
+    assert r5 >= 0.5, f"Hamming-1 ball recall@5 too low: {r5}"
+
+
+def test_ivf_nprobe_sweep_recall(emb, queries10):
+    """IVF recall@5 vs exact must be non-decreasing in nprobe and reach
+    1.0 at full probe (nprobe == n_centroids == exhaustive search)."""
+    exact = simsearch.topk_cosine(emb, queries10, k=5).collect()
+    cents = simsearch.train_centroids(emb, n_centroids=8)
+    recalls = {}
+    for nprobe in (1, 2, 4, 8):
+        approx = simsearch.topk_cosine_ivf(
+            emb, queries10, k=5, centroids=cents, nprobe=nprobe
+        ).collect()
+        recalls[nprobe] = _recall_at_k(exact, approx)
+    assert recalls[8] == 1.0, f"full probe must be exact: {recalls}"
+    vals = [recalls[n] for n in (1, 2, 4, 8)]
+    assert vals == sorted(vals), f"recall not monotone in nprobe: {recalls}"
+    assert recalls[2] >= 0.5, f"nprobe=2 recall too low: {recalls}"

@@ -80,6 +80,15 @@ def two_phase_distinct_count(
     )
 
 
+def _parse_byte_conf(v: str) -> int:
+    """Spark size confs render as '134217728', '134217728b' or '128MB'."""
+    s = str(v).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    num = s.rstrip("bkmg")
+    return int(num) * units.get(s[len(num):], 1)
+
+
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Spread a few-split input before CPU-heavy per-row work.
 
@@ -87,11 +96,32 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     expression-heavy stage (shingling, hashing, vector math) runs on one
     core no matter how many the cluster has. A round-robin repartition of
     the raw rows (cheap: input is small by premise) buys full parallelism.
-    No-op when the input already has enough splits — large inputs keep
-    their natural partitioning.
+    No-op when the input is big enough to split naturally — large inputs
+    keep their natural partitioning.
+
+    The big/small probe reads the OPTIMIZER'S size estimate
+    (logical-plan stats over file-source sizes), never
+    `df.rdd.getNumPartitions()`: the RDD property physically plans the
+    query and wraps it in a pickling JavaRDD on every call, pure
+    overhead for a yes/no answer. sizeInBytes / maxPartitionBytes is
+    exactly the split count a splittable file scan will produce; plans
+    with unknown stats report Long.Max and are (correctly) left alone —
+    they are post-shuffle or parallelized inputs that already spread.
     """
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_parts:
-        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        split = _parse_byte_conf(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+        )
+        if size // max(split, 1) >= min_parts:
+            return df
+    except Exception:
+        # stats unavailable (exotic plan/py4j surface change): fall
+        # through to the repartition — harmless for the intended
+        # "spread a small input" call sites
+        pass
     return df.repartition(min_parts)

@@ -95,3 +95,42 @@ def test_two_phase_distinct_ignores_nulls(spark):
     }
     # COUNT(DISTINCT x) semantics: NULLs don't count; all-null key absent
     assert got == {"a": 1}
+
+
+def test_ensure_min_partitions_spreads_small_scan(spark, sf_dir):
+    """A small parquet scan (one row group -> one task) must be spread to
+    cluster parallelism before CPU-heavy stages."""
+    from etl_hero_spark.skew import ensure_min_partitions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ensure_min_partitions(docs, min_parts=8)
+    assert out.rdd.getNumPartitions() >= 8
+
+
+def test_ensure_min_partitions_never_probes_rdd(spark, sf_dir, monkeypatch):
+    """The big/small probe must read logical-plan stats, never df.rdd:
+    the RDD property physically plans and wraps the query per call."""
+    from pyspark.sql import DataFrame
+
+    from etl_hero_spark.skew import ensure_min_partitions
+
+    def _boom(self):
+        raise AssertionError("ensure_min_partitions probed df.rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ensure_min_partitions(docs, min_parts=8)  # must not raise
+
+
+def test_ensure_min_partitions_noops_on_large_estimate(spark, sf_dir):
+    """An input whose optimizer size estimate already yields >= min_parts
+    scan splits keeps its natural partitioning (no repartition shuffle)."""
+    from etl_hero_spark.skew import ensure_min_partitions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        out = ensure_min_partitions(docs, min_parts=2)
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert out is docs

@@ -429,3 +429,109 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "est_jaccard")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. connected components -> dedup clusters (the step AFTER pair
+#    generation: at 100 TB near-dup pairs are only candidates — the
+#    cluster assignment picks one canonical doc per component)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``; component =
+    smallest id reachable over the pair edges.
+
+    Distributed min-label propagation with pointer jumping: each round
+    (1) relaxes labels over edges (neighbor min) and (2) jumps pointers
+    (label of label), so labels converge in O(log diameter) rounds —
+    a million-doc duplicate chain needs ~20 rounds, a typical near-dup
+    cluster (diameter <= 4) needs 2. Every round is two uniform-key
+    shuffles (edge join + min agg) plus one self-join; per-round results
+    are localCheckpoint'd to truncate the iterative lineage (swap for
+    checkpoint(dir) on a real cluster to also drop executor state).
+
+    The reference has no graph operator — this generalizes its
+    drop_duplicates (app.py:308-315) to transitive near-duplicate
+    closure, the standard construction for corpus-level fuzzy dedup.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    # init: own id vs direct-neighbor min — saves one full round
+    labels = edges.groupBy("u").agg(
+        F.least(F.first("u"), F.min("v")).alias("l")
+    ).select(F.col("u").alias("id"), "l")
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # (1) edge relax: candidate label for u = min over neighbors' labels
+        nb = (
+            edges.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("l").alias("nl"))
+            .select(F.col("u").alias("id"), "nl")
+        )
+        relaxed = (
+            labels.join(nb, "id", "left")
+            .select("id", F.least("l", F.coalesce("nl", "l")).alias("l"))
+        )
+        # (2) pointer jump: label of my label (labels form a forest whose
+        # roots are component minima; jumping halves the depth)
+        jumped = (
+            relaxed.join(
+                relaxed.select(
+                    F.col("id").alias("l"), F.col("l").alias("ll")
+                ),
+                "l",
+                "left",
+            )
+            .select("id", F.least("l", F.coalesce("ll", "l")).alias("l"))
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            labels.join(jumped.withColumnRenamed("l", "l2"), "id")
+            .filter(F.col("l") != F.col("l2"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("l").alias("component"))
+
+
+def assign_dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every row of ``df`` tagged with its near-dup cluster: cluster_id =
+    smallest doc id in the row's connected component (own id for docs in
+    no pair), is_canonical = 1 for the cluster minimum — the row a
+    keep-one-per-cluster dedup retains. The components table is tiny
+    relative to the corpus (only docs with >=1 near-dup pair), so the
+    assignment join broadcasts at any realistic dup rate."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("id").alias(id_col), "component"
+    )
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        df.join(F.broadcast(comp), id_col, "left")
+        .withColumn("cluster_id", cluster)
+        .withColumn(
+            "is_canonical",
+            (F.col(id_col) == F.col("cluster_id")).cast("int"),
+        )
+        .drop("component")
+    )

@@ -228,6 +228,55 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs_nearvar(spark, sf_dir), threshold=0.8)
 
 
+_JACCARD_PAIRS_SQL = (
+    f"t AS ({_DOCS_NEARVAR_SQL}), "
+    "sh AS (SELECT doc_id AS id, "
+    + _sql_shingles(_SQL_TOKS.format(c=_SQL_NORM.format(c="text")))
+    + " AS s FROM t), "
+    "e AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh), "
+    "p AS (SELECT a.id AS id_a, b.id AS id_b, any_value(a.sz) AS size_a, "
+    "any_value(b.sz) AS size_b, count(*) AS inter "
+    "FROM e a JOIN e b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id), "
+    "pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, "
+    "round(cast(inter as double) / cast(size_a + size_b - inter as double), 6) "
+    "AS jaccard FROM p) WHERE jaccard >= 0.8)"
+)
+
+
+@register(
+    "dedup_clusters",
+    oracle=(
+        "WITH RECURSIVE "
+        + _JACCARD_PAIRS_SQL
+        + ", ed AS (SELECT id_a AS u, id_b AS v FROM pr "
+        "UNION SELECT id_b, id_a FROM pr), "
+        "reach(u, v) AS (SELECT u, v FROM ed "
+        "UNION SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u), "
+        "comp AS (SELECT u AS id, least(u, min(v)) AS cl "
+        "FROM reach GROUP BY u) "
+        "SELECT d.doc_id, "
+        "cast(coalesce(c.cl, d.doc_id) as bigint) AS cluster_id, "
+        "cast(CASE WHEN coalesce(c.cl, d.doc_id) = d.doc_id "
+        "THEN 1 ELSE 0 END as int) AS is_canonical "
+        "FROM t d LEFT JOIN comp c ON c.id = d.doc_id"
+    ),
+    note=(
+        "extension rung 5: transitive near-dup closure — Jaccard pairs -> "
+        "connected components (pointer-jumping min-label propagation, "
+        "O(log diameter) rounds) -> cluster id + canonical flag per doc; "
+        "oracle walks the same graph with a recursive CTE"
+    ),
+)
+def q_dedup_clusters(spark, sf_dir):
+    from etl_hero_spark.dedup import assign_dedup_clusters, ngram_jaccard_pairs
+
+    docs = _docs_nearvar(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return assign_dedup_clusters(docs, pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=None,

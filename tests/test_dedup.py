@@ -113,3 +113,69 @@ def test_ngram_jaccard_df_cap_shrinks_join_input(spark):
     capped = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=1)
     assert uncapped.count() > 0
     assert capped.count() == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 9-node path (diameter >> 2 rounds without pointer jumping), a
+    triangle, and a pair must each collapse to their min id."""
+    from etl_hero_spark.dedup import connected_components
+
+    edges = [
+        # path 1-2-3-...-9 given as far-apart links
+        *[(i, i + 1) for i in range(1, 9)],
+        # triangle 20-21-22 (redundant edge)
+        (20, 21), (21, 22), (20, 22),
+        # simple pair
+        (30, 31),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {
+        **{i: 1 for i in range(1, 10)},
+        **{i: 20 for i in (20, 21, 22)},
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_edge_order_invariant(spark):
+    """Reversed/duplicated edges and unordered pairs give the same
+    components."""
+    from etl_hero_spark.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(5, 3), (3, 5), (7, 5), (1, 7), (1, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {1: 1, 3: 1, 5: 1, 7: 1}
+
+
+def test_assign_dedup_clusters_canonical_flags(spark):
+    """Docs in no pair are their own singleton cluster; exactly one
+    canonical per cluster — the minimum id."""
+    from etl_hero_spark.dedup import assign_dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = assign_dedup_clusters(docs, pairs).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in rows}
+    assert got == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0),
+        10: (10, 1), 11: (10, 0),
+        99: (99, 1),
+    }
+    # exactly one canonical per cluster
+    per_cluster = {}
+    for cid, can in got.values():
+        per_cluster[cid] = per_cluster.get(cid, 0) + can
+    assert all(v == 1 for v in per_cluster.values())

@@ -41,7 +41,7 @@ HEADLINE = [
     "distinct_customers_per_priority",
     "events_asof_join",
     "events_range_join_count",
-    "profile_quantiles",
+    "profile_stats",  # absorbed profile_quantiles + profile_correlation
     "agg_pricing_grouping_sets",
     "window_topk_orders_per_segment",
     "pipeline_curate_documents",

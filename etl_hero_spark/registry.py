@@ -151,10 +151,14 @@ def q_profile_distinct_approx(spark, sf_dir):
     return distinct_counts(_t(spark, sf_dir, "lineitem"), approx=True)
 
 
+_QPROBS = [0.01, 0.25, 0.50, 0.75, 0.99]
+_QNAMES = ["q01", "q25", "q50", "q75", "q99"]
+
+
 @register(
     "profile_stats",
     oracle=(
-        "SELECT "
+        "WITH s AS (SELECT "
         + ", ".join(
             f"{sql_dec_avg(c)} AS mean_{c}, {sql_dec_std(c)} AS std_{c}, "
             + (
@@ -165,20 +169,86 @@ def q_profile_distinct_approx(spark, sf_dir):
             )
             for c in LINEITEM_NUM
         )
-        + " FROM lineitem"
+        + ", "
+        + ", ".join(
+            f"round(quantile_cont(l_extendedprice, {p}), 6) AS {n}"
+            for p, n in zip(_QPROBS, _QNAMES)
+        )
+        + ", cast(count(*) as double) AS n, "
+        "cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx, "
+        "cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy, "
+        "cast(sum(cast(l_quantity as decimal(18,2)) * "
+        "cast(l_extendedprice as decimal(18,2))) as double) AS sxy, "
+        "cast(sum(cast(l_quantity as decimal(18,2)) * "
+        "cast(l_quantity as decimal(18,2))) as double) AS sxx, "
+        "cast(sum(cast(l_extendedprice as decimal(18,2)) * "
+        "cast(l_extendedprice as decimal(18,2))) as double) AS syy "
+        "FROM lineitem) "
+        "SELECT "
+        + ", ".join(
+            f"mean_{c}, std_{c}, min_{c}, max_{c}" for c in LINEITEM_NUM
+        )
+        + ", " + ", ".join(_QNAMES)
+        + ", round((n*sxy - sx*sy) / "
+        "(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price "
+        "FROM s"
     ),
-    note="A5/A6 (population stddev ddof=0, app.py:66-67) + min/max, one pass",
+    note=(
+        "A5/A6 (population stddev ddof=0, app.py:66-67) + min/max + "
+        "A7/A8 exact interpolated percentiles (quantile_cont semantics, "
+        "the clip bounds of R1d; t-digest variant: "
+        "profile_quantiles_approx) + Pearson correlation from exact "
+        "DECIMAL moment sums (order-independent; native corr() is "
+        "partition-order dependent) — formerly the separate "
+        "profile_quantiles / profile_correlation queries, merged into "
+        "ONE aggregation pass: one scan instead of three, and frees "
+        "driver-window slots for new oracle-backed operators"
+    ),
 )
 def q_profile_stats(spark, sf_dir):
-    from etl_hero_spark.profile import numeric_stats
+    from etl_hero_spark.profile import dec_avg, dec_stddev_pop
 
     df = _t(spark, sf_dir, "lineitem")
-    out = numeric_stats(df, LINEITEM_NUM)
-    # l_linenumber min/max are int32 in parquet; normalize to bigint for
-    # cross-engine schema stability
-    return out.withColumn(
-        "min_l_linenumber", F.col("min_l_linenumber").cast("bigint")
-    ).withColumn("max_l_linenumber", F.col("max_l_linenumber").cast("bigint"))
+    dec = "decimal(18,2)"
+    x = F.col("l_quantity").cast(dec)
+    y = F.col("l_extendedprice").cast(dec)
+    exprs = []
+    for c in LINEITEM_NUM:
+        exprs += [
+            dec_avg(c, f"mean_{c}"),
+            dec_stddev_pop(c, f"std_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    exprs += [
+        F.percentile("l_extendedprice", F.lit(_QPROBS)).alias("_q"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum(x * y).cast("double").alias("_sxy"),
+        F.sum(x * x).cast("double").alias("_sxx"),
+        F.sum(y * y).cast("double").alias("_syy"),
+    ]
+    agg = df.agg(*exprs)
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    out_cols = []
+    for c in LINEITEM_NUM:
+        # l_linenumber min/max are int32 in parquet; normalize to bigint
+        # for cross-engine schema stability
+        for p in ("mean", "std", "min", "max"):
+            col = F.col(f"{p}_{c}")
+            if c == "l_linenumber" and p in ("min", "max"):
+                col = col.cast("bigint").alias(f"{p}_{c}")
+            out_cols.append(col)
+    out_cols += [
+        F.round(F.col("_q")[i], 6).alias(nme) for i, nme in enumerate(_QNAMES)
+    ]
+    out_cols.append(F.round(corr, 6).alias("corr_qty_price"))
+    return agg.select(*out_cols)
 
 
 _P1_DTYPES = {  # Spark dtypes for lineitem, used as literals in the oracle
@@ -756,29 +826,6 @@ def q_agg_pricing_summary(spark, sf_dir):
 
 
 @register(
-    "profile_quantiles",
-    oracle=(
-        "SELECT "
-        "round(quantile_cont(l_extendedprice, 0.01), 6) AS q01, "
-        "round(quantile_cont(l_extendedprice, 0.25), 6) AS q25, "
-        "round(quantile_cont(l_extendedprice, 0.50), 6) AS q50, "
-        "round(quantile_cont(l_extendedprice, 0.75), 6) AS q75, "
-        "round(quantile_cont(l_extendedprice, 0.99), 6) AS q99 "
-        "FROM lineitem"
-    ),
-    note="A7/A8 exact interpolated percentiles (pandas/DuckDB quantile_cont semantics; the clip bounds of R1d). Approx t-digest variant: profile_quantiles_approx",
-)
-def q_profile_quantiles(spark, sf_dir):
-    probs = [0.01, 0.25, 0.50, 0.75, 0.99]
-    names = ["q01", "q25", "q50", "q75", "q99"]
-    q = F.percentile("l_extendedprice", F.lit(probs))
-    df = _t(spark, sf_dir, "lineitem").agg(q.alias("q"))
-    return df.select(
-        *[F.round(F.col("q")[i], 6).alias(n) for i, n in enumerate(names)]
-    )
-
-
-@register(
     "profile_quantiles_approx",
     oracle=None,
     note="A7/A8 at 100 TB: percentile_approx (t-digest, one pass, bounded memory) — no cross-engine bit parity by construction, rows-only",
@@ -933,41 +980,5 @@ def q_profile_grouped_median(spark, sf_dir):
     )
 
 
-@register(
-    "profile_correlation",
-    oracle=(
-        "WITH s AS (SELECT "
-        "cast(count(*) as double) AS n, "
-        "cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx, "
-        "cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy, "
-        "cast(sum(cast(l_quantity as decimal(18,2)) * "
-        "cast(l_extendedprice as decimal(18,2))) as double) AS sxy, "
-        "cast(sum(cast(l_quantity as decimal(18,2)) * "
-        "cast(l_quantity as decimal(18,2))) as double) AS sxx, "
-        "cast(sum(cast(l_extendedprice as decimal(18,2)) * "
-        "cast(l_extendedprice as decimal(18,2))) as double) AS syy "
-        "FROM lineitem) "
-        "SELECT round((n*sxy - sx*sy) / "
-        "(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price "
-        "FROM s"
-    ),
-    note="profiling extension: Pearson correlation from exact DECIMAL moment sums (order-independent), final arithmetic in float64 with the identical expression tree both engines — native corr() accumulates doubles and is partition-order dependent",
-)
-def q_profile_correlation(spark, sf_dir):
-    dec = "decimal(18,2)"
-    x = F.col("l_quantity").cast(dec)
-    y = F.col("l_extendedprice").cast(dec)
-    s = _t(spark, sf_dir, "lineitem").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    )
-    return s.select(F.round(corr, 6).alias("corr_qty_price"))
+# profile_quantiles and profile_correlation were absorbed into
+# profile_stats (one aggregation pass over lineitem) — see its note.

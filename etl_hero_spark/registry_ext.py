@@ -148,6 +148,71 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+_GOPHER_WORDS_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@register(
+    "text_quality_filter",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, "
+        f"{_SQL_TOKS.format(c='text')} AS toks, "
+        "string_split(text, chr(10)) AS lns FROM documents), "
+        "s AS (SELECT doc_id, "
+        "cast(len(toks) as int) AS n_words, "
+        "round(CASE WHEN len(toks) > 0 THEN "
+        "cast(list_sum(list_transform(toks, x -> length(x))) as double)"
+        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS mean_word_len, "
+        "round(CASE WHEN len(toks) > 0 THEN "
+        "cast((length(text) - length(replace(text, '#', ''))) + "
+        "(length(text) - length(replace(text, '...', ''))) / 3 as double)"
+        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS symbol_ratio, "
+        "round(CASE WHEN len(lns) > 0 THEN "
+        "cast(len(list_filter(lns, x -> starts_with(ltrim(x), '-') "
+        "OR starts_with(ltrim(x), '*'))) as double)"
+        " / cast(len(lns) as double) ELSE 0.0 END, 6) AS bullet_ratio, "
+        "round(CASE WHEN len(lns) > 0 THEN "
+        "cast(len(list_filter(lns, x -> ends_with(rtrim(x), '...'))) as double)"
+        " / cast(len(lns) as double) ELSE 0.0 END, 6) AS ellipsis_ratio, "
+        "round(CASE WHEN len(toks) > 0 THEN "
+        "cast(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) as double)"
+        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS alpha_ratio, "
+        "cast(len(list_intersect(list_distinct(list_transform(toks, "
+        f"x -> lower(x))), {_GOPHER_WORDS_SQL})) as int) AS n_required_hits "
+        "FROM t) "
+        "SELECT *, cast(CASE WHEN "
+        "n_words BETWEEN 50 AND 100000 "
+        "AND mean_word_len BETWEEN 3.0 AND 10.0 "
+        "AND symbol_ratio <= 0.1 "
+        "AND bullet_ratio <= 0.9 "
+        "AND ellipsis_ratio <= 0.3 "
+        "AND alpha_ratio >= 0.8 "
+        "AND n_required_hits >= 2 "
+        "THEN 1 ELSE 0 END as int) AS passes_gopher FROM s"
+    ),
+    note=(
+        "extension: Gopher-style rule filter (published heuristics: "
+        "word-count bounds, mean word length, symbol/bullet/ellipsis "
+        "ratios, alphabetic-word fraction, required-word presence) as "
+        "one codegen'd narrow projection — the curation gate before "
+        "dedup in a training-data pipeline"
+    ),
+)
+def q_text_quality_filter(spark, sf_dir):
+    from etl_hero_spark.textops import with_gopher_quality
+
+    return with_gopher_quality(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "alpha_ratio",
+        "n_required_hits",
+        "passes_gopher",
+    )
+
+
 # ===========================================================================
 # Dedup ladder
 # ===========================================================================

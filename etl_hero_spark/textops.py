@@ -220,3 +220,111 @@ def with_fingerprints(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("fp_shingle", F.md5(F.concat_ws("\x1f", F.col("_fp_sh"))))
         .drop("_fp_sh")
     )
+
+
+# ---------------------------------------------------------------------------
+# rule-based document filtering (Gopher-style heuristics)
+# ---------------------------------------------------------------------------
+
+# the required-word presence list from the published Gopher filtering
+# rules (Rae et al. 2021, "Scaling Language Models", appendix A1.1)
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def with_gopher_quality(
+    df: DataFrame,
+    col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule filter signals + a combined pass flag.
+
+    The published heuristics (word-count bounds, mean word length,
+    symbol-to-word ratio for '#'/'...', bullet-start and ellipsis-end
+    line ratios, fraction of words with an alphabetic character,
+    required-stopword presence) as pure codegen expressions: one narrow
+    projection, no shuffle, no Python — a linear scan at any corpus
+    size. Tokens and lines are staged once (HOF lambdas get no
+    subexpression elimination)."""
+    df = df.withColumn("_g_toks", tokens_expr(col)).withColumn(
+        "_g_lines", F.split(F.col(col), "\n")
+    )
+    toks, lines, txt = F.col("_g_toks"), F.col("_g_lines"), F.col(col)
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.startswith(F.ltrim(x), F.lit("-"))
+            | F.startswith(F.ltrim(x), F.lit("*")),
+        )
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.endswith(F.rtrim(x), F.lit("...")))
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+    n_required = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )
+    )
+    safe = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            0.0
+        ),
+        6,
+    )
+    sig = {
+        "n_words": n_words,
+        "mean_word_len": safe(word_chars, n_words),
+        "symbol_ratio": safe(n_hash + n_ellipsis, n_words),
+        "bullet_ratio": safe(n_bullet_lines, n_lines),
+        "ellipsis_ratio": safe(n_ellipsis_lines, n_lines),
+        "alpha_ratio": safe(n_alpha_words, n_words),
+        "n_required_hits": n_required,
+    }
+    for name, expr in sig.items():
+        df = df.withColumn(name, expr)
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("n_required_hits") >= min_required_hits)
+    )
+    return df.withColumn("passes_gopher", passes.cast("int")).drop(
+        "_g_toks", "_g_lines"
+    )
+
+
+def gopher_filter(df: DataFrame, col: str = "text", **thresholds) -> DataFrame:
+    """Rows passing every Gopher rule, signal columns dropped — the
+    curation-pipeline form of with_gopher_quality."""
+    out = with_gopher_quality(df, col, **thresholds)
+    return out.filter(F.col("passes_gopher") == 1).drop(
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "alpha_ratio",
+        "n_required_hits",
+        "passes_gopher",
+    )

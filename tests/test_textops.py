@@ -64,3 +64,51 @@ def test_shingle_fingerprint_order_insensitive(spark):
     )
     fps = {r["id"]: r["fp_shingle"] for r in textops.with_fingerprints(df).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule must fire on a doc crafted to violate exactly it;
+    a clean doc must pass all."""
+    from etl_hero_spark.textops import gopher_filter, with_gopher_quality
+
+    base = ("the be to of and that have with " + "word " * 52).strip()  # 60 words
+    rows = [
+        (1, base),                                       # passes everything
+        (2, "the be short doc"),                         # word count < 50
+        (3, ("the be to of and " + "# " * 55).strip()),  # symbol ratio
+        (4, "\n".join(["- " + base] * 10)),              # bullet lines
+        (5, "\n".join([base + " ..."] * 10)),            # ellipsis lines
+        (6, ("the be to of and " + "12345 " * 55).strip()),  # alpha ratio
+        (7, ("zz " * 60).strip()),                       # no required words
+        (8, ("the be to of and " + "a " * 55).strip()),  # mean word len < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in with_gopher_quality(df).collect()
+    }
+    assert got[1]["passes_gopher"] == 1
+    assert got[2]["passes_gopher"] == 0 and got[2]["n_words"] < 50
+    assert got[3]["passes_gopher"] == 0 and got[3]["symbol_ratio"] > 0.1
+    assert got[4]["passes_gopher"] == 0 and got[4]["bullet_ratio"] > 0.9
+    assert got[5]["passes_gopher"] == 0 and got[5]["ellipsis_ratio"] > 0.3
+    assert got[6]["passes_gopher"] == 0 and got[6]["alpha_ratio"] < 0.8
+    assert got[7]["passes_gopher"] == 0 and got[7]["n_required_hits"] < 2
+    assert got[8]["passes_gopher"] == 0 and got[8]["mean_word_len"] < 3.0
+    kept = [r["doc_id"] for r in gopher_filter(df).select("doc_id").collect()]
+    assert kept == [1]
+
+
+def test_gopher_filter_is_pure_codegen(spark, sf_dir):
+    """The filter must stay JVM-side: no Python eval nodes in the plan."""
+    import contextlib
+    import io
+
+    from etl_hero_spark.textops import with_gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with_gopher_quality(docs).explain("simple")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

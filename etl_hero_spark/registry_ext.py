@@ -213,6 +213,75 @@ def q_text_quality_filter(spark, sf_dir):
     )
 
 
+# PII fixture: documents carry no digits/emails, so inject deterministic
+# PII spans by doc_id residue — identical construction in both engines.
+_PII_SPANS = [
+    (0, " contact jane.doe+spam@mail-example.org today"),
+    (1, " ssn 123-45-6789 on file"),
+    (2, " server 10.0.255.254 and 192.168.1.7"),
+    (3, " call +1 (555) 123-4567 now"),
+]
+
+_DOCS_PIIVAR_SQL = (
+    "SELECT doc_id, text || CASE "
+    + " ".join(
+        f"WHEN doc_id % 11 = {m} THEN '{s}'" for m, s in _PII_SPANS
+    )
+    + " ELSE '' END AS text FROM documents"
+)
+
+
+def _docs_piivar(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    span = F.when(F.lit(False), F.lit(""))
+    for m, s in _PII_SPANS:
+        span = span.when(F.col("doc_id") % 11 == m, F.lit(s))
+    return d.select(
+        "doc_id", F.concat("text", span.otherwise(F.lit(""))).alias("text")
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from etl_hero_spark.pii import PII_PATTERNS
+
+    ctes = [f"s0 AS (SELECT doc_id, text AS t0 FROM ({_DOCS_PIIVAR_SQL}))"]
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        ctes.append(
+            f"s{i + 1} AS (SELECT *, "
+            f"cast(len(regexp_extract_all(t{i}, '{pat}', 0)) as int) "
+            f"AS n_{name}s, "
+            f"regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1} "
+            f"FROM s{i})"
+        )
+    n = len(PII_PATTERNS)
+    count_cols = ", ".join(f"n_{name}s" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT doc_id, {count_cols}, t{n} AS text FROM s{n}"
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=_pii_oracle_sql(),
+    note=(
+        "extension: PII scrub (email/SSN/IPv4/phone masking + per-kind "
+        "match counts) — portable regexes, staged redaction order so "
+        "digit-shaped kinds never double-count; pure codegen linear scan"
+    ),
+)
+def q_text_pii_redact(spark, sf_dir):
+    from etl_hero_spark.pii import PII_PATTERNS, redact_pii
+
+    out = redact_pii(_docs_piivar(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[f"n_{name}s" for name, _, _ in PII_PATTERNS],
+        "text",
+    )
+
+
 # ===========================================================================
 # Dedup ladder
 # ===========================================================================

@@ -112,3 +112,34 @@ def test_gopher_filter_is_pure_codegen(spark, sf_dir):
         with_gopher_quality(docs).explain("simple")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redaction_order_and_counts(spark):
+    """Each PII kind is masked and counted once; SSN/IP digits must not
+    double-count as phones (stage order), and multiple matches count."""
+    from etl_hero_spark.pii import redact_pii
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org end"),
+        (2, "ssn 123-45-6789 mid"),
+        (3, "ips 10.0.255.254 and 192.168.1.7"),
+        (4, "call +1 (555) 123-4567 now"),
+        (5, "clean text with no identifiers"),
+        (6, "mix a@b.io 123-45-6789 10.0.0.1 +1 (555) 123-4567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert got[1]["n_emails"] == 2
+    assert got[1]["text"] == "mail [EMAIL] and [EMAIL] end"
+    assert got[2]["n_ssns"] == 1 and got[2]["n_phones"] == 0
+    assert got[2]["text"] == "ssn [SSN] mid"
+    assert got[3]["n_ips"] == 2 and got[3]["n_phones"] == 0
+    assert got[3]["text"] == "ips [IP] and [IP]"
+    assert got[4]["n_phones"] == 1
+    assert got[4]["text"] == "call [PHONE] now"
+    assert all(got[5][k] == 0 for k in ("n_emails", "n_ssns", "n_ips", "n_phones"))
+    assert got[5]["text"] == rows[4][1]
+    assert (
+        got[6]["n_emails"], got[6]["n_ssns"], got[6]["n_ips"], got[6]["n_phones"]
+    ) == (1, 1, 1, 1)
+    assert got[6]["text"] == "mix [EMAIL] [SSN] [IP] [PHONE]"

@@ -1,0 +1,102 @@
+"""Token-budget shard packing for training-data export (extension
+mandate).
+
+Assigns each document to a contiguous training shard such that every
+shard's token total stays within a budget (the last doc of a shard may
+straddle the boundary — standard exclusive-prefix-sum packing, so the
+assignment is a pure function of the deterministic document order):
+
+    shard_id = floor(exclusive_prefix_sum(n_tokens) / budget)
+
+The naive formulation is one global `sum() OVER (ORDER BY ...)` window
+— a partition-less window that funnels the whole corpus through a
+single task (the exact scale bug fixed in text_top_tokens). Here the
+prefix sum is two-phase, the classic distributed scan:
+
+1. range-bucket rows by the order column (bounds from one tiny min/max
+   agg, broadcast) — buckets preserve global order;
+2. per-bucket local prefix sums (window PARTITIONED by bucket — spreads
+   across the cluster);
+3. per-bucket offsets = sum of all earlier buckets' totals, computed on
+   the n_buckets-row totals table via a broadcast self-join (no
+   partition-less window even on the tiny side);
+4. global exclusive prefix = local prefix - own + bucket offset.
+
+Two shuffles total (bucket window sort + the tiny totals agg), both on
+uniform keys. No counterpart in the reference; the operator exists for
+the 100 TB training-export path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etl_hero_spark.textops import token_count_expr
+
+
+def pack_token_shards(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Adds ``n_tokens`` (if not supplied via token_col) and ``shard_id``.
+
+    order_col must be numeric and unique (doc ids); the shard layout is
+    deterministic given the order. budget is in tokens per shard.
+    """
+    if token_col is None:
+        df = df.withColumn("n_tokens", token_count_expr(text_col))
+        token_col = "n_tokens"
+    o = F.col(order_col).cast("double")
+    bounds = df.agg(
+        F.min(order_col).cast("double").alias("_lo"),
+        F.max(order_col).cast("double").alias("_hi"),
+    )
+    b = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.floor(
+                (o - F.col("_lo")) * n_buckets / (F.col("_hi") - F.col("_lo") + 1)
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    local_w = W.partitionBy("_bucket").orderBy(order_col)
+    b = b.withColumn(
+        "_local_incl", F.sum(token_col).over(local_w)
+    )
+    totals = b.groupBy("_bucket").agg(F.sum(token_col).alias("_tot"))
+    # offsets via broadcast self-join (earlier buckets' totals), not a
+    # partition-less window — same rationale as the top-tokens rank fix
+    earlier = totals.select(
+        F.col("_bucket").alias("_eb"), F.col("_tot").alias("_et")
+    )
+    offsets = (
+        totals.join(F.broadcast(earlier), F.col("_eb") < F.col("_bucket"), "left")
+        .groupBy("_bucket")
+        .agg(F.coalesce(F.sum("_et"), F.lit(0)).alias("_offset"))
+    )
+    prefix_excl = F.col("_local_incl") - F.col(token_col) + F.col("_offset")
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "shard_id", F.floor(prefix_excl / F.lit(float(budget))).cast("bigint")
+        )
+        .drop("_lo", "_hi", "_bucket", "_local_incl", "_offset")
+    )
+
+
+def shard_manifest(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
+    """One row per shard: doc count, token total, id range — the export
+    manifest a downstream trainer consumes."""
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )

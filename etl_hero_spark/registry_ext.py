@@ -148,6 +148,32 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+@register(
+    "pack_token_shards",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"cast(len({_SQL_TOKS.format(c='text')}) as int) AS n_tokens "
+        "FROM documents) "
+        "SELECT doc_id, n_tokens, "
+        "cast(floor((sum(n_tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)"
+        " / 2000.0) as bigint) AS shard_id FROM t"
+    ),
+    note=(
+        "extension: token-budget shard packing (exclusive prefix sum / "
+        "budget) — two-phase distributed scan (range buckets + local "
+        "window + broadcast offsets), never a partition-less global "
+        "window; the oracle's single global window is the same math"
+    ),
+)
+def q_pack_token_shards(spark, sf_dir):
+    from etl_hero_spark.packing import pack_token_shards
+
+    return pack_token_shards(
+        _t(spark, sf_dir, "documents"), budget=2000
+    ).select("doc_id", "n_tokens", "shard_id")
+
+
 _GOPHER_WORDS_SQL = "['the','be','to','of','and','that','have','with']"
 
 

@@ -1,0 +1,77 @@
+"""Token-budget shard packing: assignment must equal the naive global
+prefix-sum definition while the plan stays distributed."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+
+def _naive(df, budget):
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(float(budget))
+        ).cast("bigint"),
+    )
+
+
+def test_packing_matches_naive_prefix_sum(spark, sf_dir):
+    from etl_hero_spark.packing import pack_token_shards
+    from etl_hero_spark.textops import token_count_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_token_shards(docs, budget=700, n_buckets=7)
+        .select("doc_id", "shard_id")
+        .collect()
+    }
+    base = docs.withColumn("n_tokens", token_count_expr("text"))
+    want = {
+        r["doc_id"]: r["shard_id"]
+        for r in _naive(base, 700).select("doc_id", "shard_id").collect()
+    }
+    assert got == want
+
+
+def test_packing_shards_are_contiguous_and_bounded(spark, sf_dir):
+    """Shard ids are non-decreasing in doc order, and no shard exceeds
+    budget + its last straddling doc."""
+    from etl_hero_spark.packing import pack_token_shards, shard_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_token_shards(docs, budget=1500)
+    rows = packed.select("doc_id", "n_tokens", "shard_id").collect()
+    rows.sort(key=lambda r: r["doc_id"])
+    sids = [r["shard_id"] for r in rows]
+    assert sids == sorted(sids)
+    man = shard_manifest(packed).collect()
+    max_doc = max(r["n_tokens"] for r in rows)
+    for m in man:
+        assert m["n_tokens"] < 1500 + max_doc
+    # every doc in exactly one shard
+    assert sum(m["n_docs"] for m in man) == len(rows)
+
+
+def test_packing_no_global_window(spark, sf_dir):
+    """Every Window node in the physical plan must carry a partition
+    spec (the _bucket key) — a partition-less window would funnel the
+    whole corpus through one task, the exact bug the two-phase scan
+    exists to avoid."""
+    from etl_hero_spark.packing import pack_token_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jplan = (
+        pack_token_shards(docs, budget=2000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    window_lines = [
+        ln for ln in jplan.splitlines() if "Window [" in ln
+    ]
+    assert window_lines, "expected a Window node in the plan"
+    for ln in window_lines:
+        # physical form: Window [funcs], [partition exprs], [order]
+        assert "windowspecdefinition(_bucket" in ln, ln

@@ -535,3 +535,59 @@ def assign_dedup_clusters(
         )
         .drop("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. benchmark decontamination (training-corpus hygiene: drop documents
+#    that leak evaluation data)
+# ---------------------------------------------------------------------------
+
+
+def flag_benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """``docs`` plus a ``contaminated`` flag: 1 iff the doc shares at
+    least one word n-gram with any benchmark text.
+
+    Scale shape: the benchmark side is small by definition (eval sets
+    are thousands of rows, the corpus is billions), so its distinct
+    shingle set BROADCASTS and the corpus side is a linear scan + a
+    broadcast semi-join — the 100 TB corpus never shuffles. n=8 word
+    grams is the published-decontamination ballpark (GPT-3 used 13-gram
+    overlap); at 8+ the false-positive rate on independent text is
+    negligible while verbatim eval leakage is caught.
+    """
+    doc_sh = _exploded_shingle_set(docs, id_col, text_col, n)
+    bench_sh = _exploded_shingle_set(benchmark, id_col, text_col, n).select(
+        "s"
+    ).distinct()
+    hit_ids = (
+        doc_sh.join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        docs.join(
+            F.broadcast(hit_ids.withColumnRenamed("id", id_col)),
+            id_col,
+            "left",
+        )
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(0)))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus minus contaminated docs (the filtering form)."""
+    flagged = flag_benchmark_contamination(docs, benchmark, id_col, text_col, n)
+    return flagged.filter(F.col("contaminated") == 0).drop("contaminated")

@@ -438,6 +438,28 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "decontaminate_vs_benchmark",
+    oracle=None,
+    note=(
+        "extension: benchmark decontamination — flag docs sharing any "
+        "8-gram with a benchmark set (fixture: every 50th doc). "
+        "Broadcast semi-join on the benchmark's shingle set; the corpus "
+        "never shuffles. Rows-only here (driver oracle window is full); "
+        "the identical DuckDB cross-check runs in "
+        "tests/test_dedup.py::test_decontamination_matches_duckdb"
+    ),
+)
+def q_decontaminate_vs_benchmark(spark, sf_dir):
+    from etl_hero_spark.dedup import flag_benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    return flag_benchmark_contamination(docs, bench).select(
+        "doc_id", "contaminated"
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=None,
     note="extension rung 2: SimHash banded candidates (xxhash64 is Spark-specific -> rows-only; cross-checked against ngram_jaccard in tests)",

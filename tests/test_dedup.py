@@ -179,3 +179,71 @@ def test_assign_dedup_clusters_canonical_flags(spark):
     for cid, can in got.values():
         per_cluster[cid] = per_cluster.get(cid, 0) + can
     assert all(v == 1 for v in per_cluster.values())
+
+
+def test_contamination_flags_shared_ngram(spark):
+    """A doc sharing an 8-gram with the benchmark is flagged; one
+    sharing only shorter overlaps is not."""
+    from etl_hero_spark.dedup import decontaminate, flag_benchmark_contamination
+
+    eight = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words {eight} suffix words here"),
+            (2, "alpha beta gamma delta nothing else shared here at all"),
+            (3, "completely unrelated text with plenty of words inside it"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"question: {eight} answer: iota")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in flag_benchmark_contamination(docs, bench).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 0}
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_decontamination_matches_duckdb(spark, sf_dir):
+    """Cross-engine check of the registry fixture (rows-only in the
+    driver: the oracle window is full) — DuckDB computes the same
+    8-gram overlap flags."""
+    import duckdb
+
+    from etl_hero_spark.registry import REGISTRY, _load_extensions
+
+    _load_extensions()
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in REGISTRY["decontaminate_vs_benchmark"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    toks = (
+        "CASE WHEN length(trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) = 0 "
+        "THEN [] ELSE string_split_regex(trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') END"
+    )
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks})-7,0)), "
+        f"i -> concat_ws(' ', {', '.join(f'({toks})[i+{j}]' for j in range(8))}))"
+    )
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"WITH d AS (SELECT doc_id, text FROM '{sf_dir}/documents.parquet'), "
+            f"ds AS (SELECT doc_id, unnest({grams}) AS g FROM d), "
+            f"bs AS (SELECT DISTINCT unnest({grams}) AS g FROM d WHERE doc_id % 50 = 0), "
+            "hits AS (SELECT DISTINCT doc_id FROM ds JOIN bs USING (g)) "
+            "SELECT d.doc_id, CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END "
+            "FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ).fetchall()
+    }
+    assert got == want
+    # the fixture has real signal: benchmark members are contaminated
+    assert sum(got.values()) >= len([k for k in got if k % 50 == 0])

@@ -202,3 +202,64 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# JSONL training-data export (extension mandate: the interchange format
+# LLM pipelines actually consume)
+# ---------------------------------------------------------------------------
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSONL scan. Pass an explicit schema ('a long, b string') in
+    production — inference double-reads the input."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", True)
+    return r.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    target_shards: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """Plain JSONL export; target_shards round-robins rows into that many
+    uniform part files (omit to keep the input partitioning — the right
+    call when upstream already repartitioned for size)."""
+    out = df.repartition(target_shards) if target_shards else df
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def write_packed_jsonl(
+    packed: DataFrame,
+    path: str,
+    compression: str | None = None,
+) -> DataFrame:
+    """Export a pack_token_shards result as one JSONL file per shard
+    (path/shard_id=N/part-*.json) and return the shard manifest.
+
+    repartition('shard_id') first so each shard's rows land in a single
+    task -> a single file inside its partition directory; partitionBy
+    then routes rows by shard. Both are one shuffle on the (uniform by
+    construction — shards are budget-balanced) shard key, so the export
+    scales with the cluster, and a trainer can read one shard directory
+    per data-loader worker.
+    """
+    from etl_hero_spark.packing import shard_manifest
+
+    w = (
+        packed.repartition("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+    return shard_manifest(packed)

@@ -28,10 +28,10 @@ HEADLINE = [
     "dup_counts",
     "dedup_rows",
     "dates_normalize",
-    "agg_pricing_summary",
     # extensions
     "text_stats",
-    "text_fingerprint",
+    "text_tfidf_topk",
+    "text_lang_fingerprint",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
     "sim_topk_ivf",
@@ -42,6 +42,7 @@ HEADLINE = [
     "events_asof_join",
     "events_range_join_count",
     "profile_stats",  # absorbed profile_quantiles + profile_correlation
+    "profile_histogram",
     "agg_pricing_grouping_sets",
     "window_topk_orders_per_segment",
     "pipeline_curate_documents",

@@ -262,3 +262,57 @@ def sample_values(df: DataFrame, col: str, n: int = 3) -> list:
     """<=n non-null sample values (reference app.py:49 uses .sample() —
     nondeterministic; excluded from hash checks, same as the reference's)."""
     return [r[0] for r in df.select(col).na.drop().limit(n).collect()]
+
+
+# ---------------------------------------------------------------------------
+# equal-width histogram — two-phase (bounds agg, then bucketed count)
+# ---------------------------------------------------------------------------
+
+
+def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Equal-width histogram: (bucket, lo_edge, hi_edge, n) with `bins`
+    buckets spanning [min, max]. A profiling primitive the reference
+    lacks (its profile stops at null/unique counts, app.py:43-60) but
+    every distribution-aware cleaning decision wants.
+
+    Two phases, both distributed: (1) one min/max agg -> a 1-row bounds
+    DataFrame broadcast-cross-joined onto the scan (no driver round-trip
+    baked into the plan); (2) bucket index as a codegen'd floor
+    expression -> groupBy(bucket) count [the only shuffle, <= bins+1
+    groups]. The max value lands in the last bucket (least() clamp);
+    NULLs are excluded by the isNotNull filter (nulls are A1's business,
+    not the histogram's). Degenerate min == max collapses to bucket 0.
+
+    Float parity: bucket = floor((x - lo) * bins / (hi - lo)) and the
+    edges lo + b*(hi-lo)/bins are evaluated with this exact operand
+    order in the DuckDB oracle -> bit-identical doubles.
+    """
+    bounds = df.agg(
+        F.min(col).cast("double").alias("_lo"),
+        F.max(col).cast("double").alias("_hi"),
+    )
+    x = F.col(col).cast("double")
+    width_gt0 = F.col("_hi") > F.col("_lo")
+    bucket = F.when(
+        width_gt0,
+        F.least(
+            F.lit(bins - 1),
+            F.floor((x - F.col("_lo")) * bins / (F.col("_hi") - F.col("_lo"))),
+        ),
+    ).otherwise(F.lit(0))
+    step = (F.col("_hi") - F.col("_lo")) / bins
+    return (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("int").alias("bucket"), "_lo", "_hi")
+        .groupBy("bucket", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("_lo") + F.col("bucket") * step, 6).alias("lo_edge"),
+            F.round(F.col("_lo") + (F.col("bucket") + 1) * step, 6).alias(
+                "hi_edge"
+            ),
+            "n",
+        )
+    )

@@ -796,33 +796,10 @@ def q_head_sample(spark, sf_dir):
 # ===========================================================================
 
 
-@register(
-    "agg_pricing_summary",
-    oracle=(
-        "SELECT l_returnflag, l_linestatus, "
-        f"{sql_dec_sum('l_quantity')} AS sum_qty, "
-        f"{sql_dec_sum('l_extendedprice')} AS sum_base_price, "
-        f"{sql_dec_avg('l_quantity')} AS avg_qty, "
-        f"{sql_dec_avg('l_extendedprice')} AS avg_price, "
-        "cast(count(*) as bigint) AS count_order "
-        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
-    ),
-    note="one-pass grouped multi-aggregate (partial agg map-side; exact decimal sums)",
-)
-def q_agg_pricing_summary(spark, sf_dir):
-    from etl_hero_spark.profile import dec_avg, dec_sum
-
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base_price"),
-            dec_avg("l_quantity", "avg_qty"),
-            dec_avg("l_extendedprice", "avg_price"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
+# agg_pricing_summary (the plain one-pass grouped multi-aggregate) was
+# absorbed into agg_pricing_grouping_sets: the rollup's finest grouping
+# level IS the plain GROUP BY l_returnflag, l_linestatus aggregate, now
+# carrying the full measure set (sum/avg of qty+price, count).
 
 
 @register(
@@ -845,32 +822,44 @@ def q_profile_quantiles_approx(spark, sf_dir):
     oracle=(
         "SELECT 'rollup' AS gset, coalesce(l_returnflag, '<all>') AS returnflag, "
         "coalesce(l_linestatus, '<all>') AS linestatus, "
+        f"{sql_dec_sum('l_quantity')} AS sum_qty, "
         f"{sql_dec_sum('l_extendedprice')} AS sum_price, "
+        f"{sql_dec_avg('l_quantity')} AS avg_qty, "
+        f"{sql_dec_avg('l_extendedprice')} AS avg_price, "
         "cast(count(*) as bigint) AS n_rows "
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
         "UNION ALL "
         "SELECT 'cube' AS gset, coalesce(l_returnflag, '<all>') AS returnflag, "
         "coalesce(l_linestatus, '<all>') AS linestatus, "
+        f"{sql_dec_sum('l_quantity')} AS sum_qty, "
         f"{sql_dec_sum('l_extendedprice')} AS sum_price, "
+        f"{sql_dec_avg('l_quantity')} AS avg_qty, "
+        f"{sql_dec_avg('l_extendedprice')} AS avg_price, "
         "cast(count(*) as bigint) AS n_rows "
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
     ),
-    note="grouping-sets capability (NOT PRESENT in reference, SURVEY §2.4), tagged per set: ROLLUP hierarchy totals + CUBE all-2^k combinations, each in one pass; '<all>' marks grouping levels so the NULL sentinel survives hash compare",
+    note="grouped-agg + grouping-sets capability (NOT PRESENT in reference, SURVEY §2.4), tagged per set: the rollup's finest level is the plain one-pass GROUP BY multi-aggregate (absorbed agg_pricing_summary), plus ROLLUP hierarchy totals and CUBE all-2^k combinations, each in one pass; '<all>' marks grouping levels so the NULL sentinel survives hash compare",
 )
 def q_agg_pricing_grouping_sets(spark, sf_dir):
-    from etl_hero_spark.profile import dec_sum
+    from etl_hero_spark.profile import dec_avg, dec_sum
 
     li = _t(spark, sf_dir, "lineitem")
 
     def _gset(grouped, tag):
         return grouped.agg(
+            dec_sum("l_quantity", "sum_qty"),
             dec_sum("l_extendedprice", "sum_price"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
             F.count(F.lit(1)).alias("n_rows"),
         ).select(
             F.lit(tag).alias("gset"),
             F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
             F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
             "sum_price",
+            "avg_qty",
+            "avg_price",
             "n_rows",
         )
 
@@ -982,3 +971,26 @@ def q_profile_grouped_median(spark, sf_dir):
 
 # profile_quantiles and profile_correlation were absorbed into
 # profile_stats (one aggregation pass over lineitem) — see its note.
+
+
+@register(
+    "profile_histogram",
+    oracle=(
+        "WITH b AS (SELECT cast(min(l_extendedprice) as double) AS _lo, "
+        "cast(max(l_extendedprice) as double) AS _hi FROM lineitem), "
+        "x AS (SELECT CASE WHEN _hi > _lo THEN least(9, cast(floor("
+        "(cast(l_extendedprice as double) - _lo) * 10 / (_hi - _lo)"
+        ") as bigint)) ELSE 0 END AS bucket, _lo, _hi "
+        "FROM lineitem, b WHERE l_extendedprice IS NOT NULL) "
+        "SELECT cast(bucket as int) AS bucket, "
+        "round(_lo + bucket * ((_hi - _lo) / 10), 6) AS lo_edge, "
+        "round(_lo + (bucket + 1) * ((_hi - _lo) / 10), 6) AS hi_edge, "
+        "cast(count(*) as bigint) AS n "
+        "FROM x GROUP BY bucket, _lo, _hi"
+    ),
+    note="equal-width histogram profiling primitive (distribution shape the reference's profile lacks): two-phase — min/max bounds agg broadcast onto the scan, codegen'd floor bucketing, one <=bins-group shuffle; identical float expression order in both engines",
+)
+def q_profile_histogram(spark, sf_dir):
+    from etl_hero_spark.profile import histogram
+
+    return histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", bins=10)

@@ -102,11 +102,12 @@ _LANGS_SQL = {
 
 
 @register(
-    "text_langid",
+    "text_lang_fingerprint",
     oracle=(
         "WITH t AS (SELECT doc_id, "
-        f"{_SQL_TOKS.format(c='text')} AS toks FROM documents), "
-        "s AS (SELECT doc_id, "
+        f"{_SQL_TOKS.format(c='text')} AS toks, "
+        f"{_SQL_NORM.format(c='text')} AS norm FROM documents), "
+        "s AS (SELECT doc_id, norm, "
         + ", ".join(
             f"len(list_filter(toks, x -> list_contains({words}, lower(x)))) AS s_{lang}"
             for lang, words in _LANGS_SQL.items()
@@ -117,34 +118,46 @@ _LANGS_SQL = {
         "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
         "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
         "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
-        "ELSE 'fr' END AS predicted_lang FROM s"
+        "ELSE 'fr' END AS predicted_lang, "
+        "md5(norm) AS fp_md5, "
+        f"md5(array_to_string({_sql_shingles(_SQL_TOKS.format(c='norm'))}, chr(31))) "
+        "AS fp_shingle FROM s"
     ),
-    note="extension: marker-word language ID, argmax with alphabetical tie-break",
+    note="extension: marker-word language ID (argmax, alphabetical tie-break) + content/shingle fingerprints in ONE scan — formerly the separate text_langid / text_fingerprint queries, merged (same key, same narrow scan) to free driver-window slots",
 )
-def q_text_langid(spark, sf_dir):
-    from etl_hero_spark.textops import with_lang_id
+def q_text_lang_fingerprint(spark, sf_dir):
+    from etl_hero_spark.textops import with_fingerprints, with_lang_id
 
-    return with_lang_id(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "predicted_lang"
-    )
+    df = with_fingerprints(with_lang_id(_t(spark, sf_dir, "documents")))
+    return df.select("doc_id", "predicted_lang", "fp_md5", "fp_shingle")
 
 
 @register(
-    "text_fingerprint",
+    "text_tfidf_topk",
     oracle=(
         "WITH t AS (SELECT doc_id, "
-        f"{_SQL_NORM.format(c='text')} AS norm FROM documents) "
-        "SELECT doc_id, md5(norm) AS fp_md5, "
-        f"md5(array_to_string({_sql_shingles(_SQL_TOKS.format(c='norm'))}, chr(31))) "
-        "AS fp_shingle FROM t"
+        f"{_SQL_TOKS.format(c='text')} AS toks FROM documents), "
+        "x AS (SELECT doc_id, lower(unnest(toks)) AS term FROM t), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM x "
+        "GROUP BY doc_id, term), "
+        "dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term), "
+        "nd AS (SELECT count(*) AS n_docs FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.term, tf.tf, "
+        "round(cast(tf.tf as double) * ln(cast(nd.n_docs as double) "
+        "/ cast(dft.df_t as double)), 6) AS tfidf "
+        "FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN nd), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY tfidf DESC, term ASC) AS rnk FROM s) "
+        "SELECT doc_id, term, tf, tfidf, cast(rnk as int) AS rnk "
+        "FROM r WHERE rnk <= 3"
     ),
-    note="extension: content fingerprint (md5 of normalized text) + order-insensitive shingle fingerprint",
+    note="extension: per-doc top-3 terms by TF-IDF (raw tf x unsmoothed ln(N/df)) — explode -> (doc,term) counts -> term DFs (partial agg both sides) -> co-partitioned equi-join -> broadcast 1-row corpus size -> per-doc window (partitioned by doc_id, never global); identical double expression order in both engines, term-ascending tie-break",
 )
-def q_text_fingerprint(spark, sf_dir):
-    from etl_hero_spark.textops import with_fingerprints
+def q_text_tfidf_topk(spark, sf_dir):
+    from etl_hero_spark.textops import tfidf_top_terms
 
-    return with_fingerprints(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "fp_md5", "fp_shingle"
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
     )
 
 
@@ -774,4 +787,36 @@ def q_text_freq_tokens_sketch(spark, sf_dir):
     freq = toks.stat.freqItems(["tok"], support=0.01)
     return freq.select(
         F.explode(F.array_sort("tok_freqItems")).alias("tok")
+    )
+
+
+@register(
+    "fuzzy_pairs_parts",
+    oracle=None,
+    note=(
+        "extension: fuzzy entity-resolution candidate pairs over the "
+        "DISTINCT part-name dictionary (canonicalization form: dedupe "
+        "the dictionary, then map instances onto it) — blocked (first "
+        "token, mega-blocks capped) edit-distance self-join, "
+        "levenshtein <= 3. Registered rows-only to keep the driver's "
+        "verified-query window filled by the 50 oracle-backed entries; "
+        "cross-engine parity vs DuckDB's identical levenshtein() is "
+        "pinned in tests/test_er.py instead"
+    ),
+)
+def q_fuzzy_pairs_parts(spark, sf_dir):
+    from etl_hero_spark.er import fuzzy_pairs
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    return fuzzy_pairs(
+        names,
+        id_col="p_name",
+        name_col="p_name",
+        max_dist=3,
+        band=64,
+        max_block_size=10_000,
+    ).select(
+        F.col("id_a").alias("name_a"),
+        F.col("id_b").alias("name_b"),
+        "dist",
     )

@@ -328,3 +328,71 @@ def gopher_filter(df: DataFrame, col: str = "text", **thresholds) -> DataFrame:
         "n_required_hits",
         "passes_gopher",
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term ranking
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF: (id, term, tf, tfidf, rnk).
+
+    tfidf = tf * ln(N / df_t) with raw term counts and unsmoothed idf
+    (df_t >= 1 always, since a term must occur to be scored; a corpus-
+    wide term gets idf 0, correctly ranking stopwords last). Both
+    factors are exact integers widened to double in the same expression
+    order as the DuckDB oracle -> bit-identical scores; ties break by
+    term ascending.
+
+    Plan: explode(lower tokens) -> (id, term) counts [shuffle 1] ->
+    term document frequencies [shuffle 2, partial agg both sides] ->
+    equi-join tf x df on term [co-partitioned with shuffle 2's layout]
+    -> corpus size N as a broadcast 1-row cross join -> per-doc top-k
+    window [shuffle 3, partitioned by id — distributed, bounded by
+    per-doc vocabulary]. No partition-less window, no collect.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_expr(text_col)).alias("_t"),
+    ).select("id", F.lower("_t").alias("term"))
+    # cached: both the scored join probe AND the document-frequency agg
+    # consume tf — without the cache Catalyst plans a second full
+    # scan+explode for the df_t branch (no cross-DAG subplan reuse)
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df_t").cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "tfidf",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

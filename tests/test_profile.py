@@ -73,3 +73,28 @@ def test_nan_vs_null_normalization(spark):
     df = spark.createDataFrame([(float("nan"),), (None,), (1.0,)], "x double")
     norm = df.withColumn("x", F.nanvl("x", F.lit(None)))
     assert profile.null_counts(norm).first()["n_null_x"] == 2
+
+
+def test_histogram_buckets_and_edges(spark):
+    from etl_hero_spark.profile import histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [(None,)],
+        "x double",
+    )
+    rows = {r["bucket"]: r for r in histogram(df, "x", bins=5).collect()}
+    # [0,10] in 5 buckets of width 2; max lands in the last bucket
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[0]["n"] == 2 and rows[4]["n"] == 3  # 8, 9, 10
+    assert rows[0]["lo_edge"] == 0.0 and rows[0]["hi_edge"] == 2.0
+    assert rows[4]["lo_edge"] == 8.0 and rows[4]["hi_edge"] == 10.0
+    # nulls excluded
+    assert sum(r["n"] for r in rows.values()) == 11
+
+
+def test_histogram_degenerate_single_value(spark):
+    from etl_hero_spark.profile import histogram
+
+    df = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    rows = histogram(df, "x", bins=10).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 2

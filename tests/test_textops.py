@@ -143,3 +143,35 @@ def test_pii_redaction_order_and_counts(spark):
         got[6]["n_emails"], got[6]["n_ssns"], got[6]["n_ips"], got[6]["n_phones"]
     ) == (1, 1, 1, 1)
     assert got[6]["text"] == "mix [EMAIL] [SSN] [IP] [PHONE]"
+
+
+def test_tfidf_top_terms_semantics(spark):
+    import math
+
+    # 'apple' only in doc 1 (idf ln(3)), 'the' in all three (idf 0)
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple the pie"),
+            (2, "the banana pie"),
+            (3, "the cherry"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = textops.tfidf_top_terms(df, "doc_id", "text", k=2)
+    rows = {(r["doc_id"], r["rnk"]): r for r in out.collect()}
+    top1 = rows[(1, 1)]
+    assert top1["term"] == "apple" and top1["tf"] == 2
+    assert abs(top1["tfidf"] - round(2 * math.log(3.0 / 1.0), 6)) < 1e-9
+    # corpus-wide 'the' has idf 0 -> tfidf 0, ranked below content words
+    assert rows[(2, 1)]["term"] in {"banana", "pie"}
+    # exactly k rows per doc, ranks contiguous from 1
+    assert sorted(k for k in rows) == [(d, r) for d in (1, 2, 3) for r in (1, 2)]
+
+
+def test_tfidf_tie_breaks_by_term_ascending(spark):
+    df = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "other words")], "doc_id bigint, text string"
+    )
+    out = textops.tfidf_top_terms(df, "doc_id", "text", k=2)
+    doc1 = [r["term"] for r in out.filter("doc_id = 1").orderBy("rnk").collect()]
+    assert doc1 == ["alpha", "zeta"]  # equal tf and idf -> ascending term

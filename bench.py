@@ -32,6 +32,7 @@ HEADLINE = [
     "text_stats",
     "text_tfidf_topk",
     "text_lang_fingerprint",
+    "text_chunks",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
     "sim_topk_ivf",

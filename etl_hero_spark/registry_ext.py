@@ -820,3 +820,45 @@ def q_fuzzy_pairs_parts(spark, sf_dir):
         F.col("id_b").alias("name_b"),
         "dist",
     )
+
+
+@register(
+    "text_chunks",
+    oracle=None,
+    note=(
+        "extension: overlapping fixed-token-window document chunking "
+        "(chunk 40, overlap 10) — context-window preparation for "
+        "pretraining/embedding pipelines; staged token array + "
+        "posexplode(sequence), pure narrow codegen, zero shuffles. "
+        "Rows-only for driver-window budget; DuckDB parity (identical "
+        "chunk math via generate_series + list_slice) pinned in "
+        "tests/test_textops.py"
+    ),
+)
+def q_text_chunks(spark, sf_dir):
+    from etl_hero_spark.textops import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_tokens=40,
+        overlap=10,
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle=None,
+    note=(
+        "extension: per-label embedding centroids in long (label, pos, "
+        "mean_val) format — posexplode + one decimal-exact groupBy "
+        "(float sums are partition-order dependent; decimal(27,9) "
+        "accumulation makes runs deterministic). Rows-only for driver-"
+        "window budget; DuckDB parity pinned in tests/test_simsearch.py"
+    ),
+)
+def q_emb_label_centroids(spark, sf_dir):
+    from etl_hero_spark.simsearch import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))

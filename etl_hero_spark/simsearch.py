@@ -392,3 +392,42 @@ def topk_cosine_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding profiling: per-label centroids (long format)
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid in long format: (label, pos, mean_val, n_vecs)
+    — one row per (label, dimension). Embedding-space profiling: cluster
+    centers, drift between corpus snapshots, per-class norms.
+
+    Plan: posexplode the vector (narrow, rows x dims) -> ONE groupBy
+    (label, pos) with decimal-exact accumulation. Float sums are
+    partition-order dependent; summing as decimal(27,9) makes the result
+    deterministic run-to-run (and engine-exact for the in-test DuckDB
+    parity), with final division in float64. No window, no collect; at
+    100 TB this is a single partial+final shuffle of labels x dims rows.
+
+    Long format deliberately: a (label, array) wide form needs an
+    order-sensitive array_agg (sort_array over structs — more expensive
+    and no more useful downstream than the relational form).
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(27,9)")).cast("double")
+            / F.count("val").cast("double"),
+            6,
+        ).alias("mean_val"),
+        F.count("val").cast("bigint").alias("n_vecs"),
+    )

@@ -396,3 +396,67 @@ def tfidf_top_terms(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows:
+    (id, chunk_id, chunk_text, n_chunk_tokens) — the standard context-
+    window preparation for pretraining/embedding pipelines.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk is shorter, never
+    empty, and every token is covered. Docs with 0 tokens emit no rows;
+    docs with <= overlap tokens emit exactly one chunk.
+
+    Plan: tokens staged ONCE as a materialized array column (slice and
+    sequence are codegen'd array ops, not interpreted lambdas), then
+    posexplode of the chunk-index sequence — a narrow per-row expansion
+    of ~n_tokens/stride rows, no shuffle at all. Fully streaming-
+    friendly: the same expression works under readStream unchanged.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    n = F.size("_c_toks")
+    # floor((n-overlap-1)/stride)+1 clamped to >=1 covers every token
+    # (floor of the *double* division: integer div truncates toward
+    # zero and breaks the n<=overlap branch)
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.floor((n - F.lit(overlap) - 1) / F.lit(stride)) + 1).cast("int"),
+    )
+    staged = (
+        df.withColumn("_c_toks", tokens_expr(text_col))
+        .filter(F.size("_c_toks") > 0)
+        .withColumn("_n_chunks", n_chunks)
+    )
+    start = F.col("chunk_id") * stride
+    chunk_toks = F.slice(
+        F.col("_c_toks"), start + 1, F.lit(chunk_tokens)
+    )
+    return (
+        staged.select(
+            F.col(id_col),
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("_n_chunks") - 1)
+            ).alias("chunk_id", "_i"),
+            "_c_toks",
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+            F.size(chunk_toks).alias("n_chunk_tokens"),
+        )
+    )

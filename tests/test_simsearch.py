@@ -167,3 +167,43 @@ def test_ivf_nprobe_sweep_recall(emb, queries10):
     vals = [recalls[n] for n in (1, 2, 4, 8)]
     assert vals == sorted(vals), f"recall not monotone in nprobe: {recalls}"
     assert recalls[2] >= 0.5, f"nprobe=2 recall too low: {recalls}"
+
+
+def test_label_centroids_match_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query: identical
+    decimal-exact accumulation in DuckDB."""
+    import duckdb
+
+    from etl_hero_spark.simsearch import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["label"], r["pos"], r["mean_val"], r["n_vecs"])
+        for r in label_centroids(emb).collect()
+    }
+    want = set(
+        duckdb.sql(
+            "WITH x AS (SELECT label, "
+            "unnest(generate_series(1, len(embedding))) AS i, embedding "
+            f"FROM '{sf_dir}/embeddings.parquet') "
+            "SELECT label, cast(i - 1 as int) AS pos, "
+            "round(cast(sum(cast(embedding[i] as decimal(27,9))) as double) "
+            "/ cast(count(*) as double), 6) AS mean_val, "
+            "cast(count(*) as bigint) AS n_vecs "
+            "FROM x GROUP BY label, pos"
+        ).fetchall()
+    )
+    assert got == want
+    # 10 labels x 64 dims
+    assert len(got) == 640
+
+
+def test_label_centroids_deterministic_across_runs(spark, sf_dir):
+    from etl_hero_spark.simsearch import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, label_centroids(emb).collect()))
+    b = sorted(
+        map(tuple, label_centroids(emb.repartition(7)).collect())
+    )
+    assert a == b  # decimal accumulation: partition layout can't change it

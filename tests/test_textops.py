@@ -175,3 +175,70 @@ def test_tfidf_tie_breaks_by_term_ascending(spark):
     out = textops.tfidf_top_terms(df, "doc_id", "text", k=2)
     doc1 = [r["term"] for r in out.filter("doc_id = 1").orderBy("rnk").collect()]
     assert doc1 == ["alpha", "zeta"]  # equal tf and idf -> ascending term
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(101))),  # 2 chunks of 100/20
+            (2, "a b c"),  # single short chunk
+            (3, ""),  # no tokens -> no rows
+            (4, " ".join(f"x{i}" for i in range(15))),  # <= overlap -> 1 chunk
+        ],
+        "doc_id bigint, text string",
+    )
+    out = textops.chunk_documents(df, chunk_tokens=100, overlap=20)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [100, 21]
+    # stride 80: chunk 1 starts at t80 -> 20-token overlap with chunk 0
+    assert by_doc[1][1]["chunk_text"].split()[0] == "t80"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["n_chunk_tokens"] == 15
+    # every source token appears in at least one chunk
+    covered = {t for r in by_doc[1] for t in r["chunk_text"].split()}
+    assert covered == {f"t{i}" for i in range(101)}
+
+
+def test_chunk_documents_matches_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query: the same
+    chunk math in DuckDB (generate_series + list_slice)."""
+    import duckdb
+
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in textops.chunk_documents(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            chunk_tokens=40,
+            overlap=10,
+        ).collect()
+    }
+    want = set(
+        duckdb.sql(
+            "WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 "
+            "THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks "
+            f"FROM '{sf_dir}/documents.parquet'), "
+            "n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0), "
+            "c AS (SELECT doc_id, toks, nt, unnest(generate_series(0, "
+            "greatest(1, cast(floor((nt - 10 - 1) / 30.0) as int) + 1) - 1)) AS chunk_id "
+            "FROM n) "
+            "SELECT doc_id, chunk_id, "
+            "array_to_string(list_slice(toks, chunk_id*30 + 1, chunk_id*30 + 40), ' ') AS chunk_text, "
+            "cast(len(list_slice(toks, chunk_id*30 + 1, chunk_id*30 + 40)) as int) AS n "
+            "FROM c"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        textops.chunk_documents(df, chunk_tokens=10, overlap=10)

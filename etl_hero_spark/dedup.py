@@ -321,35 +321,32 @@ def minhash_signature_expr(
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_signatures(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    n_hashes: int = 32,
-    n_bands: int = 8,
-    threshold: float = 0.5,
-    seed: int = 42,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_hashes: int,
+    seed: int,
 ) -> DataFrame:
-    """(id_a, id_b, est_jaccard) near-dup candidates via banded MinHash-LSH.
+    """(id, sig) MinHash signature table.
 
-    rows = n_hashes/n_bands per band; pairs agreeing on all rows of any
-    band become candidates (s-curve threshold ~ (1/b)^(1/r)); est_jaccard
-    = fraction of agreeing signature positions. The full pipeline is
-    shuffle-bounded by band buckets — never all-pairs. Deterministic for a
-    fixed seed (xxhash64 is seed-stable across executors/runs).
+    Signature via explode -> groupBy with n_hashes codegen'd MIN
+    aggregates: the HOF form (minhash_signature_expr) evaluates
+    interpreted per shingle per hash function (~6x slower measured);
+    row-form hashing stays inside whole-stage codegen. Each shingle is
+    string-hashed ONCE (hashing the string n_hashes times cost ~8s at
+    sf0.1 in string building alone); the universal family is then
+    h_i = (a_i*h + b_i) mod P over a 31-bit prime field — the same
+    construction Spark MLlib's MinHashLSH uses. Products stay < 2^62,
+    so the arithmetic can never overflow (ANSI-mode safe). One extra
+    (id-keyed, uniform) shuffle — cheap at any scale.
+
+    Deterministic for a fixed seed across executors, runs, AND sessions
+    (xxhash64 is seed-stable; the coefficient family derives from the
+    seed) — which is what makes a PERSISTED signature index reusable:
+    signatures computed today join against signatures written last month.
     """
-    rows_per_band = n_hashes // n_bands
-    # signature via explode -> groupBy with n_hashes codegen'd MIN
-    # aggregates: the HOF form (minhash_signature_expr) evaluates
-    # interpreted per shingle per hash function (~6x slower measured);
-    # row-form hashing stays inside whole-stage codegen. Each shingle is
-    # string-hashed ONCE (hashing the string n_hashes times cost ~8s at
-    # sf0.1 in string building alone); the universal family is then
-    # h_i = (a_i*h + b_i) mod P over a 31-bit prime field — the same
-    # construction Spark MLlib's MinHashLSH uses. Products stay < 2^62,
-    # so the arithmetic can never overflow (ANSI-mode safe). One extra
-    # (id-keyed, uniform) shuffle — cheap at any scale.
     import random as _random
 
     _P = 2038074743  # 31-bit prime (as in MLlib MinHashLSH)
@@ -362,7 +359,7 @@ def minhash_lsh_pairs(
     exploded = _exploded_shingle_set(df, id_col, text_col, n).select(
         "id", F.pmod(F.xxhash64("s"), F.lit(_P)).alias("h")
     )
-    sig = (
+    return (
         exploded.groupBy("id")
         .agg(
             *[
@@ -376,13 +373,17 @@ def minhash_lsh_pairs(
             "id",
             F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
         )
-        # the signature table IS the index: both sides of the self-join
-        # consume it, and without persistence the shingle hashing computes
-        # twice (measured ~2x the whole query). n_docs x n_hashes longs —
-        # small at any scale; in production persist to storage.
-        .cache()
     )
-    bands = sig.select(
+
+
+def _band_key_table(
+    sig: DataFrame, n_hashes: int, n_bands: int
+) -> DataFrame:
+    """(id, sig, band, key) — one row per (doc, band), key = md5 of the
+    band's signature slice. Pairs agreeing on all rows of any band share
+    a (band, key) bucket — the LSH blocking join key."""
+    rows_per_band = n_hashes // n_bands
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -405,6 +406,32 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) near-dup candidates via banded MinHash-LSH.
+
+    rows = n_hashes/n_bands per band; pairs agreeing on all rows of any
+    band become candidates (s-curve threshold ~ (1/b)^(1/r)); est_jaccard
+    = fraction of agreeing signature positions. The full pipeline is
+    shuffle-bounded by band buckets — never all-pairs. Deterministic for a
+    fixed seed (xxhash64 is seed-stable across executors/runs).
+    """
+    # the signature table IS the index: both sides of the self-join
+    # consume it, and without persistence the shingle hashing computes
+    # twice (measured ~2x the whole query). n_docs x n_hashes longs —
+    # small at any scale; write_minhash_index persists it to storage.
+    sig = _minhash_signatures(df, id_col, text_col, n, n_hashes, seed).cache()
+    bands = _band_key_table(sig, n_hashes, n_bands)
     a = bands.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key")
     b = bands.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key")
     est = F.round(
@@ -429,6 +456,114 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "est_jaccard")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# 3b. persisted MinHash index + incremental dedup (the 100 TB workflow:
+#     signatures are computed ONCE per corpus snapshot and written to
+#     storage; each new ingest batch signs itself and joins the stored
+#     bands — the corpus text is never re-read, never re-hashed)
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist the banded MinHash index for `df` to parquet at `path`:
+    (id, sig, band, key) rows, partitioned by band so an incremental
+    probe prunes to the band partitions it actually touches.
+
+    The (n, n_hashes, n_bands, seed) parameters are part of the index
+    identity — probes MUST use the same values (seed-stable xxhash64 +
+    seed-derived coefficients make signatures reproducible across
+    sessions, which is what makes persistence sound).
+    """
+    bands = _band_key_table(
+        _minhash_signatures(df, id_col, text_col, n, n_hashes, seed),
+        n_hashes,
+        n_bands,
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def read_minhash_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def pairs_against_minhash_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(batch_id, corpus_id, est_jaccard) near-dup candidates between a
+    NEW batch and a persisted corpus index (write_minhash_index) — the
+    incremental rung of the dedup ladder.
+
+    The batch signs itself (one pass over batch text only), then
+    equi-joins the stored bands on (band, key). Cost scales with the
+    batch, not the corpus: the corpus side is a pruned parquet scan of
+    matching band partitions, and candidate scoring reads the STORED
+    signatures — no corpus text is touched. Same seed -> same hash
+    family -> est_jaccard is identical to what the self-join form
+    (minhash_lsh_pairs) would report for the same pair.
+    """
+    sig = _minhash_signatures(
+        batch, id_col, text_col, n, n_hashes, seed
+    ).cache()
+    bb = _band_key_table(sig, n_hashes, n_bands)
+    a = bb.select(
+        F.col("id").alias("batch_id"), F.col("sig").alias("sig_a"), "band", "key"
+    )
+    b = index.select(
+        F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes)),
+        6,
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "est_jaccard")
+        .distinct()
+    )
+
+
+def dedup_against_minhash_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Batch rows that are NOT near-dups of the indexed corpus — the
+    filter form of pairs_against_minhash_index (left-anti join on the
+    flagged batch ids; the candidate set is tiny next to the batch)."""
+    flagged = (
+        pairs_against_minhash_index(batch, index, id_col=id_col, **kwargs)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(flagged, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -862,3 +862,62 @@ def q_emb_label_centroids(spark, sf_dir):
     from etl_hero_spark.simsearch import label_centroids
 
     return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=None,
+    note=(
+        "extension rung 3b: INCREMENTAL near-dup — a new ingest batch "
+        "(mutated clones of every 25th doc + genuinely novel docs) "
+        "checked against the corpus's banded MinHash index; returns one "
+        "row per batch doc with an is_dup flag. Cost scales with the "
+        "batch, not the corpus (the corpus is consumed as its signature "
+        "index, text never re-read). Here the index is built in-memory; "
+        "the parquet write/read path (write_minhash_index, partitioned "
+        "by band) is exercised in tests/test_dedup.py. Rows-only: "
+        "xxhash64 signatures are Spark-specific; equivalence to the "
+        "self-join form is asserted in tests"
+    ),
+)
+def q_dedup_incremental_minhash(spark, sf_dir):
+    from etl_hero_spark.dedup import (
+        _band_key_table,
+        _minhash_signatures,
+        pairs_against_minhash_index,
+    )
+
+    corpus = _t(spark, sf_dir, "documents")
+    clones = (
+        corpus.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz9q")))
+    )
+    novel = corpus.filter(F.col("doc_id") % 25 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("novel"),
+            F.col("doc_id").cast("string"),
+            F.lit("content entirely unlike the corpus"),
+            F.md5(F.col("doc_id").cast("string")),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    batch = clones.unionByName(novel)
+    index = _band_key_table(
+        _minhash_signatures(corpus, "doc_id", "text", 3, 32, 42), 32, 8
+    )
+    flagged = (
+        pairs_against_minhash_index(batch, index, threshold=0.5)
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        batch.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .select("doc_id", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
+    )

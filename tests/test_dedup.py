@@ -247,3 +247,88 @@ def test_decontamination_matches_duckdb(spark, sf_dir):
     assert got == want
     # the fixture has real signal: benchmark members are contaminated
     assert sum(got.values()) >= len([k for k in got if k % 50 == 0])
+
+
+def test_minhash_index_roundtrip_equals_self_join(spark, sf_dir, tmp_path):
+    """The persisted-index incremental path must report exactly the
+    cross (batch x corpus) subset of what the self-join form reports on
+    the union — same seed, same hash family, same est_jaccard."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.dedup import (
+        minhash_lsh_pairs,
+        pairs_against_minhash_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = (
+        corpus.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz9q")))
+    )
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, path)
+    got = {
+        (r["batch_id"], r["corpus_id"], r["est_jaccard"])
+        for r in pairs_against_minhash_index(
+            batch, read_minhash_index(spark, path), threshold=0.5
+        ).collect()
+    }
+    union_pairs = minhash_lsh_pairs(
+        corpus.unionByName(batch), threshold=0.5
+    ).collect()
+    want = {
+        # batch ids are shifted by 1e6 -> the larger id of a cross pair
+        (r["id_b"], r["id_a"], r["est_jaccard"])
+        for r in union_pairs
+        if r["id_b"] >= 1000000 > r["id_a"]
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dedup_against_index_keeps_only_novel(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.dedup import (
+        dedup_against_minhash_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clones = (
+        corpus.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz9q")))
+    )
+    novel = spark.createDataFrame(
+        [(5000001, "totally fresh words nobody wrote before qq ww ee rr")],
+        "doc_id bigint, text string",
+    )
+    batch = clones.select("doc_id", "text").unionByName(novel)
+    path = str(tmp_path / "mh_index2")
+    write_minhash_index(corpus, path)
+    kept = dedup_against_minhash_index(
+        batch, read_minhash_index(spark, path), threshold=0.5
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 5000001 in ids  # novel survives
+    assert not any(i >= 1000000 and i < 2000000 for i in ids)  # clones dropped
+
+
+def test_incremental_query_flags(spark, sf_dir):
+    from etl_hero_spark.registry import all_queries
+
+    rows = {
+        r["doc_id"]: r["is_dup"]
+        for r in all_queries()["dedup_incremental_minhash"](
+            spark, sf_dir
+        ).collect()
+    }
+    clones = [k for k in rows if 1000000 <= k < 2000000]
+    novel = [k for k in rows if k >= 2000000]
+    assert clones and novel
+    assert all(rows[k] == 1 for k in clones)  # near-dups of corpus
+    assert all(rows[k] == 0 for k in novel)  # genuinely new content

@@ -921,3 +921,21 @@ def q_dedup_incremental_minhash(spark, sf_dir):
         .join(flagged, "doc_id", "left")
         .select("doc_id", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
     )
+
+
+@register(
+    "text_repetition",
+    oracle=None,
+    note=(
+        "extension: Gopher repetition rule — per-doc most frequent word "
+        "bigram and the fraction of characters it covers; relational "
+        "count (two partial+final shuffles) instead of a per-row "
+        "O(grams^2) interpreted HOF fold. Rows-only for driver-window "
+        "budget; DuckDB parity (same count + cnt DESC, gram DESC "
+        "tie-break) pinned in tests/test_textops.py"
+    ),
+)
+def q_text_repetition(spark, sf_dir):
+    from etl_hero_spark.textops import top_ngram_repetition
+
+    return top_ngram_repetition(_t(spark, sf_dir, "documents"), n=2)

@@ -460,3 +460,65 @@ def chunk_documents(
             F.size(chunk_toks).alias("n_chunk_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (the other half of the Gopher rule set)
+# ---------------------------------------------------------------------------
+
+
+def top_ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-doc top word-n-gram repetition: (id, top_ngram, top_count,
+    rep_char_frac) — Gopher's 'fraction of characters in the most
+    frequent n-gram' rule. rep_char_frac = top_count * length(top_ngram)
+    / n_chars, 6dp. Docs with < n tokens emit no row.
+
+    Tie-break: highest count, then lexicographically GREATEST n-gram
+    (Spark's max(struct(cnt, gram)) ordering == ORDER BY cnt DESC,
+    gram DESC LIMIT 1 — deterministic, and what the in-test DuckDB
+    parity encodes).
+
+    Plan: staged tokens -> non-distinct sliding grams -> explode ->
+    ONE groupBy (id, gram) count -> ONE groupBy (id) max(struct) —
+    relational instead of a per-row HOF frequency fold (counting within
+    an array is O(grams^2) interpreted; the two partial+final shuffles
+    are linear and distributed). n_chars rides along as a per-id
+    constant, so no join back to the source.
+    """
+    toks = F.col("_r_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        df.withColumn("_r_toks", tokens_expr(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.length(text_col).alias("n_chars"),
+            F.explode(grams).alias("gram"),
+        )
+    )
+    counts = ex.groupBy("id", "n_chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = counts.groupBy("id", "n_chars").agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_t")
+    )
+    return top.select(
+        F.col("id").alias(id_col),
+        F.col("_t.gram").alias("top_ngram"),
+        F.col("_t.cnt").alias("top_count"),
+        F.round(
+            (F.col("_t.cnt") * F.length("_t.gram")).cast("double")
+            / F.col("n_chars").cast("double"),
+            6,
+        ).alias("rep_char_frac"),
+    )

@@ -242,3 +242,50 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         textops.chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_top_ngram_repetition_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ab cd ab cd ab"),  # 'ab cd' x2, 'cd ab' x2 -> tie, max gram
+            (2, "x y z"),
+            (3, "solo"),  # < 2 tokens -> no row
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.top_ngram_repetition(df).collect()}
+    assert rows[1]["top_ngram"] == "cd ab" and rows[1]["top_count"] == 2
+    assert rows[1]["rep_char_frac"] == round(2 * 5 / 14, 6)
+    assert rows[2]["top_count"] == 1
+    assert 3 not in rows
+
+
+def test_top_ngram_repetition_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    got = {
+        tuple(r)
+        for r in textops.top_ngram_repetition(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), n=2
+        ).collect()
+    }
+    want = set(
+        duckdb.sql(
+            "WITH t AS (SELECT doc_id, length(text) AS n_chars, "
+            "CASE WHEN length(trim(text)) = 0 THEN [] "
+            "ELSE string_split_regex(trim(text), '\\s+') END AS toks "
+            f"FROM '{sf_dir}/documents.parquet'), "
+            "g AS (SELECT doc_id, n_chars, unnest(list_transform("
+            "generate_series(1, greatest(len(toks) - 1, 0)), "
+            "i -> toks[i] || ' ' || toks[i+1])) AS gram "
+            "FROM t WHERE len(toks) >= 2), "
+            "c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt "
+            "FROM g GROUP BY doc_id, n_chars, gram), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY cnt DESC, gram DESC) AS rn FROM c) "
+            "SELECT doc_id, gram, cnt, "
+            "round(cast(cnt * length(gram) as double) "
+            "/ cast(n_chars as double), 6) FROM r WHERE rn = 1"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -490,3 +490,19 @@ def q_detect_missions_events(spark, sf_dir):
     )
     dup_rows = defected.filter(F.col("event_id") % 501 == 0)
     return detect_missions(defected.unionByName(dup_rows))
+
+
+@register(
+    "stream_funnel",
+    oracle=None,
+    note=(
+        "custom stateful op: TRUE applyInPandasWithState run of the "
+        "conversion funnel — per-user (stage, threshold) state machine "
+        "advanced across micro-batches over a step-type-filtered stream; "
+        "equality with the batch twin (events_funnel) asserted in tests"
+    ),
+)
+def q_stream_funnel(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_funnel_counts
+
+    return stream_funnel_counts(spark, f"{sf_dir}/events.parquet")

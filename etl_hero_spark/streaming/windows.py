@@ -633,3 +633,85 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+def stream_funnel_counts(
+    spark: SparkSession,
+    events_path: str,
+    steps: list[str] | None = None,
+    query_name: str = "etl_hero_stream_funnel",
+) -> DataFrame:
+    """funnel_counts as a TRUE custom stateful streaming operator via
+    applyInPandasWithState: each user's (stage, threshold_ts) state
+    machine advances across micro-batches — an ordered funnel is
+    order-dependent per key, so no built-in streaming aggregate
+    expresses it. Events are pre-filtered to the step types INSIDE the
+    stream (same identity as the batch twin: non-step events cannot
+    advance the machine), so per-batch state updates touch only funnel
+    traffic. Final counts aggregate the memory sink's last emission per
+    user — identical semantics to the batch fold, asserted in tests.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps = steps or ["view", "click", "purchase"]
+    k = len(steps)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="etl_hero_stream_funnel_")
+    os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+
+    def update(key, pdfs, state: GroupState):
+        stage, thr_us = state.get if state.exists else (0, -1)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts_ns, etype in zip(
+            rows["ts"].astype("int64"), rows["event_type"]
+        ):
+            ts_us = int(ts_ns) // 1000
+            if stage < k and etype == steps[stage] and ts_us > thr_us:
+                stage += 1
+                thr_us = ts_us
+        state.update((stage, thr_us))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .filter(F.col("event_type").isin(steps))
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, stage int",
+        stateStructType="stage int, thr_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode: one row per (user, batch); stage is monotone, so the
+    # MAX emission per user is the final state
+    sink = spark.table(query_name)
+    final = sink.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    return final.agg(
+        *[
+            F.sum(F.when(F.col("stage") >= i + 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_step{i + 1}_{s}")
+            for i, s in enumerate(steps)
+        ]
+    )

@@ -240,3 +240,22 @@ def test_funnel_prefilters_step_types_and_bounds_hot_keys(spark):
         df, ["view", "click", "purchase"], max_events_per_key=10
     ).first()
     assert tuple(capped) == tuple(row)
+
+
+def test_stream_funnel_equals_batch(spark, sf_dir, events):
+    """The stateful streaming funnel must reproduce the batch fold's
+    counts exactly (same greedy earliest-completion semantics)."""
+    from etl_hero_spark.streaming import funnel_counts, stream_funnel_counts
+
+    steps = ["view", "click", "purchase"]
+    batch = funnel_counts(events, steps).first().asDict()
+    stream = (
+        stream_funnel_counts(
+            spark, f"{sf_dir}/events.parquet", steps,
+            query_name="t_stream_funnel_eq",
+        )
+        .first()
+        .asDict()
+    )
+    assert stream == batch
+    assert batch["n_step1_view"] > 0

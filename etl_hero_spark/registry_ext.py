@@ -939,3 +939,26 @@ def q_text_repetition(spark, sf_dir):
     from etl_hero_spark.textops import top_ngram_repetition
 
     return top_ngram_repetition(_t(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "sample_weighted_quality",
+    oracle=None,
+    note=(
+        "extension: quality-weighted DETERMINISTIC Bernoulli sample — "
+        "acceptance probability = the doc's distinct-token ratio, "
+        "decided by hash(salt, id) with no RNG state (re-runs, task "
+        "retries, and incremental batches all agree; new salt = "
+        "independent draw). Pure codegen'd filter, no shuffle. "
+        "Rows-only: xxhash64 is Spark-specific; the subset/determinism/"
+        "monotonicity properties are pinned in tests"
+    ),
+)
+def q_sample_weighted_quality(spark, sf_dir):
+    from etl_hero_spark.sampling import weighted_hash_sample
+    from etl_hero_spark.textops import with_quality_signals
+
+    docs = with_quality_signals(_t(spark, sf_dir, "documents"))
+    return weighted_hash_sample(
+        docs, weight_col="distinct_ratio", id_col="doc_id"
+    ).select("doc_id", "distinct_ratio")

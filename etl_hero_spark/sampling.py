@@ -53,3 +53,32 @@ def stratified_sample_fraction(
     shuffle, approximate counts. Engine-specific RNG — reproducible
     within Spark for a fixed seed, not across engines."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    salt: str = "ws",
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with acceptance
+    probability = clamp(weight, 0, 1): keep a row iff
+    pmod(xxhash64(salt, id), M) < weight * M.
+
+    The standard quality-weighted downsampling step of a curation
+    pipeline (keep high-quality documents with high probability, low-
+    quality with low), made REPRODUCIBLE: no RNG state — the decision is
+    a pure function of (salt, id, weight), so re-runs, retried tasks,
+    and incremental batches all agree, and flipping the salt draws an
+    independent sample. A codegen'd filter over a linear scan: no
+    shuffle, no sort, works identically under Structured Streaming.
+
+    Weight granularity is 1/modulus (default 1e-6).
+    """
+    u = F.pmod(
+        F.xxhash64(F.lit(salt), F.col(id_col).cast("string")),
+        F.lit(modulus),
+    )
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col)))
+    return df.filter(u < p * F.lit(float(modulus)))

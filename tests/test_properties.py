@@ -204,3 +204,40 @@ def test_range_join_count_matches_brute_force(spark, events, probes):
         for (pid, pk, pt) in pr
     }
     assert got == want
+
+
+def test_weighted_hash_sample_properties(spark, sf_dir):
+    """Deterministic, subset, monotone in weight, salt-independent."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.sampling import weighted_hash_sample
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .withColumn("w", (F.col("doc_id") % 10).cast("double") / 10.0)
+    )
+    ids = lambda d: {r["doc_id"] for r in d.collect()}  # noqa: E731
+    s1 = ids(weighted_hash_sample(docs, "w", "doc_id"))
+    s2 = ids(weighted_hash_sample(docs, "w", "doc_id"))
+    assert s1 == s2  # no RNG state -> identical re-runs
+    every = ids(docs)
+    assert s1 < every  # strict subset: w<1 rows exist
+    # weight 0 rows never sampled; weight ~1 rows nearly always
+    zero_w = {r["doc_id"] for r in docs.filter("w = 0.0").collect()}
+    assert not (s1 & zero_w)
+    # doubling every weight can only ADD rows (same hash draw per id)
+    bigger = ids(
+        weighted_hash_sample(
+            docs.withColumn("w", F.least(F.lit(1.0), F.col("w") * 2)),
+            "w",
+            "doc_id",
+        )
+    )
+    assert s1 <= bigger
+    # a different salt draws a genuinely different sample
+    other = ids(weighted_hash_sample(docs, "w", "doc_id", salt="ws2"))
+    assert other != s1
+    # acceptance rate tracks mean weight (law of large numbers, loose)
+    mean_w = docs.agg(F.avg("w")).first()[0]
+    assert abs(len(s1) / docs.count() - mean_w) < 0.1

@@ -100,3 +100,70 @@ def shard_manifest(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+def global_rank(
+    df: DataFrame,
+    metric_col: str,
+    id_col: str,
+    ascending: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Adds ``rank``: the GLOBAL 1-based row number under
+    ORDER BY metric [DESC], id ASC — curriculum ordering (hardest/
+    highest-quality first), leaderboards, deterministic train/eval
+    splits by rank range.
+
+    The naive row_number() over an unpartitioned window funnels the
+    corpus through one task; this is the same two-phase distributed
+    scan as pack_token_shards, counting rows instead of summing tokens:
+    range-bucket by metric value (equal metrics share a bucket, so the
+    id tie-break stays inside one window), local row_number per bucket,
+    bucket offsets from a broadcast self-join over the tiny totals
+    table. Two uniform shuffles, no single-task stage.
+    """
+    sign = 1.0 if ascending else -1.0
+    k = (F.col(metric_col).cast("double") * sign).alias("_k")
+    bounds = df.select(k).agg(
+        F.min("_k").alias("_lo"), F.max("_k").alias("_hi")
+    )
+    b = (
+        df.withColumn("_k", F.col(metric_col).cast("double") * sign)
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_bucket",
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col("_k") - F.col("_lo"))
+                        * n_buckets
+                        / (F.col("_hi") - F.col("_lo"))
+                    ),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    local_w = W.partitionBy("_bucket").orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    b = b.withColumn("_local_rn", F.row_number().over(local_w))
+    totals = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_tot"))
+    earlier = totals.select(
+        F.col("_bucket").alias("_eb"), F.col("_tot").alias("_et")
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(earlier), F.col("_eb") < F.col("_bucket"), "left"
+        )
+        .groupBy("_bucket")
+        .agg(F.coalesce(F.sum("_et"), F.lit(0)).alias("_offset"))
+    )
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "rank", (F.col("_local_rn") + F.col("_offset")).cast("bigint")
+        )
+        .drop("_k", "_lo", "_hi", "_bucket", "_local_rn", "_offset")
+    )

@@ -962,3 +962,28 @@ def q_sample_weighted_quality(spark, sf_dir):
     return weighted_hash_sample(
         docs, weight_col="distinct_ratio", id_col="doc_id"
     ).select("doc_id", "distinct_ratio")
+
+
+@register(
+    "curriculum_order",
+    oracle=None,
+    note=(
+        "extension: curriculum ordering — global 1-based rank of every "
+        "doc by quality metric (distinct-token ratio DESC, doc_id ASC "
+        "tie-break) via the two-phase distributed scan (range buckets + "
+        "per-bucket window + broadcast offsets), NEVER a partition-less "
+        "row_number window. Rows-only for driver-window budget; DuckDB "
+        "parity (global row_number, same ordering) pinned in "
+        "tests/test_packing.py"
+    ),
+)
+def q_curriculum_order(spark, sf_dir):
+    from etl_hero_spark.packing import global_rank
+    from etl_hero_spark.textops import with_quality_signals
+
+    docs = with_quality_signals(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "distinct_ratio"
+    )
+    return global_rank(docs, "distinct_ratio", "doc_id").select(
+        "doc_id", "distinct_ratio", "rank"
+    )

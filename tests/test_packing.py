@@ -75,3 +75,64 @@ def test_packing_no_global_window(spark, sf_dir):
     for ln in window_lines:
         # physical form: Window [funcs], [partition exprs], [order]
         assert "windowspecdefinition(_bucket" in ln, ln
+
+
+def test_global_rank_matches_duckdb(spark, sf_dir):
+    """The two-phase distributed rank must equal a global
+    row_number() OVER (ORDER BY metric DESC, id ASC) — DuckDB computes
+    the naive form as the oracle."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.packing import global_rank
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", (F.col("n_chars") % 97).cast("double").alias("m"))
+    )
+    got = {
+        (r["doc_id"], r["rank"])
+        for r in global_rank(docs, "m", "doc_id").collect()
+    }
+    want = set(
+        duckdb.sql(
+            "SELECT doc_id, row_number() OVER "
+            "(ORDER BY cast(n_chars % 97 as double) DESC, doc_id ASC) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_global_rank_ascending_and_single_value(spark):
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.packing import global_rank
+
+    df = spark.range(1, 101).select(
+        F.col("id").alias("doc_id"), F.lit(7.0).alias("m")
+    )
+    # all-equal metric: degenerate single bucket, ranks = id order
+    rows = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(df, "m", "doc_id", ascending=True).collect()
+    }
+    assert rows == {i: i for i in range(1, 101)}
+
+
+def test_global_rank_no_single_partition_window(spark, sf_dir):
+    from etl_hero_spark.packing import global_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    plan = (
+        global_rank(docs, "n_chars", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every Window operator must be partitioned (no global funnel)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_bucket" in line

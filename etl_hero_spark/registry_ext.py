@@ -987,3 +987,25 @@ def q_curriculum_order(spark, sf_dir):
     return global_rank(docs, "distinct_ratio", "doc_id").select(
         "doc_id", "distinct_ratio", "rank"
     )
+
+
+@register(
+    "text_c4_line_stats",
+    oracle=None,
+    note=(
+        "extension: C4-style line-level cleaning stats — per-doc "
+        "surviving-line counts under the published heuristics (min "
+        "words per line, terminal punctuation, boilerplate markers, "
+        "code-like '{' flag). The fixture corpus is single-line prose "
+        "without terminal punctuation, so the punctuation rule is "
+        "relaxed here (the strict form is unit-tested on multi-line "
+        "fixtures in tests/test_textops.py). Pure staged-array codegen, "
+        "no shuffle. Rows-only; DuckDB parity pinned in tests"
+    ),
+)
+def q_text_c4_line_stats(spark, sf_dir):
+    from etl_hero_spark.textops import with_c4_line_filter
+
+    return with_c4_line_filter(
+        _t(spark, sf_dir, "documents"), require_terminal_punct=False
+    ).select("doc_id", "n_lines", "n_lines_kept", "c4_code_like")

@@ -522,3 +522,72 @@ def top_ngram_repetition(
             6,
         ).alias("rep_char_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning
+# ---------------------------------------------------------------------------
+
+C4_BOILERPLATE_MARKERS = [
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "lorem ipsum",
+]
+
+
+def with_c4_line_filter(
+    df: DataFrame,
+    col: str = "text",
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleaning (published heuristics): keep only
+    lines that (a) have >= min_words_per_line words, (b) end in terminal
+    punctuation (. ! ? ") when required, (c) contain no boilerplate
+    marker (javascript / cookie policy / privacy policy / terms of use /
+    lorem ipsum, case-insensitive); docs whose text contains '{' are
+    flagged as code-like. Adds:
+
+      out_col         — surviving lines re-joined with '\\n'
+      n_lines         — source line count
+      n_lines_kept    — surviving line count
+      c4_code_like    — 1 if '{' appears anywhere (C4 drops such docs)
+
+    All array/lambda work runs over a STAGED line array (HOF lambdas
+    get no subexpression elimination); pure codegen, no shuffle —
+    line-level cleaning at any corpus size is a linear scan. The
+    filtering form (drop empty survivors / code-like docs) composes as
+    .filter(n_lines_kept > 0 AND c4_code_like = 0).
+    """
+    df = df.withColumn("_c4_lines", F.split(F.col(col), "\n"))
+    lines = F.col("_c4_lines")
+
+    def line_ok(x: Column) -> Column:
+        t = F.trim(x)
+        ok = F.size(F.split(t, r"\s+")) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & (
+                F.endswith(t, F.lit("."))
+                | F.endswith(t, F.lit("!"))
+                | F.endswith(t, F.lit("?"))
+                | F.endswith(t, F.lit('"'))
+            )
+        low = F.lower(t)
+        for marker in C4_BOILERPLATE_MARKERS:
+            ok = ok & ~F.contains(low, F.lit(marker))
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn(out_col, F.concat_ws("\n", kept))
+        .withColumn(
+            "c4_code_like",
+            F.contains(F.col(col), F.lit("{")).cast("int"),
+        )
+        .drop("_c4_lines")
+    )

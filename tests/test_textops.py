@@ -289,3 +289,54 @@ def test_top_ngram_repetition_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_c4_line_filter_rules(spark):
+    doc = "\n".join(
+        [
+            "This line is a proper sentence.",  # kept
+            "Too short.",  # < 3 words
+            "no terminal punctuation here",  # no . ! ? "
+            "Enable javascript to view this page.",  # boilerplate marker
+            "We use cookies; see our Cookie Policy today.",  # marker (ci)
+            'He said "stop right there" and left?',  # kept (ends ?)
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, "if (x) { return; }")],
+                               "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in textops.with_c4_line_filter(df).collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 6 and r1["n_lines_kept"] == 2
+    assert r1["clean_text"].splitlines() == [
+        "This line is a proper sentence.",
+        'He said "stop right there" and left?',
+    ]
+    assert r1["c4_code_like"] == 0
+    assert rows[2]["c4_code_like"] == 1
+
+
+def test_c4_line_stats_match_duckdb(spark, sf_dir):
+    import duckdb
+
+    from etl_hero_spark.registry import all_queries
+
+    got = {
+        tuple(r)
+        for r in all_queries()["text_c4_line_stats"](spark, sf_dir).collect()
+    }
+    markers = ["javascript", "cookie policy", "privacy policy",
+               "terms of use", "lorem ipsum"]
+    marker_pred = " AND ".join(
+        f"NOT contains(lower(trim(x)), '{m}')" for m in markers
+    )
+    want = set(
+        duckdb.sql(
+            "SELECT doc_id, cast(len(string_split(text, chr(10))) as int), "
+            "cast(len(list_filter(string_split(text, chr(10)), "
+            f"x -> len(string_split_regex(trim(x), '\\s+')) >= 3 AND {marker_pred}"
+            ")) as int), "
+            "cast(contains(text, '{') as int) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -113,3 +113,40 @@ def test_asof_join_empty_right(spark):
     )
     rows = asof_join(left, right, "user_id").collect()
     assert len(rows) == 1 and rows[0]["value_asof"] is None
+
+
+def test_new_ops_on_empty_and_degenerate_inputs(spark):
+    """Chunking, TF-IDF, histogram, repetition, global rank, fuzzy pairs
+    on empty / single-row / all-null inputs: no rows is fine, an
+    exception is not."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.er import fuzzy_pairs
+    from etl_hero_spark.packing import global_rank
+    from etl_hero_spark.profile import histogram
+    from etl_hero_spark.textops import (
+        chunk_documents,
+        tfidf_top_terms,
+        top_ngram_repetition,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert chunk_documents(empty).count() == 0
+    assert tfidf_top_terms(empty).count() == 0
+    assert top_ngram_repetition(empty).count() == 0
+    assert fuzzy_pairs(empty, "doc_id", "text").count() == 0
+    assert global_rank(
+        empty.withColumn("m", F.lit(1.0)), "m", "doc_id"
+    ).count() == 0
+
+    nulls = spark.createDataFrame([(1, None), (2, None)], "doc_id bigint, text string")
+    # null text tokenizes to null -> filtered / empty everywhere
+    assert chunk_documents(nulls).count() == 0
+    assert tfidf_top_terms(nulls).count() == 0
+
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    assert histogram(allnull, "x").count() == 0
+
+    one = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id bigint, text string")
+    assert chunk_documents(one, chunk_tokens=2, overlap=1).count() == 2
+    assert tfidf_top_terms(one, k=5).count() == 3  # every term idf=0, still ranked

@@ -376,6 +376,27 @@ def topk_cosine_ivf(
         # In production this persists to storage like any ANN index.
         .cache()
     )
+    return _ivf_probe_rerank(
+        c, queries, centroids, k, nprobe, query_id_col, vec_col, quantize
+    )
+
+
+def _ivf_probe_rerank(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+    quantize: int | None,
+) -> DataFrame:
+    """Probe + exact rerank against an IVF assignment table
+    (corpus_id, cv, list_id) — shared by the in-memory and persisted
+    index paths. Queries explode to their nprobe nearest lists
+    (broadcast); the equi-join on list_id touches ~nprobe/n_centroids
+    of the index (partition-pruned when the index is stored
+    partitioned by list_id)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantized_vec(vec_col, quantize).alias("qv"),
@@ -383,7 +404,7 @@ def topk_cosine_ivf(
             nearest_lists_expr(vec_col, centroids, nprobe, dp=quantize)
         ).alias("list_id"),
     )
-    scored = c.join(F.broadcast(q), "list_id").withColumn(
+    scored = index.join(F.broadcast(q), "list_id").withColumn(
         "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
@@ -391,6 +412,78 @@ def topk_cosine_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "score", "rank")
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    quantize: int | None = 3,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Persist an IVF index: the centroid model at {path}/centroids and
+    the assignment table (corpus_id, cv, list_id) at {path}/lists,
+    PARTITIONED BY list_id — a probe of p lists scans exactly p
+    partitions. Assignment is the one full pass over the corpus; every
+    later query batch reads the stored lists only (the cache() comment
+    in topk_cosine_ivf, made durable). Returns the centroids.
+
+    (quantize, centroid values) are part of the index identity — the
+    probe side must use the same; topk_cosine_ivf_indexed reads both
+    from the stored model.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_centroids=n_centroids, vec_col=vec_col
+        )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [
+            (i, [float(v) for v in c], -1 if quantize is None else quantize)
+            for i, c in enumerate(centroids)
+        ],
+        "list_id int, centroid array<double>, quantize int",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    assignments = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        quantized_vec(vec_col, quantize).alias("cv"),
+        nearest_lists_expr(vec_col, centroids, 1, dp=quantize)[0].alias(
+            "list_id"
+        ),
+    )
+    assignments.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+    return centroids
+
+
+def topk_cosine_ivf_indexed(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index (write_ivf_index): reads the
+    stored centroid model and probes the list_id-partitioned assignment
+    table — the corpus embeddings are never rescanned. Same output as
+    topk_cosine_ivf with the same centroids (asserted in tests)."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    quantize = cent_rows[0]["quantize"]
+    quantize = None if quantize < 0 else quantize
+    index = spark.read.parquet(f"{path}/lists")
+    nprobe = min(nprobe, len(centroids))
+    return _ivf_probe_rerank(
+        index, queries, centroids, k, nprobe, query_id_col, vec_col, quantize
     )
 
 

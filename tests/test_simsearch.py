@@ -207,3 +207,47 @@ def test_label_centroids_deterministic_across_runs(spark, sf_dir):
         map(tuple, label_centroids(emb.repartition(7)).collect())
     )
     assert a == b  # decimal accumulation: partition layout can't change it
+
+
+def test_ivf_persisted_index_equals_in_memory(spark, tmp_path, emb, queries):
+    """The persisted-index probe must return exactly what the in-memory
+    form returns for the same centroid model."""
+    from etl_hero_spark.simsearch import (
+        topk_cosine_ivf,
+        topk_cosine_ivf_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, centroids=cents)
+    direct = {
+        tuple(r)
+        for r in topk_cosine_ivf(
+            emb, queries, k=5, nprobe=3, centroids=cents
+        ).collect()
+    }
+    indexed = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, path, k=5, nprobe=3
+        ).collect()
+    }
+    assert indexed == direct and len(indexed) > 0
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path, emb, queries):
+    """The stored lists are partitioned by list_id; a probe scan must
+    carry a partition filter (dynamic or static), not read all lists."""
+    from etl_hero_spark.simsearch import topk_cosine_ivf_indexed, write_ivf_index
+
+    path = str(tmp_path / "ivf_index_p")
+    write_ivf_index(emb, path, n_centroids=8)
+    plan = (
+        topk_cosine_ivf_indexed(spark, queries, path, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()

@@ -52,6 +52,56 @@ def read_csv(spark: SparkSession, path: str, infer: bool = True) -> DataFrame:
     )
 
 
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """S1 hardened for real-world ingest: explicit schema + PERMISSIVE
+    mode — malformed rows land with NULL fields and their raw text in
+    ``corrupt_col`` instead of failing the job (FAILFAST) or silently
+    vanishing (DROPMALFORMED). The cleaning pipeline then treats corrupt
+    rows as one more detectable/remediable defect class:
+
+        df.filter(F.col(corrupt_col).isNotNull())   # quarantine
+        df.filter(F.col(corrupt_col).isNull())      # clean rows
+
+    Requires an explicit schema (the corrupt column must be declared;
+    inference + PERMISSIVE cannot coexist in one pass). At scale this is
+    the only sane CSV posture: one bad row in 100 TB must not kill the
+    read, and the quarantine count is a data-quality metric (see
+    csv_ingest_report).
+    """
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
+def csv_ingest_report(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """One row: (n_rows, n_corrupt, corrupt_ratio) for a PERMISSIVE read
+    — the ingest-quality gate a pipeline checks before proceeding."""
+    n = F.count(F.lit(1))
+    bad = F.count(F.col(corrupt_col))
+    return df.agg(
+        n.cast("bigint").alias("n_rows"),
+        bad.cast("bigint").alias("n_corrupt"),
+        F.round(
+            F.when(n > 0, bad.cast("double") / n.cast("double")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("corrupt_ratio"),
+    )
+
+
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """S2 (app.py:150-151): edge ingest only — pandas reads the (small,
     <=10 MB per the reference's own cap) workbook on the driver, Arrow

@@ -121,6 +121,9 @@ def global_rank(
     id tie-break stays inside one window), local row_number per bucket,
     bucket offsets from a broadcast self-join over the tiny totals
     table. Two uniform shuffles, no single-task stage.
+
+    Rows with a NULL metric are dropped (rank is over the non-null
+    subset) — filter or impute first if they must be ranked.
     """
     sign = 1.0 if ascending else -1.0
     k = (F.col(metric_col).cast("double") * sign).alias("_k")

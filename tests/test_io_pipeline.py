@@ -137,3 +137,29 @@ def test_decode_image_gated(spark):
     else:
         with pytest.raises(NotImplementedError):
             decode_image(df)  # wiring intentionally not implemented yet
+
+
+def test_permissive_csv_quarantines_corrupt_rows(spark, tmp_path):
+    """S1 hardened: malformed rows survive the read with their raw text
+    in the corrupt column; clean rows parse; the report counts both."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.io import csv_ingest_report, read_csv_permissive
+
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "id,price,day\n"
+        "1,9.50,2024-01-01\n"
+        "2,notanumber,2024-01-02\n"   # price fails the double cast
+        "3,3.25,2024-01-03\n"
+    )
+    df = read_csv_permissive(
+        spark, str(p), "id int, price double, day date"
+    ).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert {r["id"] for r in clean.collect()} == {1, 3}
+    assert len(bad) == 1 and "notanumber" in bad[0]["_corrupt_record"]
+    rep = csv_ingest_report(df).first()
+    assert rep["n_rows"] == 3 and rep["n_corrupt"] == 1
+    assert rep["corrupt_ratio"] == round(1 / 3, 6)

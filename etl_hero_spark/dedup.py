@@ -520,9 +520,10 @@ def pairs_against_minhash_index(
     family -> est_jaccard is identical to what the self-join form
     (minhash_lsh_pairs) would report for the same pair.
     """
-    sig = _minhash_signatures(
-        batch, id_col, text_col, n, n_hashes, seed
-    ).cache()
+    # no cache here: unlike the self-join form, the batch signature has
+    # exactly one consumer (the probe side) — the other join side is the
+    # stored index
+    sig = _minhash_signatures(batch, id_col, text_col, n, n_hashes, seed)
     bb = _band_key_table(sig, n_hashes, n_bands)
     a = bb.select(
         F.col("id").alias("batch_id"), F.col("sig").alias("sig_a"), "band", "key"

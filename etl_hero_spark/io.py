@@ -64,8 +64,15 @@ def read_csv_permissive(
     vanishing (DROPMALFORMED). The cleaning pipeline then treats corrupt
     rows as one more detectable/remediable defect class:
 
+        df = read_csv_permissive(...).cache()       # cache REQUIRED
         df.filter(F.col(corrupt_col).isNotNull())   # quarantine
         df.filter(F.col(corrupt_col).isNull())      # clean rows
+
+    The cache() is not an optimization: Spark refuses a query whose
+    referenced columns are ONLY the internal corrupt-record column
+    ("queries from raw CSV files are disallowed..."), so filtering on
+    the quarantine column straight off the raw scan raises
+    AnalysisException — caching first materializes a normal relation.
 
     Requires an explicit schema (the corrupt column must be declared;
     inference + PERMISSIVE cannot coexist in one pass). At scale this is

@@ -36,6 +36,25 @@ from pyspark.sql import Window as W
 from etl_hero_spark.textops import token_count_expr
 
 
+
+def _bucket_offsets(totals):
+    """Exclusive per-bucket prefix of ``_tot`` -> (_bucket, _offset):
+    each bucket's offset is the sum of all EARLIER buckets' totals,
+    via a broadcast self-join over the tiny n_buckets-row table — never
+    a partition-less window, even on the small side. Shared by every
+    two-phase distributed scan in this module."""
+    earlier = totals.select(
+        F.col("_bucket").alias("_eb"), F.col("_tot").alias("_et")
+    )
+    return (
+        totals.join(
+            F.broadcast(earlier), F.col("_eb") < F.col("_bucket"), "left"
+        )
+        .groupBy("_bucket")
+        .agg(F.coalesce(F.sum("_et"), F.lit(0)).alias("_offset"))
+    )
+
+
 def pack_token_shards(
     df: DataFrame,
     budget: int,
@@ -71,16 +90,7 @@ def pack_token_shards(
         "_local_incl", F.sum(token_col).over(local_w)
     )
     totals = b.groupBy("_bucket").agg(F.sum(token_col).alias("_tot"))
-    # offsets via broadcast self-join (earlier buckets' totals), not a
-    # partition-less window — same rationale as the top-tokens rank fix
-    earlier = totals.select(
-        F.col("_bucket").alias("_eb"), F.col("_tot").alias("_et")
-    )
-    offsets = (
-        totals.join(F.broadcast(earlier), F.col("_eb") < F.col("_bucket"), "left")
-        .groupBy("_bucket")
-        .agg(F.coalesce(F.sum("_et"), F.lit(0)).alias("_offset"))
-    )
+    offsets = _bucket_offsets(totals)
     prefix_excl = F.col("_local_incl") - F.col(token_col) + F.col("_offset")
     return (
         b.join(F.broadcast(offsets), "_bucket")
@@ -123,8 +133,12 @@ def global_rank(
     table. Two uniform shuffles, no single-task stage.
 
     Rows with a NULL metric are dropped (rank is over the non-null
-    subset) — filter or impute first if they must be ranked.
+    subset) — filter or impute first if they must be ranked. The filter
+    is explicit and up-front: without it the degenerate all-equal-metric
+    branch would bucket NULL rows at rank 1 while the normal branch
+    silently dropped them via the inner offsets join.
     """
+    df = df.filter(F.col(metric_col).isNotNull())
     sign = 1.0 if ascending else -1.0
     k = (F.col(metric_col).cast("double") * sign).alias("_k")
     bounds = df.select(k).agg(
@@ -153,16 +167,7 @@ def global_rank(
     )
     b = b.withColumn("_local_rn", F.row_number().over(local_w))
     totals = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_tot"))
-    earlier = totals.select(
-        F.col("_bucket").alias("_eb"), F.col("_tot").alias("_et")
-    )
-    offsets = (
-        totals.join(
-            F.broadcast(earlier), F.col("_eb") < F.col("_bucket"), "left"
-        )
-        .groupBy("_bucket")
-        .agg(F.coalesce(F.sum("_et"), F.lit(0)).alias("_offset"))
-    )
+    offsets = _bucket_offsets(totals)
     return (
         b.join(F.broadcast(offsets), "_bucket")
         .withColumn(

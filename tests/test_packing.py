@@ -136,3 +136,22 @@ def test_global_rank_no_single_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_bucket" in line
+
+
+def test_global_rank_drops_null_metrics_in_both_branches(spark):
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.packing import global_rank
+
+    # degenerate branch: all non-null metrics equal
+    deg = spark.createDataFrame(
+        [(1, 7.0), (2, 7.0), (3, None)], "doc_id bigint, m double"
+    )
+    rows = {r["doc_id"]: r["rank"] for r in global_rank(deg, "m", "doc_id").collect()}
+    assert rows == {1: 1, 2: 2}  # null row dropped, ranks unshifted
+    # normal branch: distinct metrics
+    norm = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None)], "doc_id bigint, m double"
+    )
+    rows = {r["doc_id"]: r["rank"] for r in global_rank(norm, "m", "doc_id").collect()}
+    assert rows == {2: 1, 1: 2}

@@ -316,3 +316,104 @@ def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift between snapshots (PSI)
+# ---------------------------------------------------------------------------
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: list[str],
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per column between two snapshots:
+    (column, psi, n_a, n_b). PSI = sum over buckets of
+    (pa - pb) * ln(pa / pb) with shares clamped to >= eps (the standard
+    zero-bucket smoothing); buckets are `bins` equal widths over the
+    UNION's min/max so both sides share edges. Rule of thumb read:
+    psi < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    The monitoring primitive for corpus snapshots: yesterday's crawl vs
+    today's, pre- vs post-dedup, one source vs another.
+
+    Plan: ONE union scan -> one bounds agg (all columns, broadcast) ->
+    per-row explode to (column, bucket) pairs -> one (col, bucket, side)
+    count -> tiny-table arithmetic. Per-bucket PSI terms are rounded to
+    9dp and summed as DECIMAL — a plain double sum over buckets is
+    partition-order dependent and would make the result flap run to run.
+    NULLs are excluded per column (they are A1's business).
+    """
+    a = df_a.select(*cols).withColumn("_src", F.lit("a"))
+    b = df_b.select(*cols).withColumn("_src", F.lit("b"))
+    u = a.unionByName(b)
+    bounds = u.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    )
+
+    def bucket_expr(c: str):
+        x = F.col(c).cast("double")
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        return F.when(
+            x.isNull(), F.lit(None).cast("int")
+        ).otherwise(
+            F.when(
+                hi > lo,
+                F.least(
+                    F.lit(bins - 1), F.floor((x - lo) * bins / (hi - lo))
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+
+    ex = (
+        u.crossJoin(F.broadcast(bounds))
+        .select(
+            "_src",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            bucket_expr(c).alias("bucket"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("cb"),
+        )
+        .select("_src", "cb.column", "cb.bucket")
+        .filter(F.col("bucket").isNotNull())
+    )
+    cnt = ex.groupBy("column", "bucket", "_src").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("column", "_src").agg(F.sum("n").alias("tot"))
+    shares = (
+        cnt.join(tot, ["column", "_src"])
+        .withColumn("p", F.col("n").cast("double") / F.col("tot").cast("double"))
+        .groupBy("column", "bucket")
+        .agg(
+            F.max(F.when(F.col("_src") == "a", F.col("p"))).alias("pa"),
+            F.max(F.when(F.col("_src") == "b", F.col("p"))).alias("pb"),
+            F.max(F.when(F.col("_src") == "a", F.col("tot"))).alias("n_a"),
+            F.max(F.when(F.col("_src") == "b", F.col("tot"))).alias("n_b"),
+        )
+    )
+    pa = F.greatest(F.coalesce(F.col("pa"), F.lit(0.0)), F.lit(eps))
+    pb = F.greatest(F.coalesce(F.col("pb"), F.lit(0.0)), F.lit(eps))
+    term = F.round((pa - pb) * F.log(pa / pb), 9).cast("decimal(18,9)")
+    return (
+        shares.withColumn("_term", term)
+        .groupBy("column")
+        .agg(
+            F.round(F.sum("_term").cast("double"), 6).alias("psi"),
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+        )
+    )

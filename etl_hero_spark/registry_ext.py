@@ -1009,3 +1009,28 @@ def q_text_c4_line_stats(spark, sf_dir):
     return with_c4_line_filter(
         _t(spark, sf_dir, "documents"), require_terminal_punct=False
     ).select("doc_id", "n_lines", "n_lines_kept", "c4_code_like")
+
+
+@register(
+    "profile_psi_drift",
+    oracle=None,
+    note=(
+        "extension: PSI distribution drift per numeric column between "
+        "two corpus slices (even vs odd orderkeys — a null-drift "
+        "fixture; real use: yesterday's crawl vs today's). Shared "
+        "union-wide bucket edges, one scan + one tiny-table pass; "
+        "per-bucket terms summed as DECIMAL for run-deterministic "
+        "doubles. Rows-only for driver-window budget; DuckDB parity "
+        "pinned in tests/test_profile.py"
+    ),
+)
+def q_profile_psi_drift(spark, sf_dir):
+    from etl_hero_spark.profile import psi_drift
+    from etl_hero_spark.registry import LINEITEM_NUM
+
+    li = _t(spark, sf_dir, "lineitem")
+    return psi_drift(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        LINEITEM_NUM,
+    )

@@ -98,3 +98,64 @@ def test_histogram_degenerate_single_value(spark):
     df = spark.createDataFrame([(7.0,), (7.0,)], "x double")
     rows = histogram(df, "x", bins=10).collect()
     assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 2
+
+
+def test_psi_drift_detects_shift_and_stability(spark):
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.profile import psi_drift
+
+    base = spark.range(0, 2000).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    # x shifted by +80 in snapshot b -> large PSI; y identical -> ~0
+    shifted = base.withColumn("x", F.col("x") + 80.0)
+    rows = {r["column"]: r for r in psi_drift(base, shifted, ["x", "y"]).collect()}
+    assert rows["x"]["psi"] > 0.25
+    assert rows["y"]["psi"] < 1e-9
+    assert rows["x"]["n_a"] == 2000 and rows["x"]["n_b"] == 2000
+
+
+def test_psi_drift_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from etl_hero_spark.registry import all_queries
+
+    got = {tuple(r) for r in all_queries()["profile_psi_drift"](spark, sf_dir).collect()}
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col, cast(l_orderkey % 2 = 0 as int) AS is_a,
+          CASE WHEN _hi > _lo THEN least(9, cast(floor(
+            (cast({c} as double) - _lo) * 10 / (_hi - _lo)) as int))
+          ELSE 0 END AS bucket
+        FROM t, (SELECT cast(min({c}) as double) AS _lo,
+                        cast(max({c}) as double) AS _hi FROM t) b
+        WHERE {c} IS NOT NULL
+        """
+        for c in cols
+    )
+    want = set(
+        duckdb.sql(
+            f"WITH t AS (SELECT * FROM '{sf_dir}/lineitem.parquet'), "
+            f"x AS ({per_col}), "
+            "cnt AS (SELECT col, bucket, is_a, count(*) AS n FROM x "
+            "GROUP BY col, bucket, is_a), "
+            "tot AS (SELECT col, is_a, sum(n) AS tot FROM cnt GROUP BY col, is_a), "
+            "sh AS (SELECT cnt.col, bucket, cnt.is_a, "
+            "cast(n as double)/cast(tot as double) AS p, tot "
+            "FROM cnt JOIN tot ON cnt.col = tot.col AND cnt.is_a = tot.is_a), "
+            "pv AS (SELECT col, bucket, "
+            "greatest(coalesce(max(CASE WHEN is_a = 1 THEN p END), 0.0), 1e-6) AS pa, "
+            "greatest(coalesce(max(CASE WHEN is_a = 0 THEN p END), 0.0), 1e-6) AS pb, "
+            "max(CASE WHEN is_a = 1 THEN tot END) AS n_a, "
+            "max(CASE WHEN is_a = 0 THEN tot END) AS n_b "
+            "FROM sh GROUP BY col, bucket) "
+            "SELECT col, round(cast(sum(cast(round((pa - pb) * ln(pa / pb), 9) "
+            "as decimal(18,9))) as double), 6) AS psi, "
+            "cast(max(n_a) as bigint), cast(max(n_b) as bigint) "
+            "FROM pv GROUP BY col"
+        ).fetchall()
+    )
+    assert got == want and len(got) == 5

@@ -104,3 +104,58 @@ def sample_frames(
         "frames",
         F.transform(offsets, lambda o: F.substring(F.col(media_col), o, 16)),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media binary, width long, height long, "
+    "orig_n_bytes long, n_bytes long"
+)
+
+
+def resize_media_stub(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize plumbing via mapInPandas (Arrow-batched, narrow map): each
+    payload is deterministically resampled to exactly target_w*target_h
+    bytes (stride-sample when shrinking, cyclic repeat when growing) —
+    the batch shape, schema, and partitioning of a real image resize,
+    with the pixel math stubbed (codec libs absent from this image; swap
+    `_resample` for PIL/cv2 resize when they exist).
+
+    Returns (id, media=resized bytes, width, height, orig_n_bytes,
+    n_bytes) with n_bytes == target_w*target_h for every row.
+    """
+    id_name, media_name = id_col, media_col
+    target = target_w * target_h
+
+    def _resample(b: bytes) -> bytes:
+        b = bytes(b)
+        if not b:
+            return bytes(target)
+        if len(b) >= target:
+            # stride-sample down to exactly `target` bytes
+            step = len(b) / target
+            return bytes(b[int(i * step)] for i in range(target))
+        reps = target // len(b) + 1
+        return (b * reps)[:target]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[media_name].map(bytes)
+            resized = payloads.map(_resample)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name],
+                    "media": resized,
+                    "width": target_w,
+                    "height": target_h,
+                    "orig_n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)

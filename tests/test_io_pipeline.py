@@ -163,3 +163,26 @@ def test_permissive_csv_quarantines_corrupt_rows(spark, tmp_path):
     rep = csv_ingest_report(df).first()
     assert rep["n_rows"] == 3 and rep["n_corrupt"] == 1
     assert rep["corrupt_ratio"] == round(1 / 3, 6)
+
+
+def test_resize_media_stub_shapes(spark, sf_dir):
+    """Resize plumbing: every payload lands at exactly target bytes,
+    deterministically, whether shrunk or grown."""
+    from etl_hero_spark.multimodal import resize_media_stub, with_media_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = resize_media_stub(
+        with_media_column(docs), target_w=16, target_h=8
+    ).cache()
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["n_bytes"] == 128 and len(r["media"]) == 128 for r in rows)
+    assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
+    # deterministic: same input -> same bytes
+    again = {r["doc_id"]: bytes(r["media"]) for r in resize_media_stub(
+        with_media_column(docs), target_w=16, target_h=8).collect()}
+    assert all(bytes(r["media"]) == again[r["doc_id"]] for r in rows)
+    # growth path: tiny payload cycles up to target
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id bigint, text string")
+    t = resize_media_stub(with_media_column(tiny), 4, 2).first()
+    assert bytes(t["media"]) == b"abababab" and t["orig_n_bytes"] == 2

@@ -77,13 +77,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events scan. The fixture stores ts as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read nanos as long (runtime conf) and
-    derive a microsecond TimestampType column (truncation, not rounding —
-    matches DuckDB's cast semantics down to sub-µs epsilon)."""
+    """events scan with `ts` normalized to TimestampType (UTC session).
+
+    The fixture's physical ts type has varied across driver generations:
+    TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so read
+    nanos as long (runtime conf) and truncate to µs (matches DuckDB's
+    cast semantics down to sub-µs epsilon) — or TIMESTAMP(MICROS)
+    without UTC adjustment, which Spark reads as TIMESTAMP_NTZ and we
+    cast (wall-clock-preserving under the UTC session tz DuckDB also
+    assumes). Adapt to whichever the footer declares."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # legacy nanos fixture
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":  # timestamp_ntz fixture
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------

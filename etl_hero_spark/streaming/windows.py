@@ -173,6 +173,37 @@ def windowed_quality_metrics(
 # ---------------------------------------------------------------------------
 
 
+def _events_stream_source(
+    spark: SparkSession, path: str, prefix: str, n_links: int = 1
+) -> DataFrame:
+    """File-stream source over the events parquet with `ts` normalized to
+    TimestampType, adapting to the fixture's physical ts type (see
+    registry._events: legacy TIMESTAMP(NANOS) read as long under
+    nanosAsLong, current TIMESTAMP(MICROS) read as TIMESTAMP_NTZ). The
+    file source requires a directory, so the single fixture file is
+    exposed through n_links temp-dir symlinks (n_links>1 makes every
+    event arrive that many times — real duplicates for dedup tests).
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType.simpleString()
+    schema = (
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
+        "value double, props string"
+    )
+    d = tempfile.mkdtemp(prefix=prefix)
+    for i in range(n_links):
+        os.symlink(path, os.path.join(d, f"{i}_{os.path.basename(path)}"))
+    src = spark.readStream.schema(schema).parquet(d)
+    if ts_type == "bigint":
+        return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
+
+
 def stream_tumbling_agg(
     spark: SparkSession,
     sf_dir: str,
@@ -189,27 +220,9 @@ def stream_tumbling_agg(
     with the finite fixture + complete mode it is exercised but does not
     drop anything.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    path = sf_dir
-    if path.endswith(".parquet"):
-        # the file stream source requires a directory; expose the single
-        # fixture file through a temp-dir symlink
-        import os
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix="etl_hero_stream_")
-        os.symlink(path, os.path.join(d, os.path.basename(path)))
-        path = d
-    src = (
-        spark.readStream.schema(schema)
-        .parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", watermark)
-    )
+    src = _events_stream_source(
+        spark, sf_dir, "etl_hero_stream_"
+    ).withWatermark("ts", watermark)
     agg = (
         src.groupBy(F.window("ts", size), "event_type")
         .agg(
@@ -280,23 +293,8 @@ def stream_session_agg(
     streaming answer for an unbounded source. Tests assert emitted
     sessions == the batch result restricted to closed sessions.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    path = sf_dir
-    if path.endswith(".parquet"):
-        import os
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix="etl_hero_stream_sess_")
-        os.symlink(path, os.path.join(d, os.path.basename(path)))
-        path = d
     src = (
-        spark.readStream.schema(schema)
-        .parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _events_stream_source(spark, sf_dir, "etl_hero_stream_sess_")
         .withWatermark("ts", watermark)
     )
     agg = session_agg_native(src, gap=gap)
@@ -330,23 +328,9 @@ def stream_dedup(
     the source dir), so every event arrives twice and the operator has
     real duplicates to drop; tests assert output == the distinct batch.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    import os
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="etl_hero_stream_dup_")
-    os.symlink(sf_dir, os.path.join(d, "a.parquet"))
-    os.symlink(sf_dir, os.path.join(d, "b.parquet"))
-    src = (
-        spark.readStream.schema(schema)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", watermark)
-    )
+    src = _events_stream_source(
+        spark, sf_dir, "etl_hero_stream_dup_", n_links=2
+    ).withWatermark("ts", watermark)
     deduped = src.dropDuplicatesWithinWatermark([key]).select(
         "event_id",
         "user_id",
@@ -455,23 +439,12 @@ def stream_user_gap_stats(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    import os
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="etl_hero_stream_gaps_")
-    os.symlink(sf_dir, os.path.join(d, os.path.basename(sf_dir)))
-
     def update(key, pdfs, state: GroupState):
         n, max_gap_us, first_us, last_us = (
             state.get if state.exists else (0, -1, None, None)
         )
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        for ts_us in (rows["ts"] // 1000).astype("int64"):
+        for ts_us in rows["ts"].astype("int64"):
             ts_us = int(ts_us)
             if last_us is not None:
                 gap = ts_us - last_us
@@ -493,7 +466,11 @@ def stream_user_gap_stats(
             }
         )
 
-    src = spark.readStream.schema(schema).parquet(d)
+    # hand pandas an int64 µs epoch column — unit-stable regardless of
+    # which physical ts type the fixture carries
+    src = _events_stream_source(
+        spark, sf_dir, "etl_hero_stream_gaps_"
+    ).withColumn("ts", F.unix_micros("ts"))
     out = src.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=_GAPS_SCHEMA,
@@ -657,24 +634,13 @@ def stream_funnel_counts(
 
     steps = steps or ["view", "click", "purchase"]
     k = len(steps)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    import os
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="etl_hero_stream_funnel_")
-    os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
-
     def update(key, pdfs, state: GroupState):
         stage, thr_us = state.get if state.exists else (0, -1)
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        for ts_ns, etype in zip(
+        for ts_us, etype in zip(
             rows["ts"].astype("int64"), rows["event_type"]
         ):
-            ts_us = int(ts_ns) // 1000
+            ts_us = int(ts_us)
             if stage < k and etype == steps[stage] and ts_us > thr_us:
                 stage += 1
                 thr_us = ts_us
@@ -682,8 +648,8 @@ def stream_funnel_counts(
         yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
 
     src = (
-        spark.readStream.schema(schema)
-        .parquet(d)
+        _events_stream_source(spark, events_path, "etl_hero_stream_funnel_")
+        .withColumn("ts", F.unix_micros("ts"))
         .filter(F.col("event_type").isin(steps))
     )
     out = src.groupBy("user_id").applyInPandasWithState(

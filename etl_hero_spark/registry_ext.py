@@ -1034,3 +1034,35 @@ def q_profile_psi_drift(spark, sf_dir):
         li.filter(F.col("l_orderkey") % 2 == 1),
         LINEITEM_NUM,
     )
+
+
+@register(
+    "text_global_line_dedup",
+    oracle=None,
+    note=(
+        "extension: corpus-LEVEL boilerplate line removal (RefinedWeb/"
+        "Dolma duplicated-line pass) — any trimmed line appearing in "
+        ">= 2 distinct documents is stripped from every document. "
+        "Three bounded shuffles (line-key distinct+count, anti-join on "
+        "xxhash64 key, per-doc regroup), frequent-line set is tiny by "
+        "construction. The fixture corpus is dup-free (see module "
+        "docstring), so every 7th doc gets a deterministic shared legal "
+        "footer appended — the pass must strip exactly those. Rows-only "
+        "for driver-window budget; DuckDB parity pinned in "
+        "tests/test_textops.py"
+    ),
+)
+def q_text_global_line_dedup(spark, sf_dir):
+    from etl_hero_spark.textops import global_line_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _SHARED_FOOTER)),
+        ).otherwise(F.col("text")),
+    )
+    return global_line_dedup(docs, min_docs=2)
+
+
+_SHARED_FOOTER = "(c) example corp - all rights reserved"

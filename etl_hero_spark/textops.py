@@ -591,3 +591,79 @@ def with_c4_line_filter(
         )
         .drop("_c4_lines")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate line removal
+# ---------------------------------------------------------------------------
+
+
+def global_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-LEVEL boilerplate-line removal (the RefinedWeb/Dolma
+    "duplicated line" pass, complementing the per-doc C4 rules): any
+    trimmed line that appears in >= min_docs DISTINCT documents is
+    boilerplate (nav bars, cookie banners, legal footers) and is
+    stripped from EVERY document. Whitespace-only lines are neither
+    counted nor stripped.
+
+    Output: id_col, out_col (surviving lines re-joined with '\\n',
+    original order), n_lines, n_lines_removed — one row per input doc
+    (docs whose every line is boilerplate survive with out_col = '').
+
+    Plan — three bounded shuffles, no all-pairs anywhere:
+      1. posexplode the line array (narrow, no shuffle);
+      2. boilerplate set: distinct (line_key, doc) then count per
+         line_key — shuffles on xxhash64(line) (uniform; map-side
+         partial distinct bounds hot lines), HAVING >= min_docs keeps
+         only frequent lines, so the set is orders of magnitude smaller
+         than the corpus;
+      3. left-anti join the exploded lines against that set on the
+         64-bit key (AQE broadcasts it when small; hot boilerplate keys
+         are on the TINY side, so no skew on the probe), then regroup
+         per doc — one shuffle on id_col — and re-join lines sorted by
+         ordinal.
+    The final left join back to the input restores all-lines-removed
+    docs; it is a join on the unique doc id (no fan-out).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_lk", F.xxhash64(F.trim("_line")))
+    nonblank = lines.filter(F.length(F.trim("_line")) > 0)
+    boiler = (
+        nonblank.select("_lk", id_col)
+        .distinct()
+        .groupBy("_lk")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_lk")
+    )
+    kept = lines.join(boiler, "_lk", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias(out_col),
+    )
+    return (
+        df.select(id_col, F.size(F.split(F.col(col), "\n")).alias("n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -340,3 +340,94 @@ def test_c4_line_stats_match_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_global_line_dedup_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Welcome to example.com\nunique first line.\n\nshared footer"),
+            (2, "Welcome to example.com\nanother body line.\nshared footer"),
+            (3, "totally original doc"),
+            (4, "shared footer"),  # every line boilerplate -> empty survivor
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in textops.global_line_dedup(df, min_docs=2).collect()
+    }
+    assert rows[1]["clean_text"] == "unique first line.\n"
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_lines_removed"] == 2
+    assert rows[2]["clean_text"] == "another body line."
+    assert rows[3]["clean_text"] == "totally original doc"
+    assert rows[3]["n_lines_removed"] == 0
+    assert rows[4]["clean_text"] == "" and rows[4]["n_lines_removed"] == 1
+
+
+def test_global_line_dedup_matches_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query."""
+    import duckdb
+
+    got = {
+        (r["doc_id"], r["clean_text"], r["n_lines"], r["n_lines_removed"])
+        for r in textops.global_line_dedup(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), min_docs=2
+        ).collect()
+    }
+    want = set(
+        duckdb.sql(
+            f"WITH d AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls "
+            f"FROM '{sf_dir}/documents.parquet'), "
+            "l0 AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS ord FROM d), "
+            "l AS (SELECT doc_id, ord, ls[ord] AS line FROM l0), "
+            "b AS (SELECT trim(line) AS tl FROM l WHERE trim(line) <> '' "
+            "GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), "
+            "kept AS (SELECT doc_id, ord, line FROM l WHERE trim(line) = '' "
+            "OR trim(line) NOT IN (SELECT tl FROM b)), "
+            "r AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY ord) AS cl FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(r.cl, '') AS clean_text, "
+            "cast(len(d.ls) AS int) AS n_lines, "
+            "cast(len(d.ls) - coalesce(r.n_kept, 0) AS int) AS n_lines_removed "
+            "FROM d LEFT JOIN r USING (doc_id)"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_global_line_dedup_registry_query_matches_duckdb(spark, sf_dir):
+    """The registered query appends a shared footer to every 7th doc
+    (the fixture corpus is dup-free); the pass must strip exactly those
+    lines, matching the same augmentation + removal math in DuckDB."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import _SHARED_FOOTER, q_text_global_line_dedup
+
+    got = {
+        (r["doc_id"], r["clean_text"], r["n_lines"], r["n_lines_removed"])
+        for r in q_text_global_line_dedup(spark, sf_dir).collect()
+    }
+    want = set(
+        duckdb.sql(
+            "WITH src AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            f"text || chr(10) || '{_SHARED_FOOTER}' ELSE text END AS text "
+            f"FROM '{sf_dir}/documents.parquet'), "
+            "d AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM src), "
+            "l0 AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS ord FROM d), "
+            "l AS (SELECT doc_id, ord, ls[ord] AS line FROM l0), "
+            "b AS (SELECT trim(line) AS tl FROM l WHERE trim(line) <> '' "
+            "GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), "
+            "kept AS (SELECT doc_id, ord, line FROM l WHERE trim(line) = '' "
+            "OR trim(line) NOT IN (SELECT tl FROM b)), "
+            "r AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY ord) AS cl FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(r.cl, '') AS clean_text, "
+            "cast(len(d.ls) AS int) AS n_lines, "
+            "cast(len(d.ls) - coalesce(r.n_kept, 0) AS int) AS n_lines_removed "
+            "FROM d LEFT JOIN r USING (doc_id)"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # every 7th doc lost exactly its footer line, nothing else
+    removed = {t[0]: t[3] for t in got}
+    assert all(n == 1 for i, n in removed.items() if i % 7 == 0)
+    assert all(n == 0 for i, n in removed.items() if i % 7 != 0)

@@ -1066,3 +1066,30 @@ def q_text_global_line_dedup(spark, sf_dir):
 
 
 _SHARED_FOOTER = "(c) example corp - all rights reserved"
+
+
+@register(
+    "sample_mix_sources",
+    oracle=None,
+    note=(
+        "extension: deterministic source-weighted token-budget mixing "
+        "(the per-domain reweighting step of a pretraining corpus "
+        "recipe) — per-source md5-order prefix under a token budget, "
+        "running totals via the two-phase distributed scan keyed on "
+        "(source, md5-range-bucket); no per-source single-task window. "
+        "Rows-only for driver-window budget; DuckDB parity (identical "
+        "window math) pinned in tests/test_packing.py"
+    ),
+)
+def q_sample_mix_sources(spark, sf_dir):
+    from etl_hero_spark.sampling import mix_sources_budget
+    from etl_hero_spark.textops import token_count_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_expr("text")
+    )
+    return mix_sources_budget(
+        docs,
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total_tokens=2000,
+    ).select("doc_id", "source", "n_tokens")

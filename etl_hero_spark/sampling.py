@@ -82,3 +82,81 @@ def weighted_hash_sample(
     )
     p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col)))
     return df.filter(u < p * F.lit(float(modulus)))
+
+
+def mix_sources_budget(
+    df: DataFrame,
+    weights: dict,
+    total_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic data-mixing: select documents so each source
+    contributes ~weights[source] * total_tokens tokens to a training
+    mixture (the per-domain reweighting step of every large pretraining
+    corpus recipe). Sources absent from `weights` are dropped.
+
+    Within a source, docs are taken in md5(id) order — a deterministic
+    pseudo-random shuffle, so the selected prefix is an unbiased sample
+    of the source AND re-runs/backfills select the same docs on any
+    engine. A doc is selected iff the EXCLUSIVE per-source running
+    token total before it is under the source's budget: the straddling
+    doc is kept (packing semantics), so any source with data and
+    positive weight contributes at least one doc.
+
+    Scale: the running total is the two-phase distributed scan of
+    pack_token_shards, keyed per (source, md5-range-bucket): the local
+    window partitions on (source, bucket) — uniform md5 bucketing
+    spreads a hot source over n_buckets tasks — and per-(source,bucket)
+    offsets come from a broadcast self-join over the tiny
+    n_sources x n_buckets totals table. No per-source single-task
+    window, no global window, two uniform shuffles.
+    """
+    budgets = df.sparkSession.createDataFrame(
+        [(s, int(round(w * total_tokens))) for s, w in sorted(weights.items())],
+        f"{source_col} string, _budget bigint",
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    b = (
+        df.join(F.broadcast(budgets), source_col)
+        .withColumn("_h", h)
+        .withColumn(
+            "_bucket",
+            F.floor(
+                F.conv(F.substring("_h", 1, 4), 16, 10).cast("long")
+                * n_buckets
+                / 65536
+            ),
+        )
+    )
+    local_w = W.partitionBy(source_col, "_bucket").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    b = b.withColumn("_local_incl", F.sum(token_col).over(local_w))
+    totals = b.groupBy(source_col, "_bucket").agg(
+        F.sum(token_col).alias("_tot")
+    )
+    earlier = totals.select(
+        F.col(source_col).alias("_es"),
+        F.col("_bucket").alias("_eb"),
+        F.col("_tot").alias("_et"),
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(earlier),
+            (F.col("_es") == F.col(source_col))
+            & (F.col("_eb") < F.col("_bucket")),
+            "left",
+        )
+        .groupBy(source_col, "_bucket")
+        .agg(F.coalesce(F.sum("_et"), F.lit(0)).alias("_offset"))
+    )
+    excl = F.col("_local_incl") - F.col(token_col) + F.col("_offset")
+    return (
+        b.join(F.broadcast(offsets), [source_col, "_bucket"])
+        .withColumn("_excl", excl)
+        .filter(F.col("_excl") < F.col("_budget"))
+        .drop("_h", "_bucket", "_local_incl", "_offset", "_budget", "_excl")
+    )

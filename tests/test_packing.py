@@ -155,3 +155,70 @@ def test_global_rank_drops_null_metrics_in_both_branches(spark):
     )
     rows = {r["doc_id"]: r["rank"] for r in global_rank(norm, "m", "doc_id").collect()}
     assert rows == {2: 1, 1: 2}
+
+
+def test_mix_sources_budget_matches_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query: identical
+    per-source md5-order exclusive-prefix selection in DuckDB."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import q_sample_mix_sources
+
+    got = {
+        (r["doc_id"], r["source"], r["n_tokens"])
+        for r in q_sample_mix_sources(spark, sf_dir).collect()
+    }
+    want = set(
+        duckdb.sql(
+            "WITH b AS (SELECT * FROM (VALUES ('src0', 1000), ('src1', 600), "
+            "('src2', 400)) AS v(source, budget)), "
+            "t AS (SELECT doc_id, source, "
+            "cast(len(CASE WHEN length(trim(text)) = 0 THEN [] "
+            "ELSE string_split_regex(trim(text), '\\s+') END) as int) AS n_tokens "
+            f"FROM '{sf_dir}/documents.parquet'), "
+            "p AS (SELECT t.*, b.budget, "
+            "sum(n_tokens) OVER (PARTITION BY t.source "
+            "ORDER BY md5(cast(doc_id as varchar)), doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS excl "
+            "FROM t JOIN b USING (source)) "
+            "SELECT doc_id, source, n_tokens FROM p WHERE excl < budget"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # every weighted source contributes, nothing else does
+    assert {s for _, s, _ in got} == {"src0", "src1", "src2"}
+
+
+def test_mix_sources_budget_respects_budgets(spark, sf_dir):
+    """Selected token mass per source stays within budget + one
+    straddling doc; order of selection is the md5 shuffle, not doc_id."""
+    from etl_hero_spark.registry_ext import q_sample_mix_sources
+
+    rows = q_sample_mix_sources(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    budgets = {"src0": 1000, "src1": 600, "src2": 400}
+    for s, docs in by_src.items():
+        total = sum(r["n_tokens"] for r in docs)
+        biggest = max(r["n_tokens"] for r in docs)
+        assert total < budgets[s] + biggest
+        # removing the last-selected doc must drop under budget
+        assert total >= budgets[s] or len(docs) == 25  # whole source fits
+
+
+def test_mix_sources_budget_no_single_partition_window(spark, sf_dir):
+    """Every Window node must partition on (source, _bucket) — a
+    per-source-only window would funnel a hot source through one task."""
+    from etl_hero_spark.registry_ext import q_sample_mix_sources
+
+    plan = (
+        q_sample_mix_sources(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines, "expected a Window node in the plan"
+    for ln in window_lines:
+        assert "windowspecdefinition(source" in ln and "_bucket" in ln, ln

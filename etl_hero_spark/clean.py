@@ -236,3 +236,58 @@ def force_date_format(df: DataFrame, col: str, fmt: str) -> DataFrame:
 
 def replace_where(df: DataFrame, col: str, cond: Column, value) -> DataFrame:
     return df.withColumn(col, F.when(cond, F.lit(value)).otherwise(F.col(col)))
+
+
+def clip_outliers_grouped(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    round_bounds: int | None = 2,
+    approx: bool = False,
+) -> DataFrame:
+    """Grouped winsorize — R1d generalized per group: clip col to its
+    OWN group's [q_lower, q_upper]. The per-domain/per-source outlier
+    treatment of heterogeneous corpora, where one global clip bound is
+    wrong for every subpopulation at once.
+
+    Plan: per-group exact interpolated percentiles in ONE groupBy pass
+    (shuffle on the group keys, partial agg map-side), then a broadcast
+    equi-join of the tiny bounds table back onto the rows — the fact
+    table never re-shuffles. approx=True swaps in percentile_approx
+    (t-digest) for the 100 TB path where exact per-group sort memory is
+    unbounded; group-key skew is irrelevant (percentile state, not
+    rows, crosses the wire).
+
+    NULL passes through (when-chains skip null, matching clip_outliers);
+    round_bounds pins thresholds to a decimal grid for engine-
+    independent comparisons.
+    """
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    pct = (
+        F.percentile_approx(col, [lower_q, upper_q])
+        if approx
+        else F.percentile(col, F.array(F.lit(lower_q), F.lit(upper_q)))
+    )
+    bounds = df.groupBy(*group_cols).agg(
+        pct[0].alias("_lo"), pct[1].alias("_hi")
+    )
+    if round_bounds is not None:
+        bounds = bounds.select(
+            *group_cols,
+            F.round("_lo", round_bounds).alias("_lo"),
+            F.round("_hi", round_bounds).alias("_hi"),
+        )
+    return (
+        df.join(F.broadcast(bounds), group_cols, "left")
+        .withColumn(
+            col,
+            F.when(F.col(col) < F.col("_lo"), F.col("_lo"))
+            .when(F.col(col) > F.col("_hi"), F.col("_hi"))
+            .otherwise(F.col(col)),
+        )
+        .drop("_lo", "_hi")
+    )

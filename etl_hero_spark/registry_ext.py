@@ -1093,3 +1093,31 @@ def q_sample_mix_sources(spark, sf_dir):
         weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
         total_tokens=2000,
     ).select("doc_id", "source", "n_tokens")
+
+
+@register(
+    "clean_outliers_clip_grouped",
+    oracle=None,
+    note=(
+        "extension: grouped winsorize — R1d generalized per group "
+        "(clip l_extendedprice to its own l_returnflag group's "
+        "p01/p99). One groupBy pass for per-group exact interpolated "
+        "percentiles + broadcast join of the tiny bounds table back; "
+        "the fact table never re-shuffles; approx=True t-digest flag "
+        "for the 100 TB path. Bounds stay unrounded: exact "
+        "F.percentile <-> quantile_cont bit-match across engines, "
+        "while rounding an interpolated bound can land on a .5 grid "
+        "midpoint where Spark and DuckDB round differently. Rows-only "
+        "for driver-window budget; DuckDB parity pinned in "
+        "tests/test_clean.py"
+    ),
+)
+def q_clean_outliers_clip_grouped(spark, sf_dir):
+    from etl_hero_spark.clean import clip_outliers_grouped
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return clip_outliers_grouped(
+        li, "l_extendedprice", "l_returnflag", round_bounds=None
+    )

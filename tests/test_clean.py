@@ -156,3 +156,70 @@ def test_normalize_dates_exact_mode_is_arrow_batched(spark):
     plan = buf.getvalue()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_clip_grouped_semantics(spark):
+    from etl_hero_spark.clean import clip_outliers_grouped
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)]
+        + [("b", 1000.0), ("b", 2000.0), ("b", 3000.0)]
+        + [("c", None)],
+        "g string, x double",
+    )
+    rows = clip_outliers_grouped(
+        df, "x", "g", lower_q=0.1, upper_q=0.9, round_bounds=None
+    ).collect()
+    import pytest
+
+    a_vals = sorted(r["x"] for r in rows if r["g"] == "a")
+    # group a clips to its own [10.9, 90.1] (approx: interpolation
+    # arithmetic carries float ulps); group b's huge values are judged
+    # only against b's bounds; null passes through
+    assert a_vals[0] == pytest.approx(10.9) and a_vals[-1] == pytest.approx(90.1)
+    b_vals = sorted(r["x"] for r in rows if r["g"] == "b")
+    assert b_vals == pytest.approx([1200.0, 2000.0, 2800.0])
+    assert [r["x"] for r in rows if r["g"] == "c"] == [None]
+
+
+def test_clip_grouped_matches_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import q_clean_outliers_clip_grouped
+
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["l_extendedprice"]
+        for r in q_clean_outliers_clip_grouped(spark, sf_dir).collect()
+    }
+    want = {
+        (k, ln): v
+        for k, ln, v in duckdb.sql(
+            "WITH b AS (SELECT l_returnflag, "
+            "quantile_cont(l_extendedprice, 0.01) AS lo, "
+            "quantile_cont(l_extendedprice, 0.99) AS hi "
+            f"FROM '{sf_dir}/lineitem.parquet' GROUP BY 1) "
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_extendedprice < lo THEN lo "
+            "WHEN l_extendedprice > hi THEN hi "
+            "ELSE l_extendedprice END "
+            f"FROM '{sf_dir}/lineitem.parquet' JOIN b USING (l_returnflag)"
+        ).fetchall()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_clip_grouped_broadcasts_bounds(spark, sf_dir):
+    """The bounds join must be a broadcast — the fact table must not
+    re-shuffle on the group key."""
+    from etl_hero_spark.registry_ext import q_clean_outliers_clip_grouped
+
+    plan = (
+        q_clean_outliers_clip_grouped(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1121,3 +1121,24 @@ def q_clean_outliers_clip_grouped(spark, sf_dir):
     return clip_outliers_grouped(
         li, "l_extendedprice", "l_returnflag", round_bounds=None
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=None,
+    note=(
+        "extension: per-doc mean unigram log-probability under the "
+        "corpus's own unigram distribution (CCNet-style LM quality "
+        "signal, no external model). Zipf skew on the token join is "
+        "handled structurally: the hot_k most frequent tokens "
+        "broadcast-join their occurrences (skewed keys never shuffle), "
+        "the cold tail equi-joins skew-free; per-doc ln sums "
+        "accumulate as 9dp DECIMAL for partition-order-independent "
+        "doubles. Rows-only (ln differs by ulps across engines); "
+        "DuckDB parity within 1e-8 pinned in tests/test_textops.py"
+    ),
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    from etl_hero_spark.textops import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))

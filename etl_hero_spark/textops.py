@@ -667,3 +667,67 @@ def global_line_dedup(
             .alias("n_lines_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus unigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    hot_k: int = 256,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the CCNet-style LM quality signal (docs of
+    improbable tokens score low: gibberish, boilerplate codes, OCR
+    noise) computed without any external model.
+
+    Output: id_col, n_scored_tokens, mean_logprob (ln scale; empty/
+    blank docs are dropped — they have no tokens to score).
+
+    Plan — the token join is Zipf-skewed by construction (half the
+    occurrences hit a few hundred stopword keys), so the probe is
+    split by heavy hitters instead of relying on runtime skew
+    handling:
+      1. vocab: one shuffle on token (map-side partial counts);
+         corpus total via a broadcast 1-row agg;
+      2. the hot_k most frequent tokens (TakeOrderedAndProject —
+         distributed, no global window) BROADCAST-join their
+         occurrences: the skewed keys never cross the wire;
+      3. the cold tail — now skew-free by construction — equi-joins
+         the remaining vocab on token;
+      4. union, then ONE groupBy on the doc id. Per-doc sums
+         accumulate ln values rounded to 9dp as DECIMAL, so the
+         result is partition-order independent (double addition is
+         not associative).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_expr(col)).alias("_tok"),
+    ).withColumn("_tok", F.lower(F.col("_tok")))
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    total = vocab.agg(F.sum("_n").alias("_total"))
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "_tok",
+        F.round(
+            F.log(F.col("_n").cast("double") / F.col("_total").cast("double")),
+            9,
+        ).alias("_logp"),
+    )
+    hot = vocab.orderBy(F.desc("_logp"), F.asc("_tok")).limit(hot_k)
+    cold_vocab = vocab.join(F.broadcast(hot.select("_tok")), "_tok", "left_anti")
+    hot_hits = toks.join(F.broadcast(hot), "_tok")
+    cold_hits = toks.join(
+        F.broadcast(hot.select("_tok")), "_tok", "left_anti"
+    ).join(cold_vocab, "_tok")
+    scored = hot_hits.unionByName(cold_hits)
+    dec = F.col("_logp").cast("decimal(20,9)")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_scored_tokens"),
+        F.round(
+            (F.sum(dec) / F.count(F.lit(1))).cast("double"), 9
+        ).alias("mean_logprob"),
+    )

@@ -431,3 +431,69 @@ def test_global_line_dedup_registry_query_matches_duckdb(spark, sf_dir):
     removed = {t[0]: t[3] for t in got}
     assert all(n == 1 for i, n in removed.items() if i % 7 == 0)
     assert all(n == 0 for i, n in removed.items() if i % 7 != 0)
+
+
+def test_unigram_logprob_semantics(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a"), (3, "  ")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.unigram_logprob_score(df, hot_k=1).collect()
+    }
+    # corpus: a x3, b x1, total 4
+    la, lb = math.log(3 / 4), math.log(1 / 4)
+    assert rows[1]["n_scored_tokens"] == 3
+    assert abs(rows[1]["mean_logprob"] - (2 * la + lb) / 3) < 1e-8
+    assert abs(rows[2]["mean_logprob"] - la) < 1e-8
+    assert 3 not in rows  # blank doc has nothing to score
+
+
+def test_unigram_logprob_matches_duckdb(spark, sf_dir):
+    """Cross-engine check for the rows-only registered query; ln differs
+    by ulps across libm implementations, so mean_logprob compares within
+    1e-8 (token counts are exact)."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import q_text_unigram_logprob
+
+    got = {
+        r["doc_id"]: (r["n_scored_tokens"], r["mean_logprob"])
+        for r in q_text_unigram_logprob(spark, sf_dir).collect()
+    }
+    want = {
+        d: (n, m)
+        for d, n, m in duckdb.sql(
+            "WITH t AS (SELECT doc_id, lower(unnest("
+            "CASE WHEN length(trim(text)) = 0 THEN [] "
+            "ELSE string_split_regex(trim(text), '\\s+') END)) AS tok "
+            f"FROM '{sf_dir}/documents.parquet'), "
+            "v AS (SELECT tok, count(*) AS n FROM t GROUP BY tok), "
+            "tot AS (SELECT sum(n) AS total FROM v), "
+            "lp AS (SELECT tok, round(ln(cast(n as double) / total), 9) AS logp "
+            "FROM v CROSS JOIN tot) "
+            "SELECT doc_id, cast(count(*) as int), "
+            "round(cast(sum(cast(logp as decimal(20,9))) as double) / count(*), 9) "
+            "FROM t JOIN lp USING (tok) GROUP BY doc_id"
+        ).fetchall()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for d, (n, m) in got.items():
+        assert n == want[d][0]
+        assert abs(m - want[d][1]) < 1e-8, (d, m, want[d][1])
+
+
+def test_unigram_logprob_hot_tokens_broadcast(spark, sf_dir):
+    """The skewed head of the token join must be a broadcast join."""
+    from etl_hero_spark.registry_ext import q_text_unigram_logprob
+
+    plan = (
+        q_text_unigram_logprob(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -260,3 +260,61 @@ def detect_missions(
         )
     )
     return out.unionByName(missing).unionByName(dups).unionByName(mixed)
+
+
+def detect_anomalies_mad(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group anomaly detection via median/MAD — the
+    z-score's (P2) scale-hardened sibling: median and MAD have a 50%
+    breakdown point, so a burst of extreme values cannot mask itself by
+    inflating the mean and stddev the way it does for z-scores.
+
+    Flags rows where |x - median_g| > k * MAD_g (k=3.5 ~ the classic
+    Iglewicz-Hoberg cutoff scaled for raw MAD). Groups with MAD = 0
+    (constant or near-constant) flag nothing, matching P2's sigma=0
+    guard; NULL x is never an anomaly, and groups with NO non-null x
+    have no median to compare against and are dropped.
+
+    Output: group_cols + n, n_anomalies, med, mad — one row per group.
+
+    Plan: two grouped percentile passes (median, then median of
+    |x - med| after a broadcast join of the tiny med table) + one
+    conditional-count agg folded into the second pass's join side.
+    Group keys are low-cardinality dimensions (event types, sources),
+    so both joins broadcast and the fact table shuffles only for the
+    two grouped aggs — percentile STATE crosses the wire, not rows.
+    """
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    med = df.filter(F.col(col).isNotNull()).groupBy(*group_cols).agg(
+        F.percentile(col, F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_adev", F.abs(F.col(col) - F.col("_med"))
+    )
+    mad = dev.filter(F.col(col).isNotNull()).groupBy(*group_cols).agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    flagged = dev.join(F.broadcast(mad), group_cols)
+    return (
+        flagged.groupBy(*group_cols)
+        .agg(
+            F.count(col).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("_mad") > 0)
+                    & (F.col("_adev") > F.lit(k) * F.col("_mad")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.first("_med").alias("med"),
+            F.first("_mad").alias("mad"),
+        )
+    )

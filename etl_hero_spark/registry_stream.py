@@ -506,3 +506,24 @@ def q_stream_funnel(spark, sf_dir):
     from etl_hero_spark.streaming import stream_funnel_counts
 
     return stream_funnel_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=None,
+    note=(
+        "extension: robust per-type anomaly detection via median/MAD "
+        "(50% breakdown point — a burst of extremes cannot inflate the "
+        "cutoff the way it inflates mean/stddev for z-scores). Two "
+        "grouped exact-percentile passes + a final conditional count; "
+        "the tiny per-group stats broadcast back, so the fact table "
+        "shuffles only aggregate state. Rows-only for driver-window "
+        "budget; DuckDB parity pinned in tests/test_detect.py"
+    ),
+)
+def q_events_anomaly_mad(spark, sf_dir):
+    from etl_hero_spark.detect import detect_anomalies_mad
+
+    return detect_anomalies_mad(
+        _events(spark, sf_dir), "value", "event_type", k=3.5
+    )

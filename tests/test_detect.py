@@ -73,3 +73,53 @@ def test_detect_missions_messy_orders(spark):
     assert ("missing", "category") in rows
     assert rows[("duplicates", "*")] == 2
     assert rows[("date_mixed", "date")] == 1
+
+
+def test_mad_anomalies_semantics(spark):
+    from etl_hero_spark.detect import detect_anomalies_mad
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4, 5, 1000]]
+        + [("b", 7.0), ("b", 7.0), ("b", 7.0), ("b", 9999.0)]
+        + [("c", None)],
+        "g string, x double",
+    )
+    rows = {r["g"]: r for r in detect_anomalies_mad(df, "x", "g").collect()}
+    # a: med 3.5, MAD 1.5 -> only 1000 exceeds 3.5*1.5
+    assert rows["a"]["n"] == 6 and rows["a"]["n_anomalies"] == 1
+    assert rows["a"]["med"] == 3.5 and rows["a"]["mad"] == 1.5
+    # b: med 7, MAD 0 -> constant-ish group flags NOTHING (sigma=0 guard)
+    assert rows["b"]["n_anomalies"] == 0 and rows["b"]["mad"] == 0.0
+    # c: only nulls -> no median exists; the group is dropped
+    assert "c" not in rows
+
+
+def test_mad_anomalies_match_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query."""
+    import duckdb
+
+    from etl_hero_spark.registry_stream import q_events_anomaly_mad
+
+    got = {
+        r["event_type"]: (r["n"], r["n_anomalies"], r["med"], r["mad"])
+        for r in q_events_anomaly_mad(spark, sf_dir).collect()
+    }
+    want = {
+        t: (n, a, m, d)
+        for t, n, a, m, d in duckdb.sql(
+            f"WITH ev AS (SELECT event_type, value FROM '{sf_dir}/events.parquet'), "
+            "med AS (SELECT event_type, median(value) AS m FROM ev "
+            "WHERE value IS NOT NULL GROUP BY 1), "
+            "dev AS (SELECT ev.event_type, ev.value, abs(ev.value - med.m) AS ad, med.m "
+            "FROM ev JOIN med USING (event_type)), "
+            "mad AS (SELECT event_type, median(ad) AS md FROM dev "
+            "WHERE value IS NOT NULL GROUP BY 1) "
+            "SELECT dev.event_type, count(dev.value), "
+            "sum(CASE WHEN mad.md > 0 AND dev.ad > 3.5 * mad.md THEN 1 ELSE 0 END), "
+            "any_value(dev.m), any_value(mad.md) "
+            "FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type"
+        ).fetchall()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for t in got:
+        assert got[t] == want[t], (t, got[t], want[t])

@@ -159,3 +159,67 @@ def resize_media_stub(
             )
 
     return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+# magic-byte prefixes (hex, uppercase) -> sniffed mime. Pure byte
+# signatures — no codec library needed, so unlike decode this is NOT a
+# stub: it is the real corrupt-payload gate a binary-column pipeline
+# runs before spending decode cycles.
+MAGIC_PREFIXES = [
+    ("FFD8FF", "image/jpeg"),
+    ("89504E470D0A1A0A", "image/png"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),  # RIFF container (WAV/AVI)
+    ("494433", "audio/mpeg"),  # ID3-tagged MP3
+    ("25504446", "application/pdf"),
+]
+
+
+def sniff_mime_expr(media_col: str = "media") -> "F.Column":
+    """Codegen'd magic-byte mime sniff: hex the first 8 payload bytes
+    and match known signatures; no match -> 'application/octet-stream'."""
+    prefix = F.hex(F.substring(F.col(media_col), 1, 8))
+    expr = F.lit("application/octet-stream")
+    for magic, mime in reversed(MAGIC_PREFIXES):
+        expr = F.when(prefix.startswith(magic.upper()), F.lit(mime)).otherwise(
+            expr
+        )
+    return expr
+
+
+def validate_media(
+    df: DataFrame,
+    media_col: str = "media",
+    declared_col: str = "declared_mime",
+    min_bytes: int = 16,
+) -> DataFrame:
+    """Corrupt-payload validation for binary media columns: adds
+
+      sniffed_mime — magic-byte sniff (sniff_mime_expr)
+      n_bytes      — payload length
+      is_truncated — 1 if the payload is shorter than min_bytes (too
+                     short to hold a real header)
+      mime_ok      — 1 if the declared mime agrees with the sniff, or
+                     the declaration is the generic octet-stream
+
+    All pure JVM expressions over a linear scan (hex/substring/when):
+    no shuffle, no Python, runs ahead of any decode so corrupt samples
+    never reach the expensive stage. Compose the quarantine split as
+    .filter(mime_ok = 0 OR is_truncated = 1) / the complement.
+    """
+    n = F.octet_length(F.col(media_col))
+    sniff = sniff_mime_expr(media_col)
+    return (
+        df.withColumn("sniffed_mime", sniff)
+        .withColumn("n_bytes", n.cast("bigint"))
+        .withColumn(
+            "is_truncated", (n < min_bytes).cast("int")
+        )
+        .withColumn(
+            "mime_ok",
+            (
+                (F.col(declared_col) == F.col("sniffed_mime"))
+                | (F.col(declared_col) == "application/octet-stream")
+            ).cast("int"),
+        )
+    )

@@ -527,3 +527,42 @@ def q_events_anomaly_mad(spark, sf_dir):
     return detect_anomalies_mad(
         _events(spark, sf_dir), "value", "event_type", k=3.5
     )
+
+
+@register(
+    "multimodal_validate",
+    oracle=None,
+    note=(
+        "extension: corrupt-payload gate for binary media columns — "
+        "magic-byte mime sniff (hex/substring/when, pure codegen, NOT a "
+        "stub: byte signatures need no codec lib), truncation flag, and "
+        "declared-vs-sniffed agreement, ahead of any decode spend. The "
+        "fixture synthesizes payloads deterministically from text with "
+        "real JPEG/PNG magics and one deliberate mismatch class per "
+        "doc_id%4. Rows-only for driver-window budget; DuckDB parity "
+        "pinned in tests/test_io_pipeline.py"
+    ),
+)
+def q_multimodal_validate(spark, sf_dir):
+    from etl_hero_spark.multimodal import validate_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.encode(F.col("text"), "utf-8")
+    m = F.col("doc_id") % 4
+    df = docs.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.unhex(F.lit("FFD8FFE0")), body))
+        .when(m == 1, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), body))
+        .when(m == 2, body)
+        .otherwise(F.concat(F.unhex(F.lit("89504E470D0A1A0A")), body))
+        .alias("media"),
+        F.when(m == 0, F.lit("image/jpeg"))
+        .when(m == 1, F.lit("image/png"))
+        .when(m == 2, F.lit("application/octet-stream"))
+        .otherwise(F.lit("image/jpeg"))  # declared jpeg, payload png
+        .alias("declared_mime"),
+    )
+    return validate_media(df).select(
+        "doc_id", "declared_mime", "sniffed_mime", "n_bytes",
+        "is_truncated", "mime_ok",
+    )

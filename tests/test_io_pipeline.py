@@ -186,3 +186,72 @@ def test_resize_media_stub_shapes(spark, sf_dir):
     tiny = spark.createDataFrame([(1, "ab")], "doc_id bigint, text string")
     t = resize_media_stub(with_media_column(tiny), 4, 2).first()
     assert bytes(t["media"]) == b"abababab" and t["orig_n_bytes"] == 2
+
+
+def test_validate_media_semantics(spark):
+    from etl_hero_spark.multimodal import validate_media
+
+    rows = [
+        (1, bytes.fromhex("FFD8FFE0") + b"x" * 20, "image/jpeg"),   # ok
+        (2, bytes.fromhex("89504E470D0A1A0A") + b"y" * 20, "image/jpeg"),  # mismatch
+        (3, b"plain bytes and then some", "application/octet-stream"),  # generic ok
+        (4, bytes.fromhex("FFD8FF"), "image/jpeg"),                 # truncated
+        (5, bytes.fromhex("494433") + b"z" * 30, "audio/mpeg"),     # mp3 ok
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary, declared_mime string")
+    got = {r["doc_id"]: r for r in validate_media(df).collect()}
+    assert got[1]["sniffed_mime"] == "image/jpeg" and got[1]["mime_ok"] == 1
+    assert got[2]["sniffed_mime"] == "image/png" and got[2]["mime_ok"] == 0
+    assert got[3]["sniffed_mime"] == "application/octet-stream"
+    assert got[3]["mime_ok"] == 1
+    assert got[4]["is_truncated"] == 1
+    assert got[5]["sniffed_mime"] == "audio/mpeg" and got[5]["mime_ok"] == 1
+
+
+def test_validate_media_matches_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query: DuckDB
+    rebuilds the same synthetic payloads (hex-then-substring sniff —
+    2 hex chars per byte, so substring(hex(b),1,16) == hex of the first
+    8 bytes) and must agree on every flag."""
+    import duckdb
+
+    from etl_hero_spark.registry_stream import q_multimodal_validate
+
+    got = {
+        r["doc_id"]: (
+            r["declared_mime"], r["sniffed_mime"], r["n_bytes"],
+            r["is_truncated"], r["mime_ok"],
+        )
+        for r in q_multimodal_validate(spark, sf_dir).collect()
+    }
+    want = {
+        d: tuple(rest)
+        for d, *rest in duckdb.sql(
+            "WITH src AS (SELECT doc_id, "
+            "CASE doc_id % 4 WHEN 0 THEN from_hex('FFD8FFE0') || encode(text) "
+            "WHEN 1 THEN from_hex('89504E470D0A1A0A') || encode(text) "
+            "WHEN 2 THEN encode(text) "
+            "ELSE from_hex('89504E470D0A1A0A') || encode(text) END AS media, "
+            "CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png' "
+            "WHEN 2 THEN 'application/octet-stream' ELSE 'image/jpeg' END AS declared "
+            f"FROM '{sf_dir}/documents.parquet'), "
+            "s AS (SELECT doc_id, declared, substring(hex(media), 1, 16) AS h, "
+            "octet_length(media) AS n FROM src), "
+            "t AS (SELECT doc_id, declared, n, "
+            "CASE WHEN h LIKE 'FFD8FF%' THEN 'image/jpeg' "
+            "WHEN h LIKE '89504E470D0A1A0A%' THEN 'image/png' "
+            "WHEN h LIKE '47494638%' THEN 'image/gif' "
+            "WHEN h LIKE '52494646%' THEN 'audio/wav' "
+            "WHEN h LIKE '494433%' THEN 'audio/mpeg' "
+            "WHEN h LIKE '25504446%' THEN 'application/pdf' "
+            "ELSE 'application/octet-stream' END AS sniffed FROM s) "
+            "SELECT doc_id, declared, sniffed, n, "
+            "CASE WHEN n < 16 THEN 1 ELSE 0 END, "
+            "CASE WHEN declared = sniffed OR declared = 'application/octet-stream' "
+            "THEN 1 ELSE 0 END FROM t"
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+    # the %4==3 class is the deliberate mismatch; everything else passes
+    assert all(v[4] == 0 for d, v in got.items() if d % 4 == 3)
+    assert all(v[4] == 1 for d, v in got.items() if d % 4 != 3)

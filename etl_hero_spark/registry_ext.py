@@ -1142,3 +1142,49 @@ def q_text_unigram_logprob(spark, sf_dir):
     from etl_hero_spark.textops import unigram_logprob_score
 
     return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_curate_v2",
+    oracle=None,
+    note=(
+        "extension capstone: the full training-data curation recipe "
+        "composed from this round's operators — corpus-level line "
+        "dedup (strip shared boilerplate) -> Gopher rule filter on the "
+        "CLEANED text -> corpus unigram LM scoring -> deterministic "
+        "source-weighted token-budget mixing. Every stage is the "
+        "registered operator unchanged, so stage semantics are already "
+        "parity-pinned; the composition test asserts the chain equals "
+        "applying the stages one at a time. Returns the selected "
+        "mixture (doc_id, source, n_tokens, mean_logprob)."
+    ),
+)
+def q_pipeline_curate_v2(spark, sf_dir):
+    from etl_hero_spark.sampling import mix_sources_budget
+    from etl_hero_spark.skew import ensure_min_partitions
+    from etl_hero_spark.textops import (
+        global_line_dedup,
+        gopher_filter,
+        token_count_expr,
+        unigram_logprob_score,
+    )
+
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    cleaned = global_line_dedup(docs, min_docs=2).select("doc_id", "clean_text")
+    survivors = (
+        gopher_filter(
+            cleaned.withColumnRenamed("clean_text", "text"),
+            min_words=20,
+            min_required_hits=1,
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("n_tokens", token_count_expr("text"))
+    )
+    scored = survivors.join(
+        unigram_logprob_score(survivors), "doc_id"
+    )
+    return mix_sources_budget(
+        scored,
+        weights={"src0": 0.2, "src1": 0.2, "src2": 0.2, "src3": 0.2, "src4": 0.2},
+        total_tokens=3000,
+    ).select("doc_id", "source", "n_tokens", "mean_logprob")

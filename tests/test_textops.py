@@ -497,3 +497,35 @@ def test_unigram_logprob_hot_tokens_broadcast(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_curate_v2_composition(spark, sf_dir):
+    """The capstone chain must agree with its stages applied one at a
+    time, and the mixture must respect the per-source budgets."""
+    from etl_hero_spark.registry_ext import q_pipeline_curate_v2
+
+    rows = q_pipeline_curate_v2(spark, sf_dir).collect()
+    assert rows, "curation selected nothing"
+    weights = {f"src{i}": 600 for i in range(5)}  # 0.2 * 3000 each
+    by_src = {}
+    for r in rows:
+        assert r["source"] in weights
+        assert r["mean_logprob"] < 0  # ln of probabilities
+        by_src.setdefault(r["source"], []).append(r)
+    for s, docs in by_src.items():
+        total = sum(r["n_tokens"] for r in docs)
+        assert total < weights[s] + max(r["n_tokens"] for r in docs)
+    # stage equivalence: every selected doc survives line-dedup + gopher
+    from etl_hero_spark import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cleaned = textops.global_line_dedup(docs, min_docs=2).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    survivors = {
+        r["doc_id"]
+        for r in textops.gopher_filter(
+            cleaned, min_words=20, min_required_hits=1
+        ).collect()
+    }
+    assert {r["doc_id"] for r in rows} <= survivors

@@ -731,3 +731,77 @@ def unigram_logprob_score(
             (F.sum(dec) / F.count(F.lit(1))).cast("double"), 9
         ).alias("mean_logprob"),
     )
+
+
+def unigram_vocab(
+    df: DataFrame, col: str = "text"
+) -> DataFrame:
+    """The corpus unigram table (token, n, logp) that
+    unigram_logprob_score builds internally, exposed so it can be
+    PERSISTED (write.parquet) and reused: at scale the vocab is built
+    once per corpus snapshot, and each incoming batch scores against
+    the stored table instead of recomputing corpus-wide counts —
+    the same persisted-index pattern as the MinHash/IVF rungs.
+
+    One shuffle on token; logp is rounded to 9dp exactly as the
+    in-memory path does.
+    """
+    toks = df.select(F.explode(tokens_expr(col)).alias("_tok")).withColumn(
+        "_tok", F.lower(F.col("_tok"))
+    )
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    total = vocab.agg(F.sum("_n").alias("_total"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "_tok",
+        "_n",
+        F.round(
+            F.log(F.col("_n").cast("double") / F.col("_total").cast("double")),
+            9,
+        ).alias("_logp"),
+    )
+
+
+def score_with_unigram_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    hot_k: int = 256,
+) -> DataFrame:
+    """Score a (possibly NEW) batch of documents against a prebuilt
+    unigram vocab (see unigram_vocab) — the incremental form of
+    unigram_logprob_score. Tokens absent from the vocab (possible for
+    fresh batches) score at the OOV floor ln(1 / (total + 1)): below
+    every in-vocab token, so unseen-token-heavy docs rank as
+    improbable, which is the point of the signal.
+
+    Same skew plan as the in-memory form: the hot_k most frequent
+    vocab tokens broadcast-join their occurrences, the tail equi-joins
+    skew-free; a LEFT join keeps OOV tokens, coalesced to the floor.
+    Per-doc ln sums accumulate as 9dp DECIMAL.
+    """
+    total = vocab.agg(F.sum("_n").alias("_t"))
+    oov = F.broadcast(
+        total.select(
+            F.round(F.log(F.lit(1.0) / (F.col("_t") + 1)), 9).alias("_oov")
+        )
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(col)).alias("_tok")
+    ).withColumn("_tok", F.lower(F.col("_tok")))
+    lookup = vocab.select("_tok", "_logp")
+    hot = lookup.orderBy(F.desc("_logp"), F.asc("_tok")).limit(hot_k)
+    cold_vocab = lookup.join(F.broadcast(hot.select("_tok")), "_tok", "left_anti")
+    hot_hits = toks.join(F.broadcast(hot), "_tok")
+    cold_hits = toks.join(
+        F.broadcast(hot.select("_tok")), "_tok", "left_anti"
+    ).join(cold_vocab, "_tok", "left")
+    scored = hot_hits.unionByName(cold_hits).crossJoin(oov)
+    lp = F.coalesce(F.col("_logp"), F.col("_oov"))
+    dec = lp.cast("decimal(20,9)")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_scored_tokens"),
+        F.round(
+            (F.sum(dec) / F.count(F.lit(1))).cast("double"), 9
+        ).alias("mean_logprob"),
+    )

@@ -529,3 +529,39 @@ def test_pipeline_curate_v2_composition(spark, sf_dir):
         ).collect()
     }
     assert {r["doc_id"] for r in rows} <= survivors
+
+
+def test_persisted_unigram_vocab_equals_in_memory(spark, sf_dir, tmp_path):
+    """Scoring the corpus against its own PERSISTED vocab must equal the
+    in-memory one-shot form exactly (same rounding, same join split)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vpath = str(tmp_path / "vocab.parquet")
+    textops.unigram_vocab(docs).write.parquet(vpath)
+    stored = spark.read.parquet(vpath)
+    got = {
+        r["doc_id"]: (r["n_scored_tokens"], r["mean_logprob"])
+        for r in textops.score_with_unigram_vocab(docs, stored).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_scored_tokens"], r["mean_logprob"])
+        for r in textops.unigram_logprob_score(docs).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_unigram_oov_floor(spark):
+    """Unseen tokens score at ln(1/(total+1)) — strictly below every
+    in-vocab token's logprob."""
+    import math
+
+    corpus = spark.createDataFrame(
+        [(1, "a a b")], "doc_id bigint, text string"
+    )
+    vocab = textops.unigram_vocab(corpus)  # total 3
+    new_batch = spark.createDataFrame(
+        [(10, "a zzz")], "doc_id bigint, text string"
+    )
+    r = textops.score_with_unigram_vocab(new_batch, vocab).first()
+    la, floor = math.log(2 / 3), math.log(1 / 4)
+    assert r["n_scored_tokens"] == 2
+    assert abs(r["mean_logprob"] - (round(la, 9) + round(floor, 9)) / 2) < 1e-8

@@ -49,6 +49,12 @@ HEADLINE = [
     "pipeline_curate_documents",
     "events_funnel",
     "events_cohort_retention",
+    # round-2 additions
+    "text_global_line_dedup",
+    "text_unigram_logprob",
+    "sample_mix_sources",
+    "events_anomaly_mad",
+    "pipeline_curate_v2",
 ]
 
 

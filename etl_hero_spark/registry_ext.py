@@ -1179,7 +1179,16 @@ def q_pipeline_curate_v2(spark, sf_dir):
         )
         .join(docs.select("doc_id", "source"), "doc_id")
         .withColumn("n_tokens", token_count_expr("text"))
+        # the dedup+filter subtree (three shuffles) feeds the vocab
+        # build, the hot/cold token probes, AND the score rejoin --
+        # four consumers, several of them broadcast subqueries that
+        # launch concurrently and would each recompute the chain before
+        # a lazy cache fills. Persist AND materialize eagerly so every
+        # consumer reads the cache (measured 13.5s -> ~9s at sf0.1).
+        # In production this is the stage boundary you'd checkpoint.
+        .persist()
     )
+    survivors.count()
     scored = survivors.join(
         unigram_logprob_score(survivors), "doc_id"
     )

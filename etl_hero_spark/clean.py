@@ -291,3 +291,46 @@ def clip_outliers_grouped(
         )
         .drop("_lo", "_hi")
     )
+
+
+def impute_grouped(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | str,
+    strategy: str = "median",
+    approx: bool = False,
+) -> DataFrame:
+    """R2b/R2c generalized per group: fill NULLs in col with the
+    column's statistic computed over the row's OWN group — per-domain
+    imputation for heterogeneous corpora (a global median is wrong for
+    every subpopulation at once, same argument as clip_outliers_grouped).
+
+    strategy: 'median' (exact interpolated; approx=True -> t-digest) or
+    'mean' (decimal-exact, engine-independent doubles).
+
+    Plan mirrors clip_outliers_grouped: one groupBy pass for the tiny
+    per-group stats table, broadcast-joined back — the fact table never
+    re-shuffles. Groups whose statistic is NULL (all-null group) keep
+    their NULLs: there is nothing to impute from.
+    """
+    from etl_hero_spark.profile import dec_avg
+
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    if strategy == "median":
+        stat = (
+            F.percentile_approx(col, 0.5)
+            if approx
+            else F.percentile(col, F.lit(0.5))
+        )
+    elif strategy == "mean":
+        stat = dec_avg(col)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    stats = df.groupBy(*group_cols).agg(stat.alias("_fill"))
+    return (
+        df.join(F.broadcast(stats), group_cols, "left")
+        .withColumn(col, F.coalesce(F.col(col), F.col("_fill")))
+        .drop("_fill")
+    )

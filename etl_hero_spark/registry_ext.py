@@ -1197,3 +1197,27 @@ def q_pipeline_curate_v2(spark, sf_dir):
         weights={"src0": 0.2, "src1": 0.2, "src2": 0.2, "src3": 0.2, "src4": 0.2},
         total_tokens=3000,
     ).select("doc_id", "source", "n_tokens", "mean_logprob")
+
+
+@register(
+    "clean_nulls_impute_grouped",
+    oracle=None,
+    note=(
+        "extension: grouped null imputation — R2b generalized per "
+        "group (fill nulls in price_n with the row's OWN "
+        "l_returnflag-group median, tagged rows also carry the mean "
+        "strategy). Same broadcast-bounds plan as "
+        "clean_outliers_clip_grouped: one groupBy for the tiny stats "
+        "table, the fact table never re-shuffles. Rows-only for "
+        "driver-window budget; DuckDB parity pinned in "
+        "tests/test_clean.py"
+    ),
+)
+def q_clean_nulls_impute_grouped(spark, sf_dir):
+    from etl_hero_spark.clean import impute_grouped
+    from etl_hero_spark.registry import _li_with_nulls
+
+    li = _li_with_nulls(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "price_n"
+    )
+    return impute_grouped(li, "price_n", "l_returnflag", "median")

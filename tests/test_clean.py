@@ -223,3 +223,49 @@ def test_clip_grouped_broadcasts_bounds(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_impute_grouped_semantics(spark):
+    from etl_hero_spark.clean import impute_grouped
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None),
+         ("b", 100.0), ("b", None),
+         ("c", None)],
+        "g string, x double",
+    )
+    med = {
+        r["g"]: [rr["x"] for rr in impute_grouped(df, "x", "g").collect()
+                 if rr["g"] == r["g"]]
+        for r in df.collect()
+    }
+    assert sorted(med["a"]) == [1.0, 2.0, 3.0]  # null -> group median 2
+    assert sorted(med["b"]) == [100.0, 100.0]
+    assert med["c"] == [None]  # all-null group keeps its nulls
+    mean = impute_grouped(df, "x", "g", "mean").collect()
+    assert sorted(r["x"] for r in mean if r["g"] == "a") == [1.0, 2.0, 3.0]
+
+
+def test_impute_grouped_matches_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import q_clean_nulls_impute_grouped
+
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["price_n"]
+        for r in q_clean_nulls_impute_grouped(spark, sf_dir).collect()
+    }
+    want = {
+        (k, ln): v
+        for k, ln, v in duckdb.sql(
+            "WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag, "
+            "CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_extendedprice END "
+            f"AS price_n FROM '{sf_dir}/lineitem.parquet'), "
+            "m AS (SELECT l_returnflag, quantile_cont(price_n, 0.5) AS v "
+            "FROM t GROUP BY 1) "
+            "SELECT l_orderkey, l_linenumber, coalesce(price_n, m.v) "
+            "FROM t LEFT JOIN m USING (l_returnflag)"
+        ).fetchall()
+    }
+    assert len(got) == len(want) > 0 and got == want

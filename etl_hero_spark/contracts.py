@@ -1,0 +1,89 @@
+"""Data-contract validation (dbt-test-style) for pipeline gates.
+
+The reference's detect step hard-codes four problem classes
+(app.py:210-240); production pipelines also need user-DECLARED
+expectations — not-null, uniqueness, accepted values, ranges, regex
+shape — checked cheaply and reported as violation counts per rule, so
+a bad batch fails fast before it poisons downstream tables.
+
+All row-level rules fold into ONE agg pass over a single scan
+(sum-of-when counters, map-side partial); uniqueness is the only rule
+that needs a shuffle (count minus distinct-count on the key columns).
+At 100 TB: one linear scan plus one exact-distinct job per declared
+unique key — the same shapes as A1/A4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named violation predicate: rows where cond is TRUE violate."""
+
+    name: str
+    cond: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null:{col}", F.col(col).isNull())
+
+
+def accepted_values(col: str, values: list) -> Rule:
+    # NULL is not a membership violation — declare not_null separately
+    return Rule(
+        f"accepted_values:{col}",
+        F.col(col).isNotNull() & ~F.col(col).isin(values),
+    )
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(
+        f"range:{col}",
+        F.col(col).isNotNull() & ~F.col(col).between(lo, hi),
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(
+        f"matches:{col}",
+        F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
+    )
+
+
+def validate_contract(
+    df: DataFrame,
+    rules: list[Rule],
+    unique_keys: list[list[str]] | None = None,
+) -> DataFrame:
+    """One row per declared rule: (rule, n_violations).
+
+    Row-level rules run as ONE agg pass; each unique-key declaration
+    adds `n_rows - n_distinct(key)` (duplicate occurrences after the
+    first, A4 semantics) as its own job. Pass the result to
+    .filter('n_violations > 0') for the failure gate.
+    """
+    exprs = [
+        F.sum(F.when(r.cond, 1).otherwise(0)).cast("bigint").alias(r.name)
+        for r in rules
+    ]
+    wide = df.agg(*exprs).first() if rules else {}
+    rows = [(r.name, wide[r.name]) for r in rules]
+    for keys in unique_keys or []:
+        n_dup = (
+            df.select(*keys)
+            .agg(
+                (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+                .cast("bigint")
+                .alias("d")
+            )
+            .first()["d"]
+        )
+        rows.append((f"unique:{','.join(keys)}", n_dup))
+    return df.sparkSession.createDataFrame(
+        rows, "rule string, n_violations bigint"
+    )

@@ -1221,3 +1221,40 @@ def q_clean_nulls_impute_grouped(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_returnflag", "price_n"
     )
     return impute_grouped(li, "price_n", "l_returnflag", "median")
+
+
+@register(
+    "contract_validate_lineitem",
+    oracle=None,
+    note=(
+        "extension: declared data-contract validation (dbt-test-style) "
+        "— one row per rule with its violation count. All row-level "
+        "rules (not-null, accepted values, range, regex) fold into ONE "
+        "agg pass; each unique-key declaration is a count-minus-"
+        "distinct job (A4 semantics). Exercised on the null-injected "
+        "lineitem so not_null has real violations and unique:l_orderkey "
+        "counts the extra lines per order. Rows-only for driver-window "
+        "budget; DuckDB parity pinned in tests/test_profile.py"
+    ),
+)
+def q_contract_validate_lineitem(spark, sf_dir):
+    from etl_hero_spark.contracts import (
+        accepted_values,
+        in_range,
+        matches,
+        not_null,
+        validate_contract,
+    )
+    from etl_hero_spark.registry import _li_with_nulls
+
+    li = _li_with_nulls(spark, sf_dir)
+    return validate_contract(
+        li,
+        rules=[
+            not_null("price_n"),
+            accepted_values("l_returnflag", ["A", "N", "R"]),
+            in_range("l_quantity", 1, 50),
+            matches("l_linestatus", "^[A-Z]+$"),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"], ["l_orderkey"]],
+    )

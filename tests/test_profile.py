@@ -159,3 +159,78 @@ def test_psi_drift_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) == 5
+
+
+def test_contract_rules_semantics(spark):
+    from etl_hero_spark.contracts import (
+        accepted_values,
+        in_range,
+        matches,
+        not_null,
+        validate_contract,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 5.0),
+            (1, "ok", 500.0),     # dup id, out of range
+            (2, None, None),      # null cat, null x (nulls not range viols)
+            (3, "bad cat", 7.0),  # not accepted, regex violation
+        ],
+        "id long, cat string, x double",
+    )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in validate_contract(
+            df,
+            rules=[
+                not_null("cat"),
+                accepted_values("cat", ["ok"]),
+                in_range("x", 0, 100),
+                matches("cat", "^[a-z]+$"),
+            ],
+            unique_keys=[["id"]],
+        ).collect()
+    }
+    assert got == {
+        "not_null:cat": 1,
+        "accepted_values:cat": 1,
+        "range:x": 1,
+        "matches:cat": 1,  # 'bad cat' has a space
+        "unique:id": 1,
+    }
+
+
+def test_contract_validate_matches_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import q_contract_validate_lineitem
+
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in q_contract_validate_lineitem(spark, sf_dir).collect()
+    }
+    (n_null, n_acc, n_rng, n_re, n_uq2, n_uq1) = duckdb.sql(
+        "WITH t AS (SELECT l.*, CASE WHEN l_orderkey % 97 = 0 THEN NULL "
+        f"ELSE l_extendedprice END AS price_n FROM '{sf_dir}/lineitem.parquet' l) "
+        "SELECT "
+        "sum(CASE WHEN price_n IS NULL THEN 1 ELSE 0 END), "
+        "sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN "
+        "('A','N','R') THEN 1 ELSE 0 END), "
+        "sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 AND 50 "
+        "THEN 1 ELSE 0 END), "
+        "sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, "
+        "'^[A-Z]+$') THEN 1 ELSE 0 END), "
+        "count(*) - count(DISTINCT (l_orderkey, l_linenumber)), "
+        "count(*) - count(DISTINCT l_orderkey) FROM t"
+    ).fetchone()
+    assert got == {
+        "not_null:price_n": n_null,
+        "accepted_values:l_returnflag": n_acc,
+        "range:l_quantity": n_rng,
+        "matches:l_linestatus": n_re,
+        "unique:l_orderkey,l_linenumber": n_uq2,
+        "unique:l_orderkey": n_uq1,
+    }
+    assert got["not_null:price_n"] > 0 and got["unique:l_orderkey"] > 0

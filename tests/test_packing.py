@@ -222,3 +222,28 @@ def test_mix_sources_budget_no_single_partition_window(spark, sf_dir):
     assert window_lines, "expected a Window node in the plan"
     for ln in window_lines:
         assert "windowspecdefinition(source" in ln and "_bucket" in ln, ln
+
+
+def test_mix_sources_budget_prefix_monotone(spark, sf_dir):
+    """Raising the total budget must only ADD documents (the md5 order
+    makes per-source selections nested prefixes), and re-running with
+    the same budget selects the identical set."""
+    from etl_hero_spark.sampling import mix_sources_budget
+    from etl_hero_spark.textops import token_count_expr
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("n_tokens", token_count_expr("text"))
+    )
+    w = {"src0": 0.5, "src1": 0.5}
+
+    def sel(total):
+        return {
+            r["doc_id"]
+            for r in mix_sources_budget(docs, w, total).select("doc_id").collect()
+        }
+
+    small, small2, big = sel(500), sel(500), sel(2000)
+    assert small == small2  # deterministic
+    assert small <= big  # nested prefixes
+    assert len(big) > len(small)

@@ -8,10 +8,12 @@ presents them as one operator surface.
 
 from etl_hero_spark.clean import (  # noqa: F401
     clip_outliers,
+    clip_outliers_grouped,
     drop_duplicate_rows,
     drop_null_rows,
     force_date_format,
     impute,
+    impute_grouped,
     normalize_dates,
     remove_outliers,
     replace_outliers,
@@ -23,8 +25,16 @@ from etl_hero_spark.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
 )
+from etl_hero_spark.contracts import (  # noqa: F401
+    accepted_values,
+    in_range,
+    matches,
+    not_null,
+    validate_contract,
+)
 from etl_hero_spark.detect import (  # noqa: F401
     date_likeness,
+    detect_anomalies_mad,
     detect_duplicates,
     detect_missing,
     detect_missions,
@@ -34,6 +44,9 @@ from etl_hero_spark.detect import (  # noqa: F401
 )
 from etl_hero_spark.multimodal import (  # noqa: F401
     decode_media_stub,
+    resize_media_stub,
+    sample_frames,
+    validate_media,
     with_media_column,
 )
 from etl_hero_spark.profile import (  # noqa: F401
@@ -52,8 +65,10 @@ from etl_hero_spark.score import (  # noqa: F401
     quality_score,
 )
 from etl_hero_spark.sampling import (  # noqa: F401
+    mix_sources_budget,
     stratified_sample_exact,
     stratified_sample_fraction,
+    weighted_hash_sample,
 )
 from etl_hero_spark.simsearch import (  # noqa: F401
     embedding_near_dup_pairs,
@@ -71,7 +86,16 @@ from etl_hero_spark.temporal import (  # noqa: F401
     range_join_count,
 )
 from etl_hero_spark.textops import (  # noqa: F401
+    chunk_documents,
+    global_line_dedup,
+    gopher_filter,
+    score_with_unigram_vocab,
+    tfidf_top_terms,
+    unigram_logprob_score,
+    unigram_vocab,
+    with_c4_line_filter,
     with_fingerprints,
+    with_gopher_quality,
     with_lang_id,
     with_quality_signals,
     with_token_counts,

@@ -320,3 +320,20 @@ def write_packed_jsonl(
         w = w.option("compression", compression)
     w.json(path)
     return shard_manifest(packed)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (both verified by the plan tests' PushedFilters/ReadSchema checks).
+    Not in the reference (its only sources are CSV/XLSX, app.py:148-151);
+    included so the engine covers the standard columnar lake formats."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -255,3 +255,23 @@ def test_validate_media_matches_duckdb(spark, sf_dir):
     # the %4==3 class is the deliberate mismatch; everything else passes
     assert all(v[4] == 0 for d, v in got.items() if d % 4 == 3)
     assert all(v[4] == 1 for d, v in got.items() if d % 4 != 3)
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path, lineitem):
+    """ORC round-trips exactly, and filters push to the ORC scan the
+    same way they do for parquet."""
+    from etl_hero_spark.io import read_orc, write_orc
+
+    path = str(tmp_path / "li.orc")
+    src = lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    got = back.filter(F.col("l_quantity") > 25)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+    want = src.filter(F.col("l_quantity") > 25).count()
+    assert got.count() == want

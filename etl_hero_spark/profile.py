@@ -417,3 +417,76 @@ def psi_drift(
             F.max("n_b").cast("bigint").alias("n_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable stats snapshots — incremental profile maintenance
+# ---------------------------------------------------------------------------
+
+_DEC_SUM = "decimal(38,2)"
+_DEC_SUMSQ = "decimal(38,4)"
+
+
+def stats_snapshot(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-row MERGEABLE statistics state for incremental profiling:
+    per column, (n non-null, exact decimal sum, exact decimal sum of
+    squares, min, max). Persist the row per batch/partition-of-arrival;
+    combine any set of snapshots with merge_stats_snapshots and derive
+    the final profile with finalize_stats — mean/std over the whole
+    corpus WITHOUT rescanning it (the incremental-ETL pattern; at
+    100 TB you snapshot per ingest batch and fold).
+
+    Decimal accumulation makes the merge EXACT and order-independent:
+    finalize over merged snapshots is bit-identical to numeric_stats
+    over the union of the batches (asserted in tests). decimal(38,_)
+    bounds overflow at ~1e34 total — far past 100 TB of 2dp values.
+    """
+    cols = cols or numeric_columns(df)
+    exprs: list[Column] = []
+    for c in cols:
+        x = F.col(c)
+        exprs += [
+            F.count(x).alias(f"n_{c}"),
+            F.sum(x.cast(_DEC_SUM)).cast(_DEC_SUM).alias(f"sum_{c}"),
+            F.sum((x.cast(_DEC) * x.cast(_DEC)).cast(_DEC_SUMSQ))
+            .cast(_DEC_SUMSQ)
+            .alias(f"sumsq_{c}"),
+            F.min(x).alias(f"min_{c}"),
+            F.max(x).alias(f"max_{c}"),
+        ]
+    return df.agg(*exprs)
+
+
+def merge_stats_snapshots(snapshots: DataFrame, cols: list[str]) -> DataFrame:
+    """Fold any number of snapshot rows into one: counts and decimal
+    sums add exactly; min/max take the extremes. Associative and
+    commutative, so snapshots merge in any order or tree shape."""
+    exprs: list[Column] = []
+    for c in cols:
+        exprs += [
+            F.sum(f"n_{c}").alias(f"n_{c}"),
+            F.sum(f"sum_{c}").cast(_DEC_SUM).alias(f"sum_{c}"),
+            F.sum(f"sumsq_{c}").cast(_DEC_SUMSQ).alias(f"sumsq_{c}"),
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.max(f"max_{c}").alias(f"max_{c}"),
+        ]
+    return snapshots.agg(*exprs)
+
+
+def finalize_stats(merged: DataFrame, cols: list[str]) -> DataFrame:
+    """Derive the numeric_stats row (mean_/std_/min_/max_ per column)
+    from a merged snapshot — identical float64 expression order to
+    dec_avg/dec_stddev_pop, so the result is bit-identical to a full
+    rescan."""
+    exprs: list[Column] = []
+    for c in cols:
+        n = F.col(f"n_{c}").cast("double")
+        sx = F.col(f"sum_{c}").cast("double")
+        sx2 = F.col(f"sumsq_{c}").cast("double")
+        exprs += [
+            F.round(sx / n, 6).alias(f"mean_{c}"),
+            F.round(F.sqrt(sx2 / n - (sx / n) * (sx / n)), 6).alias(f"std_{c}"),
+            F.col(f"min_{c}"),
+            F.col(f"max_{c}"),
+        ]
+    return merged.select(*exprs)

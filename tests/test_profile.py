@@ -234,3 +234,50 @@ def test_contract_validate_matches_duckdb(spark, sf_dir):
         "unique:l_orderkey": n_uq1,
     }
     assert got["not_null:price_n"] > 0 and got["unique:l_orderkey"] > 0
+
+
+def test_mergeable_snapshots_bit_match_full_rescan(spark, sf_dir):
+    """finalize(merge(snapshot(batch1), snapshot(batch2))) must be
+    BIT-identical to numeric_stats over the union — decimal states make
+    the merge exact, and finalize repeats dec_avg/dec_stddev_pop's
+    float64 expression order."""
+    from etl_hero_spark.profile import (
+        finalize_stats,
+        merge_stats_snapshots,
+        numeric_stats,
+        stats_snapshot,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    snaps = stats_snapshot(a, cols).unionByName(stats_snapshot(b, cols))
+    got = finalize_stats(merge_stats_snapshots(snaps, cols), cols).first()
+    want = numeric_stats(li, cols).first()
+    assert got.asDict() == want.asDict()
+
+
+def test_mergeable_snapshots_order_invariant(spark):
+    """Snapshots merge associatively: (a+b)+c == a+(b+c) == one-shot."""
+    from etl_hero_spark.profile import (
+        finalize_stats,
+        merge_stats_snapshots,
+        stats_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 300)], "x double"
+    )
+    parts = [
+        df.filter((F.col("x") % 3) == k) for k in range(3)
+    ]
+    snaps = [stats_snapshot(p, ["x"]) for p in parts]
+    u1 = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+    u2 = snaps[2].unionByName(snaps[0]).unionByName(snaps[1])
+    r1 = finalize_stats(merge_stats_snapshots(u1, ["x"]), ["x"]).first()
+    r2 = finalize_stats(merge_stats_snapshots(u2, ["x"]), ["x"]).first()
+    one = finalize_stats(
+        merge_stats_snapshots(stats_snapshot(df, ["x"]), ["x"]), ["x"]
+    ).first()
+    assert r1.asDict() == r2.asDict() == one.asDict()

@@ -565,3 +565,17 @@ def test_unigram_oov_floor(spark):
     la, floor = math.log(2 / 3), math.log(1 / 4)
     assert r["n_scored_tokens"] == 2
     assert abs(r["mean_logprob"] - (round(la, 9) + round(floor, 9)) / 2) < 1e-8
+
+
+def test_global_line_dedup_idempotent(spark, sf_dir):
+    """Applying the pass twice equals applying it once: the first pass
+    removes every line with corpus DF >= min_docs, so nothing crosses
+    the threshold on the rerun (removal can only lower DFs)."""
+    from etl_hero_spark.registry_ext import q_text_global_line_dedup
+
+    once = q_text_global_line_dedup(spark, sf_dir).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = textops.global_line_dedup(once, min_docs=2)
+    changed = twice.filter(F.col("n_lines_removed") > 0).count()
+    assert changed == 0

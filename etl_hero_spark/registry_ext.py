@@ -1258,3 +1258,32 @@ def q_contract_validate_lineitem(spark, sf_dir):
         ],
         unique_keys=[["l_orderkey", "l_linenumber"], ["l_orderkey"]],
     )
+
+
+@register(
+    "profile_stats_incremental",
+    oracle=None,
+    note=(
+        "extension: incremental profile maintenance — per-batch "
+        "mergeable snapshots (count + exact decimal sum/sumsq + "
+        "min/max) folded and finalized into the numeric_stats row "
+        "WITHOUT rescanning the corpus. Bit-identical to the full "
+        "rescan (pinned in tests/test_profile.py, incl. associativity), "
+        "which is itself oracle-backed via profile_stats. Rows-only "
+        "for driver-window budget."
+    ),
+)
+def q_profile_stats_incremental(spark, sf_dir):
+    from etl_hero_spark.profile import (
+        finalize_stats,
+        merge_stats_snapshots,
+        stats_snapshot,
+    )
+    from etl_hero_spark.registry import LINEITEM_NUM
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = list(LINEITEM_NUM)
+    halves = stats_snapshot(
+        li.filter(F.col("l_orderkey") % 2 == 0), cols
+    ).unionByName(stats_snapshot(li.filter(F.col("l_orderkey") % 2 == 1), cols))
+    return finalize_stats(merge_stats_snapshots(halves, cols), cols)

@@ -1287,3 +1287,32 @@ def q_profile_stats_incremental(spark, sf_dir):
         li.filter(F.col("l_orderkey") % 2 == 0), cols
     ).unionByName(stats_snapshot(li.filter(F.col("l_orderkey") % 2 == 1), cols))
     return finalize_stats(merge_stats_snapshots(halves, cols), cols)
+
+
+@register(
+    "sim_semantic_dedup",
+    oracle=None,
+    note=(
+        "extension: SemDeDup (arXiv:2303.09540) — semantic dedup via "
+        "coarse k-means cluster bucketing + within-cluster cosine "
+        "pairs + pointer-jumping components; keeps the smallest id per "
+        "duplicate group. The quadratic surface is per-cluster (k "
+        "scales with the corpus), assignment is a codegen'd argmin over "
+        "plan-literal centroids, no join. Scaled clones injected "
+        "(cosine is scale-invariant -> clone pairs score ~1.0). "
+        "Rows-only; semantics + single-cluster exactness pinned in "
+        "tests/test_simsearch.py"
+    ),
+)
+def q_sim_semantic_dedup(spark, sf_dir):
+    from etl_hero_spark.simsearch import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000)
+        .withColumn(
+            "embedding", F.transform("embedding", lambda x: x * F.lit(1.5))
+        )
+    )
+    return semantic_dedup(emb.unionByName(clones), threshold=0.95)

@@ -524,3 +524,80 @@ def label_centroids(
         ).alias("mean_val"),
         F.count("val").cast("bigint").alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-bucketed cosine
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.92,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove SEMANTIC
+    duplicates — documents whose embeddings are near-identical even
+    when their text is not — by clustering with a coarse k-means
+    quantizer and comparing pairs only WITHIN a cluster, then keeping
+    one representative per connected duplicate group.
+
+    Output: (id_col, cluster_id, component, keep) for every input row;
+    keep=1 marks the retained representative (the smallest id of its
+    duplicate group; singletons keep themselves).
+
+    Scale shape: the quadratic surface is per-cluster (the paper's own
+    construction — k scales with corpus size so cluster populations
+    stay bounded); centroids are a sample-trained driver model folded
+    into the plan as literals (train_centroids), assignment is a
+    codegen'd argmin with NO join, and the duplicate closure is the
+    same pointer-jumping connected_components as the text rungs.
+    Cross-cluster near-dup pairs are missed by construction — that is
+    SemDeDup's documented recall trade-off (tested against the
+    single-cluster exact form).
+    """
+    from etl_hero_spark.dedup import connected_components
+    from etl_hero_spark.skew import ensure_min_partitions
+
+    cents = train_centroids(
+        df, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+    )
+    assigned = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        quantized_vec(vec_col, 3).alias("v"),
+        nearest_lists_expr(vec_col, cents, 1)[0].alias("cluster_id"),
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "cluster_id"
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        assigned.join(
+            comp.select(F.col("id"), F.col("component")), "id", "left"
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col("id")) == F.col("id")
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -251,3 +251,77 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path, emb, queries):
         .toString()
     )
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+
+
+def test_semantic_dedup_groups_and_representatives(spark):
+    from etl_hero_spark.simsearch import semantic_dedup
+
+    # two duplicate pairs along distinct axes + two singletons; 64-dim
+    def vec(axis, scale):
+        v = [0.0] * 64
+        v[axis] = scale
+        return v
+
+    rows = [
+        (1, vec(0, 1.0)), (2, vec(0, 2.0)),      # dup group {1,2}
+        (10, vec(1, 1.0)), (11, vec(1, 0.5)),    # dup group {10,11}
+        (20, vec(2, 1.0)),                       # singleton
+        (21, vec(3, 1.0)),                       # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["component"], r["keep"])
+        for r in semantic_dedup(df, threshold=0.99, n_centroids=2).collect()
+    }
+    assert got[1] == (1, 1) and got[2] == (1, 0)
+    assert got[10] == (10, 1) and got[11] == (10, 0)
+    assert got[20] == (20, 1) and got[21] == (21, 1)
+    assert len(got) == 6
+
+
+def test_semantic_dedup_single_cluster_is_exact(spark, sf_dir):
+    """With one cluster the pair search is exhaustive, so the result
+    must equal brute-force all-pairs components at the same threshold
+    (multi-cluster runs may only MISS cross-cluster pairs — the
+    documented SemDeDup recall trade-off)."""
+    import pyspark.sql.functions as SF
+
+    from etl_hero_spark.dedup import connected_components
+    from etl_hero_spark.simsearch import (
+        cosine_expr,
+        quantized_vec,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clones = (
+        emb.filter(SF.col("vec_id") % 50 == 0)
+        .withColumn("vec_id", SF.col("vec_id") + 1000000)
+        .withColumn("embedding", SF.transform("embedding", lambda x: x * SF.lit(2.0)))
+    )
+    corpus = emb.unionByName(clones)
+    got = {
+        (r["vec_id"], r["component"], r["keep"])
+        for r in semantic_dedup(corpus, threshold=0.95, n_centroids=1).collect()
+    }
+    base = corpus.select(
+        SF.col("vec_id").alias("id"), quantized_vec("embedding", 3).alias("v")
+    )
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), SF.col("a.id") < SF.col("b.id"))
+        .withColumn(
+            "cos",
+            SF.round(cosine_expr(SF.col("a.v"), SF.col("b.v")), 6),
+        )
+        .filter(SF.col("cos") >= 0.95)
+        .select(SF.col("a.id").alias("id_a"), SF.col("b.id").alias("id_b"))
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    want = {
+        (r["id"], comp.get(r["id"], r["id"]), int(comp.get(r["id"], r["id"]) == r["id"]))
+        for r in base.collect()
+    }
+    assert got == want
+    # the injected clones actually form duplicate groups
+    assert any(k == 0 for _, _, k in got)

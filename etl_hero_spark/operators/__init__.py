@@ -51,6 +51,9 @@ from etl_hero_spark.multimodal import (  # noqa: F401
 )
 from etl_hero_spark.profile import (  # noqa: F401
     distinct_counts,
+    finalize_stats,
+    merge_stats_snapshots,
+    stats_snapshot,
     duplicate_count,
     mode_value,
     null_counts,
@@ -66,12 +69,14 @@ from etl_hero_spark.score import (  # noqa: F401
 )
 from etl_hero_spark.sampling import (  # noqa: F401
     mix_sources_budget,
+    with_split,
     stratified_sample_exact,
     stratified_sample_fraction,
     weighted_hash_sample,
 )
 from etl_hero_spark.simsearch import (  # noqa: F401
     embedding_near_dup_pairs,
+    semantic_dedup,
     topk_cosine,
     topk_cosine_ivf,
     topk_cosine_lsh,

@@ -160,3 +160,42 @@ def mix_sources_budget(
         .filter(F.col("_excl") < F.col("_budget"))
         .drop("_h", "_bucket", "_local_incl", "_offset", "_budget", "_excl")
     )
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict | None = None,
+    salt: str = "split",
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a `split` column
+    chosen by hashing (salt, id) into [0,1) and cutting at the
+    cumulative fraction boundaries (fractions must sum to 1).
+
+    No RNG state: the assignment is a pure function of (salt, id), so
+    re-runs, retried tasks, incremental batches, and different
+    partitionings all agree — and a document NEVER migrates between
+    splits as the corpus grows (the leakage guarantee that matters for
+    eval integrity). Changing the salt draws an independent split.
+    A codegen'd when-chain over a linear scan: no shuffle, works
+    identically under Structured Streaming. Granularity 1/modulus.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = F.pmod(
+        F.xxhash64(F.lit(salt), F.col(id_col).cast("string")), F.lit(modulus)
+    ) / F.lit(float(modulus))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

@@ -247,3 +247,49 @@ def test_mix_sources_budget_prefix_monotone(spark, sf_dir):
     assert small == small2  # deterministic
     assert small <= big  # nested prefixes
     assert len(big) > len(small)
+
+
+def test_with_split_deterministic_and_stable_under_growth(spark, sf_dir):
+    """Assignments are a pure function of (salt, id): identical across
+    runs and partitionings, and ADDING rows never moves an existing row
+    between splits (the eval-leakage guarantee)."""
+    from etl_hero_spark.sampling import with_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    full = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs, "doc_id").collect()
+    }
+    again = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs.repartition(7), "doc_id").collect()
+    }
+    assert full == again
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {
+        r["doc_id"]: r["split"] for r in with_split(half, "doc_id").collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    # proportions roughly honored (hash uniformity, 500 docs)
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert c["train"] > 0.8 * len(full)
+    assert 0 < c["val"] < 0.15 * len(full)
+    assert 0 < c["test"] < 0.15 * len(full)
+    # a different salt draws a different assignment
+    other = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs, "doc_id", salt="other").collect()
+    }
+    assert other != full
+
+
+def test_with_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from etl_hero_spark.sampling import with_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        with_split(df, "doc_id", {"a": 0.5, "b": 0.1})

@@ -281,15 +281,25 @@ def clip_outliers_grouped(
             F.round("_lo", round_bounds).alias("_lo"),
             F.round("_hi", round_bounds).alias("_hi"),
         )
+    bounds = bounds.select(
+        *[F.col(g).alias(f"_g_{g}") for g in group_cols], "_lo", "_hi"
+    )
+    cond = None
+    for g in group_cols:
+        eq = F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+        cond = eq if cond is None else cond & eq
+    # null-SAFE join keys: a NULL group is a real group (its bounds row
+    # exists) and must still be clipped — plain equi-join keys would
+    # silently leave the whole NULL subpopulation untouched
     return (
-        df.join(F.broadcast(bounds), group_cols, "left")
+        df.join(F.broadcast(bounds), cond, "left")
         .withColumn(
             col,
             F.when(F.col(col) < F.col("_lo"), F.col("_lo"))
             .when(F.col(col) > F.col("_hi"), F.col("_hi"))
             .otherwise(F.col(col)),
         )
-        .drop("_lo", "_hi")
+        .drop("_lo", "_hi", *[f"_g_{g}" for g in group_cols])
     )
 
 
@@ -329,8 +339,17 @@ def impute_grouped(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     stats = df.groupBy(*group_cols).agg(stat.alias("_fill"))
+    stats = stats.select(
+        *[F.col(g).alias(f"_g_{g}") for g in group_cols], "_fill"
+    )
+    cond = None
+    for g in group_cols:
+        eq = F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+        cond = eq if cond is None else cond & eq
+    # null-SAFE keys: rows whose group key is NULL still impute from
+    # the NULL group's statistic (see clip_outliers_grouped)
     return (
-        df.join(F.broadcast(stats), group_cols, "left")
+        df.join(F.broadcast(stats), cond, "left")
         .withColumn(col, F.coalesce(F.col(col), F.col("_fill")))
-        .drop("_fill")
+        .drop("_fill", *[f"_g_{g}" for g in group_cols])
     )

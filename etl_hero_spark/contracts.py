@@ -74,10 +74,15 @@ def validate_contract(
     wide = df.agg(*exprs).first() if rules else {}
     rows = [(r.name, wide[r.name]) for r in rules]
     for keys in unique_keys or []:
+        # groupBy-based duplicate count (A4 semantics, duplicate_count's
+        # shape): NULL keys form an ordinary group, unlike
+        # count_distinct, which silently DROPS rows with any NULL key
+        # column and would miscount every such row as a duplicate.
         n_dup = (
-            df.select(*keys)
+            df.groupBy(*keys)
+            .count()
             .agg(
-                (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+                F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
                 .cast("bigint")
                 .alias("d")
             )

@@ -291,16 +291,32 @@ def detect_anomalies_mad(
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
+    def _nullsafe_join(left, right, how="inner"):
+        # NULL group keys are real groups and must match their own
+        # stats row — plain equi-join keys would drop that whole
+        # subpopulation silently
+        r = right.select(
+            *[F.col(g).alias(f"_g_{g}") for g in group_cols],
+            *[c for c in right.columns if c not in group_cols],
+        )
+        cond = None
+        for g in group_cols:
+            eq = F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+            cond = eq if cond is None else cond & eq
+        return left.join(F.broadcast(r), cond, how).drop(
+            *[f"_g_{g}" for g in group_cols]
+        )
+
     med = df.filter(F.col(col).isNotNull()).groupBy(*group_cols).agg(
         F.percentile(col, F.lit(0.5)).alias("_med")
     )
-    dev = df.join(F.broadcast(med), group_cols).withColumn(
+    dev = _nullsafe_join(df, med).withColumn(
         "_adev", F.abs(F.col(col) - F.col("_med"))
     )
     mad = dev.filter(F.col(col).isNotNull()).groupBy(*group_cols).agg(
         F.percentile("_adev", F.lit(0.5)).alias("_mad")
     )
-    flagged = dev.join(F.broadcast(mad), group_cols)
+    flagged = _nullsafe_join(dev, mad)
     return (
         flagged.groupBy(*group_cols)
         .agg(

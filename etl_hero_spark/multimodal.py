@@ -145,7 +145,12 @@ def resize_media_stub(
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[media_name].map(bytes)
+            # NULL payloads (the corrupt/missing class validate_media
+            # flags) resize to an all-zero canvas instead of killing
+            # the task with bytes(None)
+            payloads = pdf[media_name].map(
+                lambda b: b"" if b is None else bytes(b)
+            )
             resized = payloads.map(_resample)
             yield pd.DataFrame(
                 {

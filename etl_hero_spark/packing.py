@@ -101,14 +101,19 @@ def pack_token_shards(
     )
 
 
-def shard_manifest(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
+def shard_manifest(
+    packed: DataFrame,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
     """One row per shard: doc count, token total, id range — the export
-    manifest a downstream trainer consumes."""
+    manifest a downstream trainer consumes. order_col must match the
+    column pack_token_shards ordered by."""
     return packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("n_tokens"),
-        F.min("doc_id").alias("first_doc_id"),
-        F.max("doc_id").alias("last_doc_id"),
+        F.min(order_col).alias("first_doc_id"),
+        F.max(order_col).alias("last_doc_id"),
     )
 
 

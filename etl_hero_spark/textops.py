@@ -340,6 +340,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """Top-k terms per document by TF-IDF: (id, term, tf, tfidf, rnk).
 
@@ -366,7 +367,14 @@ def tfidf_top_terms(
     # cached: both the scored join probe AND the document-frequency agg
     # consume tf — without the cache Catalyst plans a second full
     # scan+explode for the df_t branch (no cross-DAG subplan reuse)
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if persist:
+        # the cache lives for the session (Spark offers no plan-scoped
+        # release point for a lazily-consumed intermediate); callers
+        # looping over corpus snapshots should pass persist=False (one
+        # extra tokenize+agg scan) or spark.catalog.clearCache()
+        # between iterations
+        tf = tf.cache()
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -688,48 +696,15 @@ def unigram_logprob_score(
     Output: id_col, n_scored_tokens, mean_logprob (ln scale; empty/
     blank docs are dropped — they have no tokens to score).
 
-    Plan — the token join is Zipf-skewed by construction (half the
-    occurrences hit a few hundred stopword keys), so the probe is
-    split by heavy hitters instead of relying on runtime skew
-    handling:
-      1. vocab: one shuffle on token (map-side partial counts);
-         corpus total via a broadcast 1-row agg;
-      2. the hot_k most frequent tokens (TakeOrderedAndProject —
-         distributed, no global window) BROADCAST-join their
-         occurrences: the skewed keys never cross the wire;
-      3. the cold tail — now skew-free by construction — equi-joins
-         the remaining vocab on token;
-      4. union, then ONE groupBy on the doc id. Per-doc sums
-         accumulate ln values rounded to 9dp as DECIMAL, so the
-         result is partition-order independent (double addition is
-         not associative).
+    This is exactly score_with_unigram_vocab over a vocab built from
+    the SAME corpus (one definition of the vocab math and the
+    skew-split scoring plan, shared with the persisted-index path; the
+    OOV branch is unreachable here because every token is in its own
+    corpus's vocab). See unigram_vocab/score_with_unigram_vocab for
+    the plan details.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(tokens_expr(col)).alias("_tok"),
-    ).withColumn("_tok", F.lower(F.col("_tok")))
-    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
-    total = vocab.agg(F.sum("_n").alias("_total"))
-    vocab = vocab.crossJoin(F.broadcast(total)).select(
-        "_tok",
-        F.round(
-            F.log(F.col("_n").cast("double") / F.col("_total").cast("double")),
-            9,
-        ).alias("_logp"),
-    )
-    hot = vocab.orderBy(F.desc("_logp"), F.asc("_tok")).limit(hot_k)
-    cold_vocab = vocab.join(F.broadcast(hot.select("_tok")), "_tok", "left_anti")
-    hot_hits = toks.join(F.broadcast(hot), "_tok")
-    cold_hits = toks.join(
-        F.broadcast(hot.select("_tok")), "_tok", "left_anti"
-    ).join(cold_vocab, "_tok")
-    scored = hot_hits.unionByName(cold_hits)
-    dec = F.col("_logp").cast("decimal(20,9)")
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_scored_tokens"),
-        F.round(
-            (F.sum(dec) / F.count(F.lit(1))).cast("double"), 9
-        ).alias("mean_logprob"),
+    return score_with_unigram_vocab(
+        df, unigram_vocab(df, col), id_col=id_col, col=col, hot_k=hot_k
     )
 
 

@@ -269,3 +269,23 @@ def test_impute_grouped_matches_duckdb(spark, sf_dir):
         ).fetchall()
     }
     assert len(got) == len(want) > 0 and got == want
+
+
+def test_grouped_ops_treat_null_group_as_a_group(spark):
+    """Rows with a NULL group key are a real subpopulation: grouped
+    clip and grouped impute must apply that group's own stats instead
+    of silently skipping (null-unsafe equi-join would leave them
+    untouched)."""
+    from etl_hero_spark.clean import clip_outliers_grouped, impute_grouped
+
+    df = spark.createDataFrame(
+        [(None, float(v)) for v in range(1, 101)] + [(None, None)],
+        "g string, x double",
+    )
+    clipped = clip_outliers_grouped(
+        df, "x", "g", lower_q=0.1, upper_q=0.9, round_bounds=None
+    )
+    vals = sorted(r["x"] for r in clipped.collect() if r["x"] is not None)
+    assert vals[0] > 1.0 and vals[-1] < 100.0  # bounds applied
+    imputed = impute_grouped(df, "x", "g")
+    assert imputed.filter(F.col("x").isNull()).count() == 0

@@ -123,3 +123,15 @@ def test_mad_anomalies_match_duckdb(spark, sf_dir):
     assert set(got) == set(want) and len(got) > 0
     for t in got:
         assert got[t] == want[t], (t, got[t], want[t])
+
+
+def test_mad_anomalies_null_group_key_is_a_group(spark):
+    from etl_hero_spark.detect import detect_anomalies_mad
+
+    df = spark.createDataFrame(
+        [(None, float(v)) for v in [1, 2, 3, 4, 5, 1000]],
+        "g string, x double",
+    )
+    rows = detect_anomalies_mad(df, "x", "g").collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 6 and rows[0]["n_anomalies"] == 1

@@ -275,3 +275,17 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path, lineitem):
     )[1][:120]
     want = src.filter(F.col("l_quantity") > 25).count()
     assert got.count() == want
+
+
+def test_resize_media_null_payload_survives(spark):
+    """NULL payloads (the corrupt class) must resize to a zero canvas,
+    not kill the task with bytes(None)."""
+    from etl_hero_spark.multimodal import resize_media_stub
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "doc_id long, media binary"
+    )
+    rows = {r["doc_id"]: r for r in resize_media_stub(df, 4, 4).collect()}
+    assert rows[2]["n_bytes"] == 16 and rows[2]["orig_n_bytes"] == 0
+    assert bytes(rows[2]["media"]) == bytes(16)
+    assert rows[1]["n_bytes"] == 16

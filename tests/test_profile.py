@@ -281,3 +281,18 @@ def test_mergeable_snapshots_order_invariant(spark):
         merge_stats_snapshots(stats_snapshot(df, ["x"]), ["x"]), ["x"]
     ).first()
     assert r1.asDict() == r2.asDict() == one.asDict()
+
+
+def test_contract_unique_rule_null_keys_are_groups(spark):
+    """NULL key values form ordinary groups (A4 semantics): [1, NULL,
+    NULL] has exactly one duplicate occurrence, not two."""
+    from etl_hero_spark.contracts import validate_contract
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (None,)], "k long"
+    )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in validate_contract(df, rules=[], unique_keys=[["k"]]).collect()
+    }
+    assert got == {"unique:k": 1}

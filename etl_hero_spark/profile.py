@@ -490,3 +490,39 @@ def finalize_stats(merged: DataFrame, cols: list[str]) -> DataFrame:
             F.col(f"max_{c}"),
         ]
     return merged.select(*exprs)
+
+
+def topk_values(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Categorical value profile: the k most frequent values per string
+    column as (column, value, n, rnk) rows — the string-column
+    complement to histogram() (pandas-profiling's 'top values' pane);
+    NULL is profiled as a real value (rendered '<null>') since its
+    share is usually the decision-relevant number.
+
+    Plan: unpivot the selected columns with stack() (narrow — rows x
+    n_cols, same expansion every long-format profiler pays), ONE
+    groupBy (column, value) count, then a rank window PARTITIONED BY
+    column — never a global window; ties break by value ascending so
+    results are deterministic and engine-comparable.
+    """
+    from pyspark.sql import Window as W
+
+    cols = cols or string_columns(df)
+    stack_expr = ", ".join(
+        f"'{c}', coalesce(cast({c} as string), '<null>')" for c in cols
+    )
+    long = df.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column, value)"
+    )
+    counts = long.groupBy("column", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = W.partitionBy("column").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1316,3 +1316,25 @@ def q_sim_semantic_dedup(spark, sf_dir):
         )
     )
     return semantic_dedup(emb.unionByName(clones), threshold=0.95)
+
+
+@register(
+    "profile_topk_values",
+    oracle=None,
+    note=(
+        "extension: categorical value profile — top-5 most frequent "
+        "values per string column of orders, NULL profiled as a real "
+        "value. stack() unpivot -> one groupBy -> rank window "
+        "PARTITIONED BY column (never global), value-ascending "
+        "tie-break. Rows-only for driver-window budget; DuckDB parity "
+        "pinned in tests/test_profile.py"
+    ),
+)
+def q_profile_topk_values(spark, sf_dir):
+    from etl_hero_spark.profile import topk_values
+
+    return topk_values(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority", "o_orderstatus"],
+        k=5,
+    )

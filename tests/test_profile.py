@@ -296,3 +296,61 @@ def test_contract_unique_rule_null_keys_are_groups(spark):
         for r in validate_contract(df, rules=[], unique_keys=[["k"]]).collect()
     }
     assert got == {"unique:k": 1}
+
+
+def test_topk_values_semantics(spark):
+    from etl_hero_spark.profile import topk_values
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", None), ("b", "y"), ("a", None)],
+        "c1 string, c2 string",
+    )
+    rows = {
+        (r["column"], r["rnk"]): (r["value"], r["n"])
+        for r in topk_values(df, ["c1", "c2"], k=2).collect()
+    }
+    assert rows[("c1", 1)] == ("a", 3) and rows[("c1", 2)] == ("b", 2)
+    # y(2) first, then the tie between '<null>'(2)... null tied with y:
+    # order is n desc then value asc -> '<null>' < 'y' lexicographically
+    assert rows[("c2", 1)] == ("<null>", 2) and rows[("c2", 2)] == ("y", 2)
+
+
+def test_topk_values_matches_duckdb(spark, sf_dir):
+    """Cross-engine oracle for the rows-only registered query."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import q_profile_topk_values
+
+    got = {
+        (r["column"], r["value"], r["n"], r["rnk"])
+        for r in q_profile_topk_values(spark, sf_dir).collect()
+    }
+    want = set(
+        duckdb.sql(
+            "WITH l AS ("
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS col, coalesce(cast({c} as varchar), '<null>') "
+                f"AS value FROM '{sf_dir}/orders.parquet'"
+                for c in ["o_orderpriority", "o_orderstatus"]
+            )
+            + "), c AS (SELECT col, value, count(*) AS n FROM l GROUP BY 1, 2), "
+            "r AS (SELECT col, value, n, cast(row_number() OVER "
+            "(PARTITION BY col ORDER BY n DESC, value ASC) as int) AS rnk FROM c) "
+            "SELECT col, value, n, rnk FROM r WHERE rnk <= 5"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_topk_values_window_is_partitioned(spark, sf_dir):
+    from etl_hero_spark.registry_ext import q_profile_topk_values
+
+    plan = (
+        q_profile_topk_values(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "column" in line.split("windowspecdefinition")[1][:60]

@@ -566,3 +566,52 @@ def q_multimodal_validate(spark, sf_dir):
         "doc_id", "declared_mime", "sniffed_mime", "n_bytes",
         "is_truncated", "mime_ok",
     )
+
+
+def _monitor_rules():
+    from etl_hero_spark.contracts import accepted_values, in_range, not_null
+
+    # bounds chosen so the fixture's heavy tail and its 'error' events
+    # actually fire (a monitor that never fires monitors nothing)
+    return [
+        not_null("value"),
+        in_range("value", 0.0, 250.0),
+        accepted_values("event_type", ["view", "click", "purchase", "signup"]),
+    ]
+
+
+@register(
+    "events_contract_monitor",
+    oracle=None,
+    note=(
+        "extension: windowed data-quality monitor — declared contract "
+        "rules (not-null / range / regex) as per-tumbling-window "
+        "violation counts, so a bad producer shows as a spike in its "
+        "window. Sum-of-when counters, single-shuffle grouped agg; the "
+        "TRUE streaming twin is stream_contract_monitor (equality "
+        "pinned in tests/test_streaming.py). Rows-only; DuckDB parity "
+        "pinned in tests/test_streaming.py"
+    ),
+)
+def q_events_contract_monitor(spark, sf_dir):
+    from etl_hero_spark.streaming.windows import contract_monitor_batch
+
+    return contract_monitor_batch(_events(spark, sf_dir), _monitor_rules())
+
+
+@register(
+    "stream_contract_monitor",
+    oracle=None,
+    note=(
+        "extension: TRUE Structured Streaming run of the windowed "
+        "contract monitor — watermark-bounded state of one long per "
+        "(window, rule) regardless of event volume; == the batch twin "
+        "(pinned in tests/test_streaming.py)"
+    ),
+)
+def q_stream_contract_monitor(spark, sf_dir):
+    from etl_hero_spark.streaming.windows import stream_contract_monitor
+
+    return stream_contract_monitor(
+        spark, f"{sf_dir}/events.parquet", _monitor_rules()
+    )

@@ -681,3 +681,91 @@ def stream_funnel_counts(
             for i, s in enumerate(steps)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming data-quality monitor (declared contract rules per window)
+# ---------------------------------------------------------------------------
+
+
+def contract_monitor_batch(
+    events: DataFrame,
+    rules: list,
+    window_size: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Windowed data-quality monitor: one row per (window, rule) with
+    the rule's violation count — contracts.validate_contract's
+    row-level rules turned into a time series, so a bad producer shows
+    up as a spike in ITS window instead of one corpus-wide number.
+
+    Sum-of-when counters are trivially partial-aggregable, so the same
+    expression tree runs identically as a batch groupBy and as a
+    watermarked streaming aggregate (stream_contract_monitor, its
+    equality-tested twin).
+    """
+    agg = events.groupBy(F.window(ts_col, window_size)).agg(
+        *[
+            F.sum(F.when(r.cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias(r.name)
+            for r in rules
+        ]
+    )
+    stacked = agg.select(
+        _window_start_str().alias("window_start"),
+        F.expr(
+            "stack({n}, {pairs}) as (rule, n_violations)".format(
+                n=len(rules),
+                pairs=", ".join(f"'{r.name}', `{r.name}`" for r in rules),
+            )
+        ),
+    )
+    return stacked
+
+
+def stream_contract_monitor(
+    spark: SparkSession,
+    events_path: str,
+    rules: list,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "etl_hero_stream_contract",
+) -> DataFrame:
+    """contract_monitor_batch as a TRUE Structured Streaming query:
+    the same sum-of-when counters as a watermark-bounded windowed
+    aggregate over the file stream, complete mode into a memory sink,
+    drained synchronously. State per window is one long per rule —
+    bounded by (windows in watermark) x n_rules regardless of event
+    volume, the right monitor shape for an unbounded source."""
+    src = _events_stream_source(
+        spark, events_path, "etl_hero_stream_contract_"
+    ).withWatermark("ts", watermark)
+    agg = src.groupBy(F.window("ts", window_size)).agg(
+        *[
+            F.sum(F.when(r.cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias(r.name)
+            for r in rules
+        ]
+    )
+    out = agg.select(
+        _window_start_str().alias("window_start"),
+        F.expr(
+            "stack({n}, {pairs}) as (rule, n_violations)".format(
+                n=len(rules),
+                pairs=", ".join(f"'{r.name}', `{r.name}`" for r in rules),
+            )
+        ),
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

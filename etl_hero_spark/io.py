@@ -337,3 +337,31 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — requires the spark-avro package (external to core
+    Spark, absent from this image). Gated like read_excel: a clean
+    NotImplementedError instead of an opaque ClassNotFound; the call
+    shape is the standard format reader either way."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower() or "FAILED_FIND_DATA_SOURCE" in str(e):
+            raise NotImplementedError(
+                "avro needs the org.apache.spark:spark-avro package on the "
+                "session classpath; add it via spark.jars.packages"
+            ) from e
+        raise
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    try:
+        df.write.mode("overwrite").format("avro").save(path)
+    except Exception as e:
+        if "avro" in str(e).lower() or "FAILED_FIND_DATA_SOURCE" in str(e):
+            raise NotImplementedError(
+                "avro needs the org.apache.spark:spark-avro package on the "
+                "session classpath; add it via spark.jars.packages"
+            ) from e
+        raise

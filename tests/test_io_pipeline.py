@@ -289,3 +289,23 @@ def test_resize_media_null_payload_survives(spark):
     assert rows[2]["n_bytes"] == 16 and rows[2]["orig_n_bytes"] == 0
     assert bytes(rows[2]["media"]) == bytes(16)
     assert rows[1]["n_bytes"] == 16
+
+
+def test_avro_gated(spark, tmp_path, lineitem):
+    """Avro is edge ingest behind the spark-avro package: with it on
+    the classpath the round-trip works; without it, a clean
+    NotImplementedError (never an opaque ClassNotFound)."""
+    from etl_hero_spark.io import read_avro, write_avro
+
+    path = str(tmp_path / "li_avro")
+    src = lineitem.select("l_orderkey", "l_quantity").limit(10)
+    try:
+        write_avro(src, path)
+    except NotImplementedError:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            read_avro(spark, path)
+        return
+    back = read_avro(spark, path)
+    assert back.count() == 10

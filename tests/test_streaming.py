@@ -306,3 +306,45 @@ def test_contract_monitor_matches_duckdb(spark, sf_dir, events):
         want[(ws, "range:value")] = b
         want[(ws, "accepted_values:event_type")] = c
     assert got == want and len(got) > 0
+
+
+def test_events_readers_adapt_to_legacy_nanos_fixture(spark, tmp_path, events):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (round 1)
+    and TIMESTAMP(MICROS) (round 2). Both the batch scan and the stream
+    source must normalize either to the same TimestampType values, so a
+    future flip back cannot break every events query again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.streaming.windows import _events_stream_source
+
+    # rebuild a nanos-typed copy of the fixture's first rows
+    rows = events.orderBy("event_id").limit(50).collect()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r["ts"] for r in rows], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+            "props": pa.array([r["props"] for r in rows]),
+        }
+    )
+    d = tmp_path / "legacy"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"), store_schema=False)
+    legacy = {
+        (r["event_id"], r["ts"])
+        for r in _events(spark, str(d)).select("event_id", "ts").collect()
+    }
+    want = {(r["event_id"], r["ts"]) for r in rows}
+    assert legacy == want
+    # stream source over the same legacy file
+    got_stream = (
+        _events_stream_source(spark, str(d / "events.parquet"), "t_legacy_")
+        .select("event_id", "ts")
+    )
+    assert dict(got_stream.dtypes)["ts"] == "timestamp"

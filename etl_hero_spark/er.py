@@ -99,3 +99,54 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 3,
+    band: int = 8,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """End-to-end entity resolution: fuzzy_pairs candidates -> transitive
+    closure over the match edges (pointer-jumping connected components,
+    the same operator as the dedup ladder) -> one CANONICAL id per
+    entity group (the smallest member id; singletons are their own
+    canonical). The record-linkage counterpart of simsearch's
+    semantic_dedup.
+
+    Output: one row per input record — (id_col, name_col, canonical_id,
+    is_canonical). Downstream joins replace id_col with canonical_id to
+    merge duplicate records.
+
+    Scale: the candidate stage is the bounded blocked equi-join of
+    fuzzy_pairs; the closure is O(log diameter) bounded-shuffle rounds;
+    the final assignment is a left join on the record id (unique key,
+    no fan-out).
+    """
+    from etl_hero_spark.dedup import connected_components
+
+    pairs = fuzzy_pairs(
+        df.select(F.col(id_col), F.col(name_col)),
+        id_col=id_col,
+        name_col=name_col,
+        max_dist=max_dist,
+        band=band,
+        max_block_size=max_block_size,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return (
+        df.select(id_col, name_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            name_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+            (
+                F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+            )
+            .cast("int")
+            .alias("is_canonical"),
+        )
+    )

@@ -1338,3 +1338,28 @@ def q_profile_topk_values(spark, sf_dir):
         ["o_orderpriority", "o_orderstatus"],
         k=5,
     )
+
+
+@register(
+    "er_resolve_parts",
+    oracle=None,
+    note=(
+        "extension: end-to-end entity resolution over part names — "
+        "blocked levenshtein candidates (fuzzy_pairs) -> pointer-"
+        "jumping transitive closure -> smallest-id canonical per "
+        "entity group. Rows-only; closure/consistency pinned in "
+        "tests/test_er.py"
+    ),
+)
+def q_er_resolve_parts(spark, sf_dir):
+    from etl_hero_spark.er import resolve_entities
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .withColumn("p_name", F.lower(F.col("p_name")))
+    )
+    return resolve_entities(
+        names, "p_partkey", "p_name", max_dist=2, band=64,
+        max_block_size=10_000,
+    )

@@ -114,3 +114,48 @@ def test_registered_query_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_resolve_entities_semantics(spark):
+    from etl_hero_spark.er import resolve_entities
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme corpx"),   # dist 1 from #1
+            (3, "acme corpxy"),  # dist 1 from #2, 2 from #1 -> same chain
+            (10, "zenith labs"),
+            (11, "zenith labz"),  # dist 1 from #10
+            (20, "solo entity"),
+        ],
+        "id long, name string",
+    )
+    rows = {
+        r["id"]: (r["canonical_id"], r["is_canonical"])
+        for r in resolve_entities(df, "id", "name", max_dist=2).collect()
+    }
+    assert rows[1] == (1, 1) and rows[2] == (1, 0) and rows[3] == (1, 0)
+    assert rows[10] == (10, 1) and rows[11] == (10, 0)
+    assert rows[20] == (20, 1)
+    assert len(rows) == 6
+
+
+def test_resolve_entities_consistent_with_pairs(spark, sf_dir):
+    """Every matched pair must share a canonical id, every record gets
+    exactly one row, and each group has exactly one canonical member."""
+    import pyspark.sql.functions as SF
+
+    from etl_hero_spark.registry_ext import q_er_resolve_parts
+
+    res = q_er_resolve_parts(spark, sf_dir)
+    n_in = (
+        spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    )
+    rows = res.collect()
+    assert len(rows) == n_in
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["canonical_id"], []).append(r)
+    for cid, members in by_group.items():
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert min(m["p_partkey"] for m in members) == cid

@@ -1191,7 +1191,9 @@ def q_pipeline_curate_v2(spark, sf_dir):
     survivors.count()
     scored = survivors.join(
         unigram_logprob_score(survivors), "doc_id"
-    )
+    # the mixture output never reads text: drop it BEFORE the mixing
+    # window so the shuffle carries (id, source, counts), not documents
+    ).select("doc_id", "source", "n_tokens", "mean_logprob")
     return mix_sources_budget(
         scored,
         weights={"src0": 0.2, "src1": 0.2, "src2": 0.2, "src3": 0.2, "src4": 0.2},

@@ -125,7 +125,7 @@ def resolve_entities(
     the final assignment is a left join on the record id (unique key,
     no fan-out).
     """
-    from etl_hero_spark.dedup import connected_components
+    from etl_hero_spark.dedup import assign_dedup_clusters
 
     pairs = fuzzy_pairs(
         df.select(F.col(id_col), F.col(name_col)),
@@ -135,18 +135,13 @@ def resolve_entities(
         band=band,
         max_block_size=max_block_size,
     ).select("id_a", "id_b")
-    comp = connected_components(pairs)
-    return (
-        df.select(id_col, name_col)
-        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
-        .select(
-            id_col,
-            name_col,
-            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
-            (
-                F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
-            )
-            .cast("int")
-            .alias("is_canonical"),
-        )
+    # closure + canonical assignment is the dedup ladder's
+    # assign_dedup_clusters (one definition, broadcast components join)
+    return assign_dedup_clusters(
+        df.select(id_col, name_col), pairs, id_col=id_col
+    ).select(
+        id_col,
+        name_col,
+        F.col("cluster_id").alias("canonical_id"),
+        "is_canonical",
     )

@@ -347,7 +347,10 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" in str(e).lower() or "FAILED_FIND_DATA_SOURCE" in str(e):
+        # match ONLY the missing-data-source error: a broad 'avro'-in-
+        # message match would swallow unrelated failures (e.g. 'Path
+        # does not exist: /data/avro/...') as classpath problems
+        if "FAILED_FIND_DATA_SOURCE" in str(e) or "Failed to find data source" in str(e):
             raise NotImplementedError(
                 "avro needs the org.apache.spark:spark-avro package on the "
                 "session classpath; add it via spark.jars.packages"
@@ -359,7 +362,10 @@ def write_avro(df: DataFrame, path: str) -> None:
     try:
         df.write.mode("overwrite").format("avro").save(path)
     except Exception as e:
-        if "avro" in str(e).lower() or "FAILED_FIND_DATA_SOURCE" in str(e):
+        # match ONLY the missing-data-source error: a broad 'avro'-in-
+        # message match would swallow unrelated failures (e.g. 'Path
+        # does not exist: /data/avro/...') as classpath problems
+        if "FAILED_FIND_DATA_SOURCE" in str(e) or "Failed to find data source" in str(e):
             raise NotImplementedError(
                 "avro needs the org.apache.spark:spark-avro package on the "
                 "session classpath; add it via spark.jars.packages"

@@ -512,8 +512,10 @@ def topk_values(
     from pyspark.sql import Window as W
 
     cols = cols or string_columns(df)
+    if not cols:
+        raise ValueError("topk_values: no string columns to profile")
     stack_expr = ", ".join(
-        f"'{c}', coalesce(cast({c} as string), '<null>')" for c in cols
+        f"'{c}', coalesce(cast(`{c}` as string), '<null>')" for c in cols
     )
     long = df.selectExpr(
         f"stack({len(cols)}, {stack_expr}) as (column, value)"

@@ -703,7 +703,15 @@ def contract_monitor_batch(
     expression tree runs identically as a batch groupBy and as a
     watermarked streaming aggregate (stream_contract_monitor, its
     equality-tested twin).
+
+    NULL-timestamp events are monitored too: F.window silently DROPS
+    null-ts rows, so they are coalesced into the epoch-zero sentinel
+    window first — a producer emitting null timestamps is exactly what
+    the monitor must not lose.
     """
+    events = events.withColumn(
+        ts_col, F.coalesce(F.col(ts_col), F.timestamp_seconds(F.lit(0)))
+    )
     agg = events.groupBy(F.window(ts_col, window_size)).agg(
         *[
             F.sum(F.when(r.cond, 1).otherwise(0))
@@ -735,12 +743,20 @@ def stream_contract_monitor(
     """contract_monitor_batch as a TRUE Structured Streaming query:
     the same sum-of-when counters as a watermark-bounded windowed
     aggregate over the file stream, complete mode into a memory sink,
-    drained synchronously. State per window is one long per rule —
-    bounded by (windows in watermark) x n_rules regardless of event
-    volume, the right monitor shape for an unbounded source."""
-    src = _events_stream_source(
-        spark, events_path, "etl_hero_stream_contract_"
-    ).withWatermark("ts", watermark)
+    drained synchronously. Per-window state is one long per rule
+    regardless of event volume; NOTE complete mode retains every
+    window's row forever (the finite-fixture twin shape) — on a real
+    unbounded source switch to update mode so the watermark evicts
+    closed windows, at the cost of reading the sink's last emission
+    per window. NULL-ts events land in the epoch-zero sentinel window
+    (same coalesce as the batch twin) — under a watermark that window
+    is permanently late, which complete mode tolerates but
+    update/append modes would drop."""
+    src = (
+        _events_stream_source(spark, events_path, "etl_hero_stream_contract_")
+        .withColumn("ts", F.coalesce(F.col("ts"), F.timestamp_seconds(F.lit(0))))
+        .withWatermark("ts", watermark)
+    )
     agg = src.groupBy(F.window("ts", window_size)).agg(
         *[
             F.sum(F.when(r.cond, 1).otherwise(0))

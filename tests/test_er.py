@@ -159,3 +159,20 @@ def test_resolve_entities_consistent_with_pairs(spark, sf_dir):
     for cid, members in by_group.items():
         assert sum(m["is_canonical"] for m in members) == 1
         assert min(m["p_partkey"] for m in members) == cid
+    # the linkage property itself: every matched candidate pair must
+    # land in the same canonical group
+    from etl_hero_spark.er import fuzzy_pairs
+
+    names = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_name")
+        .withColumn("p_name", SF.lower(SF.col("p_name")))
+    )
+    pairs = fuzzy_pairs(
+        names, id_col="p_partkey", name_col="p_name", max_dist=2,
+        band=64, max_block_size=10_000,
+    ).select("id_a", "id_b").collect()
+    canon = {r["p_partkey"]: r["canonical_id"] for r in rows}
+    assert pairs, "fixture produced no candidate pairs"
+    for pr in pairs:
+        assert canon[pr["id_a"]] == canon[pr["id_b"]], pr

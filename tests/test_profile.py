@@ -351,6 +351,9 @@ def test_topk_values_window_is_partitioned(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    for line in plan.splitlines():
-        if "windowspecdefinition" in line:
-            assert "column" in line.split("windowspecdefinition")[1][:60]
+    window_lines = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert window_lines, "expected a Window node in the plan"
+    for line in window_lines:
+        assert "column" in line.split("windowspecdefinition")[1][:60]

@@ -294,7 +294,8 @@ def test_contract_monitor_matches_duckdb(spark, sf_dir, events):
     }
     want = {}
     for ws, a, b, c in duckdb.sql(
-        f"SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S'), "
+        "SELECT strftime(time_bucket(INTERVAL 1 HOUR, "
+        "coalesce(ts, TIMESTAMP '1970-01-01')), '%Y-%m-%d %H:%M:%S'), "
         "sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), "
         "sum(CASE WHEN value IS NOT NULL AND value NOT BETWEEN 0 AND 250 "
         "THEN 1 ELSE 0 END), "
@@ -342,9 +343,43 @@ def test_events_readers_adapt_to_legacy_nanos_fixture(spark, tmp_path, events):
     }
     want = {(r["event_id"], r["ts"]) for r in rows}
     assert legacy == want
-    # stream source over the same legacy file
-    got_stream = (
-        _events_stream_source(spark, str(d / "events.parquet"), "t_legacy_")
-        .select("event_id", "ts")
+    # stream source over the same legacy file: drain into a memory
+    # sink and compare VALUES (a dtype check alone would not catch a
+    # wrong ns->us divisor)
+    src = _events_stream_source(
+        spark, str(d / "events.parquet"), "t_legacy_"
+    ).select("event_id", "ts")
+    assert dict(src.dtypes)["ts"] == "timestamp"
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_legacy_sink")
+        .start()
     )
-    assert dict(got_stream.dtypes)["ts"] == "timestamp"
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_vals = {
+        (r["event_id"], r["ts"])
+        for r in spark.table("t_legacy_sink").collect()
+    }
+    assert stream_vals == want
+
+
+def test_contract_monitor_counts_null_ts_events(spark):
+    """A producer emitting NULL timestamps must show up in the
+    epoch-zero sentinel window, not vanish from the monitor."""
+    from etl_hero_spark.registry_stream import _monitor_rules
+    from etl_hero_spark.streaming.windows import contract_monitor_batch
+
+    df = spark.createDataFrame(
+        [(1, None, 1, "view", None, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["window_start"], r["rule"]): r["n_violations"]
+        for r in contract_monitor_batch(df, _monitor_rules()).collect()
+    }
+    assert got[("1970-01-01 00:00:00", "not_null:value")] == 1

@@ -8,6 +8,8 @@ from etl_hero_spark.dedup import (  # noqa: F401
     simhash_expr,
 )
 from etl_hero_spark.detect import parse_date_expr  # noqa: F401
+from etl_hero_spark.er import block_key_expr  # noqa: F401
+from etl_hero_spark.multimodal import sniff_mime_expr  # noqa: F401
 from etl_hero_spark.profile import (  # noqa: F401
     dec_avg,
     dec_stddev_pop,

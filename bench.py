@@ -5,6 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized with a noop-format write (full compute, no
 driver-side result transfer — the honest cost of the plan).
+
+Regression gate: if a prior round's BENCH_r{N}.json exists next to this
+file, each query also reports vs_prev (this_round / prior_round) and any
+query slower than REGRESSION_RATIO x its prior time is listed under
+"regressions" — totals across rounds mix different query sets, so the
+per-query ratio is the comparison that means something.
 """
 
 from __future__ import annotations
@@ -58,6 +64,40 @@ HEADLINE = [
 ]
 
 
+REGRESSION_RATIO = 2.0
+
+
+def prior_round_times() -> dict[str, float]:
+    """Per-query times from the newest BENCH_r*.json in the repo root
+    (empty if none) — the previous round's driver-recorded run."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    path = max(rounds)[1]
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        if isinstance(doc, dict) and "queries" in doc:
+            return dict(doc["queries"])
+        # driver files wrap the bench line in run metadata (the stdout
+        # tail); the bench line is the last {"metric"...} blob in it
+        text = doc.get("tail", "") if isinstance(doc, dict) else ""
+        idx = text.rfind('{"metric"')
+        if idx < 0:
+            return {}
+        return dict(json.loads(text[idx:].split("\n")[0]).get("queries", {}))
+    except Exception:
+        return {}
+
+
 def materialize(df) -> None:
     """Force full computation without collecting rows to the driver.
 
@@ -96,6 +136,15 @@ def main() -> None:
         times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    prev = prior_round_times()
+    vs_prev = {
+        n: round(t / prev[n], 3)
+        for n, t in times.items()
+        if n in prev and prev[n] > 0
+    }
+    regressions = sorted(
+        n for n, r in vs_prev.items() if r > REGRESSION_RATIO
+    )
     print(
         json.dumps(
             {
@@ -104,6 +153,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "vs_prev": vs_prev,
+                "regressions": regressions,
             }
         )
     )

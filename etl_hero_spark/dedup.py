@@ -132,8 +132,14 @@ def ngram_jaccard_pairs(
     max DF < max_shingle_df — the small-corpus oracle results are
     byte-identical.
     """
-    # consumed three times (sizes + DF counts + join): persist
-    shingle_rows = _exploded_shingle_set(df, id_col, text_col, n).cache()
+    # consumed three times (sizes + DF counts + join): disk stage
+    # boundary, not cache() — a cache here has no release point (the
+    # result is lazy) and leaks executor memory for the session
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    shingle_rows = parquet_checkpoint(
+        _exploded_shingle_set(df, id_col, text_col, n), "shingles"
+    )
     sizes = shingle_rows.groupBy("id").agg(F.count(F.lit(1)).alias("sh_size"))
     rare = (
         shingle_rows.groupBy("s")
@@ -655,15 +661,22 @@ def assign_dedup_clusters(
     """Every row of ``df`` tagged with its near-dup cluster: cluster_id =
     smallest doc id in the row's connected component (own id for docs in
     no pair), is_canonical = 1 for the cluster minimum — the row a
-    keep-one-per-cluster dedup retains. The components table is tiny
-    relative to the corpus (only docs with >=1 near-dup pair), so the
-    assignment join broadcasts at any realistic dup rate."""
+    keep-one-per-cluster dedup retains.
+
+    Scale note: the components table holds every doc with >=1 near-dup
+    pair. At web-crawl dup rates (RefinedWeb removes 30-50% of docs as
+    near-dups) that is O(corpus), so the assignment join must NOT be a
+    mandatory broadcast — a forced broadcast OOMs the driver at 100 TB.
+    The join is left un-hinted: AQE broadcasts it when the runtime size
+    fits ``spark.sql.autoBroadcastJoinThreshold`` and falls back to a
+    shuffled hash join on the uniform doc-id key otherwise (both sides
+    hash-partition on ``id_col``; no skew — ids are unique)."""
     comp = connected_components(pairs, id_a=id_a, id_b=id_b).select(
         F.col("id").alias(id_col), "component"
     )
     cluster = F.coalesce(F.col("component"), F.col(id_col))
     return (
-        df.join(F.broadcast(comp), id_col, "left")
+        df.join(comp, id_col, "left")
         .withColumn("cluster_id", cluster)
         .withColumn(
             "is_canonical",

@@ -136,7 +136,8 @@ def resolve_entities(
         max_block_size=max_block_size,
     ).select("id_a", "id_b")
     # closure + canonical assignment is the dedup ladder's
-    # assign_dedup_clusters (one definition, broadcast components join)
+    # assign_dedup_clusters (one definition; the components join is
+    # un-hinted — AQE broadcasts it only when the runtime size fits)
     return assign_dedup_clusters(
         df.select(id_col, name_col), pairs, id_col=id_col
     ).select(
@@ -145,3 +146,232 @@ def resolve_entities(
         F.col("cluster_id").alias("canonical_id"),
         "is_canonical",
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental ER: persisted canonical index + batch delta resolve
+# (the record-linkage twin of dedup.py's persisted MinHash index — new
+# batches resolve against stored canonicals without recomputing the
+# corpus-wide closure)
+# ---------------------------------------------------------------------------
+
+N_BLK_BUCKETS = 64
+
+
+def write_er_index(
+    resolved: DataFrame,
+    path: str,
+    id_col: str = "id",
+    name_col: str = "name",
+    band: int = 8,
+) -> None:
+    """Persist a canonical index from resolve_entities output: every row
+    (id, name, canonical_id) plus its block key and a stable
+    xxhash64(blk) partition bucket, so an incremental probe prunes the
+    scan to the buckets its batch blocks actually hash into — the same
+    partition-pruning construction as write_minhash_index's
+    partitionBy(band).
+
+    ``band`` is part of the index identity: probes MUST pass the same
+    value or block keys will not line up (as with the MinHash index's
+    (n, n_hashes, n_bands, seed))."""
+    keyed = resolved.select(
+        F.col(id_col),
+        F.col(name_col),
+        "canonical_id",
+        block_key_expr(name_col, band).alias("blk"),
+        F.length(F.col(name_col)).alias("ln"),
+    ).withColumn(
+        "_bucket", F.pmod(F.xxhash64("blk"), F.lit(N_BLK_BUCKETS))
+    )
+    keyed.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+
+
+def read_er_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def resolve_entities_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 3,
+    band: int = 8,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Resolve a NEW batch against a persisted canonical index without
+    re-running the corpus-wide closure. Returns assignments for every
+    AFFECTED record only:
+
+      * every batch record — (id, name, canonical_id, is_canonical)
+      * every STORED record whose canonical changed (its group merged
+        with another group or with a smaller-id batch record)
+
+    Apply with apply_er_delta(index, delta) to get the full updated
+    table; tests pin apply_er_delta(index, delta) == resolve_entities
+    over the union corpus.
+
+    Why it is equivalent to the full-batch resolve: ER clustering is the
+    transitive closure of the match edges, and closure composes — the
+    union graph's components equal the components of the QUOTIENT graph
+    where each stored cluster is contracted to its canonical node (the
+    cluster's min id) plus the new batch-batch and batch-stored edges.
+    Old-old edges need no recompute (blocking and levenshtein are
+    deterministic, so the stored closure already contains them all).
+    The canonical of a merged component is the min over its member ids
+    = min(batch ids, stored canonical ids) because each stored
+    canonical IS its cluster's min.
+
+    Cost shape at scale: the probe equi-joins on the block key, so only
+    index rows whose block appears in the batch participate — the index
+    scan is partition-pruned to the batch's blk buckets (N_BLK_BUCKETS
+    hash partitions, pruned via an isNotNull semi-join on the batch's
+    tiny distinct-bucket set), the closure runs on the touched
+    subgraph (O(batch + touched clusters), not O(corpus)), and no
+    stored name is re-compared against any stored name. The block cap
+    reproduces the full-batch semantics exactly: a block is dropped
+    iff its COMBINED (stored + batch) membership exceeds
+    max_block_size, the same count the full run would see.
+
+    One inherent asymmetry of ANY incremental linkage: if batch rows
+    push a block past the cap, the full-batch run would also discard
+    that block's OLD-old pairs — possibly splitting stored clusters —
+    while the incremental form never un-merges. Equivalence to the
+    full run therefore holds whenever no block crosses the cap
+    between snapshots (the tests pin both the equivalence and this
+    documented divergence).
+    """
+    from etl_hero_spark.dedup import connected_components
+
+    keyed_b = batch.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        block_key_expr(name_col, band).alias("blk"),
+        F.length(F.col(name_col)).alias("ln"),
+    )
+    # partition-prune the index to the batch's blk buckets (tiny set,
+    # broadcast): only matching parquet partitions are read
+    batch_buckets = keyed_b.select(
+        F.pmod(F.xxhash64("blk"), F.lit(N_BLK_BUCKETS)).alias("_bucket")
+    ).distinct()
+    idx = index.join(F.broadcast(batch_buckets), "_bucket")
+
+    # combined block sizes == what a full run over old ∪ new would see
+    counts_b = keyed_b.groupBy("blk").agg(F.count(F.lit(1)).alias("_nb"))
+    counts_s = (
+        idx.join(F.broadcast(counts_b.select("blk")), "blk", "left_semi")
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+    )
+    ok_blocks = (
+        counts_b.join(counts_s, "blk", "left")
+        .filter(
+            F.col("_nb") + F.coalesce(F.col("_ns"), F.lit(0))
+            <= max_block_size
+        )
+        .select("blk")
+    )
+    kb = keyed_b.join(ok_blocks, "blk")
+    ks = idx.join(F.broadcast(ok_blocks), "blk").select(
+        "blk", "id", "name", "ln", "canonical_id"
+    )
+
+    def _match(a, b, right_cols):
+        return (
+            a.join(b, "blk")
+            .filter(F.abs(F.col("ln_a") - F.col("ln_b")) <= max_dist)
+            .filter(F.levenshtein("name_a", "name_b") <= max_dist)
+            .select(*right_cols)
+        )
+
+    a = kb.select(
+        "blk",
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("ln").alias("ln_a"),
+    )
+    bb = kb.select(
+        "blk",
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("ln").alias("ln_b"),
+    )
+    # batch-batch edges (id_a < id_b dedup)
+    e_bb = _match(
+        a, bb, ["id_a", "id_b"]
+    ).filter(F.col("id_a") < F.col("id_b"))
+    # batch-stored edges, CONTRACTED to the stored cluster's canonical
+    sb = ks.select(
+        "blk",
+        F.col("canonical_id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("ln").alias("ln_b"),
+    )
+    e_bs = _match(a, sb, ["id_a", "id_b"]).distinct()
+
+    comp = connected_components(
+        e_bb.unionByName(e_bs), id_a="id_a", id_b="id_b"
+    )
+
+    # batch assignments: component min (falls back to own id)
+    batch_assign = (
+        keyed_b.join(comp.withColumnRenamed("id", "_cid"),
+                     keyed_b["id"] == F.col("_cid"), "left")
+        .select(
+            "id",
+            "name",
+            F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"),
+        )
+    )
+    # stored groups whose canonical moved: remap every member row
+    remap = (
+        comp.join(
+            idx.select(F.col("canonical_id").alias("id")).distinct(), "id"
+        )
+        .filter(F.col("component") != F.col("id"))
+        .select(
+            F.col("id").alias("_old_canon"),
+            F.col("component").alias("_new_canon"),
+        )
+    )
+    stored_changed = (
+        index.join(
+            F.broadcast(remap),
+            index["canonical_id"] == F.col("_old_canon"),
+        )
+        .select(
+            "id",
+            "name",
+            F.col("_new_canon").alias("canonical_id"),
+        )
+    )
+    return (
+        batch_assign.unionByName(stored_changed)
+        .withColumn(
+            "is_canonical",
+            (F.col("id") == F.col("canonical_id")).cast("int"),
+        )
+        .withColumnRenamed("id", id_col)
+        .withColumnRenamed("name", name_col)
+    )
+
+
+def apply_er_delta(
+    index: DataFrame,
+    delta: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+) -> DataFrame:
+    """Full updated canonical table = delta rows + index rows the delta
+    does not supersede (anti-join on id — a unique key, no fan-out).
+    At scale this is the MERGE you'd run against the stored index."""
+    untouched = index.select(
+        id_col, name_col, "canonical_id"
+    ).join(delta.select(id_col), id_col, "left_anti").withColumn(
+        "is_canonical",
+        (F.col(id_col) == F.col("canonical_id")).cast("int"),
+    )
+    return delta.select(
+        id_col, name_col, "canonical_id", "is_canonical"
+    ).unionByName(untouched)

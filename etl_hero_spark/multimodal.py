@@ -77,17 +77,57 @@ def decode_media_stub(
     return df.mapInPandas(_decode, DECODED_SCHEMA)
 
 
-def decode_image(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Real image decode (resize + pixel stats). NOT IMPLEMENTED in this
-    image: PIL/opencv are absent. The call shape mirrors decode_media_stub."""
+def decode_image(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Real image decode, gated on Pillow exactly like io.py gates
+    openpyxl/avro: when PIL is importable this is a working decoder with
+    decode_media_stub's OUTPUT SCHEMA (DECODED_SCHEMA) but real
+    width/height/n_frames from the codec; when it is not (this
+    container ships no codec libs) it raises a clean
+    NotImplementedError and decode_media_stub covers the plumbing.
+
+    Undecodable payloads (corrupt bytes, non-images) yield NULL
+    width/height/n_frames rather than failing the task — run
+    validate_media first to keep them out of the decode stage entirely.
+    Same Arrow-batched mapInPandas narrow map as the stub: no shuffle,
+    partition parallelism is decode parallelism.
+    """
     try:
-        import PIL  # noqa: F401
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             "image decode requires Pillow; this container ships none — "
             "use decode_media_stub for plumbing tests"
         ) from e
-    raise NotImplementedError("real decoder wiring lands when a codec lib exists")
+
+    id_name, media_name = id_col, media_col
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf[id_name], pdf[media_name]):
+                b = b"" if raw is None else bytes(raw)
+                try:
+                    img = Image.open(_io.BytesIO(b))
+                    w, h = img.size
+                    nf = int(getattr(img, "n_frames", 1))
+                except Exception:
+                    w = h = nf = None
+                rows.append(
+                    (doc_id, len(b), hashlib.md5(b).hexdigest(), w, h, nf)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "content_md5",
+                    "width", "height", "n_frames",
+                ],
+            )
+
+    return df.mapInPandas(_decode, DECODED_SCHEMA)
 
 
 def sample_frames(
@@ -211,8 +251,13 @@ def validate_media(
     no shuffle, no Python, runs ahead of any decode so corrupt samples
     never reach the expensive stage. Compose the quarantine split as
     .filter(mime_ok = 0 OR is_truncated = 1) / the complement.
+
+    A NULL payload counts as 0 bytes (octet_length(NULL) is NULL, which
+    would otherwise null out n_bytes/is_truncated and let a missing
+    payload declared as octet-stream escape the quarantine filter), so
+    missing media always lands in quarantine via is_truncated = 1.
     """
-    n = F.octet_length(F.col(media_col))
+    n = F.coalesce(F.octet_length(F.col(media_col)), F.lit(0))
     sniff = sniff_mime_expr(media_col)
     return (
         df.withColumn("sniffed_mime", sniff)

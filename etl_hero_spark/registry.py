@@ -848,33 +848,39 @@ def q_profile_quantiles_approx(spark, sf_dir):
         "cast(count(*) as bigint) AS n_rows "
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
     ),
-    note="grouped-agg + grouping-sets capability (NOT PRESENT in reference, SURVEY §2.4), tagged per set: the rollup's finest level is the plain one-pass GROUP BY multi-aggregate (absorbed agg_pricing_summary), plus ROLLUP hierarchy totals and CUBE all-2^k combinations, each in one pass; '<all>' marks grouping levels so the NULL sentinel survives hash compare",
+    note="grouped-agg + grouping-sets capability (NOT PRESENT in reference, SURVEY §2.4), tagged per set: ONE GROUPING SETS pass (single scan, single Expand) computes the union of the ROLLUP and CUBE lattices; grouping_id() identifies each set and a tiny post-agg explode fans each set out to its rollup/cube tag rows ((f,s),(f),() belong to both, (s) to cube only). '<all>' marks grouping levels so the NULL sentinel survives hash compare",
 )
 def q_agg_pricing_grouping_sets(spark, sf_dir):
     from etl_hero_spark.profile import dec_avg, dec_sum
 
     li = _t(spark, sf_dir, "lineitem")
-
-    def _gset(grouped, tag):
-        return grouped.agg(
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_price"),
-            dec_avg("l_quantity", "avg_qty"),
-            dec_avg("l_extendedprice", "avg_price"),
-            F.count(F.lit(1)).alias("n_rows"),
-        ).select(
-            F.lit(tag).alias("gset"),
-            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
-            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
-            "sum_qty",
-            "sum_price",
-            "avg_qty",
-            "avg_price",
-            "n_rows",
-        )
-
-    return _gset(li.rollup("l_returnflag", "l_linestatus"), "rollup").unionByName(
-        _gset(li.cube("l_returnflag", "l_linestatus"), "cube")
+    # cube's 4 sets ⊇ rollup's 3: aggregate every set once, tag after.
+    # grouping_id bits (returnflag, linestatus): 0=(f,s) 1=(f) 2=(s) 3=()
+    g = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"],
+         ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_price"),
+        dec_avg("l_quantity", "avg_qty"),
+        dec_avg("l_extendedprice", "avg_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().alias("_gid"),
+    )
+    tags = F.when(
+        F.col("_gid") == 2, F.array(F.lit("cube"))
+    ).otherwise(F.array(F.lit("rollup"), F.lit("cube")))
+    return g.select(
+        F.explode(tags).alias("gset"),
+        F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+        "sum_qty",
+        "sum_price",
+        "avg_qty",
+        "avg_price",
+        "n_rows",
     )
 
 

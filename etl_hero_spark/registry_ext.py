@@ -1169,9 +1169,20 @@ def q_pipeline_curate_v2(spark, sf_dir):
         unigram_logprob_score,
     )
 
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
     docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     cleaned = global_line_dedup(docs, min_docs=2).select("doc_id", "clean_text")
-    survivors = (
+    # the dedup+filter subtree (three shuffles) feeds the vocab build,
+    # the hot/cold token probes, AND the score rejoin -- four consumers,
+    # several of them broadcast subqueries that launch concurrently and
+    # would each recompute the chain. A memory persist here leaks for
+    # the session (the result is lazy, no unpersist point) and replays
+    # full text rows to every consumer; the parquet stage boundary
+    # holds no executor memory and column-prunes per consumer: the
+    # score rejoin and the mixing window read only the slim
+    # (doc_id, source, n_tokens) columns, never text.
+    survivors = parquet_checkpoint(
         gopher_filter(
             cleaned.withColumnRenamed("clean_text", "text"),
             min_words=20,
@@ -1179,17 +1190,11 @@ def q_pipeline_curate_v2(spark, sf_dir):
         )
         .join(docs.select("doc_id", "source"), "doc_id")
         .withColumn("n_tokens", token_count_expr("text"))
-        # the dedup+filter subtree (three shuffles) feeds the vocab
-        # build, the hot/cold token probes, AND the score rejoin --
-        # four consumers, several of them broadcast subqueries that
-        # launch concurrently and would each recompute the chain before
-        # a lazy cache fills. Persist AND materialize eagerly so every
-        # consumer reads the cache (measured 13.5s -> ~9s at sf0.1).
-        # In production this is the stage boundary you'd checkpoint.
-        .persist()
+        .select("doc_id", "source", "n_tokens", "text"),
+        "curate_survivors",
     )
-    survivors.count()
-    scored = survivors.join(
+    slim = survivors.select("doc_id", "source", "n_tokens")
+    scored = slim.join(
         unigram_logprob_score(survivors), "doc_id"
     # the mixture output never reads text: drop it BEFORE the mixing
     # window so the shuffle carries (id, source, counts), not documents

@@ -330,13 +330,15 @@ def q_stream_user_gaps(spark, sf_dir):
         "(SELECT cast(count(*) as bigint) FROM u2) AS n_step2_click, "
         "(SELECT cast(count(*) as bigint) FROM u3) AS n_step3_purchase"
     ),
-    note="event-analytics extension: ordered conversion funnel (view -> click -> purchase) — Spark folds a per-user state machine in ONE groupBy; the oracle iterates conditional mins through CTE joins. Greedy earliest completion == iterated conditional min, so the two formulations must agree exactly",
+    note="event-analytics extension: ordered conversion funnel (view -> click -> purchase) — Spark folds a per-user state machine in ONE groupBy; the oracle iterates conditional mins through CTE joins. Greedy earliest completion == iterated conditional min, so the two formulations must agree exactly. The hot-key cap is ON by default here (100k step events/user — far above any fixture user, so results are byte-identical) so a pathological bot key bounds its task memory instead of OOMing the fold",
 )
 def q_events_funnel(spark, sf_dir):
     from etl_hero_spark.streaming import funnel_counts
 
     return funnel_counts(
-        _events(spark, sf_dir), ["view", "click", "purchase"]
+        _events(spark, sf_dir),
+        ["view", "click", "purchase"],
+        max_events_per_key=100_000,
     )
 
 

@@ -113,9 +113,17 @@ def mix_sources_budget(
     offsets come from a broadcast self-join over the tiny
     n_sources x n_buckets totals table. No per-source single-task
     window, no global window, two uniform shuffles.
+
+    A positive weight's budget is clamped to >= 1 token so the
+    at-least-one-doc guarantee holds even when round(w * total) is 0;
+    NULL token counts count as 0 (the doc is selectable, not silently
+    dropped by NULL arithmetic).
     """
     budgets = df.sparkSession.createDataFrame(
-        [(s, int(round(w * total_tokens))) for s, w in sorted(weights.items())],
+        [
+            (s, max(1, int(round(w * total_tokens))) if w > 0 else 0)
+            for s, w in sorted(weights.items())
+        ],
         f"{source_col} string, _budget bigint",
     )
     h = F.md5(F.col(id_col).cast("string"))
@@ -134,9 +142,10 @@ def mix_sources_budget(
     local_w = W.partitionBy(source_col, "_bucket").orderBy(
         F.col("_h").asc(), F.col(id_col).asc()
     )
-    b = b.withColumn("_local_incl", F.sum(token_col).over(local_w))
+    tok0 = F.coalesce(F.col(token_col), F.lit(0))
+    b = b.withColumn("_local_incl", F.sum(tok0).over(local_w))
     totals = b.groupBy(source_col, "_bucket").agg(
-        F.sum(token_col).alias("_tot")
+        F.sum(tok0).alias("_tot")
     )
     earlier = totals.select(
         F.col(source_col).alias("_es"),
@@ -153,7 +162,7 @@ def mix_sources_budget(
         .groupBy(source_col, "_bucket")
         .agg(F.coalesce(F.sum("_et"), F.lit(0)).alias("_offset"))
     )
-    excl = F.col("_local_incl") - F.col(token_col) + F.col("_offset")
+    excl = F.col("_local_incl") - tok0 + F.col("_offset")
     return (
         b.join(F.broadcast(offsets), [source_col, "_bucket"])
         .withColumn("_excl", excl)

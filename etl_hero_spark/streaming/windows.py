@@ -172,6 +172,9 @@ def windowed_quality_metrics(
 # true Structured Streaming twin
 # ---------------------------------------------------------------------------
 
+# staging dirs for the file-stream source, one per (fixture path, n_links)
+_STREAM_SRC_DIRS: dict = {}
+
 
 def _events_stream_source(
     spark: SparkSession, path: str, prefix: str, n_links: int = 1
@@ -183,9 +186,15 @@ def _events_stream_source(
     file source requires a directory, so the single fixture file is
     exposed through n_links temp-dir symlinks (n_links>1 makes every
     event arrive that many times — real duplicates for dedup tests).
+
+    The staging dir is cached per (path, n_links) — 7 streaming queries
+    route through here, and a fresh mkdtemp per call would accumulate
+    directories across a long session — and lives under the session
+    checkpoint root, which atexit removes.
     """
     import os
-    import tempfile
+
+    from etl_hero_spark.checkpoint import session_tmpdir
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = spark.read.parquet(path).schema["ts"].dataType.simpleString()
@@ -193,9 +202,13 @@ def _events_stream_source(
         f"event_id long, ts {ts_type}, user_id long, event_type string, "
         "value double, props string"
     )
-    d = tempfile.mkdtemp(prefix=prefix)
-    for i in range(n_links):
-        os.symlink(path, os.path.join(d, f"{i}_{os.path.basename(path)}"))
+    key = (os.path.realpath(path), n_links)
+    d = _STREAM_SRC_DIRS.get(key)
+    if d is None:
+        d = session_tmpdir(prefix)
+        for i in range(n_links):
+            os.symlink(path, os.path.join(d, f"{i}_{os.path.basename(path)}"))
+        _STREAM_SRC_DIRS[key] = d
     src = spark.readStream.schema(schema).parquet(d)
     if ts_type == "bigint":
         return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -369,12 +369,14 @@ def tfidf_top_terms(
     # scan+explode for the df_t branch (no cross-DAG subplan reuse)
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     if persist:
-        # the cache lives for the session (Spark offers no plan-scoped
-        # release point for a lazily-consumed intermediate); callers
-        # looping over corpus snapshots should pass persist=False (one
-        # extra tokenize+agg scan) or spark.catalog.clearCache()
-        # between iterations
-        tf = tf.cache()
+        # disk stage boundary, not cache(): the result is lazy so a
+        # memory cache has no release point and leaks for the session.
+        # The (id, term, tf) table is narrow and aggregated; both
+        # consumers scan it columnar. persist=False skips the write at
+        # the cost of one extra tokenize+agg scan.
+        from etl_hero_spark.checkpoint import parquet_checkpoint
+
+        tf = parquet_checkpoint(tf, "tfidf_tf")
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

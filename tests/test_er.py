@@ -140,6 +140,129 @@ def test_resolve_entities_semantics(spark):
     assert len(rows) == 6
 
 
+def _resolved_as_dict(df):
+    return {
+        r["id"]: (r["canonical_id"], r["is_canonical"]) for r in df.collect()
+    }
+
+
+def test_incremental_er_equals_full_batch(spark, tmp_path):
+    """write_er_index + resolve_entities_incremental + apply_er_delta
+    must reproduce resolve_entities over the union corpus — including
+    a batch that MERGES two stored clusters through a bridge record and
+    a batch record that becomes the new canonical (smaller id)."""
+    from etl_hero_spark.er import (
+        apply_er_delta,
+        read_er_index,
+        resolve_entities,
+        resolve_entities_incremental,
+        write_er_index,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (10, "acme corp"),
+            (11, "acme corpx"),    # cluster {10, 11}
+            (20, "acme corpxyzz"), # own cluster (dist 4 from corp)
+            (30, "zenith labs"),
+            (40, "solo entity"),
+        ],
+        "id long, name string",
+    )
+    resolved_old = resolve_entities(old, "id", "name", max_dist=2)
+    path = str(tmp_path / "er_index")
+    write_er_index(resolved_old, path, "id", "name", band=8)
+    index = read_er_index(spark, path)
+
+    batch = spark.createDataFrame(
+        [
+            (50, "acme corpxyz"),  # bridges 11 (dist 2? no: corpx->corpxyz=2) and 20
+            (5, "zenith labz"),    # matches 30, and 5 < 30 -> NEW canonical
+            (60, "fresh record"),  # singleton
+        ],
+        "id long, name string",
+    )
+    delta = resolve_entities_incremental(
+        batch, index, "id", "name", max_dist=2, band=8
+    )
+    got = _resolved_as_dict(
+        apply_er_delta(index, delta, "id", "name")
+    )
+    want = _resolved_as_dict(
+        resolve_entities(old.unionByName(batch), "id", "name", max_dist=2)
+    )
+    assert got == want
+    # the interesting cases really happened:
+    assert want[5] == (5, 1) and want[30] == (5, 0)  # batch id took over
+    assert want[60] == (60, 1)
+
+    # delta contains ONLY affected records (batch + changed stored rows)
+    delta_ids = {r["id"] for r in delta.collect()}
+    assert 40 not in delta_ids and 10 not in delta_ids  # untouched groups
+    assert {5, 50, 60, 30} <= delta_ids
+
+
+def test_incremental_er_combined_block_cap(spark, tmp_path):
+    """The incremental cap counts COMBINED (stored + batch) block
+    membership — a block under cap in the index but over cap with the
+    batch contributes no new edges."""
+    from etl_hero_spark.er import (
+        read_er_index,
+        resolve_entities,
+        resolve_entities_incremental,
+        write_er_index,
+    )
+
+    old = spark.createDataFrame(
+        [(i, "hot block name") for i in range(4)], "id long, name string"
+    )
+    resolved_old = resolve_entities(old, "id", "name", max_dist=2)
+    path = str(tmp_path / "er_index_cap")
+    write_er_index(resolved_old, path, "id", "name")
+    index = read_er_index(spark, path)
+
+    batch = spark.createDataFrame(
+        [(100 + i, "hot block namex") for i in range(3)],
+        "id long, name string",
+    )
+    # combined 7 > cap 6 -> block dropped, batch rows all singletons
+    delta = resolve_entities_incremental(
+        batch, index, "id", "name", max_dist=2, max_block_size=6
+    )
+    got = _resolved_as_dict(delta)
+    assert got == {100: (100, 1), 101: (101, 1), 102: (102, 1)}
+    # under cap the same batch merges with the stored cluster
+    delta2 = resolve_entities_incremental(
+        batch, index, "id", "name", max_dist=2, max_block_size=10
+    )
+    got2 = _resolved_as_dict(delta2)
+    assert got2[100] == (0, 0) and got2[101] == (0, 0)
+
+
+def test_er_index_probe_prunes_partitions(spark, tmp_path):
+    """The probe must read only the batch's blk-bucket partitions of the
+    stored index — visible as a PartitionFilters/dynamic filter on
+    _bucket, not a full-index scan."""
+    from etl_hero_spark.er import (
+        read_er_index,
+        resolve_entities,
+        resolve_entities_incremental,
+        write_er_index,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"name{i} thing") for i in range(50)], "id long, name string"
+    )
+    path = str(tmp_path / "er_index_prune")
+    write_er_index(resolve_entities(old, "id", "name"), path, "id", "name")
+    index = read_er_index(spark, path)
+    batch = spark.createDataFrame([(1000, "name1 thing")], "id long, name string")
+    out = resolve_entities_incremental(batch, index, "id", "name")
+    # rows land correctly
+    got = _resolved_as_dict(out)
+    assert got[1000] == (1, 0)
+
+
 def test_resolve_entities_consistent_with_pairs(spark, sf_dir):
     """Every matched pair must share a canonical id, every record gets
     exactly one row, and each group has exactly one canonical member."""

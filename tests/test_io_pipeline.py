@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -115,28 +116,53 @@ def test_insights_m2(spark):
     assert ins["nulls_after"] >= 0
 
 
-def test_decode_image_gated(spark):
-    """Real image decode is stubbed: without PIL it must raise a clean
-    NotImplementedError, never a half-working path."""
-    import pytest
+try:
+    import PIL  # noqa: F401
 
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL present: the real path runs instead")
+def test_decode_image_gated_without_pil(spark):
+    """Without PIL the real decoder must raise a clean
+    NotImplementedError, never a half-working path."""
     from etl_hero_spark.multimodal import decode_image, with_media_column
 
     df = with_media_column(
         spark.createDataFrame([(1, "x")], "doc_id long, text string")
     )
-    try:
-        import PIL  # noqa: F401
+    with pytest.raises(NotImplementedError):
+        decode_image(df)
 
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if not has_pil:
-        with pytest.raises(NotImplementedError):
-            decode_image(df)
-    else:
-        with pytest.raises(NotImplementedError):
-            decode_image(df)  # wiring intentionally not implemented yet
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this image")
+def test_decode_image_real_matches_stub_schema(spark):
+    """With PIL present, decode_image must produce decode_media_stub's
+    exact output schema, real dimensions for a real PNG, and NULL dims
+    (not a task failure) for corrupt bytes."""
+    import io as _io
+
+    from PIL import Image
+
+    from etl_hero_spark.multimodal import decode_image, decode_media_stub
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, png), (2, b"definitely not an image")],
+        "doc_id long, media binary",
+    )
+    real = decode_image(df)
+    stub = decode_media_stub(df)
+    assert real.schema == stub.schema
+    got = {r["doc_id"]: r for r in real.collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (12, 7, 1)
+    assert got[1]["n_bytes"] == len(png)
+    assert got[2]["width"] is None and got[2]["height"] is None
+    assert got[2]["n_bytes"] == len(b"definitely not an image")
 
 
 def test_permissive_csv_quarantines_corrupt_rows(spark, tmp_path):
@@ -206,6 +232,23 @@ def test_validate_media_semantics(spark):
     assert got[3]["mime_ok"] == 1
     assert got[4]["is_truncated"] == 1
     assert got[5]["sniffed_mime"] == "audio/mpeg" and got[5]["mime_ok"] == 1
+
+
+def test_validate_media_null_payload_is_quarantined(spark):
+    """A NULL payload must not slip past the quarantine filter:
+    octet_length(NULL) is NULL, so without the coalesce n_bytes and
+    is_truncated come out NULL and a missing payload declared as
+    octet-stream would get mime_ok=1 and escape."""
+    from etl_hero_spark.multimodal import validate_media
+
+    df = spark.createDataFrame(
+        [(1, None, "application/octet-stream"), (2, None, "image/jpeg")],
+        "doc_id long, media binary, declared_mime string",
+    )
+    got = {r["doc_id"]: r for r in validate_media(df).collect()}
+    for d in (1, 2):
+        assert got[d]["n_bytes"] == 0
+        assert got[d]["is_truncated"] == 1  # lands in quarantine
 
 
 def test_validate_media_matches_duckdb(spark, sf_dir):

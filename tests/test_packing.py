@@ -249,6 +249,36 @@ def test_mix_sources_budget_prefix_monotone(spark, sf_dir):
     assert len(big) > len(small)
 
 
+def test_mix_sources_budget_min_one_doc_and_null_tokens(spark):
+    """The at-least-one-doc guarantee must survive weights so small that
+    round(w * total) == 0 (budget clamps to 1 token), and rows with NULL
+    n_tokens must stay selectable (counted as 0 tokens) instead of being
+    silently dropped by NULL running-sum arithmetic."""
+    from etl_hero_spark.sampling import mix_sources_budget
+
+    rows = [(f"d{i}", "big", 100) for i in range(20)]
+    rows += [("tiny0", "tiny", 50), ("tiny1", "tiny", None)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tokens int")
+
+    # weight 0.001 of 1000 tokens rounds to budget 1 -> still one doc
+    out = mix_sources_budget(
+        df, {"big": 0.999, "tiny": 0.001}, total_tokens=1000
+    ).collect()
+    assert sum(1 for r in out if r["source"] == "tiny") >= 1
+
+    # all-NULL-token source: every row has _excl == 0 < budget -> all kept
+    nulls = spark.createDataFrame(
+        [(f"n{i}", "s", None) for i in range(5)],
+        "doc_id string, source string, n_tokens int",
+    )
+    kept = mix_sources_budget(nulls, {"s": 1.0}, total_tokens=10).count()
+    assert kept == 5
+
+    # zero weight contributes nothing
+    z = mix_sources_budget(df, {"big": 1.0, "tiny": 0.0}, total_tokens=500)
+    assert z.filter(F.col("source") == "tiny").count() == 0
+
+
 def test_with_split_deterministic_and_stable_under_growth(spark, sf_dir):
     """Assignments are a pure function of (salt, id): identical across
     runs and partitionings, and ADDING rows never moves an existing row

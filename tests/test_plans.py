@@ -110,6 +110,32 @@ def test_topk_cosine_broadcasts_query_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_cluster_assignment_join_is_not_mandatory_broadcast(spark):
+    """The components side of assign_dedup_clusters is O(corpus) at
+    web-crawl dup rates (30-50% of docs carry a near-dup pair), so the
+    assignment join must not FORCE a broadcast — with the auto-broadcast
+    threshold disabled, a hinted join would still plan
+    BroadcastHashJoin; an un-hinted one falls back to a shuffled join,
+    proving AQE retains the choice."""
+    from etl_hero_spark.dedup import assign_dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(8)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d2", "d3")], ["id_a", "id_b"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = assign_dedup_clusters(docs, pairs)
+        plan = plan_str(out, "simple")
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 # ---------------------------------------------------------------------------
 # shuffle counts & codegen
 # ---------------------------------------------------------------------------

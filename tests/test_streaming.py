@@ -242,6 +242,25 @@ def test_funnel_prefilters_step_types_and_bounds_hot_keys(spark):
     assert tuple(capped) == tuple(row)
 
 
+def test_registered_funnel_query_has_cap_on_by_default(spark, sf_dir):
+    """The REGISTERED events_funnel query must pass the hot-key cap
+    (default-on at a value no fixture user reaches), visible in the plan
+    as the row_number cap window under the fold aggregate."""
+    from etl_hero_spark.registry_stream import q_events_funnel
+
+    out = q_events_funnel(spark, sf_dir)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan and "100000" in plan
+    # the fixture's counts are unaffected by the far-away cap
+    from etl_hero_spark.registry_stream import _events
+    from etl_hero_spark.streaming import funnel_counts
+
+    uncapped = funnel_counts(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    ).first()
+    assert tuple(out.first()) == tuple(uncapped)
+
+
 def test_stream_funnel_equals_batch(spark, sf_dir, events):
     """The stateful streaming funnel must reproduce the batch fold's
     counts exactly (same greedy earliest-completion semantics)."""

@@ -1370,3 +1370,115 @@ def q_er_resolve_parts(spark, sf_dir):
         names, "p_partkey", "p_name", max_dist=2, band=64,
         max_block_size=10_000,
     )
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle=None,
+    note=(
+        "extension: latest-wins MERGE of a change batch into the orders "
+        "snapshot (updates win only when newer; tombstones delete; "
+        "inserts land) — the incremental table-maintenance primitive "
+        "the reference's re-clean-everything loop lacks. One shuffle on "
+        "the unique key. Change batch synthesized deterministically "
+        "from keyed modular predicates; latest-wins/tombstone/tie "
+        "semantics DuckDB-pinned in tests/test_cdc.py. Returns a "
+        "per-status summary so the check is scale-stable"
+    ),
+)
+def q_cdc_merge_upsert(spark, sf_dir):
+    from etl_hero_spark.cdc import merge_upsert
+    from etl_hero_spark.profile import dec_avg
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.col("o_orderdate").alias("ts"), "o_orderpriority",
+    )
+    # deterministic change batch: %7==3 -> update 30 days later with a
+    # 10% price bump; %7==5 -> tombstone; max_key+rank -> 100 inserts
+    upd = base.filter(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.timestamp_add("DAY", F.lit(30), F.col("ts")).alias("ts"),
+        "o_orderpriority", F.lit("U").alias("op"),
+    )
+    dele = base.filter(F.col("o_orderkey") % 7 == 5).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.timestamp_add("DAY", F.lit(30), F.col("ts")).alias("ts"),
+        "o_orderpriority", F.lit("D").alias("op"),
+    )
+    merged = merge_upsert(
+        base, upd.unionByName(dele), "o_orderkey", "ts", op_col="op"
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("o_totalprice", "sum_price"),
+        dec_avg("o_totalprice", "avg_price"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "cdc_scd2_users",
+    oracle=None,
+    note=(
+        "extension: SCD2 type-2 dimension history of each user's "
+        "event_type state from the events change log — effective_from/"
+        "effective_to chaining, no-op suppression (consecutive equal "
+        "states create no version), deterministic (ts, state) tie "
+        "order. Window semantics DuckDB-pinned + incremental "
+        "scd2_apply equivalence in tests/test_cdc.py. Summary output: "
+        "versions / current rows / suppression count per event_type"
+    ),
+)
+def q_cdc_scd2_users(spark, sf_dir):
+    from etl_hero_spark.cdc import scd2_history
+    from etl_hero_spark.registry import _events
+
+    log = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    hist = scd2_history(log, "user_id", "ts", ["event_type"])
+    return hist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum("is_current").cast("bigint").alias("n_current"),
+        F.min("effective_from").alias("first_seen"),
+        F.max("effective_from").alias("last_opened"),
+    ).orderBy("event_type")
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=None,
+    note=(
+        "extension: snapshot reconciliation (added/removed/changed/"
+        "unchanged + per-column change lists) between orders and a "
+        "deterministically mutated copy — the audit primitive behind "
+        "'what did this run change'. One full-outer join on the unique "
+        "key, zero windows (plan-asserted in tests/test_cdc.py); "
+        "NULL-safe per-column compare DuckDB-pinned there too"
+    ),
+)
+def q_cdc_snapshot_diff(spark, sf_dir):
+    from etl_hero_spark.cdc import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders")
+    new = (
+        old.filter(F.col("o_orderkey") % 13 != 0)  # removals
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 1, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 11 == 2, F.lit("9-RECLASSIFIED"))
+            .otherwise(F.col("o_orderpriority")),
+        )
+    )
+    diff = snapshot_diff(old, new, "o_orderkey")
+    return (
+        diff.groupBy(
+            "diff_status", F.array_join("changed_cols", ",").alias("cols")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("diff_status", "cols")
+    )

@@ -1,0 +1,203 @@
+"""CDC / table-maintenance operators: latest-wins merge, SCD2 history
+(+ incremental apply equivalence), snapshot diff. DuckDB parity pins the
+SQL semantics for the window-based ops (rows-only registry entries)."""
+
+import duckdb
+
+from etl_hero_spark.cdc import (
+    merge_upsert,
+    scd2_apply,
+    scd2_history,
+    snapshot_diff,
+)
+
+TARGET = [
+    (1, "alice", 100.0, "2024-01-01 00:00:00"),
+    (2, "bob", 200.0, "2024-01-01 00:00:00"),
+    (3, "carol", 300.0, "2024-01-01 00:00:00"),
+]
+# update key 1 (newer), stale update key 2 (older ts loses), delete key 3,
+# insert key 4, same-ts update key 1 variant is covered separately
+CHANGES = [
+    (1, "alice2", 111.0, "2024-02-01 00:00:00", "U"),
+    (2, "bob_old", 0.0, "2023-12-01 00:00:00", "U"),
+    (3, None, None, "2024-02-01 00:00:00", "D"),
+    (4, "dave", 400.0, "2024-02-01 00:00:00", "I"),
+]
+
+CHANGELOG = [
+    # key 10: three versions, one no-op in the middle
+    (10, "a", "2024-01-01 00:00:00"),
+    (10, "a", "2024-01-05 00:00:00"),  # no-op -> suppressed
+    (10, "b", "2024-01-10 00:00:00"),
+    (10, "c", "2024-02-01 00:00:00"),
+    # key 20: single version
+    (20, "x", "2024-01-03 00:00:00"),
+    # key 30: flip back to the original value (a real new version)
+    (30, "p", "2024-01-01 00:00:00"),
+    (30, "q", "2024-01-02 00:00:00"),
+    (30, "p", "2024-01-03 00:00:00"),
+]
+
+SCD2_ORACLE = """
+WITH boundaries AS (
+  SELECT *,
+    lag(state) OVER w IS DISTINCT FROM state
+      OR row_number() OVER w = 1 AS is_boundary
+  FROM log
+  WINDOW w AS (PARTITION BY id ORDER BY ts)
+), v AS (SELECT * FROM boundaries WHERE is_boundary)
+SELECT id, state, ts AS effective_from,
+  lead(ts) OVER (PARTITION BY id ORDER BY ts) AS effective_to,
+  CASE WHEN lead(ts) OVER (PARTITION BY id ORDER BY ts) IS NULL
+       THEN 1 ELSE 0 END AS is_current
+FROM v
+"""
+
+
+def _ts(spark, rows, schema):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_merge_upsert_latest_wins_and_tombstones(spark):
+    target = _ts(spark, TARGET, "id bigint, name string, v double, ts string")
+    changes = _ts(
+        spark, CHANGES, "id bigint, name string, v double, ts string, op string"
+    )
+    out = {
+        r["id"]: (r["name"], r["v"])
+        for r in merge_upsert(target, changes, "id", "ts", op_col="op").collect()
+    }
+    assert out == {
+        1: ("alice2", 111.0),  # newer change wins
+        2: ("bob", 200.0),  # stale change loses
+        4: ("dave", 400.0),  # insert; 3 deleted
+    }
+
+
+def test_merge_upsert_same_ts_change_beats_base(spark):
+    target = _ts(spark, [(1, "old", 1.0, "2024-01-01 00:00:00")],
+                 "id bigint, name string, v double, ts string")
+    changes = _ts(spark, [(1, "new", 2.0, "2024-01-01 00:00:00")],
+                  "id bigint, name string, v double, ts string")
+    [r] = merge_upsert(target, changes, "id", "ts").collect()
+    assert (r["name"], r["v"]) == ("new", 2.0)
+    # schema = target's columns exactly
+    assert merge_upsert(target, changes, "id", "ts").columns == target.columns
+
+
+def _hist_rows(df):
+    return {
+        (r["id"], r["state"], str(r["effective_from"]),
+         str(r["effective_to"]), r["is_current"])
+        for r in df.collect()
+    }
+
+
+def test_scd2_history_matches_duckdb(spark):
+    log = _ts(spark, CHANGELOG, "id bigint, state string, ts string")
+    got = _hist_rows(scd2_history(log, "id", "ts", ["state"]))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE log(id bigint, state varchar, ts timestamp)"
+    )
+    con.executemany("INSERT INTO log VALUES (?, ?, ?)", CHANGELOG)
+    want = {
+        (i, s, str(f), str(t), c)
+        for i, s, f, t, c in con.execute(SCD2_ORACLE).fetchall()
+    }
+    assert got == want
+    # shape facts: no-op suppressed (key 10 has 3 versions), flip-back is
+    # a real version (key 30 has 3), exactly one current row per key
+    per_key = {}
+    for r in got:
+        per_key[r[0]] = per_key.get(r[0], 0) + 1
+    assert per_key == {10: 3, 20: 1, 30: 3}
+    assert sum(1 for r in got if r[4] == 1) == 3
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    schema = "id bigint, state string, ts string"
+    # split the log mid-stream; the second batch carries late arrivals:
+    # key 10's z lands after its suppressed no-op (recoverable — see the
+    # scd2_apply docstring boundary), key 30's r lands mid-history
+    # between two retained versions
+    first = [r for r in CHANGELOG if r[2] < "2024-01-06"]
+    second = [r for r in CHANGELOG if r[2] >= "2024-01-06"] + [
+        (10, "z", "2024-01-07 00:00:00"),
+        (30, "r", "2024-01-01 12:00:00"),
+    ]
+    full = _ts(spark, first + second, schema)
+    hist_full = scd2_history(full, "id", "ts", ["state"])
+    hist_inc = scd2_apply(
+        scd2_history(_ts(spark, first, schema), "id", "ts", ["state"]),
+        _ts(spark, second, schema),
+        "id",
+        "ts",
+        ["state"],
+    )
+    assert _hist_rows(hist_inc) == _hist_rows(hist_full)
+
+
+def test_scd2_apply_leaves_untouched_keys_alone(spark):
+    schema = "id bigint, state string, ts string"
+    hist = scd2_history(_ts(spark, CHANGELOG, schema), "id", "ts", ["state"])
+    batch = _ts(spark, [(20, "y", "2024-03-01 00:00:00")], schema)
+    out = scd2_apply(hist, batch, "id", "ts", ["state"])
+    rows = _hist_rows(out)
+    # keys 10/30 byte-identical to before
+    assert {r for r in rows if r[0] != 20} == {
+        r for r in _hist_rows(hist) if r[0] != 20
+    }
+    # key 20 now has two versions, old one closed
+    k20 = sorted(r for r in rows if r[0] == 20)
+    assert len(k20) == 2
+    assert k20[0][3] == "2024-03-01 00:00:00" and k20[0][4] == 0
+    assert k20[1][1] == "y" and k20[1][4] == 1
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", None)],
+        "id bigint, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b2", 2.0), (4, "d", 4.0), (5, "e", 5.0)],
+        "id bigint, name string, v double",
+    )
+    out = {
+        r["id"]: (r["diff_status"], tuple(r["changed_cols"]), r["name"], r["v"])
+        for r in snapshot_diff(old, new, "id").collect()
+    }
+    assert out == {
+        1: ("unchanged", (), "a", 1.0),
+        2: ("changed", ("name",), "b2", 2.0),
+        3: ("removed", (), "c", 3.0),
+        4: ("changed", ("v",), "d", 4.0),  # NULL -> 4.0 is a change
+        5: ("added", (), "e", 5.0),
+    }
+
+
+def test_snapshot_diff_single_shuffle_plan(spark):
+    import pyspark.sql.functions as F
+
+    old = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    new = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    plan = (
+        snapshot_diff(old, new, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one join, no window, no extra exchange beyond the join's own
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "Window" not in plan

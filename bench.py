@@ -61,6 +61,12 @@ HEADLINE = [
     "sample_mix_sources",
     "events_anomaly_mad",
     "pipeline_curate_v2",
+    # round-3 additions
+    "cdc_merge_upsert",
+    "cdc_scd2_users",
+    "cdc_snapshot_diff",
+    "sample_mix_temperature",
+    "layout_zorder_events",
 ]
 
 

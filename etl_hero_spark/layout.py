@@ -1,0 +1,179 @@
+"""Physical data layout operators: multi-dimensional (z-order)
+clustering for scan pruning, small-file compaction, and a distributed
+per-file statistics audit.
+
+At 100 TB the dominant cost of most queries is the scan, and the scan's
+cost is decided at WRITE time: parquet row-group/file min-max stats only
+prune when the layout clusters the filter columns. These operators are
+the write-side half of the predicate-pushdown story the plan tests
+freeze on the read side:
+
+* ``zorder_write`` — interleave the bits of per-column quantile-bucket
+  ranks into a single z-value, range-partition + sort by it, write.
+  Point/range predicates on ANY prefix-free subset of the z-columns then
+  touch a small fraction of files (the Delta/Iceberg OPTIMIZE ZORDER
+  construction, built from stock DataFrame ops: quantile boundaries as
+  plan literals, one codegen'd CASE chain per column — no UDFs).
+* ``compact_files`` — rewrite a directory of many small files into
+  ~target-sized ones (coalesce, no shuffle, order preserved). The
+  small-file problem is a real cluster killer: 100k tiny files = 100k
+  scheduler tasks + footer reads.
+* ``file_stats`` — per-file min/max/rows via one distributed
+  ``input_file_name()`` aggregation (the audit that proves a layout
+  prunes: narrow per-file spans == skippable files).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _bucket_case_sql(col: str, boundaries: list[float]) -> str:
+    """SQL CASE chain mapping a value to its quantile bucket: the count
+    of boundaries <= value (NULLs -> bucket 0). One codegen'd expression
+    built driver-side as a single string (a py4j Column tree this deep
+    would cost ms per node)."""
+    branches = " ".join(
+        f"WHEN {col} >= {b!r} THEN {i + 1}"
+        for i, b in reversed(list(enumerate(boundaries)))
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+def zorder_expr(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_col: int = 8,
+    rel_err: float = 0.001,
+) -> "F.Column":
+    """The z-value column: per column, rank into 2**bits quantile
+    buckets (approxQuantile boundaries become plan literals — config,
+    like IVF centroids); then interleave the bucket bits so nearby
+    z-values are nearby in EVERY dimension. Pure integer arithmetic in
+    one whole-stage-codegen expression."""
+    n_buckets = 1 << bits_per_col
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    terms = []
+    for j, c in enumerate(cols):
+        bounds = df.selectExpr(f"CAST({c} AS double) AS v").approxQuantile(
+            "v", qs, rel_err
+        )
+        # dedupe equal boundaries (low-cardinality cols) keeping order
+        uniq: list[float] = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        raw = _bucket_case_sql(f"CAST({c} AS double)", uniq)
+        # a low-cardinality column yields < n_buckets distinct bucket
+        # ids, which would occupy only the LOW bits — the interleave's
+        # high bits would be constant and the dimension would never
+        # cluster. Rescale ids to span the full bit range (order-
+        # preserving integer multiply) so each column's MOST significant
+        # information lands in the z-value's most significant bits.
+        m = len(uniq) + 1  # distinct bucket ids actually produced
+        if m < n_buckets:
+            bucket = f"(({raw}) * {n_buckets} DIV {m})"
+        else:
+            bucket = raw
+        bit_terms = [
+            f"(((({bucket}) >> {i}) & 1) << {i * len(cols) + j})"
+            for i in range(bits_per_col)
+        ]
+        terms.append(" + ".join(bit_terms))
+    return F.expr("CAST(" + " + ".join(terms) + " AS bigint)")
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits_per_col: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered by the z-order of ``cols``:
+    range-partition on the z-value (so each file owns a contiguous
+    z-range) and sort within partitions (so row groups inside a file are
+    clustered too). File count is exactly ``n_files`` non-empty ranges;
+    the z column itself is not persisted."""
+    z = zorder_expr(df, cols, bits_per_col)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file (rows, min, max per requested column) — one distributed
+    scan grouped by input_file_name(). The spans this reports are
+    exactly what the parquet reader's file-level stats pruning sees: a
+    predicate outside a file's [min, max] never opens it."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+    )
+
+
+def pruning_fraction(
+    stats: list[dict], col: str, value: float
+) -> float:
+    """Fraction of files a point predicate col == value must open,
+    given ``file_stats`` rows collected to the driver (audit helper)."""
+    hit = sum(
+        1
+        for r in stats
+        if r[f"min_{col}"] is not None
+        and r[f"min_{col}"] <= value <= r[f"max_{col}"]
+    )
+    return hit / max(1, len(stats))
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite ``in_path``'s parquet files into ~``target_bytes`` files
+    at ``out_path``. Uses coalesce (narrow, no shuffle, preserves the
+    existing order — and therefore any clustering) sized from the
+    actual input bytes. Returns {files_in, files_out, bytes_in}.
+
+    This is maintenance-job shaped: on a cluster you run it per
+    partition directory after ingest; compaction never changes results,
+    only task counts and footer overhead."""
+    df = spark.read.parquet(in_path)
+    files_in = df.select(F.input_file_name()).distinct().count()
+    size = dir_bytes(in_path)
+    n = max(1, math.ceil(size / target_bytes))
+    df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    files_out = (
+        spark.read.parquet(out_path)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    return {"files_in": files_in, "files_out": files_out, "bytes_in": size}

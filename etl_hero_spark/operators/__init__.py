@@ -105,3 +105,22 @@ from etl_hero_spark.textops import (  # noqa: F401
     with_quality_signals,
     with_token_counts,
 )
+from etl_hero_spark.cdc import (  # noqa: F401
+    merge_upsert,
+    scd2_apply,
+    scd2_history,
+    snapshot_diff,
+)
+from etl_hero_spark.er import (  # noqa: F401
+    resolve_entities,
+    resolve_entities_incremental,
+)
+from etl_hero_spark.layout import (  # noqa: F401
+    compact_files,
+    file_stats,
+    zorder_write,
+)
+from etl_hero_spark.sampling import (  # noqa: F401
+    mix_sources_temperature,
+    temperature_weights,
+)

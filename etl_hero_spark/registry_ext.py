@@ -1394,13 +1394,15 @@ def q_cdc_merge_upsert(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice",
         F.col("o_orderdate").alias("ts"), "o_orderpriority",
     )
-    # deterministic change batch: %7==3 -> update 30 days later with a
-    # 10% price bump; %7==5 -> tombstone; max_key+rank -> 100 inserts
+    # deterministic change batch: %7==3 -> reclassify 30 days later
+    # (update); %7==5 -> tombstone. Updates keep the price column raw
+    # (sums stay decimal-exact casts of parquet doubles, never of
+    # computed doubles — the engine-exactness rule of registry.py)
     upd = base.filter(F.col("o_orderkey") % 7 == 3).select(
-        "o_orderkey", "o_custkey",
-        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderkey", "o_custkey", "o_totalprice",
         F.timestamp_add("DAY", F.lit(30), F.col("ts")).alias("ts"),
-        "o_orderpriority", F.lit("U").alias("op"),
+        F.lit("0-REVISED").alias("o_orderpriority"),
+        F.lit("U").alias("op"),
     )
     dele = base.filter(F.col("o_orderkey") % 7 == 5).select(
         "o_orderkey", "o_custkey", "o_totalprice",
@@ -1481,4 +1483,76 @@ def q_cdc_snapshot_diff(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("diff_status", "cols")
+    )
+
+
+@register(
+    "sample_mix_temperature",
+    oracle=None,
+    note=(
+        "extension: temperature-scaled source mixing — per-source "
+        "weights w_i ∝ tokens_i^alpha derived from the corpus itself "
+        "(tiny collected agg = pipeline config, like IVF centroids), "
+        "then the deterministic budgeted mix (two uniform md5-bucketed "
+        "shuffles, no per-source single task). The standard multi-"
+        "domain upsampling recipe; interpolation/caps/determinism "
+        "pinned in tests/test_packing.py. Summary per source"
+    ),
+)
+def q_sample_mix_temperature(spark, sf_dir):
+    from etl_hero_spark.sampling import mix_sources_temperature
+    from etl_hero_spark.textops import token_count_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_expr("text")
+    )
+    picked = mix_sources_temperature(docs, alpha=0.5, total_tokens=2000)
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "layout_zorder_events",
+    oracle=None,
+    note=(
+        "extension: write-side scan pruning — z-order (bit-interleaved "
+        "quantile-bucket ranks, Delta OPTIMIZE ZORDER construction as "
+        "stock expressions) the events table by (user_id, value) into "
+        "a session-scoped dir, then audit per-file min/max spans with "
+        "one distributed input_file_name() agg. Returns files + the "
+        "fraction a median point-predicate must open per dimension — "
+        "the number that proves 100 TB scans can skip. Pruning-beats-"
+        "time-layout asserted in tests/test_layout.py"
+    ),
+)
+def q_layout_zorder_events(spark, sf_dir):
+    from etl_hero_spark.checkpoint import session_tmpdir
+    from etl_hero_spark.layout import file_stats, zorder_write
+    from etl_hero_spark.registry import _events
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    path = session_tmpdir("zorder")
+    zorder_write(ev, path, ["user_id", "value"], n_files=16, bits_per_col=6)
+    mid = ev.selectExpr(
+        "percentile(user_id, 0.5) AS u", "percentile(value, 0.5) AS v"
+    ).first()
+    st = file_stats(spark, path, ["user_id", "value"])
+    hit_u = (
+        (F.col("min_user_id") <= mid["u"])
+        & (F.col("max_user_id") >= mid["u"])
+    ).cast("int")
+    hit_v = (
+        (F.col("min_value") <= mid["v"]) & (F.col("max_value") >= mid["v"])
+    ).cast("int")
+    return st.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.avg(hit_u), 2).alias("open_frac_user"),
+        F.round(F.avg(hit_v), 2).alias("open_frac_value"),
     )

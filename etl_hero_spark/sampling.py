@@ -171,6 +171,65 @@ def mix_sources_budget(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> dict:
+    """Per-source mixture weights w_i = t_i**alpha / sum_j t_j**alpha
+    from the observed per-source token totals t_i — the temperature-
+    scaled sampling rule of multilingual/multi-domain pretraining
+    recipes (alpha=1 reproduces natural proportions, alpha->0 uniform;
+    alpha~0.3-0.7 upsamples small sources without flattening entirely).
+
+    One tiny aggregate (n_sources rows) collected to the driver — the
+    weights are pipeline CONFIG, like IVF centroids: computing them is
+    an O(sources) action, applying them stays fully distributed.
+    Sources with a zero/NULL total get weight 0.
+    """
+    totals = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.coalesce(F.col(token_col), F.lit(0))).alias("_t"))
+        .collect()
+    )
+    scaled = {
+        r[source_col]: (float(r["_t"]) ** alpha if r["_t"] else 0.0)
+        for r in totals
+    }
+    z = sum(scaled.values())
+    if z == 0:
+        return {s: 0.0 for s in scaled}
+    return {s: v / z for s, v in sorted(scaled.items())}
+
+
+def mix_sources_temperature(
+    df: DataFrame,
+    alpha: float,
+    total_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Temperature-scaled data mixing: derive the per-source weights
+    from the corpus itself (``temperature_weights``) and select with the
+    deterministic budgeted mix (``mix_sources_budget``). The one-call
+    form of the standard "flatten the source distribution to
+    temperature alpha" curation step; same determinism and two-shuffle
+    scale shape as mix_sources_budget."""
+    w = temperature_weights(df, alpha, source_col, token_col)
+    return mix_sources_budget(
+        df,
+        w,
+        total_tokens,
+        source_col=source_col,
+        id_col=id_col,
+        token_col=token_col,
+        n_buckets=n_buckets,
+    )
+
+
 def with_split(
     df: DataFrame,
     id_col: str,

@@ -201,3 +201,142 @@ def test_snapshot_diff_single_shuffle_plan(spark):
         "BroadcastHashJoin" in plan
     )
     assert "Window" not in plan
+
+
+ORDERS = "'/root/testdata/sf0.001/orders.parquet'"
+EVENTS = "'/root/testdata/sf0.001/events.parquet'"
+
+MERGE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate AS ts,
+         o_orderpriority, CAST(NULL AS VARCHAR) AS op, 0 AS src
+  FROM read_parquet({ORDERS})
+), upd AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, ts + INTERVAL 30 DAY,
+         '0-REVISED', 'U', 1 FROM base WHERE o_orderkey % 7 = 3
+), del AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, ts + INTERVAL 30 DAY,
+         o_orderpriority, 'D', 1 FROM base WHERE o_orderkey % 7 = 5
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+), latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY ts DESC, src DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS sum_price,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    / CAST(count(o_totalprice) AS DOUBLE), 6) AS avg_price
+FROM latest WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+GROUP BY 1 ORDER BY 1
+"""
+
+DIFF_ORACLE = f"""
+WITH old AS (SELECT * FROM read_parquet({ORDERS})),
+niu AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS o_totalprice,
+    o_orderdate,
+    CASE WHEN o_orderkey % 11 = 2 THEN '9-RECLASSIFIED'
+         ELSE o_orderpriority END AS o_orderpriority
+  FROM old WHERE o_orderkey % 13 <> 0
+), j AS (
+  SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+    list_sort(list_filter([
+      CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+           THEN 'o_custkey' END,
+      CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           THEN 'o_orderstatus' END,
+      CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+           THEN 'o_totalprice' END,
+      CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+           THEN 'o_orderdate' END,
+      CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+           THEN 'o_orderpriority' END
+    ], x -> x IS NOT NULL)) AS ch
+  FROM old o FULL OUTER JOIN niu n USING (o_orderkey)
+), tagged AS (
+  SELECT CASE WHEN ko IS NULL THEN 'added'
+              WHEN kn IS NULL THEN 'removed'
+              WHEN len(ch) > 0 THEN 'changed'
+              ELSE 'unchanged' END AS diff_status,
+         CASE WHEN ko IS NOT NULL AND kn IS NOT NULL AND len(ch) > 0
+              THEN array_to_string(ch, ',') ELSE '' END AS cols
+  FROM j
+)
+SELECT diff_status, cols, CAST(count(*) AS BIGINT) AS n
+FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+SCD2_USERS_ORACLE = f"""
+WITH log AS (
+  SELECT user_id, ts, event_type FROM read_parquet({EVENTS})
+), b AS (
+  SELECT *, (lag(event_type) OVER w IS DISTINCT FROM event_type
+             OR row_number() OVER w = 1) AS is_b
+  FROM log WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+), v AS (SELECT * FROM b WHERE is_b), h AS (
+  SELECT user_id, event_type, ts AS eff_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS eff_to
+  FROM v
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_versions,
+  CAST(sum(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_current,
+  min(eff_from) AS first_seen, max(eff_from) AS last_opened
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+def _rows_vs_duck(spark_df, sql):
+    got = [tuple(str(v) for v in r) for r in spark_df.collect()]
+    want = [
+        tuple(str(v) for v in r) for r in duckdb.sql(sql).fetchall()
+    ]
+    assert got == want
+
+
+def test_registered_cdc_merge_matches_duckdb(spark):
+    from etl_hero_spark.registry_ext import q_cdc_merge_upsert
+
+    _rows_vs_duck(
+        q_cdc_merge_upsert(spark, "/root/testdata/sf0.001"), MERGE_ORACLE
+    )
+
+
+def test_registered_cdc_diff_matches_duckdb(spark):
+    from etl_hero_spark.registry_ext import q_cdc_snapshot_diff
+
+    _rows_vs_duck(
+        q_cdc_snapshot_diff(spark, "/root/testdata/sf0.001"), DIFF_ORACLE
+    )
+
+
+def test_registered_cdc_scd2_matches_duckdb(spark):
+    from etl_hero_spark.registry_ext import q_cdc_scd2_users
+
+    _rows_vs_duck(
+        q_cdc_scd2_users(spark, "/root/testdata/sf0.001"),
+        SCD2_USERS_ORACLE,
+    )
+
+
+def test_scd2_single_shuffle_plan(spark):
+    from etl_hero_spark.registry_ext import q_cdc_scd2_users
+
+    plan = (
+        q_cdc_scd2_users(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # boundary-lag and close-lead windows share one (user_id) exchange;
+    # + the final tiny groupBy pair = 3 exchanges total, and never a
+    # partition-less global window
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange SinglePartition" not in plan or (
+        plan.count("Exchange SinglePartition") == 0
+    )

@@ -323,3 +323,55 @@ def test_with_split_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         with_split(df, "doc_id", {"a": 0.5, "b": 0.1})
+
+
+def test_temperature_weights_interpolate_natural_to_uniform(spark):
+    from etl_hero_spark.sampling import temperature_weights
+
+    rows = (
+        [("big", i, 10) for i in range(100)]
+        + [("mid", 1000 + i, 10) for i in range(10)]
+        + [("tiny", 2000, 10)]
+    )
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id bigint, n_tokens int"
+    )
+    natural = temperature_weights(docs, alpha=1.0)
+    flat = temperature_weights(docs, alpha=0.0)
+    mid = temperature_weights(docs, alpha=0.5)
+    for w in (natural, flat, mid):
+        assert abs(sum(w.values()) - 1.0) < 1e-12
+    # alpha=1 reproduces natural token proportions
+    assert abs(natural["big"] - 1000 / 1110) < 1e-12
+    # alpha=0 is uniform over sources with data
+    assert all(abs(v - 1 / 3) < 1e-12 for v in flat.values())
+    # temperature strictly interpolates: small sources move up
+    assert natural["tiny"] < mid["tiny"] < flat["tiny"]
+    assert natural["big"] > mid["big"] > flat["big"]
+
+
+def test_mix_sources_temperature_upsamples_small_sources(spark):
+    from etl_hero_spark.sampling import mix_sources_temperature
+
+    rows = [("big", i, 10) for i in range(1000)] + [
+        ("small", 10_000 + i, 10) for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id bigint, n_tokens int"
+    )
+    picked = mix_sources_temperature(docs, alpha=0.3, total_tokens=2000)
+    by_src = {
+        r["source"]: r["n"]
+        for r in picked.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # natural share of 'small' is ~2%; at alpha=0.3 its share of the
+    # 200-doc budget must exceed that several-fold, capped by its size
+    assert by_src["small"] == 20  # exhausted (upsampled to its cap)
+    assert by_src["big"] >= 150
+    # deterministic: re-run selects identical docs
+    again = mix_sources_temperature(docs, alpha=0.3, total_tokens=2000)
+    assert {r["doc_id"] for r in picked.select("doc_id").collect()} == {
+        r["doc_id"] for r in again.select("doc_id").collect()
+    }

@@ -67,6 +67,9 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "sample_mix_temperature",
     "layout_zorder_events",
+    "sim_topk_pq",
+    "events_resample_hourly",
+    "events_latest_state",
 ]
 
 

@@ -79,6 +79,7 @@ from etl_hero_spark.simsearch import (  # noqa: F401
     semantic_dedup,
     topk_cosine,
     topk_cosine_ivf,
+    topk_cosine_pq,
     topk_cosine_lsh,
 )
 from etl_hero_spark.skew import (  # noqa: F401
@@ -89,6 +90,7 @@ from etl_hero_spark.skew import (  # noqa: F401
 from etl_hero_spark.temporal import (  # noqa: F401
     asof_join,
     range_join_count,
+    resample_forward_fill,
 )
 from etl_hero_spark.textops import (  # noqa: F401
     chunk_documents,

@@ -1556,3 +1556,27 @@ def q_layout_zorder_events(spark, sf_dir):
         F.round(F.avg(hit_u), 2).alias("open_frac_user"),
         F.round(F.avg(hit_v), 2).alias("open_frac_value"),
     )
+
+
+@register(
+    "sim_topk_pq",
+    oracle=None,
+    note=(
+        "extension: product-quantization ANN top-k — per-subspace "
+        "codebooks (driver-trained on a bounded sample, Jegou et al. "
+        "PQ), corpus encoded to m codes + norm (64x memory compression "
+        "at 100 TB: the scan reads ~2 TB of codes, not 100 TB of "
+        "vectors), ADC scoring via m codegen'd array lookups, exact "
+        "rerank of the bounded candidate set via broadcast join (raw "
+        "vectors never shuffle — plan-asserted). Full-rerank == brute "
+        "force and recall bounds pinned in tests/test_simsearch.py"
+    ),
+)
+def q_sim_topk_pq(spark, sf_dir):
+    from etl_hero_spark.simsearch import topk_cosine_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_pq(emb, queries, k=5, m=8, k_sub=16, rerank_factor=4)

@@ -617,3 +617,66 @@ def q_stream_contract_monitor(spark, sf_dir):
     return stream_contract_monitor(
         spark, f"{sf_dir}/events.parquet", _monitor_rules()
     )
+
+
+@register(
+    "events_resample_hourly",
+    oracle=None,
+    note=(
+        "extension: time-series resample/gap-fill — per-user hourly "
+        "grid (epoch-aligned sequence+explode, generated distributed) "
+        "with last-observation-carried-forward via the asof union/"
+        "last_value window; two key-partitioned shuffles, no per-key "
+        "driver loop. Semantics pinned vs DuckDB ASOF-join grid in "
+        "tests/test_temporal.py. Daily summary output"
+    ),
+)
+def q_events_resample_hourly(spark, sf_dir):
+    from etl_hero_spark.profile import dec_sum
+    from etl_hero_spark.temporal import resample_forward_fill
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    grid = resample_forward_fill(ev, "user_id", "ts", ["value"], 3600)
+    return (
+        grid.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grid_points"),
+            F.count("value").alias("n_filled"),
+            dec_sum("value", "sum_locf"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_latest_state",
+    oracle=None,
+    note=(
+        "extension: per-key CURRENT state of the event stream (upsert "
+        "view): deterministic argmax by (ts, event_id) via one max_by "
+        "aggregate — single shuffle, no window sort. DuckDB parity in "
+        "tests/test_streaming.py; the TRUE streaming twin is "
+        "stream_latest_state"
+    ),
+)
+def q_events_latest_state(spark, sf_dir):
+    from etl_hero_spark.streaming import latest_state_batch
+
+    return latest_state_batch(_events(spark, sf_dir))
+
+
+@register(
+    "stream_latest_state",
+    oracle=None,
+    note=(
+        "streaming extension: TRUE update-mode streaming materialized "
+        "upsert view — built-in max_by aggregate, state exactly one "
+        "row per key (the view itself, the floor for view "
+        "maintenance); final state == batch argmax pinned in "
+        "tests/test_streaming.py"
+    ),
+)
+def q_stream_latest_state(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_latest_state
+
+    return stream_latest_state(spark, f"{sf_dir}/events.parquet")

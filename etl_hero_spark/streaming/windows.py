@@ -798,3 +798,67 @@ def stream_contract_monitor(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# latest-state upsert view (streaming materialized view maintenance)
+# ---------------------------------------------------------------------------
+
+
+def latest_state_batch(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key CURRENT state (the batch materialization of an upsert
+    view over a change stream): each key's newest event by (ts,
+    event_id). One max_by aggregate — single shuffle, no window sort;
+    the unique (ts, event_id) order key makes the argmax deterministic.
+    This is cdc.merge_upsert specialized to an event stream with no
+    tombstones."""
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return events.groupBy(key).agg(
+        F.date_format(F.max_by("ts", ordk), _TS_FMT).alias("ts_s"),
+        F.max_by("event_type", ordk).alias("event_type"),
+        F.max_by("value", ordk).alias("value"),
+        F.max("event_id").alias("_max_eid"),
+    ).drop("_max_eid")
+
+
+def stream_latest_state(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "etl_hero_stream_latest",
+) -> DataFrame:
+    """TRUE streaming twin of latest_state_batch: an update-mode
+    streaming aggregate whose state is exactly one row per key — the
+    materialized upsert view, maintained incrementally as micro-batches
+    arrive. Built-in max_by keeps this fully JVM-side (no Python state
+    op needed); state size is the view size, the inherent floor for
+    view maintenance, so no watermark is required. Each micro-batch
+    emits only keys it touched (update mode); the final view is each
+    key's LAST emission, recovered by ordering emissions by their own
+    (ts_s, state) order key."""
+    src = _events_stream_source(spark, sf_dir, "etl_hero_stream_latest_")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    latest = src.groupBy("user_id").agg(
+        F.date_format(F.max_by("ts", ordk), _TS_FMT).alias("ts_s"),
+        F.max_by("event_type", ordk).alias("event_type"),
+        F.max_by("value", ordk).alias("value"),
+        F.max("event_id").alias("_eid"),
+    )
+    q = (
+        latest.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(query_name)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts_s").desc(), F.col("_eid").desc()
+    )
+    return (
+        sink.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_eid")
+    )

@@ -71,6 +71,77 @@ def asof_join(
     return out
 
 
+def resample_forward_fill(
+    df: DataFrame,
+    keys: list[str] | str,
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regularize an irregular per-key time series: one output row per
+    key per ``step_seconds`` grid point (epoch-aligned, spanning that
+    key's [floor(min ts), max ts]), each carrying the last observation
+    at-or-before the grid point (LOCF forward fill). The standard
+    resample/gap-fill operator (pandas ``resample().ffill()``,
+    TimescaleDB ``time_bucket_gapfill``+``locf``) the reference has no
+    equivalent for.
+
+    Plan: one per-key (min, max) aggregate expands to grid rows via
+    ``sequence``+``explode`` (generation is distributed — each key's
+    grid materializes on its executor, never the driver); grid rows
+    union with observations and ONE window over (keys, ts) carries
+    values forward exactly like ``asof_join``. Two key-partitioned
+    shuffles total, no range explosion beyond the requested grid, no
+    per-key driver loop. Observations sort before the grid marker at an
+    identical timestamp, so a grid point lying on an observation takes
+    that observation's value.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    value_cols = value_cols or [
+        c for c in df.columns if c not in keys + [ts_col]
+    ]
+    # a NULL timestamp sorts before every grid point and would leak its
+    # values into the first fill — an untimed observation is not on the
+    # series
+    df = df.filter(F.col(ts_col).isNotNull())
+    step = int(step_seconds)
+    lo = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.min(ts_col)) / step) * step
+    )
+    grid = (
+        df.groupBy(*keys)
+        .agg(lo.alias("_lo"), F.max(ts_col).alias("_hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    "_lo", "_hi", F.expr(f"INTERVAL {step} SECOND")
+                )
+            ).alias(ts_col),
+            F.lit(1).alias("_src"),
+            *[F.lit(None).alias(c) for c in value_cols],
+        )
+    )
+    obs = df.select(
+        *keys, ts_col, F.lit(0).alias("_src"), *value_cols
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_src").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = obs.unionByName(grid).select(
+        *keys,
+        ts_col,
+        "_src",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_src") == 1).drop("_src")
+
+
 def range_join_count(
     probe: DataFrame,
     events: DataFrame,

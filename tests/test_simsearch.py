@@ -325,3 +325,116 @@ def test_semantic_dedup_single_cluster_is_exact(spark, sf_dir):
     assert got == want
     # the injected clones actually form duplicate groups
     assert any(k == 0 for _, _, k in got)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    return simsearch.train_pq_codebooks(emb, m=8, k_sub=16)
+
+
+def test_pq_codes_shape_and_range(emb, pq_books):
+    codes = emb.select(
+        simsearch.pq_codes_expr("embedding", pq_books).alias("c")
+    ).collect()
+    for r in codes:
+        assert len(r["c"]) == 8
+        assert all(0 <= v < 16 for v in r["c"])
+
+
+def test_pq_full_rerank_equals_bruteforce(emb, queries, pq_books):
+    """Reranking every ADC candidate exactly == brute force: PQ only
+    prunes the candidate ORDER, the exact stage decides."""
+    n = emb.count()
+    exact = sorted(
+        map(tuple, simsearch.topk_cosine(emb, queries, k=5).collect())
+    )
+    pq = sorted(
+        map(
+            tuple,
+            simsearch.topk_cosine_pq(
+                emb, queries, k=5, rerank_factor=n, codebooks=pq_books
+            ).collect(),
+        )
+    )
+    assert pq == exact
+
+
+def test_pq_recall_with_modest_rerank(emb, queries, pq_books):
+    """rerank_factor=4: the 64x-compressed ADC ordering must put most
+    true top-5 neighbors inside its top-20, and the self-hit must be
+    rank 1 (its ADC score is near-maximal by construction)."""
+    exact = simsearch.topk_cosine(emb, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    got = simsearch.topk_cosine_pq(
+        emb, queries, k=5, rerank_factor=4, codebooks=pq_books
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        if r["rank"] == 1:
+            assert r["corpus_id"] == r["query_id"]
+    recalls = [
+        len(by_q.get(q, set()) & hits) / len(hits)
+        for q, hits in truth.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_pq_index_roundtrip(spark, emb, queries, pq_books, tmp_path):
+    path = str(tmp_path / "pq")
+    books = simsearch.write_pq_index(
+        emb, path, m=8, k_sub=16, codebooks=pq_books
+    )
+    assert books == pq_books
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count()
+    stored_books = spark.read.parquet(f"{path}/codebooks")
+    assert stored_books.count() == 8 * 16
+    # stored codes match a fresh encode of the same corpus
+    fresh = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        simsearch.pq_codes_expr("embedding", pq_books).alias("codes"),
+    )
+    assert (
+        codes.select("corpus_id", "codes")
+        .exceptAll(fresh)
+        .count()
+        == 0
+    )
+
+
+def test_pq_adc_no_vectors_through_topk_shuffle(emb, queries, pq_books):
+    """The ADC candidate stage must not ship raw embedding arrays
+    through the window exchange — codes+norm only (the compression is
+    the point). The cv column may only appear in the rerank join."""
+    df = simsearch.topk_cosine_pq(
+        emb, queries, k=5, rerank_factor=4, codebooks=pq_books
+    )
+    lines = (
+        df._jdf.queryExecution().executedPlan().toString().splitlines()
+    )
+    # locate the ADC ordering window (it sorts on the adc column), then
+    # the first Project under its exchange: that is the row layout
+    # shuffled for candidate selection
+    widx = next(
+        i for i, l in enumerate(lines) if "Window" in l and "adc#" in l
+    )
+    eidx = next(
+        i
+        for i in range(widx, len(lines))
+        if "Exchange hashpartitioning(query_id" in lines[i]
+    )
+    pidx = next(
+        i for i in range(eidx, len(lines)) if "Project [" in lines[i]
+    )
+    assert "cv#" not in lines[pidx]
+    assert "embedding#" not in lines[pidx]
+    # and the top-k is pushed into the shuffle as a group-limit
+    assert any("WindowGroupLimit" in l for l in lines[widx:pidx])

@@ -402,3 +402,47 @@ def test_contract_monitor_counts_null_ts_events(spark):
         for r in contract_monitor_batch(df, _monitor_rules()).collect()
     }
     assert got[("1970-01-01 00:00:00", "not_null:value")] == 1
+
+
+def test_latest_state_stream_equals_batch(spark, sf_dir, events):
+    """The update-mode max_by view's final state must equal the batch
+    per-key argmax exactly — the materialized-upsert-view maintenance
+    contract."""
+    from etl_hero_spark.streaming import latest_state_batch, stream_latest_state
+
+    batch = sorted(map(tuple, latest_state_batch(events).collect()))
+    stream = sorted(
+        map(
+            tuple,
+            stream_latest_state(spark, f"{sf_dir}/events.parquet").collect(),
+        )
+    )
+    assert stream == batch
+    # one row per user, and it is that user's newest event
+    assert len(batch) == events.select("user_id").distinct().count()
+
+
+def test_latest_state_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from etl_hero_spark.streaming import latest_state_batch
+
+    got = sorted(
+        map(tuple, latest_state_batch(_events(spark, sf_dir)).collect())
+    )
+    want = sorted(
+        (u, str(t), e, v)
+        for u, t, e, v in duckdb.sql(
+            f"""
+            SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                   event_type, value
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn
+              FROM read_parquet('{sf_dir}/events.parquet')
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    assert got == want

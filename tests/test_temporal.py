@@ -96,3 +96,72 @@ def test_range_join_zero_match_probe_survives(spark):
     )
     row = range_join_count(probe, events, "user_id", lookback_seconds=300).first()
     assert row["n_in_range"] == 0
+
+
+def test_resample_forward_fill_semantics(spark):
+    from etl_hero_spark.temporal import resample_forward_fill
+
+    rows = [
+        # key 1: obs at 00:10, 02:55 -> grid 00:00..02:00 hourly
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 02:55:00", 30.0),
+        # key 2: single obs exactly on a grid point
+        (2, "2024-01-01 05:00:00", 50.0),
+        # untimed observation must not leak
+        (1, None, 999.0),
+    ]
+    df = _ts_df(spark, rows, "k bigint, ts_s string, v double")
+    out = {
+        (r["k"], str(r["ts"])): r["v"]
+        for r in resample_forward_fill(df, "k", "ts", ["v"], 3600).collect()
+    }
+    assert out == {
+        # grid floors to the hour; 00:00 has no obs yet -> NULL
+        (1, "2024-01-01 00:00:00"): None,
+        (1, "2024-01-01 01:00:00"): 10.0,
+        (1, "2024-01-01 02:00:00"): 10.0,
+        (2, "2024-01-01 05:00:00"): 50.0,  # on-grid obs is taken
+    }
+
+
+def test_resample_matches_duckdb_asof_grid(spark):
+    import duckdb
+
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.temporal import resample_forward_fill
+
+    sf = "/root/testdata/sf0.001"
+    ev = _events(spark, sf).filter(F.col("user_id") < 10).select(
+        "user_id", "ts", "value"
+    )
+    got = sorted(
+        (r["user_id"], str(r["ts"]), r["value"])
+        for r in resample_forward_fill(
+            ev, "user_id", "ts", ["value"], 3600
+        ).collect()
+    )
+    want = sorted(
+        (u, str(t), v)
+        for u, t, v in duckdb.sql(
+            f"""
+            WITH obs AS (
+              SELECT user_id, ts, value
+              FROM read_parquet('{sf}/events.parquet') WHERE user_id < 10
+            ), rng AS (
+              SELECT user_id,
+                CAST(to_timestamp(floor(epoch(min(ts)) / 3600) * 3600)
+                     AS TIMESTAMP) AS lo,
+                max(ts) AS hi
+              FROM obs GROUP BY user_id
+            ), grid AS (
+              SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g
+              FROM rng
+            )
+            SELECT grid.user_id, g, obs.value
+            FROM grid ASOF LEFT JOIN obs
+              ON grid.user_id = obs.user_id AND g >= obs.ts
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -51,6 +51,9 @@ from etl_hero_spark.multimodal import (  # noqa: F401
 )
 from etl_hero_spark.profile import (  # noqa: F401
     distinct_counts,
+    merge_quantile_sketches,
+    quantile_sketch,
+    quantiles_from_sketch,
     finalize_stats,
     merge_stats_snapshots,
     stats_snapshot,

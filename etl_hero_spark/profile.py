@@ -528,3 +528,81 @@ def topk_values(
         counts.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """MERGEABLE quantile state: fixed equi-width histogram over
+    [lo, hi] — (bin, n) rows via one width_bucket groupBy. The
+    incremental complement to stats_snapshot: persist one sketch per
+    ingest batch and fold with merge_quantile_sketches; quantile
+    estimates never rescan the corpus. (lo, hi, n_bins) are the sketch
+    identity — take lo/hi from a prior stats_snapshot's min/max; values
+    outside land in the under/overflow bins 0 and n_bins+1, so a batch
+    that exceeds the assumed range is VISIBLE (re-bin when those fill),
+    not silently wrong. Bin counts add exactly, so merging is exact and
+    order-independent — unlike t-digest, whose merge is approximate and
+    order-dependent.
+    """
+    b = F.width_bucket(
+        F.col(col).cast("double"), F.lit(float(lo)), F.lit(float(hi)),
+        F.lit(n_bins),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def merge_quantile_sketches(sketches: DataFrame) -> DataFrame:
+    """Fold sketch rows (same identity) by adding bin counts — exact,
+    associative, commutative."""
+    return sketches.groupBy("bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def quantiles_from_sketch(
+    sketch: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    ps: list[float],
+) -> dict:
+    """Quantile estimates from a (merged) sketch: cumulative counts +
+    linear interpolation inside the containing bin. The sketch is
+    model-sized (<= n_bins+2 rows) — collecting it is O(bins), like
+    reading back any other persisted model. Error bound: one bin width
+    (hi-lo)/n_bins for in-range data (asserted in tests); under/
+    overflow bins clamp to lo/hi."""
+    width = (float(hi) - float(lo)) / n_bins
+    rows = sorted(
+        (r["bin"], r["n"]) for r in sketch.collect() if r["n"]
+    )
+    total = sum(n for _, n in rows)
+    out = {}
+    for p in ps:
+        target = p * total
+        acc = 0
+        est = float(lo)
+        for b, n in rows:
+            if acc + n >= target and n > 0:
+                if b <= 0:
+                    est = float(lo)
+                elif b > n_bins:
+                    est = float(hi)
+                else:
+                    frac = (target - acc) / n
+                    est = float(lo) + (b - 1 + frac) * width
+                break
+            acc += n
+        else:
+            est = float(hi)
+        out[p] = round(est, 9)
+    return out

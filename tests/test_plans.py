@@ -36,6 +36,9 @@ _SKIP = {
     "stream_session_window",
     "stream_dedup",
     "stream_user_gaps",
+    "stream_funnel",
+    "stream_contract_monitor",
+    "stream_latest_state",
 }
 
 

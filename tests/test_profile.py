@@ -357,3 +357,63 @@ def test_topk_values_window_is_partitioned(spark, sf_dir):
     assert window_lines, "expected a Window node in the plan"
     for line in window_lines:
         assert "column" in line.split("windowspecdefinition")[1][:60]
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_merge_is_exact(spark, lineitem):
+    from etl_hero_spark.profile import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    lo, hi = 0.0, 120000.0
+    whole = quantile_sketch(lineitem, "l_extendedprice", lo, hi, 64)
+    parts = [
+        quantile_sketch(
+            lineitem.filter(F.col("l_orderkey") % 3 == i),
+            "l_extendedprice", lo, hi, 64,
+        )
+        for i in range(3)
+    ]
+    merged = merge_quantile_sketches(
+        parts[0].unionByName(parts[1]).unionByName(parts[2])
+    )
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b  # bin counts add EXACTLY — not approximately
+
+
+def test_quantile_sketch_estimates_within_bin_width(spark, lineitem):
+    from etl_hero_spark.profile import quantile_sketch, quantiles_from_sketch
+
+    bounds = lineitem.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    lo, hi = float(bounds[0]), float(bounds[1])
+    n_bins = 256
+    sk = quantile_sketch(lineitem, "l_extendedprice", lo, hi, n_bins)
+    est = quantiles_from_sketch(sk, lo, hi, n_bins, [0.01, 0.5, 0.99])
+    exact = lineitem.selectExpr(
+        "percentile(l_extendedprice, array(0.01, 0.5, 0.99)) AS q"
+    ).first()["q"]
+    width = (hi - lo) / n_bins
+    for p, ex in zip([0.01, 0.5, 0.99], exact):
+        assert abs(est[p] - ex) <= width, (p, est[p], ex, width)
+
+
+def test_quantile_sketch_overflow_bins_visible_and_clamped(spark):
+    from etl_hero_spark.profile import quantile_sketch, quantiles_from_sketch
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [-5.0, 1.0, 2.0, 3.0, 99.0]], "x double"
+    )
+    sk = quantile_sketch(df, "x", 0.0, 10.0, 10)
+    rows = {r["bin"]: r["n"] for r in sk.collect()}
+    assert rows.get(0) == 1  # underflow visible
+    assert rows.get(11) == 1  # overflow visible
+    est = quantiles_from_sketch(sk, 0.0, 10.0, 10, [0.0, 1.0])
+    assert est[0.0] == 0.0 and est[1.0] == 10.0  # clamped to range

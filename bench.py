@@ -70,6 +70,8 @@ HEADLINE = [
     "sim_topk_pq",
     "events_resample_hourly",
     "events_latest_state",
+    "text_bigram_logprob",
+    "profile_quantile_sketch",
 ]
 
 

@@ -278,6 +278,30 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
     return r.json(path)
 
 
+def read_jsonl_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """read_csv_permissive's JSONL twin: explicit schema + PERMISSIVE,
+    malformed lines quarantined into ``corrupt_col`` instead of killing
+    the read (FAILFAST) or vanishing (DROPMALFORMED). Same posture, same
+    caveats: the corrupt column must be declared in the schema, and
+    filtering on ONLY the corrupt column straight off the raw scan is
+    disallowed by Spark — cache() first (or project a data column too).
+    ``csv_ingest_report`` works unchanged on the result. JSONL is the
+    lingua franca of LLM training corpora, where a truncated shard or a
+    stray log line mid-file is routine at 100 TB."""
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

@@ -273,3 +273,61 @@ def validate_media(
             ).cast("int"),
         )
     )
+
+
+def _le_uint_expr(media_col: str, offset: int, n_bytes: int) -> "F.Column":
+    """Little-endian unsigned int read from a binary column at a fixed
+    0-based byte offset — per-byte hex extraction + positional
+    multipliers, all codegen'd string/arithmetic expressions (binary
+    columns have no int cast; this IS the portable read)."""
+    total = None
+    for i in range(n_bytes):
+        b = F.conv(
+            F.hex(F.substring(F.col(media_col), offset + 1 + i, 1)), 16, 10
+        ).cast("long") * F.lit(256**i)
+        total = b if total is None else total + b
+    return total
+
+
+def wav_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL audio header parsing with zero codec libraries: canonical
+    RIFF/WAVE headers (44-byte PCM layout: 'RIFF'@0, 'WAVE'@8,
+    'data'@36) are fixed-offset little-endian fields, so channels /
+    sample rate / bit depth / duration are pure binary-column
+    expressions — a linear codegen'd scan, no Python, no shuffle.
+
+    Adds: is_wav (canonical header present), wav_channels, wav_rate_hz,
+    wav_bits, wav_data_bytes, wav_duration_s (NULL for non-WAV or
+    non-canonical layouts — a WAV with extra chunks before 'data'
+    parses as is_wav=0 rather than mis-reading offsets; route those to
+    a real decoder). Parsed values verified against the stdlib `wave`
+    writer in tests."""
+    tag = lambda off, lit: F.hex(  # noqa: E731
+        F.substring(F.col(media_col), off + 1, 4)
+    ) == F.hex(F.lit(lit.encode()))
+    is_wav = (
+        tag(0, "RIFF")
+        & tag(8, "WAVE")
+        & tag(36, "data")
+        & (F.octet_length(F.col(media_col)) >= 44)
+    )
+    ch = _le_uint_expr(media_col, 22, 2)
+    rate = _le_uint_expr(media_col, 24, 4)
+    bits = _le_uint_expr(media_col, 34, 2)
+    nbytes = _le_uint_expr(media_col, 40, 4)
+    dur = F.round(
+        nbytes.cast("double")
+        / (rate * ch * (bits / F.lit(8))).cast("double"),
+        6,
+    )
+    def gate(c):  # noqa: E306
+        return F.when(is_wav, c)
+
+    return (
+        df.withColumn("is_wav", is_wav.cast("int"))
+        .withColumn("wav_channels", gate(ch).cast("int"))
+        .withColumn("wav_rate_hz", gate(rate).cast("int"))
+        .withColumn("wav_bits", gate(bits).cast("int"))
+        .withColumn("wav_data_bytes", gate(nbytes).cast("bigint"))
+        .withColumn("wav_duration_s", gate(dur))
+    )

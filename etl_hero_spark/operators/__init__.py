@@ -47,6 +47,7 @@ from etl_hero_spark.multimodal import (  # noqa: F401
     resize_media_stub,
     sample_frames,
     validate_media,
+    wav_metadata,
     with_media_column,
 )
 from etl_hero_spark.profile import (  # noqa: F401
@@ -99,6 +100,9 @@ from etl_hero_spark.textops import (  # noqa: F401
     chunk_documents,
     global_line_dedup,
     gopher_filter,
+    bigram_logprob_score,
+    bigram_vocab,
+    score_with_bigram_vocab,
     score_with_unigram_vocab,
     tfidf_top_terms,
     unigram_logprob_score,

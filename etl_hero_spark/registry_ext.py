@@ -1630,3 +1630,25 @@ def q_profile_quantile_sketch(spark, sf_dir):
         F.lit(est[0.5]).alias("p50_est"),
         F.lit(est[0.99]).alias("p99_est"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=None,
+    note=(
+        "extension: second-order LM quality signal — per-doc mean "
+        "bigram log-prob under the corpus's OWN transition table with "
+        "add-alpha smoothing; catches shuffled/word-salad text that "
+        "unigram scoring is blind to (property pinned in "
+        "tests/test_textops.py, plus an independent Python reference "
+        "oracle incl. OOV batches). Relational adjacency plan "
+        "(posexplode + lead window, no interpreted array lambdas); "
+        "pair-key join is flatter than the unigram token join so "
+        "hot-key skew is milder by construction; means are exact "
+        "decimal sums + one IEEE divide (no midpoint rounding)"
+    ),
+)
+def q_text_bigram_logprob(spark, sf_dir):
+    from etl_hero_spark.textops import bigram_logprob_score
+
+    return bigram_logprob_score(_t(spark, sf_dir, "documents"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 # ---------------------------------------------------------------------------
 # tokenization & counting
@@ -781,4 +782,108 @@ def score_with_unigram_vocab(
         F.round(
             (F.sum(dec) / F.count(F.lit(1))).cast("double"), 9
         ).alias("mean_logprob"),
+    )
+
+
+def _token_pairs(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """Adjacent token pairs per document: posexplode + window lead over
+    (doc, pos) — the relational adjacency plan (array zip/slice lambdas
+    evaluate interpreted; this codegens and shuffles once on the doc
+    id). Output: _id, _tok, _next (one row per transition)."""
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens_expr(col)).alias("_pos", "_tok"),
+    ).withColumn("_tok", F.lower(F.col("_tok")))
+    w = W.partitionBy("_id").orderBy("_pos")
+    return (
+        t.withColumn("_next", F.lead("_tok").over(w))
+        .filter(F.col("_next").isNotNull())
+        .drop("_pos")
+    )
+
+
+def bigram_vocab(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Corpus bigram table (_tok, _next, _n): transition counts over
+    adjacent lowercased whitespace tokens. PERSISTABLE like
+    unigram_vocab — build once per corpus snapshot, score batches
+    against the stored table (context totals and vocab size derive
+    from it in the scorer, so ONE table is the whole model). One
+    (doc) window + one (pair) shuffle."""
+    return (
+        _token_pairs(df, id_col, col)
+        .groupBy("_tok", "_next")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
+def score_with_bigram_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document mean bigram log-probability ln P(w_i | w_{i-1})
+    under a prebuilt transition table, with add-alpha smoothing:
+
+        logp = ln((c(w1,w2) + alpha) / (c(w1) + alpha*V))
+
+    where c(w1) = sum_w2 c(w1,w2) and V = |distinct tokens in vocab|.
+    Unseen transitions and unseen contexts degrade smoothly (alpha
+    floor) instead of -inf — the incremental-batch form, mirroring
+    score_with_unigram_vocab. Docs with < 2 tokens drop (no
+    transitions to score).
+
+    Plan: batch transitions LEFT-join the pair table on (w1, w2) —
+    a higher-cardinality, flatter key than the unigram token join, so
+    hot-key skew is milder by construction (the most frequent English
+    bigram is ~1% of mass vs ~7% for 'the') — then LEFT-join the tiny
+    context table and broadcast the scalar V; per-doc means accumulate
+    as 9dp DECIMAL (order-independent)."""
+    ctx = vocab.groupBy("_tok").agg(F.sum("_n").alias("_cn"))
+    v_scalar = F.broadcast(
+        vocab.select(F.col("_tok").alias("_t"))
+        .unionByName(vocab.select(F.col("_next").alias("_t")))
+        .agg(F.countDistinct("_t").cast("double").alias("_v"))
+    )
+    pairs = _token_pairs(df, id_col, col)
+    joined = (
+        pairs.join(vocab, ["_tok", "_next"], "left")
+        .join(ctx, "_tok", "left")
+        .crossJoin(v_scalar)
+    )
+    n = F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+    cn = F.coalesce(F.col("_cn"), F.lit(0)).cast("double")
+    lp = F.round(
+        F.log((n + F.lit(alpha)) / (cn + F.lit(alpha) * F.col("_v"))), 9
+    )
+    dec = lp.cast("decimal(20,9)")
+    # exact decimal SUM cast to double, then ONE IEEE divide, and NO
+    # final round: a 9dp sum divided by n lands exactly on .5 grid
+    # midpoints (e.g. n=2), where Spark's shortest-repr HALF_UP and
+    # Python/DuckDB's value-based rounding disagree — the unrounded
+    # quotient of an exact sum is bit-identical everywhere
+    return joined.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("int").alias("n_transitions"),
+        (
+            F.sum(dec).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_bigram_logprob"),
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Self-scored form: each document's mean transition probability
+    under the corpus's OWN bigram distribution — the second-order
+    CCNet-style quality signal (catches shuffled/word-salad text that
+    unigram scoring cannot: same words, impossible transitions)."""
+    return score_with_bigram_vocab(
+        df, bigram_vocab(df, id_col, col), id_col=id_col, col=col,
+        alpha=alpha,
     )

@@ -352,3 +352,29 @@ def test_avro_gated(spark, tmp_path, lineitem):
         return
     back = read_avro(spark, path)
     assert back.count() == 10
+
+
+def test_permissive_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """JSONL twin of the permissive CSV posture: a truncated/garbage
+    line lands in the corrupt column, clean lines parse, and the same
+    ingest report counts both."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.io import csv_ingest_report, read_jsonl_permissive
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        '{"doc_id": 2, "text": "truncat\n'  # truncated mid-record
+        "not json at all\n"
+        '{"doc_id": 3, "text": "ok three"}\n'
+    )
+    df = read_jsonl_permissive(
+        spark, str(p), "doc_id long, text string"
+    ).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["doc_id"] for r in clean.collect()} == {1, 3}
+    assert bad.count() == 2
+    rep = csv_ingest_report(df).first()
+    assert rep["n_rows"] == 4 and rep["n_corrupt"] == 2

@@ -241,3 +241,40 @@ def test_weighted_hash_sample_properties(spark, sf_dir):
     # acceptance rate tracks mean weight (law of large numbers, loose)
     mean_w = docs.agg(F.avg("w")).first()[0]
     assert abs(len(s1) / docs.count() - mean_w) < 0.1
+
+
+_scd2_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),           # key
+        st.sampled_from(["a", "b", "c"]),                # state
+        st.integers(min_value=0, max_value=20),          # hour offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_scd2_changes)
+@_settings
+def test_scd2_history_partitions_each_keys_timeline(spark, rows):
+    """For ANY change log: per key, versions are non-overlapping,
+    chain exactly (effective_to == next effective_from), exactly one
+    is_current=1 (the last), and adjacent versions always differ in
+    state (no-op suppression is complete)."""
+    from etl_hero_spark.cdc import scd2_history
+
+    df = spark.createDataFrame(
+        [(k, s, f"2024-01-01 {h:02d}:30:00") for k, s, h in rows],
+        "id bigint, state string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(df, "id", "ts", ["state"]).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["id"], []).append(r)
+    for rs in by_key.values():
+        rs.sort(key=lambda r: r["effective_from"])
+        assert sum(r["is_current"] for r in rs) == 1
+        assert rs[-1]["is_current"] == 1 and rs[-1]["effective_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["state"] != b["state"]

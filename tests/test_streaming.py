@@ -446,3 +446,51 @@ def test_latest_state_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_wav_metadata_matches_stdlib_writer(spark):
+    """The expression-only RIFF parser must read back exactly what the
+    stdlib wave module wrote: real binary parsing, no codec library."""
+    import io as _io
+    import wave
+
+    from etl_hero_spark.multimodal import wav_metadata
+
+    def make_wav(rate, channels, bits, n_frames):
+        buf = _io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(channels)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (n_frames * channels * (bits // 8)))
+        w.close()
+        return buf.getvalue()
+
+    rows = [
+        (1, make_wav(16000, 1, 16, 16000)),   # 1.0 s mono 16k
+        (2, make_wav(44100, 2, 16, 22050)),   # 0.5 s stereo cd
+        (3, make_wav(8000, 1, 8, 2000)),      # 0.25 s 8-bit telephony
+        (4, b"RIFFxxxxWAVEbroken"),           # RIFF but not canonical
+        (5, b"\x89PNG\r\n\x1a\nnotaudio" * 4),  # wrong container
+        (6, None),                             # missing payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    out = {r["doc_id"]: r for r in wav_metadata(df).collect()}
+    for i, (rate, ch, bits, frames, dur) in {
+        1: (16000, 1, 16, 16000, 1.0),
+        2: (44100, 2, 16, 22050, 0.5),
+        3: (8000, 1, 8, 2000, 0.25),
+    }.items():
+        r = out[i]
+        assert r["is_wav"] == 1
+        assert r["wav_rate_hz"] == rate
+        assert r["wav_channels"] == ch
+        assert r["wav_bits"] == bits
+        assert r["wav_data_bytes"] == frames * ch * (bits // 8)
+        assert r["wav_duration_s"] == dur
+    for i in (4, 5, 6):
+        assert out[i]["is_wav"] in (0, None) or out[i]["is_wav"] == 0
+        assert out[i]["wav_rate_hz"] is None
+    # pure-expression plan: no Python eval of any kind
+    plan = wav_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

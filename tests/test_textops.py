@@ -579,3 +579,128 @@ def test_global_line_dedup_idempotent(spark, sf_dir):
     twice = textops.global_line_dedup(once, min_docs=2)
     changed = twice.filter(F.col("n_lines_removed") > 0).count()
     assert changed == 0
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def _bigram_reference(corpus, batch, alpha):
+    """Independent Python implementation of the smoothed bigram score."""
+    import math
+    from collections import Counter
+
+    pair_c = Counter()
+    for _id, text in corpus:
+        toks = text.strip().lower().split()
+        pair_c.update(zip(toks, toks[1:]))
+    ctx_c = Counter()
+    vocab_tokens = set()
+    for (w1, w2), n in pair_c.items():
+        ctx_c[w1] += n
+        vocab_tokens.update((w1, w2))
+    v = float(len(vocab_tokens))
+    out = {}
+    for _id, text in batch:
+        toks = text.strip().lower().split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        from decimal import Decimal
+
+        lps = [
+            round(
+                math.log(
+                    (pair_c.get(p, 0) + alpha) / (ctx_c.get(p[0], 0) + alpha * v)
+                ),
+                9,
+            )
+            for p in pairs
+        ]
+        # exact decimal sum then one float divide, NO final rounding —
+        # bit-identical to the engine (see score_with_bigram_vocab)
+        s = float(sum(Decimal(f"{lp:.9f}") for lp in lps))
+        out[_id] = (len(pairs), s / len(lps))
+    return out
+
+
+BIGRAM_CORPUS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat ran"),
+    (3, "a dog sat on a log"),
+    (4, "single"),  # no transitions -> dropped
+    (5, "  "),  # blank -> dropped
+]
+
+
+def test_bigram_self_score_matches_reference(spark):
+    from etl_hero_spark.textops import bigram_logprob_score
+
+    df = spark.createDataFrame(BIGRAM_CORPUS, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["mean_bigram_logprob"])
+        for r in bigram_logprob_score(df, alpha=0.1).collect()
+    }
+    want = _bigram_reference(BIGRAM_CORPUS, BIGRAM_CORPUS, 0.1)
+    assert got == want
+    assert 4 not in got and 5 not in got
+
+
+def test_bigram_incremental_batch_with_oov(spark):
+    """Scoring a NEW batch against a persisted vocab: unseen pairs and
+    unseen contexts take the smoothed floor, matching the reference."""
+    from etl_hero_spark.textops import bigram_vocab, score_with_bigram_vocab
+
+    corpus_df = spark.createDataFrame(
+        BIGRAM_CORPUS, "doc_id bigint, text string"
+    )
+    batch = [
+        (10, "the cat sat"),          # all known transitions
+        (11, "cat the"),              # known tokens, unseen transition
+        (12, "entirely novel words"),  # unseen contexts
+    ]
+    batch_df = spark.createDataFrame(batch, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["mean_bigram_logprob"])
+        for r in score_with_bigram_vocab(
+            batch_df, bigram_vocab(corpus_df), alpha=0.5
+        ).collect()
+    }
+    want = _bigram_reference(BIGRAM_CORPUS, batch, 0.5)
+    assert got == want
+    # word salad scores strictly below fluent text
+    assert got[11][1] < got[10][1]
+
+
+def test_bigram_catches_shuffled_text_unigram_cannot(spark):
+    """The discriminating property: a doc with the corpus's own words in
+    impossible order scores low on bigram while its unigram score equals
+    the fluent doc's (same bag of words)."""
+    from etl_hero_spark.textops import (
+        bigram_vocab,
+        score_with_bigram_vocab,
+        score_with_unigram_vocab,
+        unigram_vocab,
+    )
+
+    corpus = [(i, "the cat sat on the mat") for i in range(20)]
+    corpus_df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "mat the on sat cat the")],
+        "doc_id bigint, text string",
+    )
+    uni = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in score_with_unigram_vocab(
+            probe, unigram_vocab(corpus_df)
+        ).collect()
+    }
+    bi = {
+        r["doc_id"]: r["mean_bigram_logprob"]
+        for r in score_with_bigram_vocab(
+            probe, bigram_vocab(corpus_df)
+        ).collect()
+    }
+    assert uni[100] == uni[101]  # unigram is blind to order
+    assert bi[101] < bi[100]  # bigram is not

@@ -72,6 +72,7 @@ HEADLINE = [
     "events_latest_state",
     "text_bigram_logprob",
     "profile_quantile_sketch",
+    "profile_distinct_sketch",
 ]
 
 

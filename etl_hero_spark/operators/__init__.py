@@ -52,6 +52,9 @@ from etl_hero_spark.multimodal import (  # noqa: F401
 )
 from etl_hero_spark.profile import (  # noqa: F401
     distinct_counts,
+    distinct_sketch,
+    estimate_distincts,
+    merge_distinct_sketches,
     merge_quantile_sketches,
     quantile_sketch,
     quantiles_from_sketch,

@@ -606,3 +606,48 @@ def quantiles_from_sketch(
             est = float(hi)
         out[p] = round(est, 9)
     return out
+
+
+def distinct_sketch(
+    df: DataFrame, cols: list[str], lg_k: int = 12
+) -> DataFrame:
+    """MERGEABLE distinct-count state (Apache DataSketches HLL via
+    hll_sketch_agg): one row with a binary sketch per column. The third
+    leg of the incremental profile triad — stats_snapshot (moments),
+    quantile_sketch (quantiles), this (distincts): persist one sketch
+    per ingest batch, fold with merge_distinct_sketches, estimate
+    without rescanning. HLL registers combine by MAX, so the merge is
+    associative/commutative and a merged sketch estimates EXACTLY like
+    a whole-corpus sketch (asserted in tests). lg_k=12 -> ~1.6% rse,
+    4 KB per column per batch."""
+    return df.agg(
+        *[
+            F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_k)).alias(
+                f"sk_{c}"
+            )
+            for c in cols
+        ]
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Fold sketch rows into one via hll_union_agg (register-wise max —
+    any merge order or tree shape gives the identical sketch)."""
+    return sketches.agg(
+        *[F.hll_union_agg(f"sk_{c}").alias(f"sk_{c}") for c in cols]
+    )
+
+
+def estimate_distincts(merged: DataFrame, cols: list[str]) -> DataFrame:
+    """Distinct-count estimates from (merged) sketches, one bigint per
+    column."""
+    return merged.select(
+        *[
+            F.hll_sketch_estimate(f"sk_{c}")
+            .cast("bigint")
+            .alias(f"n_distinct_{c}")
+            for c in cols
+        ]
+    )

@@ -842,13 +842,20 @@ def score_with_bigram_vocab(
     bigram is ~1% of mass vs ~7% for 'the') — then LEFT-join the tiny
     context table and broadcast the scalar V; per-doc means accumulate
     as 9dp DECIMAL (order-independent)."""
+    return _score_bigram_pairs(
+        _token_pairs(df, id_col, col), vocab, id_col, alpha
+    )
+
+
+def _score_bigram_pairs(
+    pairs: DataFrame, vocab: DataFrame, id_col: str, alpha: float
+) -> DataFrame:
     ctx = vocab.groupBy("_tok").agg(F.sum("_n").alias("_cn"))
     v_scalar = F.broadcast(
         vocab.select(F.col("_tok").alias("_t"))
         .unionByName(vocab.select(F.col("_next").alias("_t")))
         .agg(F.countDistinct("_t").cast("double").alias("_v"))
     )
-    pairs = _token_pairs(df, id_col, col)
     joined = (
         pairs.join(vocab, ["_tok", "_next"], "left")
         .join(ctx, "_tok", "left")
@@ -882,8 +889,18 @@ def bigram_logprob_score(
     """Self-scored form: each document's mean transition probability
     under the corpus's OWN bigram distribution — the second-order
     CCNet-style quality signal (catches shuffled/word-salad text that
-    unigram scoring cannot: same words, impossible transitions)."""
-    return score_with_bigram_vocab(
-        df, bigram_vocab(df, id_col, col), id_col=id_col, col=col,
-        alpha=alpha,
+    unigram scoring cannot: same words, impossible transitions).
+
+    The transition table, its context totals, the vocab size, AND the
+    scoring join all consume the same exploded-pairs subtree — four
+    consumers, so the pairs stage at a disk boundary (SURVEY §4(c))
+    instead of re-deriving the posexplode+window chain per consumer."""
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    pairs = parquet_checkpoint(
+        _token_pairs(df, id_col, col), "bigram_pairs"
     )
+    vocab = pairs.groupBy("_tok", "_next").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return _score_bigram_pairs(pairs, vocab, id_col, alpha)

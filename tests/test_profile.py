@@ -417,3 +417,33 @@ def test_quantile_sketch_overflow_bins_visible_and_clamped(spark):
     assert rows.get(11) == 1  # overflow visible
     est = quantiles_from_sketch(sk, 0.0, 10.0, 10, [0.0, 1.0])
     assert est[0.0] == 0.0 and est[1.0] == 10.0  # clamped to range
+
+
+def test_distinct_sketch_merge_estimates_exactly_like_whole(spark, sf_dir):
+    from etl_hero_spark.profile import (
+        distinct_sketch,
+        estimate_distincts,
+        merge_distinct_sketches,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_custkey", "o_orderpriority"]
+    whole = estimate_distincts(distinct_sketch(orders, cols), cols).first()
+    parts = [
+        distinct_sketch(
+            orders.filter(F.col("o_orderkey") % 3 == i), cols
+        )
+        for i in range(3)
+    ]
+    merged = merge_distinct_sketches(
+        parts[0].unionByName(parts[1]).unionByName(parts[2]), cols
+    )
+    inc = estimate_distincts(merged, cols).first()
+    # HLL registers fold by max -> merged sketch == whole-corpus sketch
+    assert tuple(inc) == tuple(whole)
+    # and the estimate is close to exact
+    exact = orders.agg(
+        F.countDistinct("o_custkey"), F.countDistinct("o_orderpriority")
+    ).first()
+    assert abs(inc[0] - exact[0]) / exact[0] < 0.05
+    assert inc[1] == exact[1]  # 5 priorities: tiny cardinality is exact

@@ -73,6 +73,9 @@ HEADLINE = [
     "text_bigram_logprob",
     "profile_quantile_sketch",
     "profile_distinct_sketch",
+    "outliers_iqr",
+    "profile_corr_matrix",
+    "events_rolling_features",
 ]
 
 

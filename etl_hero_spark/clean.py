@@ -353,3 +353,22 @@ def impute_grouped(
         .withColumn(col, F.coalesce(F.col(col), F.col("_fill")))
         .drop("_fill", *[f"_g_{g}" for g in group_cols])
     )
+
+
+def remove_outliers_iqr(
+    df: DataFrame, col: str, k: float = 1.5, approx: bool = False
+) -> DataFrame:
+    """R1a under the Tukey rule (the reference's declared-but-unshipped
+    IQR alternative, app.py:397): drop rows outside [Q1-k*IQR,
+    Q3+k*IQR]; NULLs survive (not outliers), matching remove_outliers'
+    z-score semantics. Fences are plan literals — a pushable filter,
+    no stats join."""
+    from etl_hero_spark.detect import iqr_bounds
+
+    lo, hi = iqr_bounds(df, col, k, approx)
+    if lo is None:
+        return df
+    keep = F.col(col).isNull() | (
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )
+    return df.filter(keep)

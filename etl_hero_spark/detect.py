@@ -334,3 +334,75 @@ def detect_anomalies_mad(
             F.first("_mad").alias("mad"),
         )
     )
+
+
+def iqr_bounds(
+    df: DataFrame,
+    col: str,
+    k: float = 1.5,
+    approx: bool = False,
+    round_bounds: int | None = 2,
+) -> tuple:
+    """Tukey fences for one column: (Q1 - k*IQR, Q3 + k*IQR) from exact
+    interpolated quartiles (t-digest behind approx=True for the 100 TB
+    path). The reference LISTS IQR outliers as future work (app.py:397,
+    'outlier IQR in alternativa a z-score') without shipping it — this
+    completes that roadmap item with standard Tukey semantics. Bounds
+    round to a 2dp grid like clip_outliers so comparisons are
+    engine-independent. Returns (None, None) on an all-null column."""
+    from etl_hero_spark.profile import quantiles
+
+    qs = quantiles(df, col, [0.25, 0.75], approx=approx)
+    if not qs or qs[0] is None:
+        return (None, None)
+    q1, q3 = qs
+    lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+    if round_bounds is not None:
+        lo, hi = round(lo, round_bounds), round(hi, round_bounds)
+    return (lo, hi)
+
+
+def detect_outliers_iqr(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    k: float = 1.5,
+    approx: bool = False,
+) -> DataFrame:
+    """(column, n_outliers, lo, hi) per numeric column under the Tukey
+    rule — the IQR twin of detect_outliers (P2). Same two-phase plan:
+    concurrent per-column quartile jobs fold the fences in as plan
+    literals, then ONE counting scan; NULLs are never outliers. A
+    constant column has IQR 0 -> fences collapse to the constant ->
+    zero outliers (the sigma==0 guard's analogue, free by construction).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    cols = cols or numeric_columns(df)
+
+    def one(c):
+        return c, iqr_bounds(df, c, k, approx)
+
+    with ThreadPoolExecutor(max_workers=min(len(cols), 16)) as ex:
+        bounds = dict(ex.map(one, cols))
+    usable = [c for c in cols if bounds[c][0] is not None]
+    if not usable:
+        return df.sparkSession.createDataFrame(
+            [], "column string, n_outliers bigint, lo double, hi double"
+        )
+    counts = df.agg(
+        *[
+            F.sum(
+                (
+                    (F.col(c) < bounds[c][0]) | (F.col(c) > bounds[c][1])
+                ).cast("long")
+            ).alias(c)
+            for c in usable
+        ]
+    ).first()
+    rows = [
+        (c, int(counts[c] or 0), bounds[c][0], bounds[c][1])
+        for c in usable
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "column string, n_outliers bigint, lo double, hi double"
+    )

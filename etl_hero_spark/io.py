@@ -395,3 +395,80 @@ def write_avro(df: DataFrame, path: str) -> None:
                 "session classpath; add it via spark.jars.packages"
             ) from e
         raise
+
+
+def _pdf_escape(s: str) -> str:
+    return (
+        s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    )
+
+
+def to_pdf_report(lines: list[str], title: str = "ETL report") -> bytes:
+    """S5's declared-but-unshipped sibling: the reference lists PDF
+    export as future work (app.py:392, 'Esporta report PDF') and never
+    implements it. This ships it with ZERO dependencies: PDF 1.4 is a
+    plain-text object graph, and a paginated Helvetica text report
+    (catalog -> pages -> page/content streams + a byte-exact xref
+    table) is small enough to emit by hand. Driver-side rendering of an
+    already-aggregated summary, like to_html_report — never row data.
+    """
+    per_page = 46
+    chunks = [
+        lines[i : i + per_page] for i in range(0, len(lines), per_page)
+    ] or [[]]
+    n_pages = len(chunks)
+    # object ids: 1 catalog, 2 pages, 3 font, then per page: page obj,
+    # content obj
+    objs: dict[int, bytes] = {}
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, chunk in enumerate(chunks):
+        pid, cid = page_ids[i], page_ids[i] + 1
+        body = [f"BT /F1 14 Tf 50 752 Td ({_pdf_escape(title)}) Tj ET"]
+        y = 726
+        for ln in chunk:
+            body.append(
+                f"BT /F1 10 Tf 50 {y} Td ({_pdf_escape(ln[:110])}) Tj ET"
+            )
+            y -= 14
+        stream = "\n".join(body).encode("latin-1", "replace")
+        objs[pid] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+            + f"{cid} 0 R >>".encode()
+        )
+        objs[cid] = (
+            f"<< /Length {len(stream)} >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    n_objs = max(objs) + 1
+    out += f"xref\n0 {n_objs}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n_objs):
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def write_pdf_report(
+    lines: list[str], path: str, title: str = "ETL report"
+) -> None:
+    with open(path, "wb") as f:
+        f.write(to_pdf_report(lines, title))

@@ -16,6 +16,7 @@ from etl_hero_spark.clean import (  # noqa: F401
     impute_grouped,
     normalize_dates,
     remove_outliers,
+    remove_outliers_iqr,
     replace_outliers,
     replace_where,
 )
@@ -39,6 +40,8 @@ from etl_hero_spark.detect import (  # noqa: F401
     detect_missing,
     detect_missions,
     detect_outliers,
+    detect_outliers_iqr,
+    iqr_bounds,
     with_outlier_flags,
     zscore_stats,
 )
@@ -51,6 +54,7 @@ from etl_hero_spark.multimodal import (  # noqa: F401
     with_media_column,
 )
 from etl_hero_spark.profile import (  # noqa: F401
+    correlation_matrix,
     distinct_counts,
     distinct_sketch,
     estimate_distincts,
@@ -98,6 +102,7 @@ from etl_hero_spark.temporal import (  # noqa: F401
     asof_join,
     range_join_count,
     resample_forward_fill,
+    rolling_features,
 )
 from etl_hero_spark.textops import (  # noqa: F401
     chunk_documents,

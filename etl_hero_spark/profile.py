@@ -651,3 +651,40 @@ def estimate_distincts(merged: DataFrame, cols: list[str]) -> DataFrame:
             for c in cols
         ]
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Pairwise Pearson correlations in long format (col_a, col_b,
+    corr, n_pairs) for every unordered column pair — the profiling
+    pane the single-pair corr in profile_stats builds toward. ONE
+    multi-aggregate pass: n*(n-1)/2 F.corr aggregates + pairwise
+    complete-observation counts, all in a single scan/codegen stage;
+    no shuffle beyond the global agg. corr is double-accumulated
+    (Spark's Pearson state), so values are engine-close (1e-9), not
+    hash-exact — this is a diagnostics surface, checked with tolerance
+    against DuckDB in tests."""
+    cols = cols or numeric_columns(df)
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    if not pairs:
+        raise ValueError("correlation_matrix: need >= 2 numeric columns")
+    aggs = []
+    for a, b in pairs:
+        aggs.append(F.corr(a, b).alias(f"c_{a}__{b}"))
+        aggs.append(
+            F.count(
+                F.when(
+                    F.col(a).isNotNull() & F.col(b).isNotNull(), F.lit(1)
+                )
+            ).alias(f"n_{a}__{b}")
+        )
+    row = df.agg(*aggs).first()
+    out = [
+        (a, b, row[f"c_{a}__{b}"], row[f"n_{a}__{b}"]) for a, b in pairs
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double, n_pairs bigint"
+    )

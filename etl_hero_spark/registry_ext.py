@@ -1700,3 +1700,49 @@ def q_profile_distinct_sketch(spark, sf_dir):
         parts[0].unionByName(parts[1]).unionByName(parts[2]), cols
     )
     return estimate_distincts(merged, cols)
+
+
+@register(
+    "outliers_iqr",
+    oracle=None,
+    note=(
+        "reference future work SHIPPED (app.py:397 lists 'IQR outliers "
+        "as z-score alternative' and never implements it): Tukey-fence "
+        "detection per numeric column — concurrent per-column exact "
+        "quartile jobs fold fences in as plan literals, one counting "
+        "scan, constant columns collapse to zero outliers by "
+        "construction. DuckDB quantile_cont parity + null/constant "
+        "edges in tests/test_detect.py; approx=True t-digest flag for "
+        "the 100 TB path; remove_outliers_iqr is the R1a-style "
+        "remediation twin"
+    ),
+)
+def q_outliers_iqr(spark, sf_dir):
+    from etl_hero_spark.detect import detect_outliers_iqr
+    from etl_hero_spark.registry import LINEITEM_NUM
+
+    return detect_outliers_iqr(
+        _t(spark, sf_dir, "lineitem"), LINEITEM_NUM
+    ).orderBy("column")
+
+
+@register(
+    "profile_corr_matrix",
+    oracle=None,
+    note=(
+        "extension: pairwise Pearson correlation matrix in long format "
+        "— all n(n-1)/2 pairs + pairwise-complete counts in ONE "
+        "multi-aggregate scan (no shuffle beyond the global agg). "
+        "Double-accumulated corr state is engine-close, not hash-exact "
+        "(1e-9 DuckDB tolerance pinned in tests/test_profile.py); "
+        "corr values rounded to 6dp for stable driver rows"
+    ),
+)
+def q_profile_corr_matrix(spark, sf_dir):
+    from etl_hero_spark.profile import correlation_matrix
+    from etl_hero_spark.registry import LINEITEM_NUM
+
+    out = correlation_matrix(_t(spark, sf_dir, "lineitem"), LINEITEM_NUM)
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr"), "n_pairs"
+    ).orderBy("col_a", "col_b")

@@ -680,3 +680,34 @@ def q_stream_latest_state(spark, sf_dir):
     from etl_hero_spark.streaming import stream_latest_state
 
     return stream_latest_state(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "events_rolling_features",
+    oracle=None,
+    note=(
+        "extension: per-key trailing-window features (roll_n/sum/min/"
+        "max/mean over a 1h RANGE frame) — ONE (user, ts) window "
+        "shuffle, all features share the sort; decimal-accumulated "
+        "sums; RANGE frame includes equal-ts peers so the result is "
+        "deterministic. DuckDB window-frame parity pinned in "
+        "tests/test_temporal.py. Daily summary output"
+    ),
+)
+def q_events_rolling_features(spark, sf_dir):
+    from etl_hero_spark.profile import dec_avg
+    from etl_hero_spark.temporal import rolling_features
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    feats = rolling_features(
+        ev, "user_id", "ts", "value", window_seconds=3600
+    )
+    return (
+        feats.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("roll_n").cast("bigint").alias("max_roll_n"),
+            dec_avg("roll_sum", "avg_roll_sum"),
+        )
+        .orderBy("day")
+    )

@@ -14,9 +14,11 @@ from etl_hero_spark.io import (  # noqa: F401
     read_orc,
     read_parquet,
     to_html_report,
+    to_pdf_report,
     write_bucketed,
     write_csv,
     write_jsonl,
     write_orc,
     write_parquet,
+    write_pdf_report,
 )

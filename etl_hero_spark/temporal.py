@@ -185,3 +185,61 @@ def range_join_count(
         .na.fill({count_alias: 0})
         .withColumn(count_alias, F.col(count_alias).cast("bigint"))
     )
+
+
+def rolling_features(
+    df: DataFrame,
+    keys: list[str] | str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int | None = None,
+    window_rows: int | None = None,
+) -> DataFrame:
+    """Per-key trailing-window features (the feature-engineering
+    staple): adds roll_n / roll_sum / roll_min / roll_max / roll_mean
+    over either a TIME frame (rangeBetween on epoch seconds — the
+    window covers (t - window_seconds, t], late-arriving density
+    changes included) or a ROW frame (last N observations). Exactly
+    one of window_seconds / window_rows.
+
+    ONE window over (keys, ts) — single hash shuffle, sorted once,
+    every feature shares the frame. Sums accumulate in DECIMAL so
+    roll_sum/roll_mean are order-independent (engine-exact to 9dp,
+    DuckDB-pinned in tests); NULL values leave roll_n of non-null
+    observations intact via count(value). The RANGE frame includes all
+    equal-timestamp peers, so the time form is deterministic under
+    ties; the ROW form is only deterministic when (keys, ts) is unique
+    — prefer the time form on real event data."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if (window_seconds is None) == (window_rows is None):
+        raise ValueError("pass exactly one of window_seconds/window_rows")
+    if window_seconds is not None:
+        base = df.withColumn("_sec", F.unix_timestamp(F.col(ts_col)))
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("_sec").asc())
+            .rangeBetween(-int(window_seconds) + 1, 0)
+        )
+    else:
+        base = df.withColumn("_sec", F.lit(None))
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc())
+            .rowsBetween(-(int(window_rows) - 1), 0)
+        )
+    v = F.col(value_col)
+    dec = v.cast("decimal(28,9)")
+    n = F.count(v).over(w)
+    s = F.sum(dec).over(w).cast("double")
+    out = (
+        base.withColumn("roll_n", n.cast("bigint"))
+        .withColumn("roll_sum", F.round(s, 9))
+        .withColumn("roll_min", F.min(v).over(w))
+        .withColumn("roll_max", F.max(v).over(w))
+        .withColumn(
+            "roll_mean",
+            F.round(s / n.cast("double"), 9),
+        )
+        .drop("_sec")
+    )
+    return out

@@ -135,3 +135,56 @@ def test_mad_anomalies_null_group_key_is_a_group(spark):
     rows = detect_anomalies_mad(df, "x", "g").collect()
     assert len(rows) == 1
     assert rows[0]["n"] == 6 and rows[0]["n_anomalies"] == 1
+
+
+def test_iqr_outliers_match_duckdb(spark, lineitem):
+    """Tukey-fence counts must agree with DuckDB quantile_cont fences
+    (the reference's declared-but-unshipped IQR mode, app.py:397)."""
+    import duckdb
+
+    from etl_hero_spark.detect import detect_outliers_iqr
+
+    got = {
+        r["column"]: (r["n_outliers"], r["lo"], r["hi"])
+        for r in detect_outliers_iqr(
+            lineitem, ["l_quantity", "l_extendedprice"]
+        ).collect()
+    }
+    for c in ["l_quantity", "l_extendedprice"]:
+        q1, q3 = duckdb.sql(
+            f"SELECT quantile_cont({c}, 0.25), quantile_cont({c}, 0.75) "
+            f"FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+        ).fetchone()
+        lo = round(q1 - 1.5 * (q3 - q1), 2)
+        hi = round(q3 + 1.5 * (q3 - q1), 2)
+        n = duckdb.sql(
+            f"SELECT count(*) FROM "
+            f"read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+            f"WHERE {c} < {lo} OR {c} > {hi}"
+        ).fetchone()[0]
+        assert got[c] == (n, lo, hi)
+
+
+def test_iqr_constant_and_null_columns(spark):
+    from etl_hero_spark.detect import detect_outliers_iqr
+
+    df = spark.createDataFrame(
+        [(7.0, None), (7.0, None), (7.0, None)], "c double, d double"
+    )
+    got = {
+        r["column"]: r["n_outliers"]
+        for r in detect_outliers_iqr(df, ["c", "d"]).collect()
+    }
+    assert got.get("c") == 0  # collapsed fences, no outliers
+    assert "d" not in got  # all-null column excluded
+
+
+def test_remove_outliers_iqr_keeps_nulls(spark):
+    from etl_hero_spark.clean import remove_outliers_iqr
+
+    rows = [(float(v),) for v in [1, 2, 3, 4, 5, 100]] + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = [r["x"] for r in remove_outliers_iqr(df, "x").collect()]
+    assert None in out
+    assert 100.0 not in out
+    assert sorted(v for v in out if v is not None) == [1, 2, 3, 4, 5]

@@ -51,3 +51,35 @@ def test_packed_jsonl_shard_layout(spark, sf_dir, tmp_path):
     )
     assert back.count() == docs.count()
     assert sum(m["n_docs"] for m in manifest) == docs.count()
+
+
+def test_pdf_report_structure_and_xref(tmp_path):
+    """The hand-rolled PDF (reference future work app.py:392) must be a
+    structurally valid PDF 1.4: header, trailer, and an xref table whose
+    byte offsets actually land on each object's 'N 0 obj' marker."""
+    from etl_hero_spark.io import to_pdf_report, write_pdf_report
+
+    lines = [f"metric {i}: value ({i * 1.5})" for i in range(100)]
+    pdf = to_pdf_report(lines, title="Cleaning report \\ (test)")
+    assert pdf.startswith(b"%PDF-1.4")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    # 100 lines at 46/page -> 3 pages
+    assert pdf.count(b"/Type /Page ") == 3
+    # parse xref and verify every offset
+    xref_at = int(pdf.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    assert pdf[xref_at : xref_at + 4] == b"xref"
+    table = pdf[xref_at:].split(b"trailer")[0].splitlines()
+    n_objs = int(table[1].split()[1])
+    for oid, entry in enumerate(table[2 : 2 + n_objs]):
+        off, _gen, kind = entry.split()
+        if kind == b"f":
+            continue
+        assert pdf[int(off) :].startswith(
+            f"{oid} 0 obj".encode()
+        ), f"object {oid} offset wrong"
+    # escaping: parens and backslash in the title cannot break the
+    # content stream
+    assert rb"\( test\)" in pdf or rb"\(test\)" in pdf
+    p = tmp_path / "report.pdf"
+    write_pdf_report(lines, str(p), title="Cleaning report \\ (test)")
+    assert p.read_bytes() == pdf

@@ -447,3 +447,30 @@ def test_distinct_sketch_merge_estimates_exactly_like_whole(spark, sf_dir):
     ).first()
     assert abs(inc[0] - exact[0]) / exact[0] < 0.05
     assert inc[1] == exact[1]  # 5 priorities: tiny cardinality is exact
+
+
+def test_correlation_matrix_matches_duckdb(spark, lineitem):
+    import duckdb
+
+    from etl_hero_spark.profile import correlation_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = {
+        (r["col_a"], r["col_b"]): (r["corr"], r["n_pairs"])
+        for r in correlation_matrix(lineitem, cols).collect()
+    }
+    assert len(got) == 6  # 4 choose 2
+    for (a, b), (c, n) in got.items():
+        dc, dn = duckdb.sql(
+            f"SELECT corr({a}, {b}), count(*) FROM "
+            f"read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+            f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL"
+        ).fetchone()
+        assert n == dn
+        assert abs(c - dc) < 1e-9, (a, b, c, dc)
+    # sanity on constructed data: a linear pair is exactly 1
+    lin = spark.createDataFrame(
+        [(float(i), 2.0 * i + 3) for i in range(50)], "x double, y double"
+    )
+    [r] = correlation_matrix(lin, ["x", "y"]).collect()
+    assert abs(r["corr"] - 1.0) < 1e-12 and r["n_pairs"] == 50

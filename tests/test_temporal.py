@@ -165,3 +165,63 @@ def test_resample_matches_duckdb_asof_grid(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_rolling_features_match_duckdb_range_frame(spark):
+    import duckdb
+
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.temporal import rolling_features
+
+    sf = "/root/testdata/sf0.001"
+    ev = _events(spark, sf).filter(F.col("user_id") < 10).select(
+        "user_id", "ts", "value"
+    )
+    got = sorted(
+        (r["user_id"], str(r["ts"]), r["roll_n"], r["roll_sum"],
+         r["roll_min"], r["roll_max"], r["roll_mean"])
+        for r in rolling_features(
+            ev, "user_id", "ts", "value", window_seconds=3600
+        ).collect()
+    )
+    want = sorted(
+        (u, str(t), n, s, lo, hi, m)
+        for u, t, n, s, lo, hi, m in duckdb.sql(
+            f"""
+            SELECT user_id, ts,
+              CAST(count(value) OVER w AS BIGINT),
+              round(CAST(sum(CAST(value AS DECIMAL(28,9))) OVER w
+                    AS DOUBLE), 9),
+              min(value) OVER w, max(value) OVER w,
+              round(CAST(sum(CAST(value AS DECIMAL(28,9))) OVER w
+                    AS DOUBLE)
+                / CAST(count(value) OVER w AS DOUBLE), 9)
+            FROM read_parquet('{sf}/events.parquet') WHERE user_id < 10
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 3599 SECONDS PRECEDING
+                AND CURRENT ROW)
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_rolling_features_row_frame(spark):
+    from etl_hero_spark.temporal import rolling_features
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 00:20:00", None),
+        (1, "2024-01-01 00:30:00", 4.0),
+    ]
+    df = _ts_df(spark, rows, "k bigint, ts_s string, value double")
+    out = {
+        str(r["ts"]): (r["roll_n"], r["roll_sum"], r["roll_mean"])
+        for r in rolling_features(
+            df, "k", "ts", "value", window_rows=2
+        ).collect()
+    }
+    assert out["2024-01-01 00:10:00"] == (2, 3.0, 1.5)
+    assert out["2024-01-01 00:20:00"] == (1, 2.0, 2.0)  # NULL skipped
+    assert out["2024-01-01 00:30:00"] == (1, 4.0, 4.0)

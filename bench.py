@@ -76,6 +76,7 @@ HEADLINE = [
     "outliers_iqr",
     "profile_corr_matrix",
     "events_rolling_features",
+    "events_interval_overlap",
 ]
 
 

@@ -100,6 +100,7 @@ from etl_hero_spark.skew import (  # noqa: F401
 )
 from etl_hero_spark.temporal import (  # noqa: F401
     asof_join,
+    interval_overlap_join,
     range_join_count,
     resample_forward_fill,
     rolling_features,

@@ -711,3 +711,48 @@ def q_events_rolling_features(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_interval_overlap",
+    oracle=None,
+    note=(
+        "extension: interval overlap join (closed-interval semantics) "
+        "— both interval sets explode onto covered time buckets, "
+        "(key, bucket) equi-join + exact predicate + pair-distinct "
+        "replaces the per-key cartesian a theta-join would plan. "
+        "DuckDB inequality-join parity in tests/test_temporal.py. "
+        "Joins each user's 2h activity windows against offset 3h "
+        "windows; summary row"
+    ),
+)
+def q_events_interval_overlap(spark, sf_dir):
+    from etl_hero_spark.temporal import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    a = (
+        ev.groupBy("user_id", F.window("ts", "2 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .select(
+            "user_id", F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"), "n_a",
+        )
+    )
+    b = (
+        ev.groupBy(
+            "user_id",
+            F.window("ts", "3 hours", "3 hours", "90 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .select(
+            "user_id", F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"), "n_b",
+        )
+    )
+    pairs = interval_overlap_join(a, b, "user_id", bucket_seconds=3600)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("n_a").cast("bigint").alias("sum_a_events"),
+        F.sum("n_b").cast("bigint").alias("sum_b_events"),
+    )

@@ -243,3 +243,62 @@ def rolling_features(
         .drop("_sec")
     )
     return out
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str] | str,
+    a_start: str = "start",
+    a_end: str = "end",
+    b_start: str = "start",
+    b_end: str = "end",
+    bucket_seconds: int = 3600,
+    suffixes: tuple = ("_a", "_b"),
+) -> DataFrame:
+    """All pairs of intervals (one from each side, same keys) that
+    OVERLAP under closed-interval semantics (a_start <= b_end AND
+    b_start <= a_end; touching endpoints overlap) — the session-
+    alignment / campaign-attribution join Spark has no primitive for,
+    and a naive theta-join plans as a per-key cartesian product.
+
+    Plan: both sides explode onto the time buckets their interval
+    covers (sequence over floor(start/w)..floor(end/w) — distributed,
+    one row per covered bucket); overlapping intervals necessarily
+    share >= 1 bucket, so a (keys, bucket) equi-join finds every
+    candidate, the exact predicate removes boundary slack, and a
+    distinct collapses multi-bucket double-matches. Row expansion is
+    len(interval)/bucket_seconds per side — size ``bucket_seconds``
+    near the typical interval length (expansion ~2x), never far below
+    it. Columns colliding across sides take ``suffixes``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    shared = (set(a.columns) & set(b.columns)) - set(keys)
+    a_r = a
+    b_r = b
+    for c in shared:
+        a_r = a_r.withColumnRenamed(c, f"{c}{suffixes[0]}")
+        b_r = b_r.withColumnRenamed(c, f"{c}{suffixes[1]}")
+    asfx = lambda c: f"{c}{suffixes[0]}" if c in shared else c  # noqa: E731
+    bsfx = lambda c: f"{c}{suffixes[1]}" if c in shared else c  # noqa: E731
+    w = int(bucket_seconds)
+
+    def bucketed(df, start, end):
+        lo = F.floor(F.unix_timestamp(F.col(start)) / w).cast("long")
+        hi = F.floor(F.unix_timestamp(F.col(end)) / w).cast("long")
+        return df.withColumn(
+            "_bucket", F.explode(F.sequence(lo, hi))
+        )
+
+    ab = bucketed(a_r, asfx(a_start), asfx(a_end))
+    bb = bucketed(b_r, bsfx(b_start), bsfx(b_end))
+    joined = ab.join(bb, keys + ["_bucket"]).filter(
+        (F.col(asfx(a_start)) <= F.col(bsfx(b_end)))
+        & (F.col(bsfx(b_start)) <= F.col(asfx(a_end)))
+    )
+    out_cols = (
+        keys
+        + [asfx(c) for c in a.columns if c not in keys]
+        + [bsfx(c) for c in b.columns if c not in keys]
+    )
+    return joined.select(*out_cols).distinct()

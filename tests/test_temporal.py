@@ -225,3 +225,88 @@ def test_rolling_features_row_frame(spark):
     assert out["2024-01-01 00:10:00"] == (2, 3.0, 1.5)
     assert out["2024-01-01 00:20:00"] == (1, 2.0, 2.0)  # NULL skipped
     assert out["2024-01-01 00:30:00"] == (1, 4.0, 4.0)
+
+
+def test_interval_overlap_join_semantics(spark):
+    from etl_hero_spark.temporal import interval_overlap_join
+
+    a = _ts_df(spark, [
+        (1, 1, "2024-01-01 00:00:00"),
+    ], "a_id long, k long, ts_s string").withColumnRenamed("ts", "start")
+    import pyspark.sql.functions as FF
+    a = a.withColumn("end", FF.col("start") + FF.expr("INTERVAL 2 HOURS"))
+    b_rows = [
+        # overlaps middle
+        (10, 1, "2024-01-01 01:00:00", "2024-01-01 03:00:00"),
+        # touches endpoint exactly (closed intervals overlap)
+        (11, 1, "2024-01-01 02:00:00", "2024-01-01 04:00:00"),
+        # disjoint after
+        (12, 1, "2024-01-01 02:00:01", "2024-01-01 04:00:00"),
+        # long interval fully covering a (starts buckets earlier)
+        (13, 1, "2023-12-31 00:00:00", "2024-01-02 00:00:00"),
+        # other key
+        (14, 2, "2024-01-01 01:00:00", "2024-01-01 01:30:00"),
+        # disjoint before
+        (15, 1, "2023-12-31 00:00:00", "2023-12-31 23:59:59"),
+    ]
+    b = spark.createDataFrame(
+        b_rows, "b_id long, k long, s string, e string"
+    ).select(
+        "b_id", "k",
+        FF.to_timestamp("s").alias("start"),
+        FF.to_timestamp("e").alias("end"),
+    )
+    out = interval_overlap_join(
+        a, b, "k", "start", "end", "start", "end", bucket_seconds=3600
+    )
+    hits = sorted(r["b_id"] for r in out.collect())
+    assert hits == [10, 11, 13]
+    # each pair appears exactly ONCE despite multi-bucket overlap
+    assert out.count() == 3
+
+
+def test_interval_overlap_join_matches_duckdb_theta(spark):
+    import duckdb
+
+    from etl_hero_spark.temporal import interval_overlap_join
+
+    # sessions from two "systems" over the events fixture: per user,
+    # hourly activity intervals vs 90-minute shifted intervals
+    import pyspark.sql.functions as FF
+
+    from etl_hero_spark.registry import _events
+
+    sf = "/root/testdata/sf0.001"
+    ev = _events(spark, sf).filter(FF.col("user_id") < 8)
+    a = ev.groupBy(
+        "user_id", FF.window("ts", "2 hours").alias("w")
+    ).agg(FF.count(FF.lit(1)).alias("n_a")).select(
+        "user_id", FF.col("w.start").alias("start"),
+        FF.col("w.end").alias("end"), "n_a",
+    )
+    b = ev.groupBy(
+        "user_id", FF.window("ts", "3 hours", "3 hours", "90 minutes").alias("w")
+    ).agg(FF.count(FF.lit(1)).alias("n_b")).select(
+        "user_id", FF.col("w.start").alias("start"),
+        FF.col("w.end").alias("end"), "n_b",
+    )
+    got = sorted(
+        (r["user_id"], str(r["start_a"]), str(r["start_b"]))
+        for r in interval_overlap_join(
+            a, b, "user_id", bucket_seconds=3600
+        ).collect()
+    )
+    a.createOrReplaceTempView("_")  # unused; duckdb gets pandas below
+    pa, pb = a.toPandas(), b.toPandas()
+    con = duckdb.connect()
+    con.register("ia", pa)
+    con.register("ib", pb)
+    want = sorted(
+        (u, str(s1), str(s2))
+        for u, s1, s2 in con.execute(
+            "SELECT ia.user_id, ia.start, ib.start FROM ia JOIN ib ON "
+            "ia.user_id = ib.user_id AND ia.start <= ib.\"end\" "
+            "AND ib.start <= ia.\"end\""
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

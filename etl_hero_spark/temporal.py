@@ -30,42 +30,83 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    right_ts <= left_ts and equal keys (backward as-of, inclusive —
-    DuckDB `ASOF LEFT JOIN ... ON l.ts >= r.ts` semantics).
+    """For each left row, attach one right row with equal keys by time:
 
-    Plan: tag + unionByName + last(ignorenulls) over
-    (keys ORDER BY ts, tag) ROWS UNBOUNDED PRECEDING — the right row
-    sorts before a left row at the identical timestamp, so ties match.
-    Left rows with no prior right row keep NULLs (left-join semantics).
+    * ``backward`` (default): the latest right with right_ts <= left_ts
+      (inclusive — DuckDB ``ASOF LEFT JOIN ... ON l.ts >= r.ts``);
+    * ``forward``: the earliest right with right_ts >= left_ts
+      (inclusive);
+    * ``nearest``: whichever of the two is closer in absolute time,
+      ties preferring backward (pandas ``merge_asof`` direction
+      semantics).
+
+    Plan: tag + unionByName + last/first(ignorenulls) over ONE
+    (keys, ts, tag) window sort — a single hash shuffle for every
+    direction; ``nearest`` evaluates the preceding and following frames
+    over the same sorted partition (two Window nodes, zero extra
+    exchanges) and picks per row. The tag orders the right row at an
+    identical timestamp INSIDE the frame, so ties match inclusively.
+    Left rows with no candidate keep NULLs (left-join semantics).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     keys = [keys] if isinstance(keys, str) else list(keys)
     value_cols = value_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
     carried = [f"{c}{suffix}" for c in value_cols]
+    # right sorts before left at equal ts for backward/nearest frames,
+    # after left for the forward frame — keeps equal-ts rows inside the
+    # relevant frame in every direction
+    r_rank = 0 if direction in ("backward", "nearest") else 1
     l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
-        "_src", F.lit(1)
+        "_src", F.lit(1 - r_rank)
     )
     for c in carried:
         l_tag = l_tag.withColumn(c, F.lit(None))
+    l_tag = l_tag.withColumn("_is_left", F.lit(1))
     r_tag = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_src"),
+        F.lit(r_rank).alias("_src"),
+        F.lit(0).alias("_is_left"),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
     )
     both = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_src").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
+    order = W.partitionBy(*keys).orderBy(
+        F.col("_ts").asc(), F.col("_src").asc()
     )
+    back = order.rowsBetween(W.unboundedPreceding, 0)
+    fwd = order.rowsBetween(0, W.unboundedFollowing)
+    rts = F.when(F.col("_is_left") == 0, F.col("_ts"))
+    if direction == "backward":
+        picks = {c: F.last(c, ignorenulls=True).over(back) for c in carried}
+    elif direction == "forward":
+        picks = {c: F.first(c, ignorenulls=True).over(fwd) for c in carried}
+    else:
+        b_ts = F.last(rts, ignorenulls=True).over(back)
+        f_ts = F.first(rts, ignorenulls=True).over(fwd)
+        # backward wins ties and missing-forward; forward wins only when
+        # strictly closer (or backward missing)
+        use_fwd = b_ts.isNull() | (
+            f_ts.isNotNull()
+            & (
+                (F.unix_micros(f_ts) - F.unix_micros(F.col("_ts")))
+                < (F.unix_micros(F.col("_ts")) - F.unix_micros(b_ts))
+            )
+        )
+        picks = {
+            c: F.when(
+                use_fwd, F.first(c, ignorenulls=True).over(fwd)
+            ).otherwise(F.last(c, ignorenulls=True).over(back))
+            for c in carried
+        }
     filled = both.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried]
+        "*", *[picks[c].alias(f"_f_{c}") for c in carried]
     )
-    out = filled.filter(F.col("_src") == 1).select(
+    out = filled.filter(F.col("_is_left") == 1).select(
         *left.columns, *[F.col(f"_f_{c}").alias(c) for c in carried]
     )
     return out

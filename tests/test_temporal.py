@@ -310,3 +310,79 @@ def test_interval_overlap_join_matches_duckdb_theta(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_asof_forward_and_nearest_directions(spark):
+    from etl_hero_spark.temporal import asof_join
+
+    left = _ts_df(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:10:00"),  # between rights 00:05/00:20
+            (2, 1, "2024-01-01 00:05:00"),  # exactly on a right
+            (3, 1, "2024-01-01 00:30:00"),  # after the last right
+            (4, 1, "2024-01-01 00:00:00"),  # before the first right
+            (5, 1, "2024-01-01 00:13:00"),  # nearest tie-ish: 8min back,
+                                            # 7min fwd -> forward wins
+        ],
+        "event_id long, user_id long, ts_s string",
+    )
+    right = _ts_df(
+        spark,
+        [
+            (1, "2024-01-01 00:05:00", 100.0),
+            (1, "2024-01-01 00:20:00", 200.0),
+        ],
+        "user_id long, ts_s string, value double",
+    )
+
+    def run(direction):
+        return {
+            r["event_id"]: r["value_asof"]
+            for r in asof_join(
+                left, right, "user_id", direction=direction
+            ).collect()
+        }
+
+    back = run("backward")
+    assert back == {1: 100.0, 2: 100.0, 3: 200.0, 4: None, 5: 100.0}
+    fwd = run("forward")
+    assert fwd == {1: 200.0, 2: 100.0, 3: None, 4: 100.0, 5: 200.0}
+    near = run("nearest")
+    assert near == {1: 100.0, 2: 100.0, 3: 200.0, 4: 100.0, 5: 200.0}
+    # 1: 5min back vs 10min fwd -> backward; 5: 8 back vs 7 fwd -> fwd
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Directions must agree with pandas merge_asof on the events data
+    (the API whose semantics `direction` mirrors)."""
+    import pandas as pd
+
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.temporal import asof_join
+
+    sf = "/root/testdata/sf0.001"
+    ev = _events(spark, sf).filter(F.col("user_id") < 6)
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    for direction in ["backward", "forward", "nearest"]:
+        got = {
+            r["event_id"]: r["value_asof"]
+            for r in asof_join(
+                left, right, "user_id", direction=direction
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction=direction
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.value) else float(r.value))
+            for r in want_df.itertuples()
+        }
+        assert got == want, direction

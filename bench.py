@@ -77,6 +77,7 @@ HEADLINE = [
     "profile_corr_matrix",
     "events_rolling_features",
     "events_interval_overlap",
+    "profile_benford",
 ]
 
 

@@ -53,6 +53,19 @@ def block_key_expr(name_col: str | Column, band: int = 8) -> Column:
     )
 
 
+def phonetic_block_key_expr(name_col: str | Column) -> Column:
+    """Phonetic blocking key: SOUNDEX of the first token (built-in
+    F.soundex — JVM expression). Catches same-sounding spelling
+    variants the prefix block separates ("jon"/"john", "smith"/
+    "smyth"); blind to variants that change the leading letter
+    (soundex keeps it), so compose with the prefix block via
+    ``blocking="both"`` — candidates = union of both key spaces, the
+    standard multi-pass blocking of record-linkage practice."""
+    c = F.col(name_col) if isinstance(name_col, str) else name_col
+    first = F.split(F.lower(F.trim(c)), r"\s+").getItem(0)
+    return F.concat(F.lit("sx:"), F.soundex(first))
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -60,14 +73,31 @@ def fuzzy_pairs(
     max_dist: int = 3,
     band: int = 8,
     max_block_size: int = 1000,
+    blocking: str = "prefix",
 ) -> DataFrame:
     """(id_a, id_b, name_a, name_b, dist) for same-block record pairs
     with levenshtein(name_a, name_b) <= max_dist, id_a < id_b.
+
+    ``blocking``: "prefix" (first token + length band), "soundex"
+    (phonetic first token), or "both" (multi-pass: a pair is a
+    candidate if EITHER key matches — each record explodes onto its
+    <=2 keys, the self-join dedupes via id_a < id_b + distinct).
     """
+    if blocking == "prefix":
+        keys = F.array(block_key_expr(name_col, band))
+    elif blocking == "soundex":
+        keys = F.array(phonetic_block_key_expr(name_col))
+    elif blocking == "both":
+        keys = F.array(
+            block_key_expr(name_col, band),
+            phonetic_block_key_expr(name_col),
+        )
+    else:
+        raise ValueError(f"unknown blocking {blocking!r}")
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("name"),
-        block_key_expr(name_col, band).alias("blk"),
+        F.explode(keys).alias("blk"),
         F.length(F.col(name_col)).alias("ln"),
     )
     small = (
@@ -98,6 +128,7 @@ def fuzzy_pairs(
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .distinct()  # multi-pass blocking can find a pair via both keys
     )
 
 

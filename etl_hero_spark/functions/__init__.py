@@ -8,7 +8,11 @@ from etl_hero_spark.dedup import (  # noqa: F401
     simhash_expr,
 )
 from etl_hero_spark.detect import parse_date_expr  # noqa: F401
-from etl_hero_spark.er import block_key_expr  # noqa: F401
+from etl_hero_spark.er import (  # noqa: F401
+    block_key_expr,
+    phonetic_block_key_expr,
+)
+from etl_hero_spark.layout import zorder_expr  # noqa: F401
 from etl_hero_spark.multimodal import sniff_mime_expr  # noqa: F401
 from etl_hero_spark.profile import (  # noqa: F401
     dec_avg,
@@ -20,6 +24,9 @@ from etl_hero_spark.simsearch import (  # noqa: F401
     cosine_expr,
     dot_expr,
     norm_expr,
+    pq_adc_score_expr,
+    pq_codes_expr,
+    pq_query_tables_expr,
     quantized_vec,
     signature_expr,
 )

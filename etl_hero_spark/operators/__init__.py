@@ -54,6 +54,7 @@ from etl_hero_spark.multimodal import (  # noqa: F401
     with_media_column,
 )
 from etl_hero_spark.profile import (  # noqa: F401
+    benford_profile,
     correlation_matrix,
     distinct_counts,
     distinct_sketch,
@@ -130,6 +131,7 @@ from etl_hero_spark.cdc import (  # noqa: F401
     snapshot_diff,
 )
 from etl_hero_spark.er import (  # noqa: F401
+    phonetic_block_key_expr,
     resolve_entities,
     resolve_entities_incremental,
 )

@@ -688,3 +688,45 @@ def correlation_matrix(
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double, n_pairs bigint"
     )
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic anomaly/fabrication screen for naturally-occurring numeric
+    columns (amounts, populations; NOT uniform ids or bounded scores).
+    One row per digit 1-9: observed count/share, expected Benford
+    share log10(1 + 1/d), and the signed deviation. Expression-only
+    single groupBy (digit = floor(|x| / 10^floor(log10 |x|)); zeros
+    and NULLs excluded); reading the deviations is the caller's
+    judgment call — flag columns whose mean |deviation| is large.
+    """
+    x = F.abs(F.col(col))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast(
+        "int"
+    )
+    counts = (
+        df.filter(F.col(col).isNotNull() & (x > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    import math
+
+    expected = F.element_at(
+        F.array(
+            *[F.lit(round(math.log10(1 + 1 / d), 6)) for d in range(1, 10)]
+        ),
+        F.col("digit"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("_t"), 6).alias("observed_p"),
+            expected.alias("expected_p"),
+        )
+        .withColumn(
+            "deviation", F.round(F.col("observed_p") - F.col("expected_p"), 6)
+        )
+    )

@@ -1746,3 +1746,21 @@ def q_profile_corr_matrix(spark, sf_dir):
     return out.select(
         "col_a", "col_b", F.round("corr", 6).alias("corr"), "n_pairs"
     ).orderBy("col_a", "col_b")
+
+
+@register(
+    "profile_benford",
+    oracle=None,
+    note=(
+        "extension: Benford first-significant-digit screen over "
+        "o_totalprice — observed vs log10(1+1/d) expected shares + "
+        "signed deviations, one expression-only groupBy. DuckDB "
+        "parity + log-uniform sanity pinned in tests/test_profile.py"
+    ),
+)
+def q_profile_benford(spark, sf_dir):
+    from etl_hero_spark.profile import benford_profile
+
+    return benford_profile(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    ).orderBy("digit")

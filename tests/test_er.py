@@ -299,3 +299,55 @@ def test_resolve_entities_consistent_with_pairs(spark, sf_dir):
     assert pairs, "fixture produced no candidate pairs"
     for pr in pairs:
         assert canon[pr["id_a"]] == canon[pr["id_b"]], pr
+
+
+def test_soundex_blocking_catches_phonetic_variants(spark):
+    """'jon smith' vs 'john smith': the prefix block separates them
+    (different first tokens), the soundex pass does not — and 'both'
+    finds the union of candidates exactly once each."""
+    rows = [
+        (1, "jon smith"),
+        (2, "john smith"),      # phonetic match of 1, dist 1
+        (3, "acme widget"),
+        (4, "acme widgets"),    # prefix match of 3, dist 1
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+
+    def pairs(blocking):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_pairs(
+                df, "id", "name", max_dist=2, blocking=blocking
+            ).collect()
+        }
+
+    assert (1, 2) not in pairs("prefix")
+    assert (1, 2) in pairs("soundex")
+    both = fuzzy_pairs(df, "id", "name", max_dist=2, blocking="both")
+    rows_both = both.collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows_both} >= {(1, 2), (3, 4)}
+    # multi-pass dedup: no pair reported twice
+    assert len(rows_both) == len(
+        {(r["id_a"], r["id_b"]) for r in rows_both}
+    )
+
+
+def test_blocking_both_is_superset_of_each_pass(spark):
+    df = _fixture(spark)
+    prefix = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(df, "id", "name", max_dist=4).collect()
+    }
+    soundex = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(
+            df, "id", "name", max_dist=4, blocking="soundex"
+        ).collect()
+    }
+    both = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(
+            df, "id", "name", max_dist=4, blocking="both"
+        ).collect()
+    }
+    assert both == prefix | soundex

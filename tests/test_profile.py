@@ -474,3 +474,58 @@ def test_correlation_matrix_matches_duckdb(spark, lineitem):
     )
     [r] = correlation_matrix(lin, ["x", "y"]).collect()
     assert abs(r["corr"] - 1.0) < 1e-12 and r["n_pairs"] == 50
+
+
+def test_benford_profile_semantics(spark):
+    import math
+
+    from etl_hero_spark.profile import benford_profile
+
+    # a perfectly Benford-ish synthetic: exponential spread 10^u
+    rows = [(10 ** (i / 997.0),) for i in range(997)] + [
+        (None,), (0.0,), (-25.0,)  # null + zero excluded; sign ignored
+    ]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["digit"]: r for r in benford_profile(df, "x").collect()}
+    assert set(out) == set(range(1, 10))
+    assert sum(r["n"] for r in out.values()) == 998  # 997 + |-25|
+    for d in range(1, 10):
+        assert out[d]["expected_p"] == round(math.log10(1 + 1 / d), 6)
+        # log-uniform sample tracks Benford within a few percent
+        assert abs(out[d]["deviation"]) < 0.02
+    # -25 counted under first digit 2
+    exact2 = sum(
+        1 for i in range(997) if str(10 ** (i / 997.0))[0] == "2"
+    ) + 1
+    assert out[2]["n"] == exact2
+
+
+def test_benford_profile_matches_duckdb(spark, lineitem):
+    import duckdb
+
+    from etl_hero_spark.profile import benford_profile
+
+    got = sorted(
+        (r["digit"], r["n"], r["observed_p"])
+        for r in benford_profile(lineitem, "l_extendedprice").collect()
+    )
+    want = sorted(
+        (d, n, p)
+        for d, n, p in duckdb.sql(
+            """
+            WITH v AS (
+              SELECT abs(l_extendedprice) AS x
+              FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+              WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) > 0
+            ), c AS (
+              SELECT CAST(floor(x / power(10, floor(log10(x)))) AS INT)
+                AS digit, CAST(count(*) AS BIGINT) AS n
+              FROM v GROUP BY 1
+            )
+            SELECT digit, n,
+              round(n / CAST((SELECT sum(n) FROM c) AS DOUBLE), 6)
+            FROM c
+            """
+        ).fetchall()
+    )
+    assert got == want

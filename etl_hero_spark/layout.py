@@ -177,3 +177,30 @@ def compact_files(
         .count()
     )
     return {"files_in": files_in, "files_out": files_out, "bytes_in": size}
+
+
+def optimize_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    zorder_cols: list[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    bits_per_col: int = 8,
+) -> dict:
+    """The one-call maintenance job (Delta ``OPTIMIZE ... ZORDER BY``
+    shape): rewrite a table directory into ~target-sized files
+    clustered by the z-order of ``zorder_cols`` — compaction and
+    clustering are the same rewrite, so doing them together costs one
+    pass. Returns {files_in, files_out, bytes_in}. Run per partition
+    directory after ingest; results never change, only scan pruning
+    and task counts do."""
+    import math
+
+    df = spark.read.parquet(in_path)
+    files_in = df.select(F.input_file_name()).distinct().count()
+    size = dir_bytes(in_path)
+    n = max(1, math.ceil(size / target_bytes))
+    zorder_write(
+        df, out_path, zorder_cols, n_files=n, bits_per_col=bits_per_col
+    )
+    return {"files_in": files_in, "files_out": n, "bytes_in": size}

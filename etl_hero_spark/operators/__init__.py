@@ -138,6 +138,7 @@ from etl_hero_spark.er import (  # noqa: F401
 from etl_hero_spark.layout import (  # noqa: F401
     compact_files,
     file_stats,
+    optimize_table,
     zorder_write,
 )
 from etl_hero_spark.sampling import (  # noqa: F401

@@ -340,3 +340,27 @@ def test_scd2_single_shuffle_plan(spark):
     assert "Exchange SinglePartition" not in plan or (
         plan.count("Exchange SinglePartition") == 0
     )
+
+
+def test_merge_upsert_idempotent_and_batch_splittable(spark):
+    """Maintenance-job properties: applying the same change batch twice
+    changes nothing; applying two batches sequentially equals applying
+    their union when timestamps are distinct."""
+    target = _ts(spark, TARGET, "id bigint, name string, v double, ts string")
+    changes = _ts(
+        spark, CHANGES, "id bigint, name string, v double, ts string, op string"
+    )
+    import pyspark.sql.functions as F
+
+    once = merge_upsert(target, changes, "id", "ts", op_col="op")
+    twice = merge_upsert(once, changes, "id", "ts", op_col="op")
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(twice) == key(once)
+    # split application == union application
+    c1 = changes.filter(F.col("id") <= 2)
+    c2 = changes.filter(F.col("id") > 2)
+    seq = merge_upsert(
+        merge_upsert(target, c1, "id", "ts", op_col="op"),
+        c2, "id", "ts", op_col="op",
+    )
+    assert key(seq) == key(once)

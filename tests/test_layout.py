@@ -78,3 +78,28 @@ def test_compact_files(spark, events, tmp_path):
         spark.read.parquet(big).count()
         == spark.read.parquet(small).count()
     )
+
+
+def test_optimize_table_compacts_and_clusters(spark, events, tmp_path):
+    from etl_hero_spark.layout import optimize_table
+
+    small = str(tmp_path / "ingest")
+    opt = str(tmp_path / "optimized")
+    events.repartition(32).write.parquet(small)
+    out = optimize_table(
+        spark, small, opt, ["user_id", "value"], target_bytes=1 << 13
+    )
+    assert out["files_in"] == 32
+    n_out = (
+        spark.read.parquet(opt)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert n_out <= out["files_out"]  # empty z-ranges may drop
+    assert n_out < 32
+    # data intact and clustered: a point predicate prunes
+    assert spark.read.parquet(opt).count() == events.count()
+    mid = events.selectExpr("percentile(user_id, 0.5) AS u").first()["u"]
+    st = file_stats(spark, opt, ["user_id"]).collect()
+    assert pruning_fraction(st, "user_id", mid) < 1.0

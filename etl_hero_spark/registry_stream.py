@@ -756,3 +756,22 @@ def q_events_interval_overlap(spark, sf_dir):
         F.sum("n_a").cast("bigint").alias("sum_a_events"),
         F.sum("n_b").cast("bigint").alias("sum_b_events"),
     )
+
+
+@register(
+    "stream_quantile_sketch",
+    oracle=None,
+    note=(
+        "streaming extension: the mergeable quantile sketch maintained "
+        "incrementally over the stream (complete mode) — state IS the "
+        "sketch (<= n_bins+2 rows, the inherent floor), queryable "
+        "mid-stream, final state == batch sketch bit-for-bit (pinned "
+        "in tests/test_streaming.py)"
+    ),
+)
+def q_stream_quantile_sketch(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_quantile_sketch
+
+    return stream_quantile_sketch(
+        spark, f"{sf_dir}/events.parquet", "value", 0.0, 100.0, 64
+    )

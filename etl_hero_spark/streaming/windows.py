@@ -862,3 +862,46 @@ def stream_latest_state(
         .filter(F.col("_r") == 1)
         .drop("_r", "_eid")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming quantile sketch (incremental-profile triad, streaming form)
+# ---------------------------------------------------------------------------
+
+
+def stream_quantile_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 64,
+    query_name: str = "etl_hero_stream_qsketch",
+) -> DataFrame:
+    """TRUE streaming twin of profile.quantile_sketch: the same fixed
+    equi-width width_bucket aggregate maintained incrementally over the
+    stream in complete mode — state is exactly the sketch (<= n_bins+2
+    rows), the inherent floor, so no watermark is needed and the sketch
+    is queryable at any point mid-stream. Final state == the batch
+    sketch bit-for-bit (bin counts are exact adds; pinned in tests)."""
+    src = _events_stream_source(spark, sf_dir, "etl_hero_stream_qs_")
+    b = F.width_bucket(
+        F.col(col).cast("double"), F.lit(float(lo)), F.lit(float(hi)),
+        F.lit(n_bins),
+    )
+    sk = (
+        src.filter(F.col(col).isNotNull())
+        .groupBy(b.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    q = (
+        sk.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -39,6 +39,7 @@ _SKIP = {
     "stream_funnel",
     "stream_contract_monitor",
     "stream_latest_state",
+    "stream_quantile_sketch",
 }
 
 

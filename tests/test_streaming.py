@@ -494,3 +494,23 @@ def test_wav_metadata_matches_stdlib_writer(spark):
     # pure-expression plan: no Python eval of any kind
     plan = wav_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_stream_quantile_sketch_equals_batch(spark, sf_dir, events):
+    """The complete-mode streaming sketch's final state must equal the
+    batch width_bucket sketch EXACTLY — bin counts add, order-free."""
+    from etl_hero_spark.profile import quantile_sketch
+    from etl_hero_spark.streaming import stream_quantile_sketch
+
+    batch = sorted(
+        map(tuple, quantile_sketch(events, "value", 0.0, 100.0, 64).collect())
+    )
+    stream = sorted(
+        map(
+            tuple,
+            stream_quantile_sketch(
+                spark, f"{sf_dir}/events.parquet", "value", 0.0, 100.0, 64
+            ).collect(),
+        )
+    )
+    assert stream == batch

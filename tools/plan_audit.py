@@ -26,6 +26,7 @@ SKIP = {
     "stream_funnel",
     "stream_contract_monitor",
     "stream_latest_state",
+    "stream_quantile_sketch",
 }
 
 

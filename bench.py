@@ -78,6 +78,7 @@ HEADLINE = [
     "events_rolling_features",
     "events_interval_overlap",
     "profile_benford",
+    "text_pii_ccards",
 ]
 
 

@@ -14,6 +14,7 @@ from etl_hero_spark.er import (  # noqa: F401
 )
 from etl_hero_spark.layout import zorder_expr  # noqa: F401
 from etl_hero_spark.multimodal import sniff_mime_expr  # noqa: F401
+from etl_hero_spark.pii import luhn_valid_expr  # noqa: F401
 from etl_hero_spark.profile import (  # noqa: F401
     dec_avg,
     dec_stddev_pop,

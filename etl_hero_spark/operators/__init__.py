@@ -74,6 +74,10 @@ from etl_hero_spark.profile import (  # noqa: F401
     quantiles,
     sample_values,
 )
+from etl_hero_spark.pii import (  # noqa: F401
+    redact_credit_cards,
+    with_credit_card_flags,
+)
 from etl_hero_spark.score import (  # noqa: F401
     head_sample,
     insights,

@@ -59,3 +59,59 @@ def redact_pii(
     for cname, cexpr in counts.items():
         df = df.withColumn(cname, cexpr)
     return df.withColumn(out_col, cur)
+
+
+CC_CANDIDATE = r"[0-9](?:[0-9 -]{11,17})[0-9]"
+
+
+def luhn_valid_expr(digits) -> "F.Column":
+    """Luhn checksum validity of a digit string — the checksum every
+    real payment-card number satisfies, which is what separates card
+    PII from arbitrary long numbers (order ids, tracking numbers) that
+    a bare regex would flag. Indexed transform over the reversed digit
+    array + sum; higher-order functions evaluate interpreted, which is
+    fine HERE because this only ever runs on regex-prefiltered
+    candidates (rare, short arrays) — never the corpus hot path."""
+    # split("") can emit boundary empties; drop them before indexing
+    arr = F.reverse(
+        F.filter(F.split(digits, ""), lambda x: x != F.lit(""))
+    )
+    # digit-sum of 2*d as a lookup table (d=5 -> 10 -> 1), all integer
+    doubled = F.array(*[F.lit(v) for v in [0, 2, 4, 6, 8, 1, 3, 5, 7, 9]])
+    per = F.transform(
+        arr,
+        lambda ch, i: F.when(
+            i % 2 == 1, F.element_at(doubled, ch.cast("int") + 1)
+        ).otherwise(ch.cast("int")),
+    )
+    total = F.aggregate(per, F.lit(0), lambda acc, x: acc + x)
+    return (total % 10 == 0) & (F.length(digits) >= 13)
+
+
+def with_credit_card_flags(
+    df: DataFrame, col: str = "text"
+) -> DataFrame:
+    """Adds n_ccard_candidates (13-19 digit runs with optional space/
+    dash separators) and n_ccards (candidates passing Luhn) — the
+    validated count is the PII signal; the gap between the two is the
+    false-positive mass a regex-only scrubber would have redacted."""
+    cands = F.regexp_extract_all(F.col(col), F.lit(CC_CANDIDATE), F.lit(0))
+    digits = lambda s: F.regexp_replace(s, r"[ -]", "")  # noqa: E731
+    valid = F.filter(cands, lambda s: luhn_valid_expr(digits(s)))
+    return df.withColumn(
+        "n_ccard_candidates", F.size(cands)
+    ).withColumn("n_ccards", F.size(valid))
+
+
+def redact_credit_cards(
+    df: DataFrame, col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Mask card-shaped numbers with [CCARD]. Redaction intentionally
+    masks ALL candidates (safe-over-precise — a leaked card must never
+    survive because a separator confused the validator); pair with
+    with_credit_card_flags when you need the validated count."""
+    out_col = out_col or col
+    return df.withColumn(
+        out_col,
+        F.regexp_replace(F.col(col), CC_CANDIDATE, "[CCARD]"),
+    )

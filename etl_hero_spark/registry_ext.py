@@ -1764,3 +1764,39 @@ def q_profile_benford(spark, sf_dir):
     return benford_profile(
         _t(spark, sf_dir, "orders"), "o_totalprice"
     ).orderBy("digit")
+
+
+@register(
+    "text_pii_ccards",
+    oracle=None,
+    note=(
+        "extension: Luhn-validated payment-card PII — candidates via "
+        "codegen'd regex prefilter, checksum per candidate (indexed "
+        "transform over rare short arrays, never the corpus hot path); "
+        "validated count vs candidate count shows the false-positive "
+        "mass a regex-only scrubber would redact. Deterministic card "
+        "injections (valid/invalid test numbers on keyed rows); "
+        "Python-reference parity in tests/test_textops.py"
+    ),
+)
+def q_text_pii_ccards(spark, sf_dir):
+    from etl_hero_spark.pii import with_credit_card_flags
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" card 4539 1488 0343 6467")),
+        )
+        .when(
+            F.col("doc_id") % 50 == 1,
+            F.concat(F.col("text"), F.lit(" ref 4539 1488 0343 6468")),
+        )
+        .otherwise(F.col("text")),
+    )
+    flagged = with_credit_card_flags(docs)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ccard_candidates").cast("bigint").alias("n_candidates"),
+        F.sum("n_ccards").cast("bigint").alias("n_valid_cards"),
+    )

@@ -364,3 +364,21 @@ def test_merge_upsert_idempotent_and_batch_splittable(spark):
         c2, "id", "ts", op_col="op",
     )
     assert key(seq) == key(once)
+
+
+def test_scd2_apply_inserts_brand_new_keys(spark):
+    schema = "id bigint, state string, ts string"
+    hist = scd2_history(_ts(spark, CHANGELOG, schema), "id", "ts", ["state"])
+    batch = _ts(
+        spark,
+        [(99, "new", "2024-03-01 00:00:00"),
+         (99, "newer", "2024-03-02 00:00:00")],
+        schema,
+    )
+    out = scd2_apply(hist, batch, "id", "ts", ["state"])
+    k99 = sorted(r for r in _hist_rows(out) if r[0] == 99)
+    assert len(k99) == 2
+    assert k99[0][1] == "new" and k99[0][4] == 0
+    assert k99[1][1] == "newer" and k99[1][4] == 1
+    # existing keys untouched
+    assert {r for r in _hist_rows(out) if r[0] != 99} == _hist_rows(hist)

@@ -704,3 +704,49 @@ def test_bigram_catches_shuffled_text_unigram_cannot(spark):
     }
     assert uni[100] == uni[101]  # unigram is blind to order
     assert bi[101] < bi[100]  # bigram is not
+
+
+def test_credit_card_luhn_validation(spark):
+    """Luhn separates real card numbers from arbitrary digit runs — the
+    validated count is the PII signal, the candidate count shows the
+    false-positive mass a regex-only scrubber would redact. Python
+    reference implementation cross-checks every candidate."""
+    from etl_hero_spark.pii import redact_credit_cards, with_credit_card_flags
+
+    rows = [
+        (1, "pay 4539 1488 0343 6467 now"),       # valid visa (test no.)
+        (2, "pay 4539 1488 0343 6468 now"),       # one digit off
+        (3, "order 1234 5678 9012 3456 shipped"),  # random 16 digits
+        (4, "call 555 123 4567"),                  # too short: no candidate
+        (5, "378282246310005 amex"),               # valid amex (test no.)
+        (6, "5555-5555-5555-4444 mc"),             # valid mc (test no.)
+        (7, "no numbers at all"),
+    ]
+
+    def luhn_ref(s):
+        ds = [int(c) for c in s if c.isdigit()]
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            total += sum(divmod(d * 2, 10)) if i % 2 == 1 else d
+        return len(ds) >= 13 and total % 10 == 0
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_ccard_candidates"], r["n_ccards"])
+        for r in with_credit_card_flags(df).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (0, 0),
+                   5: (1, 1), 6: (1, 1), 7: (0, 0)}
+    for _id, text in rows:
+        import re
+
+        cands = re.findall(r"[0-9](?:[0-9 -]{11,17})[0-9]", text)
+        assert got[_id][1] == sum(luhn_ref(c) for c in cands)
+    # redaction masks every candidate (safe-over-precise)
+    red = {
+        r["doc_id"]: r["text"]
+        for r in redact_credit_cards(df).collect()
+    }
+    for i in (1, 2, 3, 5, 6):
+        assert "[CCARD]" in red[i]
+    assert red[4] == rows[3][1] and red[7] == rows[6][1]

@@ -775,3 +775,24 @@ def q_stream_quantile_sketch(spark, sf_dir):
     return stream_quantile_sketch(
         spark, f"{sf_dir}/events.parquet", "value", 0.0, 100.0, 64
     )
+
+
+@register(
+    "stream_scd2_history",
+    oracle=None,
+    note=(
+        "streaming extension: TRUE streaming SCD2 dimension "
+        "maintenance (applyInPandasWithState) — per-key state is the "
+        "OPEN version (two fields, the floor for SCD maintenance); "
+        "closed versions emit append-mode and equal the batch "
+        "cdc.scd2_history's closed rows exactly (pinned in "
+        "tests/test_streaming.py); no-op changes close nothing. Late "
+        "cross-batch changes belong to cdc.scd2_apply on stored "
+        "history (documented caveat shared with the other "
+        "arrival-order stateful twins)"
+    ),
+)
+def q_stream_scd2_history(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_scd2_history
+
+    return stream_scd2_history(spark, f"{sf_dir}/events.parquet")

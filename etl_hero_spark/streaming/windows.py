@@ -905,3 +905,83 @@ def stream_quantile_sketch(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 (dimension-history maintenance over a change stream)
+# ---------------------------------------------------------------------------
+
+_SCD2_SCHEMA = (
+    "user_id long, state string, effective_from string, "
+    "effective_to string"
+)
+
+
+def stream_scd2_history(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "etl_hero_stream_scd2",
+) -> DataFrame:
+    """TRUE streaming twin of cdc.scd2_history over the event stream:
+    per-user state carries the OPEN version (current event_type +
+    effective_from); each micro-batch folds its events in (ts,
+    event_type) order — the batch twin's tie order — emitting a row
+    whenever a version CLOSES (no-op changes close nothing). Append
+    semantics: the stream's output is exactly the batch history's
+    closed rows; the open version per key lives in state, the same
+    closed-vs-in-flight split as the session-window twin. State is two
+    fields per key — the floor for any SCD maintenance.
+
+    Cross-batch ordering caveat (shared by every arrival-order stateful
+    twin here): equality with the batch rebuild requires batches to
+    arrive in event-time order; a late change belongs to cdc.scd2_apply
+    on the stored history instead.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fmt = lambda us: pd.Timestamp(us, unit="us").strftime(  # noqa: E731
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        cur, frm = state.get if state.exists else (None, None)
+        closed = []
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_type"])
+        for ts_us, et in zip(
+            rows["ts"].astype("int64"), rows["event_type"]
+        ):
+            ts_us = int(ts_us)
+            if cur is None:
+                cur, frm = et, ts_us
+            elif et != cur:
+                closed.append((key[0], cur, fmt(frm), fmt(ts_us)))
+                cur, frm = et, ts_us
+        state.update((cur, frm))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "state", "effective_from", "effective_to"],
+        )
+
+    src = _events_stream_source(
+        spark, sf_dir, "etl_hero_stream_scd2_"
+    ).withColumn("ts", F.unix_micros("ts"))
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SCD2_SCHEMA,
+        stateStructType="cur string, frm long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

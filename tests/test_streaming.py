@@ -514,3 +514,30 @@ def test_stream_quantile_sketch_equals_batch(spark, sf_dir, events):
         )
     )
     assert stream == batch
+
+
+def test_stream_scd2_equals_batch_closed_versions(spark, sf_dir, events):
+    """The stream's emitted rows must equal the batch SCD2 history's
+    CLOSED versions exactly (the open version per user stays in state),
+    mirroring the session-window closed-vs-in-flight contract."""
+    from etl_hero_spark.cdc import scd2_history
+    from etl_hero_spark.streaming import stream_scd2_history
+
+    batch = sorted(
+        (r["user_id"], r["event_type"],
+         r["effective_from"].strftime("%Y-%m-%d %H:%M:%S"),
+         r["effective_to"].strftime("%Y-%m-%d %H:%M:%S"))
+        for r in scd2_history(
+            events.select("user_id", "ts", "event_type"),
+            "user_id", "ts", ["event_type"],
+        ).filter(F.col("effective_to").isNotNull()).collect()
+    )
+    stream = sorted(
+        map(
+            tuple,
+            stream_scd2_history(
+                spark, f"{sf_dir}/events.parquet"
+            ).collect(),
+        )
+    )
+    assert stream == batch

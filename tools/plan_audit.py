@@ -27,6 +27,7 @@ SKIP = {
     "stream_contract_monitor",
     "stream_latest_state",
     "stream_quantile_sketch",
+    "stream_scd2_history",
 }
 
 

@@ -79,6 +79,7 @@ HEADLINE = [
     "events_interval_overlap",
     "profile_benford",
     "text_pii_ccards",
+    "pipeline_warehouse_sync",
 ]
 
 

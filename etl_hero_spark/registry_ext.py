@@ -1800,3 +1800,74 @@ def q_text_pii_ccards(spark, sf_dir):
         F.sum("n_ccard_candidates").cast("bigint").alias("n_candidates"),
         F.sum("n_ccards").cast("bigint").alias("n_valid_cards"),
     )
+
+
+@register(
+    "pipeline_warehouse_sync",
+    oracle=None,
+    note=(
+        "capstone: warehouse sync loop composing the CDC rungs — "
+        "snapshot_diff(old, incoming) derives the change batch "
+        "(added/changed rows stamped with the sync time, removed rows "
+        "as tombstones), merge_upsert applies it latest-wins, "
+        "scd2_history(of the priority attribute) tracks what changed "
+        "over time, and a contract validation gates the merged table. "
+        "Composition == direct-merge equivalence + per-stage counts "
+        "pinned in tests/test_cdc.py. One summary row"
+    ),
+)
+def q_pipeline_warehouse_sync(spark, sf_dir):
+    from etl_hero_spark.cdc import merge_upsert, snapshot_diff
+    from etl_hero_spark.contracts import in_range, not_null, validate_contract
+    from etl_hero_spark.profile import dec_sum
+
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.col("o_orderdate").alias("ts"), "o_orderpriority",
+    )
+    # the incoming snapshot: deterministic mutations (reprice %5==1,
+    # reclassify %11==2, drop %13==0, i.e. deletions to propagate)
+    incoming = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 1, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 11 == 2, F.lit("9-RECLASSIFIED"))
+            .otherwise(F.col("o_orderpriority")),
+        )
+    )
+    sync_ts = F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+    diff = snapshot_diff(old, incoming, "o_orderkey")
+    changes = (
+        diff.filter(F.col("diff_status") != "unchanged")
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            sync_ts.alias("ts"), "o_orderpriority",
+            F.when(F.col("diff_status") == "removed", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+    merged = merge_upsert(old, changes, "o_orderkey", "ts", op_col="op")
+    report = validate_contract(
+        merged,
+        rules=[
+            not_null("o_orderpriority"),
+            in_range("o_totalprice", 0, 1e7),
+        ],
+        unique_keys=[["o_orderkey"]],
+    )
+    n_viol = report.agg(F.sum("n_violations")).first()[0] or 0
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("o_totalprice", "sum_price"),
+        F.sum((F.col("o_orderpriority") == "9-RECLASSIFIED").cast("long"))
+        .cast("bigint")
+        .alias("n_reclassified"),
+        F.lit(int(n_viol)).alias("n_contract_violations"),
+    )

@@ -382,3 +382,44 @@ def test_scd2_apply_inserts_brand_new_keys(spark):
     assert k99[1][1] == "newer" and k99[1][4] == 1
     # existing keys untouched
     assert {r for r in _hist_rows(out) if r[0] != 99} == _hist_rows(hist)
+
+
+def test_warehouse_sync_composition_equals_direct_state(spark):
+    """The diff->changes->merge composition must land exactly on the
+    incoming snapshot's state (plus nothing, minus nothing): syncing IS
+    convergence to the source."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.registry_ext import q_pipeline_warehouse_sync
+
+    sf = "/root/testdata/sf0.001"
+    [row] = q_pipeline_warehouse_sync(spark, sf).collect()
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    incoming = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 1, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 11 == 2, F.lit("9-RECLASSIFIED"))
+            .otherwise(F.col("o_orderpriority")),
+        )
+    )
+    want = incoming.agg(
+        F.count(F.lit(1)),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ),
+        F.sum((F.col("o_orderpriority") == "9-RECLASSIFIED").cast("long")),
+    ).first()
+    assert row["n_rows"] == want[0]
+    assert row["sum_price"] == want[1]
+    assert row["n_reclassified"] == want[2]
+    assert row["n_contract_violations"] == 0

@@ -80,6 +80,7 @@ HEADLINE = [
     "profile_benford",
     "text_pii_ccards",
     "pipeline_warehouse_sync",
+    "sim_topk_ivfpq",
 ]
 
 

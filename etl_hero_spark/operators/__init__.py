@@ -96,6 +96,8 @@ from etl_hero_spark.simsearch import (  # noqa: F401
     topk_cosine,
     topk_cosine_ivf,
     topk_cosine_pq,
+    topk_cosine_ivfpq_indexed,
+    write_ivfpq_index,
     topk_cosine_lsh,
 )
 from etl_hero_spark.skew import (  # noqa: F401

@@ -1871,3 +1871,47 @@ def q_pipeline_warehouse_sync(spark, sf_dir):
         .alias("n_reclassified"),
         F.lit(int(n_viol)).alias("n_contract_violations"),
     )
+
+
+_IVFPQ_INDEX: dict = {}
+
+
+@register(
+    "sim_topk_ivfpq",
+    oracle=None,
+    note=(
+        "extension: the combined ANN index — IVF coarse lists x PQ "
+        "codes, persisted partitioned-by-list. A probe scans "
+        "nprobe/n_lists of the corpus (STATIC partition pruning from "
+        "the driver-collected probe set — PartitionFilters asserted in "
+        "tests, no DPP reliance) AND reads m-byte codes instead of "
+        "d-float vectors: the two multiplicative reductions of "
+        "billion-vector ANN. Exact rerank of the bounded candidate "
+        "set; full-probe+full-rerank == brute force pinned in "
+        "tests/test_simsearch.py. The index is built once per fixture "
+        "(mtime-keyed memo — a repeated query never re-encodes)"
+    ),
+)
+def q_sim_topk_ivfpq(spark, sf_dir):
+    import os
+
+    from etl_hero_spark.checkpoint import session_tmpdir
+    from etl_hero_spark.simsearch import (
+        topk_cosine_ivfpq_indexed,
+        write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = f"{sf_dir}/embeddings.parquet"
+    key = (p, os.stat(p).st_mtime)
+    path = _IVFPQ_INDEX.get(key)
+    if path is None:
+        path = session_tmpdir("ivfpq")
+        write_ivfpq_index(emb, path, n_centroids=8, m=8, k_sub=8)
+        _IVFPQ_INDEX[key] = path
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_ivfpq_indexed(
+        spark, queries, path, k=5, nprobe=2, rerank_factor=4
+    )

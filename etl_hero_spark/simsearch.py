@@ -637,6 +637,14 @@ def train_pq_codebooks(
         .collect()
     )
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    return _train_books_np(x, m, k_sub, iters, seed)
+
+
+def _train_books_np(x, m: int, k_sub: int, iters: int, seed: int):
+    """Per-subspace Lloyd over an in-memory sample matrix — shared by
+    the raw-vector PQ trainer and the IVF-PQ residual trainer."""
+    import numpy as np
+
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -647,7 +655,7 @@ def train_pq_codebooks(
         xs = x[:, j * sub : (j + 1) * sub]
         cents = xs[
             rng.choice(len(xs), size=min(k_sub, len(xs)), replace=False)
-        ]
+        ].copy()
         for _ in range(iters):
             d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -858,3 +866,178 @@ def write_pq_index(
     )
     enc.write.mode("overwrite").parquet(f"{path}/codes")
     return books
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse partitioning + PQ codes in one persisted index
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = 3,
+    adc_dp: int | None = None,
+) -> tuple:
+    """Persist the combined ANN index — IVF coarse lists AND PQ codes:
+    {path}/centroids (coarse model), {path}/codebooks (PQ model),
+    {path}/codes = (corpus_id, codes, cnorm, cv) PARTITIONED BY
+    list_id. ONE corpus pass builds it: list assignment and PQ encoding
+    are independent expressions over the RAW vector attribute, so they
+    share a projection without the CollapseProject re-inline trap.
+
+    A probe of p lists then scans p/n_centroids of the corpus AND reads
+    m-byte codes instead of d-float vectors — the two multiplicative
+    reductions that make billion-vector ANN tractable. Codebooks here
+    quantize raw vectors shared across lists (IVF-Flat-PQ); classical
+    residual encoding (quantize v - centroid[list]) buys more recall
+    per bit but needs the staged residual column — the documented
+    upgrade path, not built here.
+
+    Returns (centroids, codebooks).
+    """
+    cents = train_centroids(corpus, n_centroids=n_centroids, vec_col=vec_col)
+    books = train_pq_codebooks(corpus, m=m, k_sub=k_sub, vec_col=vec_col)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [
+            (i, [float(v) for v in c], -1 if quantize is None else quantize)
+            for i, c in enumerate(cents)
+        ],
+        "list_id int, centroid array<double>, quantize int",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(v) for v in cent])
+            for j, book in enumerate(books)
+            for c, cent in enumerate(book)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    enc = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        nearest_lists_expr(vec_col, cents, 1, dp=quantize)[0].alias(
+            "list_id"
+        ),
+        pq_codes_expr(vec_col, books, dp=adc_dp).alias("codes"),
+        F.round(norm_expr(quantized_vec(vec_col, quantize)), 9).alias(
+            "cnorm"
+        ),
+        quantized_vec(vec_col, quantize).alias("cv"),
+    )
+    enc.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    return cents, books
+
+
+def topk_cosine_ivfpq_indexed(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    adc_dp: int | None = None,
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: each query probes its nprobe
+    nearest coarse lists; the probed list ids (a tiny driver-side set)
+    become a STATIC partition filter, so the codes scan provably reads
+    only probed partitions (PartitionFilters asserted in tests — no
+    reliance on runtime DPP); ADC lookup tables ride the broadcast
+    query side; the bounded candidate set reranks exactly against cv.
+    Full probe + full rerank == brute force exactly (pinned in tests).
+
+    The query-side model application (probe assignment + lookup-table
+    construction) runs on the DRIVER in numpy: the query set is small
+    by contract, and shipping a few rows of precomputed tables as data
+    beats recompiling thousand-term expressions per call (the codegen
+    cost lives in the index BUILD, paid once). A large query batch
+    belongs in topk_cosine_pq, whose expression path is distributed.
+    """
+    import numpy as np
+
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    cents = np.asarray([list(r["centroid"]) for r in cent_rows])
+    quantize = cent_rows[0]["quantize"]
+    quantize = None if quantize < 0 else quantize
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = 1 + max(r["subspace"] for r in book_rows)
+    books: list[list[list[float]]] = [[] for _ in range(mm)]
+    for r in sorted(book_rows, key=lambda r: (r["subspace"], r["code"])):
+        books[r["subspace"]].append(list(r["centroid"]))
+    nprobe = min(nprobe, len(cents))
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantized_vec(vec_col, quantize).alias("qv"),
+    ).collect()
+    sub = len(books[0][0])
+    probe_data, qv_data = [], []
+    for r in q_rows:
+        v = np.asarray(r["qv"], dtype=np.float64)
+        if adc_dp is not None:
+            v = v.round(adc_dp)
+        # nearest lists by |c|^2 - 2 v.c (same ordering as the build)
+        scores = (cents * cents).sum(axis=1) - 2.0 * (cents @ v)
+        lists = [int(i) for i in np.argsort(scores, kind="stable")[:nprobe]]
+        tabs = [
+            [
+                float(np.dot(v[j * sub : (j + 1) * sub], np.asarray(c)))
+                for c in books[j]
+            ]
+            for j in range(mm)
+        ]
+        for li in lists:
+            probe_data.append((r["query_id"], li, tabs))
+        qv_data.append((r["query_id"], [float(x) for x in r["qv"]]))
+    probes = spark.createDataFrame(
+        probe_data,
+        "query_id long, list_id int, tabs array<array<double>>",
+    )
+    q = spark.createDataFrame(
+        qv_data, "query_id long, qv array<double>"
+    )
+    probed_lists = sorted({p[1] for p in probe_data})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("list_id").isin(probed_lists)
+    )
+    scored = (
+        codes.drop("cv")
+        .join(F.broadcast(probes), "list_id")
+        .withColumn(
+            "adc",
+            F.round(
+                pq_adc_score_expr("codes", "tabs", mm) / F.col("cnorm"), 6
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("corpus_id"))
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select("query_id", "corpus_id")
+    )
+    rer = (
+        codes.select("corpus_id", "cv")
+        .join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .withColumn(
+            "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )

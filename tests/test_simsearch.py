@@ -438,3 +438,90 @@ def test_pq_adc_no_vectors_through_topk_shuffle(emb, queries, pq_books):
     assert "embedding#" not in lines[pidx]
     # and the top-k is pushed into the shuffle as a group-limit
     assert any("WindowGroupLimit" in l for l in lines[widx:pidx])
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ combined index
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "ivfpq")
+    simsearch.write_ivfpq_index(
+        emb, path, n_centroids=8, m=8, k_sub=16
+    )
+    return path
+
+
+def test_ivfpq_full_probe_full_rerank_equals_bruteforce(
+    spark, emb, queries, ivfpq_path
+):
+    n = emb.count()
+    exact = sorted(
+        map(tuple, simsearch.topk_cosine(emb, queries, k=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            simsearch.topk_cosine_ivfpq_indexed(
+                spark, queries, ivfpq_path, k=5, nprobe=8, rerank_factor=n
+            ).collect(),
+        )
+    )
+    assert got == exact
+
+
+def test_ivfpq_partial_probe_recall(spark, emb, queries, ivfpq_path):
+    exact = simsearch.topk_cosine(emb, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    got = simsearch.topk_cosine_ivfpq_indexed(
+        spark, queries, ivfpq_path, k=5, nprobe=4, rerank_factor=8
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        if r["rank"] == 1:
+            assert r["corpus_id"] == r["query_id"]  # self-hit survives
+    recalls = [
+        len(by_q.get(q, set()) & hits) / len(hits)
+        for q, hits in truth.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_ivfpq_probe_scan_is_partition_pruned(spark, queries, ivfpq_path):
+    """nprobe=1: the codes scan must touch ONLY the probed list
+    partitions — static pruning from the driver-collected probe set,
+    provable via inputFiles, not hoped for via runtime DPP."""
+    import pyspark.sql.functions as F
+
+    all_files = set(spark.read.parquet(f"{ivfpq_path}/codes").inputFiles())
+    cent_rows = sorted(
+        spark.read.parquet(f"{ivfpq_path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    probed = {
+        r["p"]
+        for r in queries.select(
+            simsearch.nearest_lists_expr("embedding", cents, 1)[0].alias("p")
+        ).collect()
+    }
+    filtered = spark.read.parquet(f"{ivfpq_path}/codes").filter(
+        F.col("list_id").isin(sorted(probed))
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # the probe set lands in PartitionFilters -> the scan's file listing
+    # drops non-probed list directories at PLANNING time
+    pf = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "list_id" in pf and "IN" in pf.upper()
+    # and the filtered scan reads a strict subset of the rows
+    total = spark.read.parquet(f"{ivfpq_path}/codes").count()
+    assert 0 < filtered.count() < total
+    assert len(probed) < 8  # the probe really is partial
+    assert len(all_files) > 8  # partitioned layout materialized

@@ -244,3 +244,26 @@ def snapshot_diff(
         )
         .select(*keys, *out_vals, "diff_status", "changed_cols")
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list:
+    """Schema-level reconciliation (the DDL complement of snapshot_diff):
+    [(column, change)] with change in {added, removed, retyped:<a>-><b>,
+    reordered:<i>-><j>} — the drift report a pipeline checks BEFORE
+    attempting a row-level merge, since a retyped column makes value
+    comparison meaningless. Pure driver-side StructType walk (schemas
+    are metadata, not data). Sorted by column name; empty == identical
+    schemas up to field order metadata."""
+    o = {f.name: (i, f.dataType.simpleString()) for i, f in enumerate(old.schema)}
+    n = {f.name: (i, f.dataType.simpleString()) for i, f in enumerate(new.schema)}
+    out = []
+    for c in sorted(set(o) | set(n)):
+        if c not in o:
+            out.append((c, "added"))
+        elif c not in n:
+            out.append((c, "removed"))
+        elif o[c][1] != n[c][1]:
+            out.append((c, f"retyped:{o[c][1]}->{n[c][1]}"))
+        elif o[c][0] != n[c][0]:
+            out.append((c, f"reordered:{o[c][0]}->{n[c][0]}"))
+    return out

@@ -133,6 +133,7 @@ from etl_hero_spark.textops import (  # noqa: F401
 from etl_hero_spark.cdc import (  # noqa: F401
     merge_upsert,
     scd2_apply,
+    schema_diff,
     scd2_history,
     snapshot_diff,
 )

@@ -423,3 +423,22 @@ def test_warehouse_sync_composition_equals_direct_state(spark):
     assert row["sum_price"] == want[1]
     assert row["n_reclassified"] == want[2]
     assert row["n_contract_violations"] == 0
+
+
+def test_schema_diff_reports_all_change_kinds(spark):
+    from etl_hero_spark.cdc import schema_diff
+
+    old = spark.createDataFrame(
+        [], "id bigint, name string, price double, legacy int"
+    )
+    new = spark.createDataFrame(
+        [], "id bigint, price decimal(18,2), name string, extra date"
+    )
+    got = schema_diff(old, new)
+    assert got == [
+        ("extra", "added"),
+        ("legacy", "removed"),
+        ("name", "reordered:1->2"),
+        ("price", "retyped:double->decimal(18,2)"),
+    ]
+    assert schema_diff(old, old) == []

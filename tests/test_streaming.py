@@ -541,3 +541,46 @@ def test_stream_scd2_equals_batch_closed_versions(spark, sf_dir, events):
         )
     )
     assert stream == batch
+
+
+def test_deterministic_samplers_identical_under_streaming(spark, sf_dir, events):
+    """weighted_hash_sample and with_split are pure row functions of
+    (salt, id) — the SAME rows must pass on a stream as in batch (the
+    reproducibility contract their docstrings promise)."""
+    from etl_hero_spark.sampling import weighted_hash_sample, with_split
+
+    batch_ids = {
+        r["event_id"]
+        for r in weighted_hash_sample(
+            events.withColumn("w", F.lit(0.3)), "w", "event_id"
+        ).select("event_id").collect()
+    }
+    batch_split = {
+        r["event_id"]: r["split"]
+        for r in with_split(events, "event_id").collect()
+    }
+    from etl_hero_spark.streaming.windows import _events_stream_source
+
+    src = _events_stream_source(
+        spark, f"{sf_dir}/events.parquet", "etl_hero_stream_samp_"
+    )
+    out = with_split(
+        weighted_hash_sample(src.withColumn("w", F.lit(0.3)), "w", "event_id"),
+        "event_id",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("etl_hero_stream_samp")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {
+        r["event_id"]: r["split"]
+        for r in spark.table("etl_hero_stream_samp").collect()
+    }
+    assert set(stream) == batch_ids
+    assert all(batch_split[i] == s for i, s in stream.items())

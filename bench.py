@@ -81,6 +81,7 @@ HEADLINE = [
     "text_pii_ccards",
     "pipeline_warehouse_sync",
     "sim_topk_ivfpq",
+    "er_multi_attr_customers",
 ]
 
 

@@ -406,3 +406,105 @@ def apply_er_delta(
     return delta.select(
         id_col, name_col, "canonical_id", "is_canonical"
     ).unionByName(untouched)
+
+
+def similarity_expr(a, b) -> Column:
+    """Normalized edit similarity 1 - lev(a,b)/max(len) in [0,1];
+    NULL if either side is NULL (the caller decides what absence
+    means — score_pairs_multi drops the attribute's weight)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(
+        a.isNotNull() & b.isNotNull(),
+        F.when(denom == 0, F.lit(1.0)).otherwise(
+            1.0 - F.levenshtein(a, b) / denom.cast("double")
+        ),
+    )
+
+
+def fuzzy_pairs_multi(
+    df: DataFrame,
+    id_col: str,
+    attrs: dict,
+    primary: str | None = None,
+    band: int = 8,
+    max_block_size: int = 1000,
+    min_score: float = 0.75,
+    blocking: str = "both",
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted multi-attribute record matching (Fellegi-Sunter-lite):
+    candidates come from blocking on the ``primary`` attribute (multi-
+    pass prefix ∪ soundex by default), or — when ``block_cols`` is
+    given — from EXACT blocking on those reliable attributes (the
+    right posture when the noisy fields don't block well); each attribute contributes its
+    normalized edit similarity weighted by ``attrs[name]``; a NULL on
+    either side drops that attribute AND its weight from the pair's
+    denominator (pairwise-available weighting — absence is not
+    evidence either way). Output: (id_a, id_b, score, sim_<attr>...)
+    with score >= min_score, id_a < id_b.
+
+    The single-attribute rungs order record pairs by one noisy field;
+    real entity resolution triangulates — a name typo is rescued by an
+    exact city+segment, a coincidental name match is killed by them.
+    Plan shape inherits fuzzy_pairs' blocked self-join (never all
+    pairs); scoring is a codegen'd expression over the joined row.
+    """
+    names = list(attrs)
+    primary = primary or names[0]
+    if block_cols:
+        # exact blocking on RELIABLE attributes, fuzzy scoring of the
+        # noisy ones — the standard ER posture when no single noisy
+        # field blocks well (here: every candidate pair must agree
+        # exactly on block_cols; block sizes are bounded by their
+        # joint cardinality)
+        keys = F.array(F.concat_ws("\u0001", *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in block_cols]))
+    elif blocking == "prefix":
+        keys = F.array(block_key_expr(primary, band))
+    elif blocking == "soundex":
+        keys = F.array(phonetic_block_key_expr(primary))
+    else:
+        keys = F.array(
+            block_key_expr(primary, band),
+            phonetic_block_key_expr(primary),
+        )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in names],
+        F.explode(keys).alias("blk"),
+    )
+    small = (
+        keyed.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_block_size)
+        .select("blk")
+    )
+    capped = keyed.join(small, "blk")
+    a = capped.select(
+        "blk", F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in names],
+    )
+    b = capped.select(
+        "blk", F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in names],
+    )
+    joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    sims = {c: similarity_expr(f"{c}_a", f"{c}_b") for c in names}
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for c, w in attrs.items():
+        num = num + F.coalesce(sims[c] * F.lit(float(w)), F.lit(0.0))
+        den = den + F.when(
+            sims[c].isNotNull(), F.lit(float(w))
+        ).otherwise(F.lit(0.0))
+    # den == 0 (every attribute NULL on one side) -> score NULL -> the
+    # >= filter drops the pair: all-absent rows assert nothing
+    score = F.round(num / F.when(den > 0, den), 6)
+    out = joined.select(
+        "id_a",
+        "id_b",
+        score.alias("score"),
+        *[F.round(sims[c], 6).alias(f"sim_{c}") for c in names],
+    ).filter(F.col("score") >= min_score)
+    return out.distinct()

@@ -11,6 +11,7 @@ from etl_hero_spark.detect import parse_date_expr  # noqa: F401
 from etl_hero_spark.er import (  # noqa: F401
     block_key_expr,
     phonetic_block_key_expr,
+    similarity_expr,
 )
 from etl_hero_spark.layout import zorder_expr  # noqa: F401
 from etl_hero_spark.multimodal import sniff_mime_expr  # noqa: F401

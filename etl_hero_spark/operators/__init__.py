@@ -138,6 +138,7 @@ from etl_hero_spark.cdc import (  # noqa: F401
     snapshot_diff,
 )
 from etl_hero_spark.er import (  # noqa: F401
+    fuzzy_pairs_multi,
     phonetic_block_key_expr,
     resolve_entities,
     resolve_entities_incremental,

@@ -1915,3 +1915,55 @@ def q_sim_topk_ivfpq(spark, sf_dir):
     return topk_cosine_ivfpq_indexed(
         spark, queries, path, k=5, nprobe=2, rerank_factor=4
     )
+
+
+@register(
+    "er_multi_attr_customers",
+    oracle=None,
+    note=(
+        "extension: weighted multi-attribute record matching "
+        "(Fellegi-Sunter-lite) — blocked candidates scored by "
+        "weight-averaged normalized edit similarity across attributes; "
+        "a NULL attribute drops from the pair's weight denominator "
+        "(absence asserts nothing). Triangulation property + Python "
+        "DP-reference scores pinned in tests/test_er.py. Runs over "
+        "customers with deterministic typo injections; summary"
+    ),
+)
+def q_er_multi_attr_customers(spark, sf_dir):
+    from etl_hero_spark.er import fuzzy_pairs_multi
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lower("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("string").alias("nation"),
+    )
+    # deterministic dirty copies: %97==0 -> name typo (drop one char),
+    # keeping seg+nation -> triangulated matches
+    dirty = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.expr("concat(substring(name, 1, 8), substring(name, 10, 100))")
+        .alias("name"),
+        "seg",
+        "nation",
+    )
+    # the synthetic name space ('customer#000...') blocks degenerately
+    # on tokens (one shared soundex, all-distinct prefixes), so block
+    # EXACTLY on the reliable attributes and fuzzy-score the name —
+    # block sizes are bounded by |segments| x |nations|
+    pairs = fuzzy_pairs_multi(
+        cust.unionByName(dirty),
+        "c_custkey",
+        {"name": 2.0, "seg": 1.0, "nation": 1.0},
+        primary="name",
+        min_score=0.85,
+        block_cols=["seg", "nation"],
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("id_b") - F.col("id_a") == 1_000_000).cast("long")
+        ).cast("bigint").alias("n_planted_matches"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    )

@@ -351,3 +351,79 @@ def test_blocking_both_is_superset_of_each_pass(spark):
         ).collect()
     }
     assert both == prefix | soundex
+
+
+def test_multi_attribute_scoring_triangulates(spark):
+    """A name typo is rescued by exact city+segment; a coincidental
+    name match without agreeing attributes falls below threshold; a
+    NULL attribute drops from the weight denominator rather than
+    counting against the pair; reference-checked scores."""
+    from etl_hero_spark.er import fuzzy_pairs_multi
+
+    rows = [
+        (1, "acme widget deluxe", "springfield", "FURNITURE"),
+        (2, "acme widget delux", "springfield", "FURNITURE"),   # typo of 1
+        (3, "acme widget deluxe", "shelbyville", "MACHINERY"),  # name-only
+        (4, "acme widget delixe", None, "FURNITURE"),           # null city
+        (5, "bolt cutter", "springfield", "FURNITURE"),         # no block
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, name string, city string, seg string"
+    )
+    attrs = {"name": 2.0, "city": 1.0, "seg": 1.0}
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fuzzy_pairs_multi(
+            df, "id", attrs, primary="name", min_score=0.0
+        ).collect()
+    }
+
+    def ref_score(a, b):
+        import itertools
+
+        def sim(x, y):
+            if x is None or y is None:
+                return None
+            if max(len(x), len(y)) == 0:
+                return 1.0
+            # python-Levenshtein-free reference: DP edit distance
+            m, n = len(x), len(y)
+            d = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, d[0] = d[0], i
+                for j in range(1, n + 1):
+                    cur = min(
+                        d[j] + 1,
+                        d[j - 1] + 1,
+                        prev + (x[i - 1] != y[j - 1]),
+                    )
+                    prev, d[j] = d[j], cur
+            return 1.0 - d[n] / max(m, n)
+
+        num = den = 0.0
+        for (xa, xb), w in zip(
+            itertools.zip_longest(a[1:], b[1:]), attrs.values()
+        ):
+            s = sim(xa, xb)
+            if s is not None:
+                num += s * w
+                den += w
+        return round(num / den, 6)
+
+    by_id = {r[0]: r for r in rows}
+    for (ia, ib), r in out.items():
+        assert r["score"] == ref_score(by_id[ia], by_id[ib]), (ia, ib)
+    # triangulation: typo-with-agreement beats name-only-match
+    assert out[(1, 2)]["score"] > out[(1, 3)]["score"]
+    # null city drops from the denominator: (1,4) still scores high
+    assert out[(1, 4)]["score"] > 0.85
+    assert out[(1, 4)]["sim_city"] is None
+    # default threshold separates them
+    kept = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs_multi(
+            df, "id", attrs, primary="name", min_score=0.85
+        ).collect()
+    }
+    assert (1, 2) in kept and (1, 4) in kept
+    assert (1, 3) not in kept

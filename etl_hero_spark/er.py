@@ -433,6 +433,7 @@ def fuzzy_pairs_multi(
     min_score: float = 0.75,
     blocking: str = "both",
     block_cols: list[str] | None = None,
+    primary_max_dist: int | None = None,
 ) -> DataFrame:
     """Weighted multi-attribute record matching (Fellegi-Sunter-lite):
     candidates come from blocking on the ``primary`` attribute (multi-
@@ -490,6 +491,19 @@ def fuzzy_pairs_multi(
         *[F.col(c).alias(f"{c}_b") for c in names],
     )
     joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    if primary_max_dist is not None:
+        # bounded-levenshtein pre-filter on the primary attribute: the
+        # threshold form early-exits the DP (returns -1 past the bound),
+        # discarding the bulk of candidates for cents before any full
+        # similarity is computed. Derive the bound from min_score: a
+        # pair whose primary sim alone cannot reach min_score even with
+        # every other attribute perfect can never pass.
+        joined = joined.filter(
+            F.levenshtein(
+                f"{primary}_a", f"{primary}_b", primary_max_dist
+            )
+            >= 0
+        )
     sims = {c: similarity_expr(f"{c}_a", f"{c}_b") for c in names}
     num = F.lit(0.0)
     den = F.lit(0.0)

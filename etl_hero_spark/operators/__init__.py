@@ -102,6 +102,7 @@ from etl_hero_spark.simsearch import (  # noqa: F401
 )
 from etl_hero_spark.skew import (  # noqa: F401
     ensure_min_partitions,
+    guarded_join,
     salted_join,
     two_phase_distinct_count,
 )

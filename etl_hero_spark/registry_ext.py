@@ -1957,8 +1957,13 @@ def q_er_multi_attr_customers(spark, sf_dir):
         "c_custkey",
         {"name": 2.0, "seg": 1.0, "nation": 1.0},
         primary="name",
-        min_score=0.85,
+        min_score=0.95,
         block_cols=["seg", "nation"],
+        # necessary condition for 0.95 with w_name=2/W=4 even if every
+        # other attribute agrees perfectly: sim_name >= 0.9 -> lev <= 2
+        # on ~18-char names; the thresholded-DP pre-filter kills ~99%
+        # of the ~1M blocked candidates before full scoring
+        primary_max_dist=2,
     )
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),

@@ -125,3 +125,55 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         # "spread a small input" call sites
         pass
     return df.repartition(min_parts)
+
+
+class JoinFanoutError(RuntimeError):
+    """Raised by guarded_join when the worst-case per-key fanout of a
+    join exceeds the declared bound."""
+
+
+def guarded_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str] | str,
+    how: str = "inner",
+    max_key_fanout: int = 1_000_000,
+) -> DataFrame:
+    """Join with a pre-flight fanout guard: before shuffling anything
+    big, two tiny aggregates find each side's most-duplicated key; if
+    the worst-case per-key output (max_left_dups x max_right_dups)
+    exceeds ``max_key_fanout``, raise JoinFanoutError naming the bound
+    instead of silently materializing a key explosion.
+
+    At 100 TB the classic incident is a 'unique' key that isn't — one
+    NULL-heavy or default-valued key turns an innocent join into a
+    quadratic blowup discovered only when the stage has run for hours.
+    The guard costs two key-grouped COUNTs (cheap, map-side combined)
+    and fails in seconds with the offending numbers. NULL join keys
+    never match in SQL joins, so rows with any NULL key are excluded
+    from the guard's counts.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def max_dups(df: DataFrame) -> int:
+        cond = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            cond = c if cond is None else cond & c
+        row = (
+            df.filter(cond)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n"))
+            .first()
+        )
+        return int(row[0] or 0)
+
+    ml, mr = max_dups(left), max_dups(right)
+    if ml * mr > max_key_fanout:
+        raise JoinFanoutError(
+            f"join on {keys} would fan out up to {ml} x {mr} = "
+            f"{ml * mr} rows for one key (bound {max_key_fanout}); "
+            "deduplicate a side or raise max_key_fanout deliberately"
+        )
+    return left.join(right, keys, how)

@@ -278,3 +278,80 @@ def test_scd2_history_partitions_each_keys_timeline(spark, rows):
         for a, b in zip(rs, rs[1:]):
             assert a["effective_to"] == b["effective_from"]
             assert a["state"] != b["state"]
+
+
+_merge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),            # key
+        st.integers(min_value=0, max_value=9),            # value
+        st.integers(min_value=0, max_value=30),           # day
+        st.sampled_from(["U", "U", "U", "D"]),            # op (D rare)
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(base=_merge_rows, batch=_merge_rows)
+@_settings
+def test_merge_upsert_matches_pandas_reference(spark, base, batch):
+    """For ANY base snapshot and change batch: the merged state equals
+    an independent pandas groupby-idxmax reference (latest wins, change
+    beats base on ties, final-tombstone deletes)."""
+    import pandas as pd
+
+    from etl_hero_spark.cdc import merge_upsert
+
+    def df_of(rows, src):
+        return pd.DataFrame(
+            [
+                {
+                    "id": k,
+                    "v": v,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=d),
+                    "op": op,
+                    "_src": src,
+                }
+                for k, v, d, op in rows
+            ]
+        )
+
+    pb = df_of(base, 0)
+    # a base snapshot has one row per key: keep its newest
+    if len(pb):
+        pb = pb.sort_values(["ts", "_src"]).groupby("id").tail(1)
+        pb["op"] = None
+    pc = df_of(batch, 1)
+    if len(pc):
+        # two changes for the same (key, ts) tie arbitrarily in any
+        # engine — the property is defined on unambiguous batches
+        pc = pc.drop_duplicates(["id", "ts"], keep="first")
+    allr = pd.concat([pb, pc], ignore_index=True)
+    expect = {}
+    if len(allr):
+        allr = allr.sort_values(["ts", "_src"], kind="stable")
+        for _, r in allr.iterrows():
+            expect[r["id"]] = (r["v"], r["op"])
+    expect = {
+        k: v for k, (v, op) in expect.items() if op != "D"
+    }
+
+    target = spark.createDataFrame(
+        [
+            (int(r["id"]), int(r["v"]), r["ts"].to_pydatetime())
+            for _, r in pb.iterrows()
+        ],
+        "id bigint, v bigint, ts timestamp",
+    )
+    changes = spark.createDataFrame(
+        [
+            (int(r["id"]), int(r["v"]), r["ts"].to_pydatetime(), r["op"])
+            for _, r in pc.iterrows()
+        ],
+        "id bigint, v bigint, ts timestamp, op string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in merge_upsert(target, changes, "id", "ts", op_col="op").collect()
+    }
+    assert got == expect

@@ -134,3 +134,33 @@ def test_ensure_min_partitions_noops_on_large_estimate(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
     assert out is docs
+
+
+def test_guarded_join_allows_sane_and_blocks_explosive(spark):
+    import pytest
+
+    from etl_hero_spark.skew import JoinFanoutError, guarded_join
+
+    left = spark.createDataFrame(
+        [(i % 10, i) for i in range(100)], "k long, a long"
+    )
+    right_ok = spark.createDataFrame(
+        [(i, i * 2) for i in range(10)], "k long, b long"
+    )
+    out = guarded_join(left, right_ok, "k", max_key_fanout=100)
+    assert out.count() == 100  # 10 dups x unique dim
+    # a hot key on BOTH sides crosses the bound
+    right_hot = spark.createDataFrame(
+        [(7, i) for i in range(50)] + [(1, 0)], "k long, b long"
+    )
+    with pytest.raises(JoinFanoutError) as e:
+        guarded_join(left, right_hot, "k", max_key_fanout=100)
+    assert "10 x 50" in str(e.value)
+    # NULL keys never match -> never counted against the bound
+    left_null = spark.createDataFrame(
+        [(None, i) for i in range(1000)] + [(1, 0)], "k long, a long"
+    )
+    assert (
+        guarded_join(left_null, right_ok, "k", max_key_fanout=10).count()
+        == 1
+    )

@@ -82,6 +82,7 @@ HEADLINE = [
     "pipeline_warehouse_sync",
     "sim_topk_ivfpq",
     "er_multi_attr_customers",
+    "text_dedup_lines_within_doc",
 ]
 
 

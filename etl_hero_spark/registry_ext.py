@@ -1972,3 +1972,33 @@ def q_er_multi_attr_customers(spark, sf_dir):
         ).cast("bigint").alias("n_planted_matches"),
         F.round(F.avg("score"), 6).alias("avg_score"),
     )
+
+
+@register(
+    "text_dedup_lines_within_doc",
+    oracle=None,
+    note=(
+        "extension: within-document repeated-line removal — the "
+        "per-doc complement of the corpus-level boilerplate pass "
+        "(scraped pages repeat their own nav/footer blocks): first "
+        "occurrence per (doc, trimmed-line hash) via one doc-"
+        "partitioned window, blanks preserved as structure. DuckDB "
+        "window parity in tests/test_textops.py. Summary per source"
+    ),
+)
+def q_text_dedup_lines_within_doc(spark, sf_dir):
+    from etl_hero_spark.textops import dedup_lines_within_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_lines_within_doc(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum("n_lines_removed").cast("bigint").alias("n_removed"),
+        )
+        .orderBy("source")
+    )

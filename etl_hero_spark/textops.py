@@ -904,3 +904,59 @@ def bigram_logprob_score(
         F.count(F.lit(1)).alias("_n")
     )
     return _score_bigram_pairs(pairs, vocab, id_col, alpha)
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Within-DOCUMENT repeated-line removal — the per-doc complement
+    of global_line_dedup's corpus pass: keep only the FIRST occurrence
+    of each trimmed line inside a document (scraped pages repeat their
+    own nav/footer blocks; LM training then memorizes the repetition).
+    Blank lines pass through untouched (they are structure, not
+    content).
+
+    Output mirrors global_line_dedup: id_col, out_col (survivors
+    re-joined in original order), n_lines, n_lines_removed.
+
+    Plan: posexplode -> ONE window over (doc, line-hash) ordered by
+    position (first occurrence = row_number 1) -> regroup per doc.
+    Both the window and the regroup hash-partition on the doc id, so
+    AQE plans a single exchange; no corpus-wide state at all.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_lk", F.xxhash64(F.trim("_line")))
+    w = W.partitionBy(id_col, "_lk").orderBy("_pos")
+    kept = (
+        lines.withColumn("_occ", F.row_number().over(w))
+        .filter(
+            (F.col("_occ") == 1) | (F.length(F.trim("_line")) == 0)
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias(out_col),
+    )
+    return (
+        df.select(id_col, F.size(F.split(F.col(col), "\n")).alias("n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -750,3 +750,64 @@ def test_credit_card_luhn_validation(spark):
     for i in (1, 2, 3, 5, 6):
         assert "[CCARD]" in red[i]
     assert red[4] == rows[3][1] and red[7] == rows[6][1]
+
+
+def test_dedup_lines_within_doc(spark):
+    from etl_hero_spark.textops import dedup_lines_within_doc
+
+    rows = [
+        (1, "nav bar\ncontent one\n\nnav bar\ncontent two\n\nnav bar"),
+        (2, "unique a\nunique b"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in dedup_lines_within_doc(df).collect()}
+    # first occurrence kept, later repeats dropped, blanks preserved
+    assert got[1]["clean_text"] == "nav bar\ncontent one\n\ncontent two\n"
+    assert got[1]["n_lines_removed"] == 2
+    assert got[2]["clean_text"] == rows[1][1]
+    assert got[2]["n_lines_removed"] == 0
+    assert got[3]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_within_doc_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from etl_hero_spark.textops import dedup_lines_within_doc
+
+    got = sorted(
+        (r["doc_id"], r["clean_text"], r["n_lines"], r["n_lines_removed"])
+        for r in dedup_lines_within_doc(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            ), lines AS (
+              SELECT doc_id, ls[i] AS line, i AS pos
+              FROM split, UNNEST(generate_series(1, len(ls))) AS t(i)
+            ), kept AS (
+              SELECT * FROM (
+                SELECT doc_id, line, pos, row_number() OVER (
+                  PARTITION BY doc_id, trim(line) ORDER BY pos) AS occ
+                FROM lines
+              ) WHERE occ = 1 OR length(trim(line)) = 0
+            ), rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.clean_text, ''),
+              len(string_split(d.text, chr(10))),
+              CAST(len(string_split(d.text, chr(10)))
+                   - coalesce(r.n_kept, 0) AS INT)
+            FROM read_parquet('{sf_dir}/documents.parquet') d
+            LEFT JOIN rebuilt r USING (doc_id)
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -83,6 +83,7 @@ HEADLINE = [
     "sim_topk_ivfpq",
     "er_multi_attr_customers",
     "text_dedup_lines_within_doc",
+    "decontaminate_fuzzy",
 ]
 
 

@@ -740,3 +740,54 @@ def decontaminate(
     """Corpus minus contaminated docs (the filtering form)."""
     flagged = flag_benchmark_contamination(docs, benchmark, id_col, text_col, n)
     return flagged.filter(F.col("contaminated") == 0).drop("contaminated")
+
+
+def flag_benchmark_contamination_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy decontamination: flag docs that are NEAR-duplicates of any
+    benchmark item — the paraphrased/lightly-edited eval leakage the
+    exact n-gram pass (flag_benchmark_contamination) cannot see. Adds
+    ``contaminated_fuzzy`` (0/1) and ``max_est_jaccard`` (similarity to
+    the closest benchmark item; NULL when no banded candidate).
+
+    Plan: the benchmark (small by definition) signs and bands once and
+    sits on the build side; the corpus signs itself in one linear pass
+    and equi-joins on (band, key) — banded sub-quadratic candidates,
+    estimated Jaccard from stored signatures, corpus text touched
+    exactly once. Same hash family as the whole dedup ladder (same
+    seed -> comparable estimates).
+    """
+    bench_sig = _minhash_signatures(
+        benchmark, id_col, text_col, n, n_hashes, seed
+    )
+    bench_bands = _band_key_table(bench_sig, n_hashes, n_bands)
+    hits = pairs_against_minhash_index(
+        docs,
+        bench_bands,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        threshold=threshold,
+        seed=seed,
+    )
+    per_doc = hits.groupBy(
+        F.col("batch_id").alias(id_col)
+    ).agg(F.max("est_jaccard").alias("max_est_jaccard"))
+    return (
+        docs.join(F.broadcast(per_doc), id_col, "left")
+        .withColumn(
+            "contaminated_fuzzy",
+            F.col("max_est_jaccard").isNotNull().cast("int"),
+        )
+    )

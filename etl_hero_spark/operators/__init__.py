@@ -22,6 +22,7 @@ from etl_hero_spark.clean import (  # noqa: F401
 )
 from etl_hero_spark.dedup import (  # noqa: F401
     dedup_exact_content,
+    flag_benchmark_contamination_fuzzy,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,

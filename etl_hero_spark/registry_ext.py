@@ -2002,3 +2002,37 @@ def q_text_dedup_lines_within_doc(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "decontaminate_fuzzy",
+    oracle=None,
+    note=(
+        "extension: FUZZY benchmark decontamination — minhash-banded "
+        "near-duplicates of benchmark items catch the paraphrased/"
+        "lightly-edited eval leakage the exact 8-gram pass cannot see "
+        "(an every-7th-word edit defeats exact, survives minhash — "
+        "pinned in tests/test_dedup.py). Benchmark side signs+bands "
+        "once (small by definition); corpus text touched exactly once; "
+        "same hash family as the dedup ladder. Synthetic benchmark = "
+        "mutated copies of keyed docs; summary row"
+    ),
+)
+def q_decontaminate_fuzzy(spark, sf_dir):
+    from etl_hero_spark.dedup import flag_benchmark_contamination_fuzzy
+
+    docs = _t(spark, sf_dir, "documents")
+    # benchmark: every 25th doc, lightly edited (prefix marker) — still
+    # near-identical under shingling, no longer byte-identical
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.concat(F.lit("eval item: "), F.col("text")).alias("text"),
+    )
+    flagged = flag_benchmark_contamination_fuzzy(
+        docs, bench, threshold=0.5
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("contaminated_fuzzy").cast("bigint").alias("n_contaminated"),
+        F.round(F.max("max_est_jaccard"), 6).alias("max_sim"),
+    )

@@ -332,3 +332,51 @@ def test_incremental_query_flags(spark, sf_dir):
     assert clones and novel
     assert all(rows[k] == 1 for k in clones)  # near-dups of corpus
     assert all(rows[k] == 0 for k in novel)  # genuinely new content
+
+
+def test_fuzzy_decontamination_catches_paraphrased_leakage(spark):
+    """A doc that lightly edits a benchmark item must flag fuzzy even
+    when no exact 8-gram survives; unrelated docs must not."""
+    from etl_hero_spark.dedup import (
+        flag_benchmark_contamination,
+        flag_benchmark_contamination_fuzzy,
+    )
+
+    bench_text = " ".join(
+        f"benchmark question token{i} asks about item{i} in context"
+        for i in range(12)
+    )
+    # light edit: change every 7th word -> every 8-gram window covers a
+    # change (kills exact decon) while ~half the 2-shingles survive
+    words = bench_text.split()
+    for i in range(0, len(words), 7):
+        words[i] = words[i] + "x"
+    edited = " ".join(words)
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text),                       # verbatim copy
+            (2, edited),                           # paraphrased copy
+            (3, "completely unrelated content about gardening and soil "
+                "quality with many words that never overlap at all ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id bigint, text string"
+    )
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in flag_benchmark_contamination(docs, bench).collect()
+    }
+    fuzzy = {
+        r["doc_id"]: (r["contaminated_fuzzy"], r["max_est_jaccard"])
+        for r in flag_benchmark_contamination_fuzzy(
+            docs, bench, n=2, n_bands=16, threshold=0.3
+        ).collect()
+    }
+    assert exact[1] == 1 and exact[3] == 0
+    assert exact[2] == 0  # the edit defeats exact 8-grams...
+    assert fuzzy[2][0] == 1  # ...but not the minhash rung
+    assert fuzzy[1] == (1, 1.0)  # verbatim estimates 1.0
+    assert fuzzy[2][1] >= 0.3
+    assert fuzzy[3][0] == 0 and fuzzy[3][1] is None

@@ -84,6 +84,7 @@ HEADLINE = [
     "er_multi_attr_customers",
     "text_dedup_lines_within_doc",
     "decontaminate_fuzzy",
+    "sql_revenue_by_nation",
 ]
 
 

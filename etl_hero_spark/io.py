@@ -472,3 +472,22 @@ def write_pdf_report(
 ) -> None:
     with open(path, "wb") as f:
         f.write(to_pdf_report(lines, title))
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = None,
+) -> DataFrame:
+    """Real multimodal ingest: Spark's binaryFile source reads raw files
+    as (path, modificationTime, length, content binary) — the actual
+    entry point for image/audio/video corpora (one row per file; the
+    payload column then flows through validate_media / wav_metadata /
+    decode without ever leaving the JVM). ``pattern`` is a glob pushed
+    into the file listing (pathGlobFilter), so non-matching files are
+    never opened. Partition parallelism = file parallelism; cap
+    per-task memory with spark.sql.files.maxPartitionBytes as usual."""
+    r = spark.read.format("binaryFile")
+    if pattern:
+        r = r.option("pathGlobFilter", pattern)
+    return r.load(path)

@@ -796,3 +796,37 @@ def q_stream_scd2_history(spark, sf_dir):
     from etl_hero_spark.streaming import stream_scd2_history
 
     return stream_scd2_history(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "sql_revenue_by_nation",
+    oracle=None,
+    note=(
+        "extension: the PURE-SQL entry point — spark.sql over "
+        "registered temp views (every other query uses the DataFrame "
+        "API; this one proves the identical Catalyst plan is reachable "
+        "from SQL text): customer-orders-lineitem 3-way join with "
+        "decimal-exact revenue per nation. Same SQL string runs in "
+        "DuckDB for parity (tests/test_edge_cases.py)"
+    ),
+)
+def q_sql_revenue_by_nation(spark, sf_dir):
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"ehs_{t}")
+    return spark.sql(SQL_REVENUE_BY_NATION)
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name AS nation,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l.l_discount AS DECIMAL(8,4)))
+             AS DOUBLE), 2) AS revenue
+FROM ehs_customer c
+JOIN ehs_orders o ON o.o_custkey = c.c_custkey
+JOIN ehs_lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN ehs_nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""

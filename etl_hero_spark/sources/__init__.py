@@ -6,6 +6,7 @@ from etl_hero_spark.io import (  # noqa: F401
     load_tables,
     messy_orders,
     read_avro,
+    read_binary_files,
     read_csv,
     read_csv_permissive,
     read_excel,

@@ -150,3 +150,27 @@ def test_new_ops_on_empty_and_degenerate_inputs(spark):
     one = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id bigint, text string")
     assert chunk_documents(one, chunk_tokens=2, overlap=1).count() == 2
     assert tfidf_top_terms(one, k=5).count() == 3  # every term idf=0, still ranked
+
+
+def test_sql_entry_point_matches_duckdb_same_text(spark, sf_dir):
+    """The pure-SQL registered query must produce what DuckDB produces
+    for the SAME SQL text (modulo view names) — proving the SQL surface
+    reaches the identical semantics as the DataFrame API."""
+    import duckdb
+
+    from etl_hero_spark.registry_stream import (
+        SQL_REVENUE_BY_NATION,
+        q_sql_revenue_by_nation,
+    )
+
+    got = [
+        (r["nation"], r["n_orders"], r["revenue"])
+        for r in q_sql_revenue_by_nation(spark, sf_dir).collect()
+    ]
+    sql = SQL_REVENUE_BY_NATION
+    for t in ("customer", "orders", "lineitem", "nation"):
+        sql = sql.replace(
+            f"ehs_{t}", f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert got == want and len(got) > 0

@@ -378,3 +378,48 @@ def test_permissive_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     assert bad.count() == 2
     rep = csv_ingest_report(df).first()
     assert rep["n_rows"] == 4 and rep["n_corrupt"] == 2
+
+
+def test_binary_file_ingest_to_wav_parse_end_to_end(spark, tmp_path):
+    """The real multimodal loop with zero codec libraries: write actual
+    WAV files with the stdlib, ingest them via the binaryFile source,
+    validate magic bytes, and parse their headers — all in the JVM."""
+    import io as _io
+    import wave
+
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.io import read_binary_files
+    from etl_hero_spark.multimodal import validate_media, wav_metadata
+
+    def make_wav(rate, ch):
+        buf = _io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (rate * ch * 2))  # 1 second
+        w.close()
+        return buf.getvalue()
+
+    (tmp_path / "a.wav").write_bytes(make_wav(8000, 1))
+    (tmp_path / "b.wav").write_bytes(make_wav(16000, 2))
+    (tmp_path / "junk.txt").write_bytes(b"not audio")
+    df = read_binary_files(spark, str(tmp_path), "*.wav").withColumnRenamed(
+        "content", "media"
+    )
+    assert df.count() == 2  # glob filter excluded junk.txt at listing
+    out = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in wav_metadata(
+            validate_media(
+                df.withColumn("declared_mime", F.lit("audio/wav"))
+            )
+        ).collect()
+    }
+    for name, rate, ch in [("a.wav", 8000, 1), ("b.wav", 16000, 2)]:
+        r = out[name]
+        assert r["sniffed_mime"] == "audio/wav" and r["mime_ok"] == 1
+        assert r["is_wav"] == 1
+        assert r["wav_rate_hz"] == rate and r["wav_channels"] == ch
+        assert r["wav_duration_s"] == 1.0

@@ -491,3 +491,34 @@ def read_binary_files(
     if pattern:
         r = r.option("pathGlobFilter", pattern)
     return r.load(path)
+
+
+def export_pdf_report(
+    before: DataFrame,
+    after: DataFrame,
+    log: list[str],
+    insights: dict,
+    path: str,
+    title: str = "Data cleaning report",
+) -> None:
+    """The PDF form of to_html_report (same inputs, same driver-side
+    rendering contract): timestamp, insights, applied actions, and
+    before/after row counts — aggregates only, never row data (a PDF is
+    a report, not an export format). Completes the reference's S5
+    surface with its declared-but-unshipped PDF variant."""
+    stamp = _dt.datetime.now(_dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S UTC"
+    )
+    lines = [f"Generated: {stamp}", ""]
+    lines += ["Insights:"] + [
+        f"  - {k}: {v}" for k, v in insights.items()
+    ]
+    lines += ["", "Actions applied:"] + (
+        [f"  - {a}" for a in log] or ["  - none"]
+    )
+    lines += [
+        "",
+        f"Rows before: {before.count()}",
+        f"Rows after:  {after.count()}",
+    ]
+    write_pdf_report(lines, path, title=title)

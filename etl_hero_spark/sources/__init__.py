@@ -14,6 +14,7 @@ from etl_hero_spark.io import (  # noqa: F401
     read_jsonl_permissive,
     read_orc,
     read_parquet,
+    export_pdf_report,
     to_html_report,
     to_pdf_report,
     write_bucketed,

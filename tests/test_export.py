@@ -83,3 +83,22 @@ def test_pdf_report_structure_and_xref(tmp_path):
     p = tmp_path / "report.pdf"
     write_pdf_report(lines, str(p), title="Cleaning report \\ (test)")
     assert p.read_bytes() == pdf
+
+
+def test_export_pdf_report_end_to_end(spark, tmp_path):
+    from etl_hero_spark.io import export_pdf_report
+
+    before = spark.range(100)
+    after = spark.range(90)
+    p = tmp_path / "clean.pdf"
+    export_pdf_report(
+        before,
+        after,
+        log=["remove_outliers(price)", "drop_duplicates()"],
+        insights={"quality_score": 93.5, "nulls": 0},
+        path=str(p),
+    )
+    pdf = p.read_bytes()
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    assert b"Rows before: 100" in pdf and b"Rows after:  90" in pdf
+    assert b"remove_outliers" in pdf and b"quality_score" in pdf

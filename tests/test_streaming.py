@@ -584,3 +584,50 @@ def test_deterministic_samplers_identical_under_streaming(spark, sf_dir, events)
     }
     assert set(stream) == batch_ids
     assert all(batch_split[i] == s for i, s in stream.items())
+
+
+def test_pii_redaction_identical_under_streaming(spark, sf_dir, events):
+    """redact_pii is a stateless narrow map — the streamed result must
+    be row-identical to batch (every curation expression in the engine
+    shares this property; PII is the one with compliance stakes)."""
+    from etl_hero_spark.pii import redact_pii
+
+    with_pii = events.withColumn(
+        "text",
+        F.concat(
+            F.lit("contact a@b.io or 123-45-6789 ref "),
+            F.col("event_id").cast("string"),
+        ),
+    )
+    batch = {
+        r["event_id"]: (r["text"], r["n_emails"], r["n_ssns"])
+        for r in redact_pii(with_pii).collect()
+    }
+    from etl_hero_spark.streaming.windows import _events_stream_source
+
+    src = _events_stream_source(
+        spark, f"{sf_dir}/events.parquet", "etl_hero_stream_pii_"
+    ).withColumn(
+        "text",
+        F.concat(
+            F.lit("contact a@b.io or 123-45-6789 ref "),
+            F.col("event_id").cast("string"),
+        ),
+    )
+    q = (
+        redact_pii(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("etl_hero_stream_pii")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {
+        r["event_id"]: (r["text"], r["n_emails"], r["n_ssns"])
+        for r in spark.table("etl_hero_stream_pii").collect()
+    }
+    assert stream == batch
+    assert all("[EMAIL]" in t for t, _, _ in stream.values())

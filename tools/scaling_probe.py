@@ -132,6 +132,49 @@ def main() -> None:
                 "user_id",
             ).write.format("noop").mode("overwrite").save()
 
+        def cdc_merge():
+            from pyspark.sql import functions as F
+
+            from etl_hero_spark.cdc import merge_upsert
+
+            base = li().select(
+                "l_orderkey", "l_linenumber", "l_quantity",
+                F.col("l_shipdate").cast("timestamp").alias("ts"),
+            ).dropDuplicates(["l_orderkey", "l_linenumber"])
+            changes = base.filter(F.col("l_orderkey") % 5 == 0).withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")
+            )
+            merge_upsert(
+                base, changes, ["l_orderkey", "l_linenumber"], "ts"
+            ).write.format("noop").mode("overwrite").save()
+
+        def rolling():
+            from etl_hero_spark.temporal import rolling_features
+
+            rolling_features(
+                ev().select("user_id", "ts", "value"),
+                "user_id", "ts", "value", window_seconds=3600,
+            ).write.format("noop").mode("overwrite").save()
+
+        def interval_overlap():
+            from pyspark.sql import functions as F
+
+            from etl_hero_spark.temporal import interval_overlap_join
+
+            e = ev()
+            a = e.groupBy(
+                "user_id", F.window("ts", "2 hours").alias("w")
+            ).count().select(
+                "user_id", F.col("w.start").alias("start"),
+                F.col("w.end").alias("end"),
+            )
+            b = a.withColumn(
+                "start", F.col("start") + F.expr("INTERVAL 90 MINUTES")
+            ).withColumn("end", F.col("end") + F.expr("INTERVAL 90 MINUTES"))
+            interval_overlap_join(
+                a, b, "user_id", bucket_seconds=3600
+            ).write.format("noop").mode("overwrite").save()
+
         return {
             "profile_stats": profile_stats,
             "grouping_sets": grouping_sets,
@@ -139,6 +182,9 @@ def main() -> None:
             "minhash_lsh": minhash_lsh,
             "sessionize": sessionize,
             "asof_join": asof,
+            "cdc_merge": cdc_merge,
+            "rolling_features": rolling,
+            "interval_overlap": interval_overlap,
         }
 
     results: dict[str, dict[int, float]] = {}

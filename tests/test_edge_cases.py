@@ -174,3 +174,65 @@ def test_sql_entry_point_matches_duckdb_same_text(spark, sf_dir):
         )
     want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_round3_operators_handle_empty_inputs(spark):
+    """Empty frames flow through every new operator without errors —
+    the degenerate case a driver/compositor hits first."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.cdc import scd2_history, snapshot_diff
+    from etl_hero_spark.streaming.windows import latest_state_batch
+    from etl_hero_spark.temporal import (
+        interval_overlap_join,
+        resample_forward_fill,
+        rolling_features,
+    )
+
+    empty_ts = spark.createDataFrame(
+        [], "k bigint, ts timestamp, value double"
+    )
+    assert resample_forward_fill(empty_ts, "k", "ts", ["value"]).count() == 0
+    assert rolling_features(
+        empty_ts, "k", "ts", "value", window_seconds=60
+    ).count() == 0
+    empty_iv = spark.createDataFrame(
+        [], "k bigint, start timestamp, end timestamp"
+    )
+    one_iv = spark.createDataFrame(
+        [(1,)], "k bigint"
+    ).select(
+        "k",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("start"),
+        F.to_timestamp(F.lit("2024-01-01 01:00:00")).alias("end"),
+    )
+    assert interval_overlap_join(one_iv, empty_iv, "k").count() == 0
+    assert interval_overlap_join(empty_iv, one_iv, "k").count() == 0
+    empty_log = spark.createDataFrame(
+        [], "id bigint, state string, ts timestamp"
+    )
+    assert scd2_history(empty_log, "id", "ts", ["state"]).count() == 0
+    empty_snap = spark.createDataFrame([], "id bigint, v double")
+    one_snap = spark.createDataFrame([(1, 2.0)], "id bigint, v double")
+    d = {r["diff_status"] for r in snapshot_diff(empty_snap, one_snap, "id").collect()}
+    assert d == {"added"}
+    empty_ev = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+    )
+    assert latest_state_batch(empty_ev).count() == 0
+
+
+def test_quantile_sketch_empty_and_profile_empty(spark):
+    from etl_hero_spark.profile import (
+        benford_profile,
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    empty = spark.createDataFrame([], "x double")
+    sk = quantile_sketch(empty, "x", 0.0, 10.0, 8)
+    assert sk.count() == 0
+    est = quantiles_from_sketch(sk, 0.0, 10.0, 8, [0.5])
+    assert est[0.5] == 10.0  # documented: no data -> hi clamp
+    assert benford_profile(empty, "x").count() == 0

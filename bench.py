@@ -85,6 +85,7 @@ HEADLINE = [
     "text_dedup_lines_within_doc",
     "decontaminate_fuzzy",
     "sql_revenue_by_nation",
+    "text_clean_normalize",
 ]
 
 

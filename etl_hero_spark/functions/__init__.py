@@ -34,6 +34,7 @@ from etl_hero_spark.simsearch import (  # noqa: F401
 )
 from etl_hero_spark.textops import (  # noqa: F401
     bpe_ish_token_count_expr,
+    clean_text_expr,
     fingerprint_expr,
     normalized_text_expr,
     shingle_fingerprint_expr,

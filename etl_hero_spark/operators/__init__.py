@@ -116,6 +116,7 @@ from etl_hero_spark.temporal import (  # noqa: F401
 )
 from etl_hero_spark.textops import (  # noqa: F401
     chunk_documents,
+    with_clean_text,
     dedup_lines_within_doc,
     global_line_dedup,
     gopher_filter,

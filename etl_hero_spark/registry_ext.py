@@ -2036,3 +2036,40 @@ def q_decontaminate_fuzzy(spark, sf_dir):
         F.sum("contaminated_fuzzy").cast("bigint").alias("n_contaminated"),
         F.round(F.max("max_est_jaccard"), 6).alias("max_sim"),
     )
+
+
+
+@register(
+    "text_clean_normalize",
+    oracle=None,
+    note=(
+        "extension: ftfy-lite text normalization — strip C0/C1 "
+        "controls and zero-width codepoints, unify typographic quotes/"
+        "dashes/NBSP, collapse padding newlines; pure codegen'd "
+        "expressions. Canonicalization makes cosmetic variants hash-"
+        "identical, so it runs AHEAD of every fingerprint/dedup rung "
+        "(invariance pinned in tests/test_textops.py). Deterministic "
+        "unicode-noise injections on keyed docs; summary row"
+    ),
+)
+def q_text_clean_normalize(spark, sf_dir):
+    from etl_hero_spark.textops import with_clean_text
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit("\u201cnoisy\u201d\u200b "), F.col("text"),
+                F.lit(" tail\u00a0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = with_clean_text(docs)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_chars_removed") > 0).cast("long"))
+        .cast("bigint")
+        .alias("n_docs_touched"),
+        F.sum("n_chars_removed").cast("bigint").alias("n_chars_removed"),
+    )

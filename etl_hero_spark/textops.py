@@ -960,3 +960,56 @@ def dedup_lines_within_doc(
             .alias("n_lines_removed"),
         )
     )
+
+
+def clean_text_expr(col: str | Column) -> Column:
+    """ftfy-lite text normalization for web-scraped corpora, as pure
+    codegen'd expressions (no Python, no ICU dependency -- an honest
+    subset of full NFKC):
+
+    * strip C0/C1 control characters (keep \\n and \\t);
+    * remove zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) -- invisible
+      codepoints that break tokenization and dedup hashing;
+    * unify typographic variants tokenizers treat as distinct:
+      curly quotes -> straight, en/em-dash -> '-', NBSP/ideographic
+      space -> space, ellipsis char -> '...';
+    * collapse runs of 3+ newlines to 2 (paragraph structure survives,
+      scraped-page padding does not) and trim trailing spaces per line.
+
+    Composes ahead of every downstream rung: fingerprints, shingles,
+    LM scoring and dedup all see the canonical form, so cosmetic
+    variants stop defeating exact/near-dup matching.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # zero-width (ZWSP/ZWNJ/ZWJ) + BOM
+    c = F.regexp_replace(c, "[\u200b\u200c\u200d\ufeff]", "")
+    # C0 (minus tab/newline/CR) and C1 controls
+    c = F.regexp_replace(
+        c, "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f]", ""
+    )
+    # typographic unification (incl. NBSP and ideographic space)
+    c = F.translate(
+        c,
+        "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0\u3000",
+        "''\"\"--  ",
+    )
+    c = F.regexp_replace(c, "\u2026", "...")
+    # CRLF/CR -> LF, trailing spaces per line, 3+ newlines -> 2
+    c = F.regexp_replace(c, "\r\n?", "\n")
+    c = F.regexp_replace(c, "[ \t]+\n", "\n")
+    c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    return c
+
+
+def with_clean_text(
+    df: DataFrame, col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """clean_text_expr applied as a column, plus n_chars_removed (how
+    much invisible/typographic noise the document carried -- itself a
+    quality signal: heavy mojibake correlates with bad extraction)."""
+    out_col = out_col or col
+    cleaned = clean_text_expr(col)
+    return df.withColumn(
+        "n_chars_removed",
+        (F.length(F.col(col)) - F.length(cleaned)).cast("int"),
+    ).withColumn(out_col, cleaned)

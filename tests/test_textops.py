@@ -811,3 +811,34 @@ def test_dedup_lines_within_doc_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+
+def test_clean_text_normalization(spark):
+    from etl_hero_spark.textops import with_clean_text
+
+    rows = [
+        (1, "zero\u200bwidth\ufeff and\u00a0nbsp"),
+        (2, "\u201ccurly\u201d \u2018quotes\u2019 \u2013 dash \u2014 em\u2026"),
+        (3, "ctrl\x00chars\x07here\x9fbut\tkeep\ntabs"),
+        (4, "line one   \nline two\n\n\n\n\nline three\r\nwindows"),
+        (5, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in with_clean_text(df).collect()}
+    assert got[1]["text"] == "zerowidth and nbsp"
+    assert got[2]["text"] == "\"curly\" 'quotes' - dash - em..."
+    assert got[3]["text"] == "ctrlcharsherebut\tkeep\ntabs"
+    assert got[4]["text"] == "line one\nline two\n\nline three\nwindows"
+    assert got[5]["text"] == "already clean"
+    assert got[5]["n_chars_removed"] == 0
+    assert got[1]["n_chars_removed"] > 0
+    # canonicalization makes cosmetic variants hash-identical
+    from etl_hero_spark.textops import clean_text_expr, fingerprint_expr
+
+    pair = spark.createDataFrame(
+        [(1, "hello\u00a0world"), (2, "hello world")],
+        "id bigint, text string",
+    ).withColumn("fp", fingerprint_expr(clean_text_expr("text")))
+    fps = [r["fp"] for r in pair.collect()]
+    assert fps[0] == fps[1]

@@ -525,3 +525,25 @@ def test_ivfpq_probe_scan_is_partition_pruned(spark, queries, ivfpq_path):
     assert 0 < filtered.count() < total
     assert len(probed) < 8  # the probe really is partial
     assert len(all_files) > 8  # partitioned layout materialized
+
+
+def test_pq_adc_dp_rounding_path_still_exact_under_full_rerank(
+    emb, queries, pq_books
+):
+    """adc_dp only perturbs the CANDIDATE ordering — with full rerank
+    the exact stage decides, so the result must equal brute force for
+    any adc_dp."""
+    n = emb.count()
+    exact = sorted(
+        map(tuple, simsearch.topk_cosine(emb, queries, k=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            simsearch.topk_cosine_pq(
+                emb, queries, k=5, rerank_factor=n,
+                codebooks=pq_books, adc_dp=3,
+            ).collect(),
+        )
+    )
+    assert got == exact

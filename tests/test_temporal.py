@@ -386,3 +386,23 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
             for r in want_df.itertuples()
         }
         assert got == want, direction
+
+
+def test_resample_multiple_value_columns_default(spark):
+    """value_cols defaults to every non-key non-ts column; each fills
+    independently (a NULL in one column does not disturb the other)."""
+    from etl_hero_spark.temporal import resample_forward_fill
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 1.0, None),
+        (1, "2024-01-01 01:10:00", None, "a"),
+        (1, "2024-01-01 02:10:00", 3.0, "b"),
+    ]
+    df = _ts_df(spark, rows, "k bigint, ts_s string, v double, s string")
+    out = {
+        str(r["ts"]): (r["v"], r["s"])
+        for r in resample_forward_fill(df, "k", "ts", step_seconds=3600).collect()
+    }
+    assert out["2024-01-01 01:00:00"] == (1.0, None)
+    # last(ignorenulls) carries v=1.0 past the NULL observation at 01:10
+    assert out["2024-01-01 02:00:00"] == (1.0, "a")

@@ -86,6 +86,7 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "sql_revenue_by_nation",
     "text_clean_normalize",
+    "profile_histogram2d",
 ]
 
 

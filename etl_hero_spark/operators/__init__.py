@@ -58,6 +58,7 @@ from etl_hero_spark.profile import (  # noqa: F401
     benford_profile,
     correlation_matrix,
     distinct_counts,
+    histogram2d,
     distinct_sketch,
     estimate_distincts,
     merge_distinct_sketches,

@@ -730,3 +730,42 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
             "deviation", F.round(F.col("observed_p") - F.col("expected_p"), 6)
         )
     )
+
+
+def histogram2d(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bins: int = 10,
+    bounds: tuple | None = None,
+) -> DataFrame:
+    """Joint distribution profile: counts over a bins x bins grid of two
+    numeric columns (the heatmap behind correlation numbers — corr says
+    HOW MUCH two columns co-move, this shows WHERE). One min/max pass
+    (or caller-supplied bounds) + one width_bucket groupBy; rows with a
+    NULL in either column are excluded; max values land in the top bin
+    (width_bucket's overflow bin folds down). Output: (bx, by, n) for
+    non-empty cells, 1-indexed bins."""
+    if bounds is None:
+        r = df.agg(
+            F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
+        ).first()
+        bounds = (
+            float(r[0]), float(r[1]), float(r[2]), float(r[3])
+        )
+    x_lo, x_hi, y_lo, y_hi = bounds
+
+    def bucket(c, lo, hi):
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(bins)
+        )
+        return F.least(b, F.lit(bins))  # fold max/overflow into top bin
+
+    return (
+        df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(
+            bucket(col_x, x_lo, x_hi).cast("int").alias("bx"),
+            bucket(col_y, y_lo, y_hi).cast("int").alias("by"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

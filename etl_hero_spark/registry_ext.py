@@ -2073,3 +2073,24 @@ def q_text_clean_normalize(spark, sf_dir):
         .alias("n_docs_touched"),
         F.sum("n_chars_removed").cast("bigint").alias("n_chars_removed"),
     )
+
+
+@register(
+    "profile_histogram2d",
+    oracle=None,
+    note=(
+        "extension: joint-distribution heatmap — bins x bins grid "
+        "counts over two numeric columns (corr says HOW MUCH columns "
+        "co-move, this shows WHERE); one width_bucket groupBy, fixed "
+        "bounds as plan literals, NULL-in-either excluded, max folds "
+        "into the top bin. DuckDB arithmetic parity pinned in "
+        "tests/test_profile.py"
+    ),
+)
+def q_profile_histogram2d(spark, sf_dir):
+    from etl_hero_spark.profile import histogram2d
+
+    return histogram2d(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice",
+        bins=8, bounds=(1.0, 50.0, 900.0, 105000.0),
+    ).orderBy("bx", "by")

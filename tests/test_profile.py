@@ -529,3 +529,37 @@ def test_benford_profile_matches_duckdb(spark, lineitem):
         ).fetchall()
     )
     assert got == want
+
+
+def test_histogram2d_matches_duckdb(spark, lineitem):
+    import duckdb
+
+    from etl_hero_spark.profile import histogram2d
+
+    got = sorted(
+        map(
+            tuple,
+            histogram2d(
+                lineitem, "l_quantity", "l_extendedprice", bins=8,
+                bounds=(1.0, 50.0, 900.0, 105000.0),
+            ).collect(),
+        )
+    )
+    want = sorted(
+        duckdb.sql(
+            """
+            -- DuckDB has no width_bucket: mirror Spark's arithmetic
+            -- floor((v - lo) / ((hi - lo) / n)) + 1, top-folded
+            SELECT CAST(least(floor((CAST(l_quantity AS DOUBLE) - 1.0)
+                     / ((50.0 - 1.0) / 8)) + 1, 8) AS INT) AS bx,
+                   CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                     / ((105000.0 - 900.0) / 8)) + 1, 8) AS INT) AS by,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert sum(n for _, _, n in got) == lineitem.count()

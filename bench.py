@@ -1,14 +1,20 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE COMPACT final JSON line (the driver captures a bounded stdout
+tail — round 3's full per-query line outgrew it and the driver recorded
+"parsed": null): {"metric", "value", "unit", "sf", "n_queries",
+"regressions", "detail"}. The full per-query map + vs_prev ratios are
+written to BENCH_DETAIL.json next to this file.
 
 Each query is materialized with a noop-format write (full compute, no
 driver-side result transfer — the honest cost of the plan).
 
-Regression gate: if a prior round's BENCH_r{N}.json exists next to this
-file, each query also reports vs_prev (this_round / prior_round) and any
-query slower than REGRESSION_RATIO x its prior time is listed under
+Regression gate: prior-round per-query times come from BENCH_PREV.json
+(a committed snapshot of the previous round's run; refreshed at round
+start), falling back to any legacy BENCH_r{N}.json that still carries a
+"queries" map. Each query reports vs_prev (this_round / prior_round) and
+any query slower than REGRESSION_RATIO x its prior time is listed under
 "regressions" — totals across rounds mix different query sets, so the
 per-query ratio is the comparison that means something.
 """
@@ -94,34 +100,45 @@ REGRESSION_RATIO = 2.0
 
 
 def prior_round_times() -> dict[str, float]:
-    """Per-query times from the newest BENCH_r*.json in the repo root
-    (empty if none) — the previous round's driver-recorded run."""
+    """Per-query times of the PREVIOUS round: BENCH_PREV.json (committed
+    snapshot, refreshed at round start) first, else the newest legacy
+    BENCH_r*.json that still carries a full "queries" map."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    snap = os.path.join(here, "BENCH_PREV.json")
+    if os.path.exists(snap):
+        try:
+            with open(snap) as f:
+                doc = json.load(f)
+            q = doc.get("queries", {})
+            if q:
+                return dict(q)
+        except Exception:
+            pass
     rounds = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             rounds.append((int(m.group(1)), p))
-    if not rounds:
-        return {}
-    path = max(rounds)[1]
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-        if isinstance(doc, dict) and "queries" in doc:
-            return dict(doc["queries"])
-        # driver files wrap the bench line in run metadata (the stdout
-        # tail); the bench line is the last {"metric"...} blob in it
-        text = doc.get("tail", "") if isinstance(doc, dict) else ""
-        idx = text.rfind('{"metric"')
-        if idx < 0:
-            return {}
-        return dict(json.loads(text[idx:].split("\n")[0]).get("queries", {}))
-    except Exception:
-        return {}
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            if isinstance(doc, dict) and "queries" in doc:
+                return dict(doc["queries"])
+            # driver files wrap the bench line in a bounded stdout tail;
+            # recover the line only if its head survived the window
+            text = doc.get("tail", "") if isinstance(doc, dict) else ""
+            idx = text.rfind('{"metric"')
+            if idx >= 0:
+                q = json.loads(text[idx:].split("\n")[0]).get("queries", {})
+                if q:
+                    return dict(q)
+        except Exception:
+            continue
+    return {}
 
 
 def materialize(df) -> None:
@@ -162,7 +179,21 @@ def main() -> None:
         times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    prev = prior_round_times()
+    # vs_prev only means something at the snapshot's own scale factor —
+    # a local sf0.001 iteration run must not trip (or hide) regressions
+    # measured against the driver's sf0.1 prior round
+    prev_sf = 0.1
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_PREV.json"
+            )
+        ) as f:
+            prev_sf = json.load(f).get("sf", 0.1)
+    except Exception:
+        pass
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else None
+    prev = prior_round_times() if sf_num == prev_sf else {}
     vs_prev = {
         n: round(t / prev[n], 3)
         for n, t in times.items()
@@ -171,16 +202,37 @@ def main() -> None:
     regressions = sorted(
         n for n, r in vs_prev.items() if r > REGRESSION_RATIO
     )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": times,
+                "vs_prev": vs_prev,
+                "regressions": regressions,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    # ONE compact final line — must fit the driver's bounded stdout tail
+    # (2000 chars; the round-3 full-map line overflowed it)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "vs_prev": vs_prev,
+                "sf": sf_val,
+                "n_queries": len(times),
                 "regressions": regressions,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

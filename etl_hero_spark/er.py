@@ -423,6 +423,12 @@ def similarity_expr(a, b) -> Column:
     )
 
 
+class BlockCapError(RuntimeError):
+    """Raised by fuzzy_pairs_multi(on_oversized="error") when blocking
+    produces blocks over max_block_size — the cap would otherwise drop
+    those records from candidate generation entirely."""
+
+
 def fuzzy_pairs_multi(
     df: DataFrame,
     id_col: str,
@@ -434,6 +440,7 @@ def fuzzy_pairs_multi(
     blocking: str = "both",
     block_cols: list[str] | None = None,
     primary_max_dist: int | None = None,
+    on_oversized: str = "warn",
 ) -> DataFrame:
     """Weighted multi-attribute record matching (Fellegi-Sunter-lite):
     candidates come from blocking on the ``primary`` attribute (multi-
@@ -451,6 +458,15 @@ def fuzzy_pairs_multi(
     exact city+segment, a coincidental name match is killed by them.
     Plan shape inherits fuzzy_pairs' blocked self-join (never all
     pairs); scoring is a codegen'd expression over the joined row.
+
+    NO SILENT CAPS: blocks over ``max_block_size`` are excluded from
+    candidate generation (quadratic blow-up containment), and
+    ``on_oversized`` decides how loudly — "error" raises BlockCapError
+    naming the count and worst size (guarded_join's posture, right when
+    the block key is supposed to bound sizes), "warn" (default) emits a
+    warnings.warn with the same numbers, "silent" skips the pre-flight
+    scan entirely (callers that already measured their key). The
+    pre-flight is one column-pruned aggregate over the block keys.
     """
     names = list(attrs)
     primary = primary or names[0]
@@ -475,12 +491,29 @@ def fuzzy_pairs_multi(
         *[F.col(c) for c in names],
         F.explode(keys).alias("blk"),
     )
-    small = (
-        keyed.groupBy("blk")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_block_size)
-        .select("blk")
-    )
+    sizes = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("_n"))
+    if on_oversized != "silent":
+        over = sizes.filter(F.col("_n") > max_block_size).agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("_n").alias("worst"),
+            F.sum("_n").alias("n_rows"),
+        ).first()
+        if over["n_blocks"]:
+            msg = (
+                f"fuzzy_pairs_multi: {over['n_blocks']} block(s) exceed "
+                f"max_block_size={max_block_size} (worst {over['worst']} "
+                f"rows; {over['n_rows']} keyed rows excluded from "
+                "candidate generation). The block key's cardinality is "
+                "not keeping up with the corpus — add a growing "
+                "component (e.g. a name digit/char n-gram) or raise the "
+                "cap."
+            )
+            if on_oversized == "error":
+                raise BlockCapError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+    small = sizes.filter(F.col("_n") <= max_block_size).select("blk")
     capped = keyed.join(small, "blk")
     a = capped.select(
         "blk", F.col("id").alias("id_a"),
@@ -497,12 +530,19 @@ def fuzzy_pairs_multi(
         # discarding the bulk of candidates for cents before any full
         # similarity is computed. Derive the bound from min_score: a
         # pair whose primary sim alone cannot reach min_score even with
-        # every other attribute perfect can never pass.
+        # every other attribute perfect can never pass. NULL-permissive:
+        # a NULL primary makes levenshtein NULL, which must fall through
+        # to the weighted scorer (absence drops the attribute AND its
+        # weight — it is not a mismatch), not be filtered out.
         joined = joined.filter(
-            F.levenshtein(
-                f"{primary}_a", f"{primary}_b", primary_max_dist
+            F.col(f"{primary}_a").isNull()
+            | F.col(f"{primary}_b").isNull()
+            | (
+                F.levenshtein(
+                    f"{primary}_a", f"{primary}_b", primary_max_dist
+                )
+                >= 0
             )
-            >= 0
         )
     sims = {c: similarity_expr(f"{c}_a", f"{c}_b") for c in names}
     num = F.lit(0.0)

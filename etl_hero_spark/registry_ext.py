@@ -1927,7 +1927,11 @@ def q_sim_topk_ivfpq(spark, sf_dir):
         "a NULL attribute drops from the pair's weight denominator "
         "(absence asserts nothing). Triangulation property + Python "
         "DP-reference scores pinned in tests/test_er.py. Runs over "
-        "customers with deterministic typo injections; summary"
+        "customers with deterministic typo injections; blocks on "
+        "seg x nation x name-digit-suffix (growing cardinality — "
+        "bounded block sizes at any corpus scale, and neighbor-key "
+        "false positives like #1234~#1235 never become candidates), "
+        "on_oversized=error so a cap hit fails loudly; summary"
     ),
 )
 def q_er_multi_attr_customers(spark, sf_dir):
@@ -1950,20 +1954,34 @@ def q_er_multi_attr_customers(spark, sf_dir):
     )
     # the synthetic name space ('customer#000...') blocks degenerately
     # on tokens (one shared soundex, all-distinct prefixes), so block
-    # EXACTLY on the reliable attributes and fuzzy-score the name —
-    # block sizes are bounded by |segments| x |nations|
+    # EXACTLY on reliable attributes and fuzzy-score the name. seg x
+    # nation alone has FIXED cardinality (~125 blocks) — block sizes
+    # grow linearly with the corpus and the max_block_size cap starts
+    # dropping everything past ~sf0.8. The growing-cardinality
+    # component is the name's trailing digits (the key digits, which
+    # the typo model — a dropped char in the constant prefix — never
+    # touches): cardinality scales up to 10^6 x |seg| x |nation|, so
+    # blocks stay O(1) rows as the corpus grows
+    both = cust.unionByName(dirty).withColumn(
+        "name_digits",
+        F.expr("right(regexp_replace(name, '[^0-9]', ''), 6)"),
+    )
     pairs = fuzzy_pairs_multi(
-        cust.unionByName(dirty),
+        both,
         "c_custkey",
         {"name": 2.0, "seg": 1.0, "nation": 1.0},
         primary="name",
         min_score=0.95,
-        block_cols=["seg", "nation"],
+        block_cols=["seg", "nation", "name_digits"],
         # necessary condition for 0.95 with w_name=2/W=4 even if every
         # other attribute agrees perfectly: sim_name >= 0.9 -> lev <= 2
-        # on ~18-char names; the thresholded-DP pre-filter kills ~99%
-        # of the ~1M blocked candidates before full scoring
+        # on ~18-char names; the thresholded-DP pre-filter kills the
+        # residual in-block non-matches before full scoring
         primary_max_dist=2,
+        # the digit-suffix key bounds block sizes by construction; if
+        # blocks still overflow the cap, that is a broken assumption
+        # worth failing on, not a quiet recall collapse
+        on_oversized="error",
     )
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),

@@ -427,3 +427,79 @@ def test_multi_attribute_scoring_triangulates(spark):
     }
     assert (1, 2) in kept and (1, 4) in kept
     assert (1, 3) not in kept
+
+
+def test_oversized_blocks_are_reported_not_silent(spark):
+    """max_block_size containment must be LOUD: a block over the cap
+    warns by default with the dropped count, raises under
+    on_oversized='error', and 'silent' opts out — never a quiet recall
+    collapse (VERDICT r3 #2: the seg x nation key silently dropped
+    every block at sf1)."""
+    import warnings
+
+    import pytest
+
+    from etl_hero_spark.er import BlockCapError, fuzzy_pairs_multi
+
+    # one hot block (all same city/seg -> one exact block of 6) plus a
+    # small block of 2 under the cap
+    rows = [(i, f"acme widget {i}", "springfield", "FURNITURE") for i in range(6)]
+    rows += [(10, "bolt cutter", "shelbyville", "MACHINERY"),
+             (11, "bolt cuttr", "shelbyville", "MACHINERY")]
+    df = spark.createDataFrame(
+        rows, "id bigint, name string, city string, seg string"
+    )
+    attrs = {"name": 2.0, "city": 1.0, "seg": 1.0}
+    kw = dict(primary="name", min_score=0.0, block_cols=["city", "seg"],
+              max_block_size=5)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = fuzzy_pairs_multi(df, "id", attrs, **kw).collect()
+    msgs = [str(w.message) for w in caught]
+    assert any("1 block(s) exceed max_block_size=5" in m for m in msgs), msgs
+    assert any("worst 6 rows" in m for m in msgs), msgs
+    # the under-cap block still produced its pair
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(10, 11)}
+
+    with pytest.raises(BlockCapError, match="exceed max_block_size=5"):
+        fuzzy_pairs_multi(df, "id", attrs, on_oversized="error", **kw)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fuzzy_pairs_multi(df, "id", attrs, on_oversized="silent", **kw).collect()
+    assert not [w for w in caught if "max_block_size" in str(w.message)]
+
+
+def test_null_primary_falls_through_prefilter(spark):
+    """primary_max_dist is an OPTIMIZATION — it must not change results.
+    A NULL primary attribute yields NULL levenshtein; the pre-filter
+    must pass such pairs through to the weighted scorer (absence drops
+    the attribute and its weight, it is not a mismatch), so results
+    with and without the flag are identical (ADVICE r3, medium)."""
+    from etl_hero_spark.er import fuzzy_pairs_multi
+
+    rows = [
+        (1, "acme widget deluxe", "springfield", "FURNITURE"),
+        (2, None, "springfield", "FURNITURE"),       # null name, perfect rest
+        (3, "acme widget delux", "springfield", "FURNITURE"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, name string, city string, seg string"
+    )
+    attrs = {"name": 2.0, "city": 1.0, "seg": 1.0}
+
+    def run(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["score"])
+            for r in fuzzy_pairs_multi(
+                df, "id", attrs, primary="name", min_score=0.9,
+                block_cols=["city", "seg"], **kw
+            ).collect()
+        )
+
+    base = run()
+    opt = run(primary_max_dist=2)
+    assert base == opt
+    # the NULL-name pair scores on city+seg alone: (1*1+1*1)/2 = 1.0
+    assert (1, 2, 1.0) in base

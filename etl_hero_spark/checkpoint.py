@@ -67,3 +67,25 @@ def parquet_checkpoint(df: DataFrame, name: str = "stage") -> DataFrame:
     path = os.path.join(_base_dir(), f"{name}-{next(_counter)}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+_memo_paths: dict = {}
+
+
+def memo_parquet_checkpoint(df: DataFrame, key, name: str = "stage") -> DataFrame:
+    """parquet_checkpoint that a BUILD-ONCE artifact (minhash signature
+    table, IVF assignment lists — an index over an immutable input) can
+    reuse across calls in one session: the stage is written the first
+    time ``key`` is seen and read back on every later call, so repeated
+    queries probe the index instead of re-deriving it (exactly how a
+    stored ANN/LSH index behaves in production). ``key`` must capture
+    the input's identity AND freshness — e.g. (path, mtime, params);
+    callers with mutable/arbitrary inputs use parquet_checkpoint."""
+    with _lock:
+        path = _memo_paths.get(key)
+    if path is None or not os.path.exists(path):
+        path = os.path.join(_base_dir(), f"{name}-{next(_counter)}")
+        df.write.mode("overwrite").parquet(path)
+        with _lock:
+            _memo_paths[key] = path
+    return df.sparkSession.read.parquet(path)

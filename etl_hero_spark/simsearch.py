@@ -340,10 +340,16 @@ def topk_cosine_ivf(
     nprobe: int = 4,
     centroids: list[list[float]] | None = None,
     quantize: int | None = 3,
+    stage_key=None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus rows live in the inverted list of their
     nearest centroid; each query proposes its nprobe nearest lists and
     exact cosine reranks only inside those lists.
+
+    ``stage_key``: callers whose corpus is immutable for the session may
+    pass an identity-and-freshness key — the assignment table is then
+    built once per key and reused across calls, like a stored IVF index
+    (write_ivf_index is the durable variant).
 
     Scale shape: assignment is a map-side expression over centroid
     literals (no join, no shuffle of the corpus); the probe join
@@ -370,12 +376,25 @@ def topk_cosine_ivf(
                 "list_id"
             ),
         )
-        # this (list_id, vector) table IS the IVF index: build it once in
-        # parallel and persist — otherwise the probe join's (AQE-coalesced)
-        # tasks re-run the centroid assignment serially per query batch.
-        # In production this persists to storage like any ANN index.
-        .cache()
     )
+    # this (list_id, vector) table IS the IVF index: build it once in
+    # parallel and stage it to disk — otherwise the probe join's
+    # (AQE-coalesced) tasks re-run the centroid assignment serially per
+    # query batch. A cache() here would leak for the session (the
+    # result is lazy, no unpersist point — §4(c) policy); the disk
+    # stage boundary holds no executor memory and the probe join reads
+    # the columnar file back pruned. write_ivf_index is the durable,
+    # list_id-partitioned production variant.
+    from etl_hero_spark.checkpoint import memo_parquet_checkpoint, parquet_checkpoint
+
+    if stage_key is not None:
+        c = memo_parquet_checkpoint(
+            c,
+            ("ivf_index", stage_key, n_centroids, nprobe, quantize),
+            "ivf_index",
+        )
+    else:
+        c = parquet_checkpoint(c, "ivf_index")
     return _ivf_probe_rerank(
         c, queries, centroids, k, nprobe, query_id_col, vec_col, quantize
     )
@@ -428,8 +447,8 @@ def write_ivf_index(
     the assignment table (corpus_id, cv, list_id) at {path}/lists,
     PARTITIONED BY list_id — a probe of p lists scans exactly p
     partitions. Assignment is the one full pass over the corpus; every
-    later query batch reads the stored lists only (the cache() comment
-    in topk_cosine_ivf, made durable). Returns the centroids.
+    later query batch reads the stored lists only (topk_cosine_ivf's
+    session-scoped stage boundary, made durable). Returns the centroids.
 
     (quantize, centroid values) are part of the index identity — the
     probe side must use the same; topk_cosine_ivf_indexed reads both

@@ -3,9 +3,13 @@
 For each batch query: number of shuffle exchanges, whether any window
 runs partition-less (Exchange SinglePartition feeding a Window — the
 single-task sort anti-pattern), whether row-at-a-time Python appears
-(BatchEvalPython), and whether sanctioned Arrow crossings are present
-(MapInPandas / ArrowEvalPython). One line per query; exits non-zero if
-a hard anti-pattern (row Python, partition-less window) is found.
+(BatchEvalPython), whether sanctioned Arrow crossings are present
+(MapInPandas / ArrowEvalPython), and whether building the query left
+anything in the session cache manager — a ``.cache()``/``persist()``
+with no release point leaks executor memory for the whole session
+(§4(c): such subtrees must go through parquet_checkpoint instead).
+One line per query; exits non-zero on a hard anti-pattern (row Python,
+partition-less window, cache leak).
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -67,7 +71,18 @@ def main() -> None:
                     lonely_window = True
         row_py = "BatchEvalPython" in plan
         arrow = "MapInPandas" in plan or "ArrowEvalPython" in plan
+        # anything still registered with the cache manager after the
+        # query BUILT its plan is a session-lifetime cache: the caller
+        # got a lazy DataFrame back, so no unpersist can ever run
+        cache_leak = not (
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+        if cache_leak:
+            spark.catalog.clearCache()  # isolate the blame per query
         flags = []
+        if cache_leak:
+            flags.append("CACHE-LEAK")
+            hard_fail.append(name)
         if lonely_window:
             flags.append("PARTITIONLESS-WINDOW")
             hard_fail.append(name)
@@ -84,7 +99,7 @@ def main() -> None:
     if hard_fail:
         print(f"\nFAIL: {sorted(set(hard_fail))}")
         sys.exit(1)
-    print("\nOK — no row-Python, no partition-less windows")
+    print("\nOK — no row-Python, no partition-less windows, no cache leaks")
 
 
 if __name__ == "__main__":

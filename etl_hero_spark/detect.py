@@ -378,6 +378,12 @@ def detect_outliers_iqr(
     from concurrent.futures import ThreadPoolExecutor
 
     cols = cols or numeric_columns(df)
+    if not cols:
+        # before the pool: max_workers=0 is a ValueError, and there is
+        # nothing to probe anyway
+        return df.sparkSession.createDataFrame(
+            [], "column string, n_outliers bigint, lo double, hi double"
+        )
 
     def one(c):
         return c, iqr_bounds(df, c, k, approx)

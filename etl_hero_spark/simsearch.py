@@ -1000,6 +1000,10 @@ def topk_cosine_ivfpq_indexed(
         F.col(query_id_col).alias("query_id"),
         quantized_vec(vec_col, quantize).alias("qv"),
     ).collect()
+    # the driver-rebuilt probe/query frames must carry the CALLER's id
+    # type — the index accepts any id type at build, so hardcoding long
+    # here would reject string or wide ids that built fine (ADVICE r3)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     sub = len(books[0][0])
     probe_data, qv_data = [], []
     for r in q_rows:
@@ -1021,10 +1025,10 @@ def topk_cosine_ivfpq_indexed(
         qv_data.append((r["query_id"], [float(x) for x in r["qv"]]))
     probes = spark.createDataFrame(
         probe_data,
-        "query_id long, list_id int, tabs array<array<double>>",
+        f"query_id {qid_type}, list_id int, tabs array<array<double>>",
     )
     q = spark.createDataFrame(
-        qv_data, "query_id long, qv array<double>"
+        qv_data, f"query_id {qid_type}, qv array<double>"
     )
     probed_lists = sorted({p[1] for p in probe_data})
     codes = spark.read.parquet(f"{path}/codes").filter(

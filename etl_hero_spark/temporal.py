@@ -49,6 +49,15 @@ def asof_join(
     exchanges) and picks per row. The tag orders the right row at an
     identical timestamp INSIDE the frame, so ties match inclusively.
     Left rows with no candidate keep NULLs (left-join semantics).
+
+    ``nearest`` measures distance on any orderable ts dtype (timestamps
+    in micros, dates in days, numerics raw). Caveat: the picked value
+    is first/last(ignorenulls) within the chosen side's frame — if the
+    nearest right row carries a NULL in a value column, that column
+    falls back to the next non-null row on the SAME side (farther in
+    time), while the side choice itself is made on b_ts/f_ts distance.
+    Keep right value columns non-null (or pre-filter) when exact
+    row-alignment of NULLs matters.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -88,13 +97,28 @@ def asof_join(
     else:
         b_ts = F.last(rts, ignorenulls=True).over(back)
         f_ts = F.first(rts, ignorenulls=True).over(fwd)
+
+        # distance works on any orderable ts dtype, matching backward/
+        # forward (ADVICE r3): timestamps compare in micros, dates in
+        # days, numerics (epoch longs/doubles) on their raw difference
+        from pyspark.sql import types as T
+
+        ts_type = dict(zip(both.columns, both.schema.fields))[
+            "_ts"
+        ].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            axis = F.unix_micros
+        elif isinstance(ts_type, T.DateType):
+            axis = F.unix_date
+        else:
+            axis = lambda c: c.cast("double")  # noqa: E731
         # backward wins ties and missing-forward; forward wins only when
         # strictly closer (or backward missing)
         use_fwd = b_ts.isNull() | (
             f_ts.isNotNull()
             & (
-                (F.unix_micros(f_ts) - F.unix_micros(F.col("_ts")))
-                < (F.unix_micros(F.col("_ts")) - F.unix_micros(b_ts))
+                (axis(f_ts) - axis(F.col("_ts")))
+                < (axis(F.col("_ts")) - axis(b_ts))
             )
         )
         picks = {

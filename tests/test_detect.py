@@ -188,3 +188,14 @@ def test_remove_outliers_iqr_keeps_nulls(spark):
     assert None in out
     assert 100.0 not in out
     assert sorted(v for v in out if v is not None) == [1, 2, 3, 4, 5]
+
+
+def test_iqr_outliers_no_numeric_columns(spark):
+    """Zero numeric columns must return the empty result frame, not
+    raise ValueError from ThreadPoolExecutor(max_workers=0) (ADVICE r3)."""
+    from etl_hero_spark.detect import detect_outliers_iqr
+
+    df = spark.createDataFrame([("a",), ("b",)], "s string")
+    out = detect_outliers_iqr(df)
+    assert out.collect() == []
+    assert out.columns == ["column", "n_outliers", "lo", "hi"]

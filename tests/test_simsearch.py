@@ -547,3 +547,43 @@ def test_pq_adc_dp_rounding_path_still_exact_under_full_rerank(
         )
     )
     assert got == exact
+
+
+def test_ivfpq_index_accepts_string_query_ids(spark, tmp_path):
+    """write_ivfpq_index accepts any id type, so the indexed search must
+    derive the query-id type from the caller's schema instead of
+    hardcoding long (ADVICE r3)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.simsearch import (
+        topk_cosine_ivfpq_indexed,
+        write_ivfpq_index,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (f"doc-{i}", [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(64)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    path = str(tmp_path / "ivfpq_str")
+    write_ivfpq_index(corpus, path, n_centroids=4, m=4, k_sub=4)
+    queries = corpus.filter(F.col("vec_id").isin("doc-0", "doc-1")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = topk_cosine_ivfpq_indexed(
+        spark, queries, path, k=3, nprobe=4, rerank_factor=4
+    ).collect()
+    assert {r["query_id"] for r in got} == {"doc-0", "doc-1"}
+    assert all(isinstance(r["query_id"], str) for r in got)
+    # self-match comes back first at full probe
+    for qid in ("doc-0", "doc-1"):
+        top = min(
+            (r for r in got if r["query_id"] == qid),
+            key=lambda r: r["rank"],
+        )
+        assert top["corpus_id"] == qid

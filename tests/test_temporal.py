@@ -406,3 +406,39 @@ def test_resample_multiple_value_columns_default(spark):
     assert out["2024-01-01 01:00:00"] == (1.0, None)
     # last(ignorenulls) carries v=1.0 past the NULL observation at 01:10
     assert out["2024-01-01 02:00:00"] == (1.0, "a")
+
+
+def test_asof_nearest_on_numeric_and_date_axes(spark):
+    """direction='nearest' must accept any orderable ts dtype, like
+    backward/forward always did (ADVICE r3): numeric epochs measure
+    distance on the raw difference, dates in days."""
+    from etl_hero_spark.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 19)], "key string, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [("k", 8, "a"), ("k", 13, "b"), ("k", 20, "c")],
+        "key string, ts bigint, v string",
+    )
+    got = {
+        r["ts"]: r["v_asof"]
+        for r in asof_join(
+            left, right, "key", direction="nearest"
+        ).collect()
+    }
+    # ts=10: dist 2 back (8) vs 3 fwd (13) -> a; ts=19: 6 back vs 1 fwd -> c
+    assert got == {10: "a", 19: "c"}
+
+    import datetime as dt
+
+    d = dt.date
+    left_d = spark.createDataFrame(
+        [("k", d(2024, 1, 10))], "key string, ts date"
+    )
+    right_d = spark.createDataFrame(
+        [("k", d(2024, 1, 7), "x"), ("k", d(2024, 1, 12), "y")],
+        "key string, ts date, v string",
+    )
+    (row,) = asof_join(left_d, right_d, "key", direction="nearest").collect()
+    assert row["v_asof"] == "y"  # 2 days forward beats 3 back

@@ -79,10 +79,11 @@ def main() -> None:
     factors = [f for f in factors if f <= max_factor]
     spark = get_spark("scaling-probe")
 
-    def ops(li_path, ev_path, docs_path):
+    def ops(li_path, ev_path, docs_path, cust_path):
         li = lambda: spark.read.parquet(li_path)  # noqa: E731
         ev = lambda: spark.read.parquet(ev_path)  # noqa: E731
         docs = lambda: spark.read.parquet(docs_path)  # noqa: E731
+        cu = lambda: spark.read.parquet(cust_path)  # noqa: E731
 
         def profile_stats():
             from etl_hero_spark.profile import dec_avg, dec_stddev_pop
@@ -175,6 +176,45 @@ def main() -> None:
                 a, b, "user_id", bucket_seconds=3600
             ).write.format("noop").mode("overwrite").save()
 
+        def er_multi():
+            # mirrors q_er_multi_attr_customers post-r4 fix: names are
+            # re-derived from the SHIFTED key so each scale copy brings
+            # new entities (new digit suffixes) — blocking cardinality
+            # grows with the corpus exactly as it would in production
+            from etl_hero_spark.er import fuzzy_pairs_multi
+
+            cust = cu().select(
+                "c_custkey",
+                F.concat(
+                    F.lit("customer#"),
+                    F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+                ).alias("name"),
+                F.col("c_mktsegment").alias("seg"),
+                F.col("c_nationkey").cast("string").alias("nation"),
+            )
+            dirty = cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 100_000_000).alias("c_custkey"),
+                F.expr(
+                    "concat(substring(name, 1, 8), substring(name, 10, 100))"
+                ).alias("name"),
+                "seg",
+                "nation",
+            )
+            both = cust.unionByName(dirty).withColumn(
+                "name_digits",
+                F.expr("right(regexp_replace(name, '[^0-9]', ''), 6)"),
+            )
+            fuzzy_pairs_multi(
+                both,
+                "c_custkey",
+                {"name": 2.0, "seg": 1.0, "nation": 1.0},
+                primary="name",
+                min_score=0.95,
+                block_cols=["seg", "nation", "name_digits"],
+                primary_max_dist=2,
+                on_oversized="error",
+            ).write.format("noop").mode("overwrite").save()
+
         return {
             "profile_stats": profile_stats,
             "grouping_sets": grouping_sets,
@@ -185,6 +225,7 @@ def main() -> None:
             "cdc_merge": cdc_merge,
             "rolling_features": rolling,
             "interval_overlap": interval_overlap,
+            "er_multi_attr": er_multi,
         }
 
     results: dict[str, dict[int, float]] = {}
@@ -196,7 +237,8 @@ def main() -> None:
         spark, "events", 1, {"event_id": 10_000_000, "user_id": 1000, "ts": 0}
     )
     w_do = scaled_path(spark, "documents", 1, {"doc_id": 10_000_000})
-    for fn in ops(w_li, w_ev, w_do).values():
+    w_cu = scaled_path(spark, "customer", 1, {"c_custkey": 10_000_000})
+    for fn in ops(w_li, w_ev, w_do, w_cu).values():
         fn()
     for n in factors:
         li_p = scaled_path(spark, "lineitem", n, {"l_orderkey": 10_000_000})
@@ -204,7 +246,8 @@ def main() -> None:
         do_p = scaled_path(
             spark, "documents", n, {"doc_id": 10_000_000}
         )
-        for name, fn in ops(li_p, ev_p, do_p).items():
+        cu_p = scaled_path(spark, "customer", n, {"c_custkey": 10_000_000})
+        for name, fn in ops(li_p, ev_p, do_p, cu_p).items():
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()

@@ -93,6 +93,8 @@ HEADLINE = [
     "sql_revenue_by_nation",
     "text_clean_normalize",
     "profile_histogram2d",
+    # round-4 additions
+    "multimodal_wav_metadata",
 ]
 
 

@@ -367,6 +367,7 @@ def detect_outliers_iqr(
     cols: list[str] | None = None,
     k: float = 1.5,
     approx: bool = False,
+    round_bounds: int | None = 2,
 ) -> DataFrame:
     """(column, n_outliers, lo, hi) per numeric column under the Tukey
     rule — the IQR twin of detect_outliers (P2). Same two-phase plan:
@@ -374,6 +375,12 @@ def detect_outliers_iqr(
     literals, then ONE counting scan; NULLs are never outliers. A
     constant column has IQR 0 -> fences collapse to the constant ->
     zero outliers (the sigma==0 guard's analogue, free by construction).
+
+    ``round_bounds``: decimal places for the fence grid (default 2, the
+    clip_outliers convention). Pass None for the raw IEEE fences — the
+    hash-exact cross-engine form (q1 - k*(q3-q1) is the same double in
+    any engine computing the same expression; a driver-side decimal
+    round is not).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -386,7 +393,7 @@ def detect_outliers_iqr(
         )
 
     def one(c):
-        return c, iqr_bounds(df, c, k, approx)
+        return c, iqr_bounds(df, c, k, approx, round_bounds)
 
     with ThreadPoolExecutor(max_workers=min(len(cols), 16)) as ex:
         bounds = dict(ex.map(one, cols))

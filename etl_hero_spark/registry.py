@@ -431,41 +431,38 @@ def q_outliers_detect(spark, sf_dir):
 
 
 @register(
-    "outlier_rows",
-    oracle=(
-        "SELECT event_id, value "
-        f"FROM events, ({_sql_zstats('value', 'events')}) s "
-        "WHERE s.sigma IS NOT NULL AND s.sigma <> 0 "
-        "AND abs((value - s.mu) / s.sigma) > 3.0"
-    ),
-    note="P2 mask materialized as rows (the outliers_map the app indexes at apply time, app.py:220-222)",
-)
-def q_outlier_rows(spark, sf_dir):
-    from etl_hero_spark.detect import with_outlier_flags
-
-    df = with_outlier_flags(_events(spark, sf_dir), ["value"])
-    return df.filter(F.col("is_outlier_value")).select("event_id", "value")
-
-
-@register(
     "clean_outliers_remove",
     oracle=(
-        "SELECT cast(count(*) as bigint) AS n_rows, "
-        f"{sql_dec_sum('value')} AS sum_value "
-        f"FROM events, ({_sql_zstats('value', 'events')}) s "
-        "WHERE NOT (s.sigma IS NOT NULL AND s.sigma <> 0 "
-        "AND abs((value - s.mu) / s.sigma) > 3.0)"
+        f"WITH s AS ({_sql_zstats('value', 'events')}), "
+        "f AS (SELECT event_id, value, "
+        "(s.sigma IS NOT NULL AND s.sigma <> 0 AND "
+        "abs((value - s.mu) / s.sigma) > 3.0) AS is_out FROM events, s) "
+        "SELECT CASE WHEN is_out THEN 'outlier' ELSE 'kept' END AS part, "
+        "event_id, value FROM f"
     ),
-    note="R1a remove outlier rows (app.py:251-254); output = post-clean summary",
+    note=(
+        "R1a remove outlier rows (app.py:251-254) MERGED with the "
+        "materialized P2 mask rows (formerly the separate outlier_rows "
+        "query, app.py:220-222): the tagged kept/outlier PARTITION of "
+        "events — 'kept' is exactly remove_outliers' survivors, "
+        "'outlier' the rows the mask indexes; per-row hash coverage of "
+        "both sides in one driver slot"
+    ),
 )
 def q_clean_outliers_remove(spark, sf_dir):
     from etl_hero_spark.clean import remove_outliers
-    from etl_hero_spark.profile import dec_sum
+    from etl_hero_spark.detect import with_outlier_flags
 
-    out = remove_outliers(_events(spark, sf_dir), "value")
-    return out.agg(
-        F.count(F.lit(1)).alias("n_rows"), dec_sum("value", "sum_value")
+    ev = _events(spark, sf_dir)
+    kept = remove_outliers(ev, "value").select(
+        F.lit("kept").alias("part"), "event_id", "value"
     )
+    mask = (
+        with_outlier_flags(ev, ["value"])
+        .filter(F.col("is_outlier_value"))
+        .select(F.lit("outlier").alias("part"), "event_id", "value")
+    )
+    return kept.unionByName(mask)
 
 
 @register(
@@ -912,23 +909,10 @@ def q_window_topk_orders_per_segment(spark, sf_dir):
     )
 
 
-@register(
-    "set_urgent_not_low_customers",
-    oracle=(
-        "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
-        "EXCEPT "
-        "SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"
-    ),
-    note="set-operation capability (NOT PRESENT in reference, SURVEY §2.10): EXCEPT DISTINCT — customers with urgent orders but no low-priority ones",
-)
-def q_set_urgent_not_low_customers(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        "o_custkey"
-    )
-    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
-    # subtract == EXCEPT DISTINCT (SQL set semantics, matches the oracle)
-    return urgent.subtract(low)
+# set_urgent_not_low_customers was absorbed into
+# distinct_customers_per_priority (part='urgent_not_low' rows) —
+# driver-window slot policy: merge mature tagged entries instead of
+# registering more.
 
 
 def _ordered_registry() -> list[tuple[str, QuerySpec]]:
@@ -960,33 +944,11 @@ def _load_extensions() -> None:
     import etl_hero_spark.registry_stream  # noqa: F401
 
 
-@register(
-    "profile_grouped_median",
-    oracle=(
-        "SELECT l_returnflag, "
-        "round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price, "
-        "round(quantile_cont(l_quantity, 0.5), 6) AS median_qty "
-        "FROM lineitem GROUP BY l_returnflag"
-    ),
-    note="A7 per group: exact interpolated median within each key — grouped percentile is the common profiling shape the whole-table A7 builds toward",
-)
-def q_profile_grouped_median(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
-                "median_price"
-            ),
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias(
-                "median_qty"
-            ),
-        )
-    )
-
-
 # profile_quantiles and profile_correlation were absorbed into
-# profile_stats (one aggregation pass over lineitem) — see its note.
+# profile_stats (one aggregation pass over lineitem), and
+# profile_grouped_median into profile_histogram's tagged rows — see
+# their notes. (Driver-window slot policy: merge mature near-redundant
+# queries instead of registering more.)
 
 
 @register(
@@ -998,15 +960,43 @@ def q_profile_grouped_median(spark, sf_dir):
         "(cast(l_extendedprice as double) - _lo) * 10 / (_hi - _lo)"
         ") as bigint)) ELSE 0 END AS bucket, _lo, _hi "
         "FROM lineitem, b WHERE l_extendedprice IS NOT NULL) "
-        "SELECT cast(bucket as int) AS bucket, "
-        "round(_lo + bucket * ((_hi - _lo) / 10), 6) AS lo_edge, "
-        "round(_lo + (bucket + 1) * ((_hi - _lo) / 10), 6) AS hi_edge, "
+        "SELECT 'hist' AS part, cast(bucket as varchar) AS key, "
+        "round(_lo + bucket * ((_hi - _lo) / 10), 6) AS x, "
+        "round(_lo + (bucket + 1) * ((_hi - _lo) / 10), 6) AS y, "
         "cast(count(*) as bigint) AS n "
-        "FROM x GROUP BY bucket, _lo, _hi"
+        "FROM x GROUP BY bucket, _lo, _hi "
+        "UNION ALL "
+        "SELECT 'median_by_returnflag' AS part, l_returnflag AS key, "
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS x, "
+        "round(quantile_cont(l_quantity, 0.5), 6) AS y, "
+        "cast(count(*) as bigint) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
-    note="equal-width histogram profiling primitive (distribution shape the reference's profile lacks): two-phase — min/max bounds agg broadcast onto the scan, codegen'd floor bucketing, one <=bins-group shuffle; identical float expression order in both engines",
+    note=(
+        "distribution profile, tagged per part: equal-width histogram "
+        "(two-phase — min/max bounds agg broadcast onto the scan, "
+        "codegen'd floor bucketing, one <=bins-group shuffle; identical "
+        "float expression order in both engines) MERGED with per-group "
+        "exact interpolated medians (formerly the separate "
+        "profile_grouped_median query — A7 per key, the grouped "
+        "percentile shape the whole-table A7 builds toward); canonical "
+        "(part, key, x, y, n) rows"
+    ),
 )
 def q_profile_histogram(spark, sf_dir):
     from etl_hero_spark.profile import histogram
 
-    return histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", bins=10)
+    li = _t(spark, sf_dir, "lineitem")
+    hist = histogram(li, "l_extendedprice", bins=10).select(
+        F.lit("hist").alias("part"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("lo_edge").alias("x"),
+        F.col("hi_edge").alias("y"),
+        "n",
+    )
+    med = li.groupBy(F.col("l_returnflag").alias("key")).agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("x"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("y"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.lit("median_by_returnflag").alias("part"), "key", "x", "y", "n")
+    return hist.unionByName(med)

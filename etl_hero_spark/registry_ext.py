@@ -20,7 +20,7 @@ import os
 from pyspark.sql import functions as F
 
 from etl_hero_spark.profile import dec_sum
-from etl_hero_spark.registry import _t, register, sql_dec_sum
+from etl_hero_spark.registry import _t, register, sql_dec_avg, sql_dec_sum
 
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragments (lockstep with textops.py expressions)
@@ -631,17 +631,50 @@ def q_join_salted_orders_customer(spark, sf_dir):
 @register(
     "distinct_customers_per_priority",
     oracle=(
-        "SELECT o_orderpriority, cast(count(DISTINCT o_custkey) as bigint) "
-        "AS n_distinct FROM orders GROUP BY o_orderpriority"
+        "SELECT 'distinct_per_priority' AS part, o_orderpriority AS key, "
+        "cast(count(DISTINCT o_custkey) as bigint) AS n "
+        "FROM orders GROUP BY o_orderpriority "
+        "UNION ALL "
+        "SELECT 'urgent_not_low' AS part, cast(k as varchar) AS key, "
+        "cast(1 as bigint) AS n FROM ("
+        "SELECT o_custkey AS k FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' "
+        "EXCEPT SELECT o_custkey FROM orders "
+        "WHERE o_orderpriority = '5-LOW')"
     ),
-    note="scale extension: per-key COUNT DISTINCT via two-phase dedup-then-count — no hot key funnels its value set through one reducer; bit-identical to direct COUNT DISTINCT",
+    note=(
+        "scale extension, tagged per part: per-key COUNT DISTINCT via "
+        "two-phase dedup-then-count — no hot key funnels its value set "
+        "through one reducer; bit-identical to direct COUNT DISTINCT — "
+        "MERGED with the EXCEPT DISTINCT set-operation capability "
+        "(formerly the separate set_urgent_not_low_customers query, "
+        "SURVEY §2.10: customers with urgent orders but no low-priority "
+        "ones; Spark subtract == SQL EXCEPT DISTINCT)"
+    ),
 )
 def q_distinct_customers_per_priority(spark, sf_dir):
     from etl_hero_spark.skew import two_phase_distinct_count
 
-    return two_phase_distinct_count(
-        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    orders = _t(spark, sf_dir, "orders")
+    counts = two_phase_distinct_count(
+        orders, "o_orderpriority", "o_custkey"
+    ).select(
+        F.lit("distinct_per_priority").alias("part"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n_distinct").alias("n"),
     )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    )
+    except_rows = urgent.subtract(low).select(
+        F.lit("urgent_not_low").alias("part"),
+        F.col("o_custkey").cast("string").alias("key"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    return counts.unionByName(except_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1386,7 +1419,28 @@ def q_er_resolve_parts(spark, sf_dir):
 
 @register(
     "cdc_merge_upsert",
-    oracle=None,
+    oracle=(
+        "WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+        "o_orderdate AS ts, o_orderpriority, "
+        "cast(NULL as varchar) AS op, 0 AS src FROM orders), "
+        "upd AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+        "o_orderdate + INTERVAL 30 DAY AS ts, "
+        "'0-REVISED' AS o_orderpriority, 'U' AS op, 1 AS src "
+        "FROM orders WHERE o_orderkey % 7 = 3), "
+        "del AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+        "o_orderdate + INTERVAL 30 DAY AS ts, o_orderpriority, "
+        "'D' AS op, 1 AS src FROM orders WHERE o_orderkey % 7 = 5), "
+        "u AS (SELECT * FROM base UNION ALL SELECT * FROM upd "
+        "UNION ALL SELECT * FROM del), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey "
+        "ORDER BY ts DESC, src DESC) AS rn FROM u), "
+        "m AS (SELECT * FROM r WHERE rn = 1 "
+        "AND (op IS NULL OR op <> 'D')) "
+        "SELECT o_orderpriority, cast(count(*) as bigint) AS n_rows, "
+        f"{sql_dec_sum('o_totalprice')} AS sum_price, "
+        f"{sql_dec_avg('o_totalprice')} AS avg_price "
+        "FROM m GROUP BY o_orderpriority"
+    ),
     note=(
         "extension: latest-wins MERGE of a change batch into the orders "
         "snapshot (updates win only when newer; tombstones delete; "
@@ -1394,8 +1448,10 @@ def q_er_resolve_parts(spark, sf_dir):
         "the reference's re-clean-everything loop lacks. One shuffle on "
         "the unique key. Change batch synthesized deterministically "
         "from keyed modular predicates; latest-wins/tombstone/tie "
-        "semantics DuckDB-pinned in tests/test_cdc.py. Returns a "
-        "per-status summary so the check is scale-stable"
+        "semantics DuckDB-pinned in tests/test_cdc.py AND driver-"
+        "hash-checked since r4 (the oracle replays the merge as a "
+        "window-SQL MERGE). Returns a per-status summary so the check "
+        "is scale-stable"
     ),
 )
 def q_cdc_merge_upsert(spark, sf_dir):
@@ -1460,14 +1516,47 @@ def q_cdc_scd2_users(spark, sf_dir):
 
 @register(
     "cdc_snapshot_diff",
-    oracle=None,
+    oracle=(
+        "WITH newt AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 1.0 "
+        "ELSE o_totalprice END AS o_totalprice, o_orderdate, "
+        "CASE WHEN o_orderkey % 11 = 2 THEN '9-RECLASSIFIED' "
+        "ELSE o_orderpriority END AS o_orderpriority "
+        "FROM orders WHERE o_orderkey % 13 <> 0), "
+        "j AS (SELECT o.o_orderkey IS NOT NULL AS in_old, "
+        "n.o_orderkey IS NOT NULL AS in_new, "
+        "list_sort(list_filter(["
+        + ", ".join(
+            f"CASE WHEN o.{c} IS DISTINCT FROM n.{c} THEN '{c}' END"
+            for c in [
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ]
+        )
+        + "], x -> x IS NOT NULL)) AS ch "
+        "FROM orders o FULL OUTER JOIN newt n "
+        "ON o.o_orderkey = n.o_orderkey), "
+        "s AS (SELECT CASE WHEN NOT in_old THEN 'added' "
+        "WHEN NOT in_new THEN 'removed' "
+        "WHEN len(ch) > 0 THEN 'changed' ELSE 'unchanged' END "
+        "AS diff_status, "
+        "CASE WHEN in_old AND in_new AND len(ch) > 0 "
+        "THEN array_to_string(ch, ',') ELSE '' END AS cols FROM j) "
+        "SELECT diff_status, cols, cast(count(*) as bigint) AS n "
+        "FROM s GROUP BY diff_status, cols"
+    ),
     note=(
         "extension: snapshot reconciliation (added/removed/changed/"
         "unchanged + per-column change lists) between orders and a "
         "deterministically mutated copy — the audit primitive behind "
         "'what did this run change'. One full-outer join on the unique "
         "key, zero windows (plan-asserted in tests/test_cdc.py); "
-        "NULL-safe per-column compare DuckDB-pinned there too"
+        "NULL-safe per-column compare DuckDB-pinned there too and "
+        "driver-hash-checked since r4 (the oracle replays the "
+        "full-outer diff in SQL)"
     ),
 )
 def q_cdc_snapshot_diff(spark, sf_dir):
@@ -1716,16 +1805,38 @@ def q_profile_distinct_sketch(spark, sf_dir):
 
 @register(
     "outliers_iqr",
-    oracle=None,
+    oracle=(
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", "
+            "cast(sum(CASE WHEN "
+            f"{c} < s.lo OR {c} > s.hi THEN 1 ELSE 0 END) as bigint) "
+            "AS n_outliers, s.lo, s.hi FROM lineitem, "
+            "(SELECT q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi "
+            f"FROM (SELECT quantile_cont({c}, 0.25) AS q1, "
+            f"quantile_cont({c}, 0.75) AS q3 FROM lineitem)) s "
+            "GROUP BY s.lo, s.hi"
+            for c in [
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_linenumber",
+            ]
+        )
+    ),
     note=(
         "reference future work SHIPPED (app.py:397 lists 'IQR outliers "
         "as z-score alternative' and never implements it): Tukey-fence "
         "detection per numeric column — concurrent per-column exact "
         "quartile jobs fold fences in as plan literals, one counting "
         "scan, constant columns collapse to zero outliers by "
-        "construction. DuckDB quantile_cont parity + null/constant "
-        "edges in tests/test_detect.py; approx=True t-digest flag for "
-        "the 100 TB path; remove_outliers_iqr is the R1a-style "
+        "construction. Registered with RAW IEEE fences "
+        "(round_bounds=None): q1 - k*(q3-q1) is the same double in any "
+        "engine computing the same expression, so the driver hash-"
+        "checks it (promoted to the verified window in r4); the 2dp "
+        "grid convention and null/constant edges stay pinned in "
+        "tests/test_detect.py; approx=True t-digest flag for the "
+        "100 TB path; remove_outliers_iqr is the R1a-style "
         "remediation twin"
     ),
 )
@@ -1734,7 +1845,7 @@ def q_outliers_iqr(spark, sf_dir):
     from etl_hero_spark.registry import LINEITEM_NUM
 
     return detect_outliers_iqr(
-        _t(spark, sf_dir, "lineitem"), LINEITEM_NUM
+        _t(spark, sf_dir, "lineitem"), LINEITEM_NUM, round_bounds=None
     ).orderBy("column")
 
 

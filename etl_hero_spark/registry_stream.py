@@ -40,18 +40,45 @@ _STRF = "%Y-%m-%d %H:%M:%S"
         "event_type, "
         "cast(count(*) as bigint) AS n_events, "
         f"{sql_dec_sum('value')} AS sum_value "
-        "FROM w GROUP BY 2, 3"
+        "FROM w GROUP BY 2, 3 "
+        "UNION ALL "
+        "SELECT 'daily' AS kind, "
+        "strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS "
+        "window_start, event_type, cast(count(*) as bigint) AS n_events, "
+        f"{sql_dec_sum('value')} AS sum_value "
+        "FROM events GROUP BY 2, 3"
     ),
-    note="streaming extension, tagged per kind: tumbling 1h window agg (epoch-aligned, = F.window default) + sliding 1h/30min window agg — one verified query covering both window shapes",
+    note=(
+        "streaming extension, tagged per kind: tumbling 1h window agg "
+        "(epoch-aligned, = F.window default) + sliding 1h/30min window "
+        "agg + daily tier (formerly the separate events_rollup_daily "
+        "query — the continuous-aggregate pattern: daily is served by "
+        "RE-AGGREGATING the hourly tier's decimal partials, rounded "
+        "once at the end, while the oracle aggregates RAW data "
+        "directly, so a pass proves the rollup is lossless). One "
+        "verified query covering all three window shapes"
+    ),
 )
 def q_events_windows(spark, sf_dir):
-    from etl_hero_spark.streaming import sliding_agg, tumbling_agg
+    from etl_hero_spark.streaming import (
+        daily_from_hourly,
+        hourly_rollup,
+        sliding_agg,
+        tumbling_agg,
+    )
 
     ev = _events(spark, sf_dir)
     cols = ["window_start", "event_type", "n_events", "sum_value"]
     tum = tumbling_agg(ev).select(F.lit("tumbling").alias("kind"), *cols)
     sli = sliding_agg(ev).select(F.lit("sliding").alias("kind"), *cols)
-    return tum.unionByName(sli)
+    day = daily_from_hourly(hourly_rollup(ev)).select(
+        F.lit("daily").alias("kind"),
+        F.col("day").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return tum.unionByName(sli).unionByName(day)
 
 
 @register(
@@ -71,34 +98,53 @@ def q_events_windows(spark, sf_dir):
         f"{sql_dec_sum('value')} AS sum_value "
         "FROM s GROUP BY user_id, session_no) "
         "SELECT 'islands' AS impl, * FROM sess "
-        "UNION ALL SELECT 'native' AS impl, * FROM sess"
+        "UNION ALL SELECT 'native' AS impl, * FROM sess "
+        "UNION ALL "
+        "SELECT 'gaps' AS impl, user_id, "
+        f"strftime(min(ts), '{_STRF}') AS session_start, "
+        f"strftime(max(ts), '{_STRF}') AS session_end, "
+        "cast(count(*) as bigint) AS n_events, "
+        "cast(floor(date_part('epoch', max(ts - prev)) / 60) as double) "
+        "AS sum_value "
+        "FROM o GROUP BY user_id"
     ),
-    note="streaming extension: sessionization twice, tagged per implementation — gaps-and-islands (lag window + running sum) AND native F.session_window (the exact streaming form) must both equal the single DuckDB windowed-SQL session set, 30min gap",
+    note=(
+        "streaming extension: sessionization twice, tagged per "
+        "implementation — gaps-and-islands (lag window + running sum) "
+        "AND native F.session_window (the exact streaming form) must "
+        "both equal the single DuckDB windowed-SQL session set, 30min "
+        "gap — MERGED with the per-user inter-event gap stats (formerly "
+        "the separate events_user_gaps query; its batch twin of the "
+        "applyInPandasWithState op): impl='gaps' rows carry "
+        "(first_ts, last_ts, n_events, max_gap_minutes-as-sum_value), "
+        "minute-floored so ns-vs-us representation stays out of values"
+    ),
 )
 def q_events_sessionize(spark, sf_dir):
-    from etl_hero_spark.streaming import session_agg_native, sessionize_batch
+    from etl_hero_spark.streaming import (
+        session_agg_native,
+        sessionize_batch,
+        user_gap_stats_batch,
+    )
 
     ev = _events(spark, sf_dir)
     cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
     islands = sessionize_batch(ev).select(F.lit("islands").alias("impl"), *cols)
     native = session_agg_native(ev).select(F.lit("native").alias("impl"), *cols)
-    return islands.unionByName(native)
+    gaps = user_gap_stats_batch(ev).select(
+        F.lit("gaps").alias("impl"),
+        "user_id",
+        F.col("first_ts").alias("session_start"),
+        F.col("last_ts").alias("session_end"),
+        "n_events",
+        F.col("max_gap_minutes").cast("double").alias("sum_value"),
+    )
+    return islands.unionByName(native).unionByName(gaps)
 
 
-@register(
-    "events_json_props",
-    oracle=(
-        "SELECT event_type, cast(count(*) as bigint) AS n_events, "
-        "count(cast(json_extract_string(props, '$.k') as integer)) AS n_with_k, "
-        "cast(sum(cast(json_extract_string(props, '$.k') as integer)) as bigint) "
-        "AS sum_k FROM events GROUP BY event_type"
-    ),
-    note="streaming extension: JSON props extraction with explicit schema (from_json, no inference)",
-)
-def q_events_json_props(spark, sf_dir):
-    from etl_hero_spark.streaming import json_props_agg
-
-    return json_props_agg(_events(spark, sf_dir))
+# events_json_props was absorbed into events_window_quality
+# (part='json_props' rows) — driver-window slot policy: merge mature
+# tagged entries instead of registering more.
 
 
 @register(
@@ -113,25 +159,54 @@ def q_events_json_props(spark, sf_dir):
         "(cast(sum(cast(value as decimal(18,2))) as double) / cast(count(value) as double))"
         " * (cast(sum(cast(value as decimal(18,2))) as double) / cast(count(value) as double))"
         "), 6) AS sigma FROM events) "
-        "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), "
-        f"'{_STRF}') AS window_start, "
-        "cast(count(*) as bigint) AS n_rows, "
-        "count(*) - count(value) AS n_null_value, "
+        "SELECT 'window_quality' AS part, "
+        "strftime(time_bucket(INTERVAL '1 hour', ts), "
+        f"'{_STRF}') AS key, "
+        "cast(count(*) as bigint) AS n, "
+        "count(*) - count(value) AS a, "
         "cast(sum(CASE WHEN abs((value - stats.mu) / stats.sigma) > 3.0 "
-        "THEN 1 ELSE 0 END) as bigint) AS n_outliers "
-        "FROM events, stats GROUP BY 1, stats.mu, stats.sigma"
+        "THEN 1 ELSE 0 END) as bigint) AS b "
+        "FROM events, stats GROUP BY 2, stats.mu, stats.sigma "
+        "UNION ALL "
+        "SELECT 'json_props' AS part, event_type AS key, "
+        "cast(count(*) as bigint) AS n, "
+        "count(cast(json_extract_string(props, '$.k') as integer)) AS a, "
+        "cast(sum(cast(json_extract_string(props, '$.k') as integer)) "
+        "as bigint) AS b FROM events GROUP BY event_type"
     ),
-    note="streaming extension: the reference's E2 detection as windowed quality metrics; batch stats folded into the stream as literals (two-phase)",
+    note=(
+        "streaming extension, tagged per part: the reference's E2 "
+        "detection as windowed quality metrics (batch stats folded in "
+        "as literals — the two-phase pattern; key=window_start, "
+        "n=n_rows, a=n_null_value, b=n_outliers) MERGED with JSON "
+        "props extraction via explicit schema (formerly the separate "
+        "events_json_props query — from_json, no inference; "
+        "key=event_type, n=n_events, a=n_with_k, b=sum_k)"
+    ),
 )
 def q_events_window_quality(spark, sf_dir):
     from etl_hero_spark.detect import zscore_stats
-    from etl_hero_spark.streaming import windowed_quality_metrics
+    from etl_hero_spark.streaming import json_props_agg, windowed_quality_metrics
 
     ev = _events(spark, sf_dir)
     stats = zscore_stats(ev, ["value"]).first()
-    return windowed_quality_metrics(
+    quality = windowed_quality_metrics(
         ev, mu=stats["mu_value"], sigma=stats["sigma_value"]
+    ).select(
+        F.lit("window_quality").alias("part"),
+        F.col("window_start").alias("key"),
+        F.col("n_rows").alias("n"),
+        F.col("n_null_value").alias("a"),
+        F.col("n_outliers").alias("b"),
     )
+    props = json_props_agg(ev).select(
+        F.lit("json_props").alias("part"),
+        F.col("event_type").alias("key"),
+        F.col("n_events").alias("n"),
+        F.col("n_with_k").alias("a"),
+        F.col("sum_k").alias("b"),
+    )
+    return quality.unionByName(props)
 
 
 @register(
@@ -192,6 +267,80 @@ def q_multimodal_decode(spark, sf_dir):
         F.md5(F.col("frames")[0]).alias("first_frame_md5"),
     )
     return decoded.join(framed, "doc_id")
+
+
+@register(
+    "multimodal_wav_metadata",
+    oracle=(
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_wav, "
+        "cast(CASE WHEN doc_id % 3 = 0 THEN 1 END as integer) "
+        "AS wav_channels, "
+        "cast(CASE WHEN doc_id % 3 = 0 THEN 8000 END as integer) "
+        "AS wav_rate_hz, "
+        "cast(CASE WHEN doc_id % 3 = 0 THEN 16 END as integer) "
+        "AS wav_bits, "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "cast(octet_length(encode(text)) as bigint) END "
+        "AS wav_data_bytes, "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "cast(octet_length(encode(text)) as bigint) * 1000000 // 16000 "
+        "END AS duration_us FROM documents"
+    ),
+    note=(
+        "multimodal extension (VERDICT r3 #8, promoted to the verified "
+        "window): REAL RIFF/WAVE header parsing with zero codec "
+        "libraries — fixed-offset little-endian fields read as pure "
+        "binary-column expressions (multimodal.wav_metadata; stdlib-"
+        "wave writer parity in tests/test_io_pipeline.py). The query "
+        "synthesizes canonical 44-byte PCM containers (1ch/8000Hz/"
+        "16-bit) around every 3rd document's payload with per-row "
+        "computed little-endian length fields, then parses them back — "
+        "a real encode/parse round-trip; other rows stay non-WAV "
+        "(is_wav=0, NULL fields). Duration emitted as integer "
+        "microseconds (bytes*1e6 div byte_rate) — integer division is "
+        "engine-exact where a rounded double quotient is not"
+    ),
+)
+def q_multimodal_wav_metadata(spark, sf_dir):
+    from etl_hero_spark.multimodal import wav_metadata, with_media_column
+
+    docs = _t(spark, sf_dir, "documents")
+    media = with_media_column(docs)
+    # canonical PCM header, 1 ch / 8000 Hz / 16-bit: byte_rate 16000
+    # (0x3E80), block_align 2, fmt-chunk fields as fixed LE hex; the two
+    # length fields (RIFF chunk size = 36+len, data size = len) are
+    # computed per row and byte-swapped to little-endian in hex
+    le4 = (
+        "concat(substring({h}, 7, 2), substring({h}, 5, 2), "
+        "substring({h}, 3, 2), substring({h}, 1, 2))"
+    )
+    riff_h = "lpad(hex(octet_length(media) + 36), 8, '0')"
+    data_h = "lpad(hex(octet_length(media)), 8, '0')"
+    hdr = (
+        "unhex(concat('52494646', "
+        + le4.format(h=riff_h)
+        + ", '57415645', '666D7420', '10000000', '0100', '0100', "
+        "'401F0000', '803E0000', '0200', '1000', '64617461', "
+        + le4.format(h=data_h)
+        + "))"
+    )
+    packed = media.withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.expr(f"concat({hdr}, media)"),
+        ).otherwise(F.col("media")),
+    )
+    return wav_metadata(packed).select(
+        "doc_id",
+        "is_wav",
+        "wav_channels",
+        "wav_rate_hz",
+        "wav_bits",
+        "wav_data_bytes",
+        F.expr("(wav_data_bytes * 1000000) div 16000").alias("duration_us"),
+    )
 
 
 @register(
@@ -267,41 +416,10 @@ def q_events_range_join_count(spark, sf_dir):
     return out.select("event_id", "user_id", "n_prev_5min")
 
 
-@register(
-    "events_rollup_daily",
-    oracle=(
-        "SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day, "
-        "event_type, cast(count(*) as bigint) AS n_events, "
-        f"{sql_dec_sum('value')} AS sum_value "
-        "FROM events GROUP BY 1, 2"
-    ),
-    note="hierarchical rollup (continuous-aggregate pattern): daily served by RE-AGGREGATING the hourly tier (decimal partials, rounded once at the end) — the oracle aggregates RAW data directly, so a pass proves the rollup is lossless",
-)
-def q_events_rollup_daily(spark, sf_dir):
-    from etl_hero_spark.streaming import daily_from_hourly, hourly_rollup
-
-    return daily_from_hourly(hourly_rollup(_events(spark, sf_dir)))
-
-
-@register(
-    "events_user_gaps",
-    oracle=(
-        "WITH g AS (SELECT user_id, event_id, ts, "
-        "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
-        "FROM events) "
-        "SELECT user_id, cast(count(*) as bigint) AS n_events, "
-        "cast(floor(date_part('epoch', max(gap)) / 60) as bigint) "
-        "AS max_gap_minutes, "
-        f"strftime(min(ts), '{_STRF}') AS first_ts, "
-        f"strftime(max(ts), '{_STRF}') AS last_ts "
-        "FROM g GROUP BY user_id"
-    ),
-    note="custom stateful op, batch twin: per-user inter-event gap stats (order-dependent — lag window); minute-floored gaps keep ns-vs-us representation out of the values",
-)
-def q_events_user_gaps(spark, sf_dir):
-    from etl_hero_spark.streaming import user_gap_stats_batch
-
-    return user_gap_stats_batch(_events(spark, sf_dir))
+# events_rollup_daily was absorbed into events_windows (kind='daily')
+# and events_user_gaps into events_sessionize (impl='gaps') — driver-
+# window slot policy: merge mature tagged entries instead of
+# registering more. Their TRUE streaming twins remain separate.
 
 
 @register(
@@ -650,13 +768,20 @@ def q_events_resample_hourly(spark, sf_dir):
 
 @register(
     "events_latest_state",
-    oracle=None,
+    oracle=(
+        "WITH r AS (SELECT user_id, ts, event_type, value, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        f"SELECT user_id, strftime(ts, '{_STRF}') AS ts_s, "
+        "event_type, value FROM r WHERE rn = 1"
+    ),
     note=(
         "extension: per-key CURRENT state of the event stream (upsert "
         "view): deterministic argmax by (ts, event_id) via one max_by "
         "aggregate — single shuffle, no window sort. DuckDB parity in "
-        "tests/test_streaming.py; the TRUE streaming twin is "
-        "stream_latest_state"
+        "tests/test_streaming.py and driver-hash-checked since r4 "
+        "(oracle: row_number over the same (ts, event_id) order); the "
+        "TRUE streaming twin is stream_latest_state"
     ),
 )
 def q_events_latest_state(spark, sf_dir):
@@ -715,13 +840,32 @@ def q_events_rolling_features(spark, sf_dir):
 
 @register(
     "events_interval_overlap",
-    oracle=None,
+    oracle=(
+        "WITH a AS (SELECT user_id, "
+        "time_bucket(INTERVAL '2 hours', ts) AS s, "
+        "time_bucket(INTERVAL '2 hours', ts) + INTERVAL '2 hours' AS e, "
+        "cast(count(*) as bigint) AS n_a FROM events GROUP BY 1, 2, 3), "
+        "b AS (SELECT user_id, "
+        "time_bucket(INTERVAL '3 hours', ts, "
+        "TIMESTAMP '1970-01-01 01:30:00') AS s, "
+        "time_bucket(INTERVAL '3 hours', ts, "
+        "TIMESTAMP '1970-01-01 01:30:00') + INTERVAL '3 hours' AS e, "
+        "cast(count(*) as bigint) AS n_b FROM events GROUP BY 1, 2, 3), "
+        "p AS (SELECT a.user_id, a.n_a, b.n_b FROM a JOIN b "
+        "ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e) "
+        "SELECT cast(count(*) as bigint) AS n_pairs, "
+        "cast(count(DISTINCT user_id) as bigint) AS n_users, "
+        "cast(sum(n_a) as bigint) AS sum_a_events, "
+        "cast(sum(n_b) as bigint) AS sum_b_events FROM p"
+    ),
     note=(
         "extension: interval overlap join (closed-interval semantics) "
         "— both interval sets explode onto covered time buckets, "
         "(key, bucket) equi-join + exact predicate + pair-distinct "
         "replaces the per-key cartesian a theta-join would plan. "
-        "DuckDB inequality-join parity in tests/test_temporal.py. "
+        "DuckDB inequality-join parity in tests/test_temporal.py and "
+        "driver-hash-checked since r4 (the oracle IS the theta-join "
+        "the bucketization replaces — an algorithm-level cross-check). "
         "Joins each user's 2h activity windows against offset 3h "
         "windows; summary row"
     ),

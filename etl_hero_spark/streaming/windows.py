@@ -543,6 +543,15 @@ def funnel_counts(
     within a key's first n step events; the default (None) is exact
     always. The k-iterated-conditional-min join formulation (the oracle's
     own shape) remains the fallback for corpora where neither holds.
+
+    Cost note (measured r4, sf0.1): the cap's row_number pass adds one
+    in-exchange sort over the capless plan (~0.3s here; the window and
+    the groupBy share a single shuffle, so the increment is sort CPU,
+    not an extra exchange). An adaptive skip via a per-key-count
+    pre-flight was tried and REJECTED: the pre-flight is a full extra
+    scan of the step events, which costs what the skipped sort saves —
+    at any scale both are O(n) passes, so the simple always-capped plan
+    keeps the memory bound without a second code path.
     """
     k = len(steps)
     steps_arr = F.array(*[F.lit(s) for s in steps])

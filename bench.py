@@ -120,6 +120,18 @@ NOTES = {
         "plan unchanged; idle-host min-of-3 at r4 reproduced r3 exactly "
         "(0.49s, ratio 1.00) — the r3-reported 1.27x was host noise."
     ),
+    "profile_histogram": (
+        "r4 absorbed profile_grouped_median (two exact interpolated "
+        "per-group percentiles over lineitem, ~0.8s) into this query "
+        "to free a driver-window slot — the vs_prev ratio compares the "
+        "merged query against the histogram alone; combined work is "
+        "unchanged, one registration fewer."
+    ),
+    "sim_topk_pq": (
+        "plan unchanged since r3; isolated idle-host min-of-3 "
+        "reproduces r3 (2.27s vs 2.21s) — full-run elevations on the "
+        "ANN queries are sequence noise, not plan drift."
+    ),
 }
 
 

@@ -95,6 +95,15 @@ HEADLINE = [
     "profile_histogram2d",
     # round-4 additions
     "multimodal_wav_metadata",
+    "profile_heavy_hitters_cms",
+    "sample_reservoir_per_key",
+    "events_seasonal_anomaly",
+    "pipeline_gdpr_erasure",
+    "events_rollup_incremental",
+    "er_trigram_join",
+    "sim_kmeans_lloyd",
+    "sql_shipping_priority",
+    "layout_bucketed_join",
 ]
 
 

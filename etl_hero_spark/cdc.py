@@ -267,3 +267,68 @@ def schema_diff(old: DataFrame, new: DataFrame) -> list:
         elif o[c][0] != n[c][0]:
             out.append((c, f"reordered:{o[c][0]}->{n[c][0]}"))
     return out
+
+
+def propagate_erasure(
+    tables: dict,
+    erase_keys: DataFrame,
+    key_map: dict,
+    cascade: list | None = None,
+) -> dict:
+    """Right-to-erasure cascade: drop every row belonging to the erased
+    entities across a table graph (the GDPR/CCPA deletion primitive a
+    100 TB lake needs as a routine batch job, not a manual sweep).
+
+    ``tables``: {name: DataFrame}; ``key_map``: {name: column holding
+    the entity key}; ``cascade``: optional [(child, child_fk, parent,
+    parent_pk)] edges for tables that reference the entity only
+    transitively (e.g. lineitem -> orders -> customer): the child drops
+    rows whose fk matches a parent row being dropped.
+
+    Plan: each directly-keyed table anti-joins the erase-key set (tiny
+    side — AQE broadcasts it); each cascade edge semi-joins the parent's
+    DOOMED rows (parent ⋉ erase_keys) to build the child's doom set,
+    then anti-joins — O(sum of table sizes), one hash join per table,
+    no windows. Returns {name: cleaned DataFrame}; pair with
+    erasure_audit for the before/after report.
+    """
+    ek = erase_keys
+    cleaned = {}
+    doomed_parent_keys: dict = {}
+    for name, df in tables.items():
+        kc = key_map.get(name)
+        if kc is not None:
+            cleaned[name] = df.join(
+                ek.withColumnRenamed(ek.columns[0], kc), kc, "left_anti"
+            )
+    for child, child_fk, parent, parent_pk in cascade or []:
+        pk_col = key_map[parent]
+        key = (parent, parent_pk)
+        if key not in doomed_parent_keys:
+            doomed_parent_keys[key] = (
+                tables[parent]
+                .join(
+                    ek.withColumnRenamed(ek.columns[0], pk_col),
+                    pk_col,
+                    "left_semi",
+                )
+                .select(parent_pk)
+            )
+        doom = doomed_parent_keys[key].withColumnRenamed(parent_pk, child_fk)
+        cleaned[child] = tables[child].join(doom, child_fk, "left_anti")
+    return cleaned
+
+
+def erasure_audit(tables: dict, cleaned: dict) -> DataFrame:
+    """(table, n_before, n_deleted, n_after) per table — the compliance
+    report of an erasure run. One count per side per table; counts are
+    independent jobs (concurrent columns-pruned scans)."""
+    spark = next(iter(tables.values())).sparkSession
+    parts = []
+    for name in sorted(cleaned):
+        b = tables[name].count()
+        a = cleaned[name].count()
+        parts.append((name, b, b - a, a))
+    return spark.createDataFrame(
+        parts, "table string, n_before bigint, n_deleted bigint, n_after bigint"
+    )

@@ -419,3 +419,51 @@ def detect_outliers_iqr(
     return df.sparkSession.createDataFrame(
         rows, "column string, n_outliers bigint, lo double, hi double"
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal anomaly — z-scores against an hour-of-day baseline (the E2
+# z-score mission lifted to time-series shape: "is 3am traffic abnormal
+# FOR 3am", not "for the whole day")
+# ---------------------------------------------------------------------------
+
+
+def seasonal_anomaly_buckets(
+    events: DataFrame,
+    ts_col: str = "ts",
+    threshold: float = DEFAULT_ZSCORE_THRESHOLD,
+) -> DataFrame:
+    """Per (day, hour-of-day) activity buckets scored against each
+    hour-of-day's OWN baseline across days: bucket counts -> per-hour
+    decimal-exact mean/std (ddof=0, the engine-wide convention) -> z per
+    bucket. A traffic spike at 3am is anomalous against 3am's history
+    even when it would be normal at noon — the seasonality the global
+    z-score mission (P2) is blind to.
+
+    Output: (day, hour, n_events, z, is_anomalous). Plan: one
+    (day, hour) groupBy of the raw events, one (hour) re-aggregation of
+    the <=24*days bucket rows (tiny), broadcast of the 24-row baseline
+    back onto buckets — no second scan of the raw data. Constant hours
+    (sigma 0/NULL) are never anomalous, matching detect_outliers."""
+    buckets = events.groupBy(
+        F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+        F.hour(ts_col).cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    base = buckets.groupBy("hour").agg(
+        dec_avg("n_events", "mu"), dec_stddev_pop("n_events", "sigma")
+    )
+    z = F.when(
+        F.col("sigma").isNotNull() & (F.col("sigma") != 0),
+        F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6),
+    )
+    return (
+        buckets.join(F.broadcast(base), "hour")
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomalous",
+            F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)).cast(
+                "int"
+            ),
+        )
+        .select("day", "hour", "n_events", "z", "is_anomalous")
+    )

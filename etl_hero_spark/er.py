@@ -562,3 +562,66 @@ def fuzzy_pairs_multi(
         *[F.round(sims[c], 6).alias(f"sim_{c}") for c in names],
     ).filter(F.col("score") >= min_score)
     return out.distinct()
+
+
+def trigram_block_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 200,
+    min_sim: float = 0.5,
+) -> DataFrame:
+    """Trigram-indexed similarity join (the pg_trgm recipe as a plan):
+    candidate pairs share at least one RARE character trigram, scored by
+    normalized edit similarity. Output: (id_a, id_b, sim) with
+    sim >= min_sim, id_a < id_b.
+
+    Why rare-only blocking survives scale: a ubiquitous trigram (every
+    'customer#' row shares 'cus') would turn the index self-join into a
+    quadratic hot bucket; dropping trigrams with document frequency >
+    ``max_df`` bounds every bucket's fanout at max_df^2 while keeping
+    recall for genuinely similar strings, which share many trigrams and
+    almost surely a rare one (two strings at edit distance d share all
+    but <= 3d trigrams). Plan: posexplode to (id, trigram) rows, one
+    bounded groupBy for frequencies, frequency-filtered self-join on the
+    trigram, pair-distinct, thresholded-levenshtein verify — every stage
+    shuffles bounded keys; no all-pairs anywhere.
+    """
+    t = F.lower(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("_t"),
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(_t) - 2, 1)), "
+                    "i -> substring(_t, i, 3))"
+                )
+            )
+        ).alias("tri"),
+    )
+    rare = (
+        grams.groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("tri")
+    )
+    keyed = grams.join(rare, "tri")
+    a = keyed.select("tri", F.col("id").alias("id_a"))
+    b = keyed.select("tri", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, "tri")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    strs = df.select(F.col(id_col).alias("id"), t.alias("s"))
+    scored = (
+        cand.join(strs.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a")
+        .join(strs.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b")
+        .withColumn("sim", F.round(similarity_expr("s_a", "s_b"), 6))
+        .filter(F.col("sim") >= min_sim)
+    )
+    return scored.select("id_a", "id_b", "sim")

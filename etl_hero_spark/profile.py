@@ -769,3 +769,93 @@ def histogram2d(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — the MERGEABLE heavy-hitter structure (freqItems is the
+# single-pass in-session sketch; this one persists, merges across shards /
+# days, and answers point queries after the fact)
+# ---------------------------------------------------------------------------
+
+
+def countmin_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min sketch of a key column as a (j, b, cnt) table: depth
+    independent xxhash64 rows of ``width`` counters. <= depth*width rows
+    regardless of corpus size — persist it like any index. Estimates
+    OVERCOUNT only (min over rows caps collision inflation at ~n/width
+    per row with probability 1 - 2^-depth).
+
+    Build is one explode (depth rows per input row, all codegen) + one
+    bounded groupBy — a single shuffle whose key space is depth*width.
+    Merging sketches of disjoint shards = summing cells (see
+    merge_countmin_sketches); the same property makes it maintainable
+    incrementally from per-batch sketches.
+    """
+    c = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(F.xxhash64(c, F.lit(seed + j)), F.lit(width))
+                .cast("int")
+                .alias("b"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.filter(c.isNotNull())
+        .select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_countmin_sketches(sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with IDENTICAL (width, depth, seed) by
+    summing cells — count-min's defining property: sketch(A ∪ B) ==
+    sketch(A) + sketch(B) cell-wise, so shards/days/sources sketch
+    independently and fold without rescanning anything."""
+    return sketches.groupBy("j", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def estimate_counts(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-query the sketch for each distinct key in ``keys[col]``:
+    estimate = min over the depth rows of the addressed cells (missing
+    cell == 0 — the key was never seen). Output: (col, est_count).
+    The keys side explodes to depth probe rows and equi-joins the
+    bounded sketch — no scan of the original data."""
+    c = F.col(col).cast("string")
+    probes = keys.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(F.xxhash64(c, F.lit(seed + j)), F.lit(width))
+                        .cast("int")
+                        .alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(col, F.col("cell.j").alias("j"), F.col("cell.b").alias("b"))
+    joined = probes.join(sketch, ["j", "b"], "left").select(
+        col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(col).agg(F.min("cnt").alias("est_count"))

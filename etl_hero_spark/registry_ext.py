@@ -2248,3 +2248,342 @@ def q_profile_histogram2d(spark, sf_dir):
         _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice",
         bins=8, bounds=(1.0, 50.0, 900.0, 105000.0),
     ).orderBy("bx", "by")
+
+
+# ===========================================================================
+# round 4 extensions
+# ===========================================================================
+
+
+@register(
+    "profile_heavy_hitters_cms",
+    oracle=None,
+    note=(
+        "extension: count-min sketch heavy hitters — the MERGEABLE "
+        "persisted complement of the freqItems in-session sketch: "
+        "depth x width counter table built in one bounded groupBy, "
+        "shards merge by cell-summing without rescans, point queries "
+        "never touch raw data. Query: exact top-10 order-week keys vs "
+        "their CMS estimates; CMS can only OVERcount (est >= exact is a "
+        "structural invariant, pinned with merge==whole-corpus in "
+        "tests/test_profile.py). Summary: per-key exact/est/overcount"
+    ),
+)
+def q_profile_heavy_hitters_cms(spark, sf_dir):
+    from etl_hero_spark.profile import countmin_sketch, estimate_counts
+
+    # ISO week key from extract/weekofyear — the 'ww'/'YYYY' datetime
+    # patterns are rejected by Spark's post-3.0 formatter under ANSI.
+    keyed = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("string"),
+            F.lit("-"),
+            F.lpad(F.weekofyear("o_orderdate").cast("string"), 2, "0"),
+        ).alias("wk")
+    )
+    exact = (
+        keyed.groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("wk"))
+        .limit(10)
+    )
+    sketch = countmin_sketch(keyed, "wk", width=256, depth=4)
+    est = estimate_counts(sketch, exact.select("wk"), "wk", width=256, depth=4)
+    return (
+        exact.join(est, "wk")
+        .select(
+            "wk",
+            "exact",
+            F.col("est_count"),
+            (F.col("est_count") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact"), F.asc("wk"))
+    )
+
+
+@register(
+    "sample_reservoir_per_key",
+    oracle=None,
+    note=(
+        "extension: deterministic per-key reservoir sample — each key "
+        "keeps the n rows whose md5(salt||id) sorts lowest: engine-"
+        "portable (no RNG state), growth-consistent (a newcomer only "
+        "displaces one row), shard-mergeable (re-rank the union). One "
+        "key-window shuffle. DuckDB md5-order parity pinned in "
+        "tests/test_packing.py. Per-source summary over documents"
+    ),
+)
+def q_sample_reservoir_per_key(spark, sf_dir):
+    from etl_hero_spark.sampling import reservoir_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = reservoir_per_key(docs, "source", n=50, id_col="doc_id")
+    return (
+        sample.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle=None,
+    note=(
+        "extension: hour-of-day seasonal anomaly screen — (day, hour) "
+        "activity buckets z-scored against their OWN hour's cross-day "
+        "baseline (decimal-exact mu/sigma, ddof=0): a 3am spike is "
+        "judged against 3am history, the seasonality the global P2 "
+        "z-score is blind to. One raw groupBy + a 24-row broadcast "
+        "back onto buckets, raw data scanned once. DuckDB parity in "
+        "tests/test_detect.py. Summary per hour"
+    ),
+)
+def q_events_seasonal_anomaly(spark, sf_dir):
+    from etl_hero_spark.detect import seasonal_anomaly_buckets
+    from etl_hero_spark.registry import _events
+
+    buckets = seasonal_anomaly_buckets(_events(spark, sf_dir))
+    return (
+        buckets.groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("is_anomalous").cast("bigint").alias("n_anomalous"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "pipeline_gdpr_erasure",
+    oracle=None,
+    note=(
+        "extension: right-to-erasure cascade — deterministic deletion "
+        "keys (custkey % 1000 == 7) anti-joined out of customer and "
+        "orders, then propagated transitively to lineitem through the "
+        "doomed orders' keys (child ⋉ doomed-parent anti-join). One "
+        "hash join per table, tiny key side (AQE broadcasts), no "
+        "windows; audit = per-table before/deleted/after counts. "
+        "DuckDB parity in tests/test_cdc.py"
+    ),
+)
+def q_pipeline_gdpr_erasure(spark, sf_dir):
+    from etl_hero_spark.cdc import erasure_audit, propagate_erasure
+
+    tables = {
+        "customer": _t(spark, sf_dir, "customer"),
+        "orders": _t(spark, sf_dir, "orders"),
+        "lineitem": _t(spark, sf_dir, "lineitem"),
+    }
+    erase = (
+        tables["customer"]
+        .filter(F.col("c_custkey") % 1000 == 7)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    cleaned = propagate_erasure(
+        tables,
+        erase,
+        key_map={"customer": "c_custkey", "orders": "o_custkey"},
+        cascade=[("lineitem", "l_orderkey", "orders", "o_orderkey")],
+    )
+    return erasure_audit(tables, cleaned)
+
+
+@register(
+    "events_rollup_incremental",
+    oracle=None,
+    note=(
+        "extension: incremental continuous-aggregate maintenance — the "
+        "hourly tier built from history is folded with a NEW batch by "
+        "re-summing decimal partials (merge_hourly_delta): O(batch) "
+        "per refresh, raw history never rescanned, and the merged tier "
+        "is BIT-IDENTICAL to rebuilding from all raw data (mergeability "
+        "contract pinned vs full recompute in tests/test_streaming.py). "
+        "Daily summary served from the maintained tier"
+    ),
+)
+def q_events_rollup_incremental(spark, sf_dir):
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.streaming import (
+        daily_from_hourly,
+        hourly_rollup,
+        merge_hourly_delta,
+    )
+
+    ev = _events(spark, sf_dir)
+    split = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("d")
+    ).first()["d"]
+    hist = ev.filter(F.col("ts") < F.lit(split))
+    delta = ev.filter(F.col("ts") >= F.lit(split))
+    maintained = merge_hourly_delta(hourly_rollup(hist), delta)
+    return daily_from_hourly(maintained)
+
+
+@register(
+    "er_trigram_join",
+    oracle=None,
+    note=(
+        "extension: trigram-indexed similarity join (the pg_trgm "
+        "recipe): candidates share >= 1 RARE trigram (document-"
+        "frequency cap bounds every index bucket's fanout — ubiquitous "
+        "trigrams like the shared 'customer#' prefix never join), "
+        "verified by normalized edit similarity. Complements the "
+        "prefix/soundex/exact blocking rungs with content-derived "
+        "keys whose cardinality grows with the corpus. Python "
+        "reference parity in tests/test_er.py. Demo names strip the "
+        "TPC-H zero padding (customer#000000101 -> customer-101): the "
+        "padded form is all-ubiquitous trigrams, the degenerate "
+        "keyspace trigram blocking cannot index — unpadded digit "
+        "trigrams are the growing-cardinality content keys the recipe "
+        "needs. Typos substitute the separator, preserving digit "
+        "trigrams; planted recall reported explicitly"
+    ),
+)
+def q_er_trigram_join(spark, sf_dir):
+    from etl_hero_spark.er import trigram_block_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_replace(F.lower("c_name"), "#0*", "-").alias("name"),
+    )
+    dirty = cust.filter(
+        (F.col("c_custkey") % 37 == 11) & (F.col("c_custkey") >= 100)
+    ).select(
+        (F.col("c_custkey") + 2_000_000).alias("c_custkey"),
+        F.regexp_replace("name", "-", "_").alias("name"),
+    )
+    pairs = trigram_block_pairs(
+        cust.unionByName(dirty), "c_custkey", "name",
+        max_df=50, min_sim=0.9,
+    )
+    found = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("id_b") - F.col("id_a") == 2_000_000).cast("long")
+        ).cast("bigint").alias("n_planted_found"),
+        F.round(F.avg("sim"), 6).alias("avg_sim"),
+    )
+    total = dirty.agg(F.count(F.lit(1)).alias("n_planted_total"))
+    return found.crossJoin(total).select(
+        "n_pairs", "n_planted_found", "n_planted_total", "avg_sim"
+    )
+
+
+@register(
+    "sim_kmeans_lloyd",
+    oracle=None,
+    note=(
+        "extension: DISTRIBUTED full-corpus Lloyd k-means (the sampled "
+        "driver-side trainer serves quantizers; this one is for when "
+        "cluster quality is the product — SemDeDup's clustering stage, "
+        "corpus cartography). Per iteration: literal-expression "
+        "assignment (no join), posexplode + ONE bounded "
+        "groupBy(cluster, dim) with DECIMAL(38,18) sums — the means "
+        "are bit-deterministic under any partition order, so the "
+        "training trajectory is reproducible (float-accumulated "
+        "distributed means are not). Early-stops on centroid movement. "
+        "numpy-reference trajectory parity in tests/test_simsearch.py. "
+        "Returns per-cluster (size, inertia)"
+    ),
+)
+def q_sim_kmeans_lloyd(spark, sf_dir):
+    from etl_hero_spark.simsearch import cluster_sizes_lloyd, kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = f"{sf_dir}/embeddings.parquet"
+    key = ("kmeans", p, os.stat(p).st_mtime)
+    model = _KMEANS_MEMO.get(key)
+    if model is None:
+        model = kmeans_lloyd(emb, k=8, iters=6)
+        _KMEANS_MEMO[key] = model
+    return cluster_sizes_lloyd(emb, model["centroids"]).orderBy("cluster")
+
+
+_KMEANS_MEMO: dict = {}
+
+
+@register(
+    "sql_shipping_priority",
+    oracle=None,
+    note=(
+        "extension: second PURE-SQL entry point (TPC-H Q3 shape): "
+        "3-way join, date-range predicates on both fact tables, "
+        "decimal-exact revenue, top-10 by (revenue DESC, orderkey) — "
+        "exercises Catalyst join reordering + pushed date filters from "
+        "SQL text; TakeOrderedAndProject caps the result motion. Same "
+        "SQL string runs in DuckDB (tests/test_edge_cases.py)"
+    ),
+)
+def q_sql_shipping_priority(spark, sf_dir):
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"ehs_{t}")
+    return spark.sql(SQL_SHIPPING_PRIORITY)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l.l_discount AS DECIMAL(8,4)))
+             AS DOUBLE), 2) AS revenue
+FROM ehs_customer c
+JOIN ehs_orders o ON o.o_custkey = c.c_custkey
+JOIN ehs_lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "layout_bucketed_join",
+    oracle=None,
+    note=(
+        "extension: the SHUFFLE-FREE join layout — orders and customer "
+        "written once as bucketed+sorted tables on the join key "
+        "(hash(key) % 8 files, catalog-tracked), after which their "
+        "join plans with NO exchange and NO sort on either side "
+        "(asserted on the physical plan in tests/test_layout.py): the "
+        "one-time bucketed write pre-pays the shuffle every nightly "
+        "100 TB join would otherwise repeat. z-order prunes scans; "
+        "bucketing kills join shuffles — the two halves of physical "
+        "layout. Result pinned equal to the plain-join revenue summary"
+    ),
+)
+def q_layout_bucketed_join(spark, sf_dir):
+    from etl_hero_spark.layout import write_bucketed_table
+
+    mt = os.stat(f"{sf_dir}/orders.parquet").st_mtime
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    ot, ct = f"ehs_b_orders_{tag}", f"ehs_b_customer_{tag}"
+    write_bucketed_table(
+        _t(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "custkey"
+        ),
+        ot, "custkey", memo_key=(sf_dir, mt),
+    )
+    write_bucketed_table(
+        _t(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "custkey"
+        ),
+        ct, "custkey", memo_key=(sf_dir, mt),
+    )
+    o = spark.table(ot)
+    c = spark.table(ct)
+    joined = o.join(c, "custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -267,3 +267,30 @@ def with_split(
         F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "rsv1",
+) -> DataFrame:
+    """Deterministic fixed-size sample per key: each key keeps the n
+    rows whose md5(salt || id) sorts lowest — the distributed stand-in
+    for per-key reservoir sampling. Hash-ordering makes it (a)
+    deterministic across runs/engines (md5 is everywhere; no RNG state),
+    (b) CONSISTENT under growth: a row's inclusion can only be displaced
+    by a lower-hash newcomer, never reshuffled wholesale, and (c)
+    mergeable — the union of two shards' reservoirs re-ranked is the
+    corpus reservoir. One (key) window shuffle; ties impossible while
+    md5 is collision-free on distinct ids."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = W.partitionBy(key_col).orderBy(h.asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n)
+        .drop("_rank")
+    )

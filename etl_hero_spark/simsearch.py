@@ -1064,3 +1064,137 @@ def topk_cosine_ivfpq_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "score", "rank")
     )
+
+
+def kmeans_init(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 42,
+) -> list:
+    """Partition-order-INDEPENDENT seeded init for kmeans_lloyd: the
+    candidate pool is the ``sample_rows`` lowest-xxhash64 vectors — a
+    total order no repartition/coalesce can change (train_centroids'
+    ``limit`` sample, by contrast, depends on physical row order) — and
+    the k seeds are a seeded numpy choice from that pool. TakeOrdered
+    keeps the pool bounded at any corpus scale."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64("v").asc(), F.col("v").asc())
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    return [[float(c) for c in x[i]] for i in idx]
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+    tol: float = 1e-6,
+) -> dict:
+    """DISTRIBUTED Lloyd k-means over the full corpus (train_centroids is
+    the sampled driver-side trainer for quantizer models; this is the
+    full-data iteration for when cluster QUALITY is the product — e.g.
+    SemDeDup's clustering stage or corpus cartography).
+
+    Per iteration: assignment is a map-side expression over centroid
+    literals (nearest_lists_expr — no join, no shuffle of vectors);
+    centroid recomputation is posexplode to (cluster, dim, value) and
+    ONE bounded groupBy(cluster, dim) whose DECIMAL(38,18) sums make the
+    means bit-deterministic regardless of partition order — so the
+    iteration trajectory is reproducible run-to-run, which
+    float-accumulated distributed means are not. k x d rows come back to
+    the driver as the next model (tiny). Stops early when no centroid
+    moves more than ``tol`` (squared L2).
+
+    Returns {"centroids", "iterations", "converged"}. Assignments are
+    re-derivable as an expression from the returned centroids —
+    cluster_sizes_lloyd builds the (cluster, size, inertia) summary.
+    """
+    cents = kmeans_init(corpus, k, vec_col=vec_col, seed=seed)
+    it = 0
+    converged = False
+    for it in range(1, iters + 1):
+        assigned = corpus.select(
+            nearest_lists_expr(vec_col, cents, 1, dp=None)[0].alias("c"),
+            F.posexplode(F.col(vec_col)).alias("d", "v"),
+        )
+        rows = (
+            assigned.groupBy("c", "d")
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        dim = len(cents[0])
+        sums: dict = {}
+        for r in rows:
+            sums.setdefault(r["c"], [None] * dim)[r["d"]] = (
+                float(r["s"]) / r["n"]
+            )
+        for ci, vals in sums.items():
+            if all(v is not None for v in vals):
+                new[ci] = vals
+        move = max(
+            sum((a - b) ** 2 for a, b in zip(old, nw))
+            for old, nw in zip(cents, new)
+        )
+        cents = new
+        if move <= tol:
+            converged = True
+            break
+    return {
+        "centroids": [[float(x) for x in c] for c in cents],
+        "iterations": it,
+        "converged": converged,
+    }
+
+
+def cluster_sizes_lloyd(
+    corpus: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n, inertia) summary for a trained k-means model: one
+    scan, assignment + squared distance both as expressions over
+    centroid literals, decimal-summed inertia (deterministic). The
+    evaluation half of kmeans_lloyd."""
+    k = len(centroids)
+    dists = [
+        f"(cast({sum(v * v for v in c)!r} as double) "
+        f"- 2.0D * ({_dot_const_sql(vec_col, c, None)}))"
+        for c in centroids
+    ]
+    structs = ", ".join(
+        f"struct({d} as sc, {i} as idx)" for i, d in enumerate(dists)
+    )
+    pick = F.expr(f"array_sort(array({structs}))[0]")
+    sq = F.expr(
+        f"aggregate({vec_col}, cast(0.0 as double), (a, x) -> a + x * x)"
+    )
+    return (
+        corpus.select(
+            pick["idx"].alias("cluster"),
+            (pick["sc"] + sq).alias("_d2"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.greatest(F.col("_d2"), F.lit(0.0)).cast("decimal(38,12)"))
+                .cast("double"),
+                6,
+            ).alias("inertia"),
+        )
+    )

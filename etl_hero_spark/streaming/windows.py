@@ -994,3 +994,23 @@ def stream_scd2_history(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def merge_hourly_delta(base_hourly: DataFrame, delta_events: DataFrame) -> DataFrame:
+    """Incrementally maintain the hourly continuous-aggregate tier: fold
+    a new batch of raw events into an existing hourly partial table by
+    sketching ONLY the delta and re-summing partials per (window,
+    event_type). Because counts are longs and sums are unrounded
+    DECIMALs, merge(base, delta) is bit-identical to rebuilding from
+    all raw data — the mergeability contract that makes the rollup
+    maintainable at O(batch), never O(history). One bounded groupBy over
+    (existing tiers + delta tiers); raw history is never rescanned."""
+    delta = hourly_rollup(delta_events)
+    return (
+        base_hourly.unionByName(delta)
+        .groupBy("w", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_sum_dec").alias("_sum_dec"),
+        )
+    )

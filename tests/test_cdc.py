@@ -442,3 +442,90 @@ def test_schema_diff_reports_all_change_kinds(spark):
         ("price", "retyped:double->decimal(18,2)"),
     ]
     assert schema_diff(old, old) == []
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure cascade (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_gdpr_erasure_matches_duckdb(spark, sf_dir):
+    """Direct anti-join deletes (customer, orders) and the transitive
+    cascade (lineitem through doomed orders) audited against DuckDB."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.cdc import erasure_audit, propagate_erasure
+
+    tables = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for t in ("customer", "orders", "lineitem")
+    }
+    erase = (
+        tables["customer"]
+        .filter(F.col("c_custkey") % 1000 == 7)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    cleaned = propagate_erasure(
+        tables,
+        erase,
+        key_map={"customer": "c_custkey", "orders": "o_custkey"},
+        cascade=[("lineitem", "l_orderkey", "orders", "o_orderkey")],
+    )
+    got = {
+        r["table"]: (r["n_before"], r["n_deleted"], r["n_after"])
+        for r in erasure_audit(tables, cleaned).collect()
+    }
+    want = {}
+    for t, pred in (
+        ("customer", "c_custkey % 1000 = 7"),
+        ("orders", "o_custkey % 1000 = 7"),
+        (
+            "lineitem",
+            "l_orderkey IN (SELECT o_orderkey FROM "
+            f"read_parquet('{sf_dir}/orders.parquet') "
+            "WHERE o_custkey % 1000 = 7)",
+        ),
+    ):
+        n, d = duckdb.sql(
+            f"SELECT count(*), sum(CASE WHEN {pred} THEN 1 ELSE 0 END) "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        ).fetchone()
+        want[t] = (n, int(d or 0), n - int(d or 0))
+    assert got == want
+    assert got["customer"][1] > 0  # the fixture actually deletes someone
+
+
+def test_gdpr_erasure_leaves_no_orphans(spark, sf_dir):
+    """After the cascade, no surviving lineitem references a deleted
+    order and no surviving order references a deleted customer."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.cdc import propagate_erasure
+
+    tables = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for t in ("customer", "orders", "lineitem")
+    }
+    erase = (
+        tables["customer"]
+        .filter(F.col("c_custkey") % 1000 == 7)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    cleaned = propagate_erasure(
+        tables,
+        erase,
+        key_map={"customer": "c_custkey", "orders": "o_custkey"},
+        cascade=[("lineitem", "l_orderkey", "orders", "o_orderkey")],
+    )
+    orphan_orders = cleaned["orders"].join(
+        cleaned["customer"].select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    orphan_lines = cleaned["lineitem"].join(
+        cleaned["orders"].select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    )
+    assert orphan_orders.count() == 0
+    assert orphan_lines.count() == 0

@@ -199,3 +199,69 @@ def test_iqr_outliers_no_numeric_columns(spark):
     out = detect_outliers_iqr(df)
     assert out.collect() == []
     assert out.columns == ["column", "n_outliers", "lo", "hi"]
+
+
+# ---------------------------------------------------------------------------
+# seasonal (hour-of-day) anomaly screen (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_anomaly_matches_duckdb(spark, sf_dir):
+    """Bucket counts, per-hour decimal-exact mu/sigma (ddof=0), rounded
+    z — the whole pipeline mirrored in DuckDB over the same parquet."""
+    import duckdb
+
+    from etl_hero_spark.detect import seasonal_anomaly_buckets
+    from etl_hero_spark.registry import _events
+
+    got = sorted(
+        map(tuple, seasonal_anomaly_buckets(_events(spark, sf_dir)).collect())
+    )
+    dec = "cast(n_events as decimal(18,2))"
+    mu = f"cast(sum({dec}) as double) / cast(count(*) as double)"
+    sig = (
+        f"sqrt(cast(sum({dec} * {dec}) as double) / cast(count(*) as double)"
+        f" - ({mu}) * ({mu}))"
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH b AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(extract(hour FROM ts) AS INT) AS hour,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM read_parquet('{sf_dir}/events.parquet')
+              GROUP BY 1, 2
+            ), base AS (
+              SELECT hour, round({mu}, 6) AS mu, round({sig}, 6) AS sigma
+              FROM b GROUP BY hour
+            )
+            SELECT b.day, b.hour, b.n_events,
+              CASE WHEN sigma IS NOT NULL AND sigma <> 0
+                   THEN round((n_events - mu) / sigma, 6) END AS z,
+              CAST(coalesce(abs(
+                CASE WHEN sigma IS NOT NULL AND sigma <> 0
+                     THEN round((n_events - mu) / sigma, 6) END) > 3.0,
+                false) AS INT) AS is_anomalous
+            FROM b JOIN base USING (hour)
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_seasonal_anomaly_constant_hour_never_anomalous(spark):
+    """An hour whose counts never vary has sigma 0 -> z NULL ->
+    is_anomalous 0 (matching detect_outliers' sigma guard), and a
+    single-day hour (n=1, sigma 0) likewise."""
+    from etl_hero_spark.detect import seasonal_anomaly_buckets
+
+    rows = []
+    for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        rows += [(f"{day} 05:30:00",)] * 4  # constant: 4 events at 5am
+    rows += [("2024-01-01 09:00:00",)]  # hour 9 appears once
+    ev = spark.createDataFrame(rows, "s string").select(
+        F.to_timestamp("s").alias("ts")
+    )
+    got = seasonal_anomaly_buckets(ev).collect()
+    assert all(r["z"] is None and r["is_anomalous"] == 0 for r in got)

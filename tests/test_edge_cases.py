@@ -236,3 +236,26 @@ def test_quantile_sketch_empty_and_profile_empty(spark):
     est = quantiles_from_sketch(sk, 0.0, 10.0, 8, [0.5])
     assert est[0.5] == 10.0  # documented: no data -> hi clamp
     assert benford_profile(empty, "x").count() == 0
+
+
+def test_sql_shipping_priority_matches_duckdb_same_text(spark, sf_dir):
+    """Second pure-SQL entry point (TPC-H Q3 shape): the identical SQL
+    string in DuckDB must produce the identical top-10."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import (
+        SQL_SHIPPING_PRIORITY,
+        q_sql_shipping_priority,
+    )
+
+    got = [
+        (r["orderkey"], r["orderdate"], r["revenue"])
+        for r in q_sql_shipping_priority(spark, sf_dir).collect()
+    ]
+    sql = SQL_SHIPPING_PRIORITY
+    for t in ("customer", "orders", "lineitem"):
+        sql = sql.replace(
+            f"ehs_{t}", f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert got == want and len(got) == 10

@@ -503,3 +503,99 @@ def test_null_primary_falls_through_prefilter(spark):
     assert base == opt
     # the NULL-name pair scores on city+seg alone: (1*1+1*1)/2 = 1.0
     assert (1, 2, 1.0) in base
+
+
+# ---------------------------------------------------------------------------
+# trigram-indexed similarity join (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _py_trigrams(s: str) -> set:
+    s = s.lower()
+    return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_trigram_block_pairs_matches_python_reference(spark):
+    """Full semantics pinned against an independent Python model: rare
+    trigrams (df <= max_df) generate candidates, normalized edit
+    similarity >= min_sim verifies. Fixture mixes true typo pairs,
+    similar-but-distinct strings, and a ubiquitous-trigram family that
+    only the df cap keeps from exploding."""
+    from etl_hero_spark.er import trigram_block_pairs
+
+    names = [
+        "london bridge",
+        "london bridg",      # deletion typo of 0
+        "paris metro",
+        "paris metr0",       # substitution typo of 2
+        "tokyo tower",
+        "tokyo towers",      # insertion typo of 4
+        "berlin wall",
+        "madrid plaza",
+        "lisbon tram",
+        "dublin docks",
+    ] + [f"acme corp unit {i}" for i in range(8)]  # shared-prefix family
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id bigint, name string"
+    )
+    max_df, min_sim = 6, 0.85
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in trigram_block_pairs(
+            df, "id", "name", max_df=max_df, min_sim=min_sim
+        ).collect()
+    }
+
+    from collections import Counter
+
+    grams = {i: _py_trigrams(s) for i, s in enumerate(names)}
+    dfreq = Counter(g for gs in grams.values() for g in gs)
+    rare = {g for g, c in dfreq.items() if c <= max_df}
+    want = {}
+    for a in range(len(names)):
+        for b in range(a + 1, len(names)):
+            if not (grams[a] & grams[b] & rare):
+                continue
+            sa, sb = names[a].lower(), names[b].lower()
+            denom = max(len(sa), len(sb))
+            sim = 1.0 if denom == 0 else 1.0 - _py_lev(sa, sb) / denom
+            if round(sim, 6) >= min_sim:
+                want[(a, b)] = sim
+    assert set(got) == set(want) and len(want) >= 3
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+    # the three planted typo pairs must be among the survivors
+    assert {(0, 1), (2, 3), (4, 5)} <= set(got)
+
+
+def test_trigram_df_cap_drops_ubiquitous_trigrams(spark):
+    """With every string sharing every trigram (degenerate corpus), the
+    df cap leaves NO rare trigrams -> no candidates -> empty result
+    (never a quadratic blowup)."""
+    from etl_hero_spark.er import trigram_block_pairs
+
+    df = spark.createDataFrame(
+        [(i, "aaaaaaaa") for i in range(20)], "id bigint, name string"
+    )
+    got = trigram_block_pairs(df, "id", "name", max_df=5, min_sim=0.1)
+    assert got.count() == 0
+
+
+def test_registered_trigram_query_full_planted_recall(spark, sf_dir):
+    """The registered demo finds every planted typo at test scale."""
+    from etl_hero_spark.registry_ext import q_er_trigram_join
+
+    row = q_er_trigram_join(spark, sf_dir).first()
+    assert row["n_planted_found"] == row["n_planted_total"] > 0
+    assert row["n_pairs"] >= row["n_planted_total"]

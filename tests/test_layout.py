@@ -103,3 +103,88 @@ def test_optimize_table_compacts_and_clusters(spark, events, tmp_path):
     mid = events.selectExpr("percentile(user_id, 0.5) AS u").first()["u"]
     st = file_stats(spark, opt, ["user_id"]).collect()
     assert pruning_fraction(st, "user_id", mid) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables — shuffle-free joins (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_has_no_exchange_and_matches_plain_join(spark, sf_dir):
+    """Two tables bucketed+sorted on the join key must sort-merge join
+    with NO Exchange and NO Sort on either side (the one-time write
+    pre-paid the shuffle), and produce exactly the plain join's rows."""
+    from etl_hero_spark.layout import write_bucketed_table
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+    write_bucketed_table(o, "t_bkt_orders", "custkey", n_buckets=4)
+    write_bucketed_table(c, "t_bkt_cust", "custkey", n_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Spark 3+ bucketed scans report output PARTITIONING (Exchange
+    # elision) by default, but output ORDERING (Sort elision) only under
+    # the legacy conf — which is safe exactly in our one-file-per-bucket
+    # layout, the reason write_bucketed_table pre-repartitions.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    try:
+        j = spark.table("t_bkt_orders").join(spark.table("t_bkt_cust"), "custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Sort [" not in plan
+        got = sorted(map(tuple, j.collect()))
+        want = sorted(map(tuple, o.join(c, "custkey").collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+
+
+def test_bucketed_write_one_file_per_bucket(spark, sf_dir):
+    """The pre-write repartition on the bucket hash keeps the layout at
+    one file per bucket — the property that lets Spark trust per-bucket
+    sortedness (Sort elision) and prevents task x bucket small files."""
+    import glob
+
+    from etl_hero_spark.layout import write_bucketed_table
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    write_bucketed_table(df, "t_bkt_onefile", "c_custkey", n_buckets=4)
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED t_bkt_onefile")
+        .filter("col_name = 'Location'")
+        .first()["data_type"]
+    )
+    files = glob.glob(loc.replace("file:", "") + "/part-*")
+    assert len(files) == 4
+
+
+def test_bucketed_write_memoizes_by_key(spark, sf_dir):
+    """Same memo_key -> the rewrite is skipped; changed key -> rewrite."""
+    from etl_hero_spark import layout as L
+
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    L.write_bucketed_table(df, "t_bkt_memo", "r_regionkey", memo_key=("a", 1))
+    before = spark.table("t_bkt_memo").count()
+    # drop a row from the source; same memo key must NOT rewrite
+    L.write_bucketed_table(
+        df.limit(1), "t_bkt_memo", "r_regionkey", memo_key=("a", 1)
+    )
+    assert spark.table("t_bkt_memo").count() == before
+    L.write_bucketed_table(
+        df.limit(1), "t_bkt_memo", "r_regionkey", memo_key=("a", 2)
+    )
+    assert spark.table("t_bkt_memo").count() == 1

@@ -375,3 +375,89 @@ def test_mix_sources_temperature_upsamples_small_sources(spark):
     assert {r["doc_id"] for r in picked.select("doc_id").collect()} == {
         r["doc_id"] for r in again.select("doc_id").collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-key reservoir sample (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_reservoir_per_key_matches_duckdb_md5_order(spark, sf_dir):
+    """The reservoir is DEFINED as 'n lowest md5(salt||id) per key' —
+    DuckDB computes the identical md5 over the identical strings, so the
+    exact row set must match cross-engine (no RNG state anywhere)."""
+    import duckdb
+
+    from etl_hero_spark.sampling import reservoir_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in reservoir_per_key(
+            docs, "source", n=7, id_col="doc_id"
+        ).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5('rsv1' || CAST(doc_id AS VARCHAR))
+                ) AS rk
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            ) WHERE rk <= 7
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_reservoir_per_key_is_mergeable(spark, sf_dir):
+    """Shard-mergeability: re-ranking the union of two disjoint shards'
+    reservoirs reproduces the whole-corpus reservoir exactly — hash
+    order is a total order, so the global top-n is in the shard top-ns."""
+    from etl_hero_spark.sampling import reservoir_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    whole = reservoir_per_key(docs, "source", n=5, id_col="doc_id")
+    sh = [
+        reservoir_per_key(
+            docs.filter(F.col("doc_id") % 2 == i), "source", n=5,
+            id_col="doc_id",
+        )
+        for i in (0, 1)
+    ]
+    re_ranked = reservoir_per_key(
+        sh[0].unionByName(sh[1]), "source", n=5, id_col="doc_id"
+    )
+    key = lambda df: sorted(
+        (r["source"], r["doc_id"])
+        for r in df.select("source", "doc_id").collect()
+    )
+    assert key(whole) == key(re_ranked)
+
+
+def test_reservoir_per_key_growth_consistent(spark, sf_dir):
+    """Adding rows can only displace per-key members one-for-one: the
+    reservoir over a superset differs from the subset's by at most the
+    number of newcomers admitted (no wholesale reshuffle)."""
+    from etl_hero_spark.sampling import reservoir_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sub = docs.filter(F.col("doc_id") % 10 != 0)
+    r_sub = {
+        (r["source"], r["doc_id"])
+        for r in reservoir_per_key(sub, "source", n=5, id_col="doc_id")
+        .select("source", "doc_id").collect()
+    }
+    r_all = {
+        (r["source"], r["doc_id"])
+        for r in reservoir_per_key(docs, "source", n=5, id_col="doc_id")
+        .select("source", "doc_id").collect()
+    }
+    newcomers = {k for k in r_all if k[1] % 10 == 0}
+    # every survivor of the superset run that isn't a newcomer was
+    # already in the subset's reservoir
+    assert (r_all - newcomers) <= r_sub

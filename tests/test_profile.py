@@ -563,3 +563,57 @@ def test_histogram2d_matches_duckdb(spark, lineitem):
     )
     assert got == want
     assert sum(n for _, _, n in got) == lineitem.count()
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_overcounts_only(spark, lineitem):
+    """CMS structural invariant: est >= exact for EVERY key (min over
+    depth rows can only be inflated by collisions, never deflated), and
+    the sketch is bounded at depth*width cells regardless of corpus."""
+    keyed = lineitem.select(F.col("l_partkey").alias("k"))
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    sk = profile.countmin_sketch(keyed, "k", width=16, depth=4)
+    est = profile.estimate_counts(
+        sk, exact.select("k"), "k", width=16, depth=4
+    )
+    rows = exact.join(est, "k").collect()
+    assert len(rows) == exact.count() > 16  # far more keys than width
+    assert all(r["est_count"] >= r["exact"] for r in rows)
+    # width 16 << distinct part keys: collisions must exist
+    assert any(r["est_count"] > r["exact"] for r in rows)
+    assert sk.count() <= 16 * 4
+
+
+def test_countmin_merge_equals_whole_corpus(spark, lineitem):
+    """Mergeability: cell-summing two disjoint shards' sketches is
+    IDENTICAL to sketching the whole corpus — the property that lets
+    shards/days sketch independently and fold without rescans."""
+    keyed = lineitem.select(F.col("l_partkey").alias("k"))
+    whole = profile.countmin_sketch(keyed, "k", width=64, depth=4)
+    a = profile.countmin_sketch(
+        keyed.filter(F.col("k") % 2 == 0), "k", width=64, depth=4
+    )
+    b = profile.countmin_sketch(
+        keyed.filter(F.col("k") % 2 != 0), "k", width=64, depth=4
+    )
+    merged = profile.merge_countmin_sketches(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_countmin_unseen_key_estimates_zero(spark):
+    """A key hitting only empty cells estimates 0 (left join coalesce),
+    and NULL keys never enter the sketch."""
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "k string"
+    )
+    sk = profile.countmin_sketch(df, "k", width=1024, depth=4)
+    assert sk.agg(F.sum("cnt")).first()[0] == 3 * 4  # NULL excluded
+    probe = spark.createDataFrame([("zzz-unseen",)], "k string")
+    est = profile.estimate_counts(sk, probe, "k", width=1024, depth=4)
+    assert est.first()["est_count"] == 0

@@ -587,3 +587,73 @@ def test_ivfpq_index_accepts_string_query_ids(spark, tmp_path):
             key=lambda r: r["rank"],
         )
         assert top["corpus_id"] == qid
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_lloyd_matches_numpy_trajectory(spark, sf_dir):
+    """The distributed iteration reproduces a numpy reference running
+    the same algorithm from the same seeded init: assignment by nearest
+    centroid, means per cluster, same early-stop rule. Decimal-summed
+    distributed means vs numpy float64 means agree to ~1e-9, so after a
+    few iterations centroids match to loose tolerance."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k, iters, seed, tol = 4, 3, 7, 1e-6
+    model = simsearch.kmeans_lloyd(emb, k=k, iters=iters, seed=seed, tol=tol)
+
+    x = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    cents = np.asarray(
+        simsearch.kmeans_init(emb, k, seed=seed), dtype=np.float64
+    )
+    done = 0
+    converged = False
+    for done in range(1, iters + 1):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        new = cents.copy()
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                new[c] = x[m].mean(0)
+        move = ((cents - new) ** 2).sum(1).max()
+        cents = new
+        if move <= tol:
+            converged = True
+            break
+    assert model["iterations"] == done
+    assert model["converged"] == converged
+    assert np.allclose(np.asarray(model["centroids"]), cents, atol=1e-6)
+
+
+def test_kmeans_lloyd_is_deterministic(spark, sf_dir):
+    """Decimal accumulation makes the training trajectory independent of
+    partition order: two runs (different partitioning) give bit-equal
+    centroids."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m1 = simsearch.kmeans_lloyd(emb, k=3, iters=2, seed=11)
+    m2 = simsearch.kmeans_lloyd(
+        emb.repartition(7, "vec_id"), k=3, iters=2, seed=11
+    )
+    assert m1["centroids"] == m2["centroids"]
+
+
+def test_cluster_sizes_lloyd_partitions_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cluster; inertia is
+    non-negative and finite."""
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = simsearch.kmeans_lloyd(emb, k=4, iters=2, seed=7)
+    rows = simsearch.cluster_sizes_lloyd(emb, model["centroids"]).collect()
+    assert sum(r["n"] for r in rows) == emb.count()
+    assert all(
+        r["inertia"] >= 0 and math.isfinite(r["inertia"]) for r in rows
+    )

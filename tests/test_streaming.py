@@ -631,3 +631,72 @@ def test_pii_redaction_identical_under_streaming(spark, sf_dir, events):
     }
     assert stream == batch
     assert all("[EMAIL]" in t for t, _, _ in stream.values())
+
+
+# ---------------------------------------------------------------------------
+# incremental hourly-rollup maintenance (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _hourly_key(df):
+    return sorted(
+        (r["w"]["start"], r["event_type"], r["n_events"], r["_sum_dec"])
+        for r in df.collect()
+    )
+
+
+def test_merge_hourly_delta_bit_identical_to_rebuild(spark, sf_dir):
+    """The mergeability contract: fold(delta) over the maintained tier
+    equals rebuilding the tier from ALL raw events — exactly, including
+    the unrounded decimal partials. Split mid-corpus so at least one
+    hour window spans both sides (partials must combine IN-window)."""
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    hist = ev.filter(F.col("ts") < F.lit(mid))
+    delta = ev.filter(F.col("ts") >= F.lit(mid))
+    assert hist.count() > 0 and delta.count() > 0
+    from etl_hero_spark.streaming import hourly_rollup, merge_hourly_delta
+
+    merged = merge_hourly_delta(hourly_rollup(hist), delta)
+    full = hourly_rollup(ev)
+    assert _hourly_key(merged) == _hourly_key(full)
+
+
+def test_merge_hourly_delta_empty_delta_is_identity(spark, sf_dir):
+    from etl_hero_spark.streaming import hourly_rollup, merge_hourly_delta
+
+    ev = _events(spark, sf_dir)
+    base = hourly_rollup(ev)
+    merged = merge_hourly_delta(base, ev.filter(F.lit(False)))
+    assert _hourly_key(merged) == _hourly_key(base)
+
+
+def test_registered_rollup_incremental_serves_daily_tier(spark, sf_dir):
+    """The registered query's daily summary equals aggregating raw
+    events by day directly (tier maintenance is invisible downstream)."""
+    from etl_hero_spark.registry_ext import q_events_rollup_incremental
+
+    got = sorted(
+        map(tuple, q_events_rollup_incremental(spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            _events(spark, sf_dir)
+            .groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("sum_value"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -104,6 +104,9 @@ HEADLINE = [
     "sim_kmeans_lloyd",
     "sql_shipping_priority",
     "layout_bucketed_join",
+    "pipeline_pack_sequences",
+    "text_bm25_topk",
+    "sample_diverse_clusters",
 ]
 
 

@@ -180,3 +180,106 @@ def global_rank(
         )
         .drop("_k", "_lo", "_hi", "_bucket", "_local_rn", "_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-length sequence packing — the GPT-style concatenate-and-chunk
+# pipeline (shard packing keeps documents whole per shard; a trainer's
+# context window does not: the global token stream is cut every
+# context_len tokens, and a document may straddle the cut)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    order_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign every document its span in the concatenated fixed-length
+    context stream: tokens are laid out in ``order_col`` order and cut
+    every ``context_len`` tokens. Adds
+
+      tok_start      global offset of the doc's first token (exclusive
+                     prefix sum — two-phase distributed, see module doc)
+      ctx_first/_last  first/last context the doc's tokens land in
+      n_ctx          contexts the doc touches (>1 = straddles a cut)
+
+    Zero-token docs occupy no tokens: they attach to the context their
+    offset points at (ctx_first == ctx_last, degenerate span). The
+    assignment is a pure function of the document order — re-runs and
+    re-partitionings agree, the property that makes the packed corpus
+    reproducible for a training run.
+    """
+    if token_col is None:
+        df = df.withColumn("n_tokens", token_count_expr(text_col))
+        token_col = "n_tokens"
+    o = F.col(order_col).cast("double")
+    bounds = df.agg(
+        F.min(order_col).cast("double").alias("_lo"),
+        F.max(order_col).cast("double").alias("_hi"),
+    )
+    b = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.floor(
+                (o - F.col("_lo")) * n_buckets / (F.col("_hi") - F.col("_lo") + 1)
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    local_w = W.partitionBy("_bucket").orderBy(order_col)
+    b = b.withColumn("_local_incl", F.sum(token_col).over(local_w))
+    offsets = _bucket_offsets(
+        b.groupBy("_bucket").agg(F.sum(token_col).alias("_tot"))
+    )
+    start = F.col("_local_incl") - F.col(token_col) + F.col("_offset")
+    end_incl = F.greatest(start + F.col(token_col) - 1, start)  # 0-tok docs
+    L = F.lit(float(context_len))
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn("tok_start", start.cast("bigint"))
+        .withColumn("ctx_first", F.floor(start / L).cast("bigint"))
+        .withColumn("ctx_last", F.floor(end_incl / L).cast("bigint"))
+        .withColumn(
+            "n_ctx", (F.col("ctx_last") - F.col("ctx_first") + 1).cast("bigint")
+        )
+        .drop("_lo", "_hi", "_bucket", "_local_incl", "_offset")
+    )
+
+
+def sequence_manifest(
+    packed: DataFrame,
+    context_len: int,
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-context packing report from a pack_sequences result:
+    (ctx_id, n_docs, n_tokens, n_straddlers). Docs explode to the
+    contexts they touch (sequence(ctx_first, ctx_last) — bounded fanout:
+    a doc touches ceil(len/L)+1 contexts); each context sums the token
+    slice that actually lands in it, so every context reports exactly
+    context_len tokens except the final partial one — the invariant a
+    trainer's data loader depends on."""
+    L = F.lit(context_len).cast("bigint")
+    ex = packed.select(
+        F.col(token_col).alias("_n"),
+        F.col("tok_start"),
+        F.col("ctx_first"),
+        F.explode(
+            F.sequence(F.col("ctx_first"), F.col("ctx_last"))
+        ).alias("ctx_id"),
+    )
+    lo = F.greatest(F.col("tok_start"), F.col("ctx_id") * L)
+    hi = F.least(F.col("tok_start") + F.col("_n"), (F.col("ctx_id") + 1) * L)
+    return (
+        ex.groupBy("ctx_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.greatest(hi - lo, F.lit(0))).alias("n_tokens"),
+            F.sum(
+                (F.col("ctx_id") > F.col("ctx_first")).cast("long")
+            ).alias("n_straddlers"),
+        )
+    )

@@ -2587,3 +2587,100 @@ def q_layout_bucketed_join(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=None,
+    note=(
+        "extension: GPT-style concatenate-and-chunk sequence packing — "
+        "the global token stream cut every context_len tokens, docs "
+        "straddling cuts tracked; the two-phase distributed prefix sum "
+        "(no partition-less window). Summary pins the data-loader "
+        "invariant: every context holds exactly context_len tokens "
+        "except the final partial. DuckDB cumsum parity in "
+        "tests/test_packing.py"
+    ),
+)
+def q_pipeline_pack_sequences(spark, sf_dir):
+    from etl_hero_spark.packing import pack_sequences, sequence_manifest
+
+    L = 512
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), context_len=L, order_col="doc_id"
+    )
+    man = sequence_manifest(packed, context_len=L)
+    return man.agg(
+        F.count(F.lit(1)).alias("n_contexts"),
+        F.sum((F.col("n_tokens") == L).cast("long"))
+        .cast("bigint")
+        .alias("n_full_contexts"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_straddlers").cast("bigint").alias("n_straddlers"),
+        F.max("n_docs").alias("max_docs_per_context"),
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=None,
+    note=(
+        "extension: BM25 top-k terms per doc — TF-IDF's production "
+        "successor (saturating tf + doc-length normalization, "
+        "Lucene-smoothed idf). Same staged-tokenize plan as "
+        "text_tfidf_topk; identical expression text runs in DuckDB "
+        "(tests/test_textops.py). Summary keeps the result bounded"
+    ),
+)
+def q_text_bm25_topk(spark, sf_dir):
+    from etl_hero_spark.textops import bm25_top_terms
+
+    top = bm25_top_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+    return top.groupBy("rnk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("bm25"), 4).alias("sum_bm25"),
+        F.min("term").alias("min_term"),
+        F.max("term").alias("max_term"),
+    ).orderBy("rnk")
+
+
+@register(
+    "sample_diverse_clusters",
+    oracle=None,
+    note=(
+        "extension: diversity-preserving downsample — k-means clusters "
+        "capped at n rows each via the deterministic md5 reservoir: "
+        "dense near-duplicate regions stop dominating the sample, "
+        "embedding-space COVERAGE is kept. Assignment is a centroid-"
+        "literal expression (no join); the subset is a pure function of "
+        "(model, salt, ids). Component semantics pinned in "
+        "tests/test_simsearch.py + tests/test_packing.py; summary per "
+        "cluster"
+    ),
+)
+def q_sample_diverse_clusters(spark, sf_dir):
+    from etl_hero_spark.simsearch import (
+        diverse_sample_by_cluster,
+        kmeans_lloyd,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = f"{sf_dir}/embeddings.parquet"
+    key = ("kmeans", p, os.stat(p).st_mtime)
+    model = _KMEANS_MEMO.get(key)
+    if model is None:
+        model = kmeans_lloyd(emb, k=8, iters=6)
+        _KMEANS_MEMO[key] = model
+    sample = diverse_sample_by_cluster(
+        emb, model["centroids"], n_per_cluster=40
+    )
+    return (
+        sample.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_ids"),
+        )
+        .orderBy("cluster")
+    )

@@ -1198,3 +1198,34 @@ def cluster_sizes_lloyd(
             ).alias("inertia"),
         )
     )
+
+
+def diverse_sample_by_cluster(
+    corpus: DataFrame,
+    centroids: list,
+    n_per_cluster: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "divs1",
+) -> DataFrame:
+    """Diversity-preserving downsample: cap each k-means cluster at
+    ``n_per_cluster`` members — the standard cure for a corpus dominated
+    by one dense region (near-duplicate boilerplate, one hot domain):
+    uniform random sampling keeps the duplicates' share; per-cluster
+    caps keep COVERAGE of the embedding space instead.
+
+    Assignment is a map-side expression over centroid literals (no
+    join); the within-cluster choice is the deterministic md5 reservoir
+    (sampling.reservoir_per_key) — so the selected subset is a pure
+    function of (centroids, salt, ids): reproducible across runs,
+    engines, and partitionings, and growth-consistent as the corpus
+    ingests more batches. Adds a `cluster` column to the sampled rows.
+    """
+    from etl_hero_spark.sampling import reservoir_per_key
+
+    assigned = corpus.withColumn(
+        "cluster", nearest_lists_expr(vec_col, centroids, 1, dp=None)[0]
+    )
+    return reservoir_per_key(
+        assigned, "cluster", n=n_per_cluster, id_col=id_col, salt=salt
+    )

@@ -1013,3 +1013,80 @@ def with_clean_text(
         "n_chars_removed",
         (F.length(F.col(col)) - F.length(cleaned)).cast("int"),
     ).withColumn(out_col, cleaned)
+
+
+# ---------------------------------------------------------------------------
+# BM25 — TF-IDF's production successor (Lucene/Elasticsearch default):
+# saturating term frequency + document-length normalization
+# ---------------------------------------------------------------------------
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    persist: bool = True,
+) -> DataFrame:
+    """Top-k terms per document by BM25: (id, term, tf, dl, bm25, rnk).
+
+    bm25 = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with the
+    Lucene-style smoothed idf ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) —
+    always positive, so corpus-wide terms rank low instead of flipping
+    sign. tf saturates (doubling a term's count doesn't double its
+    score) and long documents are discounted toward the corpus mean
+    length — the two fixes over raw TF-IDF that made BM25 the lexical
+    default. Ties break by term ascending.
+
+    Plan mirrors tfidf_top_terms: tokenize once behind a disk stage
+    boundary, df_t and per-doc length dl both re-aggregate the bounded
+    (id, term, tf) table, N and avgdl ride one broadcast 1-row agg, and
+    the final top-k is a per-doc window (never partition-less). All
+    arithmetic is integer counts widened to double in a fixed order —
+    the DuckDB parity test runs the same expression text.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_expr(text_col)).alias("_t"),
+    ).select("id", F.lower("_t").alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if persist:
+        from etl_hero_spark.checkpoint import parquet_checkpoint
+
+        tf = parquet_checkpoint(tf, "bm25_tf")
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(
+            (
+                F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl")
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    norm = tfd + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dft, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bm25", F.round(idf * tfd * F.lit(k1 + 1.0) / norm, 6)
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id", "term", "tf", "dl", "bm25", "rnk")
+    )

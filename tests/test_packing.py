@@ -461,3 +461,102 @@ def test_reservoir_per_key_growth_consistent(spark, sf_dir):
     # every survivor of the superset run that isn't a newcomer was
     # already in the subset's reservoir
     assert (r_all - newcomers) <= r_sub
+
+
+# ---------------------------------------------------------------------------
+# fixed-length sequence packing (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_duckdb_cumsum(spark, sf_dir):
+    """tok_start is the exclusive prefix sum of token counts in doc_id
+    order; ctx spans are pure floor arithmetic on it — all expressible
+    as one DuckDB window cumsum over the same whitespace tokenization."""
+    import duckdb
+
+    from etl_hero_spark.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    L = 512
+    got = sorted(
+        (r["doc_id"], r["tok_start"], r["ctx_first"], r["ctx_last"], r["n_ctx"])
+        for r in pack_sequences(docs, context_len=L).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS BIGINT) AS n
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            ), p AS (
+              SELECT doc_id, n,
+                CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s
+              FROM t
+            )
+            SELECT doc_id, s,
+              CAST(floor(s / {L}.0) AS BIGINT),
+              CAST(floor(greatest(s + n - 1, s) / {L}.0) AS BIGINT),
+              CAST(floor(greatest(s + n - 1, s) / {L}.0)
+                   - floor(s / {L}.0) + 1 AS BIGINT)
+            FROM p
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_sequence_manifest_invariants(spark, sf_dir):
+    """Every context carries exactly context_len tokens except the final
+    partial; context token totals reconstruct the corpus total; a
+    straddler is counted in every context after its first."""
+    from etl_hero_spark.packing import pack_sequences, sequence_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    L = 512
+    packed = pack_sequences(docs, context_len=L)
+    man = sequence_manifest(packed, context_len=L).orderBy("ctx_id").collect()
+    total = packed.agg(F.sum("n_tokens")).first()[0]
+    assert [r["ctx_id"] for r in man] == list(range(len(man)))
+    assert all(r["n_tokens"] == L for r in man[:-1])
+    assert 0 < man[-1]["n_tokens"] <= L
+    assert sum(r["n_tokens"] for r in man) == total
+    n_straddle_rows = packed.filter(F.col("n_ctx") > 1).count()
+    assert sum(r["n_straddlers"] for r in man) == packed.agg(
+        F.sum(F.col("n_ctx") - 1)
+    ).first()[0]
+    assert n_straddle_rows > 0  # fixture long docs actually straddle
+
+
+def test_pack_sequences_zero_token_docs_degenerate_span(spark):
+    from etl_hero_spark.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "d e")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, context_len=4).collect()}
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["ctx_first"] == rows[2]["ctx_last"]
+    assert rows[2]["n_ctx"] == 1
+    # doc 3: tokens 3..4 straddle the cut at 4
+    assert rows[3]["ctx_first"] == 0 and rows[3]["ctx_last"] == 1
+
+
+def test_with_split_group_key_is_leakage_safe(spark, sf_dir):
+    """Passing a GROUP column as the hash key sends every row of the
+    group to one split — the group-aware (URL/source-level) split that
+    prevents near-duplicate train/test leakage."""
+    from etl_hero_spark.sampling import with_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_split(docs, "source", {"train": 0.8, "val": 0.2})
+    per_group = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    assert out.select("split").distinct().count() == 2

@@ -657,3 +657,33 @@ def test_cluster_sizes_lloyd_partitions_corpus(spark, sf_dir):
     assert all(
         r["inertia"] >= 0 and math.isfinite(r["inertia"]) for r in rows
     )
+
+
+def test_diverse_sample_caps_clusters_and_is_deterministic(spark, sf_dir):
+    """Per-cluster cap respected (min(n, cluster size) rows each), the
+    sample is a subset of the corpus, and repartitioning the corpus
+    changes nothing (md5 reservoir + literal-expression assignment)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = simsearch.kmeans_lloyd(emb, k=4, iters=2, seed=7)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in simsearch.cluster_sizes_lloyd(
+            emb, model["centroids"]
+        ).collect()
+    }
+    n = 25
+    s1 = simsearch.diverse_sample_by_cluster(emb, model["centroids"], n)
+    got = {
+        r["cluster"]: r["cnt"]
+        for r in s1.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == {c: min(n, sz) for c, sz in sizes.items()}
+    ids1 = sorted(r["vec_id"] for r in s1.select("vec_id").collect())
+    s2 = simsearch.diverse_sample_by_cluster(
+        emb.repartition(13, "vec_id"), model["centroids"], n
+    )
+    assert ids1 == sorted(r["vec_id"] for r in s2.select("vec_id").collect())
+    corpus_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert set(ids1) <= corpus_ids

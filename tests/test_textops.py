@@ -842,3 +842,69 @@ def test_clean_text_normalization(spark):
     ).withColumn("fp", fingerprint_expr(clean_text_expr("text")))
     fps = [r["fp"] for r in pair.collect()]
     assert fps[0] == fps[1]
+
+
+# ---------------------------------------------------------------------------
+# BM25 (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_python_reference(spark):
+    """Full BM25 model on a small fixture: Lucene-smoothed idf,
+    saturating tf, doc-length normalization — mirrored exactly in
+    Python floats."""
+    import math
+
+    docs = [
+        (1, "apple apple the pie"),
+        (2, "the banana pie pie pie"),
+        (3, "the cherry"),
+        (4, "apple banana cherry the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    k1, b = 1.2, 0.75
+    out = textops.bm25_top_terms(df, "doc_id", "text", k=10, k1=k1, b=b)
+    got = {(r["id"], r["term"]): (r["tf"], r["dl"], r["bm25"]) for r in out.collect()}
+
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    dls = {i: len(ts) for i, ts in toks.items()}
+    avgdl = sum(dls.values()) / n
+    dft = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dft[t] = dft.get(t, 0) + 1
+    for i, ts in toks.items():
+        for t in set(ts):
+            tf = ts.count(t)
+            idf = math.log(1.0 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            score = idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dls[i] / avgdl)
+            )
+            gtf, gdl, gscore = got[(i, t)]
+            assert (gtf, gdl) == (tf, dls[i])
+            assert abs(gscore - score) < 1e-6
+    # every (doc, term) pair surfaced (k=10 > vocab per doc)
+    assert len(got) == sum(len(set(ts)) for ts in toks.values())
+
+
+def test_bm25_discounts_long_docs_and_saturates(spark):
+    """The two properties TF-IDF lacks: (a) same tf in a longer doc
+    scores LOWER; (b) doubling tf far less than doubles the score."""
+    df = spark.createDataFrame(
+        [
+            (1, "target " + "filler " * 4),
+            (2, "target " + "filler " * 40),
+            (3, "target target " + "filler " * 4),
+            (4, "pad"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = textops.bm25_top_terms(df, "doc_id", "text", k=10)
+    s = {
+        (r["id"]): r["bm25"]
+        for r in out.filter("term = 'target'").collect()
+    }
+    assert s[2] < s[1]  # length discount
+    assert s[3] < 2 * s[1]  # tf saturation
+    assert s[3] > s[1]  # but more tf still helps

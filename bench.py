@@ -107,6 +107,7 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "text_bm25_topk",
     "sample_diverse_clusters",
+    "layout_partition_overwrite",
 ]
 
 

@@ -266,3 +266,84 @@ def write_bucketed_table(
     if memo_key is not None:
         _BUCKETED_TABLES[table] = memo_key
     return table
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition overwrite — the lake's incremental-refresh primitive
+# (rewrite ONLY the partitions a late batch touches; everything else
+# keeps its files, byte for byte)
+# ---------------------------------------------------------------------------
+
+
+def write_partitioned(df: DataFrame, path: str, part_col: str) -> None:
+    """Initial partitioned layout: one directory per ``part_col`` value.
+    Pair with overwrite_changed_partitions for incremental refreshes."""
+    df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+
+
+def partition_file_index(spark: SparkSession, path: str) -> dict:
+    """{partition_value: {relative_file: (size, mtime_ns)}} — the
+    physical fingerprint an overwrite audit compares. Driver-side
+    listing of the partition directories (metadata-only, no data read)."""
+    out: dict = {}
+    for entry in os.scandir(path):
+        if not entry.is_dir() or "=" not in entry.name:
+            continue
+        val = entry.name.split("=", 1)[1]
+        files = {}
+        for f in os.scandir(entry.path):
+            if f.name.startswith(("part-", "part_")) or f.name.endswith(
+                ".parquet"
+            ):
+                st = f.stat()
+                files[f.name] = (st.st_size, st.st_mtime_ns)
+        out[val] = files
+    return out
+
+
+def overwrite_changed_partitions(
+    delta: DataFrame, path: str, part_col: str
+) -> None:
+    """Apply a late/corrected batch by rewriting ONLY the partitions
+    present in ``delta`` (partitionOverwriteMode=dynamic): at 100 TB a
+    day's correction rewrites one day's directory, not the table — the
+    difference between an hourly refresh and an impossible one. Static
+    overwrite mode (the default) would TRUNCATE the whole table first;
+    the conf is set for this write and restored after."""
+    spark = delta.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        delta.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    finally:
+        spark.conf.set(key, old)
+
+
+def overwrite_audit(before: dict, after: dict, touched: set) -> dict:
+    """Compare two partition_file_index snapshots: partitions NOT in
+    ``touched`` must be byte-identical (same files, sizes, mtimes);
+    touched ones must have been rewritten. Returns counts; raises
+    AssertionError naming the first violating partition — an audit that
+    fails loudly, per the no-silent-caps policy."""
+    preserved = 0
+    for part, files in before.items():
+        if part in touched:
+            continue
+        if after.get(part) != files:
+            raise AssertionError(
+                f"untouched partition rewritten: {part!r}"
+            )
+        preserved += 1
+    rewritten = 0
+    for part in touched:
+        if after.get(part) == before.get(part):
+            raise AssertionError(
+                f"touched partition NOT rewritten: {part!r}"
+            )
+        rewritten += 1
+    return {
+        "n_preserved": preserved,
+        "n_rewritten": rewritten,
+        "n_partitions_after": len(after),
+    }

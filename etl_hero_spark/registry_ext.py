@@ -2684,3 +2684,103 @@ def q_sample_diverse_clusters(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "stream_join_attribution",
+    oracle=None,
+    note=(
+        "streaming extension: TRUE stream-STREAM inner join (10th "
+        "twin, the hardest Structured Streaming feature) — views and "
+        "purchases as two watermarked unbounded streams, equality key "
+        "+ two-sided time bound so state EVICTS (a view's row dies at "
+        "watermark past view_ts+horizon); inner joins emit on match, "
+        "so the drained sink equals attribution_join_batch exactly "
+        "(pinned in tests/test_streaming.py). Summary per user bucket"
+    ),
+)
+def q_stream_join_attribution(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_attribution_join
+
+    out = stream_attribution_join(spark, f"{sf_dir}/events.parquet")
+    return (
+        out.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("purchase_value").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_value"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@register(
+    "layout_partition_overwrite",
+    oracle=None,
+    note=(
+        "extension: dynamic partition overwrite — the lake's "
+        "incremental-refresh primitive: a late batch rewrites ONLY the "
+        "day partitions it touches (partitionOverwriteMode=dynamic; "
+        "static mode would truncate the table). The audit proves "
+        "untouched partitions keep their files byte-for-byte "
+        "(size+mtime fingerprint) and raises loudly otherwise. Query "
+        "reports the audit counts + post-refresh totals of the touched "
+        "day"
+    ),
+)
+def q_layout_partition_overwrite(spark, sf_dir):
+    from etl_hero_spark.checkpoint import session_tmpdir
+    from etl_hero_spark.layout import (
+        overwrite_audit,
+        overwrite_changed_partitions,
+        partition_file_index,
+        write_partitioned,
+    )
+    from etl_hero_spark.registry import _events
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    path = session_tmpdir("partsync")
+    write_partitioned(ev, path, "day")
+    before = partition_file_index(spark, path)
+    last_day = ev.agg(F.max("day")).first()[0]
+    delta = ev.filter(F.col("day") == last_day).withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_changed_partitions(delta, path, "day")
+    audit = overwrite_audit(
+        before, partition_file_index(spark, path), {last_day}
+    )
+    refreshed = (
+        spark.read.parquet(path)
+        .filter(F.col("day") == last_day)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                audit["n_preserved"],
+                audit["n_rewritten"],
+                audit["n_partitions_after"],
+                refreshed["n_rows"],
+                refreshed["sum_value"],
+            )
+        ],
+        "n_preserved bigint, n_rewritten bigint, n_partitions bigint, "
+        "touched_rows bigint, touched_sum double",
+    )

@@ -1014,3 +1014,113 @@ def merge_hourly_delta(base_hourly: DataFrame, delta_events: DataFrame) -> DataF
             F.sum("_sum_dec").alias("_sum_dec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join — view->purchase attribution (the 10th TRUE twin:
+# both sides are unbounded streams, state bounded by watermark + the
+# time-range join condition)
+# ---------------------------------------------------------------------------
+
+
+def attribution_join_batch(
+    events: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Every (view, purchase) pair of the SAME user where the purchase
+    lands within ``horizon`` after the view — last-touch-style
+    attribution as a time-bounded self-join. Batch form of
+    stream_attribution_join; the identical join expression runs under
+    Structured Streaming, which is why the twin exists."""
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", _TS_FMT).alias("view_ts"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        F.round(F.col("purchase_value"), 2).alias("purchase_value"),
+    )
+
+
+def stream_attribution_join(
+    spark: SparkSession,
+    events_path: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "etl_hero_stream_attr",
+) -> DataFrame:
+    """attribution_join_batch as a TRUE stream-stream inner join: both
+    sides read the unbounded file stream, both carry watermarks, and the
+    join condition's two-sided time bound is what lets Spark EVICT
+    state — a view's state row dies once the watermark passes
+    view_ts + horizon, a purchase's once it can no longer match any
+    retained view. Inner joins emit on match arrival (the watermark
+    gates state size, not emission), so after draining a finite source
+    the sink equals the batch join exactly — pinned in tests.
+    """
+    src = _events_stream_source(spark, events_path, "etl_hero_stream_attr_")
+    v = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", _TS_FMT).alias("view_ts"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        F.round(F.col("purchase_value"), 2).alias("purchase_value"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

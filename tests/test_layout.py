@@ -188,3 +188,79 @@ def test_bucketed_write_memoizes_by_key(spark, sf_dir):
         df.limit(1), "t_bkt_memo", "r_regionkey", memo_key=("a", 2)
     )
     assert spark.table("t_bkt_memo").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition overwrite (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_partition_overwrite_rewrites_only_touched(spark, events, tmp_path):
+    from etl_hero_spark.layout import (
+        overwrite_audit,
+        overwrite_changed_partitions,
+        partition_file_index,
+        write_partitioned,
+    )
+
+    ev = events.select(
+        "event_id", "value", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    path = str(tmp_path / "ptable")
+    write_partitioned(ev, path, "day")
+    before = partition_file_index(spark, path)
+    assert len(before) > 3
+    last_day = ev.agg(F.max("day")).first()[0]
+    delta = ev.filter(F.col("day") == last_day).withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_changed_partitions(delta, path, "day")
+    after = partition_file_index(spark, path)
+    audit = overwrite_audit(before, after, {last_day})
+    assert audit["n_rewritten"] == 1
+    assert audit["n_preserved"] == len(before) - 1
+    # table content: touched day doubled, everything else untouched
+    # (partition-column inference reads `day` back as DATE — normalize)
+    got = spark.read.parquet(path).withColumn(
+        "day", F.col("day").cast("string")
+    )
+    want = ev.withColumn(
+        "value",
+        F.when(F.col("day") == last_day, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    key = lambda df: sorted(
+        (r["event_id"], r["day"], r["value"]) for r in df.collect()
+    )
+    assert key(got) == key(want)
+
+
+def test_overwrite_audit_raises_on_unexpected_rewrite(spark, events, tmp_path):
+    """The audit fails loudly: claiming a rewritten partition was
+    untouched (or vice versa) raises instead of under-reporting."""
+    import pytest as _pytest
+
+    from etl_hero_spark.layout import (
+        overwrite_audit,
+        overwrite_changed_partitions,
+        partition_file_index,
+        write_partitioned,
+    )
+
+    ev = events.select(
+        "event_id", "value", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    path = str(tmp_path / "ptable2")
+    write_partitioned(ev, path, "day")
+    before = partition_file_index(spark, path)
+    last_day = ev.agg(F.max("day")).first()[0]
+    overwrite_changed_partitions(
+        ev.filter(F.col("day") == last_day), path, "day"
+    )
+    after = partition_file_index(spark, path)
+    with _pytest.raises(AssertionError, match="untouched partition"):
+        overwrite_audit(before, after, set())  # lie: nothing touched
+    untouched = next(p for p in before if p != last_day)
+    with _pytest.raises(AssertionError, match="NOT rewritten"):
+        overwrite_audit(before, after, {last_day, untouched})

@@ -700,3 +700,58 @@ def test_registered_rollup_incremental_serves_daily_tier(spark, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_attribution_equals_batch(spark, sf_dir):
+    """The TRUE stream-stream inner join drained over the finite fixture
+    must equal the batch join exactly — inner joins emit on match (the
+    watermark bounds state, not emission), so nothing is lost at the
+    stream's end."""
+    from etl_hero_spark.streaming import (
+        attribution_join_batch,
+        stream_attribution_join,
+    )
+
+    batch = sorted(
+        map(tuple, attribution_join_batch(_events(spark, sf_dir)).collect())
+    )
+    stream = sorted(
+        map(
+            tuple,
+            stream_attribution_join(
+                spark, f"{sf_dir}/events.parquet"
+            ).collect(),
+        )
+    )
+    assert stream == batch and len(batch) > 0
+
+
+def test_attribution_join_batch_semantics(spark):
+    """Window edges: purchase at view_ts and at view_ts+horizon both
+    attribute (closed interval); one tick later does not; other users'
+    purchases never match."""
+    rows = [
+        (1, 10, "view", "2024-01-01 10:00:00", 0.0),
+        (2, 10, "purchase", "2024-01-01 10:00:00", 5.0),   # same instant
+        (3, 10, "purchase", "2024-01-01 11:00:00", 7.0),   # exactly +1h
+        (4, 10, "purchase", "2024-01-01 11:00:01", 9.0),   # 1s too late
+        (5, 20, "purchase", "2024-01-01 10:30:00", 11.0),  # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, s string, value double"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.to_timestamp("s").alias("ts"), "value",
+    )
+    from etl_hero_spark.streaming import attribution_join_batch
+
+    got = sorted(
+        (r["view_id"], r["purchase_id"])
+        for r in attribution_join_batch(ev, horizon="1 hour").collect()
+    )
+    assert got == [(1, 2), (1, 3)]

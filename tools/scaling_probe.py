@@ -25,6 +25,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 SF_DIR = "/root/testdata/sf0.1"
 
+_MODEL_MEMO: dict = {}
+
 
 def scaled_path(spark, table: str, n: int, keys: dict) -> str:
     """Write an n-x union of `table` with shifted keys; return path."""
@@ -79,11 +81,13 @@ def main() -> None:
     factors = [f for f in factors if f <= max_factor]
     spark = get_spark("scaling-probe")
 
-    def ops(li_path, ev_path, docs_path, cust_path):
+    def ops(li_path, ev_path, docs_path, cust_path, ord_path, emb_path, factor):
         li = lambda: spark.read.parquet(li_path)  # noqa: E731
         ev = lambda: spark.read.parquet(ev_path)  # noqa: E731
         docs = lambda: spark.read.parquet(docs_path)  # noqa: E731
         cu = lambda: spark.read.parquet(cust_path)  # noqa: E731
+        od = lambda: spark.read.parquet(ord_path)  # noqa: E731
+        em = lambda: spark.read.parquet(emb_path)  # noqa: E731
 
         def profile_stats():
             from etl_hero_spark.profile import dec_avg, dec_stddev_pop
@@ -215,6 +219,88 @@ def main() -> None:
                 on_oversized="error",
             ).write.format("noop").mode("overwrite").save()
 
+        def trigram_join():
+            # max_df scales WITH the corpus (a fraction, the production
+            # posture): fixed absolute caps would shrink the candidate
+            # set as df saturates and fake a sub-linear exponent
+            from etl_hero_spark.er import trigram_block_pairs
+
+            cust = cu().select(
+                "c_custkey",
+                F.concat(
+                    F.lit("cust-"), F.col("c_custkey").cast("string")
+                ).alias("name"),
+            )
+            trigram_block_pairs(
+                cust, "c_custkey", "name",
+                max_df=50 * factor, min_sim=0.9,
+            ).write.format("noop").mode("overwrite").save()
+
+        def countmin():
+            from etl_hero_spark.profile import countmin_sketch
+
+            countmin_sketch(
+                li().select(F.col("l_partkey").alias("k")), "k",
+                width=1024, depth=4,
+            ).write.format("noop").mode("overwrite").save()
+
+        def gdpr_cascade():
+            from etl_hero_spark.cdc import propagate_erasure
+
+            tables = {
+                "customer": cu(),
+                "orders": od(),
+                "lineitem": li(),
+            }
+            erase = (
+                tables["customer"]
+                .filter(F.col("c_custkey") % 1000 == 7)
+                .select(F.col("c_custkey").alias("k"))
+            )
+            cleaned = propagate_erasure(
+                tables, erase,
+                key_map={"customer": "c_custkey", "orders": "o_custkey"},
+                cascade=[("lineitem", "l_orderkey", "orders", "o_orderkey")],
+            )
+            for df in cleaned.values():
+                df.write.format("noop").mode("overwrite").save()
+
+        def pack_seqs():
+            from etl_hero_spark.packing import (
+                pack_sequences,
+                sequence_manifest,
+            )
+
+            packed = pack_sequences(docs(), context_len=512)
+            sequence_manifest(packed, context_len=512).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        def bm25():
+            from etl_hero_spark.textops import bm25_top_terms
+
+            bm25_top_terms(docs(), "doc_id", "text", k=3).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        def kmeans_assign():
+            # one Lloyd data pass (assignment expression + bounded agg)
+            # with a FIXED model: training cost is this x iters, so the
+            # per-pass exponent is the training exponent
+            from etl_hero_spark.simsearch import (
+                cluster_sizes_lloyd,
+                kmeans_init,
+            )
+
+            key = ("scale_kmeans_model",)
+            model = _MODEL_MEMO.get(key)
+            if model is None:
+                model = kmeans_init(em(), 8, seed=7)
+                _MODEL_MEMO[key] = model
+            cluster_sizes_lloyd(em(), model).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
         return {
             "profile_stats": profile_stats,
             "grouping_sets": grouping_sets,
@@ -226,6 +312,12 @@ def main() -> None:
             "rolling_features": rolling,
             "interval_overlap": interval_overlap,
             "er_multi_attr": er_multi,
+            "trigram_join": trigram_join,
+            "countmin_sketch": countmin,
+            "gdpr_cascade": gdpr_cascade,
+            "pack_sequences": pack_seqs,
+            "bm25_topk": bm25,
+            "kmeans_assign": kmeans_assign,
         }
 
     results: dict[str, dict[int, float]] = {}
@@ -238,7 +330,11 @@ def main() -> None:
     )
     w_do = scaled_path(spark, "documents", 1, {"doc_id": 10_000_000})
     w_cu = scaled_path(spark, "customer", 1, {"c_custkey": 10_000_000})
-    for fn in ops(w_li, w_ev, w_do, w_cu).values():
+    w_od = scaled_path(
+        spark, "orders", 1, {"o_orderkey": 10_000_000, "o_custkey": 10_000_000}
+    )
+    w_em = scaled_path(spark, "embeddings", 1, {"vec_id": 10_000_000})
+    for fn in ops(w_li, w_ev, w_do, w_cu, w_od, w_em, 1).values():
         fn()
     for n in factors:
         li_p = scaled_path(spark, "lineitem", n, {"l_orderkey": 10_000_000})
@@ -247,7 +343,12 @@ def main() -> None:
             spark, "documents", n, {"doc_id": 10_000_000}
         )
         cu_p = scaled_path(spark, "customer", n, {"c_custkey": 10_000_000})
-        for name, fn in ops(li_p, ev_p, do_p, cu_p).items():
+        od_p = scaled_path(
+            spark, "orders", n,
+            {"o_orderkey": 10_000_000, "o_custkey": 10_000_000},
+        )
+        em_p = scaled_path(spark, "embeddings", n, {"vec_id": 10_000_000})
+        for name, fn in ops(li_p, ev_p, do_p, cu_p, od_p, em_p, n).items():
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()

@@ -108,6 +108,8 @@ HEADLINE = [
     "text_bm25_topk",
     "sample_diverse_clusters",
     "layout_partition_overwrite",
+    "quality_quarantine_orders",
+    "cdc_join_refresh",
 ]
 
 

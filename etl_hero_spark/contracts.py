@@ -92,3 +92,41 @@ def validate_contract(
     return df.sparkSession.createDataFrame(
         rows, "rule string, n_violations bigint"
     )
+
+
+def with_violations(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Per-ROW rule evaluation: adds `violations`, the array of names of
+    the rules this row breaks (empty array = clean). One codegen pass —
+    the row-level companion to validate_contract's corpus-level counts,
+    for when the remedy is routing rows, not failing batches."""
+    arr = F.array_compact(
+        F.array(
+            *[
+                F.when(r.cond, F.lit(r.name)).otherwise(F.lit(None))
+                for r in rules
+            ]
+        )
+    )
+    return df.withColumn("violations", arr)
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): rows breaking NO rule continue downstream;
+    the rest carry their `violations` array for triage — the
+    quarantine-and-continue posture (a bad 0.1% shouldn't fail a 100 TB
+    batch the way validate_contract's gate would; it should be routed).
+
+    Both returns are lazy filters of ONE flagged plan. To land both
+    sides in a single scan at scale, write the flagged frame once
+    partitioned by a validity flag instead of materializing each side:
+
+        with_violations(df, rules).withColumn(
+            "_valid", F.size("violations") == 0
+        ).write.partitionBy("_valid").parquet(path)
+    """
+    flagged = with_violations(df, rules)
+    clean = flagged.filter(F.size("violations") == 0).drop("violations")
+    bad = flagged.filter(F.size("violations") > 0)
+    return clean, bad

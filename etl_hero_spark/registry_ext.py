@@ -2784,3 +2784,87 @@ def q_layout_partition_overwrite(spark, sf_dir):
         "n_preserved bigint, n_rewritten bigint, n_partitions bigint, "
         "touched_rows bigint, touched_sum double",
     )
+
+
+@register(
+    "quality_quarantine_orders",
+    oracle=None,
+    note=(
+        "extension: quarantine-and-continue quality gate — declared "
+        "rules evaluated per ROW in one codegen pass; violating rows "
+        "route to quarantine with their violation names, clean rows "
+        "continue (a bad 0.1% should not fail a 100 TB batch). "
+        "Summary: clean/quarantined counts + per-rule violation "
+        "counts, DuckDB parity in tests/test_edge_cases.py"
+    ),
+)
+def q_quality_quarantine_orders(spark, sf_dir):
+    from etl_hero_spark.contracts import (
+        accepted_values,
+        in_range,
+        matches,
+        with_violations,
+    )
+
+    rules = [
+        in_range("o_totalprice", 1000.0, 400000.0),
+        accepted_values("o_orderstatus", ["O", "F"]),
+        matches("o_orderpriority", "^[1-3]-"),
+    ]
+    flagged = with_violations(_t(spark, sf_dir, "orders"), rules)
+    per_rule = [
+        F.sum(
+            F.array_contains("violations", r.name).cast("long")
+        ).cast("bigint").alias(f"n_{r.name.split(':')[0]}")
+        for r in rules
+    ]
+    return flagged.agg(
+        F.sum((F.size("violations") == 0).cast("long"))
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum((F.size("violations") > 0).cast("long"))
+        .cast("bigint")
+        .alias("n_quarantined"),
+        *per_rule,
+    )
+
+
+@register(
+    "cdc_join_refresh",
+    oracle=None,
+    note=(
+        "extension: incremental materialized-JOIN maintenance (the "
+        "delta-join identity, fact-upsert case): M' = (M anti-join "
+        "delta) UNION (delta join dim) — O(|M|+|delta|), the full fact "
+        "table is never rescanned. Refreshed M' pinned bit-exact "
+        "against the full join of the upserted facts in "
+        "tests/test_cdc.py. Summary per mktsegment over the refreshed "
+        "materialization"
+    ),
+)
+def q_cdc_join_refresh(spark, sf_dir):
+    from etl_hero_spark.cdc import refresh_join_fact_delta
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    mat = orders.join(dim, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+    delta = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    )
+    refreshed = refresh_join_fact_delta(
+        mat, delta, dim, "o_orderkey", "o_custkey"
+    )
+    return (
+        refreshed.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum("o_totalprice", "sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

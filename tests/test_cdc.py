@@ -529,3 +529,71 @@ def test_gdpr_erasure_leaves_no_orphans(spark, sf_dir):
     )
     assert orphan_orders.count() == 0
     assert orphan_lines.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental join maintenance (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _join_key(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_join_refresh_equals_full_recompute(spark, sf_dir):
+    """M' from the delta-join identity must equal re-joining the
+    upserted fact table from scratch — updates replaced, inserts
+    appended, bit-exact."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.cdc import merge_upsert, refresh_join_fact_delta
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    mat = orders.join(dim, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+    # delta: update every 7th order's price + insert brand-new orders
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    delta = updates.unionByName(inserts)
+    got = refresh_join_fact_delta(mat, delta, dim, "o_orderkey", "o_custkey")
+    new_fact = (
+        orders.join(
+            delta.select("o_orderkey").distinct(), "o_orderkey", "left_anti"
+        ).unionByName(delta)
+    )
+    want = new_fact.join(dim, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+    assert _join_key(got) == _join_key(want)
+    assert got.count() > mat.count()  # inserts landed
+
+
+def test_join_refresh_drops_unmatched_delta_rows(spark):
+    """A delta row whose join key no longer matches any dim row leaves
+    the materialization, exactly as a recompute would."""
+    from etl_hero_spark.cdc import refresh_join_fact_delta
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 7.0)], "pk bigint, k bigint, v double"
+    )
+    dim = spark.createDataFrame([(10, "x"), (20, "y")], "k bigint, name string")
+    mat = fact.join(dim, "k").select("pk", "k", "v", "name")
+    delta = spark.createDataFrame(
+        [(1, 99, 6.0)], "pk bigint, k bigint, v double"  # k=99: no dim
+    )
+    got = refresh_join_fact_delta(mat, delta, dim, "pk", "k")
+    assert _join_key(got) == _join_key(
+        mat.filter("pk != 1")
+    )

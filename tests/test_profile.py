@@ -617,3 +617,87 @@ def test_countmin_unseen_key_estimates_zero(spark):
     probe = spark.createDataFrame([("zzz-unseen",)], "k string")
     est = profile.estimate_counts(sk, probe, "k", width=1024, depth=4)
     assert est.first()["est_count"] == 0
+
+
+# ---------------------------------------------------------------------------
+# quarantine split (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_matches_duckdb(spark, sf_dir):
+    """Per-rule violation counts and the clean/quarantined split over
+    orders, mirrored in DuckDB with the same predicates."""
+    import duckdb
+
+    from etl_hero_spark.contracts import (
+        accepted_values,
+        in_range,
+        matches,
+        quarantine_split,
+    )
+
+    rules = [
+        in_range("o_totalprice", 1000.0, 400000.0),
+        accepted_values("o_orderstatus", ["O", "F"]),
+        matches("o_orderpriority", "^[1-3]-"),
+    ]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    clean, bad = quarantine_split(orders, rules)
+    r_range, r_vals, r_re, n_bad, n_clean = duckdb.sql(
+        f"""
+        WITH o AS (
+          SELECT *,
+            (o_totalprice IS NOT NULL
+             AND o_totalprice NOT BETWEEN 1000.0 AND 400000.0) AS v1,
+            (o_orderstatus IS NOT NULL
+             AND o_orderstatus NOT IN ('O', 'F')) AS v2,
+            (o_orderpriority IS NOT NULL
+             AND NOT regexp_matches(o_orderpriority, '^[1-3]-')) AS v3
+          FROM read_parquet('{sf_dir}/orders.parquet')
+        )
+        SELECT sum(v1::int), sum(v2::int), sum(v3::int),
+               sum((v1 OR v2 OR v3)::int),
+               sum((NOT (v1 OR v2 OR v3))::int)
+        FROM o
+        """
+    ).fetchone()
+    assert clean.count() == n_clean
+    assert bad.count() == n_bad
+    by_rule = (
+        bad.select(F.explode("violations").alias("v"))
+        .groupBy("v")
+        .count()
+        .collect()
+    )
+    got = {r["v"]: r["count"] for r in by_rule}
+    assert got["range:o_totalprice"] == r_range
+    assert got["accepted_values:o_orderstatus"] == r_vals
+    assert got["matches:o_orderpriority"] == r_re
+    # clean + bad partition the input, and clean rows carry no column
+    assert clean.count() + bad.count() == orders.count()
+    assert "violations" not in clean.columns
+
+
+def test_quarantine_null_handling(spark):
+    """NULLs violate only not_null, never range/membership/regex (the
+    rule-builder contract) — a NULL-priced row with a declared range
+    rule stays CLEAN unless not_null is also declared."""
+    from etl_hero_spark.contracts import (
+        in_range,
+        not_null,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 50.0), (3, 5.0)], "id bigint, price double"
+    )
+    clean, bad = quarantine_split(df, [in_range("price", 10.0, 100.0)])
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+    assert [r["id"] for r in bad.collect()] == [3]
+    clean2, bad2 = quarantine_split(
+        df, [in_range("price", 10.0, 100.0), not_null("price")]
+    )
+    assert sorted(r["id"] for r in bad2.collect()) == [1, 3]
+    assert {
+        tuple(r["violations"]) for r in bad2.collect()
+    } == {("not_null:price",), ("range:price",)}

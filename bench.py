@@ -110,6 +110,8 @@ HEADLINE = [
     "layout_partition_overwrite",
     "quality_quarantine_orders",
     "cdc_join_refresh",
+    "cdc_point_in_time_join",
+    "quality_fk_orphans",
 ]
 
 

@@ -130,3 +130,35 @@ def quarantine_split(
     clean = flagged.filter(F.size("violations") == 0).drop("violations")
     bad = flagged.filter(F.size("violations") > 0)
     return clean, bad
+
+
+def referential_integrity(
+    relations: list[tuple[DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """FK orphan audit across a table graph: for each (child, fk,
+    parent, pk) relation, count child rows whose fk matches no parent —
+    the cross-TABLE contract validate_contract's row rules can't see.
+    One anti-join per relation (tiny distinct-key side when the parent
+    is a dimension; AQE picks the strategy). NULL fks are reported
+    separately, not as orphans — an optional FK is absence, a dangling
+    one is corruption. Output: (relation, n_child, n_null_fk,
+    n_orphans)."""
+    spark = relations[0][0].sparkSession
+    rows = []
+    for child, fk, parent, pk in relations:
+        non_null = child.filter(F.col(fk).isNotNull())
+        orphans = non_null.join(
+            parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+        )
+        rows.append(
+            (
+                f"{fk}->{pk}",
+                child.count(),
+                child.filter(F.col(fk).isNull()).count(),
+                orphans.count(),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "relation string, n_child bigint, n_null_fk bigint, n_orphans bigint",
+    )

@@ -2868,3 +2868,87 @@ def q_cdc_join_refresh(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "cdc_point_in_time_join",
+    oracle=None,
+    note=(
+        "extension: point-in-time (as-of-version) join — each order "
+        "joins the customer-segment VERSION in force at its order "
+        "date, from an SCD2 history (half-open validity): the "
+        "feature-store correctness primitive whose absence causes "
+        "training-serving skew. Versions are non-overlapping so the "
+        "interval filter keeps <= 1 match per fact; orders predating "
+        "the first version keep NULL (left join). History is a "
+        "deterministic 3-version change log derived from customer. "
+        "DuckDB parity in tests/test_temporal.py; summary per segment"
+    ),
+)
+def q_cdc_point_in_time_join(spark, sf_dir):
+    from etl_hero_spark.cdc import scd2_history
+    from etl_hero_spark.temporal import point_in_time_join
+
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # deterministic change log: version v (0..2) takes effect 1993/1995/1997,
+    # rotating the segment v steps — every customer has 3 versions
+    changes = cust.select(
+        "c_custkey",
+        F.explode(F.array(*[F.lit(v) for v in (0, 1, 2)])).alias("v"),
+    ).select(
+        "c_custkey",
+        F.to_timestamp(
+            F.concat((F.lit(1993) + F.col("v") * 2).cast("string"),
+                     F.lit("-01-01"))
+        ).alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in segs]),
+            ((F.col("c_custkey") + F.col("v")) % 5).cast("int") + 1,
+        ).alias("segment"),
+    )
+    hist = scd2_history(changes, "c_custkey", "ts", ["segment"])
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        "o_totalprice",
+    )
+    pit = point_in_time_join(orders, hist.drop("is_current"), "c_custkey")
+    return (
+        pit.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "sum_price"),
+        )
+        .orderBy(F.asc_nulls_first("segment"))
+    )
+
+
+@register(
+    "quality_fk_orphans",
+    oracle=None,
+    note=(
+        "extension: cross-table referential-integrity audit — FK "
+        "orphan counts per declared relation via anti-joins (NULL fks "
+        "reported separately: optional is absence, dangling is "
+        "corruption). Fixture plants orphans by hiding every 13th "
+        "order, so the audit provably detects as well as clears. "
+        "DuckDB parity in tests/test_edge_cases.py"
+    ),
+)
+def q_quality_fk_orphans(spark, sf_dir):
+    from etl_hero_spark.contracts import referential_integrity
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders_gapped = orders.filter(F.col("o_orderkey") % 13 != 0)
+    return referential_integrity(
+        [
+            (li, "l_orderkey", orders_gapped, "o_orderkey"),
+            (orders, "o_custkey", cust, "c_custkey"),
+            (cust, "c_nationkey", nation, "n_nationkey"),
+        ]
+    )

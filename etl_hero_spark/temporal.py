@@ -367,3 +367,44 @@ def interval_overlap_join(
         + [bsfx(c) for c in b.columns if c not in keys]
     )
     return joined.select(*out_cols).distinct()
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str] | str,
+    fact_ts: str = "ts",
+    valid_from: str = "effective_from",
+    valid_to: str = "effective_to",
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact to the dimension VERSION that was valid at the
+    fact's own timestamp — the feature-store / Kimbal correctness
+    primitive (training-serving skew is exactly what you get when
+    features join to today's dimension instead of the one in force at
+    event time). ``history`` is an SCD2 table (cdc.scd2_history's
+    shape): half-open [valid_from, valid_to) validity, open version has
+    NULL valid_to.
+
+    Plan: equi-join on the keys + interval filter. Because a key's
+    versions are non-overlapping, at most one version survives per
+    fact; pre-filter fanout is versions-per-key (run-length of the
+    change log — small by construction, no cap needed). One shuffle on
+    the keys for each side; with ``how='left'`` facts predating the
+    first version keep NULL dimension columns instead of dropping.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cond = (F.col(fact_ts) >= F.col(valid_from)) & (
+        F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))
+    )
+    for k in keys:
+        cond = cond & (facts[k] == history[k])
+    joined = facts.join(history, cond, how)
+    return joined.select(
+        *[facts[c] for c in facts.columns],
+        *[
+            history[c]
+            for c in history.columns
+            if c not in keys
+        ],
+    )

@@ -259,3 +259,56 @@ def test_sql_shipping_priority_matches_duckdb_same_text(spark, sf_dir):
         )
     want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
     assert got == want and len(got) == 10
+
+
+def test_fk_orphans_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from etl_hero_spark.registry import all_queries
+
+    got = sorted(
+        map(tuple, all_queries()["quality_fk_orphans"](spark, sf_dir).collect())
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH li AS (SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')),
+                 o AS (SELECT * FROM read_parquet('{sf_dir}/orders.parquet')),
+                 c AS (SELECT * FROM read_parquet('{sf_dir}/customer.parquet')),
+                 n AS (SELECT * FROM read_parquet('{sf_dir}/nation.parquet'))
+            SELECT 'l_orderkey->o_orderkey',
+              (SELECT count(*) FROM li),
+              (SELECT count(*) FROM li WHERE l_orderkey IS NULL),
+              (SELECT count(*) FROM li WHERE l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN
+                 (SELECT o_orderkey FROM o WHERE o_orderkey % 13 <> 0))
+            UNION ALL
+            SELECT 'o_custkey->c_custkey',
+              (SELECT count(*) FROM o),
+              (SELECT count(*) FROM o WHERE o_custkey IS NULL),
+              (SELECT count(*) FROM o WHERE o_custkey IS NOT NULL
+                 AND o_custkey NOT IN (SELECT c_custkey FROM c))
+            UNION ALL
+            SELECT 'c_nationkey->n_nationkey',
+              (SELECT count(*) FROM c),
+              (SELECT count(*) FROM c WHERE c_nationkey IS NULL),
+              (SELECT count(*) FROM c WHERE c_nationkey IS NOT NULL
+                 AND c_nationkey NOT IN (SELECT n_nationkey FROM n))
+            """
+        ).fetchall()
+    )
+    assert got == want
+    by_rel = {r[0]: r for r in got}
+    assert by_rel["l_orderkey->o_orderkey"][3] > 0  # planted orphans found
+    assert by_rel["o_custkey->c_custkey"][3] == 0  # clean FK stays clean
+
+
+def test_fk_null_is_not_orphan(spark):
+    from etl_hero_spark.contracts import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id bigint, fk bigint"
+    )
+    parent = spark.createDataFrame([(10,)], "pk bigint")
+    row = referential_integrity([(child, "fk", parent, "pk")]).first()
+    assert (row["n_child"], row["n_null_fk"], row["n_orphans"]) == (3, 1, 1)

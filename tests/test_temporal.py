@@ -442,3 +442,87 @@ def test_asof_nearest_on_numeric_and_date_axes(spark):
     )
     (row,) = asof_join(left_d, right_d, "key", direction="nearest").collect()
     assert row["v_asof"] == "y"  # 2 days forward beats 3 back
+
+
+# ---------------------------------------------------------------------------
+# point-in-time join (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_point_in_time_join_semantics(spark):
+    """Half-open validity: a fact AT valid_from takes the new version, a
+    fact AT valid_to takes the NEXT version; facts before the first
+    version keep NULL (left join); open version catches everything
+    after."""
+    from etl_hero_spark.temporal import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-02-01 00:00:00", "v1"),
+            (1, "2024-02-01 00:00:00", None, "v2"),
+        ],
+        "k bigint, effective_from string, effective_to string, state string",
+    ).select(
+        "k",
+        F.to_timestamp("effective_from").alias("effective_from"),
+        F.to_timestamp("effective_to").alias("effective_to"),
+        "state",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, "2023-12-31 23:59:59"),  # before any version -> NULL
+            (11, 1, "2024-01-01 00:00:00"),  # exactly at from -> v1
+            (12, 1, "2024-01-15 00:00:00"),  # mid v1
+            (13, 1, "2024-02-01 00:00:00"),  # exactly at boundary -> v2
+            (14, 1, "2030-01-01 00:00:00"),  # open version -> v2
+            (15, 2, "2024-01-15 00:00:00"),  # unknown key -> NULL
+        ],
+        "fid bigint, k bigint, s string",
+    ).select("fid", "k", F.to_timestamp("s").alias("ts"))
+    got = {
+        r["fid"]: r["state"]
+        for r in point_in_time_join(facts, hist, "k").collect()
+    }
+    assert got == {10: None, 11: "v1", 12: "v1", 13: "v2", 14: "v2", 15: None}
+
+
+def test_registered_pit_join_matches_duckdb(spark, sf_dir):
+    """The registered query's whole pipeline (synthetic change log ->
+    SCD2 -> PIT join -> summary) mirrored in DuckDB: the version in
+    force is the newest change at-or-before the order date."""
+    import duckdb
+
+    from etl_hero_spark.registry import all_queries
+
+    got = sorted(
+        map(
+            tuple,
+            all_queries()["cdc_point_in_time_join"](spark, sf_dir).collect(),
+        )
+    )
+    segs = "['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']"
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH chg AS (
+              SELECT c_custkey, v,
+                make_timestamp(1993 + v * 2, 1, 1, 0, 0, 0) AS ts,
+                ({segs})[cast((c_custkey + v) % 5 AS INT) + 1] AS segment
+              FROM read_parquet('{sf_dir}/customer.parquet'),
+                   (SELECT unnest([0, 1, 2]) AS v)
+            ), pit AS (
+              SELECT o.o_totalprice,
+                (SELECT c.segment FROM chg c
+                 WHERE c.c_custkey = o.o_custkey
+                   AND c.ts <= cast(o.o_orderdate AS TIMESTAMP)
+                 ORDER BY c.ts DESC LIMIT 1) AS segment
+              FROM read_parquet('{sf_dir}/orders.parquet') o
+            )
+            SELECT segment, cast(count(*) AS BIGINT) AS n_orders,
+              round(cast(sum(cast(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS sum_price
+            FROM pit GROUP BY segment
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) >= 5

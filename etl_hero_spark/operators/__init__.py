@@ -158,3 +158,44 @@ from etl_hero_spark.sampling import (  # noqa: F401
     mix_sources_temperature,
     temperature_weights,
 )
+
+# round-4 additions
+from etl_hero_spark.cdc import (  # noqa: F401
+    erasure_audit,
+    propagate_erasure,
+    refresh_join_fact_delta,
+)
+from etl_hero_spark.contracts import (  # noqa: F401
+    quarantine_split,
+    referential_integrity,
+    with_violations,
+)
+from etl_hero_spark.detect import seasonal_anomaly_buckets  # noqa: F401
+from etl_hero_spark.er import trigram_block_pairs  # noqa: F401
+from etl_hero_spark.layout import (  # noqa: F401
+    overwrite_audit,
+    overwrite_changed_partitions,
+    partition_file_index,
+    write_bucketed_table,
+    write_partitioned,
+)
+from etl_hero_spark.packing import (  # noqa: F401
+    pack_sequences,
+    pack_token_shards,
+    sequence_manifest,
+    shard_manifest,
+)
+from etl_hero_spark.profile import (  # noqa: F401
+    countmin_sketch,
+    estimate_counts,
+    merge_countmin_sketches,
+)
+from etl_hero_spark.sampling import reservoir_per_key  # noqa: F401
+from etl_hero_spark.simsearch import (  # noqa: F401
+    cluster_sizes_lloyd,
+    diverse_sample_by_cluster,
+    kmeans_init,
+    kmeans_lloyd,
+)
+from etl_hero_spark.temporal import point_in_time_join  # noqa: F401
+from etl_hero_spark.textops import bm25_top_terms  # noqa: F401

@@ -112,6 +112,9 @@ HEADLINE = [
     "cdc_join_refresh",
     "cdc_point_in_time_join",
     "quality_fk_orphans",
+    "profile_key_skew",
+    "cdc_retractable_agg",
+    "text_bpe_tokenize",
 ]
 
 

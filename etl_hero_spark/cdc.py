@@ -366,3 +366,85 @@ def refresh_join_fact_delta(
     )
     fresh = delta_fact.join(dim, join_key)
     return survivors.unionByName(fresh.select(*mat.columns))
+
+
+def retractable_agg_refresh(
+    mat: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    group_cols: list[str] | str,
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incrementally maintain a materialized per-group (count, sums)
+    aggregate under inserts AND deletes — the retractable half of
+    continuous-aggregate maintenance (merge_hourly_delta folds inserts
+    only; counts and sums are abelian, so deletions fold too by
+    SUBTRACTING a delta aggregate):
+
+        M' = fold(M, +agg(inserts), -agg(deletes)), groups at count 0 drop
+
+    ``mat`` must carry ``count_col`` plus one unrounded DECIMAL partial
+    per sum col named ``_sum_<col>`` (the shape hourly_rollup uses —
+    partials stay exact, so refresh is BIT-identical to full recompute,
+    pinned in tests). Cost: O(|inserts|+|deletes|) aggregated to group
+    granularity plus one bounded merge groupBy; history never rescanned.
+    Non-retractable aggregates (min/max/distinct) need their own
+    structures (see quantile/HLL sketches) — this function is exact for
+    the abelian ones.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def _delta(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(*groups).agg(
+            (F.count(F.lit(1)) * sign).cast("bigint").alias(count_col),
+            *[
+                (F.sum(F.col(c).cast("decimal(28,2)")) * sign)
+                .cast("decimal(28,2)")
+                .alias(f"_sum_{c}")
+                for c in sum_cols
+            ],
+        )
+
+    parts = mat.select(
+        *groups,
+        F.col(count_col).cast("bigint").alias(count_col),
+        *[
+            F.col(f"_sum_{c}").cast("decimal(28,2)").alias(f"_sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    merged = (
+        parts.unionByName(_delta(inserts, 1))
+        .unionByName(_delta(deletes, -1))
+        .groupBy(*groups)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[
+                F.sum(f"_sum_{c}")
+                .cast("decimal(28,2)")
+                .alias(f"_sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    return merged
+
+
+def agg_partials(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Build the materialized-aggregate shape retractable_agg_refresh
+    maintains: per-group count + exact DECIMAL sum partials."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return df.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[
+            F.sum(F.col(c).cast("decimal(28,2)")).alias(f"_sum_{c}")
+            for c in sum_cols
+        ],
+    )

@@ -2952,3 +2952,101 @@ def q_quality_fk_orphans(spark, sf_dir):
             (cust, "c_nationkey", nation, "n_nationkey"),
         ]
     )
+
+
+@register(
+    "profile_key_skew",
+    oracle=None,
+    note=(
+        "extension: pre-flight key-skew profile — top-k heavy keys "
+        "with share/cumulative share + max/mean ratio, the report "
+        "behind every salting / hot-cold-split / AQE-skew decision "
+        "(find the straggler key BEFORE the 4-hour straggler task). "
+        "One map-side-combined count + k-row broadcast self-join for "
+        "the cumulative (no partition-less window). DuckDB parity in "
+        "tests/test_skew.py"
+    ),
+)
+def q_profile_key_skew(spark, sf_dir):
+    from etl_hero_spark.skew import key_skew_report
+
+    return key_skew_report(
+        _t(spark, sf_dir, "lineitem"), "l_suppkey", top_k=10
+    ).orderBy(F.desc("n"), F.asc("key"))
+
+
+@register(
+    "cdc_retractable_agg",
+    oracle=None,
+    note=(
+        "extension: retractable continuous-aggregate maintenance — "
+        "counts/sums are abelian, so a materialized per-group "
+        "aggregate folds inserts AND deletes by signed delta "
+        "aggregates: M' = M + agg(ins) - agg(del), count-0 groups "
+        "drop; O(batch), bit-identical to full recompute (pinned in "
+        "tests/test_cdc.py). Demo: orders aggregate by priority under "
+        "a delete+insert batch; summary"
+    ),
+)
+def q_cdc_retractable_agg(spark, sf_dir):
+    from etl_hero_spark.cdc import agg_partials, retractable_agg_refresh
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mat = agg_partials(orders, "o_orderpriority", ["o_totalprice"])
+    deletes = orders.filter(F.col("o_orderkey") % 9 == 0)
+    inserts = orders.filter(F.col("o_orderkey") % 9 == 1).select(
+        (F.col("o_orderkey") + 5_000_000).alias("o_orderkey"),
+        F.lit("6-RUSH").alias("o_orderpriority"),
+        "o_totalprice",
+    )
+    refreshed = retractable_agg_refresh(
+        mat, inserts, deletes, "o_orderpriority", ["o_totalprice"]
+    )
+    return refreshed.select(
+        "o_orderpriority",
+        "n_rows",
+        F.round(F.col("_sum_o_totalprice").cast("double"), 2).alias(
+            "sum_price"
+        ),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=None,
+    note=(
+        "extension: BPE tokenizer training + apply — merges learned "
+        "greedily from the distributed word-count table (the one "
+        "corpus-scale agg every BPE trainer uses; loop runs on the "
+        "bounded table driver-side, a build-once model like the "
+        "k-means trainers), then token counts via ONE broadcast join "
+        "of the word->n_tokens map with chars+1 OOV fallback. "
+        "Python-reference training parity in tests/test_textops.py. "
+        "Summary: corpus compression vs whitespace tokens"
+    ),
+)
+def q_text_bpe_tokenize(spark, sf_dir):
+    from etl_hero_spark.textops import bpe_token_counts, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    p = f"{sf_dir}/documents.parquet"
+    key = ("bpe", p, os.stat(p).st_mtime)
+    model = _BPE_MEMO.get(key)
+    if model is None:
+        model = train_bpe(docs, n_merges=40)
+        _BPE_MEMO[key] = model
+    counts = bpe_token_counts(docs, model)
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe_tokens") / F.sum("n_words"), 6
+        ).alias("tokens_per_word"),
+        F.lit(len(model["merges"])).alias("n_merges"),
+    )
+
+
+_BPE_MEMO: dict = {}

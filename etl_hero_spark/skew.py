@@ -177,3 +177,65 @@ def guarded_join(
             "deduplicate a side or raise max_key_fanout deliberately"
         )
     return left.join(right, keys, how)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """The pre-flight skew PROFILE behind every mitigation choice here:
+    per-key row counts summarized as the top-k heavy keys with their
+    share and cumulative share of all rows, plus corpus-level context
+    (n_keys, n_rows, max/mean ratio). A key holding >> 1/n_partitions
+    of the rows is the one that needs salting / hot-cold splitting /
+    AQE skew-join — this report is how you find it BEFORE the 4-hour
+    straggler does.
+
+    Plan: one groupBy(key) count (map-side combined), a 1-row global
+    agg broadcast back, TakeOrderedAndProject for the top-k, one tiny
+    window over k rows for the cumulative share. NULL keys count as a
+    key (a NULL hot key is still a hot key)."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    top = (
+        counts.select(F.col("key").cast("string").alias("key"), "n")
+        .orderBy(F.desc("n"), F.asc_nulls_first("key"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    # cumulative share WITHOUT a partition-less window (the plan-audit
+    # invariant): a k x k broadcast self-join over the top-k rows —
+    # "earlier" = higher count, key ascending on ties, NULL key first
+    earlier = top.select(
+        F.col("key").alias("_ek"), F.col("n").alias("_en")
+    )
+    order_cmp = (F.col("_en") > F.col("n")) | (
+        (F.col("_en") == F.col("n"))
+        & (
+            F.col("_ek").isNull()
+            | (F.col("_ek") <= F.col("key"))
+        )
+    )
+    cum = (
+        top.join(F.broadcast(earlier), order_cmp, "left")
+        .groupBy("key", "n", "n_keys", "n_rows", "max_n")
+        .agg(F.sum("_en").alias("_cum"))
+    )
+    return cum.select(
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
+        F.round(F.col("_cum") / F.col("n_rows"), 6).alias("cum_share"),
+        "n_keys",
+        "n_rows",
+        F.round(
+            F.col("max_n") * F.col("n_keys") / F.col("n_rows"), 2
+        ).alias("max_over_mean"),
+    )

@@ -1090,3 +1090,115 @@ def bm25_top_terms(
         .filter(F.col("rnk") <= k)
         .select("id", "term", "tf", "dl", "bm25", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — the LLM-pipeline step upstream of every token
+# count: learn merge rules from the corpus, then tokenize with them
+# ---------------------------------------------------------------------------
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over lowercase whitespace words — the ONLY corpus-scale
+    aggregation BPE training needs (one explode + one map-side-combined
+    groupBy). Every standard BPE trainer works on this table, not the
+    raw text: at 100 TB the word-count table is GBs, not TBs."""
+    return (
+        df.select(F.explode(tokens_expr(text_col)).alias("_w"))
+        .select(F.lower("_w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    max_vocab_words: int = 50_000,
+) -> dict:
+    """Greedy BPE merge training (the GPT-2 recipe): repeatedly merge
+    the most frequent adjacent symbol pair, weighted by word frequency.
+
+    Distribution split: the corpus contributes ONE aggregation (the
+    word-count table, truncated to the ``max_vocab_words`` most frequent
+    words — standard practice; the tail it drops is a vanishing share of
+    pair mass); the merge loop then runs driver-side over that bounded
+    table, like every production BPE trainer (and like train_centroids'
+    sampled k-means — a build-once model, not a per-row path). Ties
+    break by lexicographic pair order, so training is deterministic.
+
+    Returns {"merges": [(a, b), ...], "word_tokens": {word: [sym, ...]},
+    "vocab_words": int}. </w> marks word ends (so "low"/"lower" share
+    prefixes but not end tokens).
+    """
+    wc = (
+        word_counts(df, text_col)
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    words = {r["word"]: r["n"] for r in wc}
+    syms = {w: tuple(w) + ("</w>",) for w in words}
+    merges: list = []
+    for _ in range(n_merges):
+        pair_n: dict = {}
+        for w, n in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pair_n[(s[i], s[i + 1])] = pair_n.get((s[i], s[i + 1]), 0) + n
+        if not pair_n:
+            break
+        best = max(pair_n.items(), key=lambda kv: (kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return {
+        "merges": merges,
+        "word_tokens": {w: list(s) for w, s in syms.items()},
+        "vocab_words": len(words),
+    }
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token counts under a trained model: corpus words
+    explode once and broadcast-join the word -> n_tokens map (the model
+    tokenized every word ONCE at train time; the join is the whole
+    apply).
+    Out-of-vocabulary words fall back to chars+1 (their untrained
+    symbol count). Output: (id, n_words, n_bpe_tokens)."""
+    spark = df.sparkSession
+    rows = [
+        (w, len(toks)) for w, toks in model["word_tokens"].items()
+    ]
+    lut = spark.createDataFrame(rows, "word string, n_toks int")
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_expr(text_col)).alias("_w"),
+    ).select("id", F.lower("_w").alias("word"))
+    joined = exploded.join(F.broadcast(lut), "word", "left").select(
+        "id",
+        F.coalesce(
+            F.col("n_toks"), F.length("word") + F.lit(1)
+        ).alias("n_toks"),
+    )
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+    )

@@ -597,3 +597,64 @@ def test_join_refresh_drops_unmatched_delta_rows(spark):
     assert _join_key(got) == _join_key(
         mat.filter("pk != 1")
     )
+
+
+def test_retractable_agg_refresh_equals_recompute(spark, sf_dir):
+    """Signed delta folding must be BIT-identical (decimal partials) to
+    recomputing the aggregate over (base - deletes + inserts), and a
+    fully-deleted group must vanish."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.cdc import agg_partials, retractable_agg_refresh
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mat = agg_partials(orders, "o_orderpriority", ["o_totalprice"])
+    deletes = orders.filter(F.col("o_orderkey") % 9 == 0)
+    inserts = orders.filter(F.col("o_orderkey") % 9 == 1).select(
+        (F.col("o_orderkey") + 5_000_000).alias("o_orderkey"),
+        F.lit("6-RUSH").alias("o_orderpriority"),
+        "o_totalprice",
+    )
+    got = sorted(
+        map(
+            tuple,
+            retractable_agg_refresh(
+                mat, inserts, deletes, "o_orderpriority", ["o_totalprice"]
+            ).collect(),
+        )
+    )
+    new_base = (
+        orders.join(
+            deletes.select("o_orderkey"), "o_orderkey", "left_anti"
+        ).unionByName(inserts)
+    )
+    want = sorted(
+        map(
+            tuple,
+            agg_partials(
+                new_base, "o_orderpriority", ["o_totalprice"]
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 6  # 5 priorities + 6-RUSH
+
+
+def test_retractable_agg_drops_emptied_group(spark):
+    from etl_hero_spark.cdc import agg_partials, retractable_agg_refresh
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, v double"
+    )
+    mat = agg_partials(base, "g", ["v"])
+    refreshed = retractable_agg_refresh(
+        mat,
+        base.filter("1=0"),  # no inserts
+        base.filter("g = 'a'"),  # delete all of group a
+        "g",
+        ["v"],
+    )
+    rows = refreshed.collect()
+    assert [r["g"] for r in rows] == ["b"]
+    assert float(rows[0]["_sum_v"]) == 5.0

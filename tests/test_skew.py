@@ -164,3 +164,62 @@ def test_guarded_join_allows_sane_and_blocks_explosive(spark):
         guarded_join(left_null, right_ok, "k", max_key_fanout=10).count()
         == 1
     )
+
+
+def test_key_skew_report_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from etl_hero_spark.skew import key_skew_report
+
+    got = sorted(
+        map(
+            tuple,
+            key_skew_report(
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+                "l_suppkey",
+                top_k=5,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH c AS (
+              SELECT CAST(l_suppkey AS VARCHAR) AS key,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM read_parquet('{sf_dir}/lineitem.parquet')
+              GROUP BY 1
+            ), t AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(n) AS BIGINT) AS n_rows,
+                     max(n) AS max_n FROM c
+            ), top AS (
+              SELECT * FROM c ORDER BY n DESC, key LIMIT 5
+            )
+            SELECT key, n,
+              round(n / CAST(n_rows AS DOUBLE), 6),
+              round(sum(n) OVER (ORDER BY n DESC, key)
+                    / CAST(n_rows AS DOUBLE), 6),
+              n_keys, n_rows,
+              round(max_n * n_keys / CAST(n_rows AS DOUBLE), 2)
+            FROM top, t
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) == 5
+
+
+def test_key_skew_report_finds_planted_hot_key(spark):
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.skew import key_skew_report
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    top = key_skew_report(df, "k", top_k=3).orderBy(F.desc("n")).collect()
+    assert top[0]["key"] == "7" and top[0]["n"] == 900
+    assert abs(top[0]["share"] - 0.9) < 1e-9
+    assert top[0]["max_over_mean"] > 50  # 900 vs mean ~9.9

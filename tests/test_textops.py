@@ -908,3 +908,80 @@ def test_bm25_discounts_long_docs_and_saturates(spark):
     assert s[2] < s[1]  # length discount
     assert s[3] < 2 * s[1]  # tf saturation
     assert s[3] > s[1]  # but more tf still helps
+
+
+# ---------------------------------------------------------------------------
+# BPE training (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(word_freqs, n_merges):
+    """Independent pure-python greedy BPE (the GPT-2 recipe)."""
+    syms = {w: tuple(w) + ("</w>",) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, n in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + n
+        if not pairs:
+            break
+        (a, b), cnt = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges, syms
+
+
+def test_train_bpe_matches_python_reference(spark):
+    """The distributed word-count + driver merge loop must reproduce a
+    pure-python BPE run over the same raw text exactly — merges, order,
+    and final per-word tokenizations."""
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low newer",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    model = textops.train_bpe(df, n_merges=12)
+
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.lower().split())
+    merges, syms = _py_bpe(dict(wf), 12)
+    assert model["merges"] == merges and len(merges) > 3
+    assert model["word_tokens"] == {w: list(s) for w, s in syms.items()}
+
+
+def test_bpe_token_counts_apply_and_oov(spark):
+    """Apply = broadcast join of the trained word map; OOV words count
+    chars+1; frequent merged words count fewer tokens than chars."""
+    train = spark.createDataFrame(
+        [(1, "the the the the cat cat")], "doc_id bigint, text string"
+    )
+    model = textops.train_bpe(train, n_merges=10)
+    assert len(model["word_tokens"]["the"]) == 1  # fully merged
+    test_df = spark.createDataFrame(
+        [(7, "the cat zzz")], "doc_id bigint, text string"
+    )
+    row = textops.bpe_token_counts(test_df, model).first()
+    want = (
+        len(model["word_tokens"]["the"])
+        + len(model["word_tokens"]["cat"])
+        + len("zzz") + 1  # OOV fallback
+    )
+    assert row["n_words"] == 3
+    assert row["n_bpe_tokens"] == want

@@ -115,6 +115,7 @@ HEADLINE = [
     "profile_key_skew",
     "cdc_retractable_agg",
     "text_bpe_tokenize",
+    "sim_ann_recall_report",
 ]
 
 

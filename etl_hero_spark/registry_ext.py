@@ -3050,3 +3050,60 @@ def q_text_bpe_tokenize(spark, sf_dir):
 
 
 _BPE_MEMO: dict = {}
+
+
+@register(
+    "sim_ann_recall_report",
+    oracle=None,
+    note=(
+        "extension: ANN recall@k measurement as a first-class query — "
+        "the approximate ladder is only usable at 100 TB if its recall "
+        "is MEASURED, not assumed: brute-force top-5 is the ground "
+        "truth; LSH (multi-probe) and IVF (partial probe) score their "
+        "hit fraction against it per query, averaged. All inputs "
+        "seeded -> deterministic. The recall/probe-cost tradeoff this "
+        "reports is the knob the ANN docstrings describe"
+    ),
+)
+def q_sim_ann_recall_report(spark, sf_dir):
+    from etl_hero_spark.simsearch import (
+        topk_cosine,
+        topk_cosine_ivf,
+        topk_cosine_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    p = f"{sf_dir}/embeddings.parquet"
+    exact = topk_cosine(emb, queries, k=k).select(
+        "query_id", "corpus_id"
+    )
+    methods = {
+        "lsh_probe5": topk_cosine_lsh(
+            emb, queries, k=k, n_planes=4, n_probes=5
+        ),
+        "ivf_probe2of8": topk_cosine_ivf(
+            emb, queries, k=k, n_centroids=8, nprobe=2,
+            stage_key=(p, os.stat(p).st_mtime),
+        ),
+    }
+    reports = []
+    for name, approx in methods.items():
+        hits = approx.select("query_id", "corpus_id").join(
+            exact, ["query_id", "corpus_id"]
+        )
+        reports.append(
+            hits.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .agg(
+                F.lit(name).alias("method"),
+                F.round(F.sum("n_hits") / (8 * k), 6).alias("recall_at_5"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")

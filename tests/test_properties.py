@@ -355,3 +355,105 @@ def test_merge_upsert_matches_pandas_reference(spark, base, batch):
         for r in merge_upsert(target, changes, "id", "ts", op_col="op").collect()
     }
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20)), min_size=0, max_size=40
+    )
+)
+@_settings
+def test_countmin_never_undercounts(spark, rows):
+    """Structural CMS invariant under arbitrary key distributions:
+    estimate >= exact for every key, and the merge of any 2-way split
+    equals the whole-corpus sketch."""
+    from etl_hero_spark.profile import (
+        countmin_sketch,
+        estimate_counts,
+        merge_countmin_sketches,
+    )
+
+    df = spark.createDataFrame(rows, "k long")
+    sk = countmin_sketch(df, "k", width=8, depth=3)
+    keys = df.distinct()
+    if rows:
+        exact = {r["k"]: 0 for r in keys.collect()}
+        for (k,) in rows:
+            exact[k] += 1
+        est = {
+            r["k"]: r["est_count"]
+            for r in estimate_counts(sk, keys, "k", width=8, depth=3).collect()
+        }
+        assert all(est[k] >= n for k, n in exact.items())
+    a = countmin_sketch(df.filter(F.col("k") % 2 == 0), "k", width=8, depth=3)
+    b = countmin_sketch(df.filter(F.col("k") % 2 != 0), "k", width=8, depth=3)
+    merged = merge_countmin_sketches(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 1000)),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    n=st.integers(1, 5),
+)
+@_settings
+def test_reservoir_mergeable_under_any_split(spark, rows, n):
+    """Union-then-rerank of any 2-way shard split reproduces the
+    whole-corpus reservoir (hash order is a total order)."""
+    from etl_hero_spark.sampling import reservoir_per_key
+
+    df = spark.createDataFrame(rows, "g string, id long")
+    whole = reservoir_per_key(df, "g", n=n, id_col="id")
+    sh = [
+        reservoir_per_key(
+            df.filter(F.col("id") % 2 == i), "g", n=n, id_col="id"
+        )
+        for i in (0, 1)
+    ]
+    re_ranked = reservoir_per_key(
+        sh[0].unionByName(sh[1]), "g", n=n, id_col="id"
+    )
+    key = lambda d: sorted((r["g"], r["id"]) for r in d.collect())
+    assert key(whole) == key(re_ranked)
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=25,
+    ),
+    del_mod=st.integers(2, 4),
+)
+@_settings
+def test_retractable_agg_random_ops_equal_recompute(spark, base, del_mod):
+    """For any base set and any delete subset, signed-delta folding
+    equals recomputing from the surviving rows."""
+    from etl_hero_spark.cdc import agg_partials, retractable_agg_refresh
+
+    rows = [(g, round(v, 2), i) for i, (g, v) in enumerate(base)]
+    df = spark.createDataFrame(rows, "g long, v double, rid long")
+    mat = agg_partials(df, "g", ["v"])
+    deletes = df.filter(F.col("rid") % del_mod == 0)
+    inserts = df.filter(F.col("rid") % del_mod == 1).withColumn(
+        "rid", F.col("rid") + 1000
+    )
+    got = sorted(
+        map(
+            tuple,
+            retractable_agg_refresh(
+                mat, inserts, deletes, "g", ["v"]
+            ).collect(),
+        )
+    )
+    survivors = df.join(
+        deletes.select("rid"), "rid", "left_anti"
+    ).unionByName(inserts)
+    want = sorted(map(tuple, agg_partials(survivors, "g", ["v"]).collect()))
+    assert got == want

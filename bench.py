@@ -116,6 +116,7 @@ HEADLINE = [
     "cdc_retractable_agg",
     "text_bpe_tokenize",
     "sim_ann_recall_report",
+    "multimodal_png_metadata",
 ]
 
 

@@ -331,3 +331,55 @@ def wav_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
         .withColumn("wav_data_bytes", gate(nbytes).cast("bigint"))
         .withColumn("wav_duration_s", gate(dur))
     )
+
+
+def _be_uint_expr(media_col: str, offset: int, n_bytes: int) -> "F.Column":
+    """Big-endian companion of _le_uint_expr — network byte order, the
+    PNG/JPEG/ISO-BMFF convention."""
+    total = None
+    for i in range(n_bytes):
+        b = F.conv(
+            F.hex(F.substring(F.col(media_col), offset + 1 + i, 1)), 16, 10
+        ).cast("long") * F.lit(256 ** (n_bytes - 1 - i))
+        total = b if total is None else total + b
+    return total
+
+
+def png_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL image header parsing with zero codec libraries — the PNG
+    spec fixes the first chunk: 8-byte signature, then the IHDR chunk
+    (length 13 at offset 8, type 'IHDR' at 12), whose first fields are
+    big-endian width@16, height@20, bit depth@24, color type@25. All
+    pure binary-column expressions (see _be_uint_expr): a linear
+    codegen'd scan extracts dimensions from millions of images with no
+    Python and no decoder — the triage pass that routes only the
+    decodable, right-sized images into the expensive Arrow decode
+    stage. Adds: is_png, png_width, png_height, png_bit_depth,
+    png_color_type (NULL for non-PNG). Verified against
+    synthesized-spec headers and (PIL-gated) real encodes in tests."""
+    sig = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+    is_png = (
+        (F.hex(F.substring(F.col(media_col), 1, 8)) == F.lit(sig.hex().upper()))
+        & (F.hex(F.substring(F.col(media_col), 13, 4))
+           == F.hex(F.lit(b"IHDR")))
+        & (F.octet_length(F.col(media_col)) >= 33)
+    )
+
+    def gate(c):
+        return F.when(is_png, c)
+
+    return (
+        df.withColumn("is_png", is_png.cast("int"))
+        .withColumn(
+            "png_width", gate(_be_uint_expr(media_col, 16, 4)).cast("int")
+        )
+        .withColumn(
+            "png_height", gate(_be_uint_expr(media_col, 20, 4)).cast("int")
+        )
+        .withColumn(
+            "png_bit_depth", gate(_be_uint_expr(media_col, 24, 1)).cast("int")
+        )
+        .withColumn(
+            "png_color_type", gate(_be_uint_expr(media_col, 25, 1)).cast("int")
+        )
+    )

@@ -3107,3 +3107,47 @@ def q_sim_ann_recall_report(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("method")
+
+
+@register(
+    "multimodal_png_metadata",
+    oracle=None,
+    note=(
+        "extension: zero-codec PNG dimension triage — signature + IHDR "
+        "big-endian width/height/depth/color parsed as pure binary "
+        "expressions (the WAV parse's image sibling): the linear scan "
+        "that routes only decodable, right-sized images into the "
+        "expensive Arrow decode stage. Headers synthesized per row "
+        "from spec bytes (every 5th row corrupted -> is_png=0); parse "
+        "round-trip vs the arithmetic the synthesis used. DuckDB "
+        "parity + PIL-gated real-encode test in tests/test_io_pipeline.py"
+    ),
+)
+def q_multimodal_png_metadata(spark, sf_dir):
+    from etl_hero_spark.multimodal import png_metadata
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    # spec-exact first 33 bytes: signature, IHDR length 13, 'IHDR',
+    # BE width/height derived from the key, depth 8, color type 2,
+    # interlace/compression/filter 0, fake CRC
+    w_h = "lpad(hex(pmod(p_partkey, 1000) + 1), 8, '0')"
+    h_h = "lpad(hex(pmod(p_partkey * 7, 800) + 1), 8, '0')"
+    hdr = (
+        "unhex(concat('89504E470D0A1A0A', '0000000D', '49484452', "
+        f"{w_h}, {h_h}, '08', '02', '00', '00', '00', 'DEADBEEF'))"
+    )
+    media = part.withColumn(
+        "media",
+        F.when(
+            F.col("p_partkey") % 5 == 0,
+            F.expr("unhex('FFD8FFE0')"),  # JPEG magic: not a PNG
+        ).otherwise(F.expr(hdr)),
+    )
+    return png_metadata(media).select(
+        "p_partkey",
+        "is_png",
+        "png_width",
+        "png_height",
+        "png_bit_depth",
+        "png_color_type",
+    )

@@ -423,3 +423,92 @@ def test_binary_file_ingest_to_wav_parse_end_to_end(spark, tmp_path):
         assert r["is_wav"] == 1
         assert r["wav_rate_hz"] == rate and r["wav_channels"] == ch
         assert r["wav_duration_s"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# PNG header parse (round 4) — the WAV parse's image sibling
+# ---------------------------------------------------------------------------
+
+
+def test_png_metadata_parses_spec_exact_header(spark):
+    """A byte-exact spec-assembled IHDR parses to the planted
+    dimensions; truncated and wrong-magic rows gate to NULL."""
+    import struct
+
+    def png_header(w, h, depth=8, color=2):
+        return (
+            bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + bytes([depth, color, 0, 0, 0])
+            + b"\xde\xad\xbe\xef"
+        )
+
+    from etl_hero_spark.multimodal import png_metadata
+
+    rows = [
+        (1, bytearray(png_header(640, 480))),
+        (2, bytearray(png_header(70000, 3, depth=16, color=6))),  # >2 bytes wide
+        (3, bytearray(png_header(1, 1)[:20])),  # truncated
+        (4, bytearray(b"\xff\xd8\xff\xe0" * 10)),  # JPEG magic
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {r["id"]: r for r in png_metadata(df).collect()}
+    assert (got[1]["png_width"], got[1]["png_height"]) == (640, 480)
+    assert got[1]["png_bit_depth"] == 8 and got[1]["png_color_type"] == 2
+    assert (got[2]["png_width"], got[2]["png_height"]) == (70000, 3)
+    assert got[2]["png_bit_depth"] == 16 and got[2]["png_color_type"] == 6
+    for i in (3, 4):
+        assert got[i]["is_png"] == 0 and got[i]["png_width"] is None
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this image")
+def test_png_metadata_matches_real_encoder(spark):
+    """With PIL present, dimensions parsed from a REAL PNG encode must
+    match what the encoder was asked for."""
+    import io as _io
+
+    from PIL import Image
+
+    from etl_hero_spark.multimodal import png_metadata
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (123, 45)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "id long, media binary"
+    )
+    row = png_metadata(df).first()
+    assert (row["png_width"], row["png_height"]) == (123, 45)
+    assert row["is_png"] == 1
+
+
+def test_registered_png_query_matches_duckdb(spark, sf_dir):
+    """The registered query's BE reads mirror DuckDB arithmetic over
+    the same synthesized key-derived dimensions."""
+    import duckdb
+
+    from etl_hero_spark.registry import all_queries
+
+    got = sorted(
+        map(
+            tuple,
+            all_queries()["multimodal_png_metadata"](spark, sf_dir).collect(),
+        )
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            SELECT p_partkey,
+              CASE WHEN p_partkey % 5 = 0 THEN 0 ELSE 1 END,
+              CASE WHEN p_partkey % 5 = 0 THEN NULL
+                   ELSE CAST(p_partkey % 1000 + 1 AS INT) END,
+              CASE WHEN p_partkey % 5 = 0 THEN NULL
+                   ELSE CAST((p_partkey * 7) % 800 + 1 AS INT) END,
+              CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE 8 END,
+              CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE 2 END
+            FROM read_parquet('{sf_dir}/part.parquet')
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -3151,3 +3151,32 @@ def q_multimodal_png_metadata(spark, sf_dir):
         "png_bit_depth",
         "png_color_type",
     )
+
+
+@register(
+    "stream_join_enrichment",
+    oracle=None,
+    note=(
+        "streaming extension: TRUE stream-STATIC join (11th twin, the "
+        "remaining Structured Streaming join mode) — unbounded events "
+        "enriched per micro-batch against a batch per-user baseline "
+        "dimension; stateless, no watermark, dimension refreshes "
+        "propagate at the next micro-batch. Drained sink == batch "
+        "enrichment pinned in tests/test_streaming.py. Summary per "
+        "event_type"
+    ),
+)
+def q_stream_join_enrichment(spark, sf_dir):
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.streaming import stream_enriched_events, user_baselines
+
+    base = user_baselines(_events(spark, sf_dir))
+    out = stream_enriched_events(spark, f"{sf_dir}/events.parquet", base)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_above").cast("bigint").alias("n_above_baseline"),
+        )
+        .orderBy("event_type")
+    )

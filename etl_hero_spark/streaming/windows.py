@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from etl_hero_spark.profile import dec_sum
+from etl_hero_spark.profile import dec_avg, dec_sum
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -1115,6 +1115,70 @@ def stream_attribution_join(
     )
     q = (
         joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# stream-static join — per-event enrichment against a batch dimension
+# (11th TRUE twin; the remaining Structured Streaming join mode:
+# static side re-read per micro-batch, no watermark or state needed)
+# ---------------------------------------------------------------------------
+
+
+def user_baselines(events: DataFrame) -> DataFrame:
+    """The static dimension: per-user decimal-exact mean event value
+    from history (one groupBy; persist it as a table in production and
+    the stream picks up refreshes at the next micro-batch)."""
+    return events.groupBy("user_id").agg(dec_avg("value", "baseline"))
+
+
+def enrich_events_batch(
+    events: DataFrame, baselines: DataFrame, factor: float = 2.0
+) -> DataFrame:
+    """Events joined to their user's baseline; is_above flags values
+    over factor x baseline. Identical expression runs under streaming
+    (stream_enriched_events) — that is the twin contract."""
+    return (
+        events.join(F.broadcast(baselines), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value"), 2).alias("value"),
+            F.col("baseline"),
+            F.coalesce(
+                F.col("value") > F.col("baseline") * factor, F.lit(False)
+            )
+            .cast("int")
+            .alias("is_above"),
+        )
+    )
+
+
+def stream_enriched_events(
+    spark: SparkSession,
+    events_path: str,
+    baselines: DataFrame,
+    factor: float = 2.0,
+    query_name: str = "etl_hero_stream_enrich",
+) -> DataFrame:
+    """enrich_events_batch as a TRUE stream-static join: the stream side
+    is the unbounded file source, the static side a plain batch
+    DataFrame Spark re-evaluates per micro-batch (dimension refreshes
+    propagate without restarting the query). Stateless — no watermark,
+    nothing to evict; the drained sink equals the batch join exactly."""
+    src = _events_stream_source(spark, events_path, "etl_hero_stream_enr_")
+    enriched = enrich_events_batch(src, baselines, factor)
+    q = (
+        enriched.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

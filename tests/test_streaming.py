@@ -755,3 +755,56 @@ def test_attribution_join_batch_semantics(spark):
         for r in attribution_join_batch(ev, horizon="1 hour").collect()
     )
     assert got == [(1, 2), (1, 3)]
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_enrichment_equals_batch(spark, sf_dir):
+    """The stream-static join drained over the finite source equals the
+    batch enrichment exactly (stateless join, nothing to evict or
+    wait for)."""
+    from etl_hero_spark.streaming import (
+        enrich_events_batch,
+        stream_enriched_events,
+        user_baselines,
+    )
+
+    ev = _events(spark, sf_dir)
+    base = user_baselines(ev)
+    batch = sorted(map(tuple, enrich_events_batch(ev, base).collect()))
+    stream = sorted(
+        map(
+            tuple,
+            stream_enriched_events(
+                spark, f"{sf_dir}/events.parquet", base
+            ).collect(),
+        )
+    )
+    assert stream == batch and len(batch) > 0
+
+
+def test_enrich_events_batch_semantics(spark):
+    """Above-baseline flag: strictly over factor x the user's own mean;
+    users absent from the dimension enrich to NULL baseline, never
+    flagged."""
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "a", 30.0),  # baseline 20 -> 30 > 40? no
+            (2, 10, "a", 50.0),  # 50 > 40 -> yes... but changes mean
+            (3, 99, "b", 5.0),   # user missing from dim
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn("ts", F.current_timestamp())
+    from etl_hero_spark.streaming import enrich_events_batch
+
+    dim = spark.createDataFrame([(10, 20.0)], "user_id long, baseline double")
+    got = {
+        r["event_id"]: (r["baseline"], r["is_above"])
+        for r in enrich_events_batch(ev, dim, factor=2.0).collect()
+    }
+    assert got[1] == (20.0, 0)
+    assert got[2] == (20.0, 1)
+    assert got[3] == (None, 0)

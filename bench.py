@@ -126,6 +126,13 @@ REGRESSION_RATIO = 2.0
 # for drift ratios under 1.15x OR an explanation here; written into
 # BENCH_DETAIL.json so the judge sees them next to the numbers).
 NOTES = {
+    "profile_corr_matrix": (
+        "plan unchanged all round; late-r4 full-run elevation (1.8s, "
+        "2.1x) does not reproduce in isolation (idle min-of-3: 1.17s, "
+        "first cold call 7.9s is Janino compile of the wide multi-agg) "
+        "— sequence noise from the 81-query run's JIT/GC pressure, "
+        "not drift."
+    ),
     "events_funnel": (
         "r2->r3 step was the hot-key cap turning default-on (one "
         "in-exchange sort, ~0.3s at sf0.1 — measured capless 0.51s vs "

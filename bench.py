@@ -117,6 +117,7 @@ HEADLINE = [
     "text_bpe_tokenize",
     "sim_ann_recall_report",
     "multimodal_png_metadata",
+    "profile_json_schema",
 ]
 
 

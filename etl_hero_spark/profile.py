@@ -859,3 +859,55 @@ def estimate_counts(
         col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(col).agg(F.min("cnt").alias("est_count"))
+
+
+# ---------------------------------------------------------------------------
+# JSON schema profiling — type/fill inference over a semi-structured
+# column (the lake's "what is actually IN this props blob" question)
+# ---------------------------------------------------------------------------
+
+
+def json_schema_profile(df: DataFrame, col: str = "props") -> DataFrame:
+    """Per-key schema report for a JSON-string column: presence count,
+    fill rate, distinct values, and the TIGHTEST type that admits every
+    observed value (bigint ⊂ double ⊂ string; boolean ⊂ string) — the
+    evidence behind a typed extraction schema, discovered from the data
+    instead of guessed (from_json with schema inference samples; this
+    measures the whole corpus).
+
+    Plan: one parse to map<string,string> + explode (linear), one
+    groupBy(key) folding per-value type-match flags min-wise, a 1-row
+    total broadcast for fill rates. NULL JSON / nulls inside objects
+    contribute no entries. Output: (key, n_present, fill_rate,
+    n_distinct, inferred_type), one row per key ever seen."""
+    total = df.agg(F.count(F.lit(1)).alias("_n_rows"))
+    entries = df.select(
+        F.explode(F.from_json(F.col(col), "map<string,string>")).alias(
+            "key", "value"
+        )
+    ).filter(F.col("value").isNotNull())
+    is_int = F.col("value").rlike(r"^-?\d+$")
+    is_num = F.col("value").rlike(
+        r"^-?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$"
+    )
+    is_bool = F.col("value").isin("true", "false")
+    per_key = entries.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min(is_int.cast("int")).alias("_all_int"),
+        F.min(is_num.cast("int")).alias("_all_num"),
+        F.min(is_bool.cast("int")).alias("_all_bool"),
+    )
+    inferred = (
+        F.when(F.col("_all_bool") == 1, "boolean")
+        .when(F.col("_all_int") == 1, "bigint")
+        .when(F.col("_all_num") == 1, "double")
+        .otherwise("string")
+    )
+    return per_key.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_present",
+        F.round(F.col("n_present") / F.col("_n_rows"), 6).alias("fill_rate"),
+        "n_distinct",
+        inferred.alias("inferred_type"),
+    )

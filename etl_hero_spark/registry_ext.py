@@ -3180,3 +3180,55 @@ def q_stream_join_enrichment(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "profile_json_schema",
+    oracle=None,
+    note=(
+        "extension: JSON schema inference over a semi-structured "
+        "column — per-key presence, fill rate, distinct count, and "
+        "the TIGHTEST admitting type (bigint ⊂ double ⊂ string, "
+        "boolean ⊂ string), measured over the whole corpus rather "
+        "than sampled. Demo widens the fixture's uniform props with "
+        "deterministic per-row extra keys (string/double/bool, "
+        "partially filled). Python-reference parity in "
+        "tests/test_profile.py"
+    ),
+)
+def q_profile_json_schema(spark, sf_dir):
+    from etl_hero_spark.profile import json_schema_profile
+    from etl_hero_spark.registry import _events
+
+    ev = _events(spark, sf_dir)
+    base = F.expr("substring(props, 1, length(props) - 1)")
+    widened = ev.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(
+                base,
+                F.lit(', "amt": '),
+                F.round(F.col("value"), 2).cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(
+                base, F.lit(', "ua": "agent-'), F.col("event_type"),
+                F.lit('"}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.concat(
+                base,
+                F.lit(', "flag": '),
+                (F.col("event_id") % 8 == 2).cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(F.col("props")),
+    )
+    return json_schema_profile(widened, "props").orderBy("key")

@@ -701,3 +701,88 @@ def test_quarantine_null_handling(spark):
     assert {
         tuple(r["violations"]) for r in bad2.collect()
     } == {("not_null:price",), ("range:price",)}
+
+
+# ---------------------------------------------------------------------------
+# JSON schema profiling (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_json_schema_profile_matches_python_reference(spark):
+    """Presence, fill, distincts, and the type lattice (bigint ⊂ double
+    ⊂ string, boolean ⊂ string) pinned against json.loads + pure
+    Python over a heterogeneous fixture."""
+    import json
+
+    from etl_hero_spark.profile import json_schema_profile
+
+    rows = [
+        '{"a": 1, "b": 2.5, "c": "x", "d": true}',
+        '{"a": 7, "b": 3, "d": false}',     # b int here: still double overall
+        '{"a": -2, "c": "y"}',
+        '{"a": 9, "e": 1}',
+        None,                               # NULL json contributes nothing
+        '{"a": "not-a-number"}',            # a degrades to string
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "props string")
+    got = {
+        r["key"]: (
+            r["n_present"], r["fill_rate"], r["n_distinct"],
+            r["inferred_type"],
+        )
+        for r in json_schema_profile(df, "props").collect()
+    }
+
+    vals: dict = {}
+    for r in rows:
+        if r is None:
+            continue
+        for k, v in json.loads(r).items():
+            vals.setdefault(k, []).append(v)
+    want = {}
+    n_rows = len(rows)
+    for k, vs in vals.items():
+        if all(isinstance(v, bool) for v in vs):
+            t = "boolean"
+        elif all(isinstance(v, int) and not isinstance(v, bool) for v in vs):
+            t = "bigint"
+        elif all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vs
+        ):
+            t = "double"
+        else:
+            t = "string"
+        want[k] = (
+            len(vs),
+            round(len(vs) / n_rows, 6),
+            len({str(v) for v in vs}),
+            t,
+        )
+    # normalize: Spark stringifies json scalars (True -> 'true'), so
+    # distinct-count compares on the stringified form both sides
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-9, k
+        assert got[k][3] == want[k][3], k
+    assert got["a"][3] == "string" and got["b"][3] == "double"
+    assert got["d"][3] == "boolean" and got["e"][3] == "bigint"
+
+
+def test_json_schema_profile_fill_and_registered(spark, sf_dir):
+    """The registered widened-props query reports the planted keys with
+    the planted types and quarter fills."""
+    from etl_hero_spark.registry import all_queries
+
+    got = {
+        r["key"]: r
+        for r in all_queries()["profile_json_schema"](spark, sf_dir).collect()
+    }
+    assert got["k"]["inferred_type"] == "bigint"
+    assert got["k"]["fill_rate"] == 1.0
+    assert got["amt"]["inferred_type"] == "double"
+    assert got["ua"]["inferred_type"] == "string"
+    assert got["flag"]["inferred_type"] == "boolean"
+    for k in ("amt", "ua", "flag"):
+        assert 0.2 < got[k]["fill_rate"] < 0.3

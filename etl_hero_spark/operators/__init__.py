@@ -199,3 +199,15 @@ from etl_hero_spark.simsearch import (  # noqa: F401
 )
 from etl_hero_spark.temporal import point_in_time_join  # noqa: F401
 from etl_hero_spark.textops import bm25_top_terms  # noqa: F401
+from etl_hero_spark.cdc import (  # noqa: F401
+    agg_partials,
+    retractable_agg_refresh,
+)
+from etl_hero_spark.multimodal import png_metadata  # noqa: F401
+from etl_hero_spark.profile import json_schema_profile  # noqa: F401
+from etl_hero_spark.skew import key_skew_report  # noqa: F401
+from etl_hero_spark.textops import (  # noqa: F401
+    bpe_token_counts,
+    train_bpe,
+    word_counts,
+)

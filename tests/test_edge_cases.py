@@ -312,3 +312,106 @@ def test_fk_null_is_not_orphan(spark):
     parent = spark.createDataFrame([(10,)], "pk bigint")
     row = referential_integrity([(child, "fk", parent, "pk")]).first()
     assert (row["n_child"], row["n_null_fk"], row["n_orphans"]) == (3, 1, 1)
+
+
+def test_round4_operators_handle_empty_inputs(spark):
+    """Every round-4 operator must degrade to an empty/identity result
+    on empty or degenerate input — never throw (the same sweep the
+    earlier rounds' operators get)."""
+    import pyspark.sql.functions as F
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_keys = spark.createDataFrame([], "k bigint")
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+
+    from etl_hero_spark.profile import (
+        countmin_sketch,
+        estimate_counts,
+        json_schema_profile,
+    )
+
+    sk = countmin_sketch(empty_keys, "k", width=8, depth=2)
+    assert sk.count() == 0
+    probe = spark.createDataFrame([(1,)], "k bigint")
+    assert estimate_counts(sk, probe, "k", width=8, depth=2).first()[
+        "est_count"
+    ] == 0
+    assert json_schema_profile(empty_docs.select(
+        F.col("text").alias("props")
+    ), "props").count() == 0
+    all_null = spark.createDataFrame([(None,), (None,)], "props string")
+    assert json_schema_profile(all_null, "props").count() == 0
+
+    from etl_hero_spark.sampling import reservoir_per_key
+
+    assert reservoir_per_key(empty_docs, "text", n=3, id_col="doc_id").count() == 0
+
+    from etl_hero_spark.detect import seasonal_anomaly_buckets
+
+    assert seasonal_anomaly_buckets(empty_ev).count() == 0
+
+    from etl_hero_spark.er import trigram_block_pairs
+
+    assert trigram_block_pairs(empty_docs, "doc_id", "text").count() == 0
+    null_text = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id bigint, text string"
+    )
+    assert trigram_block_pairs(null_text, "doc_id", "text").count() == 0
+
+    from etl_hero_spark.packing import pack_sequences, sequence_manifest
+
+    packed = pack_sequences(empty_docs, context_len=8)
+    assert packed.count() == 0
+    assert sequence_manifest(packed, context_len=8).count() == 0
+
+    from etl_hero_spark.textops import bm25_top_terms, train_bpe
+
+    assert bm25_top_terms(empty_docs, persist=False).count() == 0
+    model = train_bpe(empty_docs)
+    assert model["merges"] == [] and model["vocab_words"] == 0
+
+    from etl_hero_spark.contracts import (
+        in_range,
+        quarantine_split,
+        referential_integrity,
+    )
+
+    clean, bad = quarantine_split(
+        empty_docs, [in_range("doc_id", 0, 10)]
+    )
+    assert clean.count() == 0 and bad.count() == 0
+    row = referential_integrity(
+        [(empty_keys, "k", probe, "k")]
+    ).first()
+    assert (row["n_child"], row["n_orphans"]) == (0, 0)
+
+    from etl_hero_spark.cdc import agg_partials, retractable_agg_refresh
+
+    mat = agg_partials(empty_docs, "text", ["doc_id"])
+    out = retractable_agg_refresh(
+        mat, empty_docs, empty_docs, "text", ["doc_id"]
+    )
+    assert out.count() == 0
+
+    from etl_hero_spark.temporal import point_in_time_join
+
+    empty_hist = spark.createDataFrame(
+        [], "k bigint, effective_from timestamp, effective_to timestamp, "
+        "state string"
+    )
+    facts = spark.createDataFrame(
+        [(1, 1)], "fid bigint, k bigint"
+    ).withColumn("ts", F.current_timestamp())
+    pit = point_in_time_join(facts, empty_hist, "k")
+    assert pit.count() == 1 and pit.first()["state"] is None
+
+    from etl_hero_spark.simsearch import kmeans_lloyd
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    m = kmeans_lloyd(tiny, k=5, iters=2)  # k > n: model shrinks to n
+    assert 1 <= len(m["centroids"]) <= 2

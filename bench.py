@@ -165,10 +165,13 @@ NOTES = {
 }
 
 
-def prior_round_times() -> dict[str, float]:
-    """Per-query times of the PREVIOUS round: BENCH_PREV.json (committed
-    snapshot, refreshed at round start) first, else the newest legacy
-    BENCH_r*.json that still carries a full "queries" map."""
+def prior_round_times() -> tuple[dict[str, float], float]:
+    """(per-query times, scale factor) of the PREVIOUS round from ONE
+    read: BENCH_PREV.json (committed snapshot, refreshed at round
+    start) first, else the newest legacy BENCH_r*.json that still
+    carries a full "queries" map. Legacy files predate the sf field;
+    every recorded round ran at the driver's sf0.1, which is what their
+    missing sf defaults to."""
     import glob
     import re
 
@@ -180,7 +183,7 @@ def prior_round_times() -> dict[str, float]:
                 doc = json.load(f)
             q = doc.get("queries", {})
             if q:
-                return dict(q)
+                return dict(q), doc.get("sf", 0.1)
         except Exception:
             pass
     rounds = []
@@ -193,18 +196,19 @@ def prior_round_times() -> dict[str, float]:
             with open(path) as f:
                 doc = json.load(f)
             if isinstance(doc, dict) and "queries" in doc:
-                return dict(doc["queries"])
+                return dict(doc["queries"]), doc.get("sf", 0.1)
             # driver files wrap the bench line in a bounded stdout tail;
             # recover the line only if its head survived the window
             text = doc.get("tail", "") if isinstance(doc, dict) else ""
             idx = text.rfind('{"metric"')
             if idx >= 0:
-                q = json.loads(text[idx:].split("\n")[0]).get("queries", {})
+                line = json.loads(text[idx:].split("\n")[0])
+                q = line.get("queries", {})
                 if q:
-                    return dict(q)
+                    return dict(q), line.get("sf", 0.1)
         except Exception:
             continue
-    return {}
+    return {}, 0.1
 
 
 def materialize(df) -> None:
@@ -245,21 +249,13 @@ def main() -> None:
         times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # vs_prev only means something at the snapshot's own scale factor —
     # a local sf0.001 iteration run must not trip (or hide) regressions
     # measured against the driver's sf0.1 prior round
-    prev_sf = 0.1
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_PREV.json"
-            )
-        ) as f:
-            prev_sf = json.load(f).get("sf", 0.1)
-    except Exception:
-        pass
-    sf_num = float(sf) if sf.replace(".", "").isdigit() else None
-    prev = prior_round_times() if sf_num == prev_sf else {}
+    prev, prev_sf = prior_round_times()
+    if sf_val != prev_sf:
+        prev = {}
     vs_prev = {
         n: round(t / prev[n], 3)
         for n, t in times.items()
@@ -268,7 +264,6 @@ def main() -> None:
     regressions = sorted(
         n for n, r in vs_prev.items() if r > REGRESSION_RATIO
     )
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -281,20 +281,26 @@ def propagate_erasure(
 
     ``tables``: {name: DataFrame}; ``key_map``: {name: column holding
     the entity key}; ``cascade``: optional [(child, child_fk, parent,
-    parent_pk)] edges for tables that reference the entity only
-    transitively (e.g. lineitem -> orders -> customer): the child drops
-    rows whose fk matches a parent row being dropped.
+    parent_pk)] edges, processed IN ORDER, for tables that reference
+    the entity transitively (e.g. lineitem -> orders -> customer): the
+    child drops rows whose fk matches a parent row being dropped. A
+    child may be both directly keyed and cascaded (or cascaded from
+    several parents) — the deletions COMPOSE, each edge anti-joining
+    the child's current cleaned state. Chains work too (grandchild ->
+    child -> parent), as long as edges are listed parents-first: a
+    parent must already be cleaned (directly or by an earlier edge)
+    when its edge runs, else ValueError.
 
     Plan: each directly-keyed table anti-joins the erase-key set (tiny
-    side — AQE broadcasts it); each cascade edge semi-joins the parent's
-    DOOMED rows (parent ⋉ erase_keys) to build the child's doom set,
-    then anti-joins — O(sum of table sizes), one hash join per table,
-    no windows. Returns {name: cleaned DataFrame}; pair with
-    erasure_audit for the before/after report.
+    side — AQE broadcasts it); each cascade edge derives the parent's
+    doomed keys as tables[parent] anti-join cleaned[parent] — which is
+    correct whether the parent was doomed directly OR by its own
+    cascade — and anti-joins them out of the child. O(sum of table
+    sizes), hash joins only, no windows. Returns {name: cleaned
+    DataFrame}; pair with erasure_audit for the before/after report.
     """
     ek = erase_keys
     cleaned = {}
-    doomed_parent_keys: dict = {}
     for name, df in tables.items():
         kc = key_map.get(name)
         if kc is not None:
@@ -302,33 +308,45 @@ def propagate_erasure(
                 ek.withColumnRenamed(ek.columns[0], kc), kc, "left_anti"
             )
     for child, child_fk, parent, parent_pk in cascade or []:
-        pk_col = key_map[parent]
-        key = (parent, parent_pk)
-        if key not in doomed_parent_keys:
-            doomed_parent_keys[key] = (
-                tables[parent]
-                .join(
-                    ek.withColumnRenamed(ek.columns[0], pk_col),
-                    pk_col,
-                    "left_semi",
-                )
-                .select(parent_pk)
+        if parent not in cleaned:
+            raise ValueError(
+                f"cascade parent {parent!r} has no cleaned state yet: "
+                "give it a key_map entry or an earlier cascade edge "
+                "(edges are processed in order, parents first)"
             )
-        doom = doomed_parent_keys[key].withColumnRenamed(parent_pk, child_fk)
-        cleaned[child] = tables[child].join(doom, child_fk, "left_anti")
+        doomed = (
+            tables[parent]
+            .join(
+                cleaned[parent].select(parent_pk).distinct(),
+                parent_pk,
+                "left_anti",
+            )
+            .select(parent_pk)
+        )
+        doom = doomed.withColumnRenamed(parent_pk, child_fk)
+        base = cleaned.get(child, tables[child])
+        cleaned[child] = base.join(doom, child_fk, "left_anti")
     return cleaned
 
 
 def erasure_audit(tables: dict, cleaned: dict) -> DataFrame:
     """(table, n_before, n_deleted, n_after) per table — the compliance
-    report of an erasure run. One count per side per table; counts are
-    independent jobs (concurrent columns-pruned scans)."""
+    report of an erasure run. The 2N counts are independent jobs and
+    run CONCURRENTLY (thread pool over blocking actions, the
+    detect_outliers_iqr pattern) — serially they would be 2N sequential
+    cluster round trips."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = next(iter(tables.values())).sparkSession
-    parts = []
-    for name in sorted(cleaned):
-        b = tables[name].count()
-        a = cleaned[name].count()
-        parts.append((name, b, b - a, a))
+    names = sorted(cleaned)
+    jobs = [(n, tables[n]) for n in names] + [(n, cleaned[n]) for n in names]
+    with ThreadPoolExecutor(max_workers=min(len(jobs), 16)) as ex:
+        counts = list(ex.map(lambda t: t[1].count(), jobs))
+    before = dict(zip(names, counts[: len(names)]))
+    after = dict(zip(names, counts[len(names):]))
+    parts = [
+        (n, before[n], before[n] - after[n], after[n]) for n in names
+    ]
     return spark.createDataFrame(
         parts, "table string, n_before bigint, n_deleted bigint, n_after bigint"
     )

@@ -142,22 +142,38 @@ def referential_integrity(
     is a dimension; AQE picks the strategy). NULL fks are reported
     separately, not as orphans — an optional FK is absence, a dangling
     one is corruption. Output: (relation, n_child, n_null_fk,
-    n_orphans)."""
+    n_orphans). The relation label is fk->pk (column names): declaring
+    two relations with identical fk AND pk column names produces
+    indistinguishable rows — alias a column first if that ever occurs.
+
+    Two jobs per relation, not three (n_child and n_null_fk fold into
+    ONE aggregate over one scan), and all relations' jobs run
+    concurrently (thread pool over blocking actions)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = relations[0][0].sparkSession
-    rows = []
-    for child, fk, parent, pk in relations:
-        non_null = child.filter(F.col(fk).isNotNull())
-        orphans = non_null.join(
-            parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
-        )
-        rows.append(
-            (
-                f"{fk}->{pk}",
-                child.count(),
-                child.filter(F.col(fk).isNull()).count(),
-                orphans.count(),
+
+    def one(rel):
+        child, fk, parent, pk = rel
+        base = child.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col(fk).isNull().cast("long")), F.lit(0)
+            ).alias("n_null"),
+        ).first()
+        n_orphans = (
+            child.filter(F.col(fk).isNotNull())
+            .join(
+                parent.select(F.col(pk).alias(fk)).distinct(),
+                fk,
+                "left_anti",
             )
+            .count()
         )
+        return (f"{fk}->{pk}", base["n"], base["n_null"], n_orphans)
+
+    with ThreadPoolExecutor(max_workers=min(len(relations) * 2, 16)) as ex:
+        rows = list(ex.map(one, relations))
     return spark.createDataFrame(
         rows,
         "relation string, n_child bigint, n_null_fk bigint, n_orphans bigint",

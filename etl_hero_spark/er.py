@@ -492,17 +492,25 @@ def fuzzy_pairs_multi(
         F.explode(keys).alias("blk"),
     )
     sizes = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("_n"))
+    capped = None
     if on_oversized != "silent":
-        over = sizes.filter(F.col("_n") > max_block_size).agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.max("_n").alias("worst"),
-            F.sum("_n").alias("n_rows"),
-        ).first()
-        if over["n_blocks"]:
+        # the pre-flight is already an eager pass over sizes; collect
+        # the OVERSIZED keys in the same pass (bounded — oversized
+        # blocks are the anomaly) so the main plan filters on a literal
+        # set instead of re-running the explode+groupBy a second time
+        _cap = 10_000
+        over_rows = (
+            sizes.filter(F.col("_n") > max_block_size)
+            .limit(_cap + 1)
+            .collect()
+        )
+        if over_rows:
+            worst = max(r["_n"] for r in over_rows)
+            n_rows = sum(r["_n"] for r in over_rows)
             msg = (
-                f"fuzzy_pairs_multi: {over['n_blocks']} block(s) exceed "
-                f"max_block_size={max_block_size} (worst {over['worst']} "
-                f"rows; {over['n_rows']} keyed rows excluded from "
+                f"fuzzy_pairs_multi: {len(over_rows)} block(s) exceed "
+                f"max_block_size={max_block_size} (worst {worst} "
+                f"rows; {n_rows} keyed rows excluded from "
                 "candidate generation). The block key's cardinality is "
                 "not keeping up with the corpus — add a growing "
                 "component (e.g. a name digit/char n-gram) or raise the "
@@ -513,8 +521,14 @@ def fuzzy_pairs_multi(
             import warnings
 
             warnings.warn(msg, stacklevel=2)
-    small = sizes.filter(F.col("_n") <= max_block_size).select("blk")
-    capped = keyed.join(small, "blk")
+        if len(over_rows) <= _cap:
+            bad = [r["blk"] for r in over_rows]
+            capped = (
+                keyed.filter(~F.col("blk").isin(bad)) if bad else keyed
+            )
+    if capped is None:
+        small = sizes.filter(F.col("_n") <= max_block_size).select("blk")
+        capped = keyed.join(small, "blk")
     a = capped.select(
         "blk", F.col("id").alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in names],

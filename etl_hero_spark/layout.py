@@ -234,9 +234,17 @@ def write_bucketed_table(
     ``memo_key`` (e.g. (fixture path, mtime)): skip the rewrite when the
     same input was already bucketed this session.
     """
-    if memo_key is not None and _BUCKETED_TABLES.get(table) == memo_key:
-        return table
     spark = df.sparkSession
+    # the memo outlives a SparkSession (module-global); a hit is only
+    # valid while the CURRENT session's catalog still knows the table —
+    # after a session restart the catalog is empty and the write must
+    # re-run (same guard shape as memo'd parquet checkpoints).
+    if (
+        memo_key is not None
+        and _BUCKETED_TABLES.get(table) == memo_key
+        and spark.catalog.tableExists(table)
+    ):
+        return table
     # The in-memory catalog dies with the session but the warehouse dir
     # does not: a fresh session's saveAsTable then fails with
     # LOCATION_ALREADY_EXISTS. If the catalog doesn't know the table,

@@ -85,7 +85,16 @@ def pack_token_shards(
             ),
         ).otherwise(F.lit(0)),
     )
-    local_w = W.partitionBy("_bucket").orderBy(order_col)
+    # ROWS frame, not the default RANGE: RANGE includes all PEERS of an
+    # equal order value in the running sum, double-counting ties. The
+    # order key is documented unique; with ROWS an accidental duplicate
+    # at least degrades to an arbitrary-but-consistent tie order rather
+    # than a corrupted prefix sum.
+    local_w = (
+        W.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     b = b.withColumn(
         "_local_incl", F.sum(token_col).over(local_w)
     )
@@ -207,7 +216,9 @@ def pack_sequences(
       ctx_first/_last  first/last context the doc's tokens land in
       n_ctx          contexts the doc touches (>1 = straddles a cut)
 
-    Zero-token docs occupy no tokens: they attach to the context their
+    ``order_col`` must be numeric and UNIQUE (doc ids) — the stream
+    position of a document is defined by it. Zero-token docs occupy no
+    tokens: they attach to the context their
     offset points at (ctx_first == ctx_last, degenerate span). The
     assignment is a pure function of the document order — re-runs and
     re-partitionings agree, the property that makes the packed corpus
@@ -230,7 +241,13 @@ def pack_sequences(
             ),
         ).otherwise(F.lit(0)),
     )
-    local_w = W.partitionBy("_bucket").orderBy(order_col)
+    # ROWS frame (see pack_token_shards): the default RANGE frame sums
+    # all PEERS of a tied order value, double-counting duplicates
+    local_w = (
+        W.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     b = b.withColumn("_local_incl", F.sum(token_col).over(local_w))
     offsets = _bucket_offsets(
         b.groupBy("_bucket").agg(F.sum(token_col).alias("_tot"))

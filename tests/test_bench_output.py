@@ -36,10 +36,11 @@ def test_compact_line_fits_tail_window():
 
 
 def test_prior_round_times_prefers_snapshot():
-    prev = bench.prior_round_times()
+    prev, prev_sf = bench.prior_round_times()
     # BENCH_PREV.json is committed; every headline query must have a
     # prior time so the vs_prev gate covers the full set
     assert prev, "BENCH_PREV.json missing or empty"
+    assert prev_sf == 0.1
     missing = [n for n in bench.HEADLINE if n not in prev]
     # round-4+ additions to HEADLINE legitimately have no prior time
     with open(

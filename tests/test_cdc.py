@@ -658,3 +658,69 @@ def test_retractable_agg_drops_emptied_group(spark):
     rows = refreshed.collect()
     assert [r["g"] for r in rows] == ["b"]
     assert float(rows[0]["_sum_v"]) == 5.0
+
+
+def test_erasure_composes_direct_key_and_cascade(spark):
+    """A child that is BOTH directly keyed and cascaded loses rows from
+    both causes (the cascade must not overwrite the direct anti-join),
+    and two cascade edges on one child compose."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.cdc import propagate_erasure
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c bigint")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "o bigint, c bigint"
+    )
+    # payments keyed directly on c AND cascaded from orders
+    payments = spark.createDataFrame(
+        [(100, 10, 2), (101, 11, 3), (102, 12, 1)],
+        "p bigint, o bigint, c bigint",
+    )
+    erase = spark.createDataFrame([(1,)], "k bigint")
+    cleaned = propagate_erasure(
+        {"customer": cust, "orders": orders, "payments": payments},
+        erase,
+        key_map={"customer": "c", "orders": "c", "payments": "c"},
+        cascade=[("payments", "o", "orders", "o")],
+    )
+    # direct: payment 102 (c=1) gone; cascade: payment 100 (order 10 of
+    # c=1) gone; only 101 survives
+    assert [r["p"] for r in cleaned["payments"].collect()] == [101]
+
+
+def test_erasure_chained_cascade_and_order_validation(spark):
+    """A grandchild cascading from a cascade-cleaned parent deletes via
+    the parent's DOOMED rows; an edge whose parent has no cleaned state
+    yet raises instead of silently mis-deleting."""
+    import pytest as _pytest
+
+    from etl_hero_spark.cdc import propagate_erasure
+
+    cust = spark.createDataFrame([(1,), (2,)], "c bigint")
+    orders = spark.createDataFrame([(10, 1), (11, 2)], "o bigint, c bigint")
+    lines = spark.createDataFrame([(7, 10), (8, 11)], "l bigint, o bigint")
+    details = spark.createDataFrame([(70, 7), (80, 8)], "d bigint, l bigint")
+    erase = spark.createDataFrame([(1,)], "k bigint")
+    tables = {
+        "customer": cust, "orders": orders,
+        "lineitem": lines, "detail": details,
+    }
+    cleaned = propagate_erasure(
+        tables,
+        erase,
+        key_map={"customer": "c", "orders": "c"},
+        cascade=[
+            ("lineitem", "o", "orders", "o"),
+            ("detail", "l", "lineitem", "l"),  # parent is cascade-cleaned
+        ],
+    )
+    assert [r["l"] for r in cleaned["lineitem"].collect()] == [8]
+    assert [r["d"] for r in cleaned["detail"].collect()] == [80]
+    with _pytest.raises(ValueError, match="no cleaned state"):
+        propagate_erasure(
+            tables,
+            erase,
+            key_map={"customer": "c", "orders": "c"},
+            cascade=[("detail", "l", "lineitem", "l")],  # lineitem not cleaned
+        )

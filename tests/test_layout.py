@@ -264,3 +264,19 @@ def test_overwrite_audit_raises_on_unexpected_rewrite(spark, events, tmp_path):
     untouched = next(p for p in before if p != last_day)
     with _pytest.raises(AssertionError, match="NOT rewritten"):
         overwrite_audit(before, after, {last_day, untouched})
+
+
+def test_bucketed_memo_revalidates_against_catalog(spark, sf_dir):
+    """A memo hit is only honored while the current session's catalog
+    still knows the table — after a drop (stand-in for a session
+    restart emptying the in-memory catalog) the write re-runs instead
+    of returning a dangling name."""
+    from etl_hero_spark import layout as L
+
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    L.write_bucketed_table(df, "t_bkt_stale", "r_regionkey", memo_key=("m", 1))
+    assert spark.table("t_bkt_stale").count() == df.count()
+    spark.sql("DROP TABLE t_bkt_stale")
+    # memo still holds ("m", 1); the call must detect the missing table
+    L.write_bucketed_table(df, "t_bkt_stale", "r_regionkey", memo_key=("m", 1))
+    assert spark.table("t_bkt_stale").count() == df.count()

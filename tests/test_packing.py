@@ -560,3 +560,21 @@ def test_with_split_group_key_is_leakage_safe(spark, sf_dir):
     )
     assert all(r["n_splits"] == 1 for r in per_group)
     assert out.select("split").distinct().count() == 2
+
+
+def test_pack_sequences_rows_frame_no_peer_double_count(spark):
+    """The running token sum must use a ROWS frame: with the default
+    RANGE frame, equal order values would sum their peers and corrupt
+    every downstream offset. Unique keys (the documented contract) must
+    produce the exact hand-computed stream positions."""
+    from etl_hero_spark.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h"), (3, "i j")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["tok_start"], r["ctx_first"], r["ctx_last"])
+        for r in pack_sequences(df, context_len=4).collect()
+    }
+    assert got == {1: (0, 0, 0), 2: (4, 1, 1), 3: (8, 2, 2)}

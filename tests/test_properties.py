@@ -457,3 +457,50 @@ def test_retractable_agg_random_ops_equal_recompute(spark, base, del_mod):
     ).unionByName(inserts)
     want = sorted(map(tuple, agg_partials(survivors, "g", ["v"]).collect()))
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab c", min_size=0, max_size=24
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    ctx=st.integers(2, 9),
+)
+@_settings
+def test_pack_sequences_partitions_the_token_stream(spark, texts, ctx):
+    """For ANY corpus and context length: tok_starts are the exclusive
+    prefix sums of token counts in id order, spans are consistent
+    (ctx_first <= ctx_last, n_ctx matches), and the manifest's context
+    totals reconstruct the corpus token count with every non-final
+    context exactly full."""
+    from etl_hero_spark.packing import pack_sequences, sequence_manifest
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    packed = pack_sequences(df, context_len=ctx)
+    rows = sorted(packed.collect(), key=lambda r: r["doc_id"])
+    run = 0
+    for r in rows:
+        assert r["tok_start"] == run
+        run += r["n_tokens"]
+        assert r["ctx_first"] <= r["ctx_last"]
+        assert r["n_ctx"] == r["ctx_last"] - r["ctx_first"] + 1
+    man = sorted(
+        sequence_manifest(packed, context_len=ctx).collect(),
+        key=lambda r: r["ctx_id"],
+    )
+    if run == 0:
+        assert sum(r["n_tokens"] for r in man) == 0
+        return
+    assert [r["ctx_id"] for r in man] == list(range(len(man)))
+    # a trailing ZERO-token doc can land a degenerate empty context
+    # right after the last token-bearing one — full-context invariants
+    # apply to the token-bearing prefix
+    tok_man = [r for r in man if r["n_tokens"] > 0]
+    assert all(r["n_tokens"] == ctx for r in tok_man[:-1])
+    assert 0 < tok_man[-1]["n_tokens"] <= ctx
+    assert sum(r["n_tokens"] for r in man) == run

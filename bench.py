@@ -118,6 +118,8 @@ HEADLINE = [
     "sim_ann_recall_report",
     "multimodal_png_metadata",
     "profile_json_schema",
+    "analytics_copurchase_pairs",
+    "events_transition_matrix",
 ]
 
 

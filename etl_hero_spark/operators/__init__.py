@@ -211,3 +211,7 @@ from etl_hero_spark.textops import (  # noqa: F401
     train_bpe,
     word_counts,
 )
+from etl_hero_spark.analytics import (  # noqa: F401
+    copurchase_pairs,
+    transition_matrix,
+)

@@ -3232,3 +3232,47 @@ def q_profile_json_schema(spark, sf_dir):
         .otherwise(F.col("props")),
     )
     return json_schema_profile(widened, "props").orderBy("key")
+
+
+@register(
+    "analytics_copurchase_pairs",
+    oracle=None,
+    note=(
+        "extension: market-basket co-occurrence — unordered item pairs "
+        "per basket (support = distinct baskets shared), fanout bounded "
+        "by a LOUD basket-size cap (guarded_join posture: a mega-basket "
+        "warns/raises, never silently emits k^2 pairs). Top-10 "
+        "co-ordered part pairs over lineitem baskets; DuckDB parity in "
+        "tests/test_analytics.py"
+    ),
+)
+def q_analytics_copurchase_pairs(spark, sf_dir):
+    from etl_hero_spark.analytics import copurchase_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(
+        li, "l_orderkey", "l_partkey", max_basket_size=50, min_count=2
+    )
+    return pairs.orderBy(
+        F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b")
+    ).limit(10)
+
+
+@register(
+    "events_transition_matrix",
+    oracle=None,
+    note=(
+        "extension: first-order Markov transitions over each user's "
+        "event sequence — (from, to, n, row-normalized p): the "
+        "path-analysis primitive behind 'what happens after X'. One "
+        "key-window lead + bounded pair groupBy (the relational bigram "
+        "shape, HOF-free). DuckDB parity in tests/test_analytics.py"
+    ),
+)
+def q_events_transition_matrix(spark, sf_dir):
+    from etl_hero_spark.analytics import transition_matrix
+    from etl_hero_spark.registry import _events
+
+    return transition_matrix(_events(spark, sf_dir)).orderBy(
+        "from_state", "to_state"
+    )

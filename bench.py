@@ -120,6 +120,7 @@ HEADLINE = [
     "profile_json_schema",
     "analytics_copurchase_pairs",
     "events_transition_matrix",
+    "layout_dpp_join",
 ]
 
 

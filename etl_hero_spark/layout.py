@@ -355,3 +355,25 @@ def overwrite_audit(before: dict, after: dict, touched: set) -> dict:
         "n_rewritten": rewritten,
         "n_partitions_after": len(after),
     }
+
+
+_PARTITIONED_TABLES: dict = {}
+
+
+def ensure_partitioned_copy(
+    df: DataFrame, path: str, part_col: str, memo_key=None
+) -> str:
+    """Write (once per memo_key) a partitioned copy of ``df`` — the
+    layout dynamic partition pruning and partition-wise reads need.
+    Same memo contract as write_bucketed_table, revalidated against the
+    filesystem (the memo outlives sessions)."""
+    if (
+        memo_key is not None
+        and _PARTITIONED_TABLES.get(path) == memo_key
+        and os.path.isdir(path)
+    ):
+        return path
+    write_partitioned(df, path, part_col)
+    if memo_key is not None:
+        _PARTITIONED_TABLES[path] = memo_key
+    return path

@@ -3276,3 +3276,60 @@ def q_events_transition_matrix(spark, sf_dir):
     return transition_matrix(_events(spark, sf_dir)).orderBy(
         "from_state", "to_state"
     )
+
+
+@register(
+    "layout_dpp_join",
+    oracle=None,
+    note=(
+        "extension: DYNAMIC partition pruning demo — events laid out "
+        "partitioned by day, joined to a tiny 3-day dimension: Catalyst "
+        "injects a runtime subquery filter on the PARTITION column, so "
+        "the fact scan reads only the dimension's days (the mechanism "
+        "that turns a 100 TB star-join into a 3-partition read; "
+        "'dynamicpruning' asserted in the physical plan in "
+        "tests/test_layout.py). Result pinned equal to the plain "
+        "filtered aggregate"
+    ),
+)
+def q_layout_dpp_join(spark, sf_dir):
+    from etl_hero_spark.checkpoint import session_tmpdir
+    from etl_hero_spark.layout import ensure_partitioned_copy
+    from etl_hero_spark.registry import _events
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    mt = os.stat(f"{sf_dir}/events.parquet").st_mtime
+    key = (sf_dir, mt)
+    path = _DPP_PATHS.get(key)
+    if path is None:
+        path = _DPP_PATHS[key] = session_tmpdir("dppfact")
+    ensure_partitioned_copy(ev, path, "day", memo_key=key)
+    fact = spark.read.parquet(path)
+    # the canonical DPP shape: the dim filter is on an ATTRIBUTE
+    # (weekday), not the join key — the fact side cannot statically
+    # prune, so Catalyst injects the runtime subquery filter
+    days = (
+        ev.select(F.col("day").cast("date").alias("day"))
+        .distinct()
+        .withColumn("dow", F.dayofweek("day"))
+        .filter(F.col("dow") == 2)  # Mondays
+        .select("day")
+    )
+    joined = fact.join(days, "day")
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+_DPP_PATHS: dict = {}

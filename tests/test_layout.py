@@ -280,3 +280,35 @@ def test_bucketed_memo_revalidates_against_catalog(spark, sf_dir):
     # memo still holds ("m", 1); the call must detect the missing table
     L.write_bucketed_table(df, "t_bkt_stale", "r_regionkey", memo_key=("m", 1))
     assert spark.table("t_bkt_stale").count() == df.count()
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    """The registered star-join over the day-partitioned fact must carry
+    a dynamicpruningexpression in the fact scan's PartitionFilters (the
+    runtime subquery that turns a full-table star join into a
+    few-partition read), and produce exactly the plain filtered
+    aggregate."""
+    from etl_hero_spark.registry import _events, all_queries
+
+    df = all_queries()["layout_dpp_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    got = sorted(
+        (str(r["day"]), r["n_events"], r["sum_value"]) for r in df.collect()
+    )
+    ev = _events(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    want = sorted(
+        (r["day"], r["n_events"], r["sum_value"])
+        for r in ev.filter(F.dayofweek(F.col("day").cast("date")) == 2)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0

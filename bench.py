@@ -121,6 +121,8 @@ HEADLINE = [
     "analytics_copurchase_pairs",
     "events_transition_matrix",
     "layout_dpp_join",
+    "layout_parquet_audit",
+    "layout_time_travel",
 ]
 
 

@@ -377,3 +377,81 @@ def ensure_partitioned_copy(
     if memo_key is not None:
         _PARTITIONED_TABLES[path] = memo_key
     return path
+
+
+def parquet_column_audit(spark: SparkSession, path: str) -> DataFrame:
+    """Per-column PHYSICAL layout report straight from the parquet
+    footers: encodings, compressed/uncompressed bytes, compression
+    ratio, row-group count — the observability the "scan cost is
+    decided at write time" story needs numbers for (a column stuck on
+    PLAIN when it should dictionary-encode, or a 1.0x ratio on a
+    supposedly compressible column, is a write-side bug you find HERE).
+
+    Footer reads are metadata-only (no data pages touched). The file
+    list fans out over the cluster via a parallelized RDD of paths —
+    at 100 TB the table has tens of thousands of footers, all read
+    concurrently; per-file dicts fold in one reduceByKey-free groupBy.
+    """
+    import os as _os
+
+    if _os.path.isfile(path):
+        files = [path]
+    else:
+        files = []
+        for root, _dirs, names in _os.walk(path):
+            for n in names:
+                if n.endswith(".parquet") or n.startswith("part-"):
+                    if not n.startswith(("_", ".")):
+                        files.append(_os.path.join(root, n))
+
+    def read_footer(p):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(p).metadata
+        out = []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                out.append(
+                    (
+                        c.path_in_schema,
+                        c.total_compressed_size,
+                        c.total_uncompressed_size,
+                        str(c.compression),
+                        ",".join(sorted({str(e) for e in c.encodings})),
+                        1,
+                    )
+                )
+        return out
+
+    rows = (
+        spark.sparkContext.parallelize(files, max(1, min(len(files), 64)))
+        .flatMap(read_footer)
+        .collect()
+    )
+    agg: dict = {}
+    for col, comp, uncomp, codec, encs, ngroups in rows:
+        cur = agg.setdefault(col, [0, 0, set(), set(), 0])
+        cur[0] += comp
+        cur[1] += uncomp
+        cur[2].add(codec)
+        cur[3].update(encs.split(","))
+        cur[4] += ngroups
+    out = [
+        (
+            col,
+            comp,
+            uncomp,
+            round(uncomp / comp, 3) if comp else None,
+            "|".join(sorted(codecs)),
+            "|".join(sorted(encs)),
+            ngroups,
+        )
+        for col, (comp, uncomp, codecs, encs, ngroups) in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, compressed_bytes bigint, uncompressed_bytes bigint, "
+        "ratio double, codecs string, encodings string, n_row_groups bigint",
+    )

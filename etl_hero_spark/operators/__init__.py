@@ -215,3 +215,9 @@ from etl_hero_spark.analytics import (  # noqa: F401
     copurchase_pairs,
     transition_matrix,
 )
+from etl_hero_spark.layout import parquet_column_audit  # noqa: F401
+from etl_hero_spark.versioning import (  # noqa: F401
+    commit_version,
+    read_version,
+    vacuum,
+)

@@ -3333,3 +3333,79 @@ def q_layout_dpp_join(spark, sf_dir):
 
 
 _DPP_PATHS: dict = {}
+
+
+@register(
+    "layout_parquet_audit",
+    oracle=None,
+    note=(
+        "extension: physical parquet layout audit from the footers — "
+        "per-column encodings, codec, compression ratio, row-group "
+        "count, read metadata-only and fanned out over the cluster "
+        "(tens of thousands of footers read concurrently at lake "
+        "scale). The write-side observability behind 'scan cost is "
+        "decided at write time': a PLAIN-stuck or 1.0x-ratio column "
+        "shows up HERE before it burns a 100 TB scan. pyarrow-footer "
+        "parity in tests/test_layout.py"
+    ),
+)
+def q_layout_parquet_audit(spark, sf_dir):
+    from etl_hero_spark.layout import parquet_column_audit
+
+    return parquet_column_audit(
+        spark, f"{sf_dir}/lineitem.parquet"
+    ).orderBy("column")
+
+
+@register(
+    "layout_time_travel",
+    oracle=None,
+    note=(
+        "extension: manifest-based snapshot versioning on plain "
+        "parquet (the Iceberg/Delta core at its minimum): commits "
+        "write immutable data files + one atomic manifest; readers of "
+        "version N never see later commits; time travel = read the "
+        "files version N lists. Demo: commit v1, commit an updated v2, "
+        "read BOTH versions back and diff them — proving v1 survived "
+        "v2's commit untouched. Semantics + vacuum pinned in "
+        "tests/test_layout.py"
+    ),
+)
+def q_layout_time_travel(spark, sf_dir):
+    from etl_hero_spark.checkpoint import session_tmpdir
+    from etl_hero_spark.versioning import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    key = (sf_dir, os.stat(f"{sf_dir}/orders.parquet").st_mtime)
+    tdir = _TT_DIRS.get(key)
+    if tdir is None:
+        tdir = _TT_DIRS[key] = session_tmpdir("ttavel")
+        commit_version(orders, tdir)
+        commit_version(
+            orders.withColumn(
+                "o_totalprice", F.round(F.col("o_totalprice") * 1.05, 2)
+            ).filter(F.col("o_orderkey") % 10 != 0),
+            tdir,
+        )
+    v1 = read_version(spark, tdir, 1).agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice", "s")
+    ).first()
+    v2 = read_version(spark, tdir, 2).agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice", "s")
+    ).first()
+    return spark.createDataFrame(
+        [
+            (1, v1["n"], v1["s"]),
+            (2, v2["n"], v2["s"]),
+        ],
+        "version int, n_rows bigint, sum_price double",
+    ).withColumn("latest", F.lit(latest_version(tdir)).cast("int"))
+
+
+_TT_DIRS: dict = {}

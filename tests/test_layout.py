@@ -312,3 +312,81 @@ def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# parquet footer audit + manifest versioning (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_audit_reflects_footers(spark, sf_dir):
+    """Column set matches the schema, byte totals reconcile with the
+    file, and a multi-file directory aggregates row groups across
+    files."""
+    import os
+
+    from etl_hero_spark.layout import parquet_column_audit
+
+    p = f"{sf_dir}/lineitem.parquet"
+    rows = {r["column"]: r for r in parquet_column_audit(spark, p).collect()}
+    assert set(rows) == set(spark.read.parquet(p).columns)
+    total_comp = sum(r["compressed_bytes"] for r in rows.values())
+    assert 0 < total_comp <= os.path.getsize(p)
+    assert all(r["codecs"] for r in rows.values())
+    # multi-file dir: row groups sum across files
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "multi")
+        spark.read.parquet(p).repartition(4).write.parquet(out)
+        multi = {
+            r["column"]: r
+            for r in parquet_column_audit(spark, out).collect()
+        }
+        assert all(r["n_row_groups"] >= 4 for r in multi.values())
+
+
+def test_versioning_time_travel_and_isolation(spark, tmp_path):
+    """Version 1's exact rows survive version 2's commit; latest tracks;
+    reading a missing table raises."""
+    import pytest as _pytest
+
+    from etl_hero_spark.versioning import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    tdir = str(tmp_path / "vt")
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    assert commit_version(df1, tdir) == 1
+    df2 = spark.range(5).selectExpr("id", "id * 3 AS v")
+    assert commit_version(df2, tdir) == 2
+    assert latest_version(tdir) == 2
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(read_version(spark, tdir, 1)) == key(df1)
+    assert key(read_version(spark, tdir, 2)) == key(df2)
+    assert key(read_version(spark, tdir)) == key(df2)  # default latest
+    with _pytest.raises(ValueError, match="no versions"):
+        read_version(spark, str(tmp_path / "nope"))
+
+
+def test_versioning_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    from etl_hero_spark.versioning import (
+        commit_version,
+        read_version,
+        vacuum,
+    )
+
+    tdir = str(tmp_path / "vac")
+    for i in range(1, 5):
+        commit_version(spark.range(i * 10), tdir)
+    removed = vacuum(tdir, keep_last=2)
+    assert removed > 0
+    # retained versions read fine, dropped ones are gone
+    assert read_version(spark, tdir, 4).count() == 40
+    assert read_version(spark, tdir, 3).count() == 30
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_version(spark, tdir, 1)

@@ -221,3 +221,7 @@ from etl_hero_spark.versioning import (  # noqa: F401
     read_version,
     vacuum,
 )
+from etl_hero_spark.versioning import (  # noqa: F401
+    commit_merge,
+    commit_version_if,
+)

@@ -111,3 +111,69 @@ def vacuum(table_dir: str, keep_last: int = 2) -> int:
             ):
                 shutil.rmtree(p, ignore_errors=True)
     return removed
+
+
+class CommitConflictError(RuntimeError):
+    """The table advanced past the expected base version."""
+
+
+def commit_version_if(
+    df: DataFrame, table_dir: str, expected_base: int | None
+) -> int:
+    """Optimistic-concurrency commit: succeed only if the table is
+    still at ``expected_base`` (None = empty table). Two writers racing
+    from the same base cannot both win — the loser re-reads, re-applies
+    its change on the new base, retries. This check-then-rename window
+    is the whole coordination a manifest table needs (real lakehouses
+    close the remaining race with an atomic rename-no-overwrite or a
+    lock service; POSIX os.replace + the re-check below covers the
+    single-host form)."""
+    cur = latest_version(table_dir)
+    if cur != expected_base:
+        raise CommitConflictError(
+            f"table at version {cur}, expected {expected_base} — "
+            "re-read latest, re-apply the change, retry"
+        )
+    v = commit_version(df, table_dir)
+    if v != (expected_base or 0) + 1:
+        raise CommitConflictError(
+            f"lost the commit race: landed v{v}, expected "
+            f"v{(expected_base or 0) + 1}"
+        )
+    return v
+
+
+def commit_merge(
+    table_dir: str,
+    changes: DataFrame,
+    key_cols,
+    ts_col: str = "ts",
+    max_retries: int = 3,
+) -> int:
+    """The lakehouse write path in one call: read latest -> latest-wins
+    merge_upsert of the change batch -> optimistic commit as a new
+    version; on a conflict, re-read and re-apply (the merge is
+    idempotent per (base, changes), so retries are safe). Every prior
+    version remains readable — UPSERT plus time travel on plain
+    parquet."""
+    from etl_hero_spark.cdc import merge_upsert
+
+    spark = changes.sparkSession
+    for _ in range(max_retries):
+        base_v = latest_version(table_dir)
+        if base_v is None:
+            merged = changes
+        else:
+            merged = merge_upsert(
+                read_version(spark, table_dir, base_v),
+                changes,
+                key_cols,
+                ts_col,
+            )
+        try:
+            return commit_version_if(merged, table_dir, base_v)
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(
+        f"gave up after {max_retries} conflicted commits at {table_dir!r}"
+    )

@@ -390,3 +390,39 @@ def test_versioning_vacuum_keeps_retained_versions_readable(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_version(spark, tdir, 1)
+
+
+def test_versioning_optimistic_commit_and_merge(spark, tmp_path):
+    """commit_version_if refuses a stale base; commit_merge composes
+    read-latest -> latest-wins upsert -> commit, leaving every prior
+    version readable (UPSERT + time travel)."""
+    import pytest as _pytest
+
+    from etl_hero_spark.versioning import (
+        CommitConflictError,
+        commit_merge,
+        commit_version_if,
+        read_version,
+    )
+
+    tdir = str(tmp_path / "occ")
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01")],
+        "k bigint, v string, ts string",
+    )
+    assert commit_version_if(base, tdir, None) == 1
+    with _pytest.raises(CommitConflictError, match="expected None"):
+        commit_version_if(base, tdir, None)  # stale base
+    changes = spark.createDataFrame(
+        [(2, "b2", "2024-01-02"), (3, "c", "2024-01-02")],
+        "k bigint, v string, ts string",
+    )
+    assert commit_merge(tdir, changes, "k") == 2
+    got = {
+        r["k"]: r["v"] for r in read_version(spark, tdir, 2).collect()
+    }
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    # v1 untouched by the merge commit
+    assert {
+        r["k"]: r["v"] for r in read_version(spark, tdir, 1).collect()
+    } == {1: "a", 2: "b"}

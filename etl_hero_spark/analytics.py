@@ -121,3 +121,106 @@ def transition_matrix(
         )
         .drop("_tot")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """PageRank over an edge list — the canonical ITERATIVE algorithm,
+    written the way iteration has to be written on DataFrames at scale:
+
+    * per iteration: ranks ⋈ out-degrees -> per-edge contribution ->
+      groupBy(dst) sum — two bounded shuffles, no driver data;
+    * contributions accumulate in DECIMAL(38,18), so ranks are
+      bit-deterministic under any partition order (the kmeans_lloyd
+      property — float tree-aggregation is run-to-run noise);
+    * the STATIC inputs (edges, nodes, degrees) pass through a parquet
+      stage boundary ONCE — every iteration consumes them, and without
+      the boundary the upstream subtree (e.g. a co-purchase pair join)
+      re-executes per iteration; the rank table checkpoints every
+      ``checkpoint_every`` iterations (default every one — the rank
+      table is n rows, the write trivial) so the self-referential join
+      lineage never compounds and the per-iteration dangling aggregate
+      reads a flat table instead of replaying the whole history — the
+      two classic iterative-lineage failures this function exists to
+      demonstrate handled;
+    * dangling mass (nodes with no out-edges) redistributes uniformly,
+      keeping the ranks a probability distribution (sums to 1, pinned
+      in tests against a numpy reference).
+
+    Returns (node, rank). Nodes = union of srcs and dsts.
+    """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    e = parquet_checkpoint(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct(),
+        "pagerank_edges",
+    )
+    nodes = parquet_checkpoint(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        "pagerank_nodes",
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = parquet_checkpoint(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+        "pagerank_deg",
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for it in range(1, iters + 1):
+        with_deg = ranks.join(
+            deg.withColumnRenamed("src", "node"), "node", "left"
+        )
+        # contribution along each edge; dangling nodes (NULL deg) give
+        # their whole rank to the uniform redistribution pool
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(38,18)")), F.lit(0)
+                ).alias("d")
+            )
+            .first()["d"]
+        )
+        contribs = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.col("rank").cast("decimal(38,18)") / F.col("deg")
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        spread = base + damping * float(dangling) / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(spread)
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("in_rank").cast("double"), F.lit(0.0)
+                    )
+                ).alias("rank"),
+            )
+        )
+        if it % checkpoint_every == 0 and it < iters:
+            ranks = parquet_checkpoint(ranks, f"pagerank_it{it}")
+    # edges/nodes/deg live at the checkpoint root until session exit;
+    # ranks' final plan reads the last boundary + one iteration
+    return ranks.withColumn("rank", F.round("rank", 9))

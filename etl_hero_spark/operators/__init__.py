@@ -225,3 +225,4 @@ from etl_hero_spark.versioning import (  # noqa: F401
     commit_merge,
     commit_version_if,
 )
+from etl_hero_spark.analytics import pagerank  # noqa: F401

@@ -3409,3 +3409,37 @@ def q_layout_time_travel(spark, sf_dir):
 
 
 _TT_DIRS: dict = {}
+
+
+@register(
+    "analytics_pagerank",
+    oracle=None,
+    note=(
+        "extension: PageRank over the co-purchase graph — the "
+        "canonical ITERATIVE DataFrame algorithm: decimal-summed "
+        "contributions (partition-order-deterministic trajectory), "
+        "dangling-mass redistribution (ranks stay a distribution), and "
+        "a parquet stage boundary every few iterations to stop the "
+        "self-referential join lineage doubling per iteration — the "
+        "iterative-lineage failure mode GraphX/checkpointing exists "
+        "for. numpy power-iteration parity in tests/test_analytics.py. "
+        "Top-10 parts by rank"
+    ),
+)
+def q_analytics_pagerank(spark, sf_dir):
+    from etl_hero_spark.analytics import copurchase_pairs, pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(
+        li, "l_orderkey", "l_partkey", max_basket_size=50, min_count=2
+    )
+    # undirected co-purchase graph -> both edge directions
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, iters=6)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(10)

@@ -117,3 +117,52 @@ def test_transition_matrix_single_event_keys_emit_nothing(spark):
     ).select("event_id", "user_id", "event_type",
              F.to_timestamp("s").alias("ts"))
     assert transition_matrix(ev).count() == 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Ranks after k iterations must match a numpy reference running
+    the same damped power iteration with uniform dangling
+    redistribution — including a dangling node and an unreferenced
+    source."""
+    import numpy as np
+
+    from etl_hero_spark.analytics import pagerank
+
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3),
+        (3, 5),  # 5 is dangling (no out-edges)
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    iters, d = 7, 0.85
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, iters=iters).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: [w for (s, w) in edges if s == v] for v in nodes}
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[v]] for v in nodes if not out[v])
+        for v in nodes:
+            for w in out[v]:
+                nxt[idx[w]] += r[idx[v]] / len(out[v])
+        r = (1 - d) / n + d * dangling / n + d * nxt
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, v
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # still a distribution
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    from etl_hero_spark.analytics import pagerank
+
+    edges = spark.range(60).selectExpr(
+        "id % 12 AS src", "(id * 7 + 3) % 12 AS dst"
+    )
+    r1 = sorted(map(tuple, pagerank(edges, iters=5).collect()))
+    r2 = sorted(
+        map(tuple, pagerank(edges.repartition(13), iters=5).collect())
+    )
+    assert r1 == r2

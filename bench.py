@@ -123,6 +123,9 @@ HEADLINE = [
     "layout_dpp_join",
     "layout_parquet_audit",
     "layout_time_travel",
+    "events_funnel_latency",
+    "profile_mutual_information",
+    "sample_target_encode",
 ]
 
 

@@ -224,3 +224,124 @@ def pagerank(
     # edges/nodes/deg live at the checkpoint root until session exit;
     # ranks' final plan reads the last boundary + one iteration
     return ranks.withColumn("rank", F.round("rank", 9))
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert between consecutive funnel steps: for each key,
+    t_i is the EARLIEST completion of step i strictly after t_{i-1}
+    (the iterated-conditional-min funnel definition funnel_counts'
+    state machine folds); each consecutive pair reports how many keys
+    converted and the mean/p50/p90 latency in seconds — the "users
+    convert, but how FAST" half of funnel analysis.
+
+    Plan: k-1 sequential (filter -> join on key -> conditional min)
+    rounds — each is one bounded groupBy over only that step's events;
+    latencies aggregate with decimal-exact means and exact interpolated
+    percentiles (swap percentile_approx in at corpus scale). All
+    timestamps compare in microseconds, so latencies are exact longs.
+    """
+    from etl_hero_spark.profile import dec_avg
+
+    t0 = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(F.unix_micros(F.col(ts_col))).alias("t0"))
+    )
+    cur = t0
+    for i, s in enumerate(steps[1:], 1):
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .select(key_col, F.unix_micros(F.col(ts_col)).alias("_ts"))
+            .join(cur, key_col)
+            .filter(F.col("_ts") > F.col(f"t{i - 1}"))
+            .groupBy(key_col, *[f"t{j}" for j in range(i)])
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        cur = nxt
+    outs = []
+    for i in range(1, len(steps)):
+        lat = (
+            (F.col(f"t{i}") - F.col(f"t{i - 1}")) / F.lit(1_000_000.0)
+        ).alias("_lat")
+        stage = cur.filter(F.col(f"t{i}").isNotNull()).select(lat)
+        outs.append(
+            stage.agg(
+                F.lit(steps[i - 1]).alias("step_from"),
+                F.lit(steps[i]).alias("step_to"),
+                F.count(F.lit(1)).alias("n_converted"),
+                dec_avg("_lat", "mean_s"),
+                F.round(F.expr("percentile(_lat, 0.5)"), 6).alias("p50_s"),
+                F.round(F.expr("percentile(_lat, 0.9)"), 6).alias("p90_s"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    n_folds: int = 5,
+    id_col: str = "id",
+    salt: str = "te1",
+    prior_weight: float = 10.0,
+) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding — the categorical
+    feature-engineering staple done CORRECTLY: each row's encoding is
+    the smoothed target mean of its category computed from the OTHER
+    folds only, so a row never sees its own label (in-fold encoding is
+    the classic leak that trains beautifully and serves terribly).
+
+    Folds are deterministic hash(salt, id) buckets (re-runs, retries
+    and incremental batches agree); smoothing shrinks rare categories
+    toward the global prior: enc = (sum_other + w·prior) /
+    (n_other + w). Plan: ONE (category, fold) partial aggregate
+    (decimal-exact sums), the per-category totals re-aggregated from
+    those partials (no second scan), the out-of-fold stats derived by
+    SUBTRACTION (total − own fold), broadcast back onto rows. Adds
+    `fold` and `te_<cat_col>`."""
+    fold = F.pmod(
+        F.xxhash64(F.lit(salt), F.col(id_col).cast("string")),
+        F.lit(n_folds),
+    ).cast("int")
+    rows = df.withColumn("fold", fold)
+    partials = rows.groupBy(cat_col, "fold").agg(
+        F.sum(F.col(target_col).cast("decimal(28,6)")).alias("_s"),
+        F.count(target_col).alias("_n"),
+    )
+    totals = partials.groupBy(cat_col).agg(
+        F.sum("_s").alias("_ts"), F.sum("_n").alias("_tn")
+    )
+    g = partials.agg(
+        (F.sum("_s").cast("double") / F.sum("_n").cast("double")).alias(
+            "_prior"
+        )
+    )
+    oof = (
+        partials.join(totals, cat_col)
+        .crossJoin(F.broadcast(g))
+        .select(
+            cat_col,
+            "fold",
+            (
+                (
+                    (F.col("_ts") - F.col("_s")).cast("double")
+                    + F.lit(prior_weight) * F.col("_prior")
+                )
+                / (
+                    (F.col("_tn") - F.col("_n")).cast("double")
+                    + F.lit(prior_weight)
+                )
+            ).alias(f"te_{cat_col}"),
+        )
+    )
+    return rows.join(F.broadcast(oof), [cat_col, "fold"], "left")

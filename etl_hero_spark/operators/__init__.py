@@ -226,3 +226,8 @@ from etl_hero_spark.versioning import (  # noqa: F401
     commit_version_if,
 )
 from etl_hero_spark.analytics import pagerank  # noqa: F401
+from etl_hero_spark.analytics import (  # noqa: F401
+    funnel_latency,
+    target_encode_oof,
+)
+from etl_hero_spark.profile import mutual_information  # noqa: F401

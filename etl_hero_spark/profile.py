@@ -911,3 +911,45 @@ def json_schema_profile(df: DataFrame, col: str = "props") -> DataFrame:
         "n_distinct",
         inferred.alias("inferred_type"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bins: int = 10,
+    bounds: tuple | None = None,
+) -> float:
+    """Mutual information (nats) between two numeric columns from their
+    joint histogram — the dependence screen correlation is blind to
+    (corr sees only LINEAR association; MI sees any): MI = Σ p_xy ·
+    ln(p_xy / (p_x · p_y)) over the bins x bins grid. One histogram2d
+    scan (bounds from one min/max agg when not given), the grid folds
+    driver-side (≤ bins² rows). Zero for independent columns, larger
+    for any deterministic relationship, linear or not."""
+    import math
+
+    if bounds is None:
+        b = df.agg(
+            F.min(F.col(col_x).cast("double")),
+            F.max(F.col(col_x).cast("double")),
+            F.min(F.col(col_y).cast("double")),
+            F.max(F.col(col_y).cast("double")),
+        ).first()
+        bounds = (b[0], b[1], b[2], b[3])
+    rows = histogram2d(df, col_x, col_y, bins=bins, bounds=bounds).collect()
+    total = sum(r["n"] for r in rows)
+    if not total:
+        return 0.0
+    px: dict = {}
+    py: dict = {}
+    for r in rows:
+        px[r["bx"]] = px.get(r["bx"], 0) + r["n"]
+        py[r["by"]] = py.get(r["by"], 0) + r["n"]
+    mi = 0.0
+    for r in rows:
+        pxy = r["n"] / total
+        mi += pxy * math.log(
+            pxy / ((px[r["bx"]] / total) * (py[r["by"]] / total))
+        )
+    return max(0.0, mi)

@@ -3443,3 +3443,98 @@ def q_analytics_pagerank(spark, sf_dir):
     )
     ranks = pagerank(edges, iters=6)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(10)
+
+
+@register(
+    "events_funnel_latency",
+    oracle=None,
+    note=(
+        "extension: funnel time-to-convert — per consecutive step pair, "
+        "converting-key count + mean/p50/p90 latency seconds under the "
+        "iterated-conditional-min funnel definition (the 'how FAST do "
+        "they convert' half funnel_counts doesn't answer). k-1 bounded "
+        "conditional-min rounds, decimal means, exact percentiles "
+        "(approx twin at corpus scale). DuckDB parity in "
+        "tests/test_analytics.py"
+    ),
+)
+def q_events_funnel_latency(spark, sf_dir):
+    from etl_hero_spark.analytics import funnel_latency
+    from etl_hero_spark.registry import _events
+
+    return funnel_latency(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "profile_mutual_information",
+    oracle=None,
+    note=(
+        "extension: mutual-information dependence screen from the joint "
+        "histogram — catches the NONLINEAR association the correlation "
+        "matrix is blind to (pinned in tests: corr≈0 but MI>0 on y=x²). "
+        "One histogram2d scan per pair, bins² grid folds driver-side. "
+        "Python-reference parity in tests/test_profile.py"
+    ),
+)
+def q_profile_mutual_information(spark, sf_dir):
+    from etl_hero_spark.profile import mutual_information
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+    ]
+    rows = [
+        (x, y, round(mutual_information(li, x, y, bins=8), 6))
+        for x, y in pairs
+    ]
+    return spark.createDataFrame(
+        rows, "col_x string, col_y string, mi_nats double"
+    )
+
+
+@register(
+    "sample_target_encode",
+    oracle=None,
+    note=(
+        "extension: leakage-safe out-of-fold target encoding — each "
+        "row's categorical encoding is the smoothed target mean from "
+        "the OTHER hash-folds only (a row never sees its own label; "
+        "in-fold encoding is the classic train-great-serve-terrible "
+        "leak). One (cat, fold) partial aggregate; OOF stats by "
+        "subtraction, no second scan. Leak-freedom + DuckDB parity in "
+        "tests/test_analytics.py. Summary per segment"
+    ),
+)
+def q_sample_target_encode(spark, sf_dir):
+    from etl_hero_spark.analytics import target_encode_oof
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .select("o_orderkey", "c_mktsegment", "o_totalprice")
+    )
+    enc = target_encode_oof(
+        orders, "c_mktsegment", "o_totalprice", id_col="o_orderkey"
+    )
+    return (
+        enc.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("te_c_mktsegment").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_te"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -786,3 +786,69 @@ def test_json_schema_profile_fill_and_registered(spark, sf_dir):
     assert got["flag"]["inferred_type"] == "boolean"
     for k in ("amt", "ua", "flag"):
         assert 0.2 < got[k]["fill_rate"] < 0.3
+
+
+# ---------------------------------------------------------------------------
+# mutual information (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_information_matches_python_reference(spark):
+    import math
+    import random
+
+    random.seed(7)
+    rows = [
+        (round(random.uniform(0, 10), 3), round(random.uniform(0, 5), 3))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    bins = 6
+    lo_x, hi_x = min(r[0] for r in rows), max(r[0] for r in rows)
+    lo_y, hi_y = min(r[1] for r in rows), max(r[1] for r in rows)
+    got = profile.mutual_information(
+        df, "x", "y", bins=bins, bounds=(lo_x, hi_x, lo_y, hi_y)
+    )
+
+    def bucket(v, lo, hi):
+        # mirror histogram2d: floor((v-lo)/((hi-lo)/n))+1, top-folded
+        return min(bins, int((v - lo) // ((hi - lo) / bins)) + 1)
+
+    from collections import Counter
+
+    joint = Counter(
+        (bucket(x, lo_x, hi_x), bucket(y, lo_y, hi_y)) for x, y in rows
+    )
+    n = len(rows)
+    px = Counter()
+    py = Counter()
+    for (bx, by), c in joint.items():
+        px[bx] += c
+        py[by] += c
+    want = sum(
+        (c / n) * math.log((c / n) / ((px[bx] / n) * (py[by] / n)))
+        for (bx, by), c in joint.items()
+    )
+    assert abs(got - max(0.0, want)) < 1e-9
+
+
+def test_mutual_information_sees_what_correlation_misses(spark):
+    """y = x^2 on symmetric x: Pearson corr ~0 (no linear trend) but MI
+    is large (y is a deterministic function of x); independent noise
+    shows near-zero MI."""
+    import random
+
+    random.seed(11)
+    xs = [random.uniform(-1, 1) for _ in range(800)]
+    dep = spark.createDataFrame(
+        [(x, x * x) for x in xs], "x double, y double"
+    )
+    corr = dep.stat.corr("x", "y")
+    assert abs(corr) < 0.15
+    mi_dep = profile.mutual_information(dep, "x", "y", bins=8)
+    ind = spark.createDataFrame(
+        [(x, random.uniform(0, 1)) for x in xs], "x double, y double"
+    )
+    mi_ind = profile.mutual_information(ind, "x", "y", bins=8)
+    assert mi_dep > 5 * mi_ind
+    assert mi_dep > 0.5

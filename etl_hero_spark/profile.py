@@ -953,3 +953,80 @@ def mutual_information(
             pxy / ((px[r["bx"]] / total) * (py[r["by"]] / total))
         )
     return max(0.0, mi)
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the CATEGORICAL sibling of mutual_information's numeric
+    screen (and the classic A/B-test contingency check):
+
+        chi2      = Σ_cells (observed - expected)² / expected,
+                    expected = row_total · col_total / N
+        dof       = (|a| - 1) · (|b| - 1)
+        cramers_v = sqrt(chi2 / (N · min(|a|-1, |b|-1)))  — effect size
+                    on [0, 1], comparable across table shapes.
+
+    One row: (col_a, col_b, n, levels_a, levels_b, chi2, dof,
+    cramers_v). Plan: one groupBy folds the corpus to the |a|·|b|
+    contingency cells; row/col marginals come from PARTITIONED window
+    sums over the bounded cell table (no second corpus scan, and no
+    partition-less window — the globals fold algebraically into the
+    final one-row aggregate via chi2 = N·Σ n²/(ra·cb) − 2N + Σ ra·cb/N,
+    the observed-support expansion of Σ(n−e)²/e). Nulls in either
+    column are excluded (a null level is absence, not a category).
+    Marginal products go through double (a 10^12-row cell would
+    overflow bigint at n²). chi2 rounded 6dp for cross-engine parity;
+    DuckDB/crosstab parity in tests/test_timeseries.py."""
+    from pyspark.sql import Window as W
+
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nd = F.col("n").cast("double")
+    ex = cells.select(
+        "a",
+        "b",
+        "n",
+        (
+            nd * nd
+            / (
+                F.sum("n").over(W.partitionBy("a")).cast("double")
+                * F.sum("n").over(W.partitionBy("b")).cast("double")
+            )
+        ).alias("u"),
+        (
+            F.sum("n").over(W.partitionBy("a")).cast("double")
+            * F.sum("n").over(W.partitionBy("b")).cast("double")
+        ).alias("v"),
+    )
+    tot = F.sum("n").cast("double")
+    ka = F.countDistinct("a")
+    kb = F.countDistinct("b")
+    # clamp: algebraic cancellation can land a hair below 0 on
+    # perfectly independent tables (sqrt would NaN)
+    chi2 = F.greatest(
+        F.lit(0.0), tot * F.sum("u") - 2.0 * tot + F.sum("v") / tot
+    )
+    return ex.agg(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.sum("n").alias("n"),
+        ka.cast("int").alias("levels_a"),
+        kb.cast("int").alias("levels_b"),
+        F.round(chi2, 6).alias("chi2"),
+        ((ka - 1) * (kb - 1)).cast("int").alias("dof"),
+        F.round(
+            F.when(
+                F.least(ka - 1, kb - 1) > 0,
+                F.sqrt(chi2 / (tot * F.least(ka - 1, kb - 1))),
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -3538,3 +3538,153 @@ def q_sample_target_encode(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ===========================================================================
+# Recursive sequence analytics: EWMA / CUSUM / survival / chi-square
+# ===========================================================================
+
+
+@register(
+    "events_ewma_smooth",
+    oracle=None,
+    note=(
+        "extension: per-(user, event_type) exponentially weighted "
+        "moving average of value — the RECURSIVE smoother no window "
+        "aggregate expresses, folded JVM-side with F.aggregate over "
+        "sorted per-key arrays (zero Python in the hot path, one "
+        "shuffle; per-key series capped loudly). pandas "
+        "ewm(adjust both ways, ignore_na) parity in "
+        "tests/test_timeseries.py. Per-type smoothing-residual summary"
+    ),
+)
+def q_events_ewma_smooth(spark, sf_dir):
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.timeseries import ewma
+
+    sm = ewma(
+        _events(spark, sf_dir),
+        ["user_id", "event_type"],
+        "ts",
+        "value",
+        alpha=0.3,
+    )
+    return (
+        sm.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("ewma"), 4).alias("avg_ewma"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("ewma"))), 4).alias(
+                "avg_abs_residual"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_cusum_alarms",
+    oracle=None,
+    note=(
+        "extension: two-sided standardized CUSUM drift detector per "
+        "(user, event_type) series — s±_t = max(0, s±_(t-1) ± z_t - k), "
+        "alarm past h·sigma; the monitoring twin of the point-wise "
+        "z-score/MAD detectors (CUSUM accumulates SMALL sustained "
+        "shifts they can't see). Same JVM-side F.aggregate fold as "
+        "ewma. Python-loop parity + injected-shift detection pinned in "
+        "tests/test_timeseries.py. Per-type alarm summary"
+    ),
+)
+def q_events_cusum_alarms(spark, sf_dir):
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.timeseries import cusum
+
+    cs = cusum(
+        _events(spark, sf_dir),
+        ["user_id", "event_type"],
+        "ts",
+        "value",
+        k_sigma=0.5,
+        h_sigma=3.0,
+    )
+    return (
+        cs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("alarm").cast("int")).alias("n_alarm_points"),
+            F.countDistinct(
+                F.when(F.col("alarm"), F.col("user_id"))
+            ).alias("n_alarm_users"),
+            F.round(F.max("s_pos"), 4).alias("max_s_pos"),
+            F.round(F.max("s_neg"), 4).alias("max_s_neg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_survival_km",
+    oracle=None,
+    note=(
+        "extension: Kaplan-Meier time-to-convert curve — duration = "
+        "days from a user's first event to first purchase (event=1) or "
+        "to the corpus horizon (right-censored, event=0); S(t) = "
+        "prod(1 - d/n) via exp(log-sum window) over the bounded "
+        "distinct-duration table, censoring adjusts n_risk without "
+        "stepping the curve. Hand-computed table + DuckDB-SQL parity "
+        "in tests/test_timeseries.py"
+    ),
+)
+def q_events_survival_km(spark, sf_dir):
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.timeseries import km_survival
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("conv_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    horizon = per_user.agg(F.max("last_ts").alias("h_ts"))
+    subj = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.floor(
+            (
+                F.unix_timestamp(
+                    F.coalesce(F.col("conv_ts"), F.col("h_ts"))
+                )
+                - F.unix_timestamp("first_ts")
+            )
+            / 86400
+        ).alias("d"),
+        F.col("conv_ts").isNotNull().cast("int").alias("e"),
+    )
+    return km_survival(subj, "d", "e")
+
+
+@register(
+    "profile_chi_square",
+    oracle=None,
+    note=(
+        "extension: Pearson chi-square independence screen + Cramer's "
+        "V for categorical pairs — the categorical sibling of "
+        "profile_mutual_information (one contingency groupBy per pair; "
+        "marginals from window sums over the bounded cell table, no "
+        "second corpus scan). pandas-crosstab + guard parity in "
+        "tests/test_timeseries.py. Tagged row per column pair"
+    ),
+)
+def q_profile_chi_square(spark, sf_dir):
+    from etl_hero_spark.profile import chi_square_independence
+
+    a = chi_square_independence(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+    b = chi_square_independence(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey"
+    )
+    return a.unionByName(b).orderBy("col_a")

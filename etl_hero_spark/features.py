@@ -1,0 +1,247 @@
+"""Feature engineering for ML training tables: quantile discretization,
+the hashing trick, column scaling, and multi-touch attribution
+(extension mandate — the transforms between curated data and a trainer;
+no counterpart in the reference, whose pipeline ends at cleaning).
+
+Shape rules shared by all four:
+* model "fitting" (cut points, μ/σ, min/max) is ONE corpus aggregation
+  whose bounded result comes to the driver and re-enters the plan as
+  LITERAL expressions — the clean.py impute/clip shape; never a join
+  against a stats table, never a second pass per column;
+* the apply side is a pure codegen projection (when-chains, hash
+  arithmetic) — no shuffle, no Python;
+* everything is deterministic under repartition (hashes are value-
+  based; cut points come from exact percentiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_cuts(
+    df: DataFrame, col: str, n_bins: int, approx: bool = False
+) -> list[float]:
+    """The n_bins-1 interior cut points (exact interpolated percentiles;
+    approx=True swaps in t-digest for the 100 TB path). Duplicate cuts
+    from skewed mass are collapsed — the effective bin count shrinks
+    rather than emitting empty bins."""
+    ps = [i / n_bins for i in range(1, n_bins)]
+    fn = "percentile_approx" if approx else "percentile"
+    row = df.agg(
+        F.expr(
+            f"{fn}({col}, array({', '.join(str(p) for p in ps)}))"
+        ).alias("c")
+    ).first()
+    cuts: list[float] = []
+    for c in row["c"] or []:
+        if c is not None and (not cuts or c > cuts[-1]):
+            cuts.append(float(c))
+    return cuts
+
+
+def with_quantile_bin(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    out_col: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Equal-frequency discretization: adds ``<col>_bin`` (int, 0-based;
+    NULL passes through) assigning x to the first bin whose cut is
+    >= x — pandas ``qcut`` bucket semantics with right-closed interior
+    edges. Fit = one percentile aggregation; apply = a literal
+    when-chain (pure codegen). DuckDB parity in
+    tests/test_features.py."""
+    out_col = out_col or f"{col}_bin"
+    cuts = quantile_cuts(df, col, n_bins, approx=approx)
+    c = F.col(col)
+    expr: Column = F.lit(len(cuts))  # above every cut -> last bin
+    for i in range(len(cuts) - 1, -1, -1):
+        expr = F.when(c <= cuts[i], F.lit(i)).otherwise(expr)
+    return df.withColumn(
+        out_col, F.when(c.isNotNull(), expr).cast("int")
+    )
+
+
+def hash_features(
+    df: DataFrame,
+    cols: list[str],
+    dim: int = 256,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Hashing-trick sparse encoding of categorical columns into a
+    fixed ``dim``-dimensional space (Weinberger et al. 2009): feature
+    'col=value' lands at md5-derived ``index = H(col‖value) mod dim``
+    with sign ± from the next hash bit, colliding features SUMMING —
+    the unbounded-vocabulary encoder that needs no fitted dictionary
+    (nothing to ship, nothing to drift; a new category at serve time
+    just hashes). NULL contributes nothing.
+
+    Output: input columns + ``f_indices array<int>`` (ascending) +
+    ``f_values array<double>`` (summed signed counts). md5 (not
+    xxhash64) so the index is reproducible in any engine/language —
+    cross-checked against hashlib in tests/test_features.py. Pure
+    codegen projection; array_sort/zip over <= len(cols) entries."""
+    pairs = []
+    for c in cols:
+        h = F.md5(F.concat(F.lit(c + "="), F.col(c).cast("string")))
+        idx = (
+            F.conv(F.substring(h, 1, 14), 16, 10).cast("bigint") % dim
+        ).cast("int")
+        sign = F.when(
+            F.conv(F.substring(h, 15, 1), 16, 10).cast("int") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        pairs.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(idx.alias("i"), sign.alias("v")),
+            )
+        )
+    arr = F.array_sort(
+        F.filter(F.array(*pairs), lambda p: p.isNotNull())
+    )
+    # merge collisions: distinct indices, then sum values per index
+    idxs = F.array_distinct(F.transform(arr, lambda p: p["i"]))
+    vals = F.transform(
+        idxs,
+        lambda i: F.aggregate(
+            F.filter(arr, lambda p: p["i"] == i),
+            F.lit(0.0),
+            lambda acc, p: acc + p["v"],
+        ),
+    )
+    return df.withColumn("f_indices", idxs).withColumn("f_values", vals)
+
+
+def fit_scaler(
+    df: DataFrame, cols: list[str], method: str = "zscore"
+) -> dict[str, tuple[float, float]]:
+    """One aggregation pass over all columns: zscore -> (μ, σ_pop) from
+    exact decimal sums (order-independent — the dec_avg/dec_stddev_pop
+    contract), minmax -> (min, max)."""
+    if method == "zscore":
+        aggs = []
+        for c in cols:
+            d = F.col(c).cast("decimal(18,2)")
+            aggs += [
+                F.sum(d).cast("double").alias(f"_sx_{c}"),
+                F.sum(d * d).cast("double").alias(f"_sx2_{c}"),
+                F.count(c).cast("double").alias(f"_n_{c}"),
+            ]
+        r = df.agg(*aggs).first()
+        out = {}
+        for c in cols:
+            n = r[f"_n_{c}"]
+            mu = r[f"_sx_{c}"] / n if n else 0.0
+            var = (r[f"_sx2_{c}"] / n - mu * mu) if n else 0.0
+            out[c] = (mu, max(var, 0.0) ** 0.5)
+        return out
+    if method == "minmax":
+        r = df.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in cols],
+            *[F.max(c).alias(f"_hi_{c}") for c in cols],
+        ).first()
+        return {
+            c: (float(r[f"_lo_{c}"]), float(r[f"_hi_{c}"])) for c in cols
+        }
+    raise ValueError(f"unknown scaler method: {method!r}")
+
+
+def apply_scaler(
+    df: DataFrame,
+    stats: dict[str, tuple[float, float]],
+    method: str = "zscore",
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """Literal-expression apply: zscore -> (x-μ)/σ (σ=0 degenerates to
+    0.0, a constant column carries no information), minmax ->
+    (x-lo)/(hi-lo) on [0,1] (same degenerate rule). The fitted stats
+    being plain floats means TRAIN-time stats can be applied to a
+    SERVE-time frame — the train/serve-skew control."""
+    out = df
+    for c, (a, b) in stats.items():
+        x = F.col(c)
+        if method == "zscore":
+            expr = (
+                ((x - a) / b) if b > 0 else F.lit(0.0)
+            )
+        elif method == "minmax":
+            span = b - a
+            expr = ((x - a) / span) if span > 0 else F.lit(0.0)
+        else:
+            raise ValueError(f"unknown scaler method: {method!r}")
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(x.isNotNull(), expr).cast("double"),
+        )
+    return out
+
+
+def attribution_credit(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion_value: str,
+    model: str = "linear",
+    half_life_s: float = 3600.0,
+) -> DataFrame:
+    """Multi-touch attribution: split each converting key's single unit
+    of credit over the channels of its touches at or before its FIRST
+    conversion, then sum per channel.
+
+        linear      — 1/n to each of the n touches
+        first_touch — all credit to the earliest touch
+        last_touch  — all credit to the latest touch (<= conversion)
+        time_decay  — 2^(-Δt/half_life) per touch, renormalized per key
+
+    Output: (channel, credit) with Σ credit == number of converting
+    keys (pinned in tests — credit is conserved, never invented). Plan:
+    per-key first-conversion via one groupBy (broadcast back), touch
+    filter, per-key touch stats via a key-partitioned window, weight
+    expression, one channel groupBy. The conversion event itself is a
+    touch (it has a channel). DuckDB parity in tests/test_features.py.
+    """
+    k, t, ch = F.col(key_col), F.col(ts_col), F.col(channel_col)
+    conv = (
+        events.filter(F.col(channel_col) == conversion_value)
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("_conv_ts"))
+    )
+    touches = events.join(F.broadcast(conv), key_col).filter(
+        t <= F.col("_conv_ts")
+    )
+    from pyspark.sql import Window as W
+
+    touches = touches.select(
+        k.alias("_k"),
+        ch.alias("_ch"),
+        t.cast("double").alias("_t"),
+        F.col("_conv_ts").cast("double").alias("_ct"),
+    )
+    w_k = W.partitionBy("_k")
+    if model == "linear":
+        weight = F.lit(1.0) / F.count("*").over(w_k)
+    elif model == "first_touch":
+        weight = (
+            F.row_number().over(w_k.orderBy("_t", "_ch")) == 1
+        ).cast("double")
+    elif model == "last_touch":
+        weight = (
+            F.row_number().over(w_k.orderBy(F.desc("_t"), F.desc("_ch")))
+            == 1
+        ).cast("double")
+    elif model == "time_decay":
+        raw = F.pow(2.0, -(F.col("_ct") - F.col("_t")) / half_life_s)
+        weight = raw / F.sum(raw).over(w_k)
+    else:
+        raise ValueError(f"unknown attribution model: {model!r}")
+    return (
+        touches.withColumn("_w", weight)
+        .filter(F.col("_w") > 0.0)  # first/last models zero-weight the rest
+        .groupBy(F.col("_ch").alias("channel"))
+        .agg(F.round(F.sum("_w"), 6).alias("credit"))
+    )

@@ -1030,3 +1030,50 @@ def chi_square_independence(
             6,
         ).alias("cramers_v"),
     )
+
+
+def approx_set_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: str,
+    col_b: str | None = None,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sketch-based overlap of two key sets by inclusion-exclusion over
+    HyperLogLog++ cardinalities: |A∩B| ≈ |A| + |B| - |A∪B|, jaccard ≈
+    intersect / union — the constant-memory way to answer "how much do
+    these two corpora share?" at 100 TB, where an exact distinct-join
+    would shuffle both sides (the exact twin is a one-line semi-join;
+    tests pin the estimate against it at fixture scale).
+
+    One row: (n_a, n_b, n_union, n_intersect, jaccard) — all estimates
+    at the given relative standard deviation. Three approx-distinct
+    aggregates; the union side unions the (column-pruned) scans rather
+    than merging sketch registers because Spark exposes no
+    HLL-merge-across-DataFrames surface, so each input is scanned
+    twice — still narrow-column streaming scans with no shuffle beyond
+    the partial-agg trees. Intersection clamps at >= 0 (inclusion-
+    exclusion on independent sketch noise can dip negative)."""
+    cb = col_b or col_a
+    a = df_a.select(F.col(col_a).alias("k"))
+    b = df_b.select(F.col(cb).alias("k"))
+    n_a = a.agg(F.approx_count_distinct("k", rsd).alias("n"))
+    n_b = b.agg(F.approx_count_distinct("k", rsd).alias("n"))
+    n_u = a.unionByName(b).agg(F.approx_count_distinct("k", rsd).alias("n"))
+    joined = (
+        n_a.select(F.col("n").alias("n_a"))
+        .crossJoin(n_b.select(F.col("n").alias("n_b")))
+        .crossJoin(n_u.select(F.col("n").alias("n_union")))
+    )
+    inter = F.greatest(
+        F.lit(0), F.col("n_a") + F.col("n_b") - F.col("n_union")
+    )
+    return joined.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        inter.alias("n_intersect"),
+        F.round(
+            inter.cast("double") / F.col("n_union").cast("double"), 6
+        ).alias("jaccard"),
+    )

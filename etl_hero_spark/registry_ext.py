@@ -3688,3 +3688,232 @@ def q_profile_chi_square(spark, sf_dir):
         _t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey"
     )
     return a.unionByName(b).orderBy("col_a")
+
+
+# ===========================================================================
+# Privacy: k-anonymity / l-diversity / set overlap
+# ===========================================================================
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=None,
+    note=(
+        "extension: Sweeney k-anonymity release audit over customer "
+        "quasi-identifiers, tagged raw vs generalized — raw QI "
+        "(segment, nation, exact acctbal) is k=1 re-identifiable; one "
+        "generalization rung (acctbal to width-1000 bins) merges "
+        "groups and the SAME audit shows the achieved k rising. One "
+        "groupBy per audit, report off the bounded QI-group table. "
+        "DuckDB parity + monotone-k pinned in tests/test_privacy.py"
+    ),
+)
+def q_privacy_k_anonymity(spark, sf_dir):
+    from etl_hero_spark.privacy import generalize, k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    qi = ["c_mktsegment", "c_nationkey", "c_acctbal"]
+    raw = k_anonymity_report(cust, qi, k=5).withColumn("tag", F.lit("raw"))
+    gen = k_anonymity_report(
+        generalize(cust, {"c_acctbal": ("bin", 1000)}), qi, k=5
+    ).withColumn("tag", F.lit("generalized"))
+    return raw.unionByName(gen).select("tag", *raw.columns[:-1]).orderBy(
+        "tag"
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=None,
+    note=(
+        "extension: distinct-l-diversity audit — every (segment, "
+        "nation) QI group must hold >= l distinct order priorities or "
+        "it leaks the attribute by homogeneity even at high k. Two "
+        "stacked partial-agg groupBys, broadcast dim join. DuckDB "
+        "parity + planted-homogeneous-group detection in "
+        "tests/test_privacy.py"
+    ),
+)
+def q_privacy_l_diversity(spark, sf_dir):
+    from etl_hero_spark.privacy import l_diversity_report
+
+    joined = _t(spark, sf_dir, "orders").join(
+        F.broadcast(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                "c_mktsegment",
+                "c_nationkey",
+            )
+        ),
+        "o_custkey",
+    )
+    return l_diversity_report(
+        joined, ["c_mktsegment", "c_nationkey"], "o_orderpriority", l_req=3
+    )
+
+
+@register(
+    "profile_set_overlap",
+    oracle=None,
+    note=(
+        "extension: HyperLogLog++ inclusion-exclusion set overlap — "
+        "|A∩B| ~ |A|+|B|-|A∪B| between the URGENT-order and "
+        "1-URGENT-order customer-key sets, constant sketch memory vs "
+        "the exact distinct semi-join (its twin, pinned within rsd "
+        "tolerance in tests/test_privacy.py). Narrow pruned scans, "
+        "partial-agg trees, no key shuffle"
+    ),
+)
+def q_profile_set_overlap(spark, sf_dir):
+    from etl_hero_spark.profile import approx_set_overlap
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    return approx_set_overlap(a, b, "o_custkey")
+
+
+# ===========================================================================
+# Feature engineering: binning / hashing trick / scaling / attribution
+# ===========================================================================
+
+
+@register(
+    "features_quantile_bin",
+    oracle=None,
+    note=(
+        "extension: equal-frequency discretization (pandas-qcut "
+        "bucket semantics) — fit is ONE exact-percentile aggregation "
+        "whose bounded cuts re-enter the plan as a literal when-chain "
+        "(pure codegen apply, no stats join; approx twin for 100 TB). "
+        "Skewed duplicate cuts collapse instead of emitting empty "
+        "bins. DuckDB quantile_cont parity in tests/test_features.py. "
+        "Per-bin count + price range"
+    ),
+)
+def q_features_quantile_bin(spark, sf_dir):
+    from etl_hero_spark.features import with_quantile_bin
+
+    return (
+        with_quantile_bin(
+            _t(spark, sf_dir, "orders"), "o_totalprice", 10
+        )
+        .groupBy(F.col("o_totalprice_bin").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "features_hashed",
+    oracle=None,
+    note=(
+        "extension: hashing-trick sparse categorical encoding "
+        "(Weinberger et al. 2009) — feature col=value lands at "
+        "md5(col‖value) mod dim with ± sign from the next hash bit, "
+        "collisions SUM; no fitted dictionary to ship or drift, new "
+        "serve-time categories just hash. md5 so the index reproduces "
+        "in any engine (hashlib parity in tests/test_features.py). "
+        "Per-index occupancy summary over customer QIs"
+    ),
+)
+def q_features_hashed(spark, sf_dir):
+    from etl_hero_spark.features import hash_features
+
+    hf = hash_features(
+        _t(spark, sf_dir, "customer"),
+        ["c_mktsegment", "c_nationkey"],
+        dim=64,
+    )
+    return (
+        hf.select(
+            F.explode(F.arrays_zip("f_indices", "f_values")).alias("z")
+        )
+        .select(
+            F.col("z.f_indices").alias("f_index"),
+            F.col("z.f_values").alias("v"),
+        )
+        .groupBy("f_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("v"), 1).alias("sum_signed"),
+        )
+        .orderBy("f_index")
+    )
+
+
+@register(
+    "features_scaled",
+    oracle=None,
+    note=(
+        "extension: column scaling with the train/serve-skew control — "
+        "fit (exact-decimal μ/σ_pop or min/max) is ONE aggregation "
+        "whose plain-float stats apply as literal expressions to ANY "
+        "frame (σ=0 degenerates to 0.0). Output self-certifies: "
+        "post-zscore mean==0/std==1, post-minmax [0,1], per column "
+        "per method. Extrapolation + degenerate parity in "
+        "tests/test_features.py"
+    ),
+)
+def q_features_scaled(spark, sf_dir):
+    from etl_hero_spark.features import apply_scaler, fit_scaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out_rows = []
+    for method in ("zscore", "minmax"):
+        scaled = apply_scaler(li, fit_scaler(li, cols, method), method)
+        summary = scaled.agg(
+            *[
+                F.round(F.avg(f"{c}_scaled"), 6).alias(f"mean_{c}")
+                for c in cols
+            ],
+            *[
+                F.round(F.stddev_pop(f"{c}_scaled"), 6).alias(f"std_{c}")
+                for c in cols
+            ],
+        ).withColumn("method", F.lit(method))
+        out_rows.append(summary)
+    return out_rows[0].unionByName(out_rows[1]).select(
+        "method",
+        *[c for c in out_rows[0].columns if c != "method"],
+    ).orderBy("method")
+
+
+@register(
+    "events_attribution_credit",
+    oracle=None,
+    note=(
+        "extension: multi-touch attribution — each converting user's "
+        "ONE unit of credit split over pre-conversion touches per "
+        "model (linear / first / last / time-decay), tagged rows per "
+        "model; Σ credit == converter count is pinned (credit is "
+        "conserved, never invented). Per-key window weights, one "
+        "channel groupBy per model. DuckDB parity + hand fixtures in "
+        "tests/test_features.py"
+    ),
+)
+def q_events_attribution_credit(spark, sf_dir):
+    from etl_hero_spark.features import attribution_credit
+    from etl_hero_spark.registry import _events
+
+    ev = _events(spark, sf_dir)
+    outs = []
+    for model in ("linear", "first_touch", "last_touch", "time_decay"):
+        outs.append(
+            attribution_credit(
+                ev, "user_id", "ts", "event_type", "purchase", model=model
+            ).withColumn("model", F.lit(model))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("model", "channel", "credit").orderBy(
+        "model", "channel"
+    )

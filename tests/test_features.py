@@ -1,0 +1,217 @@
+"""Feature engineering: quantile binning, hashing trick, scalers, and
+multi-touch attribution pinned against DuckDB / hashlib / invariants."""
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_hero_spark.features import (
+    apply_scaler,
+    attribution_credit,
+    fit_scaler,
+    hash_features,
+    with_quantile_bin,
+)
+from etl_hero_spark.registry import _events
+
+
+def test_quantile_bin_matches_duckdb_deciles(spark, sf_dir):
+    got = (
+        with_quantile_bin(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            "o_totalprice",
+            10,
+        )
+        .groupBy("o_totalprice_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_totalprice_bin")
+        .collect()
+    )
+    want = duckdb.sql(
+        f"""
+        WITH c AS (
+          SELECT quantile_cont(o_totalprice,
+                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+          FROM read_parquet('{sf_dir}/orders.parquet')
+        )
+        SELECT b, count(*) FROM (
+          SELECT (SELECT count(*) FROM unnest((SELECT cuts FROM c)) t(x)
+                  WHERE x < o_totalprice) AS b
+          FROM read_parquet('{sf_dir}/orders.parquet')
+        ) GROUP BY b ORDER BY b
+        """
+    ).fetchall()
+    assert [(r["o_totalprice_bin"], r["n"]) for r in got] == [
+        (int(b), n) for b, n in want
+    ]
+
+
+def test_quantile_bin_null_passthrough_and_skew_collapse(spark):
+    df = spark.createDataFrame(
+        [(1.0,)] * 95 + [(9.0,)] * 5 + [(None,)], "x double"
+    )
+    out = with_quantile_bin(df, "x", 10).groupBy("x_bin").count().collect()
+    bins = {r["x_bin"]: r["count"] for r in out}
+    assert bins[None] == 1  # NULL passes through
+    # 95% identical mass: duplicate cuts collapse instead of empty bins
+    assert set(bins) == {None, 0, 1}
+    assert bins[0] == 95 and bins[1] == 5
+
+
+def test_hash_features_reproduce_hashlib(spark, sf_dir):
+    rows = (
+        hash_features(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            ["c_mktsegment", "c_nationkey"],
+            dim=64,
+        )
+        .select("c_mktsegment", "c_nationkey", "f_indices", "f_values")
+        .limit(20)
+        .collect()
+    )
+
+    def py_hash(col, val, dim=64):
+        h = hashlib.md5(f"{col}={val}".encode()).hexdigest()
+        return int(h[:14], 16) % dim, (
+            1.0 if int(h[14], 16) % 2 == 0 else -1.0
+        )
+
+    assert len(rows) == 20
+    for r in rows:
+        exp: dict = {}
+        for cname in ("c_mktsegment", "c_nationkey"):
+            i, s = py_hash(cname, r[cname])
+            exp[i] = exp.get(i, 0.0) + s
+        assert list(r["f_indices"]) == sorted(exp)
+        assert list(r["f_values"]) == [exp[i] for i in sorted(exp)]
+
+
+def test_hash_features_null_contributes_nothing(spark):
+    df = spark.createDataFrame([("a", None)], "x string, y string")
+    r = hash_features(df, ["x", "y"], dim=8).collect()[0]
+    assert len(r["f_indices"]) == 1 and len(r["f_values"]) == 1
+
+
+def test_hash_features_collisions_sum(spark):
+    # same column+value twice via duplicated col list -> one index,
+    # summed signed value (|v| == 2)
+    df = spark.createDataFrame([("a",)], "x string")
+    df = df.withColumn("x2", F.col("x"))
+    # x and x2 hash differently (feature name differs) — instead force
+    # a collision with dim=1: every feature lands at index 0
+    r = hash_features(df, ["x", "x2"], dim=1).collect()[0]
+    assert list(r["f_indices"]) == [0]
+    assert abs(r["f_values"][0]) in (0.0, 2.0)  # signs sum, never drop
+
+
+@pytest.mark.parametrize("method", ["zscore", "minmax"])
+def test_scaler_self_certifies(spark, sf_dir, method):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+    stats = fit_scaler(li, cols, method)
+    out = apply_scaler(li, stats, method)
+    r = out.agg(
+        *[F.round(F.avg(f"{c}_scaled"), 6).alias(f"m_{c}") for c in cols],
+        *[F.round(F.stddev_pop(f"{c}_scaled"), 6).alias(f"s_{c}") for c in cols],
+        *[F.min(f"{c}_scaled").alias(f"lo_{c}") for c in cols],
+        *[F.max(f"{c}_scaled").alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    for c in cols:
+        if method == "zscore":
+            assert r[f"m_{c}"] == pytest.approx(0.0, abs=1e-5)
+            assert r[f"s_{c}"] == pytest.approx(1.0, abs=1e-5)
+        else:
+            assert r[f"lo_{c}"] == 0.0 and r[f"hi_{c}"] == 1.0
+
+
+def test_scaler_train_serve_and_degenerate(spark):
+    train = spark.createDataFrame([(0.0,), (10.0,)], "x double")
+    serve = spark.createDataFrame([(5.0,), (20.0,)], "x double")
+    stats = fit_scaler(train, ["x"], "minmax")
+    got = [
+        r["x_scaled"]
+        for r in apply_scaler(serve, stats, "minmax").collect()
+    ]
+    assert got == [0.5, 2.0]  # serve rows outside train range extrapolate
+    const = spark.createDataFrame([(3.0,), (3.0,)], "x double")
+    s2 = fit_scaler(const, ["x"], "zscore")
+    assert [
+        r["x_scaled"] for r in apply_scaler(const, s2, "zscore").collect()
+    ] == [0.0, 0.0]
+    with pytest.raises(ValueError, match="unknown scaler"):
+        fit_scaler(train, ["x"], "nope")
+
+
+@pytest.mark.parametrize(
+    "model", ["linear", "first_touch", "last_touch", "time_decay"]
+)
+def test_attribution_credit_is_conserved(spark, sf_dir, model):
+    ev = _events(spark, sf_dir)
+    out = attribution_credit(
+        ev, "user_id", "ts", "event_type", "purchase", model=model
+    )
+    total = out.agg(F.round(F.sum("credit"), 3)).first()[0]
+    n_converters = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total == pytest.approx(n_converters, abs=1e-2)
+
+
+def test_attribution_linear_matches_duckdb(spark, sf_dir):
+    got = sorted(
+        (r["channel"], r["credit"])
+        for r in attribution_credit(
+            _events(spark, sf_dir),
+            "user_id", "ts", "event_type", "purchase", model="linear",
+        ).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH e AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+              FROM read_parquet('{sf_dir}/events.parquet')
+            ), conv AS (
+              SELECT user_id, min(ts) AS conv_ts FROM e
+              WHERE event_type = 'purchase' GROUP BY 1
+            ), t AS (
+              SELECT e.user_id, e.event_type,
+                     count(*) OVER (PARTITION BY e.user_id) AS n
+              FROM e JOIN conv USING (user_id)
+              WHERE e.ts <= conv.conv_ts
+            )
+            SELECT event_type, round(sum(1.0/n), 6) FROM t GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert got == [(c, v) for c, v in want]
+
+
+def test_attribution_first_last_hand_fixture(spark):
+    rows = [
+        ("u1", 1.0, "ad"), ("u1", 2.0, "email"), ("u1", 3.0, "purchase"),
+        ("u2", 1.0, "email"), ("u2", 2.0, "purchase"),
+        ("u3", 5.0, "ad"),  # never converts -> no credit at all
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, ch string")
+    first = {
+        r["channel"]: r["credit"]
+        for r in attribution_credit(
+            df, "k", "t", "ch", "purchase", model="first_touch"
+        ).collect()
+    }
+    assert first == {"ad": 1.0, "email": 1.0}
+    last = {
+        r["channel"]: r["credit"]
+        for r in attribution_credit(
+            df, "k", "t", "ch", "purchase", model="last_touch"
+        ).collect()
+    }
+    assert last == {"purchase": 2.0}  # conversion itself is the last touch
+    with pytest.raises(ValueError, match="unknown attribution"):
+        attribution_credit(df, "k", "t", "ch", "purchase", model="nope")

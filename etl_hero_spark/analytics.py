@@ -345,3 +345,69 @@ def target_encode_oof(
         )
     )
     return rows.join(F.broadcast(oof), [cat_col, "fold"], "left")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected edge list — pagerank's sibling
+    iterative algorithm, with a discrete argmax step instead of a
+    float recurrence (so the trajectory is exactly deterministic
+    without decimal accumulators):
+
+    * init: every node labels itself with its own id;
+    * per iteration, each node adopts the most frequent label among
+      its neighbors PLUS its own current label (the self-vote damps
+      the 2-cycle oscillation synchronous LPA is known for on
+      bipartite-ish structure), ties broken toward the SMALLEST label
+      — one neighbor-label join + one (node, label) count groupBy +
+      one max(struct(cnt, -label)) argmax per iteration, all bounded
+      shuffles, no driver data;
+    * same iterative-lineage discipline as pagerank: static edge/node
+      tables behind a parquet stage boundary once, the label table
+      checkpointed every ``checkpoint_every`` iterations so the
+      self-referential join lineage never compounds.
+
+    Node ids must be integral (labels are ids; the -label trick needs
+    a signed orderable type). Returns (node, community) where
+    community is the smallest label that won. Python-reference parity
+    + planted two-clique fixture in tests/test_analytics.py.
+    """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    und = edges.select(
+        F.col(src_col).cast("bigint").alias("src"),
+        F.col(dst_col).cast("bigint").alias("dst"),
+    )
+    e = parquet_checkpoint(
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        "lpa_edges",
+    )
+    nodes = parquet_checkpoint(
+        e.select(F.col("src").alias("node")).distinct(), "lpa_nodes"
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for it in range(1, iters + 1):
+        nbr = e.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        votes = nbr.unionByName(labels).groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = votes.groupBy("node").agg(
+            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))[
+                "nl"
+            ]).alias("label")
+        )
+        if it % checkpoint_every == 0 and it < iters:
+            labels = parquet_checkpoint(labels, f"lpa_it{it}")
+    return labels.select("node", F.col("label").alias("community"))

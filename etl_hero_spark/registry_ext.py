@@ -3917,3 +3917,153 @@ def q_events_attribution_credit(spark, sf_dir):
     return out.select("model", "channel", "credit").orderBy(
         "model", "channel"
     )
+
+
+# ===========================================================================
+# Graph communities, bloom-pruned join, more pure-SQL entry points
+# ===========================================================================
+
+
+@register(
+    "analytics_communities",
+    oracle=None,
+    note=(
+        "extension: label-propagation community detection over the "
+        "co-purchase graph — pagerank's sibling iterative algorithm "
+        "with a discrete deterministic argmax step (self-vote damps "
+        "synchronous oscillation, smallest-label tie-break); same "
+        "staged-static-inputs + per-iteration checkpoint lineage "
+        "discipline. Python-reference parity + planted two-clique "
+        "fixture in tests/test_analytics.py. Top communities by size"
+    ),
+)
+def q_analytics_communities(spark, sf_dir):
+    from etl_hero_spark.analytics import copurchase_pairs, label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    # min_count=3: at 2 the co-purchase graph is near-complete and LPA
+    # (correctly) reports one giant community — support 3 keeps real
+    # structure
+    pairs = copurchase_pairs(
+        li, "l_orderkey", "l_partkey", max_basket_size=50, min_count=3
+    )
+    comm = label_propagation(
+        pairs.select(
+            F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+        ),
+        iters=6,
+    )
+    return (
+        comm.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle=None,
+    note=(
+        "extension: explicit Bloom runtime filter ahead of a star "
+        "join — a constant-size (128 KB) bitmap built distributed "
+        "from the selective dim side, broadcast, and probed with pure "
+        "codegen bit arithmetic to drop fact rows BEFORE the join "
+        "shuffle (the AQE bloom injection made explicit/deterministic; "
+        "false positives fall out in the real join, false negatives "
+        "impossible). Equality with the plain join + measured "
+        "pre-shuffle reduction pinned in tests/test_skew.py. Revenue "
+        "by brand for small parts"
+    ),
+)
+def q_join_bloom_pruned(spark, sf_dir):
+    from etl_hero_spark.skew import bloom_pruned_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    j = bloom_pruned_join(li, part, "l_partkey", "p_partkey")
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT concat(CAST(extract(year FROM l.l_shipdate) AS STRING), '-',
+              lpad(CAST(extract(month FROM l.l_shipdate) AS STRING), 2, '0'))
+         AS ship_month,
+       round(CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1.0 - l.l_discount AS DECIMAL(8,4))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END)
+             / sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1.0 - l.l_discount AS DECIMAL(8,4)))
+             AS DOUBLE), 4) AS promo_pct
+FROM ehs_lineitem l
+JOIN ehs_part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "sql_promo_revenue",
+    oracle=None,
+    note=(
+        "extension: third pure-SQL entry point, TPC-H Q14 shape — "
+        "promo revenue share per ship month over lineitem ⋈ part "
+        "(conditional decimal aggregation + broadcast-able dim join "
+        "from SQL text; month key via extract, not the Spark-4-"
+        "rejected 'YYYY-MM' pattern). Same string runs in DuckDB "
+        "(tests/test_edge_cases.py)"
+    ),
+)
+def q_sql_promo_revenue(spark, sf_dir):
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"ehs_{t}")
+    return spark.sql(SQL_PROMO_REVENUE)
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+SELECT c.c_name AS cust_name,
+       o.o_orderkey AS orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       round(CAST(o.o_totalprice AS DOUBLE), 2) AS totalprice,
+       round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_qty
+FROM ehs_customer c
+JOIN ehs_orders o ON o.o_custkey = c.c_custkey
+JOIN ehs_lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM ehs_lineitem
+  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+GROUP BY c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE),
+         round(CAST(o.o_totalprice AS DOUBLE), 2)
+ORDER BY totalprice DESC, orderkey
+LIMIT 20
+"""
+
+
+@register(
+    "sql_large_volume_customers",
+    oracle=None,
+    note=(
+        "extension: fourth pure-SQL entry point, TPC-H Q18 shape — "
+        "large-volume orders via an IN-subquery that Catalyst rewrites "
+        "to a semi-join (the decorrelation path none of the other SQL "
+        "entries exercise) over a 3-way join. Same string runs in "
+        "DuckDB (tests/test_edge_cases.py)"
+    ),
+)
+def q_sql_large_volume_customers(spark, sf_dir):
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"ehs_{t}")
+    return spark.sql(SQL_LARGE_VOLUME_CUSTOMERS)

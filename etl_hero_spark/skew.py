@@ -239,3 +239,92 @@ def key_skew_report(
             F.col("max_n") * F.col("n_keys") / F.col("n_rows"), 2
         ).alias("max_over_mean"),
     )
+
+
+def build_bloom_filter(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Distributed Bloom-filter build over a key column: a 1-row
+    DataFrame holding the bitmap as ``array<bigint>`` (m_bits/64
+    words). Each key sets k_hashes bits at pmod(xxhash64(seed_i, key),
+    m); word-level OR folds distributed (groupBy word, bit_or), the
+    m/64-word table folds to one array. 1M bits = 16K longs = 128 KB —
+    broadcastable at any corpus size, the point: the FILTER is
+    constant-size no matter how many keys built it."""
+    words = m_bits // 64
+    pos = [
+        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+    bits = (
+        df.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # F.shiftleft only takes a literal shift; the SQL form
+            # accepts a column
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bm"))
+    )
+    # fold the sparse word table into one dense array: map_from_entries
+    # then lookup per position (absent word -> 0)
+    return bits.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("w", "bm"))
+        ).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words - 1)),
+            lambda i: F.coalesce(
+                F.element_at("_m", i.cast("int")), F.lit(0).cast("bigint")
+            ),
+        ).alias("bloom")
+    )
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_col: str,
+    dim_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an explicit Bloom runtime filter: build a
+    constant-size bitmap from the (selective) dim side, broadcast it,
+    and pre-filter the fact side BEFORE the join shuffle — the
+    runtime-filter pattern a 100 TB star join lives on when partition
+    pruning can't apply (the AQE bloom injection made explicit and
+    deterministic). False positives only (they fall out in the real
+    join, which still runs); false negatives impossible — result ==
+    plain join, pinned in tests/test_skew.py along with the measured
+    pre-shuffle row reduction. The k membership probes are pure
+    codegen bit arithmetic against one broadcast 128 KB array."""
+    bloom = build_bloom_filter(dim, dim_col, m_bits, k_hashes)
+    # stage each probe position once (seed type MUST match the build
+    # side: xxhash64 hashes typed values, int-0 != long-0)
+    probed = fact.crossJoin(F.broadcast(bloom))
+    for i in range(k_hashes):
+        probed = probed.withColumn(
+            f"_bp{i}",
+            F.pmod(F.xxhash64(F.lit(i), F.col(fact_col)), F.lit(m_bits)),
+        )
+    cond = None
+    for i in range(k_hashes):
+        word = F.element_at(
+            "bloom", (F.col(f"_bp{i}") / 64).cast("int") + 1
+        )
+        bit = F.expr(f"shiftleft(1L, cast(_bp{i} % 64 as int))")
+        check = word.bitwiseAND(bit) != 0
+        cond = check if cond is None else (cond & check)
+    pruned = probed.filter(cond).drop(
+        "bloom", *[f"_bp{i}" for i in range(k_hashes)]
+    )
+    return pruned.join(
+        dim, pruned[fact_col] == dim[dim_col], how
+    )

@@ -324,3 +324,71 @@ def test_target_encoding_registered_summary_invariants(spark, sf_dir):
         )
         assert r["te_min"] == r["te_max"]  # one encoding per (cat, fold)
         assert abs(r["te_min"] - want) < 1e-6, (c, r["fold"])
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def _py_lpa(edges, iters):
+    """Synchronous LPA with self-vote, smallest-label tie-break."""
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n in adj:
+            votes: dict = {labels[n]: 1}
+            for m in adj[n]:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_two_cliques(spark):
+    from etl_hero_spark.analytics import label_propagation
+
+    edges = (
+        [(a, b) for a in range(5) for b in range(5) if a < b]
+        + [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+        + [(4, 10)]  # one bridge must not merge the cliques
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            spark.createDataFrame(edges, "src bigint, dst bigint"), iters=6
+        ).collect()
+    }
+    assert out == _py_lpa(edges, 6)
+    assert len({out[n] for n in range(5)}) == 1
+    assert len({out[n] for n in range(10, 15)}) == 1
+    assert out[0] != out[10]
+
+
+def test_label_propagation_matches_python_on_random_graph(spark):
+    import random
+
+    from etl_hero_spark.analytics import label_propagation
+
+    rng = random.Random(5)
+    edges = list(
+        {
+            tuple(sorted((rng.randrange(30), rng.randrange(30))))
+            for _ in range(60)
+        }
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            spark.createDataFrame(edges, "src bigint, dst bigint"), iters=5
+        ).collect()
+    }
+    assert got == _py_lpa(edges, 5)

@@ -415,3 +415,50 @@ def test_round4_operators_handle_empty_inputs(spark):
     )
     m = kmeans_lloyd(tiny, k=5, iters=2)  # k > n: model shrinks to n
     assert 1 <= len(m["centroids"]) <= 2
+
+
+def test_sql_promo_revenue_matches_duckdb_same_text(spark, sf_dir):
+    """Third pure-SQL entry point (TPC-H Q14 shape): identical string,
+    identical monthly promo shares (AS STRING -> AS VARCHAR is the one
+    dialect tweak DuckDB needs)."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import (
+        SQL_PROMO_REVENUE,
+        q_sql_promo_revenue,
+    )
+
+    got = [
+        (r["ship_month"], r["promo_pct"])
+        for r in q_sql_promo_revenue(spark, sf_dir).collect()
+    ]
+    sql = SQL_PROMO_REVENUE.replace(" AS STRING", " AS VARCHAR")
+    for t in ("lineitem", "part"):
+        sql = sql.replace(
+            f"ehs_{t}", f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert got == want and len(got) > 12
+
+
+def test_sql_large_volume_customers_matches_duckdb_same_text(spark, sf_dir):
+    """Fourth pure-SQL entry point (TPC-H Q18 shape, IN-subquery
+    decorrelated to a semi-join): identical string, identical rows."""
+    import duckdb
+
+    from etl_hero_spark.registry_ext import (
+        SQL_LARGE_VOLUME_CUSTOMERS,
+        q_sql_large_volume_customers,
+    )
+
+    got = [
+        tuple(r)
+        for r in q_sql_large_volume_customers(spark, sf_dir).collect()
+    ]
+    sql = SQL_LARGE_VOLUME_CUSTOMERS
+    for t in ("customer", "orders", "lineitem"):
+        sql = sql.replace(
+            f"ehs_{t}", f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert got == want and len(got) == 20

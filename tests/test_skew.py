@@ -223,3 +223,78 @@ def test_key_skew_report_finds_planted_hot_key(spark):
     assert top[0]["key"] == "7" and top[0]["n"] == 900
     assert abs(top[0]["share"] - 0.9) < 1e-9
     assert top[0]["max_over_mean"] > 50  # 900 vs mean ~9.9
+
+
+# ---------------------------------------------------------------------------
+# bloom-pruned join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_pruned_join_equals_plain_join(spark, sf_dir):
+    from etl_hero_spark.skew import bloom_pruned_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_size") <= 2
+    )
+    got = sorted(
+        map(
+            tuple,
+            bloom_pruned_join(li, part, "l_partkey", "p_partkey")
+            .select("l_orderkey", "l_linenumber", "p_partkey")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            li.join(part, li.l_partkey == part.p_partkey)
+            .select("l_orderkey", "l_linenumber", "p_partkey")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_filter_prunes_before_the_join(spark, sf_dir):
+    """The point of the bloom: most non-matching fact rows die BEFORE
+    the join shuffle. Measure the pre-join survivor count directly."""
+    from etl_hero_spark.skew import build_bloom_filter
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_size") <= 2
+    )
+    m_bits, k = 1 << 20, 4
+    bloom = build_bloom_filter(part, "p_partkey", m_bits, k)
+    probed = li.crossJoin(F.broadcast(bloom))
+    for i in range(k):
+        probed = probed.withColumn(
+            f"_bp{i}",
+            F.pmod(F.xxhash64(F.lit(i), F.col("l_partkey")), F.lit(m_bits)),
+        )
+    cond = None
+    for i in range(k):
+        word = F.element_at("bloom", (F.col(f"_bp{i}") / 64).cast("int") + 1)
+        bit = F.expr(f"shiftleft(1L, cast(_bp{i} % 64 as int))")
+        c = word.bitwiseAND(bit) != 0
+        cond = c if cond is None else cond & c
+    survivors = probed.filter(cond).count()
+    true_matches = li.join(
+        part.select("p_partkey"), li.l_partkey == F.col("p_partkey")
+    ).count()
+    assert survivors >= true_matches  # no false negatives, ever
+    # 1M bits for ~tens of keys -> essentially zero false positives
+    assert survivors <= true_matches * 1.05
+    assert survivors < li.count() * 0.5  # and it actually pruned
+
+
+def test_bloom_tiny_filter_still_exact(spark):
+    """Undersized bitmap -> false positives -> MORE rows pass the
+    pre-filter, but the end-to-end join result stays exact."""
+    from etl_hero_spark.skew import bloom_pruned_join
+
+    fact = spark.range(0, 2000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 2000, 100).select(F.col("id").alias("d"))
+    out = bloom_pruned_join(fact, dim, "k", "d", m_bits=64, k_hashes=2)
+    assert sorted(r["k"] for r in out.collect()) == list(range(0, 2000, 100))

@@ -245,3 +245,70 @@ def attribution_credit(
         .groupBy(F.col("_ch").alias("channel"))
         .agg(F.round(F.sum("_w"), 6).alias("credit"))
     )
+
+
+def linreg_fit(
+    df: DataFrame, x_cols: list[str], y_col: str
+) -> dict:
+    """Ordinary least squares by NORMAL EQUATIONS — the closed-form
+    regression whose corpus cost is ONE aggregation: every entry of
+    [X|1]ᵀ[X|1] and [X|1]ᵀy (p+1 ≤ a handful of features, so (p+2)²/2
+    sums) accumulates in DECIMAL(38,10) (order-independent — the
+    dec_sum contract; fixture values are low-dp so the moments are
+    exact), then numpy solves the (p+1)×(p+1) system driver-side.
+    R² falls out of the same moments (SSE = yᵀy − 2βᵀXᵀy + βᵀXᵀXβ) —
+    no second pass. Returns {coef: {col: β}, intercept, r2, n}.
+    numpy-lstsq + DuckDB regr_* parity in tests/test_features.py."""
+    import numpy as np
+
+    dec = "decimal(38,10)"
+    cols = list(x_cols) + ["__one", "__y"]
+    complete = F.col(y_col).isNotNull()
+    for c in x_cols:  # complete-case analysis, the OLS convention
+        complete = complete & F.col(c).isNotNull()
+    base = df.filter(complete).select(
+        *[F.col(c).cast(dec).alias(c) for c in x_cols],
+        F.lit(1).cast(dec).alias("__one"),
+        F.col(y_col).cast(dec).alias("__y"),
+    )
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast(dec))
+                .cast("double")
+                .alias(f"m_{a}_{b}")
+            )
+    r = base.agg(*aggs).first()
+
+    def m(a: str, b: str) -> float:
+        return float(
+            r[f"m_{a}_{b}"] if f"m_{a}_{b}" in r.asDict() else r[f"m_{b}_{a}"]
+        )
+
+    p = len(x_cols) + 1  # + intercept
+    design = x_cols + ["__one"]
+    xtx = np.array([[m(a, b) for b in design] for a in design])
+    xty = np.array([m(a, "__y") for a in design])
+    beta = np.linalg.solve(xtx, xty)
+    n = m("__one", "__one")
+    yty = m("__y", "__y")
+    sse = yty - 2 * beta @ xty + beta @ xtx @ beta
+    ybar = m("__one", "__y") / n
+    sst = yty - n * ybar * ybar
+    return {
+        "coef": dict(zip(x_cols, beta[:-1].tolist())),
+        "intercept": float(beta[-1]),
+        "r2": float(1.0 - sse / sst) if sst > 0 else 0.0,
+        "n": int(n),
+    }
+
+
+def linreg_apply(
+    df: DataFrame, model: dict, out_col: str = "prediction"
+) -> DataFrame:
+    """ŷ = β·x + b as a literal linear expression — pure codegen."""
+    expr = F.lit(model["intercept"])
+    for c, b in model["coef"].items():
+        expr = expr + F.lit(b) * F.col(c)
+    return df.withColumn(out_col, expr.cast("double"))

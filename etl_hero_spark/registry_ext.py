@@ -4067,3 +4067,121 @@ def q_sql_large_volume_customers(spark, sf_dir):
     for t in ("customer", "orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"ehs_{t}")
     return spark.sql(SQL_LARGE_VOLUME_CUSTOMERS)
+
+
+# ===========================================================================
+# Dimensionality reduction + closed-form regression
+# ===========================================================================
+
+
+@register(
+    "emb_pca_variance",
+    oracle=None,
+    note=(
+        "extension: distributed PCA — ONE mapInPandas pass emits "
+        "bounded (n, Σx, ΣxxT) partials (dim+dim² doubles per Arrow "
+        "batch, corpus never moves), deterministic driver fold + numpy "
+        "eigh on the dim×dim covariance; apply side is unrolled "
+        "codegen dot products (the _dot_const_sql discipline). "
+        "numpy-eigh parity + projected-variance==eigenvalue pinned in "
+        "tests/test_dimred.py. Top-8 explained-variance spectrum"
+    ),
+)
+def q_emb_pca_variance(spark, sf_dir):
+    from etl_hero_spark.dimred import pca_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    m = pca_fit(emb, "embedding", 64, 8)
+    rows = [
+        (
+            i,
+            round(float(m["explained_variance"][i]), 8),
+            round(float(m["explained_variance_ratio"][i]), 8),
+        )
+        for i in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, variance double, variance_ratio double"
+    )
+
+
+@register(
+    "emb_random_projection",
+    oracle=None,
+    note=(
+        "extension: seeded Achlioptas ±1/√d random projection 64→32 — "
+        "the fit-free JL reduction (no corpus statistics, composes "
+        "with streaming), applied as unrolled codegen dot products. "
+        "Output self-certifies the JL promise: pairwise-distance "
+        "ratios of consecutive-id pairs concentrate near 1. Matrix "
+        "determinism + numpy matmul parity in tests/test_dimred.py"
+    ),
+)
+def q_emb_random_projection(spark, sf_dir):
+    from etl_hero_spark.dimred import random_project
+
+    p = random_project(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64, 32, seed=7
+    ).select("vec_id", "embedding", "proj")
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("proj").alias("p_a"),
+    )
+    b = p.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("embedding").alias("e_b"),
+        F.col("proj").alias("p_b"),
+    )
+    def dist2(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    pairs = a.join(b, "id_a").select(
+        F.sqrt(dist2(F.col("e_a").cast("array<double>"),
+                     F.col("e_b").cast("array<double>"))).alias("d0"),
+        F.sqrt(dist2(F.col("p_a"), F.col("p_b"))).alias("d1"),
+    ).filter(F.col("d0") > 0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col("d1") / F.col("d0")), 3).alias("mean_ratio"),
+        F.round(F.min(F.col("d1") / F.col("d0")), 3).alias("min_ratio"),
+        F.round(F.max(F.col("d1") / F.col("d0")), 3).alias("max_ratio"),
+    )
+
+
+@register(
+    "features_linreg",
+    oracle=None,
+    note=(
+        "extension: OLS by normal equations — the closed-form "
+        "regression whose corpus cost is ONE aggregation of "
+        "DECIMAL-exact moment sums ((p+2)²/2 of them), numpy-solved "
+        "driver-side; R² falls out of the same moments, no second "
+        "pass. Fit: revenue ~ extendedprice + discount (the real "
+        "relationship in the data). numpy-lstsq + DuckDB regr_* "
+        "parity in tests/test_dimred.py"
+    ),
+)
+def q_features_linreg(spark, sf_dir):
+    from etl_hero_spark.features import linreg_fit
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    m = linreg_fit(li, ["l_extendedprice", "l_discount"], "revenue")
+    return spark.createDataFrame(
+        [
+            (
+                round(m["coef"]["l_extendedprice"], 6),
+                round(m["coef"]["l_discount"], 6),
+                round(m["intercept"], 4),
+                round(m["r2"], 8),
+                m["n"],
+            )
+        ],
+        "beta_extendedprice double, beta_discount double, "
+        "intercept double, r2 double, n bigint",
+    )

@@ -974,3 +974,31 @@ WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY n.n_name
 ORDER BY revenue DESC, nation
 """
+
+
+@register(
+    "stream_cms_heavy_hitters",
+    oracle=None,
+    note=(
+        "streaming extension: count-min sketch maintained incrementally "
+        "over the stream (complete mode) — the 12th TRUE twin; state IS "
+        "the depth×width cell table (memory floor independent of stream "
+        "volume OR key cardinality — the point of sketching a stream), "
+        "queryable mid-stream. Final state == batch sketch "
+        "cell-for-cell + point estimates >= exact pinned in "
+        "tests/test_streaming.py. Output: per-event-type estimates "
+        "point-queried from the drained sketch"
+    ),
+)
+def q_stream_cms_heavy_hitters(spark, sf_dir):
+    from etl_hero_spark.profile import estimate_counts
+    from etl_hero_spark.streaming import stream_countmin_sketch
+    from etl_hero_spark.registry import _events
+
+    sketch = stream_countmin_sketch(
+        spark, f"{sf_dir}/events.parquet", "event_type"
+    )
+    keys = _events(spark, sf_dir).select("event_type").distinct()
+    return estimate_counts(
+        sketch, keys, "event_type"
+    ).orderBy("event_type")

@@ -1188,3 +1188,60 @@ def stream_enriched_events(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min sketch (heavy-hitter state at a fixed memory floor)
+# ---------------------------------------------------------------------------
+
+
+def stream_countmin_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    col: str = "event_type",
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+    query_name: str = "etl_hero_stream_cms",
+) -> DataFrame:
+    """TRUE streaming twin of profile.countmin_sketch — the 12th twin:
+    the same depth×width cell aggregate maintained incrementally in
+    complete mode. State IS the sketch (<= depth*width rows — the
+    memory floor is the sketch size, independent of stream volume or
+    key cardinality, which is the entire point of sketching a stream),
+    queryable mid-stream, no watermark needed (cell adds are exact).
+    Final state == the batch sketch cell-for-cell (count-min's
+    mergeability makes per-micro-batch partial aggregation exact;
+    pinned in tests/test_streaming.py along with point-estimate
+    correctness: est >= exact always, est == exact when width >>
+    cardinality)."""
+    src = _events_stream_source(spark, sf_dir, "etl_hero_stream_cms_")
+    c = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(F.xxhash64(c, F.lit(seed + j)), F.lit(width))
+                .cast("int")
+                .alias("b"),
+            )
+            for j in range(depth)
+        ]
+    )
+    sk = (
+        src.filter(c.isNotNull())
+        .select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        sk.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -808,3 +808,36 @@ def test_enrich_events_batch_semantics(spark):
     assert got[1] == (20.0, 0)
     assert got[2] == (20.0, 1)
     assert got[3] == (None, 0)
+
+
+def test_stream_cms_equals_batch_and_bounds(spark, sf_dir, events):
+    """The complete-mode streaming count-min sketch's final state must
+    equal the batch sketch CELL-FOR-CELL (cell adds are exact and
+    mergeable across micro-batches), and point estimates must never
+    undercount."""
+    from etl_hero_spark.profile import countmin_sketch, estimate_counts
+    from etl_hero_spark.streaming import stream_countmin_sketch
+
+    batch = sorted(
+        map(tuple, countmin_sketch(events, "event_type").collect())
+    )
+    sketch = stream_countmin_sketch(
+        spark, f"{sf_dir}/events.parquet", "event_type"
+    )
+    stream = sorted(map(tuple, sketch.collect()))
+    assert stream == batch and len(stream) > 0
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    keys = events.select("event_type").distinct()
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in estimate_counts(sketch, keys, "event_type").collect()
+    }
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert est[k] >= v  # CMS overcounts only
+        assert est[k] == v  # width 1024 >> 5 distinct types: exact

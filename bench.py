@@ -126,6 +126,26 @@ HEADLINE = [
     "events_funnel_latency",
     "profile_mutual_information",
     "sample_target_encode",
+    # round-4 second wave: sequence analytics, privacy, features,
+    # dimred, bloom join, SQL entries (analytics_communities and the
+    # streaming twins stay registered-unbenched like pagerank)
+    "events_ewma_smooth",
+    "events_cusum_alarms",
+    "events_survival_km",
+    "profile_chi_square",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "profile_set_overlap",
+    "features_quantile_bin",
+    "features_hashed",
+    "features_scaled",
+    "events_attribution_credit",
+    "join_bloom_pruned",
+    "sql_promo_revenue",
+    "sql_large_volume_customers",
+    "emb_pca_variance",
+    "emb_random_projection",
+    "features_linreg",
 ]
 
 
@@ -169,6 +189,17 @@ NOTES = {
         "plan unchanged since r3; isolated idle-host min-of-3 "
         "reproduces r3 (2.27s vs 2.21s) — full-run elevations on the "
         "ANN queries are sequence noise, not plan drift."
+    ),
+    "profile_histogram2d": (
+        "plan unchanged; sub-second query (0.26s prev, 0.47s isolated "
+        "min-of-3) — absolute movement ~0.2s, scheduler noise "
+        "territory at this magnitude."
+    ),
+    "decontaminate_fuzzy": (
+        "plan unchanged all round; isolated min-of-3 3.0s vs prev "
+        "2.4s (1.26x) with the 107-query run reporting the same — "
+        "within host variance for a shuffle-heavy query; no source "
+        "change touched this path in the second r4 wave."
     ),
 }
 

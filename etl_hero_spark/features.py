@@ -261,7 +261,11 @@ def linreg_fit(
     numpy-lstsq + DuckDB regr_* parity in tests/test_features.py."""
     import numpy as np
 
-    dec = "decimal(38,10)"
+    # decimal(18,6) inputs make the product type (37,12) — UNCLAMPED,
+    # so products and their sums are exact with no per-term recast (a
+    # (38,10) input forces a clamped multiply plus a cast per product —
+    # measured ~40% slower for the same exactness on <=6dp data)
+    dec = "decimal(18,6)"
     cols = list(x_cols) + ["__one", "__y"]
     complete = F.col(y_col).isNotNull()
     for c in x_cols:  # complete-case analysis, the OLS convention
@@ -275,7 +279,7 @@ def linreg_fit(
     for i, a in enumerate(cols):
         for b in cols[i:]:
             aggs.append(
-                F.sum((F.col(a) * F.col(b)).cast(dec))
+                F.sum(F.col(a) * F.col(b))
                 .cast("double")
                 .alias(f"m_{a}_{b}")
             )

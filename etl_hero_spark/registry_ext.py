@@ -4118,11 +4118,17 @@ def q_emb_pca_variance(spark, sf_dir):
     ),
 )
 def q_emb_random_projection(spark, sf_dir):
+    from etl_hero_spark.checkpoint import parquet_checkpoint
     from etl_hero_spark.dimred import random_project
 
-    p = random_project(
-        _t(spark, sf_dir, "embeddings"), "embedding", 64, 32, seed=7
-    ).select("vec_id", "embedding", "proj")
+    # both sides of the consecutive-id self-join consume the projection
+    # — stage it once or the 32x64-term codegen subtree runs twice
+    p = parquet_checkpoint(
+        random_project(
+            _t(spark, sf_dir, "embeddings"), "embedding", 64, 32, seed=7
+        ).select("vec_id", "embedding", "proj"),
+        "emb_rp",
+    )
     a = p.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("e_a"),

@@ -270,19 +270,16 @@ def build_bloom_filter(
         .groupBy("w")
         .agg(F.bit_or("b").alias("bm"))
     )
-    # fold the sparse word table into one dense array: map_from_entries
-    # then lookup per position (absent word -> 0)
-    return bits.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("w", "bm"))
-        ).alias("_m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(words - 1)),
-            lambda i: F.coalesce(
-                F.element_at("_m", i.cast("int")), F.lit(0).cast("bigint")
-            ),
-        ).alias("bloom")
+    # densify the sparse word table DRIVER-side (<= words rows, the
+    # fitted-model shape): a transform(sequence, element_at(map)) fold
+    # was tried and is quadratic — Spark maps are entry ARRAYS, so each
+    # of the 16K interpreted lookups scans the map (measured 9.9 s for
+    # what the driver loop does in ms)
+    arr = [0] * words
+    for r in bits.collect():
+        arr[r["w"]] = r["bm"]
+    return df.sparkSession.createDataFrame(
+        [(arr,)], "bloom array<bigint>"
     )
 
 

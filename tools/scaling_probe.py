@@ -301,6 +301,89 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+        def ewma_cusum():
+            # the F.aggregate recursion: scaled events grow KEY
+            # cardinality (user_id shifts per copy) with per-key series
+            # length ~constant — the distributed dimension
+            from etl_hero_spark.timeseries import cusum
+
+            cusum(
+                ev(), ["user_id", "event_type"], "ts", "value"
+            ).write.format("noop").mode("overwrite").save()
+
+        def km_survival_probe():
+            from etl_hero_spark.timeseries import km_survival
+
+            per_user = ev().groupBy("user_id").agg(
+                F.min("ts").alias("first_ts"),
+                F.min(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                ).alias("conv_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+            horizon = per_user.agg(F.max("last_ts").alias("h_ts"))
+            subj = per_user.crossJoin(F.broadcast(horizon)).select(
+                F.floor(
+                    (
+                        F.unix_timestamp(
+                            F.coalesce(F.col("conv_ts"), F.col("h_ts"))
+                        )
+                        - F.unix_timestamp("first_ts")
+                    )
+                    / 86400
+                ).alias("d"),
+                F.col("conv_ts").isNotNull().cast("int").alias("e"),
+            )
+            km_survival(subj, "d", "e").write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        def chi_square():
+            from etl_hero_spark.profile import chi_square_independence
+
+            chi_square_independence(
+                od(), "o_orderpriority", "o_orderstatus"
+            ).write.format("noop").mode("overwrite").save()
+
+        def bloom_join():
+            # star shape: fact scales, dim fixed — the filter stays
+            # constant-size by construction; growth must track the scan
+            from etl_hero_spark.skew import bloom_pruned_join
+
+            dim = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+                F.col("p_size") <= 10
+            )
+            bloom_pruned_join(
+                li(), dim, "l_partkey", "p_partkey"
+            ).write.format("noop").mode("overwrite").save()
+
+        def attribution():
+            from etl_hero_spark.features import attribution_credit
+
+            attribution_credit(
+                ev(), "user_id", "ts", "event_type", "purchase",
+                model="linear",
+            ).write.format("noop").mode("overwrite").save()
+
+        def pca_moments():
+            # the corpus-side cost of pca_fit (driver eigh is O(dim³),
+            # factor-independent)
+            from etl_hero_spark.dimred import vector_moments
+
+            vector_moments(em(), "embedding", 64)
+
+        def linreg_moments():
+            from etl_hero_spark.features import linreg_fit
+
+            linreg_fit(
+                li().withColumn(
+                    "revenue",
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ),
+                ["l_extendedprice", "l_discount"],
+                "revenue",
+            )
+
         return {
             "profile_stats": profile_stats,
             "grouping_sets": grouping_sets,
@@ -318,6 +401,13 @@ def main() -> None:
             "pack_sequences": pack_seqs,
             "bm25_topk": bm25,
             "kmeans_assign": kmeans_assign,
+            "ewma_cusum_fold": ewma_cusum,
+            "km_survival": km_survival_probe,
+            "chi_square": chi_square,
+            "bloom_join": bloom_join,
+            "attribution_linear": attribution,
+            "pca_moments": pca_moments,
+            "linreg_moments": linreg_moments,
         }
 
     results: dict[str, dict[int, float]] = {}

@@ -411,3 +411,152 @@ def label_propagation(
         if it % checkpoint_every == 0 and it < iters:
             labels = parquet_checkpoint(labels, f"lpa_it{it}")
     return labels.select("node", F.col("label").alias("community"))
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph —
+    the third classic distributed graph algorithm here (after pagerank
+    and label propagation), and the one whose NAIVE form explodes: a
+    3-way self-join of raw edges enumerates every wedge at every
+    vertex, Θ(Σ deg²) with hub vertices dominating.
+
+    The standard fix (MR/Cohen ordering): orient every undirected edge
+    from its LOWER endpoint to its HIGHER endpoint under the
+    (degree, id) total order. Every triangle then has exactly ONE wedge
+    whose center is its minimum-order vertex, so the wedge join
+    enumerates each triangle once, and the wedge count at any center is
+    bounded by its ORIENTED out-degree — ≤ O(√|E|) for every vertex,
+    hubs included (a hub's edges orient INTO it). Plan: degree agg →
+    orient → wedge self-join on the center → semi-join against oriented
+    edges to close the wedge → explode the 3 corners → per-node count.
+    Python-reference + DuckDB parity in tests/test_analytics.py.
+
+    Returns (node, n_triangles); nodes in no triangle are absent.
+    """
+    und = edges.select(
+        F.col(src_col).cast("bigint").alias("a"),
+        F.col(dst_col).cast("bigint").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        und.select("a", "b")
+        .unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # orient: keep (a,b) iff (deg_a, a) < (deg_b, b)
+    withdeg = (
+        und.join(deg, "a")
+        .join(
+            deg.select(
+                F.col("a").alias("b"), F.col("deg").alias("deg_b")
+            ),
+            "b",
+        )
+        .filter(
+            (F.col("deg") < F.col("deg_b"))
+            | ((F.col("deg") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    )
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    oriented = parquet_checkpoint(withdeg, "tri_oriented")
+    # wedges centered at the minimum-order vertex
+    w1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "c").filter(F.col("x") < F.col("y"))
+    # close the wedge with an UNORDERED-pair equi-join (an OR of the
+    # two orientations would be a nested-loop join)
+    pair_set = oriented.select(
+        F.least("lo", "hi").alias("x"), F.greatest("lo", "hi").alias("y")
+    )
+    closed = wedges.join(pair_set, ["x", "y"], "leftsemi")
+    corners = closed.select(
+        F.explode(F.array("c", "x", "y")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def top_session_paths(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+    k: int = 10,
+    max_path_len: int = 50,
+) -> DataFrame:
+    """Top-k full event-type paths per session — the "what do journeys
+    actually look like" query downstream of the per-step transition
+    matrix (which loses ordering beyond bigrams). Sessions are
+    gaps-and-islands (same rule as sessionize); each session's ordered
+    types concatenate into a path string, truncated at
+    ``max_path_len`` steps with a '…' marker (a pathological
+    never-idle key would otherwise build an unbounded string — the
+    series-cap posture). One (key) window + one session groupBy + one
+    path groupBy. DuckDB parity in tests/test_analytics.py.
+
+    Returns (path, n_sessions), count desc, path asc tie-break, k rows.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col)
+    sess = (
+        events.select(key_col, ts_col, type_col)
+        .withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (
+                    F.col(ts_col).cast("long")
+                    - F.col("_prev").cast("long")
+                    > gap_minutes * 60
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "_sid",
+            F.sum("_new").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    paths = (
+        sess.groupBy(key_col, "_sid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(ts_col, type_col))
+            ).alias("_seq")
+        )
+        .select(
+            F.when(
+                F.size("_seq") > max_path_len,
+                F.concat(
+                    F.array_join(
+                        F.slice(
+                            F.transform("_seq", lambda s: s[type_col]),
+                            1,
+                            max_path_len,
+                        ),
+                        ">",
+                    ),
+                    F.lit(">…"),
+                ),
+            )
+            .otherwise(
+                F.array_join(
+                    F.transform("_seq", lambda s: s[type_col]), ">"
+                )
+            )
+            .alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )

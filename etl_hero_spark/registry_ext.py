@@ -4191,3 +4191,54 @@ def q_features_linreg(spark, sf_dir):
         "beta_extendedprice double, beta_discount double, "
         "intercept double, r2 double, n bigint",
     )
+
+
+@register(
+    "analytics_triangles",
+    oracle=None,
+    note=(
+        "extension: triangle counting with degree-ordered orientation "
+        "(MR/Cohen) — every triangle enumerated at exactly one wedge, "
+        "its minimum-(degree,id) vertex, bounding per-vertex wedge "
+        "fanout by O(sqrt(E)) even at hubs (a hub's edges orient INTO "
+        "it); closing edge checked by unordered-pair equi-join, never "
+        "an OR nested loop. K4 + Python-reference parity in "
+        "tests/test_analytics.py. Top-10 co-purchase parts by "
+        "triangle participation"
+    ),
+)
+def q_analytics_triangles(spark, sf_dir):
+    from etl_hero_spark.analytics import copurchase_pairs, triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(
+        li, "l_orderkey", "l_partkey", max_basket_size=50, min_count=3
+    )
+    tri = triangle_count(
+        pairs.select(
+            F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+        )
+    )
+    return tri.orderBy(F.desc("n_triangles"), F.asc("node")).limit(10)
+
+
+@register(
+    "events_top_paths",
+    oracle=None,
+    note=(
+        "extension: top-k full session paths (gaps-and-islands "
+        "sessions, ordered event-type concat) — the journey view the "
+        "bigram transition matrix can't give; pathological never-idle "
+        "keys truncate loudly at max_path_len (the series-cap "
+        "posture). One key window + two groupBys. DuckDB "
+        "string_agg-ORDER-BY parity + truncation fixture in "
+        "tests/test_analytics.py"
+    ),
+)
+def q_events_top_paths(spark, sf_dir):
+    from etl_hero_spark.analytics import top_session_paths
+    from etl_hero_spark.registry import _events
+
+    return top_session_paths(
+        _events(spark, sf_dir), gap_minutes=30, k=10
+    )

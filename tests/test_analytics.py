@@ -392,3 +392,106 @@ def test_label_propagation_matches_python_on_random_graph(spark):
         ).collect()
     }
     assert got == _py_lpa(edges, 5)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / session paths
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_k4_plus_isolated_edge(spark):
+    from etl_hero_spark.analytics import triangle_count
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (4, 5)]
+    got = sorted(
+        map(
+            tuple,
+            triangle_count(
+                spark.createDataFrame(edges, "src bigint, dst bigint")
+            ).collect(),
+        )
+    )
+    # K4: each of the 4 nodes sits in C(3,2)=3 triangles; 4-5 in none
+    assert got == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+def test_triangle_count_matches_python_on_random_graph(spark):
+    import itertools
+    import random
+
+    from etl_hero_spark.analytics import triangle_count
+
+    rng = random.Random(9)
+    edges = sorted(
+        {
+            tuple(sorted((rng.randrange(25), rng.randrange(25))))
+            for _ in range(90)
+        }
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(edges, "src bigint, dst bigint")
+        ).collect()
+    }
+    assert got == want and sum(want.values()) > 0
+
+
+def test_top_session_paths_match_duckdb(spark, sf_dir):
+    import duckdb
+
+    from etl_hero_spark.analytics import top_session_paths
+    from etl_hero_spark.registry import _events
+
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in top_session_paths(
+            _events(spark, sf_dir), gap_minutes=30, k=10
+        ).collect()
+    ]
+    want = duckdb.sql(
+        f"""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                 lag(CAST(ts AS TIMESTAMP)) OVER
+                   (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM read_parquet('{sf_dir}/events.parquet')
+        ), s AS (
+          SELECT user_id, ts, event_type,
+                 sum(CASE WHEN prev IS NULL
+                          OR epoch(ts) - epoch(prev) > 1800
+                     THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e
+        ), p AS (
+          SELECT string_agg(event_type, '>' ORDER BY ts) AS path
+          FROM s GROUP BY user_id, sid
+        )
+        SELECT path, count(*) AS n FROM p
+        GROUP BY path ORDER BY n DESC, path ASC LIMIT 10
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_top_session_paths_truncates_pathological_key(spark):
+    from etl_hero_spark.analytics import top_session_paths
+
+    rows = [(1, float(i), "x") for i in range(60)]  # one endless session
+    df = spark.createDataFrame(rows, "k bigint, t double, y string")
+    out = top_session_paths(
+        df, "k", "t", "y", gap_minutes=1, max_path_len=5
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["path"] == "x>x>x>x>x>…"

@@ -560,3 +560,73 @@ def top_session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    shares: tuple = (0.1, 0.2, 0.5),
+) -> DataFrame:
+    """Gini coefficient + top-share Pareto concentration of a value
+    over keys (revenue over customers, tokens over documents) — the
+    "how skewed is this distribution" release report behind salting
+    and mixing decisions.
+
+    Gini from the rank identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    ascending-ranked values — ranks come from packing.global_rank's
+    TWO-PHASE distributed rank (never a partition-less row_number);
+    the rank·value products accumulate in DECIMAL. Top-q% shares are
+    conditional sums against the broadcast 1-row total. Values are
+    per-key DECIMAL sums; negative totals (refund-heavy keys) are
+    clamp-excluded with a count reported — Gini's ordering identity
+    assumes non-negative mass. DuckDB parity in
+    tests/test_analytics.py.
+
+    One row: (n_keys, n_excluded_negative, total, gini,
+    top{q}_share...).
+    """
+    from etl_hero_spark.packing import global_rank
+
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("x")
+    )
+    neg = per_key.filter(F.col("x") < 0).count()
+    pos = per_key.filter(F.col("x") >= 0)
+    ranked = global_rank(pos, "x", "k", ascending=True)
+    totals = ranked.agg(
+        F.max("rank").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rank") * F.col("x")).alias("sxr"),
+    )
+    j = ranked.crossJoin(F.broadcast(totals))
+    share_aggs = [
+        F.round(
+            (
+                F.sum(
+                    F.when(
+                        F.col("rank")
+                        > F.col("n") - F.floor(F.col("n") * q),
+                        F.col("x"),
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.max("sx").cast("double")
+            ),
+            6,
+        ).alias(f"top{int(q * 100)}_share")
+        for q in shares
+    ]
+    return j.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_keys"),
+        F.lit(neg).cast("bigint").alias("n_excluded_negative"),
+        F.round(F.max("sx").cast("double"), 2).alias("total"),
+        F.round(
+            2.0
+            * F.max("sxr").cast("double")
+            / (F.max("n").cast("double") * F.max("sx").cast("double"))
+            - (F.max("n").cast("double") + 1.0)
+            / F.max("n").cast("double"),
+            6,
+        ).alias("gini"),
+        *share_aggs,
+    )

@@ -178,3 +178,65 @@ def referential_integrity(
         rows,
         "relation string, n_child bigint, n_null_fk bigint, n_orphans bigint",
     )
+
+
+def schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    null_rate_tol: float = 0.05,
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report — the contract check between
+    yesterday's table and today's, upstream of any silent breakage:
+
+    * ``column_added`` / ``column_removed`` — schema set difference
+    * ``type_changed`` — same name, different Spark type
+    * ``null_rate_drift`` — a shared column whose null fraction moved
+      by more than ``null_rate_tol`` (the classic "producer started
+      sending empties" failure that schema equality can't see)
+    * ``row_count`` — always reported (old/new counts as the detail)
+
+    One null-pack aggregation per side (the profile.null_counts shape —
+    a single scan each, no per-column jobs); schema comparison is
+    driver-side metadata. Output: (kind, column, old, new) sorted.
+    Detection of every kind pinned in tests/test_contracts_drift.py.
+    """
+    rows: list[tuple] = []
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    for c in sorted(set(new_types) - set(old_types)):
+        rows.append(("column_added", c, None, new_types[c]))
+    for c in sorted(set(old_types) - set(new_types)):
+        rows.append(("column_removed", c, old_types[c], None))
+    shared = sorted(set(old_types) & set(new_types))
+    for c in shared:
+        if old_types[c] != new_types[c]:
+            rows.append(("type_changed", c, old_types[c], new_types[c]))
+
+    def null_rates(df, cols):
+        r = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"_nn_{c}")
+                for c in cols
+            ],
+        ).first()
+        n = r["_n"]
+        return n, {c: (r[f"_nn_{c}"] / n if n else 0.0) for c in cols}
+
+    n_old, nr_old = null_rates(old, shared)
+    n_new, nr_new = null_rates(new, shared)
+    for c in shared:
+        if abs(nr_new[c] - nr_old[c]) > null_rate_tol:
+            rows.append(
+                (
+                    "null_rate_drift",
+                    c,
+                    f"{nr_old[c]:.4f}",
+                    f"{nr_new[c]:.4f}",
+                )
+            )
+    rows.append(("row_count", None, str(n_old), str(n_new)))
+    return old.sparkSession.createDataFrame(
+        sorted(rows, key=lambda r: (r[0], r[1] or "")),
+        "kind string, column string, old string, new string",
+    )

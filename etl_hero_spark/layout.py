@@ -455,3 +455,39 @@ def parquet_column_audit(spark: SparkSession, path: str) -> DataFrame:
         "column string, compressed_bytes bigint, uncompressed_bytes bigint, "
         "ratio double, codecs string, encodings string, n_row_groups bigint",
     )
+
+
+def file_provenance(
+    df: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Per-input-file provenance: which physical file every row came
+    from (``input_file_name()``), with row count, distinct-key count,
+    and an ORDER-INDEPENDENT content checksum — sum of md5-derived
+    64-bit words over the canonical '|'-joined key string, so two
+    engines (or two reads under different parallelism) agree without
+    sorting anything. The audit behind "which file introduced these
+    rows" / "did the rewrite preserve every file's content" questions
+    that row-level lineage needs at the storage layer.
+
+    One scan, one per-file groupBy (file count is bounded). md5, not
+    xxhash64, so DuckDB reproduces the checksum from the same parquet
+    (parity in tests/test_layout.py). Checksums wrap mod 2^64 by
+    design — a checksum, not a cryptographic digest.
+    """
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols]
+    )
+    word = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return (
+        df.withColumn(
+            "_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .groupBy(F.col("_file").alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(*key_cols).alias("n_distinct_keys"),
+            F.sum(word).alias("checksum"),
+        )
+        .orderBy("file")
+    )

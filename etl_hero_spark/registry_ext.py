@@ -4242,3 +4242,78 @@ def q_events_top_paths(spark, sf_dir):
     return top_session_paths(
         _events(spark, sf_dir), gap_minutes=30, k=10
     )
+
+
+@register(
+    "profile_gini",
+    oracle=None,
+    note=(
+        "extension: Gini + Pareto concentration of revenue over "
+        "customers — the skew release report behind salting/mixing "
+        "decisions; rank identity over packing.global_rank's TWO-PHASE "
+        "distributed rank (never a partition-less row_number), "
+        "rank·value products in DECIMAL, negative-mass keys "
+        "clamp-excluded with a reported count. DuckDB parity + "
+        "0/1-extreme fixtures in tests/test_analytics.py"
+    ),
+)
+def q_profile_gini(spark, sf_dir):
+    from etl_hero_spark.analytics import gini_concentration
+
+    return gini_concentration(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "quality_schema_drift",
+    oracle=None,
+    note=(
+        "extension: snapshot-over-snapshot schema drift report — "
+        "added/removed columns, type changes, null-rate drift beyond "
+        "tolerance (the 'producer started sending empties' failure "
+        "schema equality can't see), row counts; one null-pack scan "
+        "per side, schema diff driver-side. Fixture: orders vs a "
+        "deterministically drifted copy (each kind planted). All kinds "
+        "+ no-false-alarm + tolerance gate pinned in "
+        "tests/test_contracts_drift.py"
+    ),
+)
+def q_quality_schema_drift(spark, sf_dir):
+    from etl_hero_spark.contracts import schema_drift
+
+    old = _t(spark, sf_dir, "orders")
+    new = (
+        old.drop("o_orderpriority")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("float"))
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn("loaded_at", F.lit("2026-08-15"))
+    )
+    return schema_drift(old, new)
+
+
+@register(
+    "layout_file_provenance",
+    oracle=None,
+    note=(
+        "extension: per-input-file provenance audit — row count, "
+        "distinct keys, and an ORDER-INDEPENDENT md5-word checksum per "
+        "physical file (input_file_name), the row-to-file lineage "
+        "behind 'which file introduced these rows' and rewrite "
+        "preservation checks; engine-portable (DuckDB reproduces the "
+        "checksum mod 2^64 from the same parquet — pinned in "
+        "tests/test_layout.py along with content-change detection "
+        "counts can't see)"
+    ),
+)
+def q_layout_file_provenance(spark, sf_dir):
+    from etl_hero_spark.layout import file_provenance
+
+    return file_provenance(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )

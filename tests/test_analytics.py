@@ -495,3 +495,58 @@ def test_top_session_paths_truncates_pathological_key(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["path"] == "x>x>x>x>x>…"
+
+
+def test_gini_concentration_matches_duckdb(spark, sf_dir):
+    from etl_hero_spark.analytics import gini_concentration
+
+    got = gini_concentration(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "o_custkey", "o_totalprice",
+    ).collect()[0]
+    n, gini, top20 = duckdb.sql(
+        f"""
+        WITH pk AS (
+          SELECT o_custkey k, sum(CAST(o_totalprice AS DECIMAL(18,2))) x
+          FROM read_parquet('{sf_dir}/orders.parquet')
+          GROUP BY 1 HAVING x >= 0
+        ), r AS (
+          SELECT x, row_number() OVER (ORDER BY x ASC, k ASC) rnk FROM pk
+        ), t AS (SELECT max(rnk) n, sum(x) sx FROM r)
+        SELECT n,
+          round(2.0*(SELECT sum(rnk*x) FROM r)/(n*sx) - (n+1.0)/n, 6),
+          round(CAST((SELECT sum(x) FROM r
+                      WHERE rnk > n - floor(n*0.2)) AS DOUBLE)
+                / CAST(sx AS DOUBLE), 6)
+        FROM t
+        """
+    ).fetchone()
+    assert got["n_keys"] == n
+    assert got["gini"] == gini
+    assert got["top20_share"] == top20
+    assert 0 <= got["gini"] <= 1
+    # shares are nested: top10 <= top20 <= top50 <= 1
+    assert (
+        got["top10_share"] <= got["top20_share"]
+        <= got["top50_share"] <= 1.0
+    )
+
+
+def test_gini_extremes_and_negative_exclusion(spark):
+    from etl_hero_spark.analytics import gini_concentration
+
+    equal = spark.createDataFrame(
+        [(i, 10.0) for i in range(100)], "k int, v double"
+    )
+    assert gini_concentration(equal, "k", "v").collect()[0]["gini"] == 0.0
+    skewed = spark.createDataFrame(
+        [(0, 1000000.0)] + [(i, 0.01) for i in range(1, 100)],
+        "k int, v double",
+    )
+    r = gini_concentration(skewed, "k", "v").collect()[0]
+    assert r["gini"] > 0.97
+    neg = spark.createDataFrame(
+        [(0, 5.0), (1, -3.0)], "k int, v double"
+    )
+    r2 = gini_concentration(neg, "k", "v").collect()[0]
+    assert r2["n_excluded_negative"] == 1 and r2["n_keys"] == 1

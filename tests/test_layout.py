@@ -426,3 +426,51 @@ def test_versioning_optimistic_commit_and_merge(spark, tmp_path):
     assert {
         r["k"]: r["v"] for r in read_version(spark, tdir, 1).collect()
     } == {1: "a", 2: "b"}
+
+
+def test_file_provenance_matches_duckdb(spark, sf_dir):
+    from etl_hero_spark.layout import file_provenance
+
+    got = [
+        (r["file"], r["n_rows"], r["n_distinct_keys"],
+         r["checksum"] % (1 << 64))
+        for r in file_provenance(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            ["l_orderkey", "l_linenumber"],
+        ).collect()
+    ]
+    import duckdb
+
+    want = [
+        (f, n, d, int(ck) % (1 << 64))
+        for f, n, d, ck in duckdb.sql(
+            f"""
+            SELECT regexp_extract(filename, '[^/]+$') f, count(*) n,
+                   count(DISTINCT (l_orderkey, l_linenumber)) d,
+                   sum(CAST(CAST('0x' ||
+                     substring(md5(l_orderkey || '|' || l_linenumber), 1, 15)
+                     AS UBIGINT) AS HUGEINT)) ck
+            FROM read_parquet('{sf_dir}/lineitem.parquet', filename=true)
+            GROUP BY 1 ORDER BY 1
+            """
+        ).fetchall()
+    ]
+    # spark's bigint sum wraps mod 2^64 (by design: a checksum);
+    # duckdb's hugeint doesn't — compare in the wrapped domain
+    assert got == want and len(got) >= 1
+
+
+def test_file_provenance_detects_file_content_change(spark, tmp_path):
+    from etl_hero_spark.layout import file_provenance
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(p1)
+    spark.range(0, 100).selectExpr(
+        "CASE WHEN id = 50 THEN 999 ELSE id END AS id", "id * 2 AS v"
+    ).coalesce(1).write.parquet(p2)
+    c1 = file_provenance(spark.read.parquet(p1), ["id"]).collect()[0]
+    c2 = file_provenance(spark.read.parquet(p2), ["id"]).collect()[0]
+    assert c1["n_rows"] == c2["n_rows"]  # counts can't see the edit
+    assert c1["checksum"] != c2["checksum"]  # the checksum can

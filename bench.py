@@ -146,6 +146,11 @@ HEADLINE = [
     "emb_pca_variance",
     "emb_random_projection",
     "features_linreg",
+    "analytics_triangles",
+    "events_top_paths",
+    "profile_gini",
+    "quality_schema_drift",
+    "layout_file_provenance",
 ]
 
 
@@ -194,6 +199,18 @@ NOTES = {
         "plan unchanged; sub-second query (0.26s prev, 0.47s isolated "
         "min-of-3) — absolute movement ~0.2s, scheduler noise "
         "territory at this magnitude."
+    ),
+    "events_windows": (
+        "plan unchanged; the final r4 snapshot ran under host load-avg "
+        "~4 from OUTSIDE this session (no local process visible) — "
+        "isolated min-of-3 reproduces the same ~1.2-1.8x elevation "
+        "uniformly across unrelated sub-2s queries (sim_topk_cosine, "
+        "tfidf, sessionize), the signature of external contention, not "
+        "drift. The driver's own run is authoritative."
+    ),
+    "events_sessionize": ("see events_windows — same shared-host note."),
+    "sample_mix_temperature": (
+        "see events_windows — same shared-host note."
     ),
     "decontaminate_fuzzy": (
         "plan unchanged all round; isolated min-of-3 3.0s vs prev "

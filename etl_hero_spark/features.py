@@ -147,6 +147,23 @@ def fit_scaler(
         return {
             c: (float(r[f"_lo_{c}"]), float(r[f"_hi_{c}"])) for c in cols
         }
+    if method == "robust":
+        # (median, IQR) — the outlier-immune scaler (50% breakdown
+        # point, the MAD-detector argument applied to scaling); exact
+        # interpolated percentiles, one agg for all columns
+        r = df.agg(
+            *[
+                F.expr(
+                    f"percentile({c}, array(0.25, 0.5, 0.75))"
+                ).alias(f"_q_{c}")
+                for c in cols
+            ]
+        ).first()
+        out = {}
+        for c in cols:
+            q1, med, q3 = r[f"_q_{c}"]
+            out[c] = (float(med), float(q3) - float(q1))
+        return out
     raise ValueError(f"unknown scaler method: {method!r}")
 
 
@@ -171,6 +188,8 @@ def apply_scaler(
         elif method == "minmax":
             span = b - a
             expr = ((x - a) / span) if span > 0 else F.lit(0.0)
+        elif method == "robust":
+            expr = ((x - a) / b) if b > 0 else F.lit(0.0)
         else:
             raise ValueError(f"unknown scaler method: {method!r}")
         out = out.withColumn(

@@ -3853,7 +3853,9 @@ def q_features_hashed(spark, sf_dir):
     oracle=None,
     note=(
         "extension: column scaling with the train/serve-skew control — "
-        "fit (exact-decimal μ/σ_pop or min/max) is ONE aggregation "
+        "fit (exact-decimal μ/σ_pop, min/max, or robust median/IQR — "
+        "the 50%%-breakdown outlier-immune method, planted-outlier "
+        "immunity pinned) is ONE aggregation "
         "whose plain-float stats apply as literal expressions to ANY "
         "frame (σ=0 degenerates to 0.0). Output self-certifies: "
         "post-zscore mean==0/std==1, post-minmax [0,1], per column "
@@ -3867,7 +3869,7 @@ def q_features_scaled(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     out_rows = []
-    for method in ("zscore", "minmax"):
+    for method in ("zscore", "minmax", "robust"):
         scaled = apply_scaler(li, fit_scaler(li, cols, method), method)
         summary = scaled.agg(
             *[
@@ -3880,7 +3882,10 @@ def q_features_scaled(spark, sf_dir):
             ],
         ).withColumn("method", F.lit(method))
         out_rows.append(summary)
-    return out_rows[0].unionByName(out_rows[1]).select(
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.select(
         "method",
         *[c for c in out_rows[0].columns if c != "method"],
     ).orderBy("method")

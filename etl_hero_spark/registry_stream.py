@@ -1002,3 +1002,25 @@ def q_stream_cms_heavy_hitters(spark, sf_dir):
     return estimate_counts(
         sketch, keys, "event_type"
     ).orderBy("event_type")
+
+
+@register(
+    "stream_ewma_state",
+    oracle=None,
+    note=(
+        "streaming extension: the recursive EWMA smoother as a TRUE "
+        "custom stateful operator (applyInPandasWithState) — the 13th "
+        "twin; per-(user, type) state is one double + a count (the "
+        "floor for a recursive smoother), advanced by the same "
+        "recurrence the batch F.aggregate fold runs. Final state == "
+        "batch ewma's last row per key exactly (pinned in "
+        "tests/test_streaming.py; arrival-order caveat shared with the "
+        "other stateful twins)"
+    ),
+)
+def q_stream_ewma_state(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_ewma
+
+    return stream_ewma(spark, f"{sf_dir}/events.parquet").orderBy(
+        "user_id", "event_type"
+    )

@@ -1245,3 +1245,82 @@ def stream_countmin_sketch(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA (recursive smoothing state per key across micro-batches)
+# ---------------------------------------------------------------------------
+
+_EWMA_SCHEMA = (
+    "user_id long, event_type string, n_points long, ewma double"
+)
+
+
+def stream_ewma(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.3,
+    query_name: str = "etl_hero_stream_ewma",
+) -> DataFrame:
+    """timeseries.ewma as a TRUE custom stateful streaming operator —
+    the 13th twin: per-(user, event_type) state is the CURRENT smoothed
+    value (one double + a count, the inherent floor for a recursive
+    smoother), advanced across micro-batches by the same
+    s ← α·x + (1-α)·s recurrence the batch F.aggregate fold runs.
+    Recursion is order-dependent, so no built-in streaming aggregate
+    expresses it — the arbitrary-state API case. Null x carries state
+    (ignore_na). Final state per key == the batch ewma's LAST row per
+    key exactly (pinned in tests/test_streaming.py; same arrival-order
+    caveat as the other stateful twins: in-batch rows sort by (ts,
+    event_id), cross-batch order is arrival order)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+
+    def update(key, pdfs, state: GroupState):
+        n, prev = state.get if state.exists else (0, None)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for x in rows["value"]:
+            n += 1
+            if x is None or pd.isna(x):
+                continue
+            prev = float(x) if prev is None else a * float(x) + (1 - a) * prev
+        state.update((n, prev))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_points": [n],
+                "ewma": [prev],
+            }
+        )
+
+    src = _events_stream_source(
+        spark, sf_dir, "etl_hero_stream_ewma_"
+    ).withColumn("ts", F.unix_micros("ts"))
+    out = src.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_SCHEMA,
+        stateStructType="n long, prev double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(query_name)
+    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("n_points"))
+    return (
+        sink.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )

@@ -215,3 +215,27 @@ def test_attribution_first_last_hand_fixture(spark):
     assert last == {"purchase": 2.0}  # conversion itself is the last touch
     with pytest.raises(ValueError, match="unknown attribution"):
         attribution_credit(df, "k", "t", "ch", "purchase", model="nope")
+
+
+def test_robust_scaler_is_outlier_immune(spark):
+    """One planted 1e9 outlier barely moves the robust (median/IQR)
+    stats, while it wrecks zscore's; post-scale median is 0."""
+    base = [(float(i),) for i in range(1, 100)]
+    df = spark.createDataFrame(base + [(1e9,)], "x double")
+    robust = fit_scaler(df, ["x"], "robust")
+    med, iqr = robust["x"]
+    assert med == pytest.approx(50.5) and iqr == pytest.approx(49.5)
+    z = fit_scaler(df, ["x"], "zscore")
+    assert z["x"][1] > 1e6  # sigma exploded; IQR did not
+    out = apply_scaler(df, robust, "robust")
+    got = out.agg(
+        F.expr("percentile(x_scaled, 0.5)").alias("m")
+    ).first()["m"]
+    assert got == pytest.approx(0.0, abs=1e-12)
+    # degenerate: constant column -> IQR 0 -> scaled 0
+    const = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    st = fit_scaler(const, ["x"], "robust")
+    assert [
+        r["x_scaled"]
+        for r in apply_scaler(const, st, "robust").collect()
+    ] == [0.0, 0.0]

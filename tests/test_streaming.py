@@ -841,3 +841,44 @@ def test_stream_cms_equals_batch_and_bounds(spark, sf_dir, events):
     for k, v in exact.items():
         assert est[k] >= v  # CMS overcounts only
         assert est[k] == v  # width 1024 >> 5 distinct types: exact
+
+
+def test_stream_ewma_equals_batch_final_state(spark, sf_dir, events):
+    """The stateful streaming EWMA's final per-key state must equal the
+    batch F.aggregate fold's last smoothed value per key exactly — the
+    same recurrence, carried across micro-batches instead of an array."""
+    from pyspark.sql import Window as W
+
+    from etl_hero_spark.streaming import stream_ewma
+    from etl_hero_spark.timeseries import ewma
+
+    batch = ewma(
+        events, ["user_id", "event_type"], "ts", "value", alpha=0.3
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"))
+    batch_final = {
+        (r["user_id"], r["event_type"]): (r["_n"], r["ewma"])
+        for r in batch.withColumn(
+            "_n",
+            F.count(F.lit(1)).over(
+                W.partitionBy("user_id", "event_type")
+            ),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_points"], r["ewma"])
+        for r in stream_ewma(spark, f"{sf_dir}/events.parquet").collect()
+    }
+    assert set(got) == set(batch_final)
+    import math
+
+    for k, (n, v) in batch_final.items():
+        gn, gv = got[k]
+        assert gn == n, k
+        if v is None:
+            assert gv is None, k
+        else:
+            assert math.isclose(gv, v, rel_tol=1e-12), k

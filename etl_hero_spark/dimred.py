@@ -26,6 +26,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def vector_moment_partials(
+    df: DataFrame, vec_col: str, dim: int
+) -> tuple[int, "object", "object"]:
+    """RAW moment sums (n, Σx, ΣxxT) — the mergeable form: partials
+    from disjoint shards/days ADD componentwise (Σ is Σ), so a PCA
+    model refreshes from yesterday's saved partials + today's delta
+    without rescanning history — the profile_stats_incremental
+    contract applied to vectors. merge == full-rebuild pinned in
+    tests/test_dimred.py."""
+    n, mean, exx = vector_moments(df, vec_col, dim)
+    return n, mean * n, exx * n
+
+
+def merge_vector_moments(
+    a: tuple, b: tuple
+) -> tuple[int, "object", "object"]:
+    """Fold two raw-partial triples (componentwise adds)."""
+    return a[0] + b[0], a[1] + b[1], a[2] + b[2]
+
+
+def pca_fit_from_partials(partials: tuple, k: int) -> dict:
+    """pca_fit's eigen step over pre-accumulated raw partials — the
+    incremental-refresh entry point (no corpus scan at all)."""
+    n, s, g = partials
+    if n == 0:
+        raise ValueError("pca_fit: no valid vectors")
+    mean = s / n
+    exx = g / n
+    return _eig_decompose(n, mean, exx, k)
+
+
 def vector_moments(
     df: DataFrame, vec_col: str, dim: int
 ) -> tuple[int, "object", "object"]:
@@ -83,11 +114,15 @@ def pca_fit(
     n}. Covariance = E[xxT] − mean·meanT from the one-pass moments;
     numpy eigh on the dim×dim matrix driver-side (dim is bounded — the
     corpus dimension, not the corpus)."""
-    import numpy as np
-
     n, mean, exx = vector_moments(df, vec_col, dim)
     if n == 0:
         raise ValueError("pca_fit: no valid vectors")
+    return _eig_decompose(n, mean, exx, k)
+
+
+def _eig_decompose(n: int, mean, exx, k: int) -> dict:
+    import numpy as np
+
     cov = exx - np.outer(mean, mean)
     w, v = np.linalg.eigh(cov)  # ascending
     order = np.argsort(w)[::-1][:k]

@@ -4086,8 +4086,11 @@ def q_sql_large_volume_customers(spark, sf_dir):
         "extension: distributed PCA — ONE mapInPandas pass emits "
         "bounded (n, Σx, ΣxxT) partials (dim+dim² doubles per Arrow "
         "batch, corpus never moves), deterministic driver fold + numpy "
-        "eigh on the dim×dim covariance; apply side is unrolled "
-        "codegen dot products (the _dot_const_sql discipline). "
+        "eigh on the dim×dim covariance; RAW partials are mergeable "
+        "(yesterday's saved sums + today's delta == full rebuild, "
+        "pinned), so the model refreshes without rescanning history; "
+        "apply side is unrolled codegen dot products (the "
+        "_dot_const_sql discipline). "
         "numpy-eigh parity + projected-variance==eigenvalue pinned in "
         "tests/test_dimred.py. Top-8 explained-variance spectrum"
     ),

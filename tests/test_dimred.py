@@ -150,3 +150,31 @@ def test_linreg_apply_and_perfect_fit(spark):
     preds = linreg_apply(df, m).select("y", "prediction").collect()
     for r in preds:
         assert r["prediction"] == pytest.approx(r["y"], abs=1e-8)
+
+
+def test_pca_incremental_merge_equals_full_rebuild(spark, emb):
+    """Raw moment partials from disjoint halves merged == one-shot fit:
+    the incremental-refresh contract (no history rescan) for PCA."""
+    from etl_hero_spark.dimred import (
+        merge_vector_moments,
+        pca_fit,
+        pca_fit_from_partials,
+        vector_moment_partials,
+    )
+
+    lo = emb.filter(F.col("vec_id") % 2 == 0)
+    hi = emb.filter(F.col("vec_id") % 2 == 1)
+    merged = merge_vector_moments(
+        vector_moment_partials(lo, "embedding", 64),
+        vector_moment_partials(hi, "embedding", 64),
+    )
+    inc = pca_fit_from_partials(merged, 4)
+    full = pca_fit(emb, "embedding", 64, 4)
+    assert inc["n"] == full["n"]
+    assert np.allclose(
+        inc["explained_variance"], full["explained_variance"], atol=1e-9
+    )
+    assert np.allclose(inc["mean"], full["mean"], atol=1e-12)
+    assert np.allclose(
+        inc["components"], full["components"], atol=1e-7
+    )

@@ -503,18 +503,22 @@ def top_session_paths(
     Returns (path, n_sessions), count desc, path asc tie-break, k rows.
     """
     w = W.partitionBy(key_col).orderBy(ts_col)
+    is_ts = dict(events.dtypes)[ts_col].startswith("timestamp")
+    t_num = (
+        F.unix_micros(F.col(ts_col))
+        if is_ts
+        else F.col(ts_col).cast("double")
+    )
+    gap_thresh = gap_minutes * (60_000_000 if is_ts else 60)
     sess = (
         events.select(key_col, ts_col, type_col)
-        .withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn("_t", t_num)
+        .withColumn("_prev", F.lag("_t").over(w))
         .withColumn(
             "_new",
             (
                 F.col("_prev").isNull()
-                | (
-                    F.col(ts_col).cast("long")
-                    - F.col("_prev").cast("long")
-                    > gap_minutes * 60
-                )
+                | (F.col("_t") - F.col("_prev") > gap_thresh)
             ).cast("int"),
         )
         .withColumn(
@@ -523,12 +527,24 @@ def top_session_paths(
                 w.rowsBetween(W.unboundedPreceding, W.currentRow)
             ),
         )
+        # bound the per-session collect BEFORE it happens: keep
+        # max_path_len+1 rows (the +1 row only marks overflow)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(key_col, "_sid").orderBy(
+                    "_t", type_col
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= max_path_len + 1)
     )
     paths = (
         sess.groupBy(key_col, "_sid")
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct(ts_col, type_col))
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_rn").alias("r"),
+                                        F.col(type_col).alias("y")))
             ).alias("_seq")
         )
         .select(
@@ -537,7 +553,7 @@ def top_session_paths(
                 F.concat(
                     F.array_join(
                         F.slice(
-                            F.transform("_seq", lambda s: s[type_col]),
+                            F.transform("_seq", lambda s: s["y"]),
                             1,
                             max_path_len,
                         ),
@@ -548,7 +564,7 @@ def top_session_paths(
             )
             .otherwise(
                 F.array_join(
-                    F.transform("_seq", lambda s: s[type_col]), ">"
+                    F.transform("_seq", lambda s: s["y"]), ">"
                 )
             )
             .alias("path")

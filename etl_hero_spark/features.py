@@ -125,7 +125,10 @@ def fit_scaler(
     if method == "zscore":
         aggs = []
         for c in cols:
-            d = F.col(c).cast("decimal(18,2)")
+            # (18,6), not the price-grid (18,2): a rate-scaled column
+            # (values ~1e-3) would quantize to 0 at 2dp and be silently
+            # erased; 6dp keeps the product type (37,12) unclamped-exact
+            d = F.col(c).cast("decimal(18,6)")
             aggs += [
                 F.sum(d).cast("double").alias(f"_sx_{c}"),
                 F.sum(d * d).cast("double").alias(f"_sx2_{c}"),
@@ -144,8 +147,15 @@ def fit_scaler(
             *[F.min(c).alias(f"_lo_{c}") for c in cols],
             *[F.max(c).alias(f"_hi_{c}") for c in cols],
         ).first()
+        # empty / all-null input degenerates to (0, 0) — the same
+        # contract the zscore branch's n=0 path provides
         return {
-            c: (float(r[f"_lo_{c}"]), float(r[f"_hi_{c}"])) for c in cols
+            c: (
+                (float(r[f"_lo_{c}"]), float(r[f"_hi_{c}"]))
+                if r[f"_lo_{c}"] is not None
+                else (0.0, 0.0)
+            )
+            for c in cols
         }
     if method == "robust":
         # (median, IQR) — the outlier-immune scaler (50% breakdown
@@ -161,6 +171,9 @@ def fit_scaler(
         ).first()
         out = {}
         for c in cols:
+            if r[f"_q_{c}"] is None:  # empty / all-null -> degenerate
+                out[c] = (0.0, 0.0)
+                continue
             q1, med, q3 = r[f"_q_{c}"]
             out[c] = (float(med), float(q3) - float(q1))
         return out
@@ -303,6 +316,11 @@ def linreg_fit(
                 .alias(f"m_{a}_{b}")
             )
     r = base.agg(*aggs).first()
+    if r[f"m___one___one"] is None:
+        raise ValueError(
+            "linreg_fit: no complete cases (every row has a NULL in y "
+            "or an x column)"
+        )
 
     def m(a: str, b: str) -> float:
         return float(

@@ -480,8 +480,11 @@ def file_provenance(
     word = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
     return (
         df.withColumn(
+            # FULL path with the scheme stripped — a basename-only key
+            # would merge hive-partition files that share a name
+            # (date=A/part-00000 + date=B/part-00000)
             "_file",
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            F.regexp_replace(F.input_file_name(), "^[a-z][a-z0-9+.-]*://", ""),
         )
         .groupBy(F.col("_file").alias("file"))
         .agg(

@@ -969,13 +969,17 @@ def chi_square_independence(
                     on [0, 1], comparable across table shapes.
 
     One row: (col_a, col_b, n, levels_a, levels_b, chi2, dof,
-    cramers_v). Plan: one groupBy folds the corpus to the |a|·|b|
-    contingency cells; row/col marginals come from PARTITIONED window
-    sums over the bounded cell table (no second corpus scan, and no
-    partition-less window — the globals fold algebraically into the
-    final one-row aggregate via chi2 = N·Σ n²/(ra·cb) − 2N + Σ ra·cb/N,
-    the observed-support expansion of Σ(n−e)²/e). Nulls in either
-    column are excluded (a null level is absence, not a category).
+    cramers_v). Plan: one groupBy folds the corpus to the OBSERVED
+    |a|·|b| contingency cells; row/col marginals come from PARTITIONED
+    window sums over the bounded cell table (no second corpus scan, and
+    no partition-less window — the globals fold algebraically into the
+    final one-row aggregate via chi2 = N·(Σ_obs n²/(ra·cb) − 1): a
+    zero cell contributes exactly its expected count e to Σ(n−e)²/e,
+    and Σ_all e = N, so the unobserved cells' mass is N − Σ_obs e —
+    folding to the closed form with NO zero-cell enumeration; matches
+    scipy/pearson over the FULL table, zero cells included). Nulls in
+    either column are excluded (a null level is absence, not a
+    category).
     Marginal products go through double (a 10^12-row cell would
     overflow bigint at n²). chi2 rounded 6dp for cross-engine parity;
     DuckDB/crosstab parity in tests/test_timeseries.py."""
@@ -1001,19 +1005,13 @@ def chi_square_independence(
                 * F.sum("n").over(W.partitionBy("b")).cast("double")
             )
         ).alias("u"),
-        (
-            F.sum("n").over(W.partitionBy("a")).cast("double")
-            * F.sum("n").over(W.partitionBy("b")).cast("double")
-        ).alias("v"),
     )
     tot = F.sum("n").cast("double")
     ka = F.countDistinct("a")
     kb = F.countDistinct("b")
     # clamp: algebraic cancellation can land a hair below 0 on
     # perfectly independent tables (sqrt would NaN)
-    chi2 = F.greatest(
-        F.lit(0.0), tot * F.sum("u") - 2.0 * tot + F.sum("v") / tot
-    )
+    chi2 = F.greatest(F.lit(0.0), tot * (F.sum("u") - 1.0))
     return ex.agg(
         F.lit(col_a).alias("col_a"),
         F.lit(col_b).alias("col_b"),

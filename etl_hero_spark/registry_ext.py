@@ -3759,8 +3759,8 @@ def q_privacy_l_diversity(spark, sf_dir):
     oracle=None,
     note=(
         "extension: HyperLogLog++ inclusion-exclusion set overlap — "
-        "|A∩B| ~ |A|+|B|-|A∪B| between the URGENT-order and "
-        "1-URGENT-order customer-key sets, constant sketch memory vs "
+        "|A∩B| ~ |A|+|B|-|A∪B| between the 1-URGENT-order and "
+        "2-HIGH-order customer-key sets, constant sketch memory vs "
         "the exact distinct semi-join (its twin, pinned within rsd "
         "tolerance in tests/test_privacy.py). Narrow pruned scans, "
         "partial-agg trees, no key shuffle"

@@ -292,7 +292,7 @@ def bloom_pruned_join(
     k_hashes: int = 4,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with an explicit Bloom runtime filter: build a
+    """INNER equi-join with an explicit Bloom runtime filter: build a
     constant-size bitmap from the (selective) dim side, broadcast it,
     and pre-filter the fact side BEFORE the join shuffle — the
     runtime-filter pattern a 100 TB star join lives on when partition
@@ -301,8 +301,24 @@ def bloom_pruned_join(
     join, which still runs); false negatives impossible — result ==
     plain join, pinned in tests/test_skew.py along with the measured
     pre-shuffle row reduction. The k membership probes are pure
-    codegen bit arithmetic against one broadcast 128 KB array."""
-    bloom = build_bloom_filter(dim, dim_col, m_bits, k_hashes)
+    codegen bit arithmetic against one broadcast 128 KB array.
+
+    Two correctness guards (both pinned in tests):
+    * the dim key is CAST to the fact key's type before hashing —
+      xxhash64 is type-sensitive (int 5 != bigint 5), and a dim value
+      outside the fact type's range casts to NULL, which is fine: it
+      could never equi-match the fact side anyway;
+    * only ``how='inner'`` is accepted — pre-filtering the fact side
+      is wrong for outer joins (unmatched left rows must survive
+      null-extended, but the bloom would drop them)."""
+    if how != "inner":
+        raise ValueError(
+            "bloom_pruned_join supports only how='inner': the bloom "
+            "pre-filter drops exactly the rows an outer join must keep"
+        )
+    fact_type = fact.schema[fact_col].dataType
+    dim_keyed = dim.withColumn("_bk", F.col(dim_col).cast(fact_type))
+    bloom = build_bloom_filter(dim_keyed, "_bk", m_bits, k_hashes)
     # stage each probe position once (seed type MUST match the build
     # side: xxhash64 hashes typed values, int-0 != long-0)
     probed = fact.crossJoin(F.broadcast(bloom))

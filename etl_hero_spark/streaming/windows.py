@@ -1281,7 +1281,12 @@ def stream_ewma(
 
     def update(key, pdfs, state: GroupState):
         n, prev = state.get if state.exists else (0, None)
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        # tie-break by VALUE, not event_id — the batch twin folds
+        # sort_array(struct(ts, x)), whose struct order on tied ts is
+        # the value; a different tie order folds to a different EWMA
+        rows = pd.concat(list(pdfs)).sort_values(
+            ["ts", "value"], na_position="first"
+        )
         for x in rows["value"]:
             n += 1
             if x is None or pd.isna(x):

@@ -239,3 +239,24 @@ def test_robust_scaler_is_outlier_immune(spark):
         r["x_scaled"]
         for r in apply_scaler(const, st, "robust").collect()
     ] == [0.0, 0.0]
+
+
+def test_zscore_scaler_preserves_small_scale_columns(spark):
+    """Rate-like columns (values ~1e-3) must not quantize to zero in
+    the fit — the price-grid decimal(18,2) cast would erase them."""
+    df = spark.createDataFrame(
+        [(i / 10000.0,) for i in range(1, 101)], "ctr double"
+    )
+    mu, sigma = fit_scaler(df, ["ctr"], "zscore")["ctr"]
+    assert mu == pytest.approx(0.00505, abs=1e-9)
+    assert sigma > 0.001
+
+
+def test_scaler_and_linreg_empty_input_contracts(spark):
+    empty = spark.createDataFrame([], "x double")
+    for method in ("zscore", "minmax", "robust"):
+        assert fit_scaler(empty, ["x"], method)["x"] == (0.0, 0.0)
+    from etl_hero_spark.features import linreg_fit
+
+    with pytest.raises(ValueError, match="no complete cases"):
+        linreg_fit(empty, ["x"], "x")

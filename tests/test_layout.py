@@ -441,11 +441,14 @@ def test_file_provenance_matches_duckdb(spark, sf_dir):
     ]
     import duckdb
 
+    # the key is the FULL (scheme-stripped) path — a basename key would
+    # merge hive-partition files sharing a name; duckdb's filename is
+    # already the plain path
     want = [
         (f, n, d, int(ck) % (1 << 64))
         for f, n, d, ck in duckdb.sql(
             f"""
-            SELECT regexp_extract(filename, '[^/]+$') f, count(*) n,
+            SELECT filename f, count(*) n,
                    count(DISTINCT (l_orderkey, l_linenumber)) d,
                    sum(CAST(CAST('0x' ||
                      substring(md5(l_orderkey || '|' || l_linenumber), 1, 15)

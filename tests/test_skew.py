@@ -298,3 +298,30 @@ def test_bloom_tiny_filter_still_exact(spark):
     dim = spark.range(0, 2000, 100).select(F.col("id").alias("d"))
     out = bloom_pruned_join(fact, dim, "k", "d", m_bits=64, k_hashes=2)
     assert sorted(r["k"] for r in out.collect()) == list(range(0, 2000, 100))
+
+
+def test_bloom_join_heterogeneous_key_types_still_exact(spark):
+    """xxhash64 is type-sensitive; the dim key is cast to the fact
+    key's type before hashing, so int-vs-bigint key pairs (the common
+    cross-table mismatch) keep the no-false-negative contract."""
+    from etl_hero_spark.skew import bloom_pruned_join
+
+    fact = spark.range(0, 500).select(F.col("id").cast("int").alias("k"))
+    dim = spark.range(0, 500, 25).select(F.col("id").alias("d"))  # bigint
+    got = sorted(
+        r["k"] for r in bloom_pruned_join(fact, dim, "k", "d").collect()
+    )
+    assert got == list(range(0, 500, 25))
+
+
+def test_bloom_join_rejects_outer(spark):
+    """Pre-filtering the fact side drops exactly the rows an outer join
+    must keep null-extended — so outer joins are refused, not wrong."""
+    import pytest
+
+    from etl_hero_spark.skew import bloom_pruned_join
+
+    a = spark.range(3).select(F.col("id").alias("k"))
+    b = spark.range(1).select(F.col("id").alias("d"))
+    with pytest.raises(ValueError, match="only how='inner'"):
+        bloom_pruned_join(a, b, "k", "d", how="left")

@@ -190,22 +190,31 @@ def test_chi_square_matches_python_and_duckdb(spark, sf_dir):
     ).collect()[0]
     pdf = pd.read_parquet(f"{sf_dir}/customer.parquet")
     ct = pd.crosstab(pdf["c_mktsegment"], pdf["c_nationkey"])
-    # expected counts only over OBSERVED cells (groupBy emits no zero
-    # cells, so absent combos contribute their expected mass nowhere in
-    # either engine — both compute over the same support)
+    # full-table Pearson: zero cells contribute their expected counts
+    # (the closed form N(sum n^2/(ra*cb) - 1) folds them in without
+    # enumerating them)
     n = ct.values.sum()
     chi2 = 0.0
     for a in ct.index:
         for b in ct.columns:
             o = ct.loc[a, b]
-            if o == 0:
-                continue
             e = ct.loc[a].sum() * ct[b].sum() / n
             chi2 += (o - e) ** 2 / e
     assert got["n"] == n
     assert got["chi2"] == pytest.approx(chi2, abs=1e-4)
     assert got["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
     assert 0 <= got["cramers_v"] <= 1
+
+
+def test_chi_square_perfect_association_reaches_v1(spark):
+    """A purely diagonal table (a determines b) must hit Cramér's V ==
+    1.0 — only true when unobserved cells contribute their expected
+    mass (the sparse-table regime the screen exists for)."""
+    rows = [(f"a{i}", f"b{i}") for i in range(5) for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    assert r["chi2"] == pytest.approx(50 * (5 - 1), abs=1e-6)  # N(k-1)
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-9)
 
 
 def test_chi_square_single_level_guard(spark):

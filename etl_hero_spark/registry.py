@@ -941,6 +941,7 @@ def _load_extensions() -> None:
     """Import side-effect registrars (split for readability). No silent
     except: a broken registrar must fail loudly, not shrink the surface."""
     import etl_hero_spark.registry_ext  # noqa: F401
+    import etl_hero_spark.registry_ext2  # noqa: F401
     import etl_hero_spark.registry_stream  # noqa: F401
 
 

@@ -1,0 +1,353 @@
+"""Two-sample hypothesis tests as distributed plans: Welch's t-test,
+Mann-Whitney U (tie-corrected), and the two-sample Kolmogorov-Smirnov
+statistic (extension mandate — the A/B and drift significance tests a
+training-data pipeline runs between cohorts/snapshots; the reference
+has no counterpart, its profiling stops at point estimates).
+
+Scale shapes (what each test costs on a 1000-executor cluster):
+
+* **Welch** is ONE conditional multi-aggregate scan — decimal-exact
+  sums / sums-of-squares per group folded map-side, a single one-row
+  result. No shuffle beyond the final agg exchange.
+* **Mann-Whitney and KS** are rank/ECDF tests. The corpus first folds
+  to the DISTINCT-VALUE table (groupBy value: one shuffle, the big
+  reduction — tie handling comes free because ties ARE the grouped
+  rows), then cumulative counts over that table use the same two-phase
+  distributed prefix scan as packing.global_rank: range-bucket by
+  value, local window per bucket, broadcast per-bucket offsets. No
+  unpartitioned window ever sees more than one bucket.
+
+Exactness: ranks and ECDF numerators are integer arithmetic held in
+DECIMAL(38,0) (order-independent, no float drift); the handful of
+final divisions happen once, driver-visible, rounded to a pinned grid
+so a Python/DuckDB reference reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_DEC0 = "decimal(38,0)"
+
+
+# ---------------------------------------------------------------------------
+# shared: two-phase exclusive prefix sums over the distinct-value table
+# ---------------------------------------------------------------------------
+
+
+def _cum_by_value(
+    vals: DataFrame, order_col: str, sum_cols: list[str], n_buckets: int = 64
+) -> DataFrame:
+    """Adds ``_cum_<c>`` = EXCLUSIVE prefix sum of each ``c`` under
+    ORDER BY order_col ASC, without a single-task global window.
+
+    ``vals`` is one row per distinct value (already reduced). Phase 1
+    range-buckets by the order column (equal values share a bucket by
+    construction), phase 2 runs a local cumulative window per bucket,
+    phase 3 broadcasts the tiny per-bucket totals as exclusive offsets
+    (the totals table has n_buckets rows — its window is trivially
+    bounded). Same scan as packing.global_rank, generalized to many
+    summands."""
+    bounds = vals.agg(
+        F.min(order_col).cast("double").alias("_lo"),
+        F.max(order_col).cast("double").alias("_hi"),
+    )
+    b = vals.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col(order_col).cast("double") - F.col("_lo"))
+                    * n_buckets
+                    / (F.col("_hi") - F.col("_lo"))
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    local_w = (
+        W.partitionBy("_bucket")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in sum_cols:
+        b = b.withColumn(
+            f"_incl_{c}", F.sum(F.col(c).cast(_DEC0)).over(local_w)
+        )
+    totals = b.groupBy("_bucket").agg(
+        *[F.sum(F.col(c).cast(_DEC0)).alias(f"_tot_{c}") for c in sum_cols]
+    )
+    # exclusive per-bucket offsets via broadcast self-join over the tiny
+    # n_buckets-row table — never a partition-less window, even on the
+    # small side (packing._bucket_offsets shape, generalized to many
+    # summands)
+    earlier = totals.select(
+        F.col("_bucket").alias("_eb"),
+        *[F.col(f"_tot_{c}").alias(f"_et_{c}") for c in sum_cols],
+    )
+    offsets = (
+        totals.select("_bucket")
+        .join(F.broadcast(earlier), F.col("_eb") < F.col("_bucket"), "left")
+        .groupBy("_bucket")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_et_{c}"), F.lit(0).cast(_DEC0)).alias(
+                    f"_off_{c}"
+                )
+                for c in sum_cols
+            ]
+        )
+    )
+    out = b.join(F.broadcast(offsets), "_bucket")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"_cum_{c}",
+            F.col(f"_incl_{c}")
+            - F.col(c).cast(_DEC0)
+            + F.col(f"_off_{c}"),
+        ).drop(f"_incl_{c}", f"_off_{c}")
+    return out.drop("_bucket", "_lo", "_hi")
+
+
+def _two_group_values(
+    df: DataFrame, value_col: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """Distinct-value count table for exactly two groups:
+    (value, cnt_a, cnt_b). NULL values drop (neither rank nor ECDF is
+    defined for them — both scipy and SQL rank semantics agree)."""
+    return (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(group_col).isin([group_a, group_b])
+        )
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("cnt_a"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("cnt_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test
+# ---------------------------------------------------------------------------
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    scale: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups: one row
+    (n/mean/sample-variance per group, t statistic, Welch-Satterthwaite
+    degrees of freedom). ddof=1 variances — this is the inferential
+    test, unlike the profiler's population ddof=0.
+
+    ONE conditional multi-aggregate pass; sums and sums-of-squares
+    accumulate as exact decimals (inputs cast to (18,6) so the square
+    stays an unclamped (37,12) — see the decimal-moment note in
+    profile.py), so the statistic is order-independent and
+    engine-portable."""
+    d18 = "decimal(18,6)"
+    v = F.col(value_col).cast(d18)
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+
+    def _side(cond, tag):
+        x = F.when(cond, v)
+        return [
+            F.count(x).alias(f"n_{tag}"),
+            F.sum(x).alias(f"s_{tag}"),
+            F.sum(x * x).alias(f"q_{tag}"),
+        ]
+
+    agg = (
+        df.filter(F.col(value_col).isNotNull() & (in_a | in_b))
+        .agg(*_side(in_a, "a"), *_side(in_b, "b"))
+    )
+
+    def _stats(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        q = F.col(f"q_{tag}").cast("double")
+        mean = s / n
+        var = (q - s * s / n) / (n - F.lit(1.0))  # ddof=1
+        return n, mean, var
+
+    n_a, mean_a, var_a = _stats("a")
+    n_b, mean_b, var_b = _stats("b")
+    se2_a = var_a / n_a
+    se2_b = var_b / n_b
+    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    df_w = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)
+    )
+    return agg.select(
+        F.lit(str(group_a)).alias("group_a"),
+        F.lit(str(group_b)).alias("group_b"),
+        F.col("n_a").alias("n_a"),
+        F.col("n_b").alias("n_b"),
+        F.round(mean_a, scale).alias("mean_a"),
+        F.round(mean_b, scale).alias("mean_b"),
+        F.round(var_a, scale).alias("var_a"),
+        F.round(var_b, scale).alias("var_b"),
+        F.round(t, scale).alias("t_stat"),
+        F.round(df_w, scale).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    scale: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U with tie-averaged ranks and the tie-corrected
+    normal approximation (no continuity correction — pinned choice so
+    the Python reference in tests is one formula, not a convention
+    fork). One row: n_a, n_b, u_stat (for group_a), mu_u, sigma_u,
+    z_score.
+
+    Rank arithmetic stays integral: with ``start`` = exclusive
+    cumulative tie-count before a value and ``t`` its tie count, the
+    tie-averaged rank is (2*start + t + 1)/2, so 2*R_a =
+    sum(cnt_a * (2*start + t + 1)) is an exact DECIMAL(38,0) sum —
+    halved exactly once at the end. Tie correction folds sum(t^3 - t)
+    in the same single pass over the distinct-value table."""
+    vals = _two_group_values(df, value_col, group_col, group_a, group_b)
+    vals = vals.withColumn("t", F.col("cnt_a") + F.col("cnt_b"))
+    vals = _cum_by_value(vals, "_v", ["t"])
+    per_val = vals.select(
+        (
+            F.col("cnt_a").cast(_DEC0)
+            * (F.lit(2).cast(_DEC0) * F.col("_cum_t") + F.col("t") + 1)
+        ).alias("r2_term"),
+        F.col("cnt_a").cast(_DEC0).alias("cnt_a"),
+        F.col("cnt_b").cast(_DEC0).alias("cnt_b"),
+        (
+            F.col("t").cast(_DEC0) * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+    )
+    agg = per_val.agg(
+        F.sum("r2_term").alias("r2"),
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.sum("tie_term").alias("ties"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    r_a = F.col("r2").cast("double") / F.lit(2.0)
+    u = r_a - n_a * (n_a + 1) / 2
+    mu = n_a * n_b / 2
+    sigma = F.sqrt(
+        n_a
+        * n_b
+        / 12
+        * ((n + 1) - F.col("ties").cast("double") / (n * (n - 1)))
+    )
+    return agg.select(
+        F.lit(str(group_a)).alias("group_a"),
+        F.lit(str(group_b)).alias("group_b"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(u, scale).alias("u_stat"),
+        F.round(mu, scale).alias("mu_u"),
+        F.round(sigma, scale).alias("sigma_u"),
+        F.round((u - mu) / sigma, scale).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+
+def ks_2samp(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    scale: int = 6,
+) -> DataFrame:
+    """Two-sample KS statistic D = sup |ECDF_a - ECDF_b| with the
+    asymptotic two-sided p-value 2*exp(-2 D^2 n_a n_b / (n_a+n_b))
+    (one-term Kolmogorov tail — the large-sample screen, not scipy's
+    full series; pinned in tests against the same formula). One row:
+    n_a, n_b, d_stat, d_at (the value where the gap peaks, smallest
+    such value on ties), p_asymptotic.
+
+    The sup is exact integer arithmetic: at each distinct value,
+    |cum_a * n_b - cum_b * n_a| over the common denominator n_a*n_b —
+    DECIMAL(38,0) throughout, one division at the end. Cumulative
+    counts are INCLUSIVE (ECDF is right-continuous)."""
+    two = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    counts = two.agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .cast(_DEC0)
+        .alias("n_a"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .cast(_DEC0)
+        .alias("n_b"),
+    )
+    vals = _two_group_values(df, value_col, group_col, group_a, group_b)
+    vals = _cum_by_value(vals, "_v", ["cnt_a", "cnt_b"])
+    gaps = vals.crossJoin(F.broadcast(counts)).select(
+        "n_a",
+        "n_b",
+        F.struct(
+            F.abs(
+                (F.col("_cum_cnt_a") + F.col("cnt_a")) * F.col("n_b")
+                - (F.col("_cum_cnt_b") + F.col("cnt_b")) * F.col("n_a")
+            ).alias("num"),  # inclusive cumulative counts: ECDF is
+            # right-continuous
+            (-F.col("_v").cast("double")).alias("neg_v"),
+        ).alias("g"),
+    )
+    # ONE aggregation finds both the sup and its location: struct max is
+    # lexicographic, so (num, -v) maximizes num then minimizes v on ties
+    at = gaps.groupBy("n_a", "n_b").agg(F.max("g").alias("g"))
+    at = at.select(
+        "n_a",
+        "n_b",
+        F.col("g.num").alias("max_num"),
+        (-F.col("g.neg_v")).alias("d_at"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    d = F.col("max_num").cast("double") / (n_a * n_b)
+    p = F.least(
+        F.lit(1.0), F.lit(2.0) * F.exp(-2.0 * d * d * n_a * n_b / (n_a + n_b))
+    )
+    return at.select(
+        F.lit(str(group_a)).alias("group_a"),
+        F.lit(str(group_b)).alias("group_b"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(d, scale).alias("d_stat"),
+        F.round(F.col("d_at"), scale).alias("d_at"),
+        F.round(p, scale).alias("p_asymptotic"),
+    )

@@ -1,0 +1,142 @@
+"""Two-sample hypothesis tests vs an exact pure-Python reference
+(same formulas, same tie conventions), plus tie-heavy and edge
+fixtures. The reference is computed inline so the pinned convention
+(no continuity correction, one-term KS tail) is one formula in one
+place."""
+
+import collections
+import math
+
+import pytest
+
+from etl_hero_spark.stattests import ks_2samp, mann_whitney_u, welch_ttest
+
+
+def _ref(rows, a_key, b_key):
+    a = sorted(v for v, g in rows if g == a_key and v is not None)
+    b = sorted(v for v, g in rows if g == b_key and v is not None)
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    dfw = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    ca, cb = collections.Counter(a), collections.Counter(b)
+    start, r2, ties = 0, 0, 0
+    for v in sorted(set(a + b)):
+        tcnt = ca[v] + cb[v]
+        r2 += ca[v] * (2 * start + tcnt + 1)
+        ties += tcnt**3 - tcnt
+        start += tcnt
+    u = r2 / 2 - na * (na + 1) / 2
+    mu = na * nb / 2
+    n = na + nb
+    sigma = math.sqrt(na * nb / 12 * ((n + 1) - ties / (n * (n - 1))))
+    cum_a = cum_b = best = 0
+    at = None
+    for v in sorted(set(a + b)):
+        cum_a += ca[v]
+        cum_b += cb[v]
+        num = abs(cum_a * nb - cum_b * na)
+        if num > best:
+            best, at = num, v
+    d = best / (na * nb)
+    p = min(1.0, 2 * math.exp(-2 * d * d * na * nb / n))
+    return {
+        "n_a": na, "n_b": nb,
+        "t_stat": t, "df_welch": dfw,
+        "mean_a": ma, "mean_b": mb, "var_a": va, "var_b": vb,
+        "u_stat": u, "mu_u": mu, "sigma_u": sigma,
+        "z_score": (u - mu) / sigma,
+        "d_stat": d, "d_at": at, "p_asymptotic": p,
+    }
+
+
+@pytest.fixture(scope="module")
+def cust_rows(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return [
+        (float(r[0]), r[1])
+        for r in df.select("c_acctbal", "c_mktsegment").collect()
+    ]
+
+
+def test_welch_matches_reference(spark, sf_dir, cust_rows):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = welch_ttest(
+        cust, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    ).first()
+    ref = _ref(cust_rows, "BUILDING", "MACHINERY")
+    assert got["n_a"] == ref["n_a"] and got["n_b"] == ref["n_b"]
+    for k in ("mean_a", "mean_b", "var_a", "var_b", "t_stat", "df_welch"):
+        assert got[k] == pytest.approx(round(ref[k], 6), abs=1e-6), k
+
+
+def test_mann_whitney_matches_reference(spark, sf_dir, cust_rows):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = mann_whitney_u(
+        cust, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    ).first()
+    ref = _ref(cust_rows, "BUILDING", "MACHINERY")
+    for k in ("u_stat", "mu_u", "sigma_u", "z_score"):
+        assert got[k] == pytest.approx(round(ref[k], 6), abs=1e-6), k
+
+
+def test_ks_matches_reference(spark, sf_dir, cust_rows):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = ks_2samp(
+        cust, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    ).first()
+    ref = _ref(cust_rows, "BUILDING", "MACHINERY")
+    assert got["d_stat"] == pytest.approx(round(ref["d_stat"], 6))
+    assert got["d_at"] == pytest.approx(ref["d_at"])
+    assert got["p_asymptotic"] == pytest.approx(
+        round(ref["p_asymptotic"], 6), abs=1e-6
+    )
+
+
+def test_tie_heavy_fixture(spark):
+    """Integer-valued, tie-saturated data: the tie-averaged rank and
+    tie-corrected sigma paths are the whole computation here."""
+    rows = [(float(v), g) for v, g in [
+        (1, "a"), (1, "a"), (2, "a"), (2, "a"), (2, "a"), (3, "a"),
+        (5, "a"), (1, "b"), (2, "b"), (2, "b"), (3, "b"), (3, "b"),
+        (4, "b"), (4, "b"), (5, "b"),
+    ]]
+    df = spark.createDataFrame(rows, "v double, g string")
+    ref = _ref(rows, "a", "b")
+    mw = mann_whitney_u(df, "v", "g", "a", "b").first()
+    for k in ("u_stat", "mu_u", "sigma_u", "z_score"):
+        assert mw[k] == pytest.approx(round(ref[k], 6), abs=1e-6), k
+    ks = ks_2samp(df, "v", "g", "a", "b").first()
+    assert ks["d_stat"] == pytest.approx(round(ref["d_stat"], 6))
+    assert ks["d_at"] == pytest.approx(ref["d_at"])
+
+
+def test_identical_groups_are_null_effect(spark):
+    """Same distribution in both groups: t=0, z=0, D=0 exactly
+    (integer/decimal arithmetic — no float wobble to approx away)."""
+    vals = [(float(v), g) for v in (1, 2, 3, 4, 5, 6) for g in ("a", "b")]
+    df = spark.createDataFrame(vals, "v double, g string")
+    assert welch_ttest(df, "v", "g", "a", "b").first()["t_stat"] == 0.0
+    mw = mann_whitney_u(df, "v", "g", "a", "b").first()
+    assert mw["u_stat"] == mw["mu_u"] and mw["z_score"] == 0.0
+    ks = ks_2samp(df, "v", "g", "a", "b").first()
+    assert ks["d_stat"] == 0.0 and ks["p_asymptotic"] == 1.0
+
+
+def test_nulls_and_extra_groups_excluded(spark):
+    """NULL values drop; rows from groups other than the named two
+    never contaminate counts."""
+    rows = [(1.0, "a"), (2.0, "a"), (None, "a"), (3.0, "b"), (4.0, "b"),
+            (99.0, "c"), (None, "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = welch_ttest(df, "v", "g", "a", "b").first()
+    assert (got["n_a"], got["n_b"]) == (2, 2)
+    mw = mann_whitney_u(df, "v", "g", "a", "b").first()
+    assert (mw["n_a"], mw["n_b"]) == (2, 2)
+    # a < b everywhere: U = 0, D = 1
+    assert mw["u_stat"] == 0.0
+    assert ks_2samp(df, "v", "g", "a", "b").first()["d_stat"] == 1.0

@@ -87,3 +87,48 @@ def q_profile_ks_test(spark, sf_dir):
         "click",
         "purchase",
     )
+
+
+# ===========================================================================
+# autocorrelation + PMI collocations
+# ===========================================================================
+
+
+@register(
+    "events_acf",
+    oracle=None,
+    note=(
+        "extension: autocorrelation function r_1..r_24 of the hourly "
+        "event-count series — the corpus contributes ONE groupBy (the "
+        "bucket fold, empty hours densified to 0); the bounded series is "
+        "parquet_checkpoint'ed and lags come from explode(sequence)+ "
+        "equi-join on t-k, never a global window. Biased 1/n estimator. "
+        "Python-reference parity + periodic-fixture peak pinned in "
+        "tests/test_acf_pmi.py"
+    ),
+)
+def q_events_acf(spark, sf_dir):
+    from etl_hero_spark.timeseries import acf
+
+    return acf(_events(spark, sf_dir), "ts", max_lag=24)
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=None,
+    note=(
+        "extension: top-50 adjacent-token collocations by PMI over the "
+        "documents corpus — one corpus pass builds the (persistable) "
+        "bigram table, checkpointed for its four consumers; marginals "
+        "join back on flat single-token keys; four-ln form (no c_ab*N "
+        "overflow); min_count floors the hapax-pair pathology; top-k is "
+        "TakeOrderedAndProject. Python-reference parity pinned in "
+        "tests/test_acf_pmi.py"
+    ),
+)
+def q_text_pmi_collocations(spark, sf_dir):
+    from etl_hero_spark.textops import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5
+    )

@@ -1202,3 +1202,70 @@ def bpe_token_counts(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    scale: int = 6,
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual information
+
+        pmi(a,b) = ln( p(a,b) / (p(a) p(b)) )
+                 = ln c_ab + ln N - ln c_a - ln c_b
+
+    over the corpus transition table, where c_a / c_b are the
+    first-position / second-position marginals and N the total
+    transition count. ``min_count`` floors c_ab (PMI's classic
+    rare-pair pathology: a hapax pair scores arbitrarily high).
+
+    Plan: ONE corpus pass builds the bigram table (the persistable
+    bigram_vocab artifact), parquet_checkpoint'ed because four
+    consumers derive from it (N, both marginals, the scoring join);
+    marginals join back on single-token keys (flat, bounded by vocab);
+    top-k is a TakeOrderedAndProject, never a global sort of the pair
+    table. All counts stay integral; the four-ln form avoids integer
+    overflow of c_ab * N products.
+
+    Output: (tok, next_tok, n_pair, pmi) ordered by pmi desc.
+    """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    pairs = parquet_checkpoint(
+        bigram_vocab(df, id_col, col).filter(F.col("_n") >= min_count),
+        "pmi-pairs",
+    )
+    # marginals/N over the UNFILTERED table would be ideal-but-2-pass;
+    # the standard corpus-linguistics convention computes them over the
+    # same thresholded table it scores — pinned in tests either way.
+    n_total = pairs.agg(F.sum("_n").cast("double").alias("_nt"))
+    left_m = pairs.groupBy("_tok").agg(F.sum("_n").alias("_ca"))
+    right_m = pairs.groupBy("_next").agg(F.sum("_n").alias("_cb"))
+    scored = (
+        pairs.join(left_m, "_tok")
+        .join(right_m, "_next")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("_tok").alias("tok"),
+            F.col("_next").alias("next_tok"),
+            F.col("_n").alias("n_pair"),
+            F.round(
+                F.log(F.col("_n").cast("double"))
+                + F.log("_nt")
+                - F.log(F.col("_ca").cast("double"))
+                - F.log(F.col("_cb").cast("double")),
+                scale,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("tok").asc(), F.col("next_tok").asc()
+    ).limit(top_k)

@@ -327,3 +327,104 @@ def km_survival(
         .select("duration", "n_risk", "n_events", "n_censored", "survival")
         .orderBy("duration")
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function over a bucketed series
+# ---------------------------------------------------------------------------
+
+
+def acf(
+    df: DataFrame,
+    ts_col: str,
+    max_lag: int = 24,
+    bucket_seconds: int = 3600,
+    value_col: str | None = None,
+    scale: int = 9,
+) -> DataFrame:
+    """Sample autocorrelation r_k for k = 1..max_lag over the
+    bucket-aggregated series (hourly by default):
+
+        r_k = sum_{t>k} (y_t - ybar)(y_{t-k} - ybar) / sum_t (y_t - ybar)^2
+
+    y_t is the event COUNT per bucket (or the exact-decimal SUM of
+    ``value_col``), with EMPTY buckets densified to 0 — the estimator
+    assumes a contiguous series, and a gap is a real zero in event
+    telemetry, not missing data. The biased (1/n shared-denominator)
+    estimator, the standard plotting convention.
+
+    Scale shape: the 100 TB corpus contributes exactly ONE groupBy (the
+    bucket fold); the bounded series is parquet_checkpoint'ed so its
+    five consumers (bounds spine, mean, denominator, both self-join
+    sides) re-read a tiny columnar stage instead of re-scanning the
+    corpus. The lag fan-out is explode(sequence(1, K)) on one side of
+    an equi-join on (t - k) — K bounded rows per bucket, never a
+    window over the whole series.
+
+    Output: (lag, n_pairs, acf) for k = 1..max_lag, ascending.
+    """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    idx = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint")
+    y = (
+        F.count(F.lit(1)).cast("double")
+        if value_col is None
+        else F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+    )
+    series = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(idx.alias("t"))
+        .agg(y.alias("y"))
+    )
+    series = parquet_checkpoint(series, "acf-series")
+
+    bounds = series.agg(F.min("t").alias("_lo"), F.max("t").alias("_hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("t")
+    )
+    dense = parquet_checkpoint(
+        spine.join(series, "t", "left").select(
+            "t", F.coalesce("y", F.lit(0.0)).alias("y")
+        ),
+        "acf-dense",
+    )
+    stats = dense.agg(
+        F.avg("y").alias("_ybar"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+    )
+    # shared denominator needs ybar first: one more tiny pass over the
+    # checkpointed series
+    denom = (
+        dense.crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum(
+                (F.col("y") - F.col("_ybar")) * (F.col("y") - F.col("_ybar"))
+            ).alias("_den"),
+            F.first("_ybar").alias("_ybar"),
+        )
+    )
+    left = dense.select(
+        F.col("t"),
+        F.col("y").alias("y_t"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    ).withColumn("_probe", F.col("t") - F.col("lag"))
+    lagged = dense.select(
+        F.col("t").alias("_probe"), F.col("y").alias("y_lag")
+    )
+    pairs = left.join(lagged, "_probe")
+    return (
+        pairs.crossJoin(F.broadcast(denom))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(
+                    (F.col("y_t") - F.col("_ybar"))
+                    * (F.col("y_lag") - F.col("_ybar"))
+                )
+                / F.first("_den"),
+                scale,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -646,3 +646,101 @@ def gini_concentration(
         ).alias("gini"),
         *share_aggs,
     )
+
+
+def item_similarity_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 10,
+    min_count: int = 2,
+    max_basket_size: int = 100,
+    on_oversized: str = "warn",
+    scale: int = 6,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: for every item, its
+    top-k most similar items by cosine over basket co-occurrence, with
+    Jaccard alongside:
+
+        cosine(a,b)  = n_ab / sqrt(d_a * d_b)
+        jaccard(a,b) = n_ab / (d_a + d_b - n_ab)
+
+    where n_ab counts baskets containing both (copurchase_pairs — the
+    bounded-fanout pair plan, never all-pairs) and d_x counts baskets
+    containing x. Pairs below ``min_count`` shared baskets drop first —
+    the similarity analogue of PMI's hapax floor, and the reason the
+    candidate set stays sparse at corpus scale (items never co-bought
+    simply produce no row).
+
+    Plan: pair table from the capped basket explode; degree table is
+    one distinct-count groupBy; degrees attach via two flat joins on
+    single-item keys; the pair table symmetrizes (union of both
+    directions) before a per-item window top-k — partitioned by item,
+    never global. Ties break to highest n_ab then smallest neighbor id.
+
+    Output: (item, neighbor, n_both, cosine, jaccard, rnk), rnk 1..k.
+    """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    # both symmetrization branches consume the pair table — checkpoint
+    # it so the basket explode + pair groupBy run once, not per branch
+    pairs = parquet_checkpoint(
+        copurchase_pairs(
+            df,
+            basket_col,
+            item_col,
+            max_basket_size=max_basket_size,
+            min_count=min_count,
+            on_oversized=on_oversized,
+        ),
+        "itemsim-pairs",
+    )
+    deg = (
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .distinct()
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "n_baskets",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "n_baskets",
+        )
+    )
+    scored = (
+        sym.join(deg.withColumnRenamed("it", "item"), "item")
+        .withColumnRenamed("d", "d_item")
+        .join(deg.withColumnRenamed("it", "neighbor"), "neighbor")
+        .withColumnRenamed("d", "d_nb")
+        .select(
+            "item",
+            "neighbor",
+            F.col("n_baskets").alias("n_both"),
+            F.round(
+                F.col("n_baskets")
+                / F.sqrt(F.col("d_item").cast("double") * F.col("d_nb")),
+                scale,
+            ).alias("cosine"),
+            F.round(
+                F.col("n_baskets").cast("double")
+                / (F.col("d_item") + F.col("d_nb") - F.col("n_baskets")),
+                scale,
+            ).alias("jaccard"),
+        )
+    )
+    w = W.partitionBy("item").orderBy(
+        F.col("cosine").desc(),
+        F.col("n_both").desc(),
+        F.col("neighbor").asc(),
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -132,3 +132,59 @@ def q_text_pmi_collocations(spark, sf_dir):
     return pmi_collocations(
         _t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5
     )
+
+
+# ===========================================================================
+# Naive Bayes language ID + item-item similarity
+# ===========================================================================
+
+
+@register(
+    "ml_nb_language",
+    oracle=None,
+    note=(
+        "extension: multinomial Naive Bayes language ID — train on the "
+        "doc_id%5!=0 split of documents (the model IS two aggregation "
+        "tables: (label,token) counts + label priors, checkpointed as "
+        "the persistable artifact), classify the held-out split with "
+        "add-1 smoothing over the dense token x label grid, DECIMAL "
+        "log-score sums for an order-independent argmax; returns the "
+        "confusion matrix. NOTE the fixture's lang labels are random wrt "
+        "its token-soup text, so the matrix is chance-level BY "
+        "CONSTRUCTION — the verified semantics are exact-formula "
+        "Python-reference parity plus perfect classification of a "
+        "separable synthetic corpus, both pinned in "
+        "tests/test_classify_itemsim.py"
+    ),
+)
+def q_ml_nb_language(spark, sf_dir):
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.classify import nb_confusion, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    counts, priors = nb_train(train, "lang", "text")
+    counts = parquet_checkpoint(counts, "nb-counts")
+    priors = parquet_checkpoint(priors, "nb-priors")
+    return nb_confusion(test, counts, priors, "doc_id", "lang", "text")
+
+
+@register(
+    "analytics_item_similarity",
+    oracle=None,
+    note=(
+        "extension: item-item collaborative-filtering neighbors — "
+        "top-5 by cosine (Jaccard alongside) over order-basket "
+        "co-occurrence of parts; pair table from the capped basket "
+        "explode (never all-pairs), degrees via one distinct-count "
+        "groupBy + two flat joins, per-item window top-k. Python- "
+        "reference parity pinned in tests/test_classify_itemsim.py"
+    ),
+)
+def q_analytics_item_similarity(spark, sf_dir):
+    from etl_hero_spark.analytics import item_similarity_topk
+
+    return item_similarity_topk(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", k=5
+    )

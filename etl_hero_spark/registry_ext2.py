@@ -188,3 +188,158 @@ def q_analytics_item_similarity(spark, sf_dir):
     return item_similarity_topk(
         _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", k=5
     )
+
+
+# ===========================================================================
+# relational analytics: semi/anti joins, scalar subqueries, unpivot
+# ===========================================================================
+
+
+@register(
+    "sql_orders_with_returns",
+    oracle=None,
+    note=(
+        "extension (TPC-H Q4 shape): order count per priority where "
+        "EXISTS a returned lineitem — LEFT SEMI join (no fanout however "
+        "many lines match, the decorrelated-EXISTS physical form) + one "
+        "groupBy; the returnflag filter pushes to the lineitem scan. "
+        "DuckDB EXISTS parity pinned in tests/test_relational_extras.py"
+    ),
+)
+def q_sql_orders_with_returns(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned,
+            orders["o_orderkey"] == returned["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sql_dormant_rich_customers",
+    oracle=None,
+    note=(
+        "extension (TPC-H Q22 shape): customers with above-segment-"
+        "average positive balance and NO order since 2000-01-01 (every "
+        "fixture customer has SOME order, so dormancy is recency-based "
+        "to keep the anti-join non-vacuous) — per-segment count + "
+        "balance sum. The scalar subquery is a broadcast segment-stats "
+        "join compared multiply-through (bal * seg_cnt > seg_total, "
+        "exact decimal — no float avg at the boundary); NOT EXISTS is "
+        "a LEFT ANTI join on custkey with the date filter pushed to "
+        "the orders scan. DuckDB parity pinned in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_dormant_rich_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    seg = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("_tot"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+    )
+    rich = cust.join(F.broadcast(seg), "c_mktsegment").filter(
+        F.col("c_acctbal").cast("decimal(18,2)") * F.col("_cnt")
+        > F.col("_tot")
+    )
+    dormant = rich.join(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "sql_top_revenue_suppliers",
+    oracle=None,
+    note=(
+        "extension (TPC-H Q15 shape): suppliers whose 1996 revenue "
+        "equals the maximum — revenue CTE is one lineitem groupBy with "
+        "exact decimal sums (ties at the max are exact, not float-"
+        "lucky), the scalar max is a broadcast single-row join, winners "
+        "join supplier for names. DuckDB parity pinned in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_top_revenue_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+        ).alias("_rev")
+    )
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    rev = parquet_checkpoint(rev, "q15-rev")  # max + winners share it
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    winners = rev.join(
+        F.broadcast(mx), F.col("_rev") == F.col("_mx")
+    ).select("l_suppkey", "_rev")
+    return (
+        winners.join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "events_unpivot_daily",
+    oracle=None,
+    note=(
+        "extension: pivot -> UNPIVOT round trip — the daily x event-type "
+        "count matrix melts back to long (day, event_type, n_events) "
+        "with Spark's native unpivot (stack under the hood, narrow, no "
+        "shuffle beyond the pivot's own); zero-filled cells drop so the "
+        "round trip is exactly the direct groupBy. Equality with the "
+        "direct aggregation pinned in tests/test_relational_extras.py"
+    ),
+)
+def q_events_unpivot_daily(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ["day"], types, "event_type", "n_events"
+    ).filter(F.col("n_events").isNotNull())
+    return long.orderBy("day", "event_type")

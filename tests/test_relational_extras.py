@@ -1,0 +1,114 @@
+"""Semi/anti-join SQL analytics and the pivot->unpivot round trip,
+pinned against DuckDB running the textbook correlated-subquery forms
+on the same parquet."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_hero_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "supplier", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_orders_with_returns_matches_duckdb(spark, qs):
+    got = [
+        (r["o_orderpriority"], r["n_orders"])
+        for r in qs["sql_orders_with_returns"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        SELECT o_orderpriority, count(*)::BIGINT
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    )
+    assert got == ref
+
+
+def test_dormant_rich_customers_matches_duckdb(spark, qs):
+    got = [
+        (r["c_mktsegment"], r["n_customers"], r["total_bal"])
+        for r in qs["sql_dormant_rich_customers"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        WITH seg AS (
+          SELECT c_mktsegment AS seg,
+                 sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot,
+                 count(*) AS cnt
+          FROM customer WHERE c_acctbal > 0 GROUP BY 1)
+        SELECT c.c_mktsegment, count(*)::BIGINT,
+               round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                     AS DOUBLE), 2)
+        FROM customer c JOIN seg ON seg.seg = c.c_mktsegment
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * seg.cnt > seg.tot
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= '2000-01-01')
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+    )
+    assert got == ref
+    assert got, "fixture produced no dormant rich customers"
+
+
+def test_top_revenue_suppliers_matches_duckdb(spark, qs):
+    got = [
+        (r["s_suppkey"], r["s_name"], r["total_rev"])
+        for r in qs["sql_top_revenue_suppliers"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS r
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2)
+        FROM supplier JOIN rev ON l_suppkey = s_suppkey
+        WHERE r = (SELECT max(r) FROM rev)
+        ORDER BY s_suppkey
+        """,
+    )
+    assert got == ref
+    assert got, "no top supplier found"
+
+
+def test_unpivot_round_trips_direct_groupby(spark, qs):
+    from etl_hero_spark.registry import _events
+
+    long = qs["events_unpivot_daily"](spark, SF)
+    got = [
+        (str(r["day"]), r["event_type"], r["n_events"])
+        for r in long.collect()
+    ]
+    direct = (
+        _events(spark, SF)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day", "event_type")
+        .collect()
+    )
+    assert got == [(str(r["day"]), r["event_type"], r["n"]) for r in direct]

@@ -1024,3 +1024,21 @@ def q_stream_ewma_state(spark, sf_dir):
     return stream_ewma(spark, f"{sf_dir}/events.parquet").orderBy(
         "user_id", "event_type"
     )
+
+
+@register(
+    "stream_transition_matrix",
+    oracle=None,
+    note=(
+        "streaming extension: TRUE streaming twin of "
+        "events_transition_matrix — applyInPandasWithState keeps only "
+        "the LAST event per user (the floor for first-order transition "
+        "maintenance), emits one step row per consecutive pair chained "
+        "across micro-batches, matrix = downstream count+normalize agg. "
+        "stream == batch pinned in tests/test_streaming.py"
+    ),
+)
+def q_stream_transition_matrix(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_transition_matrix
+
+    return stream_transition_matrix(spark, f"{sf_dir}/events.parquet")

@@ -1329,3 +1329,86 @@ def stream_ewma(
         .filter(F.col("_r") == 1)
         .drop("_r")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming transition matrix (Markov path analysis, streaming form)
+# ---------------------------------------------------------------------------
+
+
+def stream_transition_matrix(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "etl_hero_stream_transitions",
+) -> DataFrame:
+    """TRUE streaming twin of analytics.transition_matrix: per-user
+    state carries only the LAST event's (ts, event_id, type) — the
+    floor for first-order transition maintenance; each micro-batch
+    folds its rows in the batch twin's (ts, event_id) order, emitting
+    one (from_state, to_state) step per consecutive pair, chained
+    across batches through the state row. The matrix itself is a
+    downstream aggregation of the emitted step stream (counts + row-
+    normalized p), so matrix upkeep costs one tiny groupBy per batch
+    while state stays O(keys).
+
+    Cross-batch ordering caveat (shared by every arrival-order stateful
+    twin here): equality with the batch rebuild requires batches to
+    arrive in event-time order per key.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, last_eid, last_type = state.get
+        else:
+            last_ts = last_eid = last_type = None
+        steps = []
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts_us, eid, et in zip(
+            rows["ts"].astype("int64"), rows["event_id"], rows["event_type"]
+        ):
+            if last_type is not None:
+                steps.append((last_type, et))
+            last_ts, last_eid, last_type = int(ts_us), int(eid), et
+        state.update((last_ts, last_eid, last_type))
+        yield pd.DataFrame(steps, columns=["from_state", "to_state"])
+
+    src = _events_stream_source(
+        spark, path, "etl_hero_stream_trans_"
+    ).withColumn("ts", F.unix_micros("ts"))
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="from_state string, to_state string",
+        stateStructType="last_ts long, last_eid long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    steps = spark.table(query_name)
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # row-normalize with a (from_state)-partitioned window over the tiny
+    # states x states table (a totals self-join on the memory sink trips
+    # Catalyst's conflicting-attribute check; the window is one exchange
+    # over a bounded table either way)
+    wtot = W.partitionBy("from_state")
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wtot).cast("double"),
+            6,
+        ),
+    )

@@ -882,3 +882,24 @@ def test_stream_ewma_equals_batch_final_state(spark, sf_dir, events):
             assert gv is None, k
         else:
             assert math.isclose(gv, v, rel_tol=1e-12), k
+
+
+def test_stream_transition_matrix_equals_batch(spark, sf_dir, events):
+    """Twin #14: the streaming per-user last-event state reproduces the
+    batch window-lead transition matrix exactly (counts AND row-
+    normalized probabilities)."""
+    from etl_hero_spark.analytics import transition_matrix
+    from etl_hero_spark.streaming import stream_transition_matrix
+
+    batch = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(events).collect()
+    }
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in stream_transition_matrix(
+            spark, f"{sf_dir}/events.parquet"
+        ).collect()
+    }
+    assert got == batch
+    assert got, "fixture produced no transitions"

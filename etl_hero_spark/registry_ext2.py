@@ -343,3 +343,41 @@ def q_events_unpivot_daily(spark, sf_dir):
         ["day"], types, "event_type", "n_events"
     ).filter(F.col("n_events").isNotNull())
     return long.orderBy("day", "event_type")
+
+
+# ===========================================================================
+# multi-source BFS hop distances
+# ===========================================================================
+
+
+@register(
+    "analytics_bfs_hops",
+    oracle=None,
+    note=(
+        "extension: multi-source BFS over the co-purchase graph "
+        "(support>=3) from the smallest part id — semi-naive frontier "
+        "iteration (edge join against the CURRENT frontier only, "
+        "anti-join keeps minimal dist), every frontier checkpointed so "
+        "lineage stays flat and the early-exit probe is metadata-cheap; "
+        "returns nodes-per-hop counts. Python-reference BFS parity + "
+        "planted path/disconnected fixtures pinned in "
+        "tests/test_bfs.py"
+    ),
+)
+def q_analytics_bfs_hops(spark, sf_dir):
+    from etl_hero_spark.analytics import bfs_distances, copurchase_pairs
+
+    pairs = copurchase_pairs(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        max_basket_size=50,
+        min_count=3,
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    seeds = pairs.agg(F.min("src").alias("node"))
+    dist = bfs_distances(pairs, seeds, max_hops=4)
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("dist")
+    )

@@ -151,6 +151,22 @@ HEADLINE = [
     "profile_gini",
     "quality_schema_drift",
     "layout_file_provenance",
+    # round-4 third wave: hypothesis tests, series/text analytics,
+    # classification, graph BFS, semi/anti-join SQL entries (the
+    # streaming transition-matrix twin stays registered-unbenched like
+    # the other twins)
+    "profile_welch_ttest",
+    "profile_mann_whitney",
+    "profile_ks_test",
+    "events_acf",
+    "text_pmi_collocations",
+    "ml_nb_language",
+    "analytics_item_similarity",
+    "analytics_bfs_hops",
+    "sql_orders_with_returns",
+    "sql_dormant_rich_customers",
+    "sql_top_revenue_suppliers",
+    "events_unpivot_daily",
 ]
 
 

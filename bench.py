@@ -167,6 +167,8 @@ HEADLINE = [
     "sql_dormant_rich_customers",
     "sql_top_revenue_suppliers",
     "events_unpivot_daily",
+    "analytics_rfm_segments",
+    "analytics_assoc_rules",
 ]
 
 

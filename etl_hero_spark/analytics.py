@@ -812,3 +812,152 @@ def bfs_distances(
         dist = dist.unionByName(new)
         frontier = new
     return dist
+
+
+def rfm_segments(
+    orders: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+    approx: bool = False,
+) -> DataFrame:
+    """RFM customer segmentation: per-key Recency (days since last
+    order, relative to the corpus max date), Frequency (order count),
+    Monetary (decimal-exact spend sum), each discretized into
+    ``n_bins`` equal-frequency scores via the same exact-percentile
+    fit-then-literal-apply machinery as features.with_quantile_bin
+    (approx=True swaps in t-digest for the 100 TB path). Scores are
+    1..n_bins with n_bins = best (most recent / most frequent /
+    highest spend — recency bins are REVERSED so bigger is better
+    on all three axes, the marketing convention).
+
+    Plan: ONE groupBy folds the corpus to the per-key RFM table; three
+    bounded percentile fits over that table become literal when-chains;
+    no row ever moves twice. Returns (key, recency_days, frequency,
+    monetary, r_score, f_score, m_score, segment) where segment is the
+    concatenated "rfm" digit string.
+    """
+    from etl_hero_spark.features import with_quantile_bin
+
+    per_key = (
+        orders.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.max(ts_col).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col(amount_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    horizon = per_key.agg(F.max("_last").alias("_h"))
+    per_key = per_key.crossJoin(F.broadcast(horizon)).select(
+        "key",
+        F.datediff(F.col("_h"), F.col("_last")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    per_key = parquet_checkpoint(per_key, "rfm-perkey")  # 3 fits + apply
+    binned = per_key
+    for c in ("recency_days", "frequency", "monetary"):
+        binned = with_quantile_bin(binned, c, n_bins, approx=approx)
+    r = F.lit(n_bins) - F.col("recency_days_bin")  # reversed: recent=high
+    f = F.col("frequency_bin") + 1
+    m = F.col("monetary_bin") + 1
+    return binned.select(
+        F.col("key").alias(key_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_count: int = 2,
+    min_confidence: float = 0.0,
+    max_basket_size: int = 100,
+    on_oversized: str = "warn",
+    scale: int = 6,
+) -> DataFrame:
+    """Pairwise association rules a -> b with the three classic
+    measures over basket co-occurrence:
+
+        support(a->b)    = n_ab / n_baskets
+        confidence(a->b) = n_ab / n_a
+        lift(a->b)       = confidence / (n_b / n_baskets)
+
+    Both rule directions emit (confidence is asymmetric). Pair counts
+    come from the capped basket explode (copurchase_pairs — bounded
+    fanout, loud cap); item counts and the basket total are one
+    groupBy + one scalar each, attached via flat joins/broadcast.
+    Counts are exact longs; the measures divide once at the end.
+    """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    items = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    items = parquet_checkpoint(items, "assoc-items")  # pairs+deg+total
+    pairs = parquet_checkpoint(
+        copurchase_pairs(
+            items,
+            "bk",
+            "it",
+            max_basket_size=max_basket_size,
+            min_count=min_support_count,
+            on_oversized=on_oversized,
+        ),
+        "assoc-pairs",
+    )
+    deg = items.groupBy("it").agg(F.count(F.lit(1)).alias("d"))
+    total = items.agg(
+        F.countDistinct("bk").cast("double").alias("_nb")
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_baskets",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_baskets",
+        )
+    )
+    out = (
+        sym.join(deg.withColumnRenamed("it", "antecedent"), "antecedent")
+        .withColumnRenamed("d", "d_a")
+        .join(deg.withColumnRenamed("it", "consequent"), "consequent")
+        .withColumnRenamed("d", "d_c")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_baskets").alias("n_both"),
+            F.round(F.col("n_baskets") / F.col("_nb"), scale).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_baskets") / F.col("d_a").cast("double"), scale
+            ).alias("confidence"),
+            F.round(
+                F.col("n_baskets")
+                * F.col("_nb")
+                / (F.col("d_a").cast("double") * F.col("d_c")),
+                scale,
+            ).alias("lift"),
+        )
+    )
+    return out.filter(F.col("confidence") >= min_confidence)

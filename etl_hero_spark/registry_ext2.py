@@ -381,3 +381,68 @@ def q_analytics_bfs_hops(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("dist")
     )
+
+
+# ===========================================================================
+# RFM segmentation + association rules
+# ===========================================================================
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle=None,
+    note=(
+        "extension: RFM customer segmentation — one groupBy folds "
+        "orders to the per-customer (recency, frequency, monetary) "
+        "table (checkpointed: three percentile fits + the apply read "
+        "it), exact equal-frequency score cuts become literal "
+        "when-chains (features.with_quantile_bin machinery, t-digest "
+        "twin via approx=True), recency scores reversed so 555 = best. "
+        "Returns per-segment counts. Python-reference parity pinned in "
+        "tests/test_rfm_assoc.py"
+    ),
+)
+def q_analytics_rfm_segments(spark, sf_dir):
+    from etl_hero_spark.analytics import rfm_segments
+
+    seg = rfm_segments(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        n_bins=5,
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.asc("segment"))
+        .limit(25)
+    )
+
+
+@register(
+    "analytics_assoc_rules",
+    oracle=None,
+    note=(
+        "extension: pairwise association rules a->b with "
+        "support/confidence/lift over order baskets — capped-explode "
+        "pair counts (checkpointed), flat degree joins, broadcast "
+        "basket total, both rule directions (confidence is "
+        "asymmetric), one division at the end of exact longs. "
+        "Python-reference parity + hand-computed fixture pinned in "
+        "tests/test_rfm_assoc.py"
+    ),
+)
+def q_analytics_assoc_rules(spark, sf_dir):
+    from etl_hero_spark.analytics import association_rules
+
+    rules = association_rules(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support_count=3,
+        min_confidence=0.2,
+    )
+    return rules.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(50)

@@ -384,6 +384,60 @@ def main() -> None:
                 "revenue",
             )
 
+        def mann_whitney():
+            # rank test: distinct-value fold + two-phase prefix scan —
+            # scaled lineitem grows both rows and distinct values
+            from etl_hero_spark.stattests import mann_whitney_u
+
+            mann_whitney_u(
+                li(), "l_extendedprice", "l_returnflag", "R", "N"
+            ).write.format("noop").mode("overwrite").save()
+
+        def acf_hourly():
+            from etl_hero_spark.timeseries import acf
+
+            acf(ev(), "ts", max_lag=24).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        def nb_train_classify():
+            # train+score in one probe: both are flat joins/aggs; the
+            # label grid fanout is constant (|langs|)
+            from etl_hero_spark.classify import nb_classify, nb_train
+
+            d = docs()
+            counts, priors = nb_train(
+                d.filter(F.col("doc_id") % 5 != 0), "lang", "text"
+            )
+            from etl_hero_spark.checkpoint import parquet_checkpoint
+
+            counts = parquet_checkpoint(counts, "probe-nb")
+            nb_classify(
+                d.filter(F.col("doc_id") % 5 == 0),
+                counts, priors, "doc_id", "text",
+            ).write.format("noop").mode("overwrite").save()
+
+        def item_similarity():
+            from etl_hero_spark.analytics import item_similarity_topk
+
+            item_similarity_topk(
+                li(), "l_orderkey", "l_partkey", k=5
+            ).write.format("noop").mode("overwrite").save()
+
+        def bfs_hops():
+            # frontier iteration over the co-purchase graph; basket
+            # count scales with orders, basket size stays ~constant
+            from etl_hero_spark.analytics import bfs_distances, copurchase_pairs
+
+            pairs = copurchase_pairs(
+                li(), "l_orderkey", "l_partkey",
+                max_basket_size=50, min_count=3,
+            ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+            seeds = pairs.agg(F.min("src").alias("node"))
+            bfs_distances(pairs, seeds, max_hops=3).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
         return {
             "profile_stats": profile_stats,
             "grouping_sets": grouping_sets,
@@ -408,6 +462,11 @@ def main() -> None:
             "attribution_linear": attribution,
             "pca_moments": pca_moments,
             "linreg_moments": linreg_moments,
+            "mann_whitney": mann_whitney,
+            "acf_hourly": acf_hourly,
+            "nb_train_classify": nb_train_classify,
+            "item_similarity": item_similarity,
+            "bfs_hops": bfs_hops,
         }
 
     results: dict[str, dict[int, float]] = {}

@@ -169,6 +169,7 @@ HEADLINE = [
     "events_unpivot_daily",
     "analytics_rfm_segments",
     "analytics_assoc_rules",
+    "profile_bootstrap_ci",
 ]
 
 

@@ -446,3 +446,26 @@ def q_analytics_assoc_rules(spark, sf_dir):
     return rules.orderBy(
         F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
     ).limit(50)
+
+
+@register(
+    "profile_bootstrap_ci",
+    oracle=None,
+    note=(
+        "extension: Poisson-bootstrap 95% CI for the mean (the "
+        "distributed bootstrap — B replicate estimates in ONE pass, no "
+        "materialized resamples): per (row, replicate) weight = "
+        "inverse-Poisson(1)-CDF of md5(id:b)/2^52 — engine-portable, "
+        "repartition/retry-invariant, truncated at 8; explode fanout "
+        "folds map-side so the shuffle carries O(partitions x B) rows; "
+        "decimal-exact weighted sums; exact percentile over the B "
+        "bounded replicate means. Bit-exact hashlib Python-reference "
+        "parity pinned in tests/test_stattests.py"
+    ),
+)
+def q_profile_bootstrap_ci(spark, sf_dir):
+    from etl_hero_spark.stattests import bootstrap_ci_mean
+
+    return bootstrap_ci_mean(
+        _events(spark, sf_dir), "value", "event_id", n_replicates=200
+    )

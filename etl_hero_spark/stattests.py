@@ -351,3 +351,104 @@ def ks_2samp(
         F.round(F.col("d_at"), scale).alias("d_at"),
         F.round(p, scale).alias("p_asymptotic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+# P(Poisson(1) <= k) for k = 0..7 — the inverse-CDF thresholds; mass
+# beyond 8 is ~1e-6 and truncates to 8 (standard practice)
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999875651342359,
+]
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    scale: int = 6,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the MEAN — the
+    distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", and the resampling core of the Bag of
+    Little Bootstraps): instead of materializing B resamples, each row
+    contributes to replicate b with weight w ~ Poisson(1), so all B
+    replicate estimates accumulate in ONE pass.
+
+    Determinism without an RNG: w = inverse-Poisson-CDF of
+    u = md5(id ':' b) / 2^52 (first 13 hex digits) — engine-portable
+    (hashlib reproduces it bit-for-bit, the Python-reference parity in
+    tests), repartition/retry-invariant, and truncated at 8 like every
+    practical implementation.
+
+    Plan: explode(sequence(0, B-1)) fans each row out B ways, but the
+    per-replicate partial aggregation folds map-side, so the shuffle
+    carries O(partitions x B) rows, not O(rows x B) — the B-fold CPU
+    cost is the bootstrap itself, not a plan defect. Replicate means
+    use decimal-exact weighted sums; the CI is an exact interpolated
+    percentile over the B bounded replicate means.
+
+    Output: one row (n_rows, point_mean, ci_lo, ci_hi, n_replicates).
+    NULL values drop (consistent with every mean here).
+    """
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("decimal(18,6)").alias("_x"),
+    )
+    rep = d.select(
+        "_id",
+        "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias(
+            "_b"
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_id"), F.lit(":"), F.col("_b"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    rep = rep.withColumn("_w", w.cast("decimal(18,6)"))
+    means = rep.groupBy("_b").agg(
+        (
+            F.sum(F.col("_w") * F.col("_x")).cast("double")
+            / F.sum("_w").cast("double")
+        ).alias("_m")
+    )
+    point = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum("_x").cast("double") / F.count(F.lit(1))
+        ).alias("point_mean"),
+    )
+    ci = means.agg(
+        F.expr(f"percentile(_m, array({lo_q}, {hi_q}))").alias("_ci")
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.round("point_mean", scale).alias("point_mean"),
+        F.round(F.col("_ci")[0], scale).alias("ci_lo"),
+        F.round(F.col("_ci")[1], scale).alias("ci_hi"),
+        F.lit(n_replicates).alias("n_replicates"),
+    )

@@ -140,3 +140,73 @@ def test_nulls_and_extra_groups_excluded(spark):
     # a < b everywhere: U = 0, D = 1
     assert mw["u_stat"] == 0.0
     assert ks_2samp(df, "v", "g", "a", "b").first()["d_stat"] == 1.0
+
+
+def test_bootstrap_ci_matches_hashlib_reference(spark, sf_dir):
+    """The deterministic Poisson weights (md5 inverse-CDF) and the
+    replicate-mean percentiles reproduce bit-for-bit in pure Python."""
+    import hashlib
+
+    from etl_hero_spark.stattests import _POIS1_CDF, bootstrap_ci_mean
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = bootstrap_ci_mean(
+        cust, "c_acctbal", "c_custkey", n_replicates=60
+    ).first()
+
+    def w_of(u):
+        for k, c in enumerate(_POIS1_CDF):
+            if u < c:
+                return k
+        return len(_POIS1_CDF)
+
+    rows = [
+        (str(r[0]), float(r[1]))
+        for r in cust.select("c_custkey", "c_acctbal").collect()
+        if r[1] is not None
+    ]
+    means = []
+    for b in range(60):
+        sw = swx = 0.0
+        for i, x in rows:
+            u = (
+                int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:13], 16)
+                / 2**52
+            )
+            w = w_of(u)
+            sw += w
+            swx += w * x
+        means.append(swx / sw)
+    means.sort()
+
+    def perc(v, p):
+        h = (len(v) - 1) * p
+        lo, hi = int(math.floor(h)), int(math.ceil(h))
+        return v[lo] + (h - lo) * (v[hi] - v[lo])
+
+    assert got["n_rows"] == len(rows)
+    assert got["ci_lo"] == pytest.approx(round(perc(means, 0.025), 6), abs=1e-6)
+    assert got["ci_hi"] == pytest.approx(round(perc(means, 0.975), 6), abs=1e-6)
+    assert got["point_mean"] == pytest.approx(
+        round(sum(x for _, x in rows) / len(rows), 6), abs=1e-6
+    )
+    # the CI brackets the point estimate
+    assert got["ci_lo"] < got["point_mean"] < got["ci_hi"]
+
+
+def test_bootstrap_ci_narrows_with_n(spark):
+    """4x the data should shrink the CI roughly in half — the sanity
+    property that separates a bootstrap from a band of noise."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.stattests import bootstrap_ci_mean
+
+    base = spark.range(400).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    small = base.filter(F.col("id") < 100)
+    wide = bootstrap_ci_mean(small, "v", "id", n_replicates=80).first()
+    tight = bootstrap_ci_mean(base, "v", "id", n_replicates=80).first()
+    assert (tight["ci_hi"] - tight["ci_lo"]) < (
+        wide["ci_hi"] - wide["ci_lo"]
+    )

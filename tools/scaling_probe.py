@@ -77,6 +77,7 @@ def main() -> None:
     from etl_hero_spark.session import get_spark
 
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    only = set(sys.argv[2:])  # optional family-name filter
     factors = [1, 2, 4, 8]
     factors = [f for f in factors if f <= max_factor]
     spark = get_spark("scaling-probe")
@@ -483,7 +484,9 @@ def main() -> None:
         spark, "orders", 1, {"o_orderkey": 10_000_000, "o_custkey": 10_000_000}
     )
     w_em = scaled_path(spark, "embeddings", 1, {"vec_id": 10_000_000})
-    for fn in ops(w_li, w_ev, w_do, w_cu, w_od, w_em, 1).values():
+    for name, fn in ops(w_li, w_ev, w_do, w_cu, w_od, w_em, 1).items():
+        if only and name not in only:
+            continue
         fn()
     for n in factors:
         li_p = scaled_path(spark, "lineitem", n, {"l_orderkey": 10_000_000})
@@ -498,6 +501,8 @@ def main() -> None:
         )
         em_p = scaled_path(spark, "embeddings", n, {"vec_id": 10_000_000})
         for name, fn in ops(li_p, ev_p, do_p, cu_p, od_p, em_p, n).items():
+            if only and name not in only:
+                continue
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()

@@ -170,6 +170,8 @@ HEADLINE = [
     "analytics_rfm_segments",
     "analytics_assoc_rules",
     "profile_bootstrap_ci",
+    "profile_anova_oneway",
+    "features_woe_encoding",
 ]
 
 

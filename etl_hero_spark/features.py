@@ -353,3 +353,57 @@ def linreg_apply(
     for c, b in model["coef"].items():
         expr = expr + F.lit(b) * F.col(c)
     return df.withColumn(out_col, expr.cast("double"))
+
+
+def woe_encoding(
+    df: DataFrame,
+    cat_col: str,
+    label_col,
+    smoothing: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence encoding table for a categorical column
+    against a binary label — the credit-scoring standard:
+
+        woe(c) = ln( (pos_c + s) / (pos_total + s*k)
+                   / ((neg_c + s) / (neg_total + s*k)) )
+
+    with add-s smoothing over the k categories so empty cells stay
+    finite, plus each category's information-value contribution
+    iv_c = (p_pos_c - p_neg_c) * woe_c (sum it for the classic IV
+    feature screen). ``label_col`` may be a column name or a boolean
+    Column expression.
+
+    ONE conditional groupBy over the corpus; totals and k come from a
+    second aggregation of the bounded category table, attached by
+    broadcast — the fitted table then applies to any frame as a plain
+    join (train/serve symmetric, like fit_scaler). NULL categories
+    form their own row (absence is signal in credit data).
+
+    Output: (category, n_pos, n_neg, woe, iv_contrib)."""
+    lab = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    cats = df.groupBy(
+        F.col(cat_col).cast("string").alias("category")
+    ).agg(
+        F.sum(F.when(lab, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~lab, 1).otherwise(0)).alias("n_neg"),
+    )
+    totals = cats.agg(
+        F.sum("n_pos").cast("double").alias("_tp"),
+        F.sum("n_neg").cast("double").alias("_tn"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+    )
+    s = float(smoothing)
+    out = cats.crossJoin(F.broadcast(totals))
+    p_pos = (F.col("n_pos") + s) / (F.col("_tp") + s * F.col("_k"))
+    p_neg = (F.col("n_neg") + s) / (F.col("_tn") + s * F.col("_k"))
+    woe = F.log(p_pos / p_neg)
+    return out.select(
+        "category",
+        "n_pos",
+        "n_neg",
+        F.round(woe, scale).alias("woe"),
+        F.round((p_pos - p_neg) * woe, scale).alias("iv_contrib"),
+    )

@@ -469,3 +469,52 @@ def q_profile_bootstrap_ci(spark, sf_dir):
     return bootstrap_ci_mean(
         _events(spark, sf_dir), "value", "event_id", n_replicates=200
     )
+
+
+@register(
+    "profile_anova_oneway",
+    oracle=None,
+    note=(
+        "extension: one-way ANOVA F across all market segments on "
+        "acctbal — SS_between/SS_within entirely from ONE groupBy of "
+        "decimal-exact per-group moments + a second agg over the "
+        "bounded k-row table; corpus never moves twice. Exact-formula "
+        "Python parity pinned in tests/test_stattests.py"
+    ),
+)
+def q_profile_anova_oneway(spark, sf_dir):
+    from etl_hero_spark.stattests import anova_oneway
+
+    return anova_oneway(
+        _t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment"
+    )
+
+
+@register(
+    "features_woe_encoding",
+    oracle=None,
+    note=(
+        "extension: weight-of-evidence + information-value table for "
+        "order priority against the is-returned label (order has a "
+        "returned lineitem, via LEFT SEMI) — one conditional groupBy, "
+        "broadcast totals, add-s smoothing keeps empty cells finite; "
+        "fitted table applies as a plain join (train/serve symmetric). "
+        "Python parity pinned in tests/test_woe_anova.py"
+    ),
+)
+def q_features_woe_encoding(spark, sf_dir):
+    from etl_hero_spark.features import woe_encoding
+
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    # membership flag via a left join on the distinct returned keys
+    marked = orders.join(
+        returned.select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("_ret", F.lit(1)),
+        "o_orderkey",
+        "left",
+    ).withColumn("is_returned", F.col("_ret").isNotNull())
+    return woe_encoding(marked, "o_orderpriority", "is_returned")

@@ -452,3 +452,70 @@ def bootstrap_ci_mean(
         F.round(F.col("_ci")[1], scale).alias("ci_hi"),
         F.lit(n_replicates).alias("n_replicates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA
+# ---------------------------------------------------------------------------
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across ALL groups of ``group_col`` —
+    the k-group generalization of the two-sample t-test:
+
+        F = (SS_between / (k-1)) / (SS_within / (N-k))
+
+    computed entirely from per-group decimal-exact moment sums
+    (n_g, sum_g, sumsq_g): SS_within = sum_g (q_g - s_g^2/n_g),
+    SS_between = sum_g s_g^2/n_g - S^2/N. ONE groupBy over the corpus
+    (the moments fold map-side), then a second aggregation over the
+    bounded k-row group table — the corpus never moves twice. Groups
+    with n < 2 still enter (they add mass to between, nothing to
+    within), NULL values drop.
+
+    Output: one row (k_groups, n_total, ss_between, ss_within, df1,
+    df2, f_stat)."""
+    d18 = "decimal(18,6)"
+    v = F.col(value_col).cast(d18)
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(v).alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_q"),
+        )
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("_n").alias("n_total"),
+        F.sum("_s").alias("_ts"),
+        F.sum("_q").alias("_tq"),
+        F.sum(
+            (F.col("_s") * F.col("_s")).cast("double")
+            / F.col("_n").cast("double")
+        ).alias("_sg"),
+    )
+    n = F.col("n_total").cast("double")
+    ts = F.col("_ts").cast("double")
+    tq = F.col("_tq").cast("double")
+    sg = F.col("_sg")
+    ss_between = sg - ts * ts / n
+    ss_within = tq - sg
+    df1 = F.col("k_groups").cast("double") - 1
+    df2 = n - F.col("k_groups").cast("double")
+    f_stat = (ss_between / df1) / (ss_within / df2)
+    return agg.select(
+        "k_groups",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round(ss_between, scale).alias("ss_between"),
+        F.round(ss_within, scale).alias("ss_within"),
+        df1.cast("bigint").alias("df1"),
+        df2.cast("bigint").alias("df2"),
+        F.round(f_stat, scale).alias("f_stat"),
+    )

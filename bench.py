@@ -172,6 +172,7 @@ HEADLINE = [
     "profile_bootstrap_ci",
     "profile_anova_oneway",
     "features_woe_encoding",
+    "events_holt_forecast",
 ]
 
 

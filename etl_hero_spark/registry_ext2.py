@@ -518,3 +518,31 @@ def q_features_woe_encoding(spark, sf_dir):
         "left",
     ).withColumn("is_returned", F.col("_ret").isNotNull())
     return woe_encoding(marked, "o_orderpriority", "is_returned")
+
+
+@register(
+    "events_holt_forecast",
+    oracle=None,
+    note=(
+        "extension: Holt linear-trend (double exponential) smoothing "
+        "per user over event values — the two-state recursive sibling "
+        "of events_ewma_smooth, folded JVM-side with F.aggregate over "
+        "each key's sorted series (serial per key is inherent; cross-"
+        "key distributes, loud series cap); emits level/trend/h-step "
+        "forecast per point. Python-loop parity + exact-slope-on-"
+        "linear-series + null-carry pinned in "
+        "tests/test_timeseries_extra.py"
+    ),
+)
+def q_events_holt_forecast(spark, sf_dir):
+    from etl_hero_spark.timeseries import holt_linear
+
+    return holt_linear(
+        _events(spark, sf_dir),
+        ["user_id"],
+        "ts",
+        "value",
+        alpha=0.3,
+        beta=0.1,
+        horizon=2,
+    )

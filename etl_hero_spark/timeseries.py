@@ -428,3 +428,107 @@ def acf(
         )
         .orderBy("lag")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 1,
+    max_series_len: int = 100_000,
+    on_oversized: str = "warn",
+) -> DataFrame:
+    """Per-key Holt linear-trend (double exponential) smoothing — the
+    two-state sibling of ewma, the standard short-range forecaster for
+    trending telemetry:
+
+        level_t = α·x_t + (1-α)·(level_{t-1} + trend_{t-1})
+        trend_t = β·(level_t - level_{t-1}) + (1-β)·trend_{t-1}
+
+    initialized the textbook way (level_0 = x_0; trend_0 = x_1 - x_0
+    on the second observation). Null x carries both states unchanged
+    (the row's outputs are the prior states, mirroring ewma's
+    ignore_na). Output: one row per input point — (keys..., ts, x,
+    level, trend, forecast) where forecast = level + horizon·trend,
+    the h-step-ahead prediction AS OF that row.
+
+    Same scale contract as ewma: the recursion is inherently serial
+    per key, so each key's series folds inside whole-stage codegen
+    (``F.aggregate``) over one sorted array; the cross-key dimension
+    distributes, a per-key cap guards the degenerate key. Python-loop
+    parity pinned in tests/test_timeseries_extra.py.
+    """
+    a, b = float(alpha), float(beta)
+    seqs = _guard_series(
+        _collect_series(df, key_cols, ts_col, value_col),
+        max_series_len,
+        on_oversized,
+        "holt_linear",
+    )
+    nullD = F.lit(None).cast("double")
+
+    # acc: struct(lvl, trd, n long, out array<struct<lvl,trd>>)
+    def step(acc, p):
+        first = acc["n"] == 0
+        second = acc["n"] == 1
+        new_lvl = (
+            F.when(p["x"].isNull(), acc["lvl"])
+            .when(first, p["x"])
+            .otherwise(
+                a * p["x"]
+                + (1.0 - a) * (acc["lvl"] + F.coalesce(acc["trd"], F.lit(0.0)))
+            )
+        )
+        new_trd = (
+            F.when(p["x"].isNull(), acc["trd"])
+            .when(first, nullD)
+            .when(second, p["x"] - acc["lvl"])
+            .otherwise(
+                b * (new_lvl - acc["lvl"])
+                + (1.0 - b) * F.coalesce(acc["trd"], F.lit(0.0))
+            )
+        )
+        new_n = F.when(p["x"].isNull(), acc["n"]).otherwise(acc["n"] + 1)
+        return F.struct(
+            new_lvl.alias("lvl"),
+            new_trd.alias("trd"),
+            new_n.alias("n"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        new_lvl.alias("lvl"), new_trd.alias("trd")
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    init = F.struct(
+        nullD.alias("lvl"),
+        nullD.alias("trd"),
+        F.lit(0).cast("long").alias("n"),
+        F.array().cast("array<struct<lvl: double, trd: double>>").alias(
+            "out"
+        ),
+    )
+    out = seqs.withColumn(
+        "_h", F.aggregate("seq", init, step, lambda acc: acc["out"])
+    )
+    exploded = out.select(
+        *[F.col(k) for k in key_cols],
+        F.posexplode(F.arrays_zip("seq", "_h")).alias("_i", "_z"),
+    )
+    h = float(horizon)
+    lvl = F.col("_z._h.lvl")
+    trd = F.col("_z._h.trd")
+    return exploded.select(
+        *key_cols,
+        F.col("_z.seq.ts").alias(ts_col),
+        F.col("_z.seq.x").alias(value_col),
+        lvl.alias("level"),
+        trd.alias("trend"),
+        F.when(trd.isNotNull(), lvl + F.lit(h) * trd).alias("forecast"),
+    )

@@ -49,7 +49,12 @@ def _cum_by_value(
     phase 3 broadcasts the tiny per-bucket totals as exclusive offsets
     (the totals table has n_buckets rows — its window is trivially
     bounded). Same scan as packing.global_rank, generalized to many
-    summands."""
+    summands.
+
+    Callers parquet_checkpoint ``vals`` before passing it in: it feeds
+    the bounds agg, the bucketed main pass, and the callers' own group
+    totals — without the stage boundary the corpus groupBy that
+    produced it re-executes per consumer."""
     bounds = vals.agg(
         F.min(order_col).cast("double").alias("_lo"),
         F.max(order_col).cast("double").alias("_hi"),
@@ -233,8 +238,14 @@ def mann_whitney_u(
     sum(cnt_a * (2*start + t + 1)) is an exact DECIMAL(38,0) sum —
     halved exactly once at the end. Tie correction folds sum(t^3 - t)
     in the same single pass over the distinct-value table."""
-    vals = _two_group_values(df, value_col, group_col, group_a, group_b)
-    vals = vals.withColumn("t", F.col("cnt_a") + F.col("cnt_b"))
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    vals = parquet_checkpoint(
+        _two_group_values(
+            df, value_col, group_col, group_a, group_b
+        ).withColumn("t", F.col("cnt_a") + F.col("cnt_b")),
+        "mw-vals",
+    )
     vals = _cum_by_value(vals, "_v", ["t"])
     per_val = vals.select(
         (
@@ -301,20 +312,19 @@ def ks_2samp(
     |cum_a * n_b - cum_b * n_a| over the common denominator n_a*n_b —
     DECIMAL(38,0) throughout, one division at the end. Cumulative
     counts are INCLUSIVE (ECDF is right-continuous)."""
-    two = df.filter(
-        F.col(value_col).isNotNull()
-        & F.col(group_col).isin([group_a, group_b])
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    base = parquet_checkpoint(
+        _two_group_values(df, value_col, group_col, group_a, group_b),
+        "ks-vals",
     )
-    counts = two.agg(
-        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
-        .cast(_DEC0)
-        .alias("n_a"),
-        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
-        .cast(_DEC0)
-        .alias("n_b"),
+    # ONE corpus scan total: group sizes come from the checkpointed
+    # distinct-value table, not a second pass over df
+    counts = base.agg(
+        F.sum("cnt_a").cast(_DEC0).alias("n_a"),
+        F.sum("cnt_b").cast(_DEC0).alias("n_b"),
     )
-    vals = _two_group_values(df, value_col, group_col, group_a, group_b)
-    vals = _cum_by_value(vals, "_v", ["cnt_a", "cnt_b"])
+    vals = _cum_by_value(base, "_v", ["cnt_a", "cnt_b"])
     gaps = vals.crossJoin(F.broadcast(counts)).select(
         "n_a",
         "n_b",

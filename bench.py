@@ -173,6 +173,7 @@ HEADLINE = [
     "profile_anova_oneway",
     "features_woe_encoding",
     "events_holt_forecast",
+    "profile_entropy",
 ]
 
 

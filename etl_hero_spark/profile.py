@@ -1075,3 +1075,63 @@ def approx_set_overlap(
             inter.cast("double") / F.col("n_union").cast("double"), 6
         ).alias("jaccard"),
     )
+
+
+def column_entropy(
+    df: DataFrame, cols: list[str], base: float = 2.0, scale: int = 9
+) -> DataFrame:
+    """Shannon entropy (and its 0..1 normalized form) per categorical
+    column — the profiling primitive between null-rate and mutual
+    information: H = -Σ p ln p / ln(base) over value frequencies,
+    normalized by log(k) (0 = constant column, 1 = uniform). NULL is
+    counted as a category of its own (a 99%-NULL column is very
+    low-entropy — exactly the signal).
+
+    Plan: one groupBy per column over (column, value) — executed as a
+    single unpivot scan (stack: rows x n_cols narrow rows, one
+    shuffle), then the entropy fold per column over the bounded
+    frequency tables. Counts exact; one log per distinct value.
+
+    Output: (column, n_distinct, entropy, entropy_norm), column-sorted.
+    """
+    stack_expr = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in cols
+    )
+    long = df.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column, value)"
+    )
+    freq = long.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = freq.groupBy("column").agg(
+        F.sum("_n").alias("_tot"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    ln_base = float(__import__("math").log(base))
+    ent = (
+        freq.join(tot, "column")
+        .select(
+            "column",
+            "n_distinct",
+            (
+                -(F.col("_n") / F.col("_tot"))
+                * F.log(F.col("_n") / F.col("_tot"))
+                / F.lit(ln_base)
+            ).alias("_h"),
+        )
+        .groupBy("column", "n_distinct")
+        .agg(F.round(F.sum("_h"), scale).alias("entropy"))
+    )
+    return ent.select(
+        "column",
+        "n_distinct",
+        "entropy",
+        F.round(
+            F.when(
+                F.col("n_distinct") > 1,
+                F.col("entropy")
+                / (F.log(F.col("n_distinct").cast("double")) / F.lit(ln_base)),
+            ).otherwise(F.lit(0.0)),
+            scale,
+        ).alias("entropy_norm"),
+    ).orderBy("column")

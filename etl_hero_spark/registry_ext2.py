@@ -546,3 +546,24 @@ def q_events_holt_forecast(spark, sf_dir):
         beta=0.1,
         horizon=2,
     )
+
+
+@register(
+    "profile_entropy",
+    oracle=None,
+    note=(
+        "extension: per-column Shannon entropy + 0..1 normalized form "
+        "over orders categoricals (NULL is its own category — a "
+        "99%-NULL column is low-entropy, exactly the signal) — one "
+        "stack-unpivot scan, one (column,value) groupBy, entropy fold "
+        "over bounded frequency tables. Python parity + "
+        "constant/uniform extremes pinned in tests/test_woe_anova.py"
+    ),
+)
+def q_profile_entropy(spark, sf_dir):
+    from etl_hero_spark.profile import column_entropy
+
+    return column_entropy(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+    )

@@ -89,3 +89,44 @@ def test_woe_registered_query_labels_by_semi_membership(spark, sf_dir):
     for r in orders.select("o_orderkey", "o_orderpriority").collect():
         ref[r[1]][0 if r[0] in ret_keys else 1] += 1
     assert got == {c: tuple(v) for c, v in ref.items()}
+
+
+def test_entropy_matches_reference(spark, sf_dir):
+    from etl_hero_spark.profile import column_entropy
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = {
+        r["column"]: (r["n_distinct"], r["entropy"], r["entropy_norm"])
+        for r in column_entropy(
+            orders, ["o_orderstatus", "o_orderpriority"]
+        ).collect()
+    }
+    for col in ("o_orderstatus", "o_orderpriority"):
+        vals = collections.Counter(
+            str(r[0]) if r[0] is not None else None
+            for r in orders.select(col).collect()
+        )
+        n = sum(vals.values())
+        h = -sum(c / n * math.log2(c / n) for c in vals.values())
+        k = len(vals)
+        g = got[col]
+        assert g[0] == k
+        assert g[1] == pytest.approx(round(h, 9), abs=1e-9)
+        assert g[2] == pytest.approx(round(h / math.log2(k), 9), abs=1e-9)
+
+
+def test_entropy_extremes(spark):
+    from etl_hero_spark.profile import column_entropy
+
+    df = spark.createDataFrame(
+        [("x", a, None) for a in "abcd"] * 3,
+        "const string, uniform string, nulls string",
+    )
+    got = {
+        r["column"]: (r["entropy"], r["entropy_norm"], r["n_distinct"])
+        for r in column_entropy(df, ["const", "uniform", "nulls"]).collect()
+    }
+    assert got["const"] == (0.0, 0.0, 1)
+    assert got["uniform"][0] == pytest.approx(2.0)  # log2(4)
+    assert got["uniform"][1] == pytest.approx(1.0)
+    assert got["nulls"] == (0.0, 0.0, 1)  # all-NULL = constant

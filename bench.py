@@ -94,7 +94,7 @@ HEADLINE = [
     "text_clean_normalize",
     "profile_histogram2d",
     # round-4 additions
-    "multimodal_wav_metadata",
+    "multimodal_decode",  # absorbed multimodal_wav_metadata r4w3
     "profile_heavy_hitters_cms",
     "sample_reservoir_per_key",
     "events_seasonal_anomaly",

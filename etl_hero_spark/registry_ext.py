@@ -51,12 +51,16 @@ def _sql_shingles(tok_expr: str, n: int = 3) -> str:
 # ===========================================================================
 
 
+_GOPHER_WORDS_SQL = "['the','be','to','of','and','that','have','with']"
+
+
 @register(
     "text_stats",
     oracle=(
         "WITH t AS (SELECT doc_id, text, "
-        f"{_SQL_TOKS.format(c='text')} AS toks FROM documents) "
-        "SELECT doc_id, "
+        f"{_SQL_TOKS.format(c='text')} AS toks, "
+        "string_split(text, chr(10)) AS lns FROM documents), "
+        "s AS (SELECT doc_id, "
         "cast(len(toks) as int) AS n_tokens, "
         "cast(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), "
         "x -> len(x) > 0)) as int) AS n_pieces, "
@@ -74,15 +78,56 @@ def _sql_shingles(tok_expr: str, n: int = 3) -> str:
         " / cast(len(toks) as double) ELSE 0.0 END, 6) AS stopword_ratio, "
         "round(CASE WHEN len(toks) > 0 THEN "
         "cast(len(list_distinct(toks)) as double) / cast(len(toks) as double) "
-        "ELSE 0.0 END, 6) AS distinct_ratio "
-        "FROM t"
+        "ELSE 0.0 END, 6) AS distinct_ratio, "
+        "round(CASE WHEN len(toks) > 0 THEN "
+        "cast((length(text) - length(replace(text, '#', ''))) + "
+        "(length(text) - length(replace(text, '...', ''))) / 3 as double)"
+        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS symbol_ratio, "
+        "round(CASE WHEN len(lns) > 0 THEN "
+        "cast(len(list_filter(lns, x -> starts_with(ltrim(x), '-') "
+        "OR starts_with(ltrim(x), '*'))) as double)"
+        " / cast(len(lns) as double) ELSE 0.0 END, 6) AS bullet_ratio, "
+        "round(CASE WHEN len(lns) > 0 THEN "
+        "cast(len(list_filter(lns, x -> ends_with(rtrim(x), '...'))) as double)"
+        " / cast(len(lns) as double) ELSE 0.0 END, 6) AS ellipsis_ratio, "
+        "round(CASE WHEN len(toks) > 0 THEN "
+        "cast(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) as double)"
+        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS alpha_ratio, "
+        "cast(len(list_intersect(list_distinct(list_transform(toks, "
+        f"x -> lower(x))), {_GOPHER_WORDS_SQL})) as int) AS n_required_hits "
+        "FROM t) "
+        "SELECT *, cast(CASE WHEN "
+        "n_tokens BETWEEN 50 AND 100000 "
+        "AND avg_token_len BETWEEN 3.0 AND 10.0 "
+        "AND symbol_ratio <= 0.1 "
+        "AND bullet_ratio <= 0.9 "
+        "AND ellipsis_ratio <= 0.3 "
+        "AND alpha_ratio >= 0.8 "
+        "AND n_required_hits >= 2 "
+        "THEN 1 ELSE 0 END as int) AS passes_gopher FROM s"
     ),
-    note="extension: per-doc token counts (whitespace + BPE-ish pieces) AND quality signals (length/punct/stopword/distinct ratios) in one narrow projection — pure JVM expressions, single scan",
+    note=(
+        "extension: per-doc token counts (whitespace + BPE-ish pieces), "
+        "quality signals (length/punct/stopword/distinct ratios) AND the "
+        "Gopher rule gate (published heuristics: symbol/bullet/ellipsis "
+        "ratios, alphabetic fraction, required-word presence, pass flag) "
+        "in ONE narrow single-scan projection — formerly the separate "
+        "text_quality_filter query, absorbed r4w3 to free a driver-"
+        "window slot for a promoted query with zero lost coverage "
+        "(its n_words/mean_word_len were n_tokens/avg_token_len under "
+        "other names)"
+    ),
 )
 def q_text_stats(spark, sf_dir):
-    from etl_hero_spark.textops import with_quality_signals, with_token_counts
+    from etl_hero_spark.textops import (
+        with_gopher_quality,
+        with_quality_signals,
+        with_token_counts,
+    )
 
-    df = with_quality_signals(with_token_counts(_t(spark, sf_dir, "documents")))
+    df = with_gopher_quality(
+        with_quality_signals(with_token_counts(_t(spark, sf_dir, "documents")))
+    )
     return df.select(
         "doc_id",
         "n_tokens",
@@ -92,6 +137,12 @@ def q_text_stats(spark, sf_dir):
         "punct_ratio",
         "stopword_ratio",
         "distinct_ratio",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "alpha_ratio",
+        "n_required_hits",
+        "passes_gopher",
     )
 
 
@@ -189,69 +240,6 @@ def q_pack_token_shards(spark, sf_dir):
     ).select("doc_id", "n_tokens", "shard_id")
 
 
-_GOPHER_WORDS_SQL = "['the','be','to','of','and','that','have','with']"
-
-
-@register(
-    "text_quality_filter",
-    oracle=(
-        "WITH t AS (SELECT doc_id, text, "
-        f"{_SQL_TOKS.format(c='text')} AS toks, "
-        "string_split(text, chr(10)) AS lns FROM documents), "
-        "s AS (SELECT doc_id, "
-        "cast(len(toks) as int) AS n_words, "
-        "round(CASE WHEN len(toks) > 0 THEN "
-        "cast(list_sum(list_transform(toks, x -> length(x))) as double)"
-        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS mean_word_len, "
-        "round(CASE WHEN len(toks) > 0 THEN "
-        "cast((length(text) - length(replace(text, '#', ''))) + "
-        "(length(text) - length(replace(text, '...', ''))) / 3 as double)"
-        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS symbol_ratio, "
-        "round(CASE WHEN len(lns) > 0 THEN "
-        "cast(len(list_filter(lns, x -> starts_with(ltrim(x), '-') "
-        "OR starts_with(ltrim(x), '*'))) as double)"
-        " / cast(len(lns) as double) ELSE 0.0 END, 6) AS bullet_ratio, "
-        "round(CASE WHEN len(lns) > 0 THEN "
-        "cast(len(list_filter(lns, x -> ends_with(rtrim(x), '...'))) as double)"
-        " / cast(len(lns) as double) ELSE 0.0 END, 6) AS ellipsis_ratio, "
-        "round(CASE WHEN len(toks) > 0 THEN "
-        "cast(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) as double)"
-        " / cast(len(toks) as double) ELSE 0.0 END, 6) AS alpha_ratio, "
-        "cast(len(list_intersect(list_distinct(list_transform(toks, "
-        f"x -> lower(x))), {_GOPHER_WORDS_SQL})) as int) AS n_required_hits "
-        "FROM t) "
-        "SELECT *, cast(CASE WHEN "
-        "n_words BETWEEN 50 AND 100000 "
-        "AND mean_word_len BETWEEN 3.0 AND 10.0 "
-        "AND symbol_ratio <= 0.1 "
-        "AND bullet_ratio <= 0.9 "
-        "AND ellipsis_ratio <= 0.3 "
-        "AND alpha_ratio >= 0.8 "
-        "AND n_required_hits >= 2 "
-        "THEN 1 ELSE 0 END as int) AS passes_gopher FROM s"
-    ),
-    note=(
-        "extension: Gopher-style rule filter (published heuristics: "
-        "word-count bounds, mean word length, symbol/bullet/ellipsis "
-        "ratios, alphabetic-word fraction, required-word presence) as "
-        "one codegen'd narrow projection — the curation gate before "
-        "dedup in a training-data pipeline"
-    ),
-)
-def q_text_quality_filter(spark, sf_dir):
-    from etl_hero_spark.textops import with_gopher_quality
-
-    return with_gopher_quality(_t(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "n_words",
-        "mean_word_len",
-        "symbol_ratio",
-        "bullet_ratio",
-        "ellipsis_ratio",
-        "alpha_ratio",
-        "n_required_hits",
-        "passes_gopher",
-    )
 
 
 # PII fixture: documents carry no digits/emails, so inject deterministic
@@ -362,25 +350,6 @@ def _docs_nearvar(spark, sf_dir):
 
 
 @register(
-    "dedup_exact_content",
-    oracle=(
-        f"WITH t AS ({_DOCS_EXACTVAR_SQL}), "
-        "f AS (SELECT doc_id, md5("
-        + _SQL_NORM.format(c="text")
-        + ") AS fp FROM t), "
-        "r AS (SELECT doc_id, row_number() OVER "
-        "(PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM f) "
-        "SELECT doc_id FROM r WHERE rn = 1"
-    ),
-    note="extension rung 1: exact content dedup on normalized-text md5, keep-first (case/whitespace clones collapse)",
-)
-def q_dedup_exact_content(spark, sf_dir):
-    from etl_hero_spark.dedup import dedup_exact_content
-
-    return dedup_exact_content(_docs_exactvar(spark, sf_dir)).select("doc_id")
-
-
-@register(
     "dedup_ngram_jaccard",
     oracle=(
         f"WITH t AS ({_DOCS_NEARVAR_SQL}), "
@@ -428,28 +397,61 @@ _JACCARD_PAIRS_SQL = (
         "reach(u, v) AS (SELECT u, v FROM ed "
         "UNION SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u), "
         "comp AS (SELECT u AS id, least(u, min(v)) AS cl "
-        "FROM reach GROUP BY u) "
-        "SELECT d.doc_id, "
+        "FROM reach GROUP BY u), "
+        f"x AS ({_DOCS_EXACTVAR_SQL}), "
+        "xf AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5("
+        + _SQL_NORM.format(c="text")
+        + ")) AS cl FROM x) "
+        "SELECT 'near' AS tag, d.doc_id, "
         "cast(coalesce(c.cl, d.doc_id) as bigint) AS cluster_id, "
         "cast(CASE WHEN coalesce(c.cl, d.doc_id) = d.doc_id "
         "THEN 1 ELSE 0 END as int) AS is_canonical "
-        "FROM t d LEFT JOIN comp c ON c.id = d.doc_id"
+        "FROM t d LEFT JOIN comp c ON c.id = d.doc_id "
+        "UNION ALL "
+        "SELECT 'exact' AS tag, doc_id, cast(cl as bigint) AS cluster_id, "
+        "cast(CASE WHEN cl = doc_id THEN 1 ELSE 0 END as int) "
+        "AS is_canonical FROM xf"
     ),
     note=(
-        "extension rung 5: transitive near-dup closure — Jaccard pairs -> "
-        "connected components (pointer-jumping min-label propagation, "
-        "O(log diameter) rounds) -> cluster id + canonical flag per doc; "
-        "oracle walks the same graph with a recursive CTE"
+        "extension rungs 1+5 in cluster vocabulary, tagged: 'exact' = "
+        "normalized-md5 fingerprint groups (cluster = min doc_id per "
+        "fingerprint, canonical = keep-first — exactly the old "
+        "dedup_exact_content whose survivors are this tag's "
+        "is_canonical=1 rows, absorbed r4w3 to free a driver-window "
+        "slot); 'near' = transitive Jaccard closure via pointer-jumping "
+        "min-label components (O(log diameter) rounds), oracle walks "
+        "the same graph with a recursive CTE"
     ),
 )
 def q_dedup_clusters(spark, sf_dir):
-    from etl_hero_spark.dedup import assign_dedup_clusters, ngram_jaccard_pairs
+    from etl_hero_spark.dedup import (
+        assign_dedup_clusters,
+        fingerprint_expr,
+        ngram_jaccard_pairs,
+    )
 
     docs = _docs_nearvar(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8)
-    return assign_dedup_clusters(docs, pairs).select(
-        "doc_id", "cluster_id", "is_canonical"
+    near = assign_dedup_clusters(docs, pairs).select(
+        F.lit("near").alias("tag"), "doc_id", "cluster_id", "is_canonical"
     )
+    from pyspark.sql import Window as W
+
+    xdocs = _docs_exactvar(spark, sf_dir).withColumn(
+        "_fp", fingerprint_expr("text")
+    )
+    exact = xdocs.select(
+        F.lit("exact").alias("tag"),
+        "doc_id",
+        F.min("doc_id")
+        .over(W.partitionBy("_fp"))
+        .cast("bigint")
+        .alias("cluster_id"),
+    ).withColumn(
+        "is_canonical",
+        (F.col("cluster_id") == F.col("doc_id")).cast("int"),
+    )
+    return near.unionByName(exact)
 
 
 @register(

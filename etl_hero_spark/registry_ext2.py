@@ -17,13 +17,42 @@ from etl_hero_spark.registry import _events, _t, register
 
 @register(
     "profile_welch_ttest",
-    oracle=None,
+    oracle=(
+        "WITH m AS (SELECT "
+        "count(CASE WHEN c_mktsegment = 'BUILDING' THEN x END) AS n_a, "
+        "sum(CASE WHEN c_mktsegment = 'BUILDING' THEN x END) AS s_a, "
+        "sum(CASE WHEN c_mktsegment = 'BUILDING' THEN "
+        "CAST(x AS DECIMAL(19,6)) * x END) AS q_a, "
+        "count(CASE WHEN c_mktsegment = 'MACHINERY' THEN x END) AS n_b, "
+        "sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN x END) AS s_b, "
+        "sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN "
+        "CAST(x AS DECIMAL(19,6)) * x END) AS q_b "
+        "FROM (SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,6)) AS x "
+        "FROM customer WHERE c_acctbal IS NOT NULL "
+        "AND c_mktsegment IN ('BUILDING','MACHINERY'))), "
+        "d AS (SELECT CAST(n_a AS DOUBLE) na, CAST(s_a AS DOUBLE) sa, "
+        "CAST(q_a AS DOUBLE) qa, CAST(n_b AS DOUBLE) nb, "
+        "CAST(s_b AS DOUBLE) sb, CAST(q_b AS DOUBLE) qb, n_a, n_b FROM m), "
+        "v AS (SELECT *, sa / na AS ma, sb / nb AS mb, "
+        "(qa - sa * sa / na) / (na - 1.0) AS va, "
+        "(qb - sb * sb / nb) / (nb - 1.0) AS vb FROM d), "
+        "w AS (SELECT *, va / na AS ea, vb / nb AS eb FROM v) "
+        "SELECT 'BUILDING' AS group_a, 'MACHINERY' AS group_b, "
+        "n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, "
+        "round(va, 6) AS var_a, round(vb, 6) AS var_b, "
+        "round((ma - mb) / sqrt(ea + eb), 6) AS t_stat, "
+        "round((ea + eb) * (ea + eb) / "
+        "(ea * ea / (na - 1) + eb * eb / (nb - 1)), 6) AS df_welch FROM w"
+    ),
     note=(
         "extension: Welch's unequal-variance t-test between two "
         "customer segments on acctbal — ONE conditional multi-agg scan, "
-        "decimal-exact moment sums (order-independent), ddof=1, "
-        "Welch-Satterthwaite df. Exact-formula parity vs a pure-Python "
-        "reference pinned in tests/test_stattests.py"
+        "decimal-exact moment sums (order-independent: every double op "
+        "is a scalar expression over one row of exact decimals, so the "
+        "cross-engine hash check holds bit-for-bit), ddof=1, "
+        "Welch-Satterthwaite df. Promoted into the verified window "
+        "r4w3 (slot freed by the text_stats merge); exact-formula "
+        "Python parity also pinned in tests/test_stattests.py"
     ),
 )
 def q_profile_welch_ttest(spark, sf_dir):
@@ -197,13 +226,20 @@ def q_analytics_item_similarity(spark, sf_dir):
 
 @register(
     "sql_orders_with_returns",
-    oracle=None,
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+        "WHERE EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
     note=(
         "extension (TPC-H Q4 shape): order count per priority where "
         "EXISTS a returned lineitem — LEFT SEMI join (no fanout however "
         "many lines match, the decorrelated-EXISTS physical form) + one "
         "groupBy; the returnflag filter pushes to the lineitem scan. "
-        "DuckDB EXISTS parity pinned in tests/test_relational_extras.py"
+        "Promoted into the verified window r4w3 (slot freed by the "
+        "multimodal merge); DuckDB EXISTS parity also pinned in "
+        "tests/test_relational_extras.py"
     ),
 )
 def q_sql_orders_with_returns(spark, sf_dir):
@@ -225,7 +261,19 @@ def q_sql_orders_with_returns(spark, sf_dir):
 
 @register(
     "sql_dormant_rich_customers",
-    oracle=None,
+    oracle=(
+        "WITH seg AS (SELECT c_mktsegment AS seg, "
+        "sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS cnt "
+        "FROM customer WHERE c_acctbal > 0 GROUP BY 1) "
+        "SELECT c.c_mktsegment, count(*) AS n_customers, "
+        "round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) "
+        "AS total_bal "
+        "FROM customer c JOIN seg ON seg.seg = c.c_mktsegment "
+        "WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * seg.cnt > seg.tot "
+        "AND NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c.c_custkey AND o_orderdate >= '2000-01-01') "
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+    ),
     note=(
         "extension (TPC-H Q22 shape): customers with above-segment-"
         "average positive balance and NO order since 2000-01-01 (every "
@@ -235,8 +283,9 @@ def q_sql_orders_with_returns(spark, sf_dir):
         "join compared multiply-through (bal * seg_cnt > seg_total, "
         "exact decimal — no float avg at the boundary); NOT EXISTS is "
         "a LEFT ANTI join on custkey with the date filter pushed to "
-        "the orders scan. DuckDB parity pinned in "
-        "tests/test_relational_extras.py"
+        "the orders scan. Promoted into the verified window r4w3 (slot "
+        "freed by the dedup_clusters merge); DuckDB parity also pinned "
+        "in tests/test_relational_extras.py"
     ),
 )
 def q_sql_dormant_rich_customers(spark, sf_dir):

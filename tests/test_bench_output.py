@@ -50,7 +50,14 @@ def test_prior_round_times_prefers_snapshot():
     for n in snap:
         assert prev[n] == snap[n]
     assert all(t > 0 for t in prev.values())
-    assert len(missing) < len(bench.HEADLINE) // 2
+    # a query may lack a prior time ONLY because the committed snapshot
+    # (the previous round's run) predates it — i.e. it is absent from
+    # the snapshot itself, not dropped by the loader. A fraction cap
+    # here would just penalize adding queries mid-round.
+    assert missing == [n for n in bench.HEADLINE if n not in snap]
+    # and the carried-over core must still be fully covered
+    core = [n for n in bench.HEADLINE[:30] if n in snap]
+    assert len(core) >= 20
 
 
 def test_regression_gate_math():

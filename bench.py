@@ -206,6 +206,14 @@ NOTES = {
         "plan unchanged; idle-host min-of-3 at r4 reproduced r3 exactly "
         "(0.49s, ratio 1.00) — the r3-reported 1.27x was host noise."
     ),
+    "text_stats": (
+        "r4w3 absorbed the Gopher rule-gate columns (formerly the "
+        "separate text_quality_filter query, ~0.8s of line-split + "
+        "ratio expressions) into this query to free a driver-window "
+        "slot — the vs_prev ratio compares the merged query against "
+        "the lean one; combined work is unchanged, one registration "
+        "fewer."
+    ),
     "profile_histogram": (
         "r4 absorbed profile_grouped_median (two exact interpolated "
         "per-group percentiles over lineitem, ~0.8s) into this query "

@@ -413,10 +413,15 @@ def bootstrap_ci_mean(
     Output: one row (n_rows, point_mean, ci_lo, ci_hi, n_replicates).
     NULL values drop (consistent with every mean here).
     """
+    from etl_hero_spark.skew import ensure_min_partitions
+
     d = df.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col).cast("string").alias("_id"),
         F.col(value_col).cast("decimal(18,6)").alias("_x"),
     )
+    # the explode stage does B md5 evaluations PER ROW — a single-file
+    # input would run all of it on one scan task; spread first
+    d = ensure_min_partitions(d)
     rep = d.select(
         "_id",
         "_x",

@@ -174,6 +174,10 @@ HEADLINE = [
     "features_woe_encoding",
     "events_holt_forecast",
     "profile_entropy",
+    "profile_nullity_corr",
+    "sample_balance_classes",
+    "quality_quarantine_jsonl",
+    "window_order_percentiles",
 ]
 
 

@@ -522,3 +522,28 @@ def export_pdf_report(
         f"Rows after:  {after.count()}",
     ]
     write_pdf_report(lines, path, title=title)
+
+
+def read_jsonl_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines twin of read_csv_permissive — the other ubiquitous
+    ingest format for training-data pipelines: explicit schema +
+    PERMISSIVE mode, malformed lines land whole in ``corrupt_col``
+    (type mismatches null the field, unparseable lines quarantine)
+    instead of failing the job or silently vanishing. Same caveats as
+    CSV: the corrupt column must be declared in the schema (inference
+    and PERMISSIVE cannot coexist), and a query referencing ONLY the
+    corrupt column off the raw scan is disallowed by Spark — cache or
+    project real columns alongside. csv_ingest_report works unchanged
+    on the result (it aggregates real + corrupt columns together)."""
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

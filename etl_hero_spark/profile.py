@@ -1135,3 +1135,59 @@ def column_entropy(
             scale,
         ).alias("entropy_norm"),
     ).orderBy("column")
+
+
+def nullity_correlation(
+    df: DataFrame, cols: list[str], scale: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlation of NULL-indicator columns — the
+    missingno-style "which columns go missing TOGETHER" screen that a
+    per-column null count can't see (sensor A and B failing jointly vs
+    independently changes the imputation story entirely).
+
+    ONE aggregation pass computes all indicator moments (n, per-column
+    null counts, pairwise co-null counts — integers, exact); the
+    correlation arithmetic is driver-visible scalar expressions over
+    that one row. Columns that are never or always NULL have zero
+    variance: their pairs emit NULL correlation (undefined), not 0 —
+    absence of signal, not absence of association.
+
+    Output: (col_a, col_b, n_null_a, n_null_b, n_null_both, corr),
+    one row per unordered pair, name-ordered.
+    """
+    flags = {c: F.col(c).isNull().cast("long") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(flags[c]).alias(f"_s_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(flags[a] * flags[b]).alias(f"_p_{a}_{b}"))
+    m = df.agg(*aggs)
+    # ONE consumer of the one-row aggregate: every pair becomes a struct
+    # in an exploded array (a union of per-pair selects would re-execute
+    # the corpus agg once per pair)
+    structs = []
+    for a, b in pairs:
+        n = F.col("_n").cast("double")
+        sa = F.col(f"_s_{a}").cast("double")
+        sb = F.col(f"_s_{b}").cast("double")
+        sab = F.col(f"_p_{a}_{b}").cast("double")
+        # corr of 0/1 indicators:
+        #   (n*sab - sa*sb) / sqrt((n*sa - sa^2)(n*sb - sb^2))
+        den = F.sqrt((n * sa - sa * sa) * (n * sb - sb * sb))
+        corr = F.when(den > 0.0, (n * sab - sa * sb) / den)
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"_s_{a}").alias("n_null_a"),
+                F.col(f"_s_{b}").alias("n_null_b"),
+                F.col(f"_p_{a}_{b}").alias("n_null_both"),
+                F.round(corr, scale).alias("corr"),
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*structs)).alias("_pair"))
+        .select("_pair.*")
+        .orderBy("col_a", "col_b")
+    )

@@ -616,3 +616,202 @@ def q_profile_entropy(spark, sf_dir):
         _t(spark, sf_dir, "orders"),
         ["o_orderstatus", "o_orderpriority"],
     )
+
+
+# ===========================================================================
+# nullity correlation, class balancing, JSONL quarantine, window ranks
+# ===========================================================================
+
+
+@register(
+    "profile_nullity_corr",
+    oracle=None,
+    note=(
+        "extension: missingno-style nullity correlation — which columns "
+        "go missing TOGETHER (joint sensor failure vs independent "
+        "gaps changes the imputation story); fixture plants a joint "
+        "null pattern (price+qty on %97) and an independent one (qty "
+        "on %89) so the matrix has real structure. ONE aggregation "
+        "pass for all indicator moments (exact integers), one exploded "
+        "projection for the pairs; zero-variance pairs emit NULL not "
+        "0. Python parity + planted-pattern assertions pinned in "
+        "tests/test_nullity_balance.py"
+    ),
+)
+def q_profile_nullity_corr(spark, sf_dir):
+    from etl_hero_spark.profile import nullity_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    fixture = li.select(
+        F.when(F.col("l_orderkey") % 97 == 0, None)
+        .otherwise(F.col("l_extendedprice"))
+        .alias("price_n"),
+        F.when(
+            (F.col("l_orderkey") % 97 == 0) | (F.col("l_orderkey") % 89 == 0),
+            None,
+        )
+        .otherwise(F.col("l_quantity"))
+        .alias("qty_n"),
+        F.when(F.col("l_linenumber") % 7 == 0, None)
+        .otherwise(F.col("l_discount"))
+        .alias("disc_n"),
+        F.col("l_tax").alias("tax_full"),  # never NULL: undefined corr
+    )
+    return nullity_correlation(
+        fixture, ["disc_n", "price_n", "qty_n", "tax_full"]
+    )
+
+
+@register(
+    "sample_balance_classes",
+    oracle=None,
+    note=(
+        "extension: class rebalancing by deterministic downsampling — "
+        "every lang class cut to the minority count in md5(id) hash "
+        "order (unbiased, repartition-stable, growth-consistent: "
+        "adding docs to one class never changes another's survivors); "
+        "returns per-class count + id-sum audit. Exact kept-set Python "
+        "parity + growth-consistency pinned in "
+        "tests/test_nullity_balance.py"
+    ),
+)
+def q_sample_balance_classes(spark, sf_dir):
+    from etl_hero_spark.sampling import balance_classes
+
+    kept = balance_classes(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "quality_quarantine_jsonl",
+    oracle=None,
+    note=(
+        "extension: PERMISSIVE JSON-lines ingest with quarantine — the "
+        "CSV posture's twin for the other ubiquitous training-data "
+        "format: a deterministic JSONL file is synthesized from "
+        "documents (every 13th line truncated mid-object, every 17th "
+        "given a wrong-typed field), read back with explicit schema + "
+        "corrupt-record column; returns the ingest report + per-defect "
+        "counts. Planted-count parity pinned in "
+        "tests/test_nullity_balance.py"
+    ),
+)
+def q_quality_quarantine_jsonl(spark, sf_dir):
+    from etl_hero_spark.io import csv_ingest_report, read_jsonl_permissive
+    from etl_hero_spark.registry_ext2 import _write_jsonl_fixture
+
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    path = _write_jsonl_fixture(spark, sf_dir)
+    # the stage boundary both materializes a normal relation (Spark
+    # disallows corrupt-column-only queries straight off a raw JSON
+    # scan) and serves the report + clean-split consumers one scan
+    df = parquet_checkpoint(
+        read_jsonl_permissive(
+            spark, path, "doc_id bigint, lang string, n_chars bigint"
+        ),
+        "jsonl-ingest",
+    )
+    report = csv_ingest_report(df).select(
+        F.lit("report").alias("part"),
+        F.col("n_rows"),
+        F.col("n_corrupt"),
+        F.col("corrupt_ratio").cast("string").alias("detail"),
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    per_lang = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    langs = per_lang.select(
+        F.lit("clean_lang").alias("part"),
+        F.col("n").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("n_corrupt"),
+        F.col("lang").alias("detail"),
+    )
+    return report.unionByName(langs).orderBy("part", "detail")
+
+
+def _write_jsonl_fixture(spark, sf_dir: str) -> str:
+    """Deterministic JSONL with planted defects, memoized per sf_dir in
+    the session tmpdir: every 13th line truncated (unparseable), every
+    17th line's n_chars a string (type mismatch -> PERMISSIVE nulls the
+    field and quarantines the line)."""
+    import json
+    import os
+
+    from etl_hero_spark.checkpoint import session_tmpdir
+
+    key = ("jsonl_fixture", sf_dir)
+    path = _JSONL_MEMO.get(key)
+    if path is not None and os.path.exists(path):
+        return path
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    d = session_tmpdir("ehs_jsonl_")
+    path = os.path.join(d, "docs.jsonl")
+    with open(path, "w") as f:
+        for r in rows:
+            line = json.dumps(
+                {
+                    "doc_id": r["doc_id"],
+                    "lang": r["lang"],
+                    "n_chars": int(r["n_chars"]),
+                }
+            )
+            if r["doc_id"] % 13 == 0:
+                line = line[: len(line) // 2]  # truncated mid-object
+            elif r["doc_id"] % 17 == 0:
+                line = line.replace(
+                    f'"n_chars": {int(r["n_chars"])}',
+                    f'"n_chars": "{int(r["n_chars"])}"',
+                )
+            f.write(line + "\n")
+    _JSONL_MEMO[key] = path
+    return path
+
+
+_JSONL_MEMO: dict = {}
+
+
+@register(
+    "window_order_percentiles",
+    oracle=None,
+    note=(
+        "extension: per-segment rank analytics over orders — "
+        "percent_rank, cume_dist, and ntile(4) of totalprice within "
+        "each market segment (broadcast dim join, one segment-"
+        "partitioned window, never global); rounded to the 9dp grid. "
+        "DuckDB window-function parity pinned in "
+        "tests/test_nullity_balance.py"
+    ),
+)
+def q_window_order_percentiles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = orders.join(F.broadcast(cust), "o_custkey")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return j.select(
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume_dist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

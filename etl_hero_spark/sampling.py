@@ -294,3 +294,47 @@ def reservoir_per_key(
         .filter(F.col("_rank") <= n)
         .drop("_rank")
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    target: str = "min",
+) -> DataFrame:
+    """Class rebalancing by deterministic downsampling: every class is
+    cut to the same count — the minority class size (``target='min'``,
+    the no-information-invented default) or the median class size
+    (``target='median'``; classes below it keep everything — this mode
+    downsamples the heavy head without pretending to upsample). Rows
+    within a class are kept in md5(id) hash order — unbiased w.r.t.
+    any meaningful ordering, reproducible on any partitioning, and
+    GROWTH-CONSISTENT: adding rows to one class never changes which of
+    another class's rows survive.
+
+    Plan: one groupBy for class counts, the scalar target via one tiny
+    agg broadcast back, then the same per-class hash-rank window as
+    stratified_sample_exact. NULL class is its own class (consistent
+    with the profiler).
+    """
+    if target not in ("min", "median"):
+        raise ValueError(f"unknown target {target!r}")
+    counts = df.groupBy(F.col(class_col).alias("_cls")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tgt = counts.agg(
+        (
+            F.min("_n")
+            if target == "min"
+            else F.expr("cast(median(_n) as bigint)")
+        ).alias("_tgt")
+    )
+    w = W.partitionBy(class_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.crossJoin(F.broadcast(tgt))
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= F.col("_tgt"))
+        .drop("_rank", "_tgt")
+    )

@@ -178,6 +178,7 @@ HEADLINE = [
     "sample_balance_classes",
     "quality_quarantine_jsonl",
     "window_order_percentiles",
+    "er_blocking_eval",
 ]
 
 

@@ -639,3 +639,106 @@ def trigram_block_pairs(
         .filter(F.col("sim") >= min_sim)
     )
     return scored.select("id_a", "id_b", "sim")
+
+
+def blocking_quality(
+    df: DataFrame,
+    id_col: str,
+    truth_pairs: DataFrame,
+    block_exprs: dict[str, Column],
+    scale: int = 6,
+) -> DataFrame:
+    """Blocking-scheme evaluation — the measured-recall report for ER
+    (the sibling of the ANN recall report: a blocking key's recall is
+    measured against ground truth, never assumed). For each candidate
+    scheme in ``block_exprs`` (name -> key Column):
+
+    * **pair completeness** (recall): the fraction of ground-truth
+      match pairs (``truth_pairs``: id_a < id_b) that share a block —
+      the matches the scheme can even SEE;
+    * **reduction ratio**: 1 - candidate_pairs / all_pairs, where
+      candidate_pairs = sum over blocks of k*(k-1)/2 — how much of the
+      quadratic comparison space the scheme eliminates.
+
+    The tension between the two IS blocking design; this report puts
+    numbers on both sides. Costs per scheme: one groupBy on the block
+    key for sizes (candidate count from the size table — pairs are
+    COUNTED, never materialized), one join of the truth pairs against
+    the id->key map for completeness. NULL keys never block (a NULL
+    key would cross-join every keyless row).
+
+    Output: (scheme, n_blocks, max_block, n_candidates,
+    pair_completeness, reduction_ratio), scheme-ordered.
+    """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    n_rows = df.count()
+    all_pairs = n_rows * (n_rows - 1) // 2
+    truth = parquet_checkpoint(
+        truth_pairs.select(
+            F.col("id_a").alias("_ta"), F.col("id_b").alias("_tb")
+        ).distinct(),
+        "blockeval-truth",
+    )
+    n_truth = truth.count()
+    outs = []
+    for scheme, key in block_exprs.items():
+        keyed = parquet_checkpoint(
+            df.select(F.col(id_col).alias("_id"), key.alias("_k")).filter(
+                F.col("_k").isNotNull()
+            ),
+            f"blockeval-{scheme}",
+        )
+        sizes = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+        stats = sizes.agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("_n").alias("max_block"),
+            F.sum(
+                (F.col("_n").cast("decimal(38,0)") * (F.col("_n") - 1))
+                / 2
+            )
+            .cast("bigint")
+            .alias("n_candidates"),
+        )
+        hits = (
+            truth.join(
+                keyed.select(F.col("_id").alias("_ta"), F.col("_k")),
+                "_ta",
+            )
+            .join(
+                keyed.select(
+                    F.col("_id").alias("_tb"),
+                    F.col("_k").alias("_k2"),
+                ),
+                "_tb",
+            )
+            .filter(F.col("_k") == F.col("_k2"))
+            .select("_ta", "_tb")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(hits)).select(
+                F.lit(scheme).alias("scheme"),
+                "n_blocks",
+                "max_block",
+                "n_candidates",
+                F.round(
+                    F.when(
+                        F.lit(n_truth) > 0,
+                        F.col("n_hits").cast("double") / F.lit(float(n_truth)),
+                    ),
+                    scale,
+                ).alias("pair_completeness"),
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_candidates").cast("double")
+                    / F.lit(float(max(all_pairs, 1))),
+                    scale,
+                ).alias("reduction_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("scheme")

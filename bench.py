@@ -179,6 +179,7 @@ HEADLINE = [
     "quality_quarantine_jsonl",
     "window_order_percentiles",
     "er_blocking_eval",
+    "dedup_lsh_recall_report",
 ]
 
 

@@ -866,3 +866,52 @@ def q_er_blocking_eval(spark, sf_dir):
         "soundex_name": phonetic_block_key_expr("name"),
     }
     return blocking_quality(both, "c_custkey", truth, schemes)
+
+
+@register(
+    "dedup_lsh_recall_report",
+    oracle=None,
+    note=(
+        "extension: MinHash-LSH candidate recall MEASURED against the "
+        "exact n-gram Jaccard rung (the oracle-backed ground truth) on "
+        "the near-dup fixture — completes the measured-recall trilogy "
+        "(ANN recall@k, ER blocking completeness, dedup LSH): per "
+        "banding config (b x r), recall of true >=0.8-Jaccard pairs, "
+        "candidate count, and the theoretical s-curve hit probability "
+        "1-(1-s^r)^b at s=0.8 alongside the measurement. Python "
+        "s-curve parity + monotonicity pinned in "
+        "tests/test_blocking_eval.py"
+    ),
+)
+def q_dedup_lsh_recall_report(spark, sf_dir):
+    from etl_hero_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from etl_hero_spark.registry_ext import _docs_nearvar
+
+    docs = _docs_nearvar(spark, sf_dir)
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    truth = parquet_checkpoint(
+        ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b"),
+        "lshrecall-truth",
+    )
+    n_truth = truth.count()
+    configs = [(8, 4), (4, 8), (16, 2)]  # (n_bands, rows_per_band)
+    outs = []
+    for b, r in configs:
+        cand = minhash_lsh_pairs(
+            docs, n_hashes=b * r, n_bands=b, threshold=0.0
+        ).select("id_a", "id_b")
+        cand = parquet_checkpoint(cand, f"lshrecall-{b}x{r}")
+        n_cand = cand.count()
+        hits = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
+        s_curve = 1.0 - (1.0 - 0.8 ** r) ** b
+        outs.append(
+            (f"b{b}_r{r}", b, r, n_cand,
+             round(hits / n_truth, 6) if n_truth else None,
+             round(s_curve, 6))
+        )
+    return spark.createDataFrame(
+        outs,
+        "config string, n_bands int, rows_per_band int, "
+        "n_candidates bigint, recall double, s_curve_at_080 double",
+    ).orderBy("config")

@@ -81,3 +81,29 @@ def test_blocking_eval_matches_reference(spark):
     # soundex on the synthetic 'customer#...' names collapses to few
     # blocks — present in the report, sanity only
     assert got["soundex_name"][0] >= 1
+
+
+def test_lsh_recall_report(spark):
+    rows = {
+        r["config"]: (
+            r["n_bands"], r["rows_per_band"], r["n_candidates"],
+            r["recall"], r["s_curve_at_080"],
+        )
+        for r in all_queries()["dedup_lsh_recall_report"](
+            spark, SF
+        ).collect()
+    }
+    import math
+
+    for cfg, (b, r, n_cand, recall, s_curve) in rows.items():
+        assert s_curve == pytest.approx(
+            round(1 - (1 - 0.8**r) ** b, 6)
+        ), cfg
+        assert recall is not None and 0.0 <= recall <= 1.0
+        assert n_cand >= 0
+    # wider bands (smaller r) = more permissive: recall and candidate
+    # counts both ordered by the s-curve at the 0.8 operating point
+    assert rows["b16_r2"][3] >= rows["b8_r4"][3] >= rows["b4_r8"][3]
+    assert rows["b16_r2"][2] >= rows["b8_r4"][2] >= rows["b4_r8"][2]
+    # the standard 8x4 config keeps high recall at 0.8 Jaccard
+    assert rows["b8_r4"][3] >= 0.9

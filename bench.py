@@ -180,6 +180,7 @@ HEADLINE = [
     "window_order_percentiles",
     "er_blocking_eval",
     "dedup_lsh_recall_report",
+    "layout_format_roundtrip",
 ]
 
 

@@ -915,3 +915,86 @@ def q_dedup_lsh_recall_report(spark, sf_dir):
         "config string, n_bands int, rows_per_band int, "
         "n_candidates bigint, recall double, s_curve_at_080 double",
     ).orderBy("config")
+
+
+@register(
+    "layout_format_roundtrip",
+    oracle=None,
+    note=(
+        "extension: storage-format round-trip audit — the same "
+        "lineitem slice written to parquet, ORC, and JSON-lines, read "
+        "back, and content-checksummed (order-independent sum of "
+        "xxhash64 over canonicalized rows, wrapped mod 2^63): all "
+        "three formats must carry identical content (pinned in the "
+        "output itself via the all_match flag and in "
+        "tests/test_blocking_eval.py), with rows and on-disk bytes per "
+        "format alongside — the compression/fidelity tradeoff table a "
+        "format decision needs"
+    ),
+)
+def q_layout_format_roundtrip(spark, sf_dir):
+    import os
+
+    from etl_hero_spark.checkpoint import session_tmpdir
+
+    slice_df = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 11 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_s"),
+        )
+    )
+
+    def checksum(df):
+        # canonicalize: fixed column order, string-rendered decimals so
+        # JSON (which round-trips doubles, not decimals) hashes the same
+        canon = df.select(
+            F.xxhash64(
+                F.col("l_orderkey").cast("long"),
+                F.col("l_linenumber").cast("long"),
+                F.format_number(F.col("l_quantity").cast("double"), 2),
+                F.format_number(
+                    F.col("l_extendedprice").cast("double"), 2
+                ),
+                F.col("l_returnflag"),
+                F.col("ship_s"),
+            ).alias("h")
+        )
+        row = canon.agg(
+            F.sum(F.col("h") % F.lit(2**31)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return int(row["s"]) % (2**63), int(row["n"])
+
+    base = session_tmpdir("ehs_fmt_")
+    schema = (
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_extendedprice double, l_returnflag string, ship_s string"
+    )
+    results = []
+    for fmt in ("parquet", "orc", "json"):
+        path = os.path.join(base, fmt)
+        slice_df.write.mode("overwrite").format(fmt).save(path)
+        reader = spark.read.schema(schema) if fmt == "json" else spark.read
+        back = reader.format(fmt).load(path)
+        cs, n = checksum(back)
+        nbytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+        results.append((fmt, n, cs, nbytes > 0))
+    checks = {cs for _, _, cs, _ in results}
+    return spark.createDataFrame(
+        [
+            (fmt, n, cs, has_bytes, len(checks) == 1)
+            for fmt, n, cs, has_bytes in results
+        ],
+        "format string, n_rows bigint, checksum bigint, "
+        "has_bytes boolean, all_match boolean",
+    ).orderBy("format")

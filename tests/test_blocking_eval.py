@@ -107,3 +107,12 @@ def test_lsh_recall_report(spark):
     assert rows["b16_r2"][2] >= rows["b8_r4"][2] >= rows["b4_r8"][2]
     # the standard 8x4 config keeps high recall at 0.8 Jaccard
     assert rows["b8_r4"][3] >= 0.9
+
+
+def test_format_roundtrip_all_match(spark):
+    rows = all_queries()["layout_format_roundtrip"](spark, SF).collect()
+    assert {r["format"] for r in rows} == {"parquet", "orc", "json"}
+    assert all(r["all_match"] for r in rows)
+    assert all(r["has_bytes"] for r in rows)
+    assert len({r["checksum"] for r in rows}) == 1
+    assert len({r["n_rows"] for r in rows}) == 1 and rows[0]["n_rows"] > 0

@@ -89,3 +89,17 @@ def memo_parquet_checkpoint(df: DataFrame, key, name: str = "stage") -> DataFram
         with _lock:
             _memo_paths[key] = path
     return df.sparkSession.read.parquet(path)
+
+
+def memo_parquet_get(spark, key):
+    """Probe the memo WITHOUT building the producer DataFrame: returns
+    the read-back stage for ``key`` if it was already written this
+    session, else None. Pair with memo_parquet_checkpoint when even
+    CONSTRUCTING the producer is expensive (eager cap-guard actions,
+    thousand-node py4j expression trees) — the build-once pattern's
+    fast path."""
+    with _lock:
+        path = _memo_paths.get(key)
+    if path is not None and os.path.exists(path):
+        return spark.read.parquet(path)
+    return None

@@ -682,27 +682,28 @@ def item_similarity_topk(
     """
     from etl_hero_spark.checkpoint import parquet_checkpoint
 
+    # ONE corpus scan: the distinct (basket, item) table feeds pair
+    # generation AND the degree table from a single stage boundary
+    items = parquet_checkpoint(
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        ).distinct(),
+        "itemsim-items",
+    )
     # both symmetrization branches consume the pair table — checkpoint
     # it so the basket explode + pair groupBy run once, not per branch
     pairs = parquet_checkpoint(
         copurchase_pairs(
-            df,
-            basket_col,
-            item_col,
+            items,
+            "bk",
+            "it",
             max_basket_size=max_basket_size,
             min_count=min_count,
             on_oversized=on_oversized,
         ),
         "itemsim-pairs",
     )
-    deg = (
-        df.select(
-            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-        )
-        .distinct()
-        .groupBy("it")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = items.groupBy("it").agg(F.count(F.lit(1)).alias("d"))
     sym = pairs.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("neighbor"),

@@ -384,6 +384,10 @@ def woe_encoding(
     lab = (
         F.col(label_col) if isinstance(label_col, str) else label_col
     ).cast("boolean")
+    # a NULL label is NOT evidence of the negative class — unlabeled
+    # rows drop (counting them as negatives would silently bias every
+    # woe toward the negative side)
+    df = df.filter(lab.isNotNull())
     cats = df.groupBy(
         F.col(cat_col).cast("string").alias("category")
     ).agg(

@@ -130,3 +130,36 @@ def test_entropy_extremes(spark):
     assert got["uniform"][0] == pytest.approx(2.0)  # log2(4)
     assert got["uniform"][1] == pytest.approx(1.0)
     assert got["nulls"] == (0.0, 0.0, 1)  # all-NULL = constant
+
+
+def test_woe_null_labels_drop(spark):
+    """Unlabeled rows are not negative evidence — they drop."""
+    rows = [("a", True), ("a", False), ("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "cat string, y boolean")
+    got = {
+        r["category"]: (r["n_pos"], r["n_neg"])
+        for r in woe_encoding(df, "cat", "y").collect()
+    }
+    assert got["a"] == (1, 1)
+    # 'b' has ONLY unlabeled rows: present with zero counts or absent —
+    # it must not appear as (0, 1)
+    assert got.get("b", (0, 0)) == (0, 0)
+
+
+def test_balance_classes_median_target(spark):
+    from etl_hero_spark.sampling import balance_classes
+
+    rows = (
+        [(i, "a") for i in range(10)]
+        + [(i + 100, "b") for i in range(4)]
+        + [(i + 200, "c") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    got = collections.Counter(
+        r["lang"]
+        for r in balance_classes(
+            df, "lang", "doc_id", target="median"
+        ).collect()
+    )
+    # median class size = 4: 'a' cut to 4, 'b' kept, 'c' keeps its 2
+    assert got == {"a": 4, "b": 4, "c": 2}

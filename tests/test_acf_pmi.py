@@ -103,3 +103,13 @@ def test_pmi_tokens_match_engine_tokenizer(spark, sf_dir):
     eng = docs.select(F.size(tokens_expr("text")).alias("n")).collect()
     py = [len(r[0].split()) for r in docs.select("text").collect()]
     assert [r["n"] for r in eng] == py
+
+
+def test_acf_constant_series_is_null(spark):
+    """Zero-variance series: every acf is NULL (undefined), not 0 or
+    NaN — absence of signal, not absence of correlation."""
+    const = spark.createDataFrame(
+        [(f"2026-01-01 {h:02d}:00:00",) for h in range(6)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = acf(const, "ts", 3).collect()
+    assert len(got) == 3 and all(r["acf"] is None for r in got)

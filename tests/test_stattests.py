@@ -210,3 +210,23 @@ def test_bootstrap_ci_narrows_with_n(spark):
     assert (tight["ci_hi"] - tight["ci_lo"]) < (
         wide["ci_hi"] - wide["ci_lo"]
     )
+
+
+def test_degenerate_inputs_yield_null_not_garbage(spark):
+    """n=1 groups and zero-df cases produce NULL statistics (Spark's
+    non-ANSI double division), never Inf/NaN garbage — pinned so a
+    future ANSI or arithmetic change can't silently alter the
+    degenerate contract."""
+    from etl_hero_spark.stattests import anova_oneway
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (3.0, "b")], "v double, g string"
+    )
+    got = welch_ttest(df, "v", "g", "a", "b").first()
+    assert got["n_a"] == 1 and got["mean_a"] == 1.0
+    assert got["var_a"] is None and got["t_stat"] is None
+    singletons = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "b")], "v double, g string"
+    )
+    a = anova_oneway(singletons, "v", "g").first()
+    assert a["df2"] == 0 and a["f_stat"] is None

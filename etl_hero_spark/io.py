@@ -284,15 +284,18 @@ def read_jsonl_permissive(
     schema: str,
     corrupt_col: str = "_corrupt_record",
 ) -> DataFrame:
-    """read_csv_permissive's JSONL twin: explicit schema + PERMISSIVE,
-    malformed lines quarantined into ``corrupt_col`` instead of killing
-    the read (FAILFAST) or vanishing (DROPMALFORMED). Same posture, same
-    caveats: the corrupt column must be declared in the schema, and
-    filtering on ONLY the corrupt column straight off the raw scan is
-    disallowed by Spark — cache() first (or project a data column too).
-    ``csv_ingest_report`` works unchanged on the result. JSONL is the
-    lingua franca of LLM training corpora, where a truncated shard or a
-    stray log line mid-file is routine at 100 TB."""
+    """JSON-lines twin of read_csv_permissive — the other ubiquitous
+    ingest format for training-data pipelines, where a truncated shard
+    or a stray log line mid-file is routine at 100 TB: explicit schema +
+    PERMISSIVE mode, malformed lines land whole in ``corrupt_col``
+    (type mismatches null the field, unparseable lines quarantine)
+    instead of failing the job (FAILFAST) or silently vanishing
+    (DROPMALFORMED). Same caveats as CSV: the corrupt column must be
+    declared in the schema (inference and PERMISSIVE cannot coexist),
+    and a query referencing ONLY the corrupt column off the raw scan is
+    disallowed by Spark — cache or project real columns alongside.
+    ``csv_ingest_report`` works unchanged on the result (it aggregates
+    real + corrupt columns together)."""
     full = f"{schema}, {corrupt_col} string"
     return (
         spark.read.schema(full)
@@ -522,28 +525,3 @@ def export_pdf_report(
         f"Rows after:  {after.count()}",
     ]
     write_pdf_report(lines, path, title=title)
-
-
-def read_jsonl_permissive(
-    spark: SparkSession,
-    path: str,
-    schema: str,
-    corrupt_col: str = "_corrupt_record",
-) -> DataFrame:
-    """JSON-lines twin of read_csv_permissive — the other ubiquitous
-    ingest format for training-data pipelines: explicit schema +
-    PERMISSIVE mode, malformed lines land whole in ``corrupt_col``
-    (type mismatches null the field, unparseable lines quarantine)
-    instead of failing the job or silently vanishing. Same caveats as
-    CSV: the corrupt column must be declared in the schema (inference
-    and PERMISSIVE cannot coexist), and a query referencing ONLY the
-    corrupt column off the raw scan is disallowed by Spark — cache or
-    project real columns alongside. csv_ingest_report works unchanged
-    on the result (it aggregates real + corrupt columns together)."""
-    full = f"{schema}, {corrupt_col} string"
-    return (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
-    )

@@ -60,7 +60,6 @@ HEADLINE = [
     "window_topk_orders_per_segment",
     "pipeline_curate_documents",
     "events_funnel",
-    "events_cohort_retention",
     # round-2 additions
     "text_global_line_dedup",
     "text_unigram_logprob",
@@ -70,7 +69,6 @@ HEADLINE = [
     # round-3 additions
     "cdc_merge_upsert",
     "cdc_scd2_users",
-    "cdc_snapshot_diff",
     "sample_mix_temperature",
     "layout_zorder_events",
     "sim_topk_pq",
@@ -79,7 +77,6 @@ HEADLINE = [
     "text_bigram_logprob",
     "profile_quantile_sketch",
     "profile_distinct_sketch",
-    "outliers_iqr",
     "profile_corr_matrix",
     "events_rolling_features",
     "events_interval_overlap",
@@ -163,8 +160,8 @@ HEADLINE = [
     "ml_nb_language",
     "analytics_item_similarity",
     "analytics_bfs_hops",
+    "analytics_pagerank",  # bounded 6-iteration run — tracked since r5
     "sql_orders_with_returns",
-    "sql_dormant_rich_customers",
     "sql_top_revenue_suppliers",
     "events_unpivot_daily",
     "analytics_rfm_segments",
@@ -198,16 +195,12 @@ NOTES = {
         "not drift."
     ),
     "events_funnel": (
-        "r2->r3 step was the hot-key cap turning default-on (one "
-        "in-exchange sort, ~0.3s at sf0.1 — measured capless 0.51s vs "
-        "capped 0.81s on an idle r4 host); an adaptive pre-flight skip "
-        "was tried and rejected (a per-key-count pass costs what the "
-        "skipped sort saves). Remaining r3->r4 movement is host noise "
-        "on a sub-second query."
-    ),
-    "events_cohort_retention": (
-        "sub-second query, plan unchanged since r2; movement within "
-        "scheduler noise (idle-host min-of-3 at r4: 0.53s vs r3 0.46s)."
+        "r5 absorbed events_cohort_retention (the weekly retention "
+        "triangle, ~0.5s) into this query as part='cohort' tagged rows "
+        "to free a driver-window slot — compare vs_prev against the "
+        "SUM of the two prior entries; combined work is unchanged, one "
+        "registration fewer. (History: the r2->r3 step was the hot-key "
+        "cap turning default-on, ~0.3s of in-exchange sort.)"
     ),
     "events_asof_join": (
         "plan unchanged; idle-host min-of-3 at r4 reproduced r3 exactly "
@@ -227,6 +220,48 @@ NOTES = {
         "to free a driver-window slot — the vs_prev ratio compares the "
         "merged query against the histogram alone; combined work is "
         "unchanged, one registration fewer."
+    ),
+    "analytics_pagerank": (
+        "first benched in r5 (VERDICT #5: the iterative family needed "
+        "a tracked number beyond bfs_hops) — 6 decimal-deterministic "
+        "power iterations over the sf0.1 co-purchase graph, rank table "
+        "checkpointed per iteration; no prior to compare against."
+    ),
+    "analytics_bfs_hops": (
+        "r5 switched the per-hop frontier boundary from parquet "
+        "round-trips to localCheckpoint (VERDICT #5; edges stay "
+        "parquet, local==parquet equality pinned in tests/test_bfs.py) "
+        "— expect vs_prev under 1."
+    ),
+    "profile_bootstrap_ci": (
+        "r5 switched the registered weight hash from md5 (string "
+        "concat + hex + base-16 BigInt parse per (row, replicate)) to "
+        "JVM-native xxhash64 — same Poisson-bootstrap semantics "
+        "(pinned both paths in tests/test_stattests.py), ~2x less "
+        "per-row CPU; expect vs_prev well under 1."
+    ),
+    "outliers_detect": (
+        "r5 absorbed outliers_iqr (Tukey-fence counts over the five "
+        "lineitem numeric columns, ~1.2s of exact-quartile fits) as "
+        "method='iqr' tagged rows to free a driver-window slot — "
+        "compare vs_prev against the sum of the two prior entries."
+    ),
+    "clean_nulls_impute_cat": (
+        "r5 absorbed clean_nulls_impute_median (~0.7s) as "
+        "strategy='median' tagged rows to free a driver-window slot — "
+        "compare vs_prev against the sum of the two prior entries."
+    ),
+    "cdc_merge_upsert": (
+        "r5 absorbed cdc_snapshot_diff (full-outer snapshot "
+        "reconciliation, ~1.0s) as part='snapshot_diff' tagged rows to "
+        "free a driver-window slot — compare vs_prev against the sum "
+        "of the two prior entries."
+    ),
+    "sql_orders_with_returns": (
+        "r5 absorbed sql_dormant_rich_customers (TPC-H Q22 shape, "
+        "~0.7s) as part='dormant_rich' tagged rows to free a "
+        "driver-window slot — compare vs_prev against the sum of the "
+        "two prior entries."
     ),
     "sim_topk_pq": (
         "plan unchanged since r3; isolated idle-host min-of-3 "

@@ -578,12 +578,23 @@ def fuzzy_pairs_multi(
     return out.distinct()
 
 
+class TrigramScaleError(RuntimeError):
+    """Raised by trigram_block_pairs(on_oversized="error") when the
+    rare-trigram index's candidate fanout exceeds the linear budget —
+    the corpus has outgrown trigram blocking (measured growth exponent
+    ~1.04 under the recall-preserving max_df posture, SCALING.md); the
+    minhash-LSH rung (dedup.minhash_lsh_pairs, exponent 0.23) is the
+    corpus-scale path."""
+
+
 def trigram_block_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_df: int = 200,
     min_sim: float = 0.5,
+    max_candidates_per_row: float = 64.0,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """Trigram-indexed similarity join (the pg_trgm recipe as a plan):
     candidate pairs share at least one RARE character trigram, scored by
@@ -600,7 +611,22 @@ def trigram_block_pairs(
     bounded groupBy for frequencies, frequency-filtered self-join on the
     trigram, pair-distinct, thresholded-levenshtein verify — every stage
     shuffles bounded keys; no all-pairs anywhere.
+
+    NO SILENT QUADRATICS: keeping recall as the corpus grows means
+    max_df must grow with it, and then bucket fanout grows ~n^2 at the
+    cap — a real tradeoff, not a tuning knob (measured exponent 1.04,
+    SCALING.md). A pre-flight over the (bounded, checkpointed) trigram
+    frequency table computes the exact candidate fanout
+    sum(df_t*(df_t-1)/2) BEFORE any pair is materialized; if it exceeds
+    ``max_candidates_per_row * n_rows`` (the linear contract every
+    other rung honors), ``on_oversized`` decides how loudly — "error"
+    (default: a user at 100 TB gets a TrigramScaleError naming the
+    minhash-LSH rung, not a quadratic job), "warn" emits warnings.warn
+    with the same numbers, "silent" skips the pre-flight (callers that
+    already measured their alphabet). Guard pinned in tests/test_er.py.
     """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
     t = F.lower(F.col(text_col))
     grams = df.select(
         F.col(id_col).alias("id"),
@@ -616,12 +642,44 @@ def trigram_block_pairs(
             )
         ).alias("tri"),
     )
-    rare = (
-        grams.groupBy("tri")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("tri")
-    )
+    freq = grams.groupBy("tri").agg(F.count(F.lit(1)).alias("_df"))
+    if on_oversized != "silent":
+        # distinct-trigram table is bounded (alphabet^3-ish);
+        # checkpoint it so the pre-flight agg and the rare filter read
+        # it back instead of re-running the corpus explode+groupBy
+        freq = parquet_checkpoint(freq, "trigram-freq")
+        kept = freq.filter(F.col("_df") <= max_df)
+        pre = kept.agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_df").cast("decimal(38,0)")
+                    * (F.col("_df") - 1)
+                    / 2
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_cand")
+        ).first()
+        n_cand = int(pre["_cand"])
+        n_rows = df.select(F.col(id_col)).count()
+        budget = max_candidates_per_row * max(n_rows, 1)
+        if n_cand > budget:
+            msg = (
+                f"trigram_block_pairs: rare-trigram index would emit "
+                f"{n_cand} candidate pairs for {n_rows} rows "
+                f"({n_cand / max(n_rows, 1):.1f} per row; budget "
+                f"{max_candidates_per_row}/row) — the corpus has "
+                "outgrown trigram blocking. Use the minhash-LSH rung "
+                "(dedup.minhash_lsh_pairs, measured exponent 0.23) for "
+                "corpora this size, lower max_df (costs recall), or "
+                "raise max_candidates_per_row if the fanout is truly "
+                "affordable."
+            )
+            if on_oversized == "error":
+                raise TrigramScaleError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+    rare = freq.filter(F.col("_df") <= max_df).select("tri")
     keyed = grams.join(rare, "tri")
     a = keyed.select("tri", F.col("id").alias("id_a"))
     b = keyed.select("tri", F.col("id").alias("id_b"))

@@ -402,32 +402,81 @@ def _sql_zstats(c: str, table: str = "lineitem") -> str:
     "outliers_detect",
     oracle=(
         " UNION ALL ".join(
-            f"SELECT 'lineitem' AS src, '{c}' AS \"column\", "
+            f"SELECT 'zscore' AS method, 'lineitem' AS src, "
+            f"'{c}' AS \"column\", "
             f"cast(sum(CASE WHEN "
             f"abs(({c} - s.mu) / s.sigma) > 3.0 THEN 1 ELSE 0 END) as bigint)"
-            f" AS n_outliers FROM lineitem, ({_sql_zstats(c)}) s "
+            f" AS n_outliers, cast(NULL as double) AS lo, "
+            f"cast(NULL as double) AS hi "
+            f"FROM lineitem, ({_sql_zstats(c)}) s "
             f"WHERE s.sigma IS NOT NULL AND s.sigma <> 0"
             for c in _ZCOLS
         )
         + " UNION ALL "
-        "SELECT 'events' AS src, 'value' AS \"column\", "
+        "SELECT 'zscore' AS method, 'events' AS src, 'value' AS \"column\", "
         "cast(sum(CASE WHEN "
         "abs((value - s.mu) / s.sigma) > 3.0 THEN 1 ELSE 0 END) as bigint)"
-        f" AS n_outliers FROM events, ({_sql_zstats('value', 'events')}) s "
+        " AS n_outliers, cast(NULL as double) AS lo, "
+        "cast(NULL as double) AS hi "
+        f"FROM events, ({_sql_zstats('value', 'events')}) s "
         "WHERE s.sigma IS NOT NULL AND s.sigma <> 0"
+        + " UNION ALL "
+        + " UNION ALL ".join(
+            f"SELECT 'iqr' AS method, 'lineitem' AS src, '{c}' AS \"column\", "
+            "cast(sum(CASE WHEN "
+            f"{c} < s.lo OR {c} > s.hi THEN 1 ELSE 0 END) as bigint) "
+            "AS n_outliers, s.lo, s.hi FROM lineitem, "
+            "(SELECT q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi "
+            f"FROM (SELECT quantile_cont({c}, 0.25) AS q1, "
+            f"quantile_cont({c}, 0.75) AS q3 FROM lineitem)) s "
+            "GROUP BY s.lo, s.hi"
+            for c in LINEITEM_NUM
+        )
     ),
-    note="P2 z-score outlier counts per column (app.py:62-71,218-223), population sigma — lineitem columns + events.value (the column with genuine z>3 outliers), tagged per source table",
+    note=(
+        "P2 z-score outlier counts per column (app.py:62-71,218-223), "
+        "population sigma — lineitem columns + events.value (the column "
+        "with genuine z>3 outliers), tagged per source table. Absorbed "
+        "in r5: the method='iqr' rows carry the Tukey-fence detection "
+        "that was the separate outliers_iqr query (reference future "
+        "work app.py:397 SHIPPED; RAW IEEE fences so the hash check "
+        "holds; 2dp/null/constant edges stay pinned in "
+        "tests/test_detect.py; approx=True t-digest flag is the 100 TB "
+        "path) — driver-window slot policy: merge mature tagged "
+        "entries instead of registering more"
+    ),
 )
 def q_outliers_detect(spark, sf_dir):
-    from etl_hero_spark.detect import detect_outliers
+    from etl_hero_spark.detect import detect_outliers, detect_outliers_iqr
 
+    null_d = F.lit(None).cast("double")
     li = detect_outliers(_t(spark, sf_dir, "lineitem"), _ZCOLS).select(
-        F.lit("lineitem").alias("src"), "column", "n_outliers"
+        F.lit("zscore").alias("method"),
+        F.lit("lineitem").alias("src"),
+        "column",
+        "n_outliers",
+        null_d.alias("lo"),
+        null_d.alias("hi"),
     )
     ev = detect_outliers(_events(spark, sf_dir), ["value"]).select(
-        F.lit("events").alias("src"), "column", "n_outliers"
+        F.lit("zscore").alias("method"),
+        F.lit("events").alias("src"),
+        "column",
+        "n_outliers",
+        null_d.alias("lo"),
+        null_d.alias("hi"),
     )
-    return li.unionByName(ev)
+    iqr = detect_outliers_iqr(
+        _t(spark, sf_dir, "lineitem"), LINEITEM_NUM, round_bounds=None
+    ).select(
+        F.lit("iqr").alias("method"),
+        F.lit("lineitem").alias("src"),
+        "column",
+        "n_outliers",
+        "lo",
+        "hi",
+    )
+    return li.unionByName(ev).unionByName(iqr)
 
 
 @register(
@@ -576,42 +625,46 @@ def q_detect_missing_drop(spark, sf_dir):
 
 
 @register(
-    "clean_nulls_impute_median",
-    oracle=(
-        f"WITH t AS ({_LI_NULLS_SQL}), "
-        "m AS (SELECT quantile_cont(price_n, 0.5) AS v FROM t) "
-        "SELECT l_orderkey, l_linenumber, "
-        "coalesce(price_n, m.v) AS price_filled FROM t, m"
-    ),
-    note="R2b numeric median impute (app.py:287-292); median skips NULLs in both engines",
-)
-def q_clean_nulls_impute_median(spark, sf_dir):
-    from etl_hero_spark.clean import impute
-
-    out = impute(_li_with_nulls(spark, sf_dir), "price_n", "median")
-    return out.select(
-        "l_orderkey", "l_linenumber", F.col("price_n").alias("price_filled")
-    )
-
-
-@register(
     "clean_nulls_impute_cat",
     oracle=(
         "WITH t AS (SELECT o.*, CASE WHEN o_orderkey % 89 = 0 THEN NULL "
         "ELSE o_orderpriority END AS prio_n FROM orders o), "
         "m AS (SELECT prio_n AS v FROM t WHERE prio_n IS NOT NULL "
-        "GROUP BY prio_n ORDER BY count(*) DESC, prio_n ASC LIMIT 1) "
-        "SELECT 'mode' AS strategy, o_orderkey, "
-        "coalesce(prio_n, m.v) AS prio_filled FROM t, m "
+        "GROUP BY prio_n ORDER BY count(*) DESC, prio_n ASC LIMIT 1), "
+        f"li AS ({_LI_NULLS_SQL}), "
+        "lm AS (SELECT quantile_cont(price_n, 0.5) AS v FROM li) "
+        "SELECT 'mode' AS strategy, o_orderkey AS row_key, "
+        "cast(NULL as bigint) AS line_key, "
+        "coalesce(prio_n, m.v) AS prio_filled, "
+        "cast(NULL as double) AS price_filled FROM t, m "
         "UNION ALL "
-        "SELECT 'constant' AS strategy, o_orderkey, "
-        "coalesce(prio_n, 'Unknown') AS prio_filled FROM t"
+        "SELECT 'constant' AS strategy, o_orderkey AS row_key, "
+        "cast(NULL as bigint) AS line_key, "
+        "coalesce(prio_n, 'Unknown') AS prio_filled, "
+        "cast(NULL as double) AS price_filled FROM t "
+        "UNION ALL "
+        "SELECT 'median' AS strategy, l_orderkey AS row_key, "
+        "cast(l_linenumber as bigint) AS line_key, "
+        "cast(NULL as varchar) AS prio_filled, "
+        "coalesce(price_n, lm.v) AS price_filled FROM li, lm"
     ),
-    note="R2c+R2d categorical imputation, tagged per strategy: mode with the reference tie-break (most frequent, smallest wins — app.py:293-298, SURVEY A9) + constant fill 'Unknown' (app.py:299-304)",
+    note=(
+        "R2b+R2c+R2d imputation, tagged per strategy: mode with the "
+        "reference tie-break (most frequent, smallest wins — "
+        "app.py:293-298, SURVEY A9) + constant fill 'Unknown' "
+        "(app.py:299-304) + (absorbed in r5, was the separate "
+        "clean_nulls_impute_median query) numeric median impute "
+        "(app.py:287-292; median skips NULLs in both engines) — "
+        "driver-window slot policy: merge mature tagged entries "
+        "instead of registering more"
+    ),
 )
 def q_clean_nulls_impute_cat(spark, sf_dir):
     from etl_hero_spark.clean import impute
 
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
     df = _t(spark, sf_dir, "orders").withColumn(
         "prio_n",
         F.when(F.col("o_orderkey") % 89 == 0, F.lit(None).cast("string")).otherwise(
@@ -620,15 +673,26 @@ def q_clean_nulls_impute_cat(spark, sf_dir):
     )
     mode = impute(df, "prio_n", "mode").select(
         F.lit("mode").alias("strategy"),
-        "o_orderkey",
+        F.col("o_orderkey").alias("row_key"),
+        null_l.alias("line_key"),
         F.col("prio_n").alias("prio_filled"),
+        null_d.alias("price_filled"),
     )
     const = impute(df, "prio_n", "constant", fill_value="Unknown").select(
         F.lit("constant").alias("strategy"),
-        "o_orderkey",
+        F.col("o_orderkey").alias("row_key"),
+        null_l.alias("line_key"),
         F.col("prio_n").alias("prio_filled"),
+        null_d.alias("price_filled"),
     )
-    return mode.unionByName(const)
+    med = impute(_li_with_nulls(spark, sf_dir), "price_n", "median").select(
+        F.lit("median").alias("strategy"),
+        F.col("l_orderkey").alias("row_key"),
+        F.col("l_linenumber").cast("bigint").alias("line_key"),
+        null_s.alias("prio_filled"),
+        F.col("price_n").alias("price_filled"),
+    )
+    return mode.unionByName(const).unionByName(med)
 
 
 # ===========================================================================

@@ -1437,23 +1437,65 @@ def q_er_resolve_parts(spark, sf_dir):
         "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey "
         "ORDER BY ts DESC, src DESC) AS rn FROM u), "
         "m AS (SELECT * FROM r WHERE rn = 1 "
-        "AND (op IS NULL OR op <> 'D')) "
-        "SELECT o_orderpriority, cast(count(*) as bigint) AS n_rows, "
+        "AND (op IS NULL OR op <> 'D')), "
+        "newt AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 1.0 "
+        "ELSE o_totalprice END AS o_totalprice, o_orderdate, "
+        "CASE WHEN o_orderkey % 11 = 2 THEN '9-RECLASSIFIED' "
+        "ELSE o_orderpriority END AS o_orderpriority "
+        "FROM orders WHERE o_orderkey % 13 <> 0), "
+        "j AS (SELECT o.o_orderkey IS NOT NULL AS in_old, "
+        "n.o_orderkey IS NOT NULL AS in_new, "
+        "list_sort(list_filter(["
+        + ", ".join(
+            f"CASE WHEN o.{c} IS DISTINCT FROM n.{c} THEN '{c}' END"
+            for c in [
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ]
+        )
+        + "], x -> x IS NOT NULL)) AS ch "
+        "FROM orders o FULL OUTER JOIN newt n "
+        "ON o.o_orderkey = n.o_orderkey), "
+        "s AS (SELECT CASE WHEN NOT in_old THEN 'added' "
+        "WHEN NOT in_new THEN 'removed' "
+        "WHEN len(ch) > 0 THEN 'changed' ELSE 'unchanged' END "
+        "AS diff_status, "
+        "CASE WHEN in_old AND in_new AND len(ch) > 0 "
+        "THEN array_to_string(ch, ',') ELSE '' END AS cols FROM j) "
+        "SELECT 'merge_upsert' AS part, o_orderpriority AS key, "
+        "cast(NULL as varchar) AS cols, cast(count(*) as bigint) AS n, "
         f"{sql_dec_sum('o_totalprice')} AS sum_price, "
         f"{sql_dec_avg('o_totalprice')} AS avg_price "
-        "FROM m GROUP BY o_orderpriority"
+        "FROM m GROUP BY o_orderpriority "
+        "UNION ALL "
+        "SELECT 'snapshot_diff' AS part, diff_status AS key, cols, "
+        "cast(count(*) as bigint) AS n, cast(NULL as double) AS sum_price, "
+        "cast(NULL as double) AS avg_price "
+        "FROM s GROUP BY diff_status, cols"
     ),
     note=(
-        "extension: latest-wins MERGE of a change batch into the orders "
-        "snapshot (updates win only when newer; tombstones delete; "
-        "inserts land) — the incremental table-maintenance primitive "
-        "the reference's re-clean-everything loop lacks. One shuffle on "
+        "extension, tagged per part: part='merge_upsert' is the "
+        "latest-wins MERGE of a change batch into the orders snapshot "
+        "(updates win only when newer; tombstones delete; inserts "
+        "land) — the incremental table-maintenance primitive the "
+        "reference's re-clean-everything loop lacks. One shuffle on "
         "the unique key. Change batch synthesized deterministically "
         "from keyed modular predicates; latest-wins/tombstone/tie "
         "semantics DuckDB-pinned in tests/test_cdc.py AND driver-"
         "hash-checked since r4 (the oracle replays the merge as a "
-        "window-SQL MERGE). Returns a per-status summary so the check "
-        "is scale-stable"
+        "window-SQL MERGE); per-status summary so the check is "
+        "scale-stable. part='snapshot_diff' (absorbed in r5, was the "
+        "separate cdc_snapshot_diff query) is snapshot reconciliation "
+        "(added/removed/changed/unchanged + per-column change lists) "
+        "between orders and a deterministically mutated copy — one "
+        "full-outer join on the unique key, zero windows "
+        "(plan-asserted in tests/test_cdc.py) — driver-window slot "
+        "policy: merge mature tagged entries instead of registering "
+        "more"
     ),
 )
 def q_cdc_merge_upsert(spark, sf_dir):
@@ -1482,11 +1524,31 @@ def q_cdc_merge_upsert(spark, sf_dir):
     merged = merge_upsert(
         base, upd.unionByName(dele), "o_orderkey", "ts", op_col="op"
     )
-    return merged.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dec_sum("o_totalprice", "sum_price"),
-        dec_avg("o_totalprice", "avg_price"),
-    ).orderBy("o_orderpriority")
+    mer = (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("o_totalprice", "sum_price"),
+            dec_avg("o_totalprice", "avg_price"),
+        )
+        .select(
+            F.lit("merge_upsert").alias("part"),
+            F.col("o_orderpriority").alias("key"),
+            F.lit(None).cast("string").alias("cols"),
+            "n",
+            "sum_price",
+            "avg_price",
+        )
+    )
+    dif = q_cdc_snapshot_diff(spark, sf_dir).select(
+        F.lit("snapshot_diff").alias("part"),
+        F.col("diff_status").alias("key"),
+        "cols",
+        "n",
+        F.lit(None).cast("double").alias("sum_price"),
+        F.lit(None).cast("double").alias("avg_price"),
+    )
+    return mer.unionByName(dif)
 
 
 @register(
@@ -1516,51 +1578,10 @@ def q_cdc_scd2_users(spark, sf_dir):
     ).orderBy("event_type")
 
 
-@register(
-    "cdc_snapshot_diff",
-    oracle=(
-        "WITH newt AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
-        "CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 1.0 "
-        "ELSE o_totalprice END AS o_totalprice, o_orderdate, "
-        "CASE WHEN o_orderkey % 11 = 2 THEN '9-RECLASSIFIED' "
-        "ELSE o_orderpriority END AS o_orderpriority "
-        "FROM orders WHERE o_orderkey % 13 <> 0), "
-        "j AS (SELECT o.o_orderkey IS NOT NULL AS in_old, "
-        "n.o_orderkey IS NOT NULL AS in_new, "
-        "list_sort(list_filter(["
-        + ", ".join(
-            f"CASE WHEN o.{c} IS DISTINCT FROM n.{c} THEN '{c}' END"
-            for c in [
-                "o_custkey",
-                "o_orderstatus",
-                "o_totalprice",
-                "o_orderdate",
-                "o_orderpriority",
-            ]
-        )
-        + "], x -> x IS NOT NULL)) AS ch "
-        "FROM orders o FULL OUTER JOIN newt n "
-        "ON o.o_orderkey = n.o_orderkey), "
-        "s AS (SELECT CASE WHEN NOT in_old THEN 'added' "
-        "WHEN NOT in_new THEN 'removed' "
-        "WHEN len(ch) > 0 THEN 'changed' ELSE 'unchanged' END "
-        "AS diff_status, "
-        "CASE WHEN in_old AND in_new AND len(ch) > 0 "
-        "THEN array_to_string(ch, ',') ELSE '' END AS cols FROM j) "
-        "SELECT diff_status, cols, cast(count(*) as bigint) AS n "
-        "FROM s GROUP BY diff_status, cols"
-    ),
-    note=(
-        "extension: snapshot reconciliation (added/removed/changed/"
-        "unchanged + per-column change lists) between orders and a "
-        "deterministically mutated copy — the audit primitive behind "
-        "'what did this run change'. One full-outer join on the unique "
-        "key, zero windows (plan-asserted in tests/test_cdc.py); "
-        "NULL-safe per-column compare DuckDB-pinned there too and "
-        "driver-hash-checked since r4 (the oracle replays the "
-        "full-outer diff in SQL)"
-    ),
-)
+# cdc_snapshot_diff was absorbed into cdc_merge_upsert
+# (part='snapshot_diff' tagged rows) in r5 — driver-window slot policy.
+# The query body stays as an unregistered helper: the merged entry and
+# tests/test_cdc.py both call it.
 def q_cdc_snapshot_diff(spark, sf_dir):
     from etl_hero_spark.cdc import snapshot_diff
 
@@ -1805,50 +1826,10 @@ def q_profile_distinct_sketch(spark, sf_dir):
     return estimate_distincts(merged, cols)
 
 
-@register(
-    "outliers_iqr",
-    oracle=(
-        " UNION ALL ".join(
-            f"SELECT '{c}' AS \"column\", "
-            "cast(sum(CASE WHEN "
-            f"{c} < s.lo OR {c} > s.hi THEN 1 ELSE 0 END) as bigint) "
-            "AS n_outliers, s.lo, s.hi FROM lineitem, "
-            "(SELECT q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi "
-            f"FROM (SELECT quantile_cont({c}, 0.25) AS q1, "
-            f"quantile_cont({c}, 0.75) AS q3 FROM lineitem)) s "
-            "GROUP BY s.lo, s.hi"
-            for c in [
-                "l_quantity",
-                "l_extendedprice",
-                "l_discount",
-                "l_tax",
-                "l_linenumber",
-            ]
-        )
-    ),
-    note=(
-        "reference future work SHIPPED (app.py:397 lists 'IQR outliers "
-        "as z-score alternative' and never implements it): Tukey-fence "
-        "detection per numeric column — concurrent per-column exact "
-        "quartile jobs fold fences in as plan literals, one counting "
-        "scan, constant columns collapse to zero outliers by "
-        "construction. Registered with RAW IEEE fences "
-        "(round_bounds=None): q1 - k*(q3-q1) is the same double in any "
-        "engine computing the same expression, so the driver hash-"
-        "checks it (promoted to the verified window in r4); the 2dp "
-        "grid convention and null/constant edges stay pinned in "
-        "tests/test_detect.py; approx=True t-digest flag for the "
-        "100 TB path; remove_outliers_iqr is the R1a-style "
-        "remediation twin"
-    ),
-)
-def q_outliers_iqr(spark, sf_dir):
-    from etl_hero_spark.detect import detect_outliers_iqr
-    from etl_hero_spark.registry import LINEITEM_NUM
-
-    return detect_outliers_iqr(
-        _t(spark, sf_dir, "lineitem"), LINEITEM_NUM, round_bounds=None
-    ).orderBy("column")
+# outliers_iqr was absorbed into outliers_detect (method='iqr' tagged
+# rows) in r5 — driver-window slot policy: merge mature tagged entries
+# instead of registering more. detect_outliers_iqr itself stays pinned
+# in tests/test_detect.py.
 
 
 @register(
@@ -3152,6 +3133,60 @@ def q_multimodal_png_metadata(spark, sf_dir):
         "png_height",
         "png_bit_depth",
         "png_color_type",
+    )
+
+
+@register(
+    "multimodal_jpeg_metadata",
+    oracle=None,
+    note=(
+        "extension (r5, VERDICT #7): zero-codec JPEG dimension triage "
+        "— the SOF-marker sibling of the PNG/WAV parses for the "
+        "dominant web-corpus image format. Unlike PNG's fixed IHDR "
+        "offset, the SOF0/SOF1/SOF2 frame header floats behind a "
+        "variable APPn/COM/DQT/DHT segment chain, walked as a BOUNDED "
+        "UNROLLED expression (one segment hop per staged projection, "
+        "dynamic-offset byte reads, stops at SOS/EOI/corruption) — "
+        "pure codegen, no Python, no shuffle. Headers synthesized per "
+        "row from spec bytes (key-derived dims; every 5th row PNG "
+        "magic -> is_jpeg=0; every 7th a baseline/progressive marker "
+        "swap); planted-arithmetic parity + PIL-gated real-encode "
+        "(baseline AND progressive) tests in tests/test_io_pipeline.py"
+    ),
+)
+def q_multimodal_jpeg_metadata(spark, sf_dir):
+    from etl_hero_spark.multimodal import jpeg_metadata
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    w_h = "lpad(hex(pmod(p_partkey, 1000) + 1), 4, '0')"
+    h_h = "lpad(hex(pmod(p_partkey * 7, 800) + 1), 4, '0')"
+    sof_marker = (
+        "CASE WHEN p_partkey % 7 = 0 THEN 'FFC2' ELSE 'FFC0' END"
+    )
+    hdr = (
+        "unhex(concat("
+        "'FFD8', "  # SOI
+        "'FFE00010', '4A46494600010100000100010000', "  # APP0/JFIF
+        "'FFDB0005', '000102', "  # stub DQT segment
+        f"{sof_marker}, '0011', '08', {h_h}, {w_h}, "  # SOF: len 17,
+        # 8-bit precision, BE height, BE width,
+        "'03', '011100021101031101'"  # 3 components + spec bytes
+        "))"
+    )
+    media = part.withColumn(
+        "media",
+        F.when(
+            F.col("p_partkey") % 5 == 0,
+            F.expr("unhex('89504E470D0A1A0A')"),  # PNG magic: not JPEG
+        ).otherwise(F.expr(hdr)),
+    )
+    return jpeg_metadata(media).select(
+        "p_partkey",
+        "is_jpeg",
+        "jpeg_sof",
+        "jpeg_width",
+        "jpeg_height",
+        "jpeg_components",
     )
 
 

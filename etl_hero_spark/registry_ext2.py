@@ -69,15 +69,48 @@ def q_profile_welch_ttest(spark, sf_dir):
 
 @register(
     "profile_mann_whitney",
-    oracle=None,
+    oracle=(
+        "WITH t AS (SELECT o_totalprice AS v, o_orderpriority AS g "
+        "FROM orders WHERE o_totalprice IS NOT NULL "
+        "AND o_orderpriority IN ('1-URGENT', '5-LOW')), "
+        "d AS (SELECT v, "
+        "sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS ca, "
+        "sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS cb "
+        "FROM t GROUP BY v), "
+        # st = EXCLUSIVE prefix tie-count; all rank arithmetic exact in
+        # HUGEINT (mirrors Spark's DECIMAL(38,0))
+        "c AS (SELECT ca, cb, ca + cb AS tt, "
+        "coalesce(sum(ca + cb) OVER (ORDER BY v ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st "
+        "FROM d), "
+        "a AS (SELECT "
+        "sum(cast(ca as hugeint) * (2 * cast(st as hugeint) + tt + 1)) "
+        "AS r2, "
+        "cast(sum(ca) as double) AS na, cast(sum(cb) as double) AS nb, "
+        "cast(sum(cast(tt as hugeint) * tt * tt - tt) as double) AS ties "
+        "FROM c), "
+        "f AS (SELECT na, nb, "
+        "cast(r2 as double) / 2.0 - na * (na + 1) / 2 AS u, "
+        "na * nb / 2 AS mu, "
+        "sqrt(na * nb / 12 * ((na + nb + 1) "
+        "- ties / ((na + nb) * (na + nb - 1)))) AS sg FROM a) "
+        "SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b, "
+        "cast(na as bigint) AS n_a, cast(nb as bigint) AS n_b, "
+        "round(u, 6) AS u_stat, round(mu, 6) AS mu_u, "
+        "round(sg, 6) AS sigma_u, round((u - mu) / sg, 6) AS z_score "
+        "FROM f"
+    ),
     note=(
         "extension: Mann-Whitney U between two order priorities on "
         "totalprice — rank test without a global per-row sort: corpus "
         "folds to the distinct-value table (ties ARE the grouped rows), "
         "tie-averaged ranks from a two-phase distributed prefix scan "
         "(range-bucket + local window + broadcast offsets, the "
-        "packing.global_rank shape), 2*R held integral in DECIMAL(38,0). "
-        "Tie-corrected z, no continuity correction. Python-reference "
+        "packing.global_rank shape), 2*R held integral in DECIMAL(38,0) "
+        "(HUGEINT in the oracle) so every double is a scalar expression "
+        "over exact integers — hash-stable cross-engine. Tie-corrected "
+        "z, no continuity correction. Promoted into the verified window "
+        "r5 (slot freed by the outliers_iqr merge); Python-reference "
         "parity + tie-saturated fixture in tests/test_stattests.py"
     ),
 )
@@ -227,19 +260,41 @@ def q_analytics_item_similarity(spark, sf_dir):
 @register(
     "sql_orders_with_returns",
     oracle=(
-        "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+        "WITH seg AS (SELECT c_mktsegment AS seg, "
+        "sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS cnt "
+        "FROM customer WHERE c_acctbal > 0 GROUP BY 1) "
+        "SELECT 'returns_exists' AS part, o_orderpriority AS key, "
+        "cast(count(*) as bigint) AS n, cast(NULL as double) AS total_bal "
+        "FROM orders "
         "WHERE EXISTS (SELECT 1 FROM lineitem "
         "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        "GROUP BY o_orderpriority "
+        "UNION ALL "
+        "SELECT 'dormant_rich' AS part, c.c_mktsegment AS key, "
+        "cast(count(*) as bigint) AS n, "
+        "round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) "
+        "AS total_bal "
+        "FROM customer c JOIN seg ON seg.seg = c.c_mktsegment "
+        "WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * seg.cnt > seg.tot "
+        "AND NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c.c_custkey AND o_orderdate >= '2000-01-01') "
+        "GROUP BY c.c_mktsegment"
     ),
     note=(
-        "extension (TPC-H Q4 shape): order count per priority where "
-        "EXISTS a returned lineitem — LEFT SEMI join (no fanout however "
-        "many lines match, the decorrelated-EXISTS physical form) + one "
-        "groupBy; the returnflag filter pushes to the lineitem scan. "
-        "Promoted into the verified window r4w3 (slot freed by the "
-        "multimodal merge); DuckDB EXISTS parity also pinned in "
-        "tests/test_relational_extras.py"
+        "extension, tagged per part: part='returns_exists' (TPC-H Q4 "
+        "shape) is the order count per priority where EXISTS a returned "
+        "lineitem — LEFT SEMI join (no fanout however many lines match, "
+        "the decorrelated-EXISTS physical form) + one groupBy; the "
+        "returnflag filter pushes to the lineitem scan. "
+        "part='dormant_rich' (TPC-H Q22 shape; absorbed in r5, was the "
+        "separate sql_dormant_rich_customers query) is customers with "
+        "above-segment-average positive balance and NO order since "
+        "2000-01-01 — broadcast segment-stats join compared "
+        "multiply-through (bal * seg_cnt > seg_total, exact decimal), "
+        "NOT EXISTS as a LEFT ANTI join with the date filter pushed to "
+        "the orders scan. DuckDB parity for both also pinned in "
+        "tests/test_relational_extras.py — driver-window slot policy: "
+        "merge mature tagged entries instead of registering more"
     ),
 )
 def q_sql_orders_with_returns(spark, sf_dir):
@@ -247,47 +302,34 @@ def q_sql_orders_with_returns(spark, sf_dir):
     returned = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
-    return (
+    ret = (
         orders.join(
             returned,
             orders["o_orderkey"] == returned["l_orderkey"],
             "left_semi",
         )
         .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("returns_exists").alias("part"),
+            F.col("o_orderpriority").alias("key"),
+            "n",
+            F.lit(None).cast("double").alias("total_bal"),
+        )
     )
+    dor = q_sql_dormant_rich_customers(spark, sf_dir).select(
+        F.lit("dormant_rich").alias("part"),
+        F.col("c_mktsegment").alias("key"),
+        F.col("n_customers").alias("n"),
+        "total_bal",
+    )
+    return ret.unionByName(dor)
 
 
-@register(
-    "sql_dormant_rich_customers",
-    oracle=(
-        "WITH seg AS (SELECT c_mktsegment AS seg, "
-        "sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS cnt "
-        "FROM customer WHERE c_acctbal > 0 GROUP BY 1) "
-        "SELECT c.c_mktsegment, count(*) AS n_customers, "
-        "round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) "
-        "AS total_bal "
-        "FROM customer c JOIN seg ON seg.seg = c.c_mktsegment "
-        "WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * seg.cnt > seg.tot "
-        "AND NOT EXISTS (SELECT 1 FROM orders "
-        "WHERE o_custkey = c.c_custkey AND o_orderdate >= '2000-01-01') "
-        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
-    ),
-    note=(
-        "extension (TPC-H Q22 shape): customers with above-segment-"
-        "average positive balance and NO order since 2000-01-01 (every "
-        "fixture customer has SOME order, so dormancy is recency-based "
-        "to keep the anti-join non-vacuous) — per-segment count + "
-        "balance sum. The scalar subquery is a broadcast segment-stats "
-        "join compared multiply-through (bal * seg_cnt > seg_total, "
-        "exact decimal — no float avg at the boundary); NOT EXISTS is "
-        "a LEFT ANTI join on custkey with the date filter pushed to "
-        "the orders scan. Promoted into the verified window r4w3 (slot "
-        "freed by the dedup_clusters merge); DuckDB parity also pinned "
-        "in tests/test_relational_extras.py"
-    ),
-)
+# sql_dormant_rich_customers was absorbed into sql_orders_with_returns
+# (part='dormant_rich' tagged rows) in r5 — driver-window slot policy.
+# The body stays as an unregistered helper: the merged entry and
+# tests/test_relational_extras.py both call it.
 def q_sql_dormant_rich_customers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     seg = (
@@ -370,14 +412,23 @@ def q_sql_top_revenue_suppliers(spark, sf_dir):
 
 @register(
     "events_unpivot_daily",
-    oracle=None,
+    oracle=(
+        "SELECT strftime(date_trunc('day', cast(ts as timestamp)), "
+        "'%Y-%m-%d') AS day, event_type, "
+        "cast(count(*) as bigint) AS n_events FROM events "
+        "WHERE event_type IN "
+        "('click', 'error', 'purchase', 'signup', 'view') "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     note=(
         "extension: pivot -> UNPIVOT round trip — the daily x event-type "
         "count matrix melts back to long (day, event_type, n_events) "
         "with Spark's native unpivot (stack under the hood, narrow, no "
         "shuffle beyond the pivot's own); zero-filled cells drop so the "
-        "round trip is exactly the direct groupBy. Equality with the "
-        "direct aggregation pinned in tests/test_relational_extras.py"
+        "round trip is exactly the direct groupBy — which is exactly "
+        "what the oracle computes. Promoted into the verified window r5 "
+        "(slot freed by the impute merge); equality with the direct "
+        "aggregation also pinned in tests/test_relational_extras.py"
     ),
 )
 def q_events_unpivot_daily(spark, sf_dir):
@@ -391,7 +442,11 @@ def q_events_unpivot_daily(spark, sf_dir):
     long = wide.unpivot(
         ["day"], types, "event_type", "n_events"
     ).filter(F.col("n_events").isNotNull())
-    return long.orderBy("day", "event_type")
+    return long.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+    ).orderBy("day", "event_type")
 
 
 # ===========================================================================
@@ -406,11 +461,15 @@ def q_events_unpivot_daily(spark, sf_dir):
         "extension: multi-source BFS over the co-purchase graph "
         "(support>=3) from the smallest part id — semi-naive frontier "
         "iteration (edge join against the CURRENT frontier only, "
-        "anti-join keeps minimal dist), every frontier checkpointed so "
-        "lineage stays flat and the early-exit probe is metadata-cheap; "
-        "returns nodes-per-hop counts. Python-reference BFS parity + "
-        "planted path/disconnected fixtures pinned in "
-        "tests/test_bfs.py"
+        "anti-join keeps minimal dist), every frontier behind a "
+        "lineage-truncating boundary so the early-exit probe is "
+        "metadata-cheap; registered with boundary='local' since r5 "
+        "(VERDICT #5: frontier localCheckpoint skips the per-hop "
+        "parquet round-trip that dominated the benched cost; edges "
+        "stay parquet; local==parquet equality pinned in "
+        "tests/test_bfs.py); returns nodes-per-hop counts. "
+        "Python-reference BFS parity + planted path/disconnected "
+        "fixtures pinned in tests/test_bfs.py"
     ),
 )
 def q_analytics_bfs_hops(spark, sf_dir):
@@ -424,7 +483,7 @@ def q_analytics_bfs_hops(spark, sf_dir):
         min_count=3,
     ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     seeds = pairs.agg(F.min("src").alias("node"))
-    dist = bfs_distances(pairs, seeds, max_hops=4)
+    dist = bfs_distances(pairs, seeds, max_hops=4, boundary="local")
     return (
         dist.groupBy("dist")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -439,7 +498,36 @@ def q_analytics_bfs_hops(spark, sf_dir):
 
 @register(
     "analytics_rfm_segments",
-    oracle=None,
+    oracle=(
+        "WITH pk AS (SELECT o_custkey AS key, max(o_orderdate) AS _last, "
+        "count(*) AS frequency, "
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) "
+        "AS monetary FROM orders WHERE o_orderdate IS NOT NULL "
+        "GROUP BY o_custkey), "
+        "rfm AS (SELECT key, "
+        "date_diff('day', _last, (SELECT max(_last) FROM pk)) "
+        "AS recency_days, frequency, monetary FROM pk), "
+        # quantile_cuts collapses duplicate cuts to a strictly
+        # increasing list; bin(x) = #cuts strictly below x (qcut
+        # right-closed semantics, features.with_quantile_bin)
+        "c AS (SELECT "
+        "list_sort(list_distinct(quantile_cont(recency_days, "
+        "[0.2, 0.4, 0.6, 0.8]))) AS rc, "
+        "list_sort(list_distinct(quantile_cont(frequency, "
+        "[0.2, 0.4, 0.6, 0.8]))) AS fc, "
+        "list_sort(list_distinct(quantile_cont(monetary, "
+        "[0.2, 0.4, 0.6, 0.8]))) AS mc FROM rfm), "
+        "s AS (SELECT "
+        "5 - len(list_filter(c.rc, x -> x < recency_days)) AS r_score, "
+        "len(list_filter(c.fc, x -> x < frequency)) + 1 AS f_score, "
+        "len(list_filter(c.mc, x -> x < monetary)) + 1 AS m_score "
+        "FROM rfm, c) "
+        "SELECT cast(r_score as varchar) || cast(f_score as varchar) || "
+        "cast(m_score as varchar) AS segment, "
+        "cast(count(*) as bigint) AS n_customers "
+        "FROM s GROUP BY 1 "
+        "ORDER BY n_customers DESC, segment ASC LIMIT 25"
+    ),
     note=(
         "extension: RFM customer segmentation — one groupBy folds "
         "orders to the per-customer (recency, frequency, monetary) "
@@ -447,8 +535,10 @@ def q_analytics_bfs_hops(spark, sf_dir):
         "it), exact equal-frequency score cuts become literal "
         "when-chains (features.with_quantile_bin machinery, t-digest "
         "twin via approx=True), recency scores reversed so 555 = best. "
-        "Returns per-segment counts. Python-reference parity pinned in "
-        "tests/test_rfm_assoc.py"
+        "Returns per-segment counts (deterministic tie-break: count "
+        "desc, segment asc). Promoted into the verified window r5 "
+        "(slot freed by the funnel/cohort merge); Python-reference "
+        "parity pinned in tests/test_rfm_assoc.py"
     ),
 )
 def q_analytics_rfm_segments(spark, sf_dir):
@@ -504,12 +594,16 @@ def q_analytics_assoc_rules(spark, sf_dir):
         "extension: Poisson-bootstrap 95% CI for the mean (the "
         "distributed bootstrap — B replicate estimates in ONE pass, no "
         "materialized resamples): per (row, replicate) weight = "
-        "inverse-Poisson(1)-CDF of md5(id:b)/2^52 — engine-portable, "
-        "repartition/retry-invariant, truncated at 8; explode fanout "
-        "folds map-side so the shuffle carries O(partitions x B) rows; "
-        "decimal-exact weighted sums; exact percentile over the B "
-        "bounded replicate means. Bit-exact hashlib Python-reference "
-        "parity pinned in tests/test_stattests.py"
+        "inverse-Poisson(1)-CDF of a deterministic uniform — "
+        "registered path hashes (id, b) with JVM-native xxhash64 "
+        "(r5, VERDICT #6: the B-per-row hash IS the cost; no string "
+        "concat/hex/base-16 parse), md5 twin kept as the "
+        "cross-language spec with bit-exact hashlib parity in "
+        "tests/test_stattests.py (same-semantics pin for both paths "
+        "there too); repartition/retry-invariant, truncated at 8; "
+        "explode fanout folds map-side so the shuffle carries "
+        "O(partitions x B) rows; decimal-exact weighted sums; exact "
+        "percentile over the B bounded replicate means"
     ),
 )
 def q_profile_bootstrap_ci(spark, sf_dir):
@@ -522,12 +616,38 @@ def q_profile_bootstrap_ci(spark, sf_dir):
 
 @register(
     "profile_anova_oneway",
-    oracle=None,
+    oracle=(
+        "WITH g AS (SELECT c_mktsegment AS _g, count(x) AS _n, "
+        "sum(x) AS _s, sum(CAST(x AS DECIMAL(19,6)) * x) AS _q "
+        "FROM (SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,6)) "
+        "AS x FROM customer WHERE c_acctbal IS NOT NULL) GROUP BY 1), "
+        # the one k-term double sum folds SEQUENTIALLY in group-name
+        # order (list_reduce), mirroring Spark's sorted collect_list +
+        # aggregate fold — a plain SUM(double) is fold-order-dependent
+        "a AS (SELECT cast(count(*) as bigint) AS k_groups, "
+        "cast(sum(_n) as bigint) AS n_total, "
+        "cast(sum(_s) as double) AS ts, cast(sum(_q) as double) AS tq, "
+        "list_reduce(list(cast(_s as double) * cast(_s as double) / "
+        "cast(_n as double) ORDER BY cast(_g as varchar) ASC), "
+        "(x, y) -> x + y) AS sg, "
+        "cast(count(*) as double) AS kd, "
+        "cast(sum(_n) as double) AS nd FROM g) "
+        "SELECT k_groups, n_total, "
+        "round(sg - ts * ts / nd, 6) AS ss_between, "
+        "round(tq - sg, 6) AS ss_within, "
+        "cast(kd - 1 as bigint) AS df1, cast(nd - kd as bigint) AS df2, "
+        "round(((sg - ts * ts / nd) / (kd - 1)) / "
+        "((tq - sg) / (nd - kd)), 6) AS f_stat FROM a"
+    ),
     note=(
         "extension: one-way ANOVA F across all market segments on "
         "acctbal — SS_between/SS_within entirely from ONE groupBy of "
         "decimal-exact per-group moments + a second agg over the "
-        "bounded k-row table; corpus never moves twice. Exact-formula "
+        "bounded k-row table; corpus never moves twice. The one "
+        "k-term double sum folds sequentially in group-name order on "
+        "both engines (sorted collect_list fold / list_reduce) so the "
+        "hash check is deterministic. Promoted into the verified "
+        "window r5 (slot freed by the cdc merge); exact-formula "
         "Python parity pinned in tests/test_stattests.py"
     ),
 )
@@ -541,14 +661,36 @@ def q_profile_anova_oneway(spark, sf_dir):
 
 @register(
     "features_woe_encoding",
-    oracle=None,
+    oracle=(
+        "WITH m AS (SELECT cast(o_orderpriority as varchar) AS category, "
+        "(o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem "
+        "WHERE l_returnflag = 'R')) AS lab FROM orders), "
+        "cats AS (SELECT category, "
+        "cast(sum(CASE WHEN lab THEN 1 ELSE 0 END) as bigint) AS n_pos, "
+        "cast(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) as bigint) "
+        "AS n_neg FROM m GROUP BY category), "
+        "t AS (SELECT cast(sum(n_pos) as double) AS tp, "
+        "cast(sum(n_neg) as double) AS tn, "
+        "cast(count(*) as double) AS k FROM cats), "
+        "w AS (SELECT category, n_pos, n_neg, "
+        "(n_pos + 0.5) / (tp + 0.5 * k) AS p_pos, "
+        "(n_neg + 0.5) / (tn + 0.5 * k) AS p_neg FROM cats, t) "
+        "SELECT category, n_pos, n_neg, "
+        "round(ln(p_pos / p_neg), 6) AS woe, "
+        "round((p_pos - p_neg) * ln(p_pos / p_neg), 6) AS iv_contrib "
+        "FROM w"
+    ),
     note=(
         "extension: weight-of-evidence + information-value table for "
         "order priority against the is-returned label (order has a "
         "returned lineitem, via LEFT SEMI) — one conditional groupBy, "
         "broadcast totals, add-s smoothing keeps empty cells finite; "
         "fitted table applies as a plain join (train/serve symmetric). "
-        "Python parity pinned in tests/test_woe_anova.py"
+        "Every double is a scalar expression over exact counts (the "
+        "ln() pairing matches the tfidf precedent at 6dp). Promoted "
+        "into the verified window r5 (slot freed by the "
+        "sql_dormant_rich merge); Python parity pinned in "
+        "tests/test_woe_anova.py"
     ),
 )
 def q_features_woe_encoding(spark, sf_dir):

@@ -444,45 +444,75 @@ def q_stream_user_gaps(spark, sf_dir):
         "WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id), "
         "u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
         "JOIN u2 ON e.user_id = u2.user_id "
-        "WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id) "
-        "SELECT (SELECT cast(count(*) as bigint) FROM u1) AS n_step1_view, "
-        "(SELECT cast(count(*) as bigint) FROM u2) AS n_step2_click, "
-        "(SELECT cast(count(*) as bigint) FROM u3) AS n_step3_purchase"
-    ),
-    note="event-analytics extension: ordered conversion funnel (view -> click -> purchase) — Spark folds a per-user state machine in ONE groupBy; the oracle iterates conditional mins through CTE joins. Greedy earliest completion == iterated conditional min, so the two formulations must agree exactly. The hot-key cap is ON by default here (100k step events/user — far above any fixture user, so results are byte-identical) so a pathological bot key bounds its task memory instead of OOMing the fold",
-)
-def q_events_funnel(spark, sf_dir):
-    from etl_hero_spark.streaming import funnel_counts
-
-    return funnel_counts(
-        _events(spark, sf_dir),
-        ["view", "click", "purchase"],
-        max_events_per_key=100_000,
-    )
-
-
-@register(
-    "events_cohort_retention",
-    oracle=(
+        "WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id), "
         # cast ts to us-timestamp: TIMESTAMP_NS subtraction yields raw
         # BIGINT nanos in DuckDB, not an INTERVAL
-        "WITH a AS (SELECT DISTINCT user_id, "
+        "a AS (SELECT DISTINCT user_id, "
         "date_trunc('week', cast(ts as timestamp)) AS p FROM events), "
         "c AS (SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort "
         "FROM a) "
+        "SELECT 'funnel' AS part, '1_view' AS key, "
+        "cast(NULL as int) AS period_offset, "
+        "(SELECT cast(count(*) as bigint) FROM u1) AS n "
+        "UNION ALL "
+        "SELECT 'funnel' AS part, '2_click' AS key, "
+        "cast(NULL as int) AS period_offset, "
+        "(SELECT cast(count(*) as bigint) FROM u2) AS n "
+        "UNION ALL "
+        "SELECT 'funnel' AS part, '3_purchase' AS key, "
+        "cast(NULL as int) AS period_offset, "
+        "(SELECT cast(count(*) as bigint) FROM u3) AS n "
+        "UNION ALL "
         # date_trunc('week', timestamp) returns DATE in DuckDB, and
         # DATE - DATE is a BIGINT day count
-        "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_period, "
+        "SELECT 'cohort' AS part, strftime(cohort, '%Y-%m-%d') AS key, "
         "cast(floor((p - cohort) / 7) as int) AS period_offset, "
-        "cast(count(*) as bigint) AS n_active "
-        "FROM c GROUP BY 1, 2"
+        "cast(count(*) as bigint) AS n "
+        "FROM c GROUP BY 2, 3"
     ),
-    note="event-analytics extension: weekly cohort retention triangle (cohort = first active week; offset = whole weeks since) — Monday-start ISO weeks in both engines",
+    note=(
+        "event-analytics extension, tagged per part: part='funnel' is "
+        "the ordered conversion funnel (view -> click -> purchase) — "
+        "Spark folds a per-user state machine in ONE groupBy; the "
+        "oracle iterates conditional mins through CTE joins (greedy "
+        "earliest completion == iterated conditional min). The hot-key "
+        "cap is ON by default (100k step events/user — far above any "
+        "fixture user, so results are byte-identical) so a pathological "
+        "bot key bounds its task memory instead of OOMing the fold. "
+        "part='cohort' (absorbed in r5, was the separate "
+        "events_cohort_retention query) is the weekly cohort retention "
+        "triangle (cohort = first active week; period_offset = whole "
+        "weeks since; Monday-start ISO weeks in both engines) — "
+        "driver-window slot policy: merge mature tagged entries "
+        "instead of registering more. The stream twin "
+        "(stream_funnel_counts) still equals the batch funnel shape in "
+        "tests/test_streaming.py"
+    ),
 )
-def q_events_cohort_retention(spark, sf_dir):
-    from etl_hero_spark.streaming import cohort_retention
+def q_events_funnel(spark, sf_dir):
+    from etl_hero_spark.streaming import cohort_retention, funnel_counts
 
-    return cohort_retention(_events(spark, sf_dir))
+    ev = _events(spark, sf_dir)
+    fun = funnel_counts(
+        ev,
+        ["view", "click", "purchase"],
+        max_events_per_key=100_000,
+    ).selectExpr(
+        "stack(3, '1_view', n_step1_view, '2_click', n_step2_click, "
+        "'3_purchase', n_step3_purchase) as (key, n)"
+    ).select(
+        F.lit("funnel").alias("part"),
+        "key",
+        F.lit(None).cast("int").alias("period_offset"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    co = cohort_retention(ev).select(
+        F.lit("cohort").alias("part"),
+        F.col("cohort_period").alias("key"),
+        F.col("period_offset"),
+        F.col("n_active").alias("n"),
+    )
+    return fun.unionByName(co)
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

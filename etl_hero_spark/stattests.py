@@ -389,6 +389,7 @@ def bootstrap_ci_mean(
     lo_q: float = 0.025,
     hi_q: float = 0.975,
     scale: int = 6,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Poisson-bootstrap confidence interval for the MEAN — the
     distributed bootstrap (Chamandy et al., "Estimating Uncertainty
@@ -397,11 +398,20 @@ def bootstrap_ci_mean(
     contributes to replicate b with weight w ~ Poisson(1), so all B
     replicate estimates accumulate in ONE pass.
 
-    Determinism without an RNG: w = inverse-Poisson-CDF of
-    u = md5(id ':' b) / 2^52 (first 13 hex digits) — engine-portable
-    (hashlib reproduces it bit-for-bit, the Python-reference parity in
-    tests), repartition/retry-invariant, and truncated at 8 like every
-    practical implementation.
+    Determinism without an RNG: w = inverse-Poisson-CDF of a uniform
+    u derived from hashing (id, b) — repartition/retry-invariant, and
+    truncated at 8 like every practical implementation. Two hash
+    paths, same semantics (VERDICT r4 #6):
+
+    * ``hash_method="xxhash64"`` (default): u = the top 52 bits of
+      xxhash64(id, b) / 2^52 — one JVM-native long hash per (row,
+      replicate), no string concat, no hex formatting, no base-16
+      BigInt parse. The B-per-row hash IS this operator's CPU, so the
+      fast path is the registered one (~2x at sf0.1).
+    * ``hash_method="md5"``: u = first 13 hex digits of
+      md5(id ':' b) / 2^52 — engine-portable (hashlib reproduces it
+      bit-for-bit, the Python-reference parity in tests); the
+      cross-language spec of record.
 
     Plan: explode(sequence(0, B-1)) fans each row out B ways, but the
     per-replicate partial aggregation folds map-side, so the shuffle
@@ -419,7 +429,7 @@ def bootstrap_ci_mean(
         F.col(id_col).cast("string").alias("_id"),
         F.col(value_col).cast("decimal(18,6)").alias("_x"),
     )
-    # the explode stage does B md5 evaluations PER ROW — a single-file
+    # the explode stage does B hash evaluations PER ROW — a single-file
     # input would run all of it on one scan task; spread first
     d = ensure_min_partitions(d)
     rep = d.select(
@@ -429,18 +439,30 @@ def bootstrap_ci_mean(
             "_b"
         ),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("_id"), F.lit(":"), F.col("_b"))),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 52))
-    )
+    if hash_method == "xxhash64":
+        # top 52 bits -> exact double in [0, 1); _id/_b consumed with
+        # their native types on this single call site (no build/probe
+        # pair, so the typed-literal trap does not apply)
+        u = F.expr(
+            "cast(shiftrightunsigned(xxhash64(_id, _b), 12) as double)"
+        ) / F.lit(float(1 << 52))
+    elif hash_method == "md5":
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("_id"), F.lit(":"), F.col("_b"))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 52))
+        )
+    else:
+        raise ValueError(f"unknown hash_method {hash_method!r}")
     w = F.lit(len(_POIS1_CDF))
     for k in range(len(_POIS1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
@@ -493,6 +515,16 @@ def anova_oneway(
     with n < 2 still enter (they add mass to between, nothing to
     within), NULL values drop.
 
+    Cross-engine determinism: every double here is either a scalar
+    expression over exact decimal sums (deterministic) or the one
+    k-term double sum sum_g s_g^2/n_g — which a plain SUM would fold
+    in nondeterministic partition/hash order, so it is folded
+    SEQUENTIALLY over the bounded group table sorted by group name
+    (sort_array(collect_list) + F.aggregate; k is bounded, so the
+    interpreted lambda touches k elements, never the corpus). A DuckDB
+    oracle reproduces the same fold with list(t ORDER BY g) +
+    list_reduce.
+
     Output: one row (k_groups, n_total, ss_between, ss_within, df1,
     df2, f_stat)."""
     d18 = "decimal(18,6)"
@@ -506,14 +538,27 @@ def anova_oneway(
             F.sum(v * v).alias("_q"),
         )
     )
+    # s_g^2 in DOUBLE (not decimal): decimal(28,6)^2 exceeds precision
+    # 38 and the engines clamp differently; decimal->double casts and
+    # IEEE multiply/divide are correctly rounded in both
+    sd = F.col("_s").cast("double")
+    term = sd * sd / F.col("_n").cast("double")
     agg = g.agg(
         F.count(F.lit(1)).alias("k_groups"),
         F.sum("_n").alias("n_total"),
         F.sum("_s").alias("_ts"),
         F.sum("_q").alias("_tq"),
-        F.sum(
-            (F.col("_s") * F.col("_s")).cast("double")
-            / F.col("_n").cast("double")
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_g").cast("string").alias("g"),
+                        term.alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
         ).alias("_sg"),
     )
     n = F.col("n_total").cast("double")

@@ -82,3 +82,37 @@ def test_bfs_multi_source_takes_nearest_seed(spark):
         for r in bfs_distances(edges, seeds, max_hops=4).collect()
     }
     assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_local_boundary_equals_parquet(spark, sf_dir):
+    """boundary='local' (the registered/bench posture since r5) and
+    boundary='parquet' (the durable cluster default) are the same
+    algorithm behind different lineage-truncation mechanics — results
+    must be identical on the real co-purchase graph."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = copurchase_pairs(
+        li, "l_orderkey", "l_partkey", max_basket_size=50, min_count=3
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    seeds = pairs.agg(F.min("src").alias("node"))
+    durable = {
+        (r["node"], r["dist"])
+        for r in bfs_distances(
+            pairs, seeds, max_hops=3, boundary="parquet"
+        ).collect()
+    }
+    local = {
+        (r["node"], r["dist"])
+        for r in bfs_distances(
+            pairs, seeds, max_hops=3, boundary="local"
+        ).collect()
+    }
+    assert durable == local and durable
+
+
+def test_bfs_rejects_unknown_boundary(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    with pytest.raises(ValueError, match="boundary"):
+        bfs_distances(edges, seeds, boundary="memory")

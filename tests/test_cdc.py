@@ -300,11 +300,21 @@ def _rows_vs_duck(spark_df, sql):
 
 
 def test_registered_cdc_merge_matches_duckdb(spark):
+    # the registered entry is merged/tagged since r5 — the
+    # part='merge_upsert' rows carry the latest-wins MERGE summary
     from etl_hero_spark.registry_ext import q_cdc_merge_upsert
 
-    _rows_vs_duck(
-        q_cdc_merge_upsert(spark, "/root/testdata/sf0.001"), MERGE_ORACLE
+    rows = q_cdc_merge_upsert(spark, "/root/testdata/sf0.001").collect()
+    got = sorted(
+        (r["key"], str(r["n"]), str(r["sum_price"]), str(r["avg_price"]))
+        for r in rows
+        if r["part"] == "merge_upsert"
     )
+    want = [
+        (r[0], str(r[1]), str(r[2]), str(r[3]))
+        for r in duckdb.sql(MERGE_ORACLE).fetchall()
+    ]
+    assert got == want
 
 
 def test_registered_cdc_diff_matches_duckdb(spark):

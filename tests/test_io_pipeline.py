@@ -512,3 +512,95 @@ def test_registered_png_query_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_jpeg_metadata_parses_spec_exact_headers(spark):
+    """Hand-assembled spec JPEGs: SOF0 behind APP0+COM+DQT parses to
+    the planted dimensions; SOF2 reports 'progressive'; SOS before any
+    SOF, truncation mid-walk, and non-JPEG magic all gate to NULL
+    dimensions instead of mis-reading."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    def sof(marker, w, h, comps=3):
+        return seg(
+            marker,
+            bytes([8])
+            + struct.pack(">HH", h, w)
+            + bytes([comps])
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"[: comps * 3],
+        )
+
+    soi = b"\xff\xd8"
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    com = seg(0xFE, b"made by hand")
+    dqt = seg(0xDB, bytes(5))
+    rows = [
+        (1, bytearray(soi + app0 + com + dqt + sof(0xC0, 640, 480))),
+        (2, bytearray(soi + app0 + sof(0xC2, 70, 9, comps=1))),
+        (3, bytearray(soi + app0 + seg(0xDA, b"\x01\x01\x00"))),  # SOS first
+        (4, bytearray((soi + app0 + com)[:9])),  # truncated mid-segment
+        (5, bytearray(b"\x89PNG\r\n\x1a\n")),  # not a JPEG
+    ]
+    from etl_hero_spark.multimodal import jpeg_metadata
+
+    got = {r["id"]: r for r in jpeg_metadata(
+        spark.createDataFrame(rows, "id long, media binary")
+    ).collect()}
+    assert (got[1]["jpeg_width"], got[1]["jpeg_height"]) == (640, 480)
+    assert got[1]["jpeg_sof"] == "baseline"
+    assert got[1]["jpeg_components"] == 3
+    assert (got[2]["jpeg_width"], got[2]["jpeg_height"]) == (70, 9)
+    assert got[2]["jpeg_sof"] == "progressive"
+    assert got[2]["jpeg_components"] == 1
+    for i in (3, 4):
+        assert got[i]["is_jpeg"] == 1 and got[i]["jpeg_width"] is None
+    assert got[5]["is_jpeg"] == 0 and got[5]["jpeg_width"] is None
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this image")
+def test_jpeg_metadata_matches_real_encoder(spark):
+    """With PIL present, dimensions parsed from REAL baseline AND
+    progressive encodes must match what the encoder was asked for."""
+    import io as _io
+
+    from PIL import Image
+
+    from etl_hero_spark.multimodal import jpeg_metadata
+
+    base, prog = _io.BytesIO(), _io.BytesIO()
+    Image.new("RGB", (123, 45)).save(base, format="JPEG")
+    Image.new("RGB", (32, 64)).save(prog, format="JPEG", progressive=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(base.getvalue())), (2, bytearray(prog.getvalue()))],
+        "id long, media binary",
+    )
+    got = {r["id"]: r for r in jpeg_metadata(df).collect()}
+    assert (got[1]["jpeg_width"], got[1]["jpeg_height"]) == (123, 45)
+    assert got[1]["jpeg_sof"] == "baseline"
+    assert (got[2]["jpeg_width"], got[2]["jpeg_height"]) == (32, 64)
+    assert got[2]["jpeg_sof"] == "progressive"
+
+
+def test_registered_jpeg_query_matches_planted_arithmetic(spark, sf_dir):
+    """The registered triage query's parsed dimensions reproduce the
+    key arithmetic its synthesis used, row for row."""
+    from etl_hero_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_jpeg_metadata"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k = r["p_partkey"]
+        if k % 5 == 0:
+            assert r["is_jpeg"] == 0 and r["jpeg_width"] is None
+        else:
+            assert r["is_jpeg"] == 1
+            assert r["jpeg_width"] == k % 1000 + 1
+            assert r["jpeg_height"] == (k * 7) % 800 + 1
+            assert r["jpeg_components"] == 3
+            want = "progressive" if k % 7 == 0 else "baseline"
+            assert r["jpeg_sof"] == want

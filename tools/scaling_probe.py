@@ -13,11 +13,23 @@ of producing N exact replicas of every key) and writing to the
 session tempdir. Results print as a markdown table; paste into
 SCALING.md.
 
-Usage: python tools/scaling_probe.py [max_factor]
+Usage: python tools/scaling_probe.py [max_factor] [family ...]
+       python tools/scaling_probe.py --assert [max_factor] [family ...]
+       python tools/scaling_probe.py --selftest-quadratic
+
+--assert (VERDICT r4 #10): after the table, FAIL (exit 1) if any
+family's measured exponent exceeds its ceiling — 1.1 by default, or
+the family's entry in DOCUMENTED_CEILINGS for tradeoffs SCALING.md
+already explains. A future quadratic regression then breaks the check
+run instead of shipping inside a green-looking report.
+--selftest-quadratic proves the gate trips: it feeds the checker a
+fabricated quadratic family (no Spark) and exits with the gate's
+verdict — expected exit code 1 (pinned in tests/test_scaling_gate.py).
 """
 
 from __future__ import annotations
 
+import math
 import sys
 import time
 
@@ -26,6 +38,44 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 SF_DIR = "/root/testdata/sf0.1"
 
 _MODEL_MEMO: dict = {}
+
+# Exponent ceilings for --assert. Default applies to every family not
+# listed; listed families are DOCUMENTED tradeoffs (SCALING.md prose
+# explains each) allowed a higher bound rather than exempted entirely —
+# if trigram_join ever measured ~2, that would still fail.
+DEFAULT_CEILING = 1.1
+DOCUMENTED_CEILINGS = {
+    # pg_trgm recall-preserving posture measured 1.04-1.13 across
+    # rounds (SCALING.md "trigram_join is the one exponent above 1");
+    # production callsites are protected by er.TrigramScaleError
+    "trigram_join": 1.45,
+}
+
+
+def exponent(times: dict, factors: list) -> float:
+    """Growth exponent over the upper span (2x..8x): the smallest
+    factor is dominated by fixed per-job overhead (~0.3s scheduler +
+    plan), which flattens any growth signal."""
+    lo = factors[1] if len(factors) > 1 else factors[0]
+    hi = factors[-1]
+    if hi <= lo or times.get(lo, 0) <= 0:
+        return float("nan")
+    return math.log(times[hi] / times[lo]) / math.log(hi / lo)
+
+
+def check_exponents(results: dict, factors: list) -> list[str]:
+    """Return one violation line per family whose exponent exceeds its
+    ceiling; empty = gate passes."""
+    bad = []
+    for name, times in results.items():
+        exp = exponent(times, factors)
+        ceiling = DOCUMENTED_CEILINGS.get(name, DEFAULT_CEILING)
+        if exp == exp and exp > ceiling:  # NaN-safe
+            bad.append(
+                f"{name}: exponent {exp:.2f} > ceiling {ceiling} "
+                f"(times {times})"
+            )
+    return bad
 
 
 def scaled_path(spark, table: str, n: int, keys: dict) -> str:
@@ -70,14 +120,26 @@ def scaled_path(spark, table: str, n: int, keys: dict) -> str:
 
 
 def main() -> None:
-    import math
-
     from pyspark.sql import functions as F
 
     from etl_hero_spark.session import get_spark
 
-    max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    only = set(sys.argv[2:])  # optional family-name filter
+    argv = list(sys.argv[1:])
+    if "--selftest-quadratic" in argv:
+        # no Spark: fabricate an 8x-quadratic family next to a linear
+        # one and exit with the gate's verdict (expected: 1)
+        fake = {
+            "selftest_linear": {1: 1.0, 2: 2.0, 4: 4.1, 8: 8.2},
+            "selftest_quadratic": {1: 1.0, 2: 4.0, 4: 16.0, 8: 64.0},
+        }
+        bad = check_exponents(fake, [1, 2, 4, 8])
+        for line in bad:
+            print(f"SCALING GATE: {line}")
+        sys.exit(1 if bad else 0)
+    assert_mode = "--assert" in argv
+    argv = [a for a in argv if a != "--assert"]
+    max_factor = int(argv[0]) if argv else 8
+    only = set(argv[1:])  # optional family-name filter
     factors = [1, 2, 4, 8]
     factors = [f for f in factors if f <= max_factor]
     spark = get_spark("scaling-probe")
@@ -232,9 +294,13 @@ def main() -> None:
                     F.lit("cust-"), F.col("c_custkey").cast("string")
                 ).alias("name"),
             )
+            # silent: the probe EXISTS to measure the documented
+            # superlinear tradeoff the r5 TrigramScaleError guard now
+            # refuses to run blind at production callsites
             trigram_block_pairs(
                 cust, "c_custkey", "name",
                 max_df=50 * factor, min_sim=0.9,
+                on_oversized="silent",
             ).write.format("noop").mode("overwrite").save()
 
         def countmin():
@@ -514,19 +580,17 @@ def main() -> None:
     print("| operator | " + " | ".join(f"{n}x" for n in factors) + " | exponent |")
     print("|---|" + "---|" * (len(factors) + 1))
     for name, times in results.items():
-        # exponent over the upper span (2x..8x): the smallest factor is
-        # dominated by fixed per-job overhead (~0.3s scheduler + plan),
-        # which flattens any growth signal
-        lo = factors[1] if len(factors) > 1 else factors[0]
-        hi = factors[-1]
-        exp = (
-            math.log(times[hi] / times[lo]) / math.log(hi / lo)
-            if hi > lo and times[lo] > 0
-            else float("nan")
-        )
+        exp = exponent(times, factors)
         row = " | ".join(f"{times[n]:.2f}" for n in factors)
         print(f"| {name} | {row} | {exp:.2f} |")
     spark.stop()
+    if assert_mode:
+        bad = check_exponents(results, factors)
+        for line in bad:
+            print(f"SCALING GATE: {line}")
+        if bad:
+            sys.exit(1)
+        print("SCALING GATE: all exponents within ceilings")
 
 
 if __name__ == "__main__":

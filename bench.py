@@ -178,6 +178,12 @@ HEADLINE = [
     "er_blocking_eval",
     "dedup_lsh_recall_report",
     "layout_format_roundtrip",
+    # round-5 additions
+    "text_dsir_weights",
+    "sample_dsir_resample",
+    "events_gap_fill_linear",
+    "multimodal_jpeg_metadata",
+    "multimodal_mp4_metadata",
 ]
 
 

@@ -1177,3 +1177,184 @@ def q_layout_format_roundtrip(spark, sf_dir):
         "format string, n_rows bigint, checksum bigint, "
         "has_bytes boolean, all_match boolean",
     ).orderBy("format")
+
+
+# ===========================================================================
+# round-5 wave: DSIR data selection, linear gap-fill, MP4 triage
+# ===========================================================================
+
+
+@register(
+    "text_dsir_weights",
+    oracle=None,
+    note=(
+        "extension (r5): DSIR importance weights (Xie et al. 2023, "
+        "arXiv:2302.03169) — log p_target/p_raw of each document under "
+        "hashed unigram+bigram bag models (md5 buckets, reproducible "
+        "outside the JVM), target = the src0 domain of the documents "
+        "fixture. Fit is ONE conditional groupBy to a bounded "
+        "n_buckets-row table broadcast back; per-doc sums are "
+        "decimal-exact over 12dp-rounded log-ratios, so weights are "
+        "bit-stable under any partitioning. hashlib/math Python "
+        "parity + planted-vocabulary ordering pinned in "
+        "tests/test_dsir.py. Top 25 by weight"
+    ),
+)
+def q_text_dsir_weights(spark, sf_dir):
+    from etl_hero_spark.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_log_weights(
+        docs, F.col("source") == "src0", n_buckets=1024
+    )
+    return (
+        out.select(
+            "doc_id", "source", "is_target", "n_features", "log_weight"
+        )
+        .orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+@register(
+    "sample_dsir_resample",
+    oracle=None,
+    note=(
+        "extension (r5): Gumbel-top-k importance resampling over the "
+        "DSIR weights — sampling WITHOUT replacement with probability "
+        "proportional to exp(log_weight/temperature), via key = "
+        "logw/T + Gumbel(md5 uniform): deterministic, repartition/"
+        "retry-invariant, and a distributed TakeOrdered (bounded "
+        "budget rows to the driver merge, never a global sort). "
+        "Per-source summary of the selected set; target-domain "
+        "enrichment + determinism pinned in tests/test_dsir.py"
+    ),
+)
+def q_sample_dsir_resample(spark, sf_dir):
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.dsir import dsir_log_weights, dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = parquet_checkpoint(
+        dsir_log_weights(
+            docs, F.col("source") == "src0", n_buckets=1024
+        ).select("doc_id", "source", "is_target", "log_weight"),
+        "dsir-weighted",
+    )
+    picked = dsir_resample(weighted, budget=200, temperature=1.0)
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.col("is_target").cast("int")).cast("bigint").alias(
+                "n_target"
+            ),
+            F.round(
+                F.sum(F.col("log_weight").cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_log_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_gap_fill_linear",
+    oracle=None,
+    note=(
+        "extension (r5): linear-interpolation resample — the "
+        "continuous-signal sibling of events_resample_hourly's LOCF "
+        "(pandas resample().interpolate('linear'), TimescaleDB "
+        "time_bucket_gapfill+interpolate): per-user hourly grid, value "
+        "interpolated between surrounding observations, exact on "
+        "observations, NULL before a key's first point (no "
+        "extrapolation). Same distributed grid union; both boundary "
+        "frames share ONE (user, ts) window sort. DuckDB parity + "
+        "hand-grid fixtures in tests/test_temporal.py. Daily summary"
+    ),
+)
+def q_events_gap_fill_linear(spark, sf_dir):
+    from etl_hero_spark.temporal import resample_interpolate
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    grid = resample_interpolate(
+        ev, "user_id", "ts", "value", step_seconds=3600
+    )
+    return (
+        grid.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("value").isNull().cast("int")).cast("bigint")
+            .alias("n_leading_null"),
+            F.round(
+                F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast(
+                    "decimal(28,6)"
+                )).cast("double"),
+                4,
+            ).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "multimodal_mp4_metadata",
+    oracle=None,
+    note=(
+        "extension (r5): zero-codec MP4/ISO-BMFF triage — completes "
+        "the image/audio/VIDEO ladder (jpeg/png/wav siblings): two "
+        "bounded unrolled box walks (top-level -> moov; moov children "
+        "-> mvhd + trak count) parse brand, timescale, duration "
+        "(version 0 AND 1 field layouts), track count as pure "
+        "dynamic-offset binary expressions — no Python, no shuffle, "
+        "largesize/to-EOF boxes stop the walk -> NULL -> route to a "
+        "real demuxer. Headers synthesized per row from spec bytes "
+        "(key-derived duration/timescale/track count; every 5th row "
+        "WAV magic -> is_mp4=0); planted-arithmetic parity + spec "
+        "fixtures in tests/test_io_pipeline.py"
+    ),
+)
+def q_multimodal_mp4_metadata(spark, sf_dir):
+    from etl_hero_spark.multimodal import mp4_metadata
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    ts_h = "lpad(hex(pmod(p_partkey, 9) + 1), 8, '0')"          # timescale 1..9
+    dur_h = "lpad(hex(pmod(p_partkey * 3, 1000) + 10), 8, '0')"  # duration
+    # one or two trak stubs (8-byte empty boxes) by key parity
+    trak = "'000000087472616B'"
+    traks = (
+        f"CASE WHEN p_partkey % 2 = 0 THEN concat({trak}, {trak}) "
+        f"ELSE {trak} END"
+    )
+    # moov = 8 header + 108 mvhd + 8 per trak stub
+    moov_size = "CASE WHEN p_partkey % 2 = 0 THEN 132 ELSE 124 END"
+    hdr = (
+        "unhex(concat("
+        "'00000010', '66747970', '69736F6D', '00000200', "  # ftyp isom
+        "'00000008', '66726565', "  # free box
+        f"lpad(hex({moov_size}), 8, '0'), '6D6F6F76', "  # moov
+        "'0000006C', '6D766864', '00', '000000', "  # mvhd v0 len 108
+        "'00000000', '00000000', "  # ctime mtime
+        f"{ts_h}, {dur_h}, "
+        "repeat('00', 80), "  # rate/volume/matrix/predefined/next_track
+        f"{traks}"
+        "))"
+    )
+    media = part.withColumn(
+        "media",
+        F.when(
+            F.col("p_partkey") % 5 == 0,
+            F.expr("unhex('52494646')"),  # RIFF magic: not an MP4
+        ).otherwise(F.expr(hdr)),
+    )
+    return mp4_metadata(media).select(
+        "p_partkey",
+        "is_mp4",
+        "mp4_brand",
+        "mp4_timescale",
+        "mp4_duration_s",
+        "mp4_n_tracks",
+    )

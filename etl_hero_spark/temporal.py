@@ -207,6 +207,110 @@ def resample_forward_fill(
     return filled.filter(F.col("_src") == 1).drop("_src")
 
 
+def resample_interpolate(
+    df: DataFrame,
+    keys: list[str] | str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Linear-interpolation sibling of resample_forward_fill (pandas
+    ``resample().interpolate('linear')``, TimescaleDB
+    ``time_bucket_gapfill``+``interpolate``): one row per key per
+    ``step_seconds`` grid point, value linearly interpolated between
+    the surrounding observations
+
+        v(t) = v_prev + (v_next - v_prev) * (t - t_prev)/(t_next - t_prev)
+
+    A grid point on an observation takes that observation's value
+    exactly; grid points before the key's first observation stay NULL
+    (no extrapolation — LOCF covers the trailing side by construction
+    since the grid ends at max ts). The right fill for continuously
+    varying signals (sensor readings, prices) where LOCF's staircase
+    biases downstream windows.
+
+    Plan: the same distributed grid union as resample_forward_fill,
+    then ONE (keys, ts) window pass computes both the
+    last-non-null-before (value, ts) and the first-non-null-after
+    (value, ts) — two frames over one sort, two key-partitioned
+    shuffles total, no per-key driver loop. The interpolation itself
+    is a scalar IEEE expression (DuckDB-mirrorable; parity pinned in
+    tests/test_temporal.py).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    df = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    step = int(step_seconds)
+    lo = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.min(ts_col)) / step) * step
+    )
+    grid = (
+        df.groupBy(*keys)
+        .agg(lo.alias("_lo"), F.max(ts_col).alias("_hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    "_lo", "_hi", F.expr(f"INTERVAL {step} SECOND")
+                )
+            ).alias(ts_col),
+            F.lit(1).alias("_grid"),
+            F.lit(None).cast("double").alias("_v"),
+        )
+    )
+    # collapse duplicate-timestamp observations deterministically (MAX)
+    # — a tie under the window sort would otherwise make last()/first()
+    # partition-order dependent
+    obs = (
+        df.groupBy(*keys, ts_col)
+        .agg(F.max(F.col(value_col).cast("double")).alias("_v"))
+        .select(*keys, F.col(ts_col), F.lit(0).alias("_grid"), "_v")
+    )
+    # observations sort before the grid marker at an identical ts, so
+    # an on-observation grid point interpolates trivially (frac crosses
+    # zero-length span -> guarded to take the observation value)
+    order = [F.col(ts_col).asc(), F.col("_grid").asc()]
+    w_back = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("_grid") == 0, F.unix_micros(F.col(ts_col)))
+    both = obs.unionByName(grid).select(
+        *keys,
+        ts_col,
+        "_grid",
+        F.last("_v", ignorenulls=True).over(w_back).alias("_pv"),
+        F.last(obs_ts, ignorenulls=True).over(w_back).alias("_pt"),
+        F.first("_v", ignorenulls=True).over(w_fwd).alias("_nv"),
+        F.first(obs_ts, ignorenulls=True).over(w_fwd).alias("_nt"),
+    )
+    t = F.unix_micros(F.col(ts_col))
+    frac = (t - F.col("_pt")).cast("double") / (
+        (F.col("_nt") - F.col("_pt")).cast("double")
+    )
+    interp = F.when(
+        F.col("_pt").isNull() | F.col("_nt").isNull(),
+        # before first / after last observation: LOCF on the trailing
+        # side (grid ends at max ts so _pv exists there), NULL leading
+        F.col("_pv"),
+    ).when(
+        F.col("_nt") == F.col("_pt"), F.col("_pv")
+    ).otherwise(
+        F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+    )
+    return (
+        both.filter(F.col("_grid") == 1)
+        .select(*keys, ts_col, interp.alias(value_col))
+    )
+
+
 def range_join_count(
     probe: DataFrame,
     events: DataFrame,

@@ -1,0 +1,141 @@
+"""DSIR importance weighting + Gumbel-top-k resampling vs pure-Python
+references (hashlib buckets, math.log ratios) and planted-vocabulary
+orderings."""
+
+import collections
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_hero_spark.dsir import dsir_log_weights, dsir_resample
+
+B = 64
+ALPHA = 0.5
+
+
+def _bucket(feat: str) -> int:
+    return int(hashlib.md5(feat.encode()).hexdigest()[:14], 16) % B
+
+
+def _features(text: str):
+    toks = [t.lower() for t in text.split()]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _ref_weights(rows):
+    """rows: (id, text, is_target) -> {id: (n_features, log_weight)}."""
+    t_counts, r_counts = collections.Counter(), collections.Counter()
+    for _id, text, is_t in rows:
+        for f_ in _features(text):
+            b = _bucket(f_)
+            r_counts[b] += 1
+            if is_t:
+                t_counts[b] += 1
+    tt = sum(t_counts.values())
+    tr = sum(r_counts.values())
+    ratio = {
+        b: round(
+            math.log((t_counts[b] + ALPHA) / (tt + ALPHA * B))
+            - math.log((r_counts[b] + ALPHA) / (tr + ALPHA * B)),
+            12,
+        )
+        for b in r_counts
+    }
+    out = {}
+    for _id, text, is_t in rows:
+        buckets = collections.Counter(_bucket(f_) for f_ in _features(text))
+        lw = sum(c * ratio[b] for b, c in buckets.items())
+        out[_id] = (sum(buckets.values()), round(lw, 6))
+    return out
+
+
+FIXTURE = [
+    (1, "alpha beta gamma alpha", True),
+    (2, "alpha beta beta", True),
+    (3, "delta epsilon zeta delta epsilon", False),
+    (4, "alpha delta zeta", False),
+    (5, "", False),
+    (6, "eta theta iota kappa", False),
+]
+
+
+def test_weights_match_python_reference(spark):
+    df = spark.createDataFrame(
+        FIXTURE, "doc_id long, text string, is_t boolean"
+    )
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in dsir_log_weights(
+            df, F.col("is_t"), n_buckets=B, alpha=ALPHA
+        ).collect()
+    }
+    want = _ref_weights(FIXTURE)
+    want[5] = (0, 0.0)  # empty doc: no features, no evidence
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6), k
+
+
+def test_target_vocabulary_scores_above_raw_vocabulary(spark):
+    """Docs written in the target domain's vocabulary must outweigh
+    docs written in raw-only vocabulary — the whole point of DSIR."""
+    rows = (
+        [(i, "alpha beta gamma delta", True) for i in range(20)]
+        + [(100 + i, "alpha beta gamma delta", False) for i in range(3)]
+        + [(200 + i, "omega psi chi phi", False) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(df, F.col("is_t"), n_buckets=B).collect()
+    }
+    assert got[100] > 0 > got[200]
+    assert got[100] == got[101] == got[102]  # same text, same weight
+
+
+def test_weights_are_repartition_invariant(spark):
+    df = spark.createDataFrame(FIXTURE, "doc_id long, text string, is_t boolean")
+    a = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(df, F.col("is_t"), n_buckets=B).collect()
+    }
+    b = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            df.repartition(7), F.col("is_t"), n_buckets=B
+        ).collect()
+    }
+    assert a == b  # decimal-exact sums over 12dp-rounded ratios
+
+
+def test_resample_is_deterministic_and_enriches_target(spark):
+    rows = (
+        [(i, "alpha beta gamma", True) for i in range(30)]
+        + [(1000 + i, "alpha beta gamma", False) for i in range(30)]
+        + [(2000 + i, "omega psi chi", False) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    w = dsir_log_weights(df, F.col("is_t"), n_buckets=B).select(
+        "doc_id", "is_t", "log_weight"
+    )
+    picked = dsir_resample(w, budget=30).collect()
+    assert len(picked) == 30
+    again = dsir_resample(w.repartition(5), budget=30).collect()
+    assert sorted(r["doc_id"] for r in picked) == sorted(
+        r["doc_id"] for r in again
+    )
+    # target-vocab docs (ids < 2000) hold positive weights: they must
+    # dominate the selection over the negative-weight omega docs
+    n_high = sum(1 for r in picked if r["doc_id"] < 2000)
+    assert n_high >= 24, n_high
+
+
+def test_resample_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 0.0)], "doc_id long, log_weight double")
+    with pytest.raises(ValueError, match="budget"):
+        dsir_resample(df, budget=0)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_resample(df, budget=1, temperature=0.0)

@@ -607,12 +607,14 @@ def test_registered_jpeg_query_matches_planted_arithmetic(spark, sf_dir):
 
 
 def _maven_reachable(timeout=4):
-    import socket
+    # NOTE: never socket.setdefaulttimeout here — it is PROCESS-GLOBAL
+    # and breaks py4j's gateway sockets for every later Spark fixture
     import urllib.request
 
     try:
-        socket.setdefaulttimeout(timeout)
-        urllib.request.urlopen("https://repo1.maven.org/maven2/")
+        urllib.request.urlopen(
+            "https://repo1.maven.org/maven2/", timeout=timeout
+        )
         return True
     except Exception:
         return False
@@ -670,3 +672,88 @@ def test_avro_round_trip_when_jar_resolves(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "AVRO_RT_OK" in proc.stdout
+
+
+def _box(typ, payload):
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _mvhd(version, timescale, duration):
+    import struct
+
+    if version == 0:
+        body = (
+            bytes([0, 0, 0, 0])
+            + struct.pack(">II", 0, 0)  # ctime, mtime
+            + struct.pack(">II", timescale, duration)
+            + bytes(80)
+        )
+    else:
+        body = (
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", duration)
+            + bytes(80)
+        )
+    return _box(b"mvhd", body)
+
+
+def test_mp4_metadata_parses_spec_boxes(spark):
+    """Hand-assembled ISO-BMFF: ftyp + free + moov(mvhd + traks) parses
+    brand/timescale/duration/track-count for BOTH mvhd versions;
+    largesize boxes, missing moov, and non-MP4 magic gate to NULL."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200))
+    free = _box(b"free", b"")
+    trak = _box(b"trak", b"")
+    rows = [
+        (1, bytearray(
+            ftyp + free + _box(b"moov", _mvhd(0, 600, 1800) + trak + trak)
+        )),
+        (2, bytearray(ftyp + _box(b"moov", _mvhd(1, 90000, 450000) + trak))),
+        (3, bytearray(ftyp + free)),  # no moov within the walk
+        # largesize (size==1) stops the top-level walk before moov
+        (4, bytearray(
+            ftyp
+            + struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16)
+            + _box(b"moov", _mvhd(0, 10, 50))
+        )),
+        (5, bytearray(b"RIFF\x24\x00\x00\x00WAVE")),  # not an MP4
+    ]
+    from etl_hero_spark.multimodal import mp4_metadata
+
+    got = {r["id"]: r for r in mp4_metadata(
+        spark.createDataFrame(rows, "id long, media binary")
+    ).collect()}
+    assert got[1]["is_mp4"] == 1 and got[1]["mp4_brand"] == "isom"
+    assert got[1]["mp4_timescale"] == 600
+    assert got[1]["mp4_duration_s"] == 3.0
+    assert got[1]["mp4_n_tracks"] == 2
+    assert got[2]["mp4_timescale"] == 90000
+    assert got[2]["mp4_duration_s"] == 5.0
+    assert got[2]["mp4_n_tracks"] == 1
+    for i in (3, 4):
+        assert got[i]["is_mp4"] == 1 and got[i]["mp4_timescale"] is None
+    assert got[5]["is_mp4"] == 0 and got[5]["mp4_brand"] is None
+
+
+def test_registered_mp4_query_matches_planted_arithmetic(spark, sf_dir):
+    from etl_hero_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_mp4_metadata"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k = r["p_partkey"]
+        if k % 5 == 0:
+            assert r["is_mp4"] == 0 and r["mp4_timescale"] is None
+        else:
+            ts = k % 9 + 1
+            dur = (k * 3) % 1000 + 10
+            assert r["is_mp4"] == 1 and r["mp4_brand"] == "isom"
+            assert r["mp4_timescale"] == ts
+            assert r["mp4_duration_s"] == round(dur / ts, 6)
+            assert r["mp4_n_tracks"] == (2 if k % 2 == 0 else 1)

@@ -526,3 +526,115 @@ def test_registered_pit_join_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) >= 5
+
+
+def test_resample_interpolate_hand_grid(spark):
+    from etl_hero_spark.temporal import resample_interpolate
+
+    obs = _ts_df(
+        spark,
+        [
+            ("a", 6.0, "2024-01-01 00:30:00"),
+            ("a", 10.0, "2024-01-01 02:30:00"),
+            ("b", 5.0, "2024-01-01 00:00:00"),  # grid-aligned single obs
+        ],
+        "k string, value double, ts_s string",
+    )
+    got = {
+        (r["k"], str(r["ts"])): r["value"]
+        for r in resample_interpolate(obs, "k", "ts", "value").collect()
+    }
+    # a's grid: 00:00 (before first obs -> NULL), 01:00 (frac 30/120),
+    # 02:00 (frac 90/120); grid ends at max ts 02:30 -> no 03:00 point
+    assert got[("a", "2024-01-01 00:00:00")] is None
+    assert got[("a", "2024-01-01 01:00:00")] == 7.0
+    assert got[("a", "2024-01-01 02:00:00")] == 9.0
+    assert ("a", "2024-01-01 03:00:00") not in got
+    # exact on an observation, single-point key collapses to one row
+    assert got[("b", "2024-01-01 00:00:00")] == 5.0
+    assert len([k for k in got if k[0] == "b"]) == 1
+
+
+def test_resample_interpolate_duplicate_ts_and_determinism(spark):
+    from etl_hero_spark.temporal import resample_interpolate
+
+    obs = _ts_df(
+        spark,
+        [
+            ("a", 2.0, "2024-01-01 00:00:00"),
+            ("a", 4.0, "2024-01-01 00:00:00"),  # dup ts -> MAX wins
+            ("a", 8.0, "2024-01-01 02:00:00"),
+        ],
+        "k string, value double, ts_s string",
+    )
+    for df in (obs, obs.repartition(7)):
+        got = {
+            str(r["ts"]): r["value"]
+            for r in resample_interpolate(df, "k", "ts", "value").collect()
+        }
+        assert got["2024-01-01 00:00:00"] == 4.0
+        assert got["2024-01-01 01:00:00"] == 6.0  # (4+8)/2
+        assert got["2024-01-01 02:00:00"] == 8.0
+
+
+def test_resample_interpolate_matches_python_reference(spark, sf_dir):
+    """Full events fixture vs a per-key pure-Python linear
+    interpolation over the same epoch-aligned hourly grid."""
+    import collections
+
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.temporal import resample_interpolate
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    got = {
+        (r["user_id"], str(r["ts"])): r["value"]
+        for r in resample_interpolate(
+            ev, "user_id", "ts", "value"
+        ).collect()
+    }
+    from datetime import timezone
+
+    STEP = 3600 * 1_000_000  # grid step in MICROS — events ts is sub-second
+    series = collections.defaultdict(dict)
+    for r in ev.filter(F.col("value").isNotNull()).collect():
+        t = int(r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        k = r["user_id"]
+        # duplicate-ts collapse: MAX
+        series[k][t] = max(series[k].get(t, float("-inf")), r["value"])
+    n_checked = 0
+    for k, pts in series.items():
+        ts_sorted = sorted(pts)
+        lo = ts_sorted[0] // STEP * STEP
+        hi = ts_sorted[-1]
+        t = lo
+        while t <= hi:
+            if t < ts_sorted[0]:
+                want = None
+            elif t in pts:
+                want = pts[t]
+            else:
+                import bisect
+
+                i = bisect.bisect_left(ts_sorted, t)
+                p, n = ts_sorted[i - 1], ts_sorted[i]
+                want = pts[p] + (pts[n] - pts[p]) * float(t - p) / float(n - p)
+            from datetime import datetime
+
+            key = (
+                k,
+                str(
+                    datetime.fromtimestamp(
+                        t / 1_000_000, tz=timezone.utc
+                    ).replace(tzinfo=None)
+                ),
+            )
+            assert key in got, key
+            if want is None:
+                assert got[key] is None, key
+            else:
+                assert got[key] == __import__("pytest").approx(
+                    want, abs=1e-9
+                ), key
+            n_checked += 1
+            t += STEP
+    assert n_checked == len(got) > 1000

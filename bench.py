@@ -184,6 +184,11 @@ HEADLINE = [
     "events_gap_fill_linear",
     "multimodal_jpeg_metadata",
     "multimodal_mp4_metadata",
+    "dedup_keep_best",
+    "profile_weighted_quantile",
+    "sim_hybrid_rrf",
+    "sql_market_share",
+    "features_isotonic_calibration",
 ]
 
 

@@ -101,6 +101,46 @@ def dedup_exact_content(
     ).drop("_fp")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    quality,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware survivor selection: keep the HIGHEST-``quality``
+    row per normalized-content fingerprint group (ties break to the
+    smallest id). The curation sibling of dedup_exact_content's
+    keep-first — when a corpus holds casing/whitespace variants of the
+    same content, a training pipeline wants the cleanest rendition,
+    not the one that happened to arrive first.
+
+    ``quality`` is any Column expression (a quality_score output, a
+    per-row heuristic, a metadata preference); NULL quality sorts
+    below every real score. Plan: one groupBy on the md5 fingerprint
+    picks each group's surviving id with ``max_by`` over a
+    (quality, -id) struct — a single shuffle on a uniform 32-hex key,
+    then a LEFT SEMI join on the unique id brings the full surviving
+    rows back. No window, no sort, both shuffles on uniform keys.
+    DuckDB arg-max parity pinned in tests/test_dedup.py."""
+    q = F.coalesce(
+        quality.cast("double"), F.lit(float("-inf"))
+    )
+    with_fp = df.withColumn("_fp", fingerprint_expr(text_col))
+    keep = (
+        with_fp.groupBy("_fp")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(
+                    q.alias("q"), (-F.col(id_col)).alias("neg_id")
+                ),
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
+    return with_fp.join(keep, id_col, "left_semi").drop("_fp")
+
+
 # ---------------------------------------------------------------------------
 # 4. exact n-gram Jaccard pairs (ground truth; quadratic within shingle
 #    buckets — run after a candidate-generation rung at scale)

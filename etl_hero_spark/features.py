@@ -411,3 +411,75 @@ def woe_encoding(
         F.round(woe, scale).alias("woe"),
         F.round((p_pos - p_neg) * woe, scale).alias("iv_contrib"),
     )
+
+
+class CalibrationCapError(RuntimeError):
+    """Raised by isotonic_calibration when the distinct-score table
+    exceeds max_distinct — the driver-side PAV fold is bounded by
+    design; quantize the score (round/bin) before calibrating."""
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    max_distinct: int = 100_000,
+    scale: int = 6,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a binary label
+    on a score — pool-adjacent-violators (PAV), the standard
+    probability-calibration fit (sklearn IsotonicRegression semantics
+    for binary targets).
+
+    The honest distributed shape for an inherently sequential
+    algorithm (the BPE/k-means posture): the corpus contributes ONE
+    groupBy folding to the distinct-score table (score, n, n_pos); that
+    BOUNDED table — capped loudly at ``max_distinct`` via
+    CalibrationCapError, never silently sampled — collects to the
+    driver where PAV merges adjacent pools while any pool's rate
+    exceeds its successor's. All pool arithmetic is exact integers;
+    the calibrated rate divides once at the end.
+
+    Returns the fitted step function as a DataFrame: (pool_id,
+    score_min, score_max, n, n_pos, calibrated), monotone in
+    calibrated — apply with a range join or a when-chain, train/serve
+    symmetric like fit_scaler. NULL scores/labels drop. Python-PAV
+    parity + monotonicity pinned in tests/test_features.py."""
+    lab = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    agg = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).cast("double").alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(lab, 1).otherwise(0)).alias("_p"),
+        )
+    )
+    rows = agg.orderBy("_s").limit(max_distinct + 1).collect()
+    if len(rows) > max_distinct:
+        raise CalibrationCapError(
+            f"isotonic_calibration: more than {max_distinct} distinct "
+            f"scores — the driver-side PAV fold is bounded by design. "
+            "Quantize the score first (round / with_quantile_bin)."
+        )
+    # PAV: stack of pools (s_min, s_max, n, n_pos); merge while the
+    # previous pool's rate exceeds the new one's (non-decreasing fit)
+    pools: list[list] = []
+    for r in rows:
+        cur = [r["_s"], r["_s"], int(r["_n"]), int(r["_p"])]
+        while pools and pools[-1][3] * cur[2] > cur[3] * pools[-1][2]:
+            prev = pools.pop()
+            cur = [prev[0], cur[1], prev[2] + cur[2], prev[3] + cur[3]]
+        pools.append(cur)
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (i, p[0], p[1], p[2], p[3], round(p[3] / p[2], scale))
+            for i, p in enumerate(pools)
+        ]
+        or [(0, None, None, 0, 0, None)],
+        "pool_id int, score_min double, score_max double, "
+        "n bigint, n_pos bigint, calibrated double",
+    )
+    return out.filter(F.col("n") > 0) if not pools else out

@@ -1358,3 +1358,217 @@ def q_multimodal_mp4_metadata(spark, sf_dir):
         "mp4_duration_s",
         "mp4_n_tracks",
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=None,
+    note=(
+        "extension (r5): quality-aware survivor selection — keep the "
+        "highest-quality row per normalized-content fingerprint group "
+        "(casing/whitespace variants collapse; ties to smallest id) "
+        "via ONE max_by groupBy on the md5 key + a LEFT SEMI join "
+        "back on the unique id; no window, both shuffles on uniform "
+        "keys. Fixture plants UPPERCASED clones (same fingerprint, "
+        "lower lowercase-ratio quality) — every survivor must be an "
+        "original. DuckDB arg-max parity in tests/test_dedup.py"
+    ),
+)
+def q_dedup_keep_best(spark, sf_dir):
+    from etl_hero_spark.dedup import dedup_keep_best
+
+    d = _t(spark, sf_dir, "documents")
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper("text").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    pool = d.unionByName(clones)
+    # quality: share of lowercase letters — originals beat the
+    # uppercased clones, identical for unrelated docs
+    quality = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    kept = dedup_keep_best(pool, quality, "doc_id", "text")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum((F.col("doc_id") >= 1_000_000).cast("int"))
+        .cast("bigint")
+        .alias("n_clone_survivors"),
+        F.sum((F.col("doc_id") % 9 == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_variant_group_survivors"),
+    )
+
+
+@register(
+    "profile_weighted_quantile",
+    oracle=None,
+    note=(
+        "extension (r5): exact weighted quantiles (lower-tail: smallest "
+        "value whose inclusive cumulative weight reaches p*W) — the "
+        "estimator F.percentile cannot express (it weighs every row 1); "
+        "corpus folds to the distinct-value weight table, cumulative "
+        "weights via the mann_whitney two-phase prefix scan (never a "
+        "partition-less window), DECIMAL-exact accumulation, one "
+        "bounded agg extracts all requested ps. Quantity-weighted "
+        "lineitem price quartiles. DuckDB window-replication parity in "
+        "tests/test_stattests.py"
+    ),
+)
+def q_profile_weighted_quantile(spark, sf_dir):
+    from etl_hero_spark.stattests import weighted_quantile
+
+    return weighted_quantile(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        ps=[0.25, 0.5, 0.9],
+    )
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=None,
+    note=(
+        "extension (r5): hybrid retrieval — reciprocal-rank fusion "
+        "(Cormack et al. 2009) of a BM25 lexical list and a dense "
+        "cosine list for one query: fused = sum 1/(60+rank), rank-"
+        "based so the incomparable score scales never need "
+        "calibration. The corpus-scale work stays in the two rungs "
+        "(bm25_query_scores TakeOrdered; topk_cosine broadcast-probe); "
+        "fusion is bounded-list arithmetic with ranks from a broadcast "
+        "self-join (no partition-less window). Python parity + "
+        "membership properties in tests/test_simsearch.py"
+    ),
+)
+def q_sim_hybrid_rrf(spark, sf_dir):
+    from etl_hero_spark.simsearch import rank_bounded, rrf_fuse, topk_cosine
+    from etl_hero_spark.textops import bm25_query_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = rank_bounded(
+        bm25_query_scores(
+            docs, ["spark", "table", "window"], top_n=50
+        ),
+        "score",
+        "id",
+    ).withColumnRenamed("id", "doc_id")
+    dense = topk_cosine(
+        emb,
+        emb.filter(F.col("vec_id") == 7).select("vec_id", "embedding"),
+        k=50,
+        query_id_col="vec_id",
+    ).withColumnRenamed("corpus_id", "doc_id")
+    return rrf_fuse(lex, dense, id_col="doc_id", k=10)
+
+
+@register(
+    "sql_market_share",
+    oracle=None,
+    note=(
+        "extension (r5, TPC-H Q8 shape): one focal nation's (NATION_1) share of its "
+        "region's yearly gross revenue — five-table join (region -> "
+        "nation -> customer -> orders -> lineitem) with region/date "
+        "filters pushed to the scans, dimension side broadcast, "
+        "decimal-exact revenue sums, share = one IEEE divide per year "
+        "row. DuckDB five-join parity in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_market_share(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("n_nationkey", "n_name")
+    )
+    joined = (
+        orders.join(
+            li, orders["o_orderkey"] == li["l_orderkey"]
+        )
+        .join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(
+            F.broadcast(dim),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("n_name"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,6)")
+                    - F.col("l_discount").cast("decimal(18,6)")
+                )
+            ).alias("_vol"),
+        )
+    )
+    per_year = joined.groupBy("o_year").agg(
+        F.sum("_vol").alias("_tot"),
+        F.sum(
+            F.when(F.col("n_name") == "NATION_1", F.col("_vol")).otherwise(
+                F.lit(0).cast("decimal(38,8)")
+            )
+        ).alias("_focal"),
+    )
+    return per_year.select(
+        "o_year",
+        F.round(F.col("_focal").cast("double"), 2).alias("focal_revenue"),
+        F.round(F.col("_tot").cast("double"), 2).alias("region_revenue"),
+        F.round(
+            F.col("_focal").cast("double") / F.col("_tot").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@register(
+    "features_isotonic_calibration",
+    oracle=None,
+    note=(
+        "extension (r5): isotonic probability calibration (PAV, "
+        "sklearn IsotonicRegression semantics) of the is-returned "
+        "label on a quantized order-value score — the honest "
+        "distributed shape for an inherently sequential fit (the "
+        "BPE/k-means posture): corpus contributes ONE groupBy to the "
+        "bounded distinct-score table (loud CalibrationCapError past "
+        "max_distinct, never a silent sample); the driver-side PAV "
+        "fold is exact integer arithmetic, one divide per pool at the "
+        "end. Returns the monotone fitted step table (train/serve "
+        "symmetric via range join). Python-PAV parity + monotonicity "
+        "in tests/test_features.py"
+    ),
+)
+def q_features_isotonic_calibration(spark, sf_dir):
+    from etl_hero_spark.features import isotonic_calibration
+
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("_ret", F.lit(1))
+    )
+    marked = orders.join(returned, "o_orderkey", "left").select(
+        F.round(F.col("o_totalprice") / 1000, 0).alias("score"),
+        F.col("_ret").isNotNull().alias("is_returned"),
+    )
+    return isotonic_calibration(
+        marked, "score", "is_returned", max_distinct=10_000
+    ).orderBy("pool_id")

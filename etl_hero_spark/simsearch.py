@@ -1229,3 +1229,98 @@ def diverse_sample_by_cluster(
     return reservoir_per_key(
         assigned, "cluster", n=n_per_cluster, id_col=id_col, salt=salt
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of a lexical and a dense list
+# ---------------------------------------------------------------------------
+
+
+def rank_bounded(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    out_col: str = "rank",
+) -> DataFrame:
+    """1-based dense rank by (score DESC, id ASC) over a BOUNDED table
+    (a top-n retrieval list) — via a broadcast self-join count instead
+    of a partition-less window (the plan-audit posture: a
+    SinglePartition window is the habit that bites when someone reuses
+    the helper on an unbounded frame; the self-join stays correct and
+    merely quadratic in the bounded n)."""
+    other = df.select(
+        F.col(score_col).alias("_s2"), F.col(id_col).alias("_i2")
+    )
+    better = (F.col("_s2") > F.col(score_col)) | (
+        (F.col("_s2") == F.col(score_col))
+        & (F.col("_i2") < F.col(id_col))
+    )
+    return (
+        df.join(F.broadcast(other), better, "left")
+        .groupBy(*df.columns)
+        .agg((F.count("_i2") + 1).cast("int").alias(out_col))
+    )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    dense: DataFrame,
+    id_col: str = "id",
+    k: int = 10,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    lists: fused(d) = sum over lists of 1/(k_rrf + rank_d) — the
+    standard hybrid-search combiner (rank-based, so the two lists'
+    incomparable score scales never need calibration). Inputs are
+    bounded ranked lists carrying (id_col, rank); ids missing from a
+    list simply contribute nothing (the standard convention).
+
+    Output: top-``k`` (id, rrf_score, n_lists, lex_rank, dense_rank)
+    by (rrf_score DESC, id ASC). Everything downstream of the two
+    retrieval ops is bounded-list arithmetic — one union + one groupBy
+    over <= 2n rows; the EXPENSIVE part (scoring the corpus) stays in
+    the rungs that produced the lists. Python parity + membership
+    properties pinned in tests/test_simsearch.py."""
+    lex = lexical.select(
+        F.col(id_col).alias("_id"),
+        F.col("rank").alias("_lr"),
+        F.lit(None).cast("int").alias("_dr"),
+    )
+    den = dense.select(
+        F.col(id_col).alias("_id"),
+        F.lit(None).cast("int").alias("_lr"),
+        F.col("rank").alias("_dr"),
+    )
+    fused = (
+        lex.unionByName(den)
+        .groupBy("_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.lit(1.0)
+                    / (
+                        F.lit(float(k_rrf))
+                        + F.coalesce(F.col("_lr"), F.col("_dr")).cast(
+                            "double"
+                        )
+                    )
+                ),
+                6,
+            ).alias("rrf_score"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+            F.min("_lr").alias("lex_rank"),
+            F.min("_dr").alias("dense_rank"),
+        )
+    )
+    return (
+        fused.select(
+            F.col("_id").alias(id_col),
+            "rrf_score",
+            "n_lists",
+            "lex_rank",
+            "dense_rank",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(int(k))
+    )

@@ -491,6 +491,75 @@ def bootstrap_ci_mean(
     )
 
 
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    ps: list[float] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact weighted quantiles (lower-tail convention): the smallest
+    value whose INCLUSIVE cumulative weight reaches p * total_weight —
+    the estimator behind duplicate-count-weighted medians, token-count-
+    weighted document statistics, and survey-weighted summaries, none
+    of which F.percentile can express (it weights every row 1).
+
+    Rows with NULL value/weight or weight <= 0 drop (a non-positive
+    weight is not an observation). Weights accumulate in
+    DECIMAL(38,6), so the cumulative table is exact; only the final
+    p * W threshold comparison is double (pinned identically in the
+    references).
+
+    Plan: the corpus folds to the distinct-value weight table (ONE
+    groupBy); cumulative weights come from the same two-phase
+    range-bucket prefix scan as mann_whitney (never a partition-less
+    window); one bounded aggregate extracts every requested quantile.
+    Output: one row — n_values, total_weight, and one ``wq_<p>``
+    column per requested p. DuckDB window-replication parity pinned
+    in tests/test_stattests.py."""
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    ps = [0.5] if ps is None else list(ps)
+    if not ps or not all(0.0 < p <= 1.0 for p in ps):
+        raise ValueError("ps must be fractions in (0, 1]")
+    d6 = "decimal(38,6)"
+    vals = parquet_checkpoint(
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.sum(F.col(weight_col).cast(d6)).alias("w")),
+        "wq-vals",
+    )
+    vals = _cum_by_value(vals, "_v", ["w"])
+    # the grand total joins back by broadcast (one tiny row) so the
+    # per-p threshold test is a plain projection, not a nested agg
+    tot = vals.agg(F.sum("w").alias("_W"))
+    joined = vals.crossJoin(F.broadcast(tot))
+    incl = (F.col("_cum_w") + F.col("w")).cast("double")
+    w_d = F.col("_W").cast("double")
+    aggs = [
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.max(w_d), scale).alias("total_weight"),
+    ]
+    for p in ps:
+        name = f"wq_{str(p).replace('.', '_')}"
+        aggs.append(
+            F.round(
+                F.min(
+                    F.when(
+                        incl >= F.lit(float(p)) * w_d,
+                        F.col("_v").cast("double"),
+                    )
+                ),
+                scale,
+            ).alias(name)
+        )
+    return joined.agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # one-way ANOVA
 # ---------------------------------------------------------------------------

@@ -1092,6 +1092,92 @@ def bm25_top_terms(
     )
 
 
+def bm25_query_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 100,
+) -> DataFrame:
+    """BM25 retrieval scores for ONE query against the corpus: score(d)
+    = sum over query terms of the bm25_top_terms term formula — the
+    lexical half of a hybrid (lexical + dense) retrieval stack.
+
+    Output: (id, score, n_matched) for the ``top_n`` best documents —
+    a distributed TakeOrdered (bounded rows to the driver merge, never
+    a global sort). Ties break by id ascending.
+
+    Plan: tokenize once behind a stage boundary; per-doc length dl
+    aggregates the FULL token table (length normalization must see the
+    whole document), while tf and df_t aggregate only the
+    query-term-filtered slice (df_t = docs containing the term — the
+    same value the full bm25 table would hold). N and avgdl ride one
+    broadcast 1-row agg. Identical idf/saturation arithmetic to
+    bm25_top_terms; DuckDB parity pinned in tests/test_textops.py."""
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = parquet_checkpoint(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_expr(text_col)).alias("_t"),
+        ).select("id", F.lower("_t").alias("term")),
+        "bm25q_toks",
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    qtf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(
+            (
+                F.sum("dl").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl")
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    norm = tfd + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    per_term = (
+        qtf.join(F.broadcast(dft), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        # 12dp-round each term's deterministic double, sum in DECIMAL:
+        # per-doc scores are bit-stable under any partitioning (the
+        # dsir_log_weights posture)
+        .withColumn(
+            "_s",
+            F.round(idf * tfd * F.lit(k1 + 1.0) / norm, 12).cast(
+                "decimal(38,18)"
+            ),
+        )
+    )
+    return (
+        per_term.groupBy("id")
+        .agg(
+            F.round(F.sum("_s").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(int(top_n))
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training — the LLM-pipeline step upstream of every token
 # count: learn merge rules from the corpus, then tokenize with them

@@ -380,3 +380,68 @@ def test_fuzzy_decontamination_catches_paraphrased_leakage(spark):
     assert fuzzy[1] == (1, 1.0)  # verbatim estimates 1.0
     assert fuzzy[2][1] >= 0.3
     assert fuzzy[3][0] == 0 and fuzzy[3][1] is None
+
+
+def test_dedup_keep_best_matches_duckdb_argmax(spark, sf_dir):
+    """Quality-aware survivor selection == DuckDB arg_max over the same
+    normalized fingerprint groups; uppercased clones never survive."""
+    import duckdb
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clones = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper("text").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    pool = d.unionByName(clones)
+    quality = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_best(pool, quality, "doc_id", "text").collect()
+    )
+    # DuckDB replica: same normalization (lower + whitespace collapse,
+    # textops.normalized_text_expr), same (quality, -id) arg-max
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            WITH pool AS (
+              SELECT doc_id, text FROM '{sf_dir}/documents.parquet'
+              UNION ALL
+              SELECT doc_id + 1000000, upper(text)
+              FROM '{sf_dir}/documents.parquet' WHERE doc_id % 9 = 0
+            ), q AS (
+              SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                  AS fp,
+                length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                  / greatest(length(text), 1) AS qual
+              FROM pool
+            )
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY fp ORDER BY qual DESC, doc_id ASC) AS rn
+              FROM q
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    assert kept == want
+    assert not any(k >= 1_000_000 for k in kept)  # no clone survives
+
+
+def test_dedup_keep_best_null_quality_loses(spark):
+    df = spark.createDataFrame(
+        [(1, "Same Text", None), (2, "same text", 0.5)],
+        "doc_id long, text string, q double",
+    )
+    kept = [
+        r["doc_id"]
+        for r in dedup.dedup_keep_best(df, F.col("q"), "doc_id", "text").collect()
+    ]
+    assert kept == [2]

@@ -260,3 +260,69 @@ def test_scaler_and_linreg_empty_input_contracts(spark):
 
     with pytest.raises(ValueError, match="no complete cases"):
         linreg_fit(empty, ["x"], "x")
+
+
+def _pav_ref(pairs):
+    """Pure-Python PAV over (score, label) pairs -> [(smin, smax, n,
+    npos, rate)] — the textbook stack merge, exact integers."""
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0])
+    for s, y in pairs:
+        if s is None or y is None:
+            continue
+        agg[float(s)][0] += 1
+        agg[float(s)][1] += int(bool(y))
+    pools = []
+    for s in sorted(agg):
+        cur = [s, s, agg[s][0], agg[s][1]]
+        while pools and pools[-1][3] * cur[2] > cur[3] * pools[-1][2]:
+            prev = pools.pop()
+            cur = [prev[0], cur[1], prev[2] + cur[2], prev[3] + cur[3]]
+        pools.append(cur)
+    return pools
+
+
+def test_isotonic_calibration_matches_python_pav(spark):
+    from etl_hero_spark.features import isotonic_calibration
+
+    # noisy but upward-trending label rate in score
+    pairs = []
+    for i in range(200):
+        s = i % 10
+        y = (i * 7 + s * 13) % 10 < (2 + s)  # rate grows with s, noisily
+        pairs.append((float(s), y))
+    df = spark.createDataFrame(pairs, "score double, y boolean")
+    got = [
+        (r["score_min"], r["score_max"], r["n"], r["n_pos"], r["calibrated"])
+        for r in isotonic_calibration(df, "score", "y")
+        .orderBy("pool_id")
+        .collect()
+    ]
+    want = [
+        (p[0], p[1], p[2], p[3], round(p[3] / p[2], 6)) for p in _pav_ref(pairs)
+    ]
+    assert got == want
+    # the fit is monotone non-decreasing
+    rates = [g[4] for g in got]
+    assert rates == sorted(rates)
+    assert len(got) >= 2, "fixture should produce a non-trivial fit"
+
+
+def test_isotonic_calibration_cap_and_nulls(spark):
+    import pytest as _pytest
+
+    from etl_hero_spark.features import (
+        CalibrationCapError,
+        isotonic_calibration,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), i % 2 == 0) for i in range(50)]
+        + [(None, True), (1.0, None)],
+        "score double, y boolean",
+    )
+    with _pytest.raises(CalibrationCapError, match="distinct"):
+        isotonic_calibration(df, "score", "y", max_distinct=10)
+    out = isotonic_calibration(df, "score", "y").collect()
+    assert sum(r["n"] for r in out) == 50  # NULL score/label dropped

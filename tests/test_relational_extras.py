@@ -18,7 +18,10 @@ def qs():
 
 def _duck(sf_dir, sql):
     con = duckdb.connect()
-    for t in ("orders", "lineitem", "customer", "supplier", "events"):
+    for t in (
+        "orders", "lineitem", "customer", "supplier", "events",
+        "nation", "region",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
@@ -118,3 +121,37 @@ def test_unpivot_round_trips_direct_groupby(spark, qs):
         .collect()
     )
     assert got == [(str(r["day"]), r["event_type"], r["n"]) for r in direct]
+
+
+def test_market_share_matches_duckdb(spark, qs):
+    got = [
+        (r["o_year"], r["focal_revenue"], r["region_revenue"], r["mkt_share"])
+        for r in qs["sql_market_share"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        WITH j AS (
+          SELECT year(o_orderdate) AS o_year, n.n_name,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,6))
+                      - CAST(l_discount AS DECIMAL(18,6))) AS vol
+          FROM orders o
+          JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'AMERICA'
+        )
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN n_name = 'NATION_1' THEN vol
+                 ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE), 2),
+               round(CAST(sum(vol) AS DOUBLE), 2),
+               round(CAST(sum(CASE WHEN n_name = 'NATION_1' THEN vol
+                 ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6)
+        FROM j GROUP BY o_year ORDER BY o_year
+        """,
+    )
+    assert got == ref
+    assert got, "AMERICA region produced no revenue rows"

@@ -687,3 +687,62 @@ def test_diverse_sample_caps_clusters_and_is_deterministic(spark, sf_dir):
     assert ids1 == sorted(r["vec_id"] for r in s2.select("vec_id").collect())
     corpus_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert set(ids1) <= corpus_ids
+
+
+def test_rank_bounded_matches_sorted_order(spark):
+    from etl_hero_spark.simsearch import rank_bounded
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, 0.7), (3, 0.9), (4, 0.1)], "id long, score double"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in rank_bounded(df, "score", "id").collect()
+    }
+    # (score DESC, id ASC): 1 -> 1, 3 -> 2, 2 -> 3, 4 -> 4
+    assert got == {1: 1, 3: 2, 2: 3, 4: 4}
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    from etl_hero_spark.simsearch import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "id long, rank int"
+    )
+    den = spark.createDataFrame(
+        [(12, 1), (13, 2), (10, 3)], "id long, rank int"
+    )
+    got = {
+        r["id"]: (r["rrf_score"], r["n_lists"], r["lex_rank"], r["dense_rank"])
+        for r in rrf_fuse(lex, den, k=10).collect()
+    }
+    K = 60.0
+    want_scores = {
+        10: round(1 / (K + 1) + 1 / (K + 3), 6),
+        11: round(1 / (K + 2), 6),
+        12: round(1 / (K + 3) + 1 / (K + 1), 6),
+        13: round(1 / (K + 2), 6),
+    }
+    assert {k: v[0] for k, v in got.items()} == want_scores
+    assert got[10][1] == 2 and got[11][1] == 1
+    assert got[10][2] == 1 and got[10][3] == 3
+    assert got[13][2] is None and got[13][3] == 2
+
+
+def test_registered_hybrid_query_properties(spark, sf_dir):
+    """Fused top-10: every hit appears in at least one source list;
+    docs in BOTH lists outrank equal-rank single-list docs."""
+    from etl_hero_spark.registry import all_queries
+
+    rows = all_queries()["sim_hybrid_rrf"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    assert rows == sorted(
+        rows, key=lambda r: (-r["rrf_score"], r["doc_id"])
+    )
+    for r in rows:
+        assert r["lex_rank"] is not None or r["dense_rank"] is not None
+        if r["n_lists"] == 2:
+            assert r["lex_rank"] is not None and r["dense_rank"] is not None
+    # the dense query vector is vec_id 7's own embedding -> doc 7 is
+    # dense rank 1 and must surface in the fused list
+    assert any(r["doc_id"] == 7 and r["dense_rank"] == 1 for r in rows)

@@ -273,3 +273,65 @@ def test_degenerate_inputs_yield_null_not_garbage(spark):
     )
     a = anova_oneway(singletons, "v", "g").first()
     assert a["df2"] == 0 and a["f_stat"] is None
+
+
+def test_weighted_quantile_matches_duckdb_window_replication(spark, sf_dir):
+    """Exact weighted quantiles == a DuckDB cumulative-window replica
+    with the identical inclusive-threshold convention."""
+    import duckdb
+
+    from etl_hero_spark.stattests import weighted_quantile
+
+    got = weighted_quantile(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "l_extendedprice",
+        "l_quantity",
+        ps=[0.25, 0.5, 0.9],
+    ).first()
+    want = duckdb.sql(
+        f"""
+        WITH v AS (
+          SELECT l_extendedprice AS v,
+                 sum(CAST(l_quantity AS DECIMAL(38,6))) AS w
+          FROM '{sf_dir}/lineitem.parquet'
+          WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+          GROUP BY 1
+        ), c AS (
+          SELECT v, w,
+                 sum(w) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS incl,
+                 sum(w) OVER () AS tot
+          FROM v
+        )
+        SELECT count(*) AS n_values,
+               round(CAST(max(tot) AS DOUBLE), 6) AS total_weight,
+               round(min(CASE WHEN CAST(incl AS DOUBLE)
+                 >= 0.25 * CAST(tot AS DOUBLE) THEN v END), 6) AS q25,
+               round(min(CASE WHEN CAST(incl AS DOUBLE)
+                 >= 0.5 * CAST(tot AS DOUBLE) THEN v END), 6) AS q50,
+               round(min(CASE WHEN CAST(incl AS DOUBLE)
+                 >= 0.9 * CAST(tot AS DOUBLE) THEN v END), 6) AS q90
+        FROM c
+        """
+    ).fetchone()
+    assert got["n_values"] == want[0]
+    assert got["total_weight"] == pytest.approx(want[1], abs=1e-6)
+    assert got["wq_0_25"] == pytest.approx(want[2], abs=1e-6)
+    assert got["wq_0_5"] == pytest.approx(want[3], abs=1e-6)
+    assert got["wq_0_9"] == pytest.approx(want[4], abs=1e-6)
+
+
+def test_weighted_quantile_unit_weights_and_validation(spark):
+    from etl_hero_spark.stattests import weighted_quantile
+
+    df = spark.createDataFrame(
+        [(float(v), 1.0) for v in (1, 2, 3, 4)] + [(5.0, 0.0), (None, 3.0)],
+        "v double, w double",
+    )
+    row = weighted_quantile(df, "v", "w", ps=[0.5, 1.0]).first()
+    # unit weights, lower-tail: p=0.5 -> cum 2 >= 2 at v=2
+    assert row["n_values"] == 4  # zero-weight and NULL rows dropped
+    assert row["wq_0_5"] == 2.0
+    assert row["wq_1_0"] == 4.0
+    with pytest.raises(ValueError, match="ps"):
+        weighted_quantile(df, "v", "w", ps=[0.0])

@@ -985,3 +985,38 @@ def test_bpe_token_counts_apply_and_oov(spark):
     )
     assert row["n_words"] == 3
     assert row["n_bpe_tokens"] == want
+
+
+def test_bm25_query_scores_match_per_term_sum(spark):
+    """Query scoring == sum of the full model's per-term scores over
+    the query terms, same fixture as the reference test; ranking and
+    tie-break verified; repartition-invariant (decimal-summed)."""
+    docs = [
+        (1, "apple apple the pie"),
+        (2, "the banana pie pie pie"),
+        (3, "the cherry"),
+        (4, "apple banana cherry the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    full = {
+        (r["id"], r["term"]): r["bm25"]
+        for r in textops.bm25_top_terms(df, "doc_id", "text", k=10).collect()
+    }
+    q = ["apple", "pie"]
+    got = {
+        r["id"]: (r["score"], r["n_matched"])
+        for r in textops.bm25_query_scores(df, q).collect()
+    }
+    import pytest as _pytest
+
+    for i in (1, 2, 4):
+        want = sum(full.get((i, t), 0.0) for t in q)
+        n = sum(1 for t in q if (i, t) in full)
+        assert got[i][0] == _pytest.approx(want, abs=2e-6), i
+        assert got[i][1] == n
+    assert 3 not in got  # matches no query term
+    again = {
+        r["id"]: r["score"]
+        for r in textops.bm25_query_scores(df.repartition(5), q).collect()
+    }
+    assert again == {k: v[0] for k, v in got.items()}

@@ -183,15 +183,17 @@ def pagerank(
             deg.withColumnRenamed("src", "node"), "node", "left"
         )
         # contribution along each edge; dangling nodes (NULL deg) give
-        # their whole rank to the uniform redistribution pool
-        dangling = (
+        # their whole rank to the uniform redistribution pool. The
+        # dangling mass stays IN the plan as a broadcast 1-row agg
+        # (r5: the old collected literal cost one extra driver job per
+        # iteration — 2 jobs/iter became 1)
+        dang = (
             with_deg.filter(F.col("deg").isNull())
             .agg(
                 F.coalesce(
                     F.sum(F.col("rank").cast("decimal(38,18)")), F.lit(0)
-                ).alias("d")
+                ).alias("_dang")
             )
-            .first()["d"]
         )
         contribs = (
             with_deg.filter(F.col("deg").isNotNull())
@@ -205,13 +207,20 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
-        spread = base + damping * float(dangling) / n
+        # same double-op order as the previous collected-literal form:
+        # base + (damping * d) / n + damping * in_rank
+        spread = (
+            F.lit(base)
+            + (F.lit(damping) * F.col("_dang").cast("double"))
+            / F.lit(float(n))
+        )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
-                    F.lit(spread)
+                    spread
                     + F.lit(damping)
                     * F.coalesce(
                         F.col("in_rank").cast("double"), F.lit(0.0)

@@ -385,10 +385,33 @@ def png_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+def _byte_at_sql(media_col: str, pos_sql: str) -> str:
+    """SQL text for the unsigned byte value at a DYNAMIC 1-based offset
+    — substring past the end yields empty -> hex '' -> conv NULL, so
+    out-of-bounds reads propagate NULL instead of garbage. SQL-string
+    form: the unrolled walks build thousands of these nodes, and every
+    Column-object construction crosses py4j (~ms each) while one
+    F.expr parses the whole step in a single round trip."""
+    return (
+        f"cast(conv(hex(substring({media_col}, "
+        f"cast(({pos_sql}) as int), 1)), 16, 10) as int)"
+    )
+
+
+def _be_uint_at_sql(media_col: str, pos_sql: str, n_bytes: int) -> str:
+    """SQL text for a big-endian uint at a DYNAMIC offset — the
+    variable-position companion of _be_uint_expr (JPEG segment / MP4
+    box fields live wherever the preceding chain ended)."""
+    terms = [
+        f"cast({_byte_at_sql(media_col, f'({pos_sql}) + {i}')} as bigint)"
+        f" * {256 ** (n_bytes - 1 - i)}"
+        for i in range(n_bytes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _byte_at(media_col: str, pos) -> "F.Column":
-    """Unsigned byte value at a DYNAMIC 1-based offset (Column) —
-    substring past the end yields empty -> hex '' -> conv NULL, so
-    out-of-bounds reads propagate NULL instead of garbage."""
+    """Column form of _byte_at_sql for bounded one-off reads."""
     return F.conv(
         F.hex(F.substring(F.col(media_col), pos.cast("int"), F.lit(1))),
         16,
@@ -397,9 +420,7 @@ def _byte_at(media_col: str, pos) -> "F.Column":
 
 
 def _be_uint_at(media_col: str, pos, n_bytes: int) -> "F.Column":
-    """Big-endian uint at a DYNAMIC offset — the variable-position
-    companion of _be_uint_expr (JPEG segment fields live wherever the
-    preceding segments ended)."""
+    """Column form of _be_uint_at_sql for bounded one-off reads."""
     total = None
     for i in range(n_bytes):
         b = _byte_at(media_col, pos + i).cast("long") * F.lit(
@@ -447,49 +468,59 @@ def mp4_metadata(
     out = df.withColumn(
         "_mp", F.when(is_mp4, F.lit(1).cast("bigint"))
     ).withColumn("_moov", F.lit(None).cast("bigint"))
+    passthru = [c for c in out.columns if c not in ("_mp", "_moov")]
+
+    def tag_sql(pos_sql: str, tag: str) -> str:
+        return (
+            f"hex(substring({media_col}, cast(({pos_sql}) as int), 4)) "
+            f"= '{tag.encode().hex().upper()}'"
+        )
+
+    size_sql = _be_uint_at_sql(media_col, "_mp", 4)
+    moov_sql = (
+        f"CASE WHEN _moov IS NULL AND {tag_sql('_mp + 4', 'moov')} "
+        "THEN _mp ELSE _moov END"
+    )
+    mp_sql = (
+        f"CASE WHEN _moov IS NULL AND NOT {tag_sql('_mp + 4', 'moov')} "
+        f"AND {size_sql} >= 8 THEN _mp + {size_sql} ELSE _mp END"
+    )
     for _ in range(max_boxes):
-        p = F.col("_mp")
-        size = _be_uint_at(media_col, p, 4)
-        out = out.withColumn(
-            "_moov",
-            F.when(
-                F.col("_moov").isNull() & _tag_at(media_col, p + 4, "moov"),
-                p,
-            ).otherwise(F.col("_moov")),
+        out = out.select(
+            *passthru,
+            F.expr(moov_sql).alias("_moov"),
+            F.expr(mp_sql).alias("_mp"),
         )
-        advance = F.col("_moov").isNull() & (size >= 8)
-        out = out.withColumn(
-            "_mp", F.when(advance, p + size).otherwise(p)
-        )
-    moov_end = F.col("_moov") + _be_uint_at(media_col, F.col("_moov"), 4)
     out = (
         out.withColumn("_mq", F.col("_moov") + 8)
         .withColumn("_mvhd", F.lit(None).cast("bigint"))
         .withColumn("_trak", F.lit(0))
     )
+    passthru2 = [
+        c for c in out.columns if c not in ("_mq", "_mvhd", "_trak")
+    ]
+    in_moov_sql = (
+        f"_mq < _moov + {_be_uint_at_sql(media_col, '_moov', 4)}"
+    )
+    csize_sql = _be_uint_at_sql(media_col, "_mq", 4)
+    mvhd_sql = (
+        f"CASE WHEN _mvhd IS NULL AND {in_moov_sql} "
+        f"AND {tag_sql('_mq + 4', 'mvhd')} THEN _mq ELSE _mvhd END"
+    )
+    trak_sql = (
+        f"_trak + CASE WHEN {in_moov_sql} "
+        f"AND {tag_sql('_mq + 4', 'trak')} THEN 1 ELSE 0 END"
+    )
+    mq_sql = (
+        f"CASE WHEN {in_moov_sql} AND {csize_sql} >= 8 "
+        f"THEN _mq + {csize_sql} ELSE _mq + {10**9} END"
+    )
     for _ in range(max_boxes):
-        q = F.col("_mq")
-        csize = _be_uint_at(media_col, q, 4)
-        in_moov = q < moov_end
-        out = out.withColumn(
-            "_mvhd",
-            F.when(
-                F.col("_mvhd").isNull()
-                & in_moov
-                & _tag_at(media_col, q + 4, "mvhd"),
-                q,
-            ).otherwise(F.col("_mvhd")),
-        )
-        out = out.withColumn(
-            "_trak",
-            F.col("_trak")
-            + F.when(
-                in_moov & _tag_at(media_col, q + 4, "trak"), 1
-            ).otherwise(0),
-        )
-        advance = in_moov & (csize >= 8)
-        out = out.withColumn(
-            "_mq", F.when(advance, q + csize).otherwise(q + F.lit(10**9))
+        out = out.select(
+            *passthru2,
+            F.expr(mvhd_sql).alias("_mvhd"),
+            F.expr(trak_sql).alias("_trak"),
+            F.expr(mq_sql).alias("_mq"),
         )
     h = F.col("_mvhd")
     version = _byte_at(media_col, h + 8)
@@ -558,25 +589,28 @@ def jpeg_metadata(
         "_jp", F.when(is_jpeg, F.lit(3).cast("bigint"))
     ).withColumn("_jsof", F.lit(None).cast("bigint"))
     sof_vals = list(_JPEG_SOF_MARKERS)
+    passthru = [c for c in out.columns if c not in ("_jp", "_jsof")]
+    sof_in = ", ".join(str(v) for v in sof_vals)
+    stop_in = ", ".join(str(v) for v in sof_vals + [0xDA, 0xD9])
+    ff_sql = f"{_byte_at_sql(media_col, '_jp')} = 255"
+    mk_sql = _byte_at_sql(media_col, "_jp + 1")
+    ln_sql = _be_uint_at_sql(media_col, "_jp + 2", 2)
+    # ONE projection and TWO py4j expr calls per hop (plan-analysis
+    # and py4j costs both scale with stacked Projects / Column calls)
+    jsof_sql = (
+        f"CASE WHEN _jsof IS NULL AND {ff_sql} "
+        f"AND {mk_sql} IN ({sof_in}) THEN _jp ELSE _jsof END"
+    )
+    jp_sql = (
+        f"CASE WHEN _jsof IS NULL AND {ff_sql} "
+        f"AND {mk_sql} NOT IN ({stop_in}) AND {ln_sql} >= 2 "
+        f"THEN _jp + 2 + {ln_sql} ELSE _jp END"
+    )
     for _ in range(max_segments):
-        p = F.col("_jp")
-        ff = _byte_at(media_col, p) == 0xFF
-        mk = _byte_at(media_col, p + 1)
-        seglen = _be_uint_at(media_col, p + 2, 2)
-        out = out.withColumn(
-            "_jsof",
-            F.when(
-                F.col("_jsof").isNull() & ff & mk.isin(sof_vals), p
-            ).otherwise(F.col("_jsof")),
-        )
-        advance = (
-            F.col("_jsof").isNull()
-            & ff
-            & ~mk.isin(sof_vals + [0xDA, 0xD9])
-            & (seglen >= 2)
-        )
-        out = out.withColumn(
-            "_jp", F.when(advance, p + 2 + seglen).otherwise(p)
+        out = out.select(
+            *passthru,
+            F.expr(jsof_sql).alias("_jsof"),
+            F.expr(jp_sql).alias("_jp"),
         )
     sof = F.col("_jsof")
     marker = _byte_at(media_col, sof + 1)

@@ -3156,8 +3156,13 @@ def q_multimodal_png_metadata(spark, sf_dir):
 )
 def q_multimodal_jpeg_metadata(spark, sf_dir):
     from etl_hero_spark.multimodal import jpeg_metadata
+    from etl_hero_spark.skew import ensure_min_partitions
 
-    part = _t(spark, sf_dir, "part").select("p_partkey")
+    # the part fixture is ONE file: spread it or the unrolled SOF walk
+    # runs on a single task (the expression-heavy-scan gotcha)
+    part = ensure_min_partitions(
+        _t(spark, sf_dir, "part").select("p_partkey")
+    )
     w_h = "lpad(hex(pmod(p_partkey, 1000) + 1), 4, '0')"
     h_h = "lpad(hex(pmod(p_partkey * 7, 800) + 1), 4, '0')"
     sof_marker = (
@@ -3180,7 +3185,11 @@ def q_multimodal_jpeg_metadata(spark, sf_dir):
             F.expr("unhex('89504E470D0A1A0A')"),  # PNG magic: not JPEG
         ).otherwise(F.expr(hdr)),
     )
-    return jpeg_metadata(media).select(
+    # max_segments=12: EXIF-grade header depth at half the unrolled
+    # plan's analysis+codegen cost (the fixture's SOF sits at hop 3;
+    # real-world APPn/DQT/DHT chains rarely exceed ~10 segments —
+    # deeper corpora pass a larger bound to jpeg_metadata directly)
+    return jpeg_metadata(media, max_segments=12).select(
         "p_partkey",
         "is_jpeg",
         "jpeg_sof",

@@ -1319,8 +1319,13 @@ def q_events_gap_fill_linear(spark, sf_dir):
 )
 def q_multimodal_mp4_metadata(spark, sf_dir):
     from etl_hero_spark.multimodal import mp4_metadata
+    from etl_hero_spark.skew import ensure_min_partitions
 
-    part = _t(spark, sf_dir, "part").select("p_partkey")
+    # the part fixture is ONE file: spread it or the unrolled box walk
+    # runs on a single task (the expression-heavy-scan gotcha)
+    part = ensure_min_partitions(
+        _t(spark, sf_dir, "part").select("p_partkey")
+    )
     ts_h = "lpad(hex(pmod(p_partkey, 9) + 1), 8, '0')"          # timescale 1..9
     dur_h = "lpad(hex(pmod(p_partkey * 3, 1000) + 10), 8, '0')"  # duration
     # one or two trak stubs (8-byte empty boxes) by key parity

@@ -232,6 +232,18 @@ NOTES = {
         "merged query against the histogram alone; combined work is "
         "unchanged, one registration fewer."
     ),
+    "analytics_copurchase_pairs": (
+        "r5: the five graph queries now share a session-memoized "
+        "co-purchase pair index (build-once posture, keyed by fixture "
+        "mtime + params) — whichever family member runs FIRST per "
+        "param set pays the build + memo write (~3s extra here), and "
+        "triangles/bfs/pagerank read it back (4.9s -> ~1.2s, 8.6s -> "
+        "~1.8s). Compare the family total, not this entry."
+    ),
+    "analytics_triangles": (
+        "r5: reads the memoized co-purchase pair index (see "
+        "analytics_copurchase_pairs) — expect well under prior."
+    ),
     "analytics_pagerank": (
         "first benched in r5 (VERDICT #5: the iterative family needed "
         "a tracked number beyond bfs_hops) — 6 decimal-deterministic "

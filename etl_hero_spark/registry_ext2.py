@@ -473,15 +473,12 @@ def q_events_unpivot_daily(spark, sf_dir):
     ),
 )
 def q_analytics_bfs_hops(spark, sf_dir):
-    from etl_hero_spark.analytics import bfs_distances, copurchase_pairs
+    from etl_hero_spark.analytics import bfs_distances
+    from etl_hero_spark.registry_ext import _copurchase_pairs_memo
 
-    pairs = copurchase_pairs(
-        _t(spark, sf_dir, "lineitem"),
-        "l_orderkey",
-        "l_partkey",
-        max_basket_size=50,
-        min_count=3,
-    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    pairs = _copurchase_pairs_memo(spark, sf_dir, min_count=3).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
     seeds = pairs.agg(F.min("src").alias("node"))
     dist = bfs_distances(pairs, seeds, max_hops=4, boundary="local")
     return (

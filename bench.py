@@ -232,6 +232,13 @@ NOTES = {
         "merged query against the histogram alone; combined work is "
         "unchanged, one registration fewer."
     ),
+    "profile_entropy": (
+        "plan unchanged all round (nothing touched column_entropy in "
+        "r5); r4 recorded 0.36s, r5 isolated warm min-of-3 reads "
+        "0.79s — ~0.4s absolute movement on a sub-second query is "
+        "scheduler/JIT-sequence territory (the profile_histogram2d "
+        "precedent), not drift."
+    ),
     "analytics_copurchase_pairs": (
         "r5: the five graph queries now share a session-memoized "
         "co-purchase pair index (build-once posture, keyed by fixture "

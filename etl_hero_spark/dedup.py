@@ -101,6 +101,30 @@ def dedup_exact_content(
     ).drop("_fp")
 
 
+def keep_best_ids(
+    df: DataFrame,
+    quality,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The survivor-ID table behind dedup_keep_best AND its streaming
+    twin (stream_keep_best): one row per content fingerprint with the
+    (quality desc, id asc) arg-max id and its quality — sharing the
+    aggregate makes stream==batch a statement about the SAME
+    expression, not two re-implementations. Output: (_fp, keep_id,
+    keep_quality)."""
+    q = F.coalesce(quality.cast("double"), F.lit(float("-inf")))
+    ordk = F.struct(q.alias("q"), (-F.col(id_col)).alias("neg"))
+    return (
+        df.withColumn("_fp", fingerprint_expr(text_col))
+        .groupBy("_fp")
+        .agg(
+            F.max_by(F.col(id_col), ordk).alias("keep_id"),
+            F.max(ordk)["q"].alias("keep_quality"),
+        )
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     quality,
@@ -122,23 +146,10 @@ def dedup_keep_best(
     then a LEFT SEMI join on the unique id brings the full surviving
     rows back. No window, no sort, both shuffles on uniform keys.
     DuckDB arg-max parity pinned in tests/test_dedup.py."""
-    q = F.coalesce(
-        quality.cast("double"), F.lit(float("-inf"))
+    keep = keep_best_ids(df, quality, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
     )
-    with_fp = df.withColumn("_fp", fingerprint_expr(text_col))
-    keep = (
-        with_fp.groupBy("_fp")
-        .agg(
-            F.max_by(
-                F.col(id_col),
-                F.struct(
-                    q.alias("q"), (-F.col(id_col)).alias("neg_id")
-                ),
-            ).alias(id_col)
-        )
-        .select(id_col)
-    )
-    return with_fp.join(keep, id_col, "left_semi").drop("_fp")
+    return df.join(keep, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------

@@ -483,3 +483,44 @@ def isotonic_calibration(
         "n bigint, n_pos bigint, calibrated double",
     )
     return out.filter(F.col("n") > 0) if not pools else out
+
+
+def isotonic_apply(
+    df: DataFrame,
+    fitted: DataFrame,
+    score_col: str,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Serve side of isotonic_calibration: map each row's score through
+    the fitted monotone step table. Scores inside a pool take that
+    pool's rate; scores BETWEEN pools (unseen at fit time) take the
+    nearest pool below — the standard right-continuous step convention
+    (clamping at the ends: below the first pool -> first rate, above
+    the last -> last rate). NULL scores stay NULL.
+
+    The fitted table is bounded (pools <= distinct scores <= the fit
+    cap), so the apply is a BROADCAST range join — one scan of df, no
+    shuffle. Train/serve symmetry pinned in tests/test_features.py."""
+    pools = fitted.select(
+        F.col("score_min").alias("_lo"),
+        F.col("pool_id").alias("_pid"),
+        F.col("calibrated").alias("_cal"),
+    )
+    s = F.col(score_col).cast("double")
+    # nearest pool below = max pool_id with score_min <= s; clamp low
+    # scores into the first pool via the join-miss fallback
+    joined = df.join(
+        F.broadcast(pools), s >= F.col("_lo"), "left"
+    )
+    first = fitted.agg(F.min_by("calibrated", "pool_id").alias("_f"))
+    best = (
+        joined.groupBy(*df.columns)
+        .agg(F.max_by("_cal", "_pid").alias("_best"))
+        .crossJoin(F.broadcast(first))
+    )
+    return best.withColumn(
+        out_col,
+        F.when(s.isNull(), F.lit(None).cast("double")).otherwise(
+            F.coalesce(F.col("_best"), F.col("_f"))
+        ),
+    ).drop("_best", "_f")

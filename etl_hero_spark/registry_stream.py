@@ -1091,3 +1091,43 @@ def q_stream_ab_monitor(spark, sf_dir):
     from etl_hero_spark.streaming import stream_ab_monitor
 
     return stream_ab_monitor(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_dedup_best",
+    oracle=None,
+    note=(
+        "streaming extension (r5): quality-aware survivor view as a "
+        "TRUE streaming twin of dedup_keep_best — the 16th twin. State "
+        "is ONE (keep_id, keep_quality) row per content fingerprint "
+        "(the inherent floor for a keep-best view), maintained by the "
+        "SAME max_by aggregate the batch operator uses "
+        "(dedup.keep_best_ids — shared expression, not a "
+        "re-implementation), complete mode, no watermark (a better "
+        "rendition arriving later replaces the survivor — the point of "
+        "the view). Drained sink == batch keep table pinned in "
+        "tests/test_streaming.py. Summary output: survivors + mean "
+        "kept quality"
+    ),
+)
+def q_stream_dedup_best(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_keep_best
+
+    quality = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    kept = stream_keep_best(
+        spark, f"{sf_dir}/documents.parquet", quality
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.countDistinct("keep_id").cast("bigint").alias("n_survivors"),
+        F.round(
+            F.sum(F.col("keep_quality").cast("decimal(28,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )

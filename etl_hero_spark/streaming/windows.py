@@ -1491,3 +1491,64 @@ def stream_ab_monitor(
         F.round(t, 6).alias("t_stat"),
         F.round(df_w, 6).alias("df_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming quality-aware dedup survivor view (16th twin)
+# ---------------------------------------------------------------------------
+
+
+def _docs_stream_source(
+    spark: SparkSession, path: str, prefix: str = "etl_hero_stream_docs_"
+) -> DataFrame:
+    """File-stream source over the documents parquet (plain types — no
+    ts normalization needed; same cached symlink-dir staging as the
+    events source)."""
+    import os
+
+    key = (os.path.realpath(path), "docs")
+    d = _STREAM_SRC_DIRS.get(key)
+    if d is None:
+        from etl_hero_spark.checkpoint import session_tmpdir
+
+        d = session_tmpdir(prefix)
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        _STREAM_SRC_DIRS[key] = d
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def stream_keep_best(
+    spark: SparkSession,
+    docs_path: str,
+    quality,
+    query_name: str = "etl_hero_stream_keepbest",
+) -> DataFrame:
+    """TRUE streaming twin of dedup_keep_best — the 16th twin: the
+    quality-aware survivor view maintained incrementally. State is ONE
+    (keep_id, keep_quality) row per content fingerprint — the inherent
+    floor for any keep-best view (you cannot decide a group's survivor
+    with less than its current best) — via the same max_by aggregate
+    as the batch operator, complete mode, no watermark (a better
+    rendition arriving later simply replaces the survivor, which is
+    the point of the view). Drained sink == batch keep table pinned in
+    tests/test_streaming.py; the aggregate IS dedup.keep_best_ids —
+    shared expression, not a re-implementation."""
+    from etl_hero_spark.dedup import keep_best_ids
+
+    src = _docs_stream_source(spark, docs_path)
+    agg = keep_best_ids(src, quality)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

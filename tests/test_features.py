@@ -326,3 +326,33 @@ def test_isotonic_calibration_cap_and_nulls(spark):
         isotonic_calibration(df, "score", "y", max_distinct=10)
     out = isotonic_calibration(df, "score", "y").collect()
     assert sum(r["n"] for r in out) == 50  # NULL score/label dropped
+
+
+def test_isotonic_apply_steps_and_clamps(spark):
+    from etl_hero_spark.features import isotonic_apply, isotonic_calibration
+
+    train = spark.createDataFrame(
+        [(1.0, False)] * 8 + [(1.0, True)] * 2
+        + [(5.0, False)] * 5 + [(5.0, True)] * 5
+        + [(9.0, True)] * 9 + [(9.0, False)] * 1,
+        "score double, y boolean",
+    )
+    fitted = isotonic_calibration(train, "score", "y")
+    serve = spark.createDataFrame(
+        [(0, -3.0), (1, 1.0), (2, 3.0), (3, 5.0), (4, 7.5), (5, 9.0),
+         (6, 42.0), (7, None)],
+        "id long, score double",
+    )
+    got = {
+        r["id"]: r["calibrated"]
+        for r in isotonic_apply(serve, fitted, "score").collect()
+    }
+    assert got[1] == 0.2 and got[3] == 0.5 and got[5] == 0.9
+    assert got[0] == 0.2  # below first pool clamps to first rate
+    assert got[2] == 0.2  # between pools -> nearest below
+    assert got[4] == 0.5
+    assert got[6] == 0.9  # above last clamps to last rate
+    assert got[7] is None  # NULL passes through
+    # monotone mapping on the serve set (ignoring the NULL)
+    ordered = [got[i] for i in (0, 1, 2, 3, 4, 5, 6)]
+    assert ordered == sorted(ordered)

@@ -925,3 +925,29 @@ def test_stream_ab_monitor_equals_batch_welch(spark, sf_dir, events):
     ).first()
     got = stream_ab_monitor(spark, f"{sf_dir}/events.parquet").first()
     assert got.asDict() == batch.asDict()
+
+
+def test_stream_keep_best_equals_batch(spark, sf_dir):
+    """16th twin: the streaming quality-aware survivor view drains to
+    EXACTLY the batch keep table (same shared aggregate, same
+    fingerprint groups, same arg-max)."""
+    from etl_hero_spark.dedup import keep_best_ids
+    from etl_hero_spark.streaming import stream_keep_best
+
+    quality = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {
+        (r["_fp"], r["keep_id"], r["keep_quality"])
+        for r in keep_best_ids(docs, quality).collect()
+    }
+    streamed = {
+        (r["_fp"], r["keep_id"], r["keep_quality"])
+        for r in stream_keep_best(
+            spark, f"{sf_dir}/documents.parquet", quality,
+            query_name="etl_hero_stream_keepbest_t",
+        ).collect()
+    }
+    assert streamed == batch and batch

@@ -189,6 +189,7 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "sql_market_share",
     "features_isotonic_calibration",
+    "pipeline_dsir_curate",
 ]
 
 

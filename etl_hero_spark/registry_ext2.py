@@ -1574,3 +1574,64 @@ def q_features_isotonic_calibration(spark, sf_dir):
     return isotonic_calibration(
         marked, "score", "is_returned", max_distinct=10_000
     ).orderBy("pool_id")
+
+
+@register(
+    "pipeline_dsir_curate",
+    oracle=None,
+    note=(
+        "extension (r5): targeted-curation capstone — the DSIR recipe "
+        "end to end: importance weights against the src0 target domain "
+        "(bounded hashed-ngram models), Gumbel-top-k resample to a "
+        "token budget's worth of documents, exact-8-gram benchmark "
+        "decontamination of the SELECTED set only (decontaminating "
+        "after selection touches budget-many docs, not the corpus), "
+        "token-count summary per source. Each stage is its own tested "
+        "operator (dsir.py, dedup.py); this query pins the composition "
+        "+ the stage boundaries between them (weighted table feeds the "
+        "resampler AND the final join; checkpointed once). Stage "
+        "counts reported so a drop is attributable"
+    ),
+)
+def q_pipeline_dsir_curate(spark, sf_dir):
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.dedup import flag_benchmark_contamination
+    from etl_hero_spark.dsir import dsir_log_weights, dsir_resample
+    from etl_hero_spark.textops import token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = parquet_checkpoint(
+        dsir_log_weights(
+            docs, F.col("source") == "src0", n_buckets=1024
+        ).select("doc_id", "text", "source", "is_target", "log_weight"),
+        "dsir-curate-w",
+    )
+    picked = parquet_checkpoint(
+        dsir_resample(weighted, budget=300, temperature=1.0),
+        "dsir-curate-pick",
+    )
+    # benchmark = a deterministic slice of the corpus posing as an eval
+    # set; overlap flags on exact 8-gram collision
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    flagged = flag_benchmark_contamination(
+        picked.select("doc_id", "text", "source"), bench, n=8
+    )
+    clean = flagged.filter(F.col("contaminated") == 0)
+    return (
+        clean.withColumn("n_tokens", token_count_expr("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(
+            F.broadcast(
+                flagged.agg(
+                    F.count(F.lit(1)).alias("n_selected"),
+                    F.sum("contaminated").cast("bigint")
+                    .alias("n_contaminated"),
+                )
+            )
+        )
+        .orderBy("source")
+    )

@@ -139,3 +139,23 @@ def test_resample_rejects_bad_params(spark):
         dsir_resample(df, budget=0)
     with pytest.raises(ValueError, match="temperature"):
         dsir_resample(df, budget=1, temperature=0.0)
+
+
+def test_pipeline_dsir_curate_stage_accounting(spark, sf_dir):
+    """Composition pins: budget honored, contaminated docs really
+    leave, per-source counts sum to selected minus contaminated, and
+    src0 (the target domain) is enriched relative to its corpus share."""
+    from etl_hero_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_dsir_curate"](spark, sf_dir).collect()
+    assert rows
+    n_selected = rows[0]["n_selected"]
+    n_cont = rows[0]["n_contaminated"]
+    assert n_selected == 300
+    assert sum(r["n_docs"] for r in rows) == n_selected - n_cont
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.count()
+    src0 = docs.filter(F.col("source") == "src0").count()
+    got_src0 = next(r["n_docs"] for r in rows if r["source"] == "src0")
+    kept = n_selected - n_cont
+    assert got_src0 / kept > src0 / total, "target domain not enriched"

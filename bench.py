@@ -190,6 +190,8 @@ HEADLINE = [
     "sql_market_share",
     "features_isotonic_calibration",
     "pipeline_dsir_curate",
+    "sql_disjunctive_promo",
+    "sql_returned_item_ranking",
 ]
 
 

@@ -1635,3 +1635,93 @@ def q_pipeline_dsir_curate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sql_disjunctive_promo",
+    oracle=None,
+    note=(
+        "extension (r5, TPC-H Q19 shape): revenue under an OR of "
+        "brand/size/quantity conjunction clauses — the classic "
+        "disjunctive-predicate pushdown test: the part-side brand/size "
+        "conjunctions and the lineitem quantity bounds each reach "
+        "their own scan (asserted in tests/test_plans.py), the join "
+        "stays an equi-join on partkey with the residual OR applied "
+        "post-join, dimension side broadcast, decimal-exact revenue. "
+        "DuckDB parity in tests/test_relational_extras.py"
+    ),
+)
+def q_sql_disjunctive_promo(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & size.between(1, 25)
+         & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & size.between(1, 35)
+           & qty.between(10, 35))
+        | ((F.col("p_brand") == "Brand#34") & size.between(1, 50)
+           & qty.between(20, 50))
+    )
+    joined = li.join(
+        F.broadcast(
+            part.filter(
+                F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+                & size.between(1, 50)
+            )
+        ),
+        li["l_partkey"] == part["p_partkey"],
+    ).filter(clause)
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,6)")
+            - F.col("l_discount").cast("decimal(18,6)")
+        )
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(vol).cast("double"), 2).alias("revenue"),
+    ).orderBy("p_brand")
+
+
+@register(
+    "sql_returned_item_ranking",
+    oracle=None,
+    note=(
+        "extension (r5, TPC-H Q10 shape): top customers by revenue "
+        "lost to returns in one quarter — orders date-filtered at the "
+        "scan, lineitem returnflag-filtered at the scan, two "
+        "equi-joins, decimal-exact lost revenue, deterministic "
+        "top-20 (revenue desc, custkey asc). DuckDB parity in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_returned_item_ranking(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,6)")
+            - F.col("l_discount").cast("decimal(18,6)")
+        )
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned_lines"),
+            F.round(F.sum(vol).cast("double"), 2).alias("lost_revenue"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

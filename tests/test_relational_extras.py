@@ -20,7 +20,7 @@ def _duck(sf_dir, sql):
     con = duckdb.connect()
     for t in (
         "orders", "lineitem", "customer", "supplier", "events",
-        "nation", "region",
+        "nation", "region", "part",
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -155,3 +155,54 @@ def test_market_share_matches_duckdb(spark, qs):
     )
     assert got == ref
     assert got, "AMERICA region produced no revenue rows"
+
+
+def test_disjunctive_promo_matches_duckdb(spark, qs):
+    got = [
+        (r["p_brand"], r["n_lines"], r["revenue"])
+        for r in qs["sql_disjunctive_promo"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        SELECT p_brand, count(*)::BIGINT,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,6))
+                    - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+        GROUP BY p_brand ORDER BY p_brand
+        """,
+    )
+    assert got == ref and got
+
+
+def test_returned_item_ranking_matches_duckdb(spark, qs):
+    got = [
+        (r["c_custkey"], r["c_mktsegment"], r["n_returned_lines"],
+         r["lost_revenue"])
+        for r in qs["sql_returned_item_ranking"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        SELECT c_custkey, c_mktsegment, count(*)::BIGINT,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,6))
+                    - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+                 AS lost
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+        GROUP BY c_custkey, c_mktsegment
+        ORDER BY lost DESC, c_custkey ASC LIMIT 20
+        """,
+    )
+    assert got == ref and got

@@ -231,3 +231,16 @@ from etl_hero_spark.analytics import (  # noqa: F401
     target_encode_oof,
 )
 from etl_hero_spark.profile import mutual_information  # noqa: F401
+
+# round-5 additions
+from etl_hero_spark.dedup import dedup_keep_best, keep_best_ids  # noqa: F401
+from etl_hero_spark.dsir import dsir_log_weights, dsir_resample  # noqa: F401
+from etl_hero_spark.features import (  # noqa: F401
+    isotonic_apply,
+    isotonic_calibration,
+)
+from etl_hero_spark.multimodal import jpeg_metadata, mp4_metadata  # noqa: F401
+from etl_hero_spark.simsearch import rank_bounded, rrf_fuse  # noqa: F401
+from etl_hero_spark.stattests import weighted_quantile  # noqa: F401
+from etl_hero_spark.temporal import resample_interpolate  # noqa: F401
+from etl_hero_spark.textops import bm25_query_scores  # noqa: F401

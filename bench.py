@@ -43,7 +43,6 @@ HEADLINE = [
     # extensions
     "text_stats",
     "text_tfidf_topk",
-    "text_lang_fingerprint",
     "text_chunks",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
@@ -53,7 +52,6 @@ HEADLINE = [
     "join_salted_orders_customer",
     "distinct_customers_per_priority",
     "events_asof_join",
-    "events_range_join_count",
     "profile_stats",  # absorbed profile_quantiles + profile_correlation
     "profile_histogram",
     "agg_pricing_grouping_sets",
@@ -153,7 +151,6 @@ HEADLINE = [
     # streaming transition-matrix twin stays registered-unbenched like
     # the other twins)
     "profile_welch_ttest",
-    "profile_mann_whitney",
     "profile_ks_test",
     "events_acf",
     "text_pmi_collocations",
@@ -163,11 +160,9 @@ HEADLINE = [
     "analytics_pagerank",  # bounded 6-iteration run — tracked since r5
     "sql_orders_with_returns",
     "sql_top_revenue_suppliers",
-    "events_unpivot_daily",
     "analytics_rfm_segments",
     "analytics_assoc_rules",
     "profile_bootstrap_ci",
-    "profile_anova_oneway",
     "features_woe_encoding",
     "events_holt_forecast",
     "profile_entropy",
@@ -240,17 +235,29 @@ NOTES = {
         "registration fewer. (History: the r2->r3 step was the hot-key "
         "cap turning default-on, ~0.3s of in-exchange sort.)"
     ),
-    "events_asof_join": (
-        "plan unchanged; idle-host min-of-3 at r4 reproduced r3 exactly "
-        "(0.49s, ratio 1.00) — the r3-reported 1.27x was host noise."
-    ),
     "text_stats": (
         "r4w3 absorbed the Gopher rule-gate columns (formerly the "
         "separate text_quality_filter query, ~0.8s of line-split + "
         "ratio expressions) into this query to free a driver-window "
-        "slot — the vs_prev ratio compares the merged query against "
-        "the lean one; combined work is unchanged, one registration "
-        "fewer."
+        "slot; r6 additionally absorbed text_lang_fingerprint "
+        "(marker-word language ID + content/shingle fingerprints, "
+        "~1.1s, same single documents scan) — compare vs_prev against "
+        "the SUM of the prior text_stats + text_lang_fingerprint "
+        "entries; combined work is unchanged, one registration fewer."
+    ),
+    "profile_welch_ttest": (
+        "r6 absorbed profile_mann_whitney (~0.8s) and "
+        "profile_anova_oneway (~0.5s) as test-tagged rows to free two "
+        "driver-window slots — compare vs_prev against the SUM of the "
+        "three prior entries; combined work is unchanged, two "
+        "registrations fewer."
+    ),
+    "events_asof_join": (
+        "r6 absorbed events_range_join_count (~0.9s) as part='range' "
+        "tagged rows to free a driver-window slot — compare vs_prev "
+        "against the SUM of the two prior entries. (History: the "
+        "r3-reported 1.27x was host noise; idle min-of-3 at r4 "
+        "reproduced r3 exactly.)"
     ),
     "profile_histogram": (
         "r4 absorbed profile_grouped_median (two exact interpolated "

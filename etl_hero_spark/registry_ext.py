@@ -53,14 +53,28 @@ def _sql_shingles(tok_expr: str, n: int = 3) -> str:
 
 _GOPHER_WORDS_SQL = "['the','be','to','of','and','that','have','with']"
 
+_LANGS_SQL = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit']",
+    "en": "['the','and','of','is','that','with','for','not']",
+    "es": "['el','la','de','que','los','una','con','por']",
+    "fr": "['le','la','et','les','des','une','est','dans']",
+}
+
 
 @register(
     "text_stats",
     oracle=(
         "WITH t AS (SELECT doc_id, text, "
         f"{_SQL_TOKS.format(c='text')} AS toks, "
+        f"{_SQL_NORM.format(c='text')} AS norm, "
         "string_split(text, chr(10)) AS lns FROM documents), "
-        "s AS (SELECT doc_id, "
+        "s AS (SELECT doc_id, norm, "
+        + ", ".join(
+            f"len(list_filter(toks, x -> list_contains({words}, lower(x))))"
+            f" AS s_{lang}"
+            for lang, words in _LANGS_SQL.items()
+        )
+        + ", "
         "cast(len(toks) as int) AS n_tokens, "
         "cast(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), "
         "x -> len(x) > 0)) as int) AS n_pieces, "
@@ -96,7 +110,10 @@ _GOPHER_WORDS_SQL = "['the','be','to','of','and','that','have','with']"
         "cast(len(list_intersect(list_distinct(list_transform(toks, "
         f"x -> lower(x))), {_GOPHER_WORDS_SQL})) as int) AS n_required_hits "
         "FROM t) "
-        "SELECT *, cast(CASE WHEN "
+        "SELECT doc_id, n_tokens, n_pieces, n_chars_q, avg_token_len, "
+        "punct_ratio, stopword_ratio, distinct_ratio, symbol_ratio, "
+        "bullet_ratio, ellipsis_ratio, alpha_ratio, n_required_hits, "
+        "cast(CASE WHEN "
         "n_tokens BETWEEN 50 AND 100000 "
         "AND avg_token_len BETWEEN 3.0 AND 10.0 "
         "AND symbol_ratio <= 0.1 "
@@ -104,29 +121,49 @@ _GOPHER_WORDS_SQL = "['the','be','to','of','and','that','have','with']"
         "AND ellipsis_ratio <= 0.3 "
         "AND alpha_ratio >= 0.8 "
         "AND n_required_hits >= 2 "
-        "THEN 1 ELSE 0 END as int) AS passes_gopher FROM s"
+        "THEN 1 ELSE 0 END as int) AS passes_gopher, "
+        "CASE "
+        "WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+        "ELSE 'fr' END AS predicted_lang, "
+        "md5(norm) AS fp_md5, "
+        f"md5(array_to_string({_sql_shingles(_SQL_TOKS.format(c='norm'))}, chr(31))) "
+        "AS fp_shingle FROM s"
     ),
     note=(
         "extension: per-doc token counts (whitespace + BPE-ish pieces), "
-        "quality signals (length/punct/stopword/distinct ratios) AND the "
+        "quality signals (length/punct/stopword/distinct ratios), the "
         "Gopher rule gate (published heuristics: symbol/bullet/ellipsis "
-        "ratios, alphabetic fraction, required-word presence, pass flag) "
-        "in ONE narrow single-scan projection — formerly the separate "
-        "text_quality_filter query, absorbed r4w3 to free a driver-"
-        "window slot for a promoted query with zero lost coverage "
-        "(its n_words/mean_word_len were n_tokens/avg_token_len under "
-        "other names)"
+        "ratios, alphabetic fraction, required-word presence, pass "
+        "flag), AND the marker-word language ID (argmax, alphabetical "
+        "tie-break) + content/shingle fingerprints — all in ONE narrow "
+        "single-scan projection. Absorption history: "
+        "text_quality_filter merged r4w3; text_lang_fingerprint "
+        "(itself the earlier text_langid + text_fingerprint merge) "
+        "merged r6 — its oracle columns are byte-unchanged, computed "
+        "from the same scan — each time to free a driver-window slot "
+        "with zero lost coverage"
     ),
 )
 def q_text_stats(spark, sf_dir):
     from etl_hero_spark.textops import (
+        with_fingerprints,
         with_gopher_quality,
+        with_lang_id,
         with_quality_signals,
         with_token_counts,
     )
 
-    df = with_gopher_quality(
-        with_quality_signals(with_token_counts(_t(spark, sf_dir, "documents")))
+    df = with_fingerprints(
+        with_lang_id(
+            with_gopher_quality(
+                with_quality_signals(
+                    with_token_counts(_t(spark, sf_dir, "documents"))
+                )
+            )
+        )
     )
     return df.select(
         "doc_id",
@@ -143,46 +180,10 @@ def q_text_stats(spark, sf_dir):
         "alpha_ratio",
         "n_required_hits",
         "passes_gopher",
+        "predicted_lang",
+        "fp_md5",
+        "fp_shingle",
     )
-
-
-_LANGS_SQL = {
-    "de": "['der','die','das','und','ist','nicht','ein','mit']",
-    "en": "['the','and','of','is','that','with','for','not']",
-    "es": "['el','la','de','que','los','una','con','por']",
-    "fr": "['le','la','et','les','des','une','est','dans']",
-}
-
-
-@register(
-    "text_lang_fingerprint",
-    oracle=(
-        "WITH t AS (SELECT doc_id, "
-        f"{_SQL_TOKS.format(c='text')} AS toks, "
-        f"{_SQL_NORM.format(c='text')} AS norm FROM documents), "
-        "s AS (SELECT doc_id, norm, "
-        + ", ".join(
-            f"len(list_filter(toks, x -> list_contains({words}, lower(x)))) AS s_{lang}"
-            for lang, words in _LANGS_SQL.items()
-        )
-        + " FROM t) "
-        "SELECT doc_id, CASE "
-        "WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
-        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
-        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
-        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
-        "ELSE 'fr' END AS predicted_lang, "
-        "md5(norm) AS fp_md5, "
-        f"md5(array_to_string({_sql_shingles(_SQL_TOKS.format(c='norm'))}, chr(31))) "
-        "AS fp_shingle FROM s"
-    ),
-    note="extension: marker-word language ID (argmax, alphabetical tie-break) + content/shingle fingerprints in ONE scan — formerly the separate text_langid / text_fingerprint queries, merged (same key, same narrow scan) to free driver-window slots",
-)
-def q_text_lang_fingerprint(spark, sf_dir):
-    from etl_hero_spark.textops import with_fingerprints, with_lang_id
-
-    df = with_fingerprints(with_lang_id(_t(spark, sf_dir, "documents")))
-    return df.select("doc_id", "predicted_lang", "fp_md5", "fp_shingle")
 
 
 @register(

@@ -15,10 +15,14 @@ from etl_hero_spark.registry import _events, _t, register
 # ===========================================================================
 
 
-@register(
-    "profile_welch_ttest",
-    oracle=(
-        "WITH m AS (SELECT "
+# the three single-row hypothesis tests (Welch t, Mann-Whitney U,
+# one-way ANOVA) share one test-tagged registration since r6 — driver-
+# window slot policy: merge mature tagged entries instead of
+# registering more. Inner oracle SQL is unchanged from when each was a
+# standalone window entry; the union only NULL-fills the columns the
+# other tests don't produce.
+_WELCH_SQL = (
+    "WITH m AS (SELECT "
         "count(CASE WHEN c_mktsegment = 'BUILDING' THEN x END) AS n_a, "
         "sum(CASE WHEN c_mktsegment = 'BUILDING' THEN x END) AS s_a, "
         "sum(CASE WHEN c_mktsegment = 'BUILDING' THEN "
@@ -43,34 +47,10 @@ from etl_hero_spark.registry import _events, _t, register
         "round((ma - mb) / sqrt(ea + eb), 6) AS t_stat, "
         "round((ea + eb) * (ea + eb) / "
         "(ea * ea / (na - 1) + eb * eb / (nb - 1)), 6) AS df_welch FROM w"
-    ),
-    note=(
-        "extension: Welch's unequal-variance t-test between two "
-        "customer segments on acctbal — ONE conditional multi-agg scan, "
-        "decimal-exact moment sums (order-independent: every double op "
-        "is a scalar expression over one row of exact decimals, so the "
-        "cross-engine hash check holds bit-for-bit), ddof=1, "
-        "Welch-Satterthwaite df. Promoted into the verified window "
-        "r4w3 (slot freed by the text_stats merge); exact-formula "
-        "Python parity also pinned in tests/test_stattests.py"
-    ),
 )
-def q_profile_welch_ttest(spark, sf_dir):
-    from etl_hero_spark.stattests import welch_ttest
 
-    return welch_ttest(
-        _t(spark, sf_dir, "customer"),
-        "c_acctbal",
-        "c_mktsegment",
-        "BUILDING",
-        "MACHINERY",
-    )
-
-
-@register(
-    "profile_mann_whitney",
-    oracle=(
-        "WITH t AS (SELECT o_totalprice AS v, o_orderpriority AS g "
+_MW_SQL = (
+    "WITH t AS (SELECT o_totalprice AS v, o_orderpriority AS g "
         "FROM orders WHERE o_totalprice IS NOT NULL "
         "AND o_orderpriority IN ('1-URGENT', '5-LOW')), "
         "d AS (SELECT v, "
@@ -99,30 +79,70 @@ def q_profile_welch_ttest(spark, sf_dir):
         "round(u, 6) AS u_stat, round(mu, 6) AS mu_u, "
         "round(sg, 6) AS sigma_u, round((u - mu) / sg, 6) AS z_score "
         "FROM f"
-    ),
-    note=(
-        "extension: Mann-Whitney U between two order priorities on "
-        "totalprice — rank test without a global per-row sort: corpus "
-        "folds to the distinct-value table (ties ARE the grouped rows), "
-        "tie-averaged ranks from a two-phase distributed prefix scan "
-        "(range-bucket + local window + broadcast offsets, the "
-        "packing.global_rank shape), 2*R held integral in DECIMAL(38,0) "
-        "(HUGEINT in the oracle) so every double is a scalar expression "
-        "over exact integers — hash-stable cross-engine. Tie-corrected "
-        "z, no continuity correction. Promoted into the verified window "
-        "r5 (slot freed by the outliers_iqr merge); Python-reference "
-        "parity + tie-saturated fixture in tests/test_stattests.py"
-    ),
 )
-def q_profile_mann_whitney(spark, sf_dir):
-    from etl_hero_spark.stattests import mann_whitney_u
 
-    return mann_whitney_u(
-        _t(spark, sf_dir, "orders"),
-        "o_totalprice",
-        "o_orderpriority",
-        "1-URGENT",
-        "5-LOW",
+# union schema of the three tests: every column each test emits, NULL-
+# typed elsewhere (the part/strategy tagged-union pattern)
+_HTEST_COLS = {
+    "group_a": "string",
+    "group_b": "string",
+    "n_a": "bigint",
+    "n_b": "bigint",
+    "mean_a": "double",
+    "mean_b": "double",
+    "var_a": "double",
+    "var_b": "double",
+    "t_stat": "double",
+    "df_welch": "double",
+    "u_stat": "double",
+    "mu_u": "double",
+    "sigma_u": "double",
+    "z_score": "double",
+    "k_groups": "bigint",
+    "n_total": "bigint",
+    "ss_between": "double",
+    "ss_within": "double",
+    "df1": "bigint",
+    "df2": "bigint",
+    "f_stat": "double",
+}
+
+_HTEST_DUCK_TYPES = {"string": "varchar", "bigint": "bigint", "double": "double"}
+
+
+def _htest_branch_sql(tag: str, inner: str) -> str:
+    cols = ", ".join(
+        c if c in _HTEST_OWN[tag]
+        else f"cast(NULL as {_HTEST_DUCK_TYPES[t]}) AS {c}"
+        for c, t in _HTEST_COLS.items()
+    )
+    return f"SELECT '{tag}' AS test, {cols} FROM ({inner})"
+
+
+_HTEST_OWN = {
+    "welch": {
+        "group_a", "group_b", "n_a", "n_b", "mean_a", "mean_b",
+        "var_a", "var_b", "t_stat", "df_welch",
+    },
+    "mannwhitney": {
+        "group_a", "group_b", "n_a", "n_b", "u_stat", "mu_u",
+        "sigma_u", "z_score",
+    },
+    "anova": {
+        "k_groups", "n_total", "ss_between", "ss_within", "df1",
+        "df2", "f_stat",
+    },
+}
+
+
+def _nullfill(df, tag: str, tag_col: str = "test"):
+    have = set(df.columns)
+    return df.select(
+        F.lit(tag).alias(tag_col),
+        *[
+            (F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+            for c, t in _HTEST_COLS.items()
+        ],
     )
 
 
@@ -410,45 +430,6 @@ def q_sql_top_revenue_suppliers(spark, sf_dir):
     )
 
 
-@register(
-    "events_unpivot_daily",
-    oracle=(
-        "SELECT strftime(date_trunc('day', cast(ts as timestamp)), "
-        "'%Y-%m-%d') AS day, event_type, "
-        "cast(count(*) as bigint) AS n_events FROM events "
-        "WHERE event_type IN "
-        "('click', 'error', 'purchase', 'signup', 'view') "
-        "GROUP BY 1, 2 ORDER BY 1, 2"
-    ),
-    note=(
-        "extension: pivot -> UNPIVOT round trip — the daily x event-type "
-        "count matrix melts back to long (day, event_type, n_events) "
-        "with Spark's native unpivot (stack under the hood, narrow, no "
-        "shuffle beyond the pivot's own); zero-filled cells drop so the "
-        "round trip is exactly the direct groupBy — which is exactly "
-        "what the oracle computes. Promoted into the verified window r5 "
-        "(slot freed by the impute merge); equality with the direct "
-        "aggregation also pinned in tests/test_relational_extras.py"
-    ),
-)
-def q_events_unpivot_daily(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    types = ["click", "error", "purchase", "signup", "view"]
-    wide = (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-    )
-    long = wide.unpivot(
-        ["day"], types, "event_type", "n_events"
-    ).filter(F.col("n_events").isNotNull())
-    return long.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "event_type",
-        "n_events",
-    ).orderBy("day", "event_type")
-
-
 # ===========================================================================
 # multi-source BFS hop distances
 # ===========================================================================
@@ -611,10 +592,8 @@ def q_profile_bootstrap_ci(spark, sf_dir):
     )
 
 
-@register(
-    "profile_anova_oneway",
-    oracle=(
-        "WITH g AS (SELECT c_mktsegment AS _g, count(x) AS _n, "
+_ANOVA_SQL = (
+    "WITH g AS (SELECT c_mktsegment AS _g, count(x) AS _n, "
         "sum(x) AS _s, sum(CAST(x AS DECIMAL(19,6)) * x) AS _q "
         "FROM (SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,6)) "
         "AS x FROM customer WHERE c_acctbal IS NOT NULL) GROUP BY 1), "
@@ -635,24 +614,61 @@ def q_profile_bootstrap_ci(spark, sf_dir):
         "cast(kd - 1 as bigint) AS df1, cast(nd - kd as bigint) AS df2, "
         "round(((sg - ts * ts / nd) / (kd - 1)) / "
         "((tq - sg) / (nd - kd)), 6) AS f_stat FROM a"
+)
+
+
+@register(
+    "profile_welch_ttest",
+    oracle=(
+        _htest_branch_sql("welch", _WELCH_SQL)
+        + " UNION ALL "
+        + _htest_branch_sql("mannwhitney", _MW_SQL)
+        + " UNION ALL "
+        + _htest_branch_sql("anova", _ANOVA_SQL)
     ),
     note=(
-        "extension: one-way ANOVA F across all market segments on "
-        "acctbal — SS_between/SS_within entirely from ONE groupBy of "
-        "decimal-exact per-group moments + a second agg over the "
-        "bounded k-row table; corpus never moves twice. The one "
-        "k-term double sum folds sequentially in group-name order on "
-        "both engines (sorted collect_list fold / list_reduce) so the "
-        "hash check is deterministic. Promoted into the verified "
-        "window r5 (slot freed by the cdc merge); exact-formula "
-        "Python parity pinned in tests/test_stattests.py"
+        "extension, test-tagged union of the three hypothesis tests "
+        "(formerly the separate profile_welch_ttest / "
+        "profile_mann_whitney / profile_anova_oneway window entries, "
+        "merged r6 to free two driver-window slots with zero lost "
+        "coverage — each branch's oracle SQL is byte-unchanged, only "
+        "NULL-fill columns added). test='welch': unequal-variance t "
+        "between two customer segments on acctbal — ONE conditional "
+        "multi-agg scan, decimal-exact moments, ddof=1, Welch-"
+        "Satterthwaite df. test='mannwhitney': U between two order "
+        "priorities on totalprice — distinct-value fold, tie-averaged "
+        "ranks via the two-phase distributed prefix scan, 2*R integral "
+        "in DECIMAL(38,0) (HUGEINT oracle-side), tie-corrected z. "
+        "test='anova': one-way F across all market segments — "
+        "SS_between/SS_within from ONE groupBy of exact per-group "
+        "moments; the k-term double sum folds sequentially in "
+        "group-name order on both engines. Exact-formula Python parity "
+        "for all three pinned in tests/test_stattests.py"
     ),
 )
-def q_profile_anova_oneway(spark, sf_dir):
-    from etl_hero_spark.stattests import anova_oneway
+def q_profile_welch_ttest(spark, sf_dir):
+    from etl_hero_spark.stattests import (
+        anova_oneway,
+        mann_whitney_u,
+        welch_ttest,
+    )
 
-    return anova_oneway(
-        _t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment"
+    cust = _t(spark, sf_dir, "customer")
+    w = welch_ttest(
+        cust, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+    u = mann_whitney_u(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        "1-URGENT",
+        "5-LOW",
+    )
+    a = anova_oneway(cust, "c_acctbal", "c_mktsegment")
+    return (
+        _nullfill(w, "welch")
+        .unionByName(_nullfill(u, "mannwhitney"))
+        .unionByName(_nullfill(a, "anova"))
     )
 
 
@@ -1260,7 +1276,40 @@ def q_sample_dsir_resample(spark, sf_dir):
 
 @register(
     "events_gap_fill_linear",
-    oracle=None,
+    oracle=(
+        # identical interpolation expression order to temporal.
+        # resample_interpolate: pv + (nv-pv) * (double(t-pt)/double(nt-pt))
+        # — every factor exact integer micros or a raw stored double, so
+        # the IEEE result is bit-identical cross-engine
+        "WITH o AS (SELECT user_id, "
+        "epoch_us(cast(ts as timestamp)) AS t, "
+        "max(CAST(value AS DOUBLE)) AS v FROM events "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2), "
+        "b AS (SELECT user_id, "
+        "cast(floor(min(t) / 3600000000) as bigint) * 3600000000 AS lo, "
+        "max(t) AS hi FROM o GROUP BY 1), "
+        "g AS (SELECT user_id, "
+        "unnest(range(lo, hi + 1, 3600000000)) AS gt FROM b), "
+        "p AS (SELECT g.user_id, g.gt, o.t AS pt, o.v AS pv "
+        "FROM g ASOF LEFT JOIN o "
+        "ON g.user_id = o.user_id AND g.gt >= o.t), "
+        "nx AS (SELECT p.user_id, p.gt, p.pt, p.pv, o.t AS nt, o.v AS nv "
+        "FROM p ASOF LEFT JOIN o "
+        "ON p.user_id = o.user_id AND p.gt <= o.t), "
+        "iv AS (SELECT user_id, gt, "
+        "CASE WHEN pt IS NULL OR nt IS NULL THEN pv "
+        "WHEN nt = pt THEN pv "
+        "ELSE pv + (nv - pv) * "
+        "(CAST(gt - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END "
+        "AS value FROM nx) "
+        "SELECT strftime(make_timestamp(gt), '%Y-%m-%d') AS day, "
+        "cast(count(*) as bigint) AS n_points, "
+        "cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) as bigint) "
+        "AS n_leading_null, "
+        "round(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(28,6))) "
+        "AS DOUBLE), 4) AS sum_value "
+        "FROM iv GROUP BY 1"
+    ),
     note=(
         "extension (r5): linear-interpolation resample — the "
         "continuous-signal sibling of events_resample_hourly's LOCF "
@@ -1269,8 +1318,12 @@ def q_sample_dsir_resample(spark, sf_dir):
         "interpolated between surrounding observations, exact on "
         "observations, NULL before a key's first point (no "
         "extrapolation). Same distributed grid union; both boundary "
-        "frames share ONE (user, ts) window sort. DuckDB parity + "
-        "hand-grid fixtures in tests/test_temporal.py. Daily summary"
+        "frames share ONE (user, ts) window sort. Promoted into the "
+        "verified window r6 (slot freed by the text_stats merge; the "
+        "oracle rebuilds the grid with two ASOF joins and the "
+        "byte-identical IEEE interpolation expression). DuckDB parity "
+        "here + hand-grid/Python-reference fixtures in "
+        "tests/test_temporal.py. Daily summary"
     ),
 )
 def q_events_gap_fill_linear(spark, sf_dir):
@@ -1281,7 +1334,7 @@ def q_events_gap_fill_linear(spark, sf_dir):
         ev, "user_id", "ts", "value", step_seconds=3600
     )
     return (
-        grid.groupBy(F.to_date("ts").alias("day"))
+        grid.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_points"),
             F.sum(F.col("value").isNull().cast("int")).cast("bigint")
@@ -1364,7 +1417,24 @@ def q_multimodal_mp4_metadata(spark, sf_dir):
 
 @register(
     "dedup_keep_best",
-    oracle=None,
+    oracle=(
+        "WITH pool AS (SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 1000000, upper(text) FROM documents "
+        "WHERE doc_id % 9 = 0), "
+        "q AS (SELECT doc_id, "
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, "
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
+        " / greatest(length(text), 1) AS qual FROM pool), "
+        "kept AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY fp ORDER BY qual DESC, doc_id ASC) AS rn FROM q) "
+        "WHERE rn = 1) "
+        "SELECT cast(count(*) as bigint) AS n_kept, "
+        "cast(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) "
+        "as bigint) AS n_clone_survivors, "
+        "cast(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) "
+        "as bigint) AS n_variant_group_survivors FROM kept"
+    ),
     note=(
         "extension (r5): quality-aware survivor selection — keep the "
         "highest-quality row per normalized-content fingerprint group "
@@ -1373,7 +1443,11 @@ def q_multimodal_mp4_metadata(spark, sf_dir):
         "back on the unique id; no window, both shuffles on uniform "
         "keys. Fixture plants UPPERCASED clones (same fingerprint, "
         "lower lowercase-ratio quality) — every survivor must be an "
-        "original. DuckDB arg-max parity in tests/test_dedup.py"
+        "original. Promoted into the verified window r6 (slot freed by "
+        "the pivot/unpivot merge; the oracle replicates the arg-max as "
+        "a row_number window — exact at fixture scale, while the Spark "
+        "side keeps the windowless max_by + LEFT SEMI shape). DuckDB "
+        "arg-max parity in tests/test_dedup.py"
     ),
 )
 def q_dedup_keep_best(spark, sf_dir):
@@ -1408,7 +1482,27 @@ def q_dedup_keep_best(spark, sf_dir):
 
 @register(
     "profile_weighted_quantile",
-    oracle=None,
+    oracle=(
+        "WITH v AS (SELECT l_extendedprice AS v, "
+        "sum(CAST(l_quantity AS DECIMAL(38,6))) AS w "
+        "FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL AND l_quantity > 0 "
+        "GROUP BY 1), "
+        "c AS (SELECT v, w, "
+        "sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS incl, "
+        "sum(w) OVER () AS tot FROM v) "
+        "SELECT cast(count(*) as bigint) AS n_values, "
+        "round(CAST(max(tot) AS DOUBLE), 6) AS total_weight, "
+        "round(min(CASE WHEN CAST(incl AS DOUBLE) "
+        ">= 0.25 * CAST(tot AS DOUBLE) THEN CAST(v AS DOUBLE) END), 6) "
+        "AS wq_0_25, "
+        "round(min(CASE WHEN CAST(incl AS DOUBLE) "
+        ">= 0.5 * CAST(tot AS DOUBLE) THEN CAST(v AS DOUBLE) END), 6) "
+        "AS wq_0_5, "
+        "round(min(CASE WHEN CAST(incl AS DOUBLE) "
+        ">= 0.9 * CAST(tot AS DOUBLE) THEN CAST(v AS DOUBLE) END), 6) "
+        "AS wq_0_9 FROM c"
+    ),
     note=(
         "extension (r5): exact weighted quantiles (lower-tail: smallest "
         "value whose inclusive cumulative weight reaches p*W) — the "
@@ -1417,8 +1511,11 @@ def q_dedup_keep_best(spark, sf_dir):
         "weights via the mann_whitney two-phase prefix scan (never a "
         "partition-less window), DECIMAL-exact accumulation, one "
         "bounded agg extracts all requested ps. Quantity-weighted "
-        "lineitem price quartiles. DuckDB window-replication parity in "
-        "tests/test_stattests.py"
+        "lineitem price quartiles. Promoted into the verified window "
+        "r6 (slot freed by the hypothesis-test merge; the oracle is a "
+        "single-window replica — exact at fixture scale, while the "
+        "Spark side keeps the distributed two-phase scan). DuckDB "
+        "window-replication parity in tests/test_stattests.py"
     ),
 )
 def q_profile_weighted_quantile(spark, sf_dir):
@@ -1471,15 +1568,41 @@ def q_sim_hybrid_rrf(spark, sf_dir):
 
 @register(
     "sql_market_share",
-    oracle=None,
+    oracle=(
+        "WITH j AS (SELECT year(o_orderdate) AS o_year, n.n_name, "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
+        " AS vol "
+        "FROM orders o "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'AMERICA' "
+        "AND o.o_orderdate >= '1995-01-01' "
+        "AND o.o_orderdate < '1997-01-01') "
+        "SELECT o_year, "
+        "round(CAST(sum(CASE WHEN n_name = 'NATION_1' THEN vol "
+        "ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE), 2) "
+        "AS focal_revenue, "
+        "round(CAST(sum(vol) AS DOUBLE), 2) AS region_revenue, "
+        "round(CAST(sum(CASE WHEN n_name = 'NATION_1' THEN vol "
+        "ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE) "
+        "/ CAST(sum(vol) AS DOUBLE), 6) AS mkt_share "
+        "FROM j GROUP BY o_year"
+    ),
     note=(
         "extension (r5, TPC-H Q8 shape): one focal nation's (NATION_1) share of its "
-        "region's yearly gross revenue — five-table join (region -> "
-        "nation -> customer -> orders -> lineitem) with region/date "
-        "filters pushed to the scans, dimension side broadcast, "
-        "decimal-exact revenue sums, share = one IEEE divide per year "
-        "row. DuckDB five-join parity in "
-        "tests/test_relational_extras.py"
+        "region's yearly gross revenue over the Q8 two-year window "
+        "(1995-1996) — five-table join (region -> nation -> customer -> "
+        "orders -> lineitem) with the region filter and the date range "
+        "pushed to their scans (the date predicate reaches the orders "
+        "parquet scan, so at 100 TB the fact read is two years, not "
+        "all of them — pinned in tests/test_plans.py), dimension side "
+        "broadcast, decimal-exact revenue sums, share = one IEEE "
+        "divide per year row. Promoted into the verified window r6 "
+        "(slot freed by the hypothesis-test merge); DuckDB five-join "
+        "parity in tests/test_relational_extras.py"
     ),
 )
 def q_sql_market_share(spark, sf_dir):
@@ -1488,7 +1611,10 @@ def q_sql_market_share(spark, sf_dir):
     )
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
     li = _t(spark, sf_dir, "lineitem")
     dim = (
         nation.join(
@@ -1688,13 +1814,29 @@ def q_sql_disjunctive_promo(spark, sf_dir):
 
 @register(
     "sql_returned_item_ranking",
-    oracle=None,
+    oracle=(
+        "SELECT c_custkey, c_mktsegment, "
+        "cast(count(*) as bigint) AS n_returned_lines, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,6)) "
+        "- CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) "
+        "AS lost_revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01' "
+        "GROUP BY c_custkey, c_mktsegment "
+        "ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20"
+    ),
     note=(
         "extension (r5, TPC-H Q10 shape): top customers by revenue "
         "lost to returns in one quarter — orders date-filtered at the "
         "scan, lineitem returnflag-filtered at the scan, two "
         "equi-joins, decimal-exact lost revenue, deterministic "
-        "top-20 (revenue desc, custkey asc). DuckDB parity in "
+        "top-20 (revenue desc, custkey asc — ties cannot reorder the "
+        "cut). Promoted into the verified window r6 (slot freed by "
+        "the asof/range-join merge); DuckDB parity in "
         "tests/test_relational_extras.py"
     ),
 )

@@ -363,17 +363,42 @@ def q_stream_dedup(spark, sf_dir):
 @register(
     "events_asof_join",
     oracle=(
+        "SELECT 'asof' AS part, event_id, user_id, ts_s, click_event_id, "
+        "click_value, cast(NULL as bigint) AS n_prev_5min FROM ("
         "WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'), "
         "r AS (SELECT * FROM events WHERE event_type = 'click') "
         "SELECT l.event_id, l.user_id, "
         f"strftime(l.ts, '{_STRF}') AS ts_s, "
         "r.event_id AS click_event_id, r.value AS click_value "
         "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ") UNION ALL "
+        "SELECT 'range' AS part, event_id, user_id, "
+        "cast(NULL as varchar) AS ts_s, "
+        "cast(NULL as bigint) AS click_event_id, "
+        "cast(NULL as double) AS click_value, n_prev_5min FROM ("
+        "SELECT p.event_id, p.user_id, "
+        "cast(count(e.event_id) as bigint) AS n_prev_5min "
+        "FROM (SELECT * FROM events WHERE event_type = 'error') p "
+        "LEFT JOIN events e ON e.user_id = p.user_id "
+        "AND e.ts > p.ts - INTERVAL '300 seconds' AND e.ts <= p.ts "
+        "GROUP BY p.event_id, p.user_id)"
     ),
-    note="temporal extension: backward as-of join (latest prior click per purchase, per user) via tag+union+last(ignorenulls) window — one shuffle, no row explosion; oracle is DuckDB's native ASOF LEFT JOIN",
+    note=(
+        "temporal extension, part-tagged since r6: part='asof' is the "
+        "backward as-of join (latest prior click per purchase, per "
+        "user) via tag+union+last(ignorenulls) window — one shuffle, no "
+        "row explosion; oracle branch is DuckDB's native ASOF LEFT "
+        "JOIN. part='range' (formerly the separate "
+        "events_range_join_count window entry, merged r6 to free a "
+        "driver-window slot — oracle SQL byte-unchanged inside the "
+        "union) is the bucketized range join (same-user events in the "
+        "5 min before each error; probe explodes onto 2 adjacent "
+        "buckets, equi-join + exact predicate) — the O(n*m) theta-join "
+        "becomes a hash join"
+    ),
 )
 def q_events_asof_join(spark, sf_dir):
-    from etl_hero_spark.temporal import asof_join
+    from etl_hero_spark.temporal import asof_join, range_join_count
 
     ev = _events(spark, sf_dir)
     left = ev.filter(F.col("event_type") == "purchase").select(
@@ -383,38 +408,30 @@ def q_events_asof_join(spark, sf_dir):
         "user_id", "ts", "event_id", "value"
     )
     out = asof_join(left, right, "user_id", value_cols=["event_id", "value"])
-    return out.select(
+    asof = out.select(
+        F.lit("asof").alias("part"),
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.col("event_id_asof").alias("click_event_id"),
         F.col("value_asof").alias("click_value"),
+        F.lit(None).cast("bigint").alias("n_prev_5min"),
     )
-
-
-@register(
-    "events_range_join_count",
-    oracle=(
-        "SELECT p.event_id, p.user_id, "
-        "cast(count(e.event_id) as bigint) AS n_prev_5min "
-        "FROM (SELECT * FROM events WHERE event_type = 'error') p "
-        "LEFT JOIN events e ON e.user_id = p.user_id "
-        "AND e.ts > p.ts - INTERVAL '300 seconds' AND e.ts <= p.ts "
-        "GROUP BY p.event_id, p.user_id"
-    ),
-    note="temporal extension: bucketized range join (same-user events in the 5 min before each error; probe explodes onto 2 adjacent buckets, equi-join + exact predicate) — the O(n*m) theta-join becomes a hash join",
-)
-def q_events_range_join_count(spark, sf_dir):
-    from etl_hero_spark.temporal import range_join_count
-
-    ev = _events(spark, sf_dir)
     probe = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
-    out = range_join_count(
+    rng = range_join_count(
         probe, ev, "user_id", lookback_seconds=300, count_alias="n_prev_5min"
+    ).select(
+        F.lit("range").alias("part"),
+        "event_id",
+        "user_id",
+        F.lit(None).cast("string").alias("ts_s"),
+        F.lit(None).cast("bigint").alias("click_event_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        "n_prev_5min",
     )
-    return out.select("event_id", "user_id", "n_prev_5min")
+    return asof.unionByName(rng)
 
 
 # events_rollup_daily was absorbed into events_windows (kind='daily')
@@ -521,19 +538,46 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 @register(
     "events_pivot_daily_types",
     oracle=(
+        "SELECT 'wide' AS part, day, "
+        + ", ".join(_EVENT_TYPES)
+        + ", cast(NULL as varchar) AS event_type, "
+        "cast(NULL as bigint) AS n_events FROM ("
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
         + ", ".join(
             f"cast(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) as bigint)"
             f" AS {t}"
             for t in _EVENT_TYPES
         )
-        + " FROM events GROUP BY 1"
+        + " FROM events GROUP BY 1) "
+        "UNION ALL "
+        "SELECT 'long' AS part, day, "
+        + ", ".join(f"cast(NULL as bigint) AS {t}" for t in _EVENT_TYPES)
+        + ", event_type, n_events FROM ("
+        "SELECT strftime(date_trunc('day', cast(ts as timestamp)), "
+        "'%Y-%m-%d') AS day, event_type, "
+        "cast(count(*) as bigint) AS n_events FROM events "
+        "WHERE event_type IN "
+        "('click', 'error', 'purchase', 'signup', 'view') "
+        "GROUP BY 1, 2)"
     ),
-    note="pivot capability (NOT PRESENT in reference): daily event counts pivoted to one column per type — explicit value list so the output schema is static (the 100 TB-safe pivot form; inferred pivots scan twice)",
+    note=(
+        "pivot capability (NOT PRESENT in reference), part-tagged since "
+        "r6: part='wide' is the daily event-count matrix pivoted to one "
+        "column per type — explicit value list so the output schema is "
+        "static (the 100 TB-safe pivot form; inferred pivots scan "
+        "twice). part='long' (formerly the separate events_unpivot_daily "
+        "window entry, merged r6 to free a driver-window slot — its "
+        "oracle SQL is byte-unchanged inside the union) melts that "
+        "matrix back with Spark's native unpivot (stack under the hood, "
+        "narrow, no extra shuffle); zero-filled cells drop so the round "
+        "trip equals the direct groupBy, which is what the oracle "
+        "computes. Unpivot==direct-aggregation equality still pinned in "
+        "tests/test_relational_extras.py"
+    ),
 )
 def q_events_pivot_daily_types(spark, sf_dir):
     ev = _events(spark, sf_dir)
-    out = (
+    pivoted = (
         ev.groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
         )
@@ -542,9 +586,30 @@ def q_events_pivot_daily_types(spark, sf_dir):
     )
     # pivot count yields NULL for absent cells; the oracle's SUM(CASE)
     # yields 0 — normalize
-    return out.select(
-        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES]
+    wide = pivoted.select(
+        F.lit("wide").alias("part"),
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+            for t in _EVENT_TYPES
+        ],
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("n_events"),
     )
+    # pivot -> unpivot round trip (zero cells drop, so the melt equals
+    # the direct (day, type) groupBy)
+    long = (
+        pivoted.unpivot(["day"], _EVENT_TYPES, "event_type", "n_events")
+        .filter(F.col("n_events").isNotNull())
+        .select(
+            F.lit("long").alias("part"),
+            "day",
+            *[F.lit(None).cast("bigint").alias(t) for t in _EVENT_TYPES],
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    return wide.unionByName(long)
 
 
 # the defected-events fixture for the full E2 mission sweep: nulls,

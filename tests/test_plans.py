@@ -73,6 +73,18 @@ def test_null_drop_filter_pushes_to_parquet_scan(lineitem):
     assert "PushedFilters: [IsNotNull(l_returnflag)]" in plan
 
 
+def test_market_share_date_range_pushes_to_orders_scan(spark, sf_dir):
+    """TPC-H Q8's two-year window must reach the orders parquet scan —
+    at 100 TB the fact read is two years of orders, not all of them
+    (VERDICT r5 #4)."""
+    from etl_hero_spark.registry import REGISTRY, _load_extensions
+
+    _load_extensions()
+    plan = plan_str(REGISTRY["sql_market_share"].spark(spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan
+    assert "LessThan(o_orderdate,1997-01-01" in plan
+
+
 def test_projection_prunes_parquet_read_schema(spark, sf_dir):
     from etl_hero_spark.textops import with_token_counts
 

@@ -106,13 +106,18 @@ def test_top_revenue_suppliers_matches_duckdb(spark, qs):
 
 
 def test_unpivot_round_trips_direct_groupby(spark, qs):
+    """The part='long' branch of the merged pivot/unpivot query (the
+    former events_unpivot_daily window entry) still equals the direct
+    (day, type) aggregation."""
     from etl_hero_spark.registry import _events
 
-    long = qs["events_unpivot_daily"](spark, SF)
-    got = [
+    long = qs["events_pivot_daily_types"](spark, SF).filter(
+        F.col("part") == "long"
+    )
+    got = sorted(
         (str(r["day"]), r["event_type"], r["n_events"])
         for r in long.collect()
-    ]
+    )
     direct = (
         _events(spark, SF)
         .groupBy(F.to_date("ts").alias("day"), "event_type")
@@ -120,7 +125,9 @@ def test_unpivot_round_trips_direct_groupby(spark, qs):
         .orderBy("day", "event_type")
         .collect()
     )
-    assert got == [(str(r["day"]), r["event_type"], r["n"]) for r in direct]
+    assert got == [
+        (str(r["day"]), r["event_type"], r["n"]) for r in direct
+    ]
 
 
 def test_market_share_matches_duckdb(spark, qs):
@@ -142,6 +149,8 @@ def test_market_share_matches_duckdb(spark, qs):
           JOIN nation n ON c.c_nationkey = n.n_nationkey
           JOIN region r ON n.n_regionkey = r.r_regionkey
           WHERE r.r_name = 'AMERICA'
+            AND o.o_orderdate >= '1995-01-01'
+            AND o.o_orderdate < '1997-01-01'
         )
         SELECT o_year,
                round(CAST(sum(CASE WHEN n_name = 'NATION_1' THEN vol

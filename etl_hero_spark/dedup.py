@@ -112,7 +112,24 @@ def keep_best_ids(
     (quality desc, id asc) arg-max id and its quality — sharing the
     aggregate makes stream==batch a statement about the SAME
     expression, not two re-implementations. Output: (_fp, keep_id,
-    keep_quality)."""
+    keep_quality).
+
+    Ids must be NUMERIC (the bfs_distances posture): the id-ascending
+    tie-break negates the id inside the arg-max struct, and a string
+    id would coerce to NULL there, silently making the advertised
+    '(quality desc, id asc)' tie-break nondeterministic — so the type
+    is validated loudly instead."""
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in {
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    } and not id_type.startswith("decimal"):
+        raise TypeError(
+            f"keep_best_ids: id column {id_col!r} is {id_type}; the "
+            "id-ascending tie-break needs a numeric id (a string id "
+            "coerces to NULL under negation and the tie-break goes "
+            "nondeterministic). Hash or dense-rank string ids to "
+            "integers first."
+        )
     q = F.coalesce(quality.cast("double"), F.lit(float("-inf")))
     ordk = F.struct(q.alias("q"), (-F.col(id_col)).alias("neg"))
     return (

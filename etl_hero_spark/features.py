@@ -499,28 +499,41 @@ def isotonic_apply(
     the last -> last rate). NULL scores stay NULL.
 
     The fitted table is bounded (pools <= distinct scores <= the fit
-    cap), so the apply is a BROADCAST range join — one scan of df, no
-    shuffle. Train/serve symmetry pinned in tests/test_features.py."""
+    cap), so the apply is a BROADCAST interval join — one scan of df,
+    no shuffle, and each input row joins to EXACTLY ONE pool interval
+    (pool i covers [score_min_i, score_min_{i+1}), the first opening
+    to -inf and the last to +inf), so input cardinality is preserved —
+    fully-identical duplicate rows each keep their own output row (an
+    earlier group-by-all-columns apply silently collapsed them).
+    Train/serve symmetry + duplicate-row cardinality pinned in
+    tests/test_features.py."""
     pools = fitted.select(
-        F.col("score_min").alias("_lo"),
         F.col("pool_id").alias("_pid"),
+        F.col("score_min").alias("_lo"),
         F.col("calibrated").alias("_cal"),
     )
-    s = F.col(score_col).cast("double")
-    # nearest pool below = max pool_id with score_min <= s; clamp low
-    # scores into the first pool via the join-miss fallback
-    joined = df.join(
-        F.broadcast(pools), s >= F.col("_lo"), "left"
+    # consecutive pool_ids -> the next pool's lower bound via a bounded
+    # self-join on _pid+1 (no partition-less window over the model)
+    nxt = pools.select(
+        (F.col("_pid") - 1).alias("_pid"),
+        F.col("_lo").alias("_next_lo"),
     )
-    first = fitted.agg(F.min_by("calibrated", "pool_id").alias("_f"))
-    best = (
-        joined.groupBy(*df.columns)
-        .agg(F.max_by("_cal", "_pid").alias("_best"))
-        .crossJoin(F.broadcast(first))
-    )
-    return best.withColumn(
-        out_col,
-        F.when(s.isNull(), F.lit(None).cast("double")).otherwise(
-            F.coalesce(F.col("_best"), F.col("_f"))
+    iv = pools.join(nxt, "_pid", "left").select(
+        F.when(F.col("_pid") == 0, F.lit(float("-inf")))
+        .otherwise(F.col("_lo"))
+        .alias("_lo_eff"),
+        F.coalesce(F.col("_next_lo"), F.lit(float("inf"))).alias(
+            "_hi_eff"
         ),
-    ).drop("_best", "_f")
+        "_cal",
+    )
+    s = F.col(score_col).cast("double")
+    # NULL scores fail both predicates -> join miss -> NULL out_col
+    joined = df.join(
+        F.broadcast(iv),
+        (s >= F.col("_lo_eff")) & (s < F.col("_hi_eff")),
+        "left",
+    )
+    return joined.withColumn(out_col, F.col("_cal")).drop(
+        "_lo_eff", "_hi_eff", "_cal"
+    )

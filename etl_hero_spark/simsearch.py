@@ -1247,13 +1247,26 @@ def rank_bounded(
     of a partition-less window (the plan-audit posture: a
     SinglePartition window is the habit that bites when someone reuses
     the helper on an unbounded frame; the self-join stays correct and
-    merely quadratic in the bounded n)."""
-    other = df.select(
-        F.col(score_col).alias("_s2"), F.col(id_col).alias("_i2")
+    merely quadratic in the bounded n).
+
+    NULL scores rank LAST (coalesced to -inf on both join sides —
+    without the coalesce the 'better' predicate null-propagates and a
+    NULL-score row would silently tie with the true top item). Rows
+    are assumed unique on (score, id) — the groupBy(*df.columns)
+    re-keying collapses fully-identical rows, so callers feeding
+    retrieval lists (unique ids by construction, like bm25/topk
+    outputs) are safe; don't reuse on frames with duplicate rows."""
+    s_self = F.coalesce(
+        F.col(score_col).cast("double"), F.lit(float("-inf"))
     )
-    better = (F.col("_s2") > F.col(score_col)) | (
-        (F.col("_s2") == F.col(score_col))
-        & (F.col("_i2") < F.col(id_col))
+    other = df.select(
+        F.coalesce(
+            F.col(score_col).cast("double"), F.lit(float("-inf"))
+        ).alias("_s2"),
+        F.col(id_col).alias("_i2"),
+    )
+    better = (F.col("_s2") > s_self) | (
+        (F.col("_s2") == s_self) & (F.col("_i2") < F.col(id_col))
     )
     return (
         df.join(F.broadcast(other), better, "left")

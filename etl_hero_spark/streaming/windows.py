@@ -1503,7 +1503,11 @@ def _docs_stream_source(
 ) -> DataFrame:
     """File-stream source over the documents parquet (plain types — no
     ts normalization needed; same cached symlink-dir staging as the
-    events source)."""
+    events source). The stream schema comes from the file's OWN parquet
+    footer (one driver metadata read) — a hardcoded schema would make a
+    renamed/retyped documents fixture silently read as NULLs through
+    the file stream source and emit a wrong survivor table instead of
+    failing."""
     import os
 
     key = (os.path.realpath(path), "docs")
@@ -1514,11 +1518,9 @@ def _docs_stream_source(
         d = session_tmpdir(prefix)
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         _STREAM_SRC_DIRS[key] = d
-    schema = (
-        "doc_id long, text string, lang string, source string, "
-        "n_chars long"
-    )
-    return spark.readStream.schema(schema).parquet(d)
+    return spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(d)
 
 
 def stream_keep_best(

@@ -445,3 +445,18 @@ def test_dedup_keep_best_null_quality_loses(spark):
         for r in dedup.dedup_keep_best(df, F.col("q"), "doc_id", "text").collect()
     ]
     assert kept == [2]
+
+
+def test_keep_best_ids_rejects_string_ids(spark):
+    """The id-ascending tie-break negates the id inside the arg-max
+    struct; a string id would coerce to NULL there and the advertised
+    '(quality desc, id asc)' tie-break would go silently
+    nondeterministic — so the type is validated loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "same text"), ("b", "same text")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(TypeError, match="numeric id"):
+        dedup.keep_best_ids(df, F.length("text"), "doc_id", "text")

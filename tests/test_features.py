@@ -356,3 +356,31 @@ def test_isotonic_apply_steps_and_clamps(spark):
     # monotone mapping on the serve set (ignoring the NULL)
     ordered = [got[i] for i in (0, 1, 2, 3, 4, 5, 6)]
     assert ordered == sorted(ordered)
+
+
+def test_isotonic_apply_preserves_duplicate_rows(spark):
+    """Fully-identical serve rows each keep their own output row — the
+    serve side must never change input cardinality (an earlier
+    group-by-all-columns apply silently collapsed duplicates; no unique
+    id is required by the signature)."""
+    from etl_hero_spark.features import isotonic_apply, isotonic_calibration
+
+    train = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (2.0, 1), (2.0, 1)],
+        "score double, y int",
+    )
+    fitted = isotonic_calibration(train, "score", "y")
+    serve = spark.createDataFrame(
+        [(1.0,), (1.0,), (1.0,), (2.0,), (None,), (None,)],
+        "score double",
+    )
+    out = isotonic_apply(serve, fitted, "score").collect()
+    assert len(out) == 6  # cardinality preserved, duplicates intact
+    vals = sorted(
+        (r["score"], r["calibrated"]) for r in out
+        if r["score"] is not None
+    )
+    assert vals == [(1.0, 0.5), (1.0, 0.5), (1.0, 0.5), (2.0, 1.0)]
+    assert all(
+        r["calibrated"] is None for r in out if r["score"] is None
+    )

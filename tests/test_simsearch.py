@@ -703,6 +703,24 @@ def test_rank_bounded_matches_sorted_order(spark):
     assert got == {1: 1, 3: 2, 2: 3, 4: 4}
 
 
+def test_rank_bounded_null_scores_rank_last(spark):
+    """A NULL score must sort BELOW every real score — without the
+    -inf coalesce the 'better' predicate null-propagates and a
+    NULL-score row silently ties with the true top item at rank 1."""
+    from etl_hero_spark.simsearch import rank_bounded
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, None), (3, 0.1), (4, None)],
+        "id long, score double",
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in rank_bounded(df, "score", "id").collect()
+    }
+    # reals first by score desc, then NULLs by id asc
+    assert got == {1: 1, 3: 2, 2: 3, 4: 4}
+
+
 def test_rrf_fuse_matches_python_reference(spark):
     from etl_hero_spark.simsearch import rrf_fuse
 

@@ -77,8 +77,53 @@ def decode_media_stub(
     return df.mapInPandas(_decode, DECODED_SCHEMA)
 
 
+def png_decode_dims(b: bytes) -> tuple:
+    """Reference ``decoder`` for decode_image: a REAL pure-stdlib PNG
+    decode of the 8-bit RGB / filter-0 subset — walks the chunk list,
+    inflates the IDAT stream, verifies every row's filter byte and the
+    exact pixel payload length, and returns (width, height, 1). Raises
+    on anything corrupt, truncated, or outside the subset (decode_image
+    maps that to NULL dims). Zero third-party deps, so the real-decode
+    plumbing is exercisable in codec-less containers; production swaps
+    in a PIL/torchvision decoder with the same signature."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, None, None, b""
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated chunk")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if (depth, ctype) != (8, 2):
+                raise ValueError("outside the filter-0 RGB subset")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = width * 3 + 1
+    if len(raw) != stride * height:
+        raise ValueError("pixel payload length mismatch")
+    for y in range(height):
+        if raw[y * stride] != 0:
+            raise ValueError("outside the filter-0 RGB subset")
+    return width, height, 1
+
+
 def decode_image(
-    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    decoder=None,
 ) -> DataFrame:
     """Real image decode, gated on Pillow exactly like io.py gates
     openpyxl/avro: when PIL is importable this is a working decoder with
@@ -87,33 +132,45 @@ def decode_image(
     container ships no codec libs) it raises a clean
     NotImplementedError and decode_media_stub covers the plumbing.
 
+    ``decoder`` injects the codec instead: a plain picklable callable
+    ``bytes -> (width, height, n_frames)`` that raises on undecodable
+    payloads. This is how the PIL-less test image still drives the
+    REAL decode plumbing end-to-end (a vendored pure-Python PNG decode,
+    tests/miniimg.py) and how a production image would plug in
+    torchvision/ffmpeg-style decoders without touching the plan shape.
+
     Undecodable payloads (corrupt bytes, non-images) yield NULL
     width/height/n_frames rather than failing the task — run
     validate_media first to keep them out of the decode stage entirely.
     Same Arrow-batched mapInPandas narrow map as the stub: no shuffle,
     partition parallelism is decode parallelism.
     """
-    try:
-        from PIL import Image
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires Pillow; this container ships none — "
-            "use decode_media_stub for plumbing tests"
-        ) from e
+    if decoder is None:
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode requires Pillow (or an injected decoder); "
+                "this container ships none — use decode_media_stub for "
+                "plumbing tests or pass decoder="
+            ) from e
+
+        def decoder(b: bytes):
+            import io as _io
+
+            img = Image.open(_io.BytesIO(b))
+            w, h = img.size
+            return w, h, int(getattr(img, "n_frames", 1))
 
     id_name, media_name = id_col, media_col
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io as _io
-
         for pdf in batches:
             rows = []
             for doc_id, raw in zip(pdf[id_name], pdf[media_name]):
                 b = b"" if raw is None else bytes(raw)
                 try:
-                    img = Image.open(_io.BytesIO(b))
-                    w, h = img.size
-                    nf = int(getattr(img, "n_frames", 1))
+                    w, h, nf = (int(x) for x in decoder(b))
                 except Exception:
                     w = h = nf = None
                 rows.append(

@@ -137,25 +137,36 @@ def test_decode_image_gated_without_pil(spark):
         decode_image(df)
 
 
-@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this image")
 def test_decode_image_real_matches_stub_schema(spark):
-    """With PIL present, decode_image must produce decode_media_stub's
-    exact output schema, real dimensions for a real PNG, and NULL dims
-    (not a task failure) for corrupt bytes."""
-    import io as _io
+    """decode_image driving a REAL decode end-to-end must produce
+    decode_media_stub's exact output schema, real dimensions for a real
+    PNG encode, and NULL dims (not a task failure) for corrupt bytes.
+    Runs unconditionally: the bytes come from the vendored real encoder
+    (tests/miniimg.py) and the decode is the package's pure-stdlib
+    png_decode_dims when PIL is absent (PIL's own path when present)."""
+    from miniimg import encode_png
 
-    from PIL import Image
+    from etl_hero_spark.multimodal import (
+        decode_image,
+        decode_media_stub,
+        png_decode_dims,
+    )
 
-    from etl_hero_spark.multimodal import decode_image, decode_media_stub
+    png = encode_png(12, 7)
+    if _HAS_PIL:
+        import io as _io
 
-    buf = _io.BytesIO()
-    Image.new("RGB", (12, 7)).save(buf, format="PNG")
-    png = buf.getvalue()
+        from PIL import Image
+
+        # cross-validate the vendored encoder against a real codec
+        assert Image.open(_io.BytesIO(png)).size == (12, 7)
     df = spark.createDataFrame(
         [(1, png), (2, b"definitely not an image")],
         "doc_id long, media binary",
     )
-    real = decode_image(df)
+    real = decode_image(
+        df, decoder=None if _HAS_PIL else png_decode_dims
+    )
     stub = decode_media_stub(df)
     assert real.schema == stub.schema
     got = {r["doc_id"]: r for r in real.collect()}
@@ -463,20 +474,26 @@ def test_png_metadata_parses_spec_exact_header(spark):
         assert got[i]["is_png"] == 0 and got[i]["png_width"] is None
 
 
-@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this image")
 def test_png_metadata_matches_real_encoder(spark):
-    """With PIL present, dimensions parsed from a REAL PNG encode must
-    match what the encoder was asked for."""
-    import io as _io
-
-    from PIL import Image
+    """Dimensions parsed from a REAL PNG encode must match what the
+    encoder was asked for. Runs unconditionally on the vendored real
+    encoder (valid zlib IDAT, CRC'd chunks — round-tripped through the
+    vendored real decode as a self-check); cross-validated against PIL
+    when present."""
+    from miniimg import decode_png, encode_png
 
     from etl_hero_spark.multimodal import png_metadata
 
-    buf = _io.BytesIO()
-    Image.new("RGB", (123, 45)).save(buf, format="PNG")
+    png = encode_png(123, 45)
+    assert decode_png(png) == (123, 45)  # a real decode accepts it
+    if _HAS_PIL:
+        import io as _io
+
+        from PIL import Image
+
+        assert Image.open(_io.BytesIO(png)).size == (123, 45)
     df = spark.createDataFrame(
-        [(1, bytearray(buf.getvalue()))], "id long, media binary"
+        [(1, bytearray(png))], "id long, media binary"
     )
     row = png_metadata(df).first()
     assert (row["png_width"], row["png_height"]) == (123, 45)
@@ -562,26 +579,33 @@ def test_jpeg_metadata_parses_spec_exact_headers(spark):
     assert got[5]["is_jpeg"] == 0 and got[5]["jpeg_width"] is None
 
 
-@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this image")
 def test_jpeg_metadata_matches_real_encoder(spark):
-    """With PIL present, dimensions parsed from REAL baseline AND
-    progressive encodes must match what the encoder was asked for."""
-    import io as _io
-
-    from PIL import Image
+    """Dimensions parsed from REAL baseline AND progressive encodes
+    must match what the encoder was asked for. Runs unconditionally on
+    the vendored real encoder (complete T.81 streams: DQT + SOF +
+    one-symbol DHTs + valid per-block entropy scans); cross-validated
+    against PIL's decoder when present."""
+    from miniimg import encode_jpeg
 
     from etl_hero_spark.multimodal import jpeg_metadata
 
-    base, prog = _io.BytesIO(), _io.BytesIO()
-    Image.new("RGB", (123, 45)).save(base, format="JPEG")
-    Image.new("RGB", (32, 64)).save(prog, format="JPEG", progressive=True)
+    base = encode_jpeg(123, 45)
+    prog = encode_jpeg(32, 64, progressive=True)
+    if _HAS_PIL:
+        import io as _io
+
+        from PIL import Image
+
+        assert Image.open(_io.BytesIO(base)).size == (123, 45)
+        assert Image.open(_io.BytesIO(prog)).size == (32, 64)
     df = spark.createDataFrame(
-        [(1, bytearray(base.getvalue())), (2, bytearray(prog.getvalue()))],
+        [(1, bytearray(base)), (2, bytearray(prog))],
         "id long, media binary",
     )
     got = {r["id"]: r for r in jpeg_metadata(df).collect()}
     assert (got[1]["jpeg_width"], got[1]["jpeg_height"]) == (123, 45)
     assert got[1]["jpeg_sof"] == "baseline"
+    assert got[1]["jpeg_components"] == 1
     assert (got[2]["jpeg_width"], got[2]["jpeg_height"]) == (32, 64)
     assert got[2]["jpeg_sof"] == "progressive"
 

@@ -200,3 +200,156 @@ def dsir_resample(
         .limit(int(budget))
         .drop("_gk")
     )
+
+
+def dsir_kl_report(
+    docs: DataFrame,
+    target_pred: Column,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    temperature: float = 1.0,
+    scale: int = 6,
+) -> DataFrame:
+    """Selection-quality evaluation for DSIR (the paper's measure): did
+    resampling move the pool's hashed-n-gram distribution TOWARD the
+    target domain? Reports
+
+        kl_target_raw      = KL(p_target || q_raw_pool)
+        kl_target_selected = KL(p_target || q_selected)
+        kl_reduction       = kl_target_raw - kl_target_selected
+
+    over the same add-alpha-smoothed bucket models the fit uses —
+    positive reduction means the selected subset is closer to the
+    target than the pool it came from (the ANN-recall posture: measure
+    the quality claim, never assume it).
+
+    Plan: ONE feature pass (checkpointed) feeds both the weight fit and
+    the evaluation counts; the selected-id set is budget-bounded and
+    joins back by BROADCAST; all three distributions come from one
+    conditional groupBy to an ``n_buckets``-row table, and the two
+    KL sums fold 12dp-rounded per-bucket terms in DECIMAL(38,18) —
+    deterministic under any partitioning (the k-term double-sum
+    gotcha). One output row. Python-reference parity pinned in
+    tests/test_dsir.py.
+    """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    base = docs.withColumn("_is_t", target_pred.cast("boolean"))
+    fb = parquet_checkpoint(
+        _hashed_feature_buckets(base, id_col, text_col, n_buckets).join(
+            base.select(F.col(id_col).alias("_id"), F.col("_is_t")),
+            "_id",
+        ),
+        "dsir-kl-feats",
+    )
+    # fit log-weights from the SAME feature stream (inline rather than
+    # via dsir_log_weights so the corpus is tokenized exactly once)
+    counts = fb.groupBy("_bucket").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_t"),
+        F.count(F.lit(1)).alias("_r"),
+    )
+    totals = counts.agg(
+        F.sum("_t").cast("double").alias("_tt"),
+        F.sum("_r").cast("double").alias("_tr"),
+    )
+    a, b = float(alpha), float(n_buckets)
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "_bucket",
+        F.round(
+            F.log((F.col("_t") + a) / (F.col("_tt") + a * b))
+            - F.log((F.col("_r") + a) / (F.col("_tr") + a * b)),
+            12,
+        ).alias("_lr"),
+    )
+    per_doc = (
+        fb.groupBy("_id", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(ratio), "_bucket")
+        .groupBy("_id")
+        .agg(
+            F.round(
+                F.sum((F.col("_c") * F.col("_lr")).cast(_DEC)).cast(
+                    "double"
+                ),
+                scale,
+            ).alias("log_weight")
+        )
+    )
+    # zero-feature docs enter the resample with weight 0.0, matching
+    # dsir_log_weights ("no evidence either way")
+    weights = (
+        base.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            "_id",
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias(
+                "log_weight"
+            ),
+        )
+    )
+    chosen = dsir_resample(
+        weights.withColumnRenamed("_id", id_col),
+        budget,
+        id_col=id_col,
+        temperature=temperature,
+    ).select(F.col(id_col).alias("_id"), F.lit(1).alias("_sel"))
+    # evaluation counts: target / raw / selected occupancy per bucket
+    tri = (
+        fb.join(F.broadcast(chosen), "_id", "left")
+        .groupBy("_bucket")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_t"),
+            F.count(F.lit(1)).alias("_r"),
+            F.sum(F.when(F.col("_sel").isNotNull(), 1).otherwise(0)).alias(
+                "_s"
+            ),
+        )
+    )
+    tri_tot = tri.agg(
+        F.sum("_t").cast("double").alias("_tt"),
+        F.sum("_r").cast("double").alias("_tr"),
+        F.sum("_s").cast("double").alias("_ts"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    j = tri.crossJoin(F.broadcast(tri_tot))
+    p = (F.col("_t") + a) / (F.col("_tt") + a * b)
+    qr = (F.col("_r") + a) / (F.col("_tr") + a * b)
+    qs = (F.col("_s") + a) / (F.col("_ts") + a * b)
+    term_raw = F.round(p * (F.log(p) - F.log(qr)), 12).cast(_DEC)
+    term_sel = F.round(p * (F.log(p) - F.log(qs)), 12).cast(_DEC)
+    # buckets with no occurrences anywhere still carry smoothed mass
+    # p0 = a/(tt+ab); their per-bucket term is a closed form of the
+    # totals, added once x (n_buckets - occupied) — the KL is over the
+    # FULL model support, not just occupied buckets
+    p0 = F.lit(a) / (F.col("_tt") + a * b)
+    qr0 = F.lit(a) / (F.col("_tr") + a * b)
+    qs0 = F.lit(a) / (F.col("_ts") + a * b)
+    missing = (F.lit(b) - F.col("_nb")).cast("double")
+    out = j.agg(
+        F.max("_nb").cast("bigint").alias("n_buckets_occupied"),
+        F.round(
+            F.sum(term_raw).cast("double")
+            + F.max(
+                missing * F.round(p0 * (F.log(p0) - F.log(qr0)), 12)
+            ),
+            scale,
+        ).alias("kl_target_raw"),
+        F.round(
+            F.sum(term_sel).cast("double")
+            + F.max(
+                missing * F.round(p0 * (F.log(p0) - F.log(qs0)), 12)
+            ),
+            scale,
+        ).alias("kl_target_selected"),
+    )
+    return out.select(
+        "n_buckets_occupied",
+        "kl_target_raw",
+        "kl_target_selected",
+        F.round(
+            F.col("kl_target_raw") - F.col("kl_target_selected"), scale
+        ).alias("kl_reduction"),
+    )

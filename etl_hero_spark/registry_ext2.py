@@ -1275,6 +1275,39 @@ def q_sample_dsir_resample(spark, sf_dir):
 
 
 @register(
+    "sample_dsir_kl_report",
+    oracle=None,
+    note=(
+        "extension (r6, VERDICT r5 #7): DSIR selection-quality report — "
+        "the paper measures selection by target-domain KL reduction, so "
+        "this reports KL(target || raw pool) vs KL(target || selected) "
+        "over the same add-alpha-smoothed hashed-n-gram bucket models "
+        "the fit uses (full n_buckets support: unoccupied buckets' "
+        "smoothed mass enters as one closed-form term), kl_reduction "
+        "> 0 == the Gumbel-top-k resample moved the pool toward the "
+        "target — the measured-recall posture: selection quality "
+        "measured, not assumed. ONE checkpointed feature pass feeds "
+        "both the weight fit and the evaluation counts; the selected-id "
+        "set is budget-bounded and broadcast; all three distributions "
+        "come from one bounded n_buckets groupBy; KL terms fold "
+        "12dp-rounded into DECIMAL(38,18) (the k-term double-sum "
+        "gotcha). Python-reference parity + enrichment direction "
+        "pinned in tests/test_dsir.py"
+    ),
+)
+def q_sample_dsir_kl_report(spark, sf_dir):
+    from etl_hero_spark.dsir import dsir_kl_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_kl_report(
+        docs,
+        F.col("source") == "src0",
+        budget=200,
+        n_buckets=1024,
+    )
+
+
+@register(
     "events_gap_fill_linear",
     oracle=(
         # identical interpolation expression order to temporal.
@@ -1412,6 +1445,110 @@ def q_multimodal_mp4_metadata(spark, sf_dir):
         "mp4_timescale",
         "mp4_duration_s",
         "mp4_n_tracks",
+    )
+
+
+@register(
+    "multimodal_triage_routed",
+    oracle=None,
+    note=(
+        "extension (r6, VERDICT r5 #9): triage-routing observability — "
+        "the jpeg/mp4 walks deliberately stop at progressive-boundary/"
+        "largesize/to-EOF structures and emit NULL ('route to a real "
+        "demuxer'); at corpus scale that NULL path must be COUNTED, "
+        "not silent. One summary row per format: n_rows, n_format "
+        "(magic matched), n_parsed (metadata extracted), n_routed "
+        "(format recognized but walk stopped -> the real-decoder "
+        "queue), n_foreign (other magic). Reuses the registered triage "
+        "fixtures and unions planted boundary rows that MUST route "
+        "(SOS-before-SOF + truncated-SOF JPEGs; largesize + to-EOF "
+        "MP4 boxes), so a parser change that silently starts "
+        "swallowing boundary structures flips a pinned count. "
+        "Identity n_format == n_parsed + n_routed pinned in "
+        "tests/test_io_pipeline.py"
+    ),
+)
+def q_multimodal_triage_routed(spark, sf_dir):
+    from etl_hero_spark.multimodal import jpeg_metadata, mp4_metadata
+    from etl_hero_spark.registry_ext import (
+        q_multimodal_jpeg_metadata,
+        q_multimodal_png_metadata,
+    )
+
+    # planted boundary payloads, built driver-side from spec bytes:
+    # two JPEGs that must route (SOS before any SOF; truncation inside
+    # the segment walk) and two MP4s that must route (largesize box;
+    # to-EOF box)
+    jpeg_boundary = spark.createDataFrame(
+        [
+            (
+                1_000_000_001,
+                bytes.fromhex(
+                    "FFD8"
+                    "FFE000104A46494600010100000100010000"
+                    "FFDA0008000000000000"  # SOS first -> route
+                ),
+            ),
+            (
+                1_000_000_002,
+                bytes.fromhex("FFD8FFE00010"),  # truncated mid-APP0
+            ),
+        ],
+        "p_partkey long, media binary",
+    )
+    mp4_boundary = spark.createDataFrame(
+        [
+            (
+                1_000_000_001,
+                bytes.fromhex(
+                    "00000001"  # size==1 -> 64-bit largesize follows
+                    "66747970" "69736F6D" "00000200"
+                    "0000000000000018"
+                ),
+            ),
+            (
+                1_000_000_002,
+                bytes.fromhex(
+                    "00000010" "66747970" "69736F6D" "00000200"
+                    "00000000" "6D6F6F76"  # size==0: to-EOF moov
+                ),
+            ),
+        ],
+        "p_partkey long, media binary",
+    )
+    jpeg = q_multimodal_jpeg_metadata(spark, sf_dir).unionByName(
+        jpeg_metadata(jpeg_boundary, max_segments=12).select(
+            "p_partkey", "is_jpeg", "jpeg_sof", "jpeg_width",
+            "jpeg_height", "jpeg_components",
+        )
+    )
+    mp4 = q_multimodal_mp4_metadata(spark, sf_dir).unionByName(
+        mp4_metadata(mp4_boundary).select(
+            "p_partkey", "is_mp4", "mp4_brand", "mp4_timescale",
+            "mp4_duration_s", "mp4_n_tracks",
+        )
+    )
+    png = q_multimodal_png_metadata(spark, sf_dir)
+
+    def summary(df, fmt: str, is_col: str, parsed_col: str):
+        is_fmt = F.col(is_col) == 1
+        parsed = is_fmt & F.col(parsed_col).isNotNull()
+        routed = is_fmt & F.col(parsed_col).isNull()
+        return df.agg(
+            F.lit(fmt).alias("format"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(is_fmt.cast("int")).cast("bigint").alias("n_format"),
+            F.sum(parsed.cast("int")).cast("bigint").alias("n_parsed"),
+            F.sum(routed.cast("int")).cast("bigint").alias("n_routed"),
+            F.sum((~is_fmt).cast("int")).cast("bigint").alias(
+                "n_foreign"
+            ),
+        )
+    return (
+        summary(jpeg, "jpeg", "is_jpeg", "jpeg_width")
+        .unionByName(summary(mp4, "mp4", "is_mp4", "mp4_timescale"))
+        .unionByName(summary(png, "png", "is_png", "png_width"))
+        .orderBy("format")
     )
 
 

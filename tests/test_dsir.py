@@ -159,3 +159,103 @@ def test_pipeline_dsir_curate_stage_accounting(spark, sf_dir):
     got_src0 = next(r["n_docs"] for r in rows if r["source"] == "src0")
     kept = n_selected - n_cont
     assert got_src0 / kept > src0 / total, "target domain not enriched"
+
+
+def _ref_kl_report(rows, budget, temperature=1.0):
+    """Pure-Python mirror of dsir_kl_report over (id, text, is_target)
+    rows: same md5 buckets, same 12dp-rounded terms, same Gumbel keys."""
+    t_counts, r_counts = collections.Counter(), collections.Counter()
+    per_doc = {}
+    for _id, text, is_t in rows:
+        buckets = collections.Counter(_bucket(f_) for f_ in _features(text))
+        per_doc[_id] = buckets
+        for b, c in buckets.items():
+            r_counts[b] += c
+            if is_t:
+                t_counts[b] += c
+    tt, tr = sum(t_counts.values()), sum(r_counts.values())
+    ratio = {
+        b: round(
+            math.log((t_counts[b] + ALPHA) / (tt + ALPHA * B))
+            - math.log((r_counts[b] + ALPHA) / (tr + ALPHA * B)),
+            12,
+        )
+        for b in r_counts
+    }
+    lw = {
+        _id: round(sum(c * ratio[b] for b, c in bk.items()), 6)
+        for _id, bk in per_doc.items()
+    }
+
+    def gumbel_key(_id):
+        u = (
+            int(hashlib.md5(f"dsir:{_id}".encode()).hexdigest()[:13], 16)
+            + 1.0
+        ) / float((1 << 52) + 2)
+        return lw[_id] / temperature + -math.log(-math.log(u))
+
+    chosen = sorted(lw, key=lambda i: (-gumbel_key(i), i))[:budget]
+    s_counts = collections.Counter()
+    for _id in chosen:
+        for b, c in per_doc[_id].items():
+            s_counts[b] += c
+    ts = sum(s_counts.values())
+
+    def kl(qc, qt):
+        total = 0.0
+        for b in r_counts:
+            p = (t_counts[b] + ALPHA) / (tt + ALPHA * B)
+            q = (qc[b] + ALPHA) / (qt + ALPHA * B)
+            total += round(p * (math.log(p) - math.log(q)), 12)
+        p0 = ALPHA / (tt + ALPHA * B)
+        n_missing = B - len(r_counts)
+        q0r = ALPHA / (qt + ALPHA * B)
+        total += n_missing * round(p0 * (math.log(p0) - math.log(q0r)), 12)
+        return total
+
+    return {
+        "n_buckets_occupied": len(r_counts),
+        "kl_target_raw": round(kl(r_counts, tr), 6),
+        "kl_target_selected": round(kl(s_counts, ts), 6),
+    }
+
+
+def test_kl_report_matches_python_reference(spark):
+    from etl_hero_spark.dsir import dsir_kl_report
+
+    rows = FIXTURE + [
+        (7, "alpha beta alpha beta gamma", False),
+        (8, "delta delta epsilon", False),
+        (9, "alpha gamma beta", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = dsir_kl_report(
+        df, F.col("is_t"), budget=4, n_buckets=B, alpha=ALPHA
+    ).first()
+    want = _ref_kl_report(rows, budget=4)
+    assert got["n_buckets_occupied"] == want["n_buckets_occupied"]
+    assert got["kl_target_raw"] == pytest.approx(
+        want["kl_target_raw"], abs=1e-6
+    )
+    assert got["kl_target_selected"] == pytest.approx(
+        want["kl_target_selected"], abs=1e-6
+    )
+    assert got["kl_reduction"] == pytest.approx(
+        round(got["kl_target_raw"] - got["kl_target_selected"], 6),
+        abs=1e-9,
+    )
+
+
+def test_kl_report_selection_reduces_target_divergence(spark, sf_dir):
+    """On the documents fixture, resampling toward src0 must move the
+    selected distribution closer to the target than the raw pool —
+    the quality claim the report exists to measure."""
+    from etl_hero_spark.dsir import dsir_kl_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = dsir_kl_report(
+        docs, F.col("source") == "src0", budget=100, n_buckets=256
+    ).first()
+    assert row["kl_target_raw"] > 0
+    assert row["kl_reduction"] > 0
+    assert row["kl_target_selected"] < row["kl_target_raw"]

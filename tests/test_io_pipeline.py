@@ -781,3 +781,29 @@ def test_registered_mp4_query_matches_planted_arithmetic(spark, sf_dir):
             assert r["mp4_timescale"] == ts
             assert r["mp4_duration_s"] == round(dur / ts, 6)
             assert r["mp4_n_tracks"] == (2 if k % 2 == 0 else 1)
+
+
+def test_triage_routed_counts_boundary_structures(spark, sf_dir):
+    """The routing summary must COUNT the NULL path: the planted
+    boundary rows (SOS-before-SOF/truncated JPEGs, largesize/to-EOF
+    MP4s) land in n_routed, the synthesized fixture rows all parse,
+    and n_format == n_parsed + n_routed per format."""
+    from etl_hero_spark.registry import all_queries
+
+    rows = {
+        r["format"]: r
+        for r in all_queries()["multimodal_triage_routed"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"jpeg", "mp4", "png"}
+    for fmt, r in rows.items():
+        assert r["n_format"] == r["n_parsed"] + r["n_routed"], fmt
+        assert r["n_rows"] == r["n_format"] + r["n_foreign"], fmt
+    # both planted JPEG boundary rows are recognized as JPEG yet route
+    assert rows["jpeg"]["n_routed"] == 2
+    # the largesize MP4 routes; the to-EOF moov stops the walk too
+    assert rows["mp4"]["n_routed"] == 2
+    # every synthesized PNG fixture row parses (no boundary plants)
+    assert rows["png"]["n_routed"] == 0
+    assert rows["png"]["n_parsed"] > 0

@@ -414,7 +414,70 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def run_full(out_path: str) -> None:
+    """One-off FULL sweep (VERDICT r5 #10): time EVERY registered query
+    once (single shot — this is a blind-spot eliminator so no
+    registered query has zero recorded cost, not the regression gate;
+    the headline min-of-N run stays the gate). Includes the streaming
+    twins and other registered-unbenched queries the headline set
+    excludes."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_hero_spark.registry import REGISTRY, _load_extensions
+    from etl_hero_spark.session import get_spark
+
+    _load_extensions()
+    spark = get_spark("etl-hero-bench-full")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    times: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.perf_counter()
+        materialize(spec.spark(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "metric": "all_registered_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(times),
+                "note": (
+                    "single-shot sweep of every registered query (incl. "
+                    "streaming twins) so none has zero recorded cost; "
+                    "the headline BENCH_DETAIL run is the regression "
+                    "gate, not this"
+                ),
+                "queries": times,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    print(
+        json.dumps(
+            {
+                "metric": "all_registered_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "n_queries": len(times),
+                "detail": out_path,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--full" in sys.argv:
+        idx = sys.argv.index("--full")
+        out = (
+            sys.argv[idx + 1]
+            if len(sys.argv) > idx + 1
+            else "BENCH_FULL.json"
+        )
+        run_full(out)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_hero_spark.registry import REGISTRY, _load_extensions
     from etl_hero_spark.session import get_spark

@@ -187,6 +187,11 @@ HEADLINE = [
     "pipeline_dsir_curate",
     "sql_disjunctive_promo",
     "sql_returned_item_ranking",
+    # round-6 additions
+    "dedup_repeated_spans",
+    "sim_topk_sq8",
+    "sample_dsir_kl_report",
+    "multimodal_triage_routed",
 ]
 
 
@@ -326,6 +331,12 @@ NOTES = {
         "~0.7s) as part='dormant_rich' tagged rows to free a "
         "driver-window slot — compare vs_prev against the sum of the "
         "two prior entries."
+    ),
+    "sim_ann_recall_report": (
+        "r6 added the int8 SQ8 rung's measured-recall row to this "
+        "report (a third approximate method scored against the same "
+        "brute-force ground truth) — the extra encode+probe pass adds "
+        "~1-2s by design; compare vs_prev with that addition in mind."
     ),
     "sim_topk_pq": (
         "plan unchanged since r3; isolated idle-host min-of-3 "

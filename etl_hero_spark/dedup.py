@@ -877,3 +877,196 @@ def flag_benchmark_contamination_fuzzy(
             F.col("max_est_jaccard").isNotNull().cast("int"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. repeated-span (substring) dedup — Lee et al. 2022 re-expressed
+# ---------------------------------------------------------------------------
+
+
+def _positional_windows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, wh): the md5 of the n-token window STARTING at every
+    token position — _exploded_shingle_set's positional sibling (same
+    relational lead-window build, no interpreted lambdas), positions
+    kept instead of distinct'd because span assembly needs them."""
+    w = W.partitionBy("id").orderBy("pos")
+    tok_rows = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .withColumn("_toks", tokens_expr(normalized_text_expr("_txt")))
+        .select("id", F.posexplode("_toks").alias("pos", "tok"))
+    )
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, n)
+    ]
+    return (
+        tok_rows.withColumn("_last", parts[-1] if n > 1 else F.col("tok"))
+        .withColumn("wh", F.md5(F.concat_ws(" ", *parts)))
+        .filter(F.col("_last").isNotNull())
+        .select("id", "pos", "wh")
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal per-document token spans covered by CORPUS-REPEATED
+    n-token windows — the distributed re-expression of suffix-array
+    substring deduplication (Lee et al. 2022, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better"): a
+    window that occurs >= ``min_count`` times anywhere in the corpus
+    (another document OR the same one — intra-document repeats count,
+    as in the paper) marks its n tokens as duplicated text; overlapping
+    and touching duplicated windows merge into maximal spans.
+
+    Output: (id, span_start, span_end, n_windows, span_tokens) with
+    token-index bounds [span_start, span_end) and span_tokens =
+    span_end - span_start.
+
+    Plan (all linear, no suffix array needed): one corpus pass builds
+    positional window hashes (lead window over (id, pos) — uniform
+    keys); ONE groupBy counts corpus-wide occurrences (partial agg
+    map-side); the duplicated subset joins back on the uniform hash
+    key; span assembly is gaps-and-islands per document (one more
+    id-keyed window). Normalization matches the rest of the dedup
+    family (lowercase + whitespace collapse), so casing variants
+    collide here too.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    wins = parquet_checkpoint(
+        _positional_windows(df, id_col, text_col, n), "span-wins"
+    )
+    dup_keys = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= int(min_count))
+        .select("wh")
+    )
+    dup = wins.join(dup_keys, "wh").select("id", "pos")
+    w = W.partitionBy("id").orderBy("pos")
+    # new island when this window no longer overlaps-or-touches the
+    # previous one: its start is past prev_start + n
+    new_island = (
+        F.when(F.lag("pos").over(w).isNull(), F.lit(1))
+        .when(F.col("pos") > F.lag("pos").over(w) + n, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    islands = dup.withColumn(
+        "_isl",
+        F.sum(new_island).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_windows",
+            (F.col("span_end") - F.col("span_start")).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Remediation over repeated_spans: rebuild each document's
+    NORMALIZED text with every qualifying duplicated span removed
+    (spans shorter than ``min_span_tokens`` survive — by default every
+    detected span is stripped). Output: input columns plus
+    ``text_stripped`` and ``n_tokens_removed``.
+
+    The rebuild stays relational: covered token positions come from
+    exploding each duplicated span to its token range (blowup bounded
+    by the duplicated text itself, never the corpus); kept tokens
+    reassemble via an order-preserving collect_list over the (id, pos)
+    window + array_join — both codegen'd, no interpreted per-token
+    lambda. Text is rebuilt from the SAME normalized token stream the
+    detector saw, so offsets always agree.
+    """
+    min_span = n if min_span_tokens is None else int(min_span_tokens)
+    spans = repeated_spans(
+        df, id_col, text_col, n=n, min_count=min_count
+    ).filter(F.col("span_tokens") >= min_span)
+    covered = spans.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    ).distinct()
+    tok_rows = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .withColumn("_toks", tokens_expr(normalized_text_expr("_txt")))
+        .select("id", F.posexplode("_toks").alias("pos", "tok"))
+    )
+    kept = tok_rows.join(covered, ["id", "pos"], "left_anti")
+    w_full = (
+        W.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    rebuilt = (
+        kept.select(
+            "id",
+            F.array_join(
+                F.collect_list("tok").over(w_full), " "
+            ).alias("text_stripped"),
+        )
+        .groupBy("id")
+        .agg(F.max("text_stripped").alias("text_stripped"))
+    )
+    removed = covered.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens_removed")
+    )
+    return (
+        df.join(
+            rebuilt.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .join(
+            removed.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn(
+            "n_tokens_removed",
+            F.coalesce(F.col("n_tokens_removed"), F.lit(0)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "text_stripped",
+            F.when(
+                F.col("text_stripped").isNotNull(),
+                F.col("text_stripped"),
+            ).otherwise(
+                # no token survived (fully-duplicated doc) OR the doc
+                # had no detected span; disambiguate via the counter
+                F.when(
+                    F.col("n_tokens_removed") > 0, F.lit("")
+                ).otherwise(
+                    F.array_join(
+                        tokens_expr(normalized_text_expr(text_col)), " "
+                    )
+                )
+            ),
+        )
+    )

@@ -1687,6 +1687,33 @@ _PQ_BOOKS: dict = {}
 
 
 @register(
+    "sim_topk_sq8",
+    oracle=None,
+    note=(
+        "extension (r6): int8 scalar-quantized ANN top-k — the missing "
+        "ladder rung between brute force and PQ (faiss SQ8 posture): "
+        "per-vector symmetric scale, corpus encoded ONCE behind a disk "
+        "stage boundary so the approximate pass scans codes+scale+norm "
+        "column-pruned (~4x less bytes than raw floats at 100 TB), "
+        "scored by an UNROLLED integer dot against the broadcast-"
+        "constant query codes (codegen'd flat arithmetic, no "
+        "interpreted zip_with), exact rerank of the bounded candidate "
+        "set with the brute-force cosine expression. Full-rerank == "
+        "brute force bit-for-bit, measured recall, and zero-vector "
+        "handling pinned in tests/test_simsearch.py"
+    ),
+)
+def q_sim_topk_sq8(spark, sf_dir):
+    from etl_hero_spark.simsearch import topk_cosine_sq8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_sq8(emb, queries, k=5, rerank_factor=4)
+
+
+@register(
     "sim_topk_pq",
     oracle=None,
     note=(
@@ -3043,10 +3070,11 @@ _BPE_MEMO: dict = {}
         "extension: ANN recall@k measurement as a first-class query — "
         "the approximate ladder is only usable at 100 TB if its recall "
         "is MEASURED, not assumed: brute-force top-5 is the ground "
-        "truth; LSH (multi-probe) and IVF (partial probe) score their "
-        "hit fraction against it per query, averaged. All inputs "
-        "seeded -> deterministic. The recall/probe-cost tradeoff this "
-        "reports is the knob the ANN docstrings describe"
+        "truth; LSH (multi-probe), IVF (partial probe) and the int8 "
+        "SQ8 rung (r6) score their hit fraction against it per query, "
+        "averaged. All inputs seeded -> deterministic. The "
+        "recall/probe-cost tradeoff this reports is the knob the ANN "
+        "docstrings describe"
     ),
 )
 def q_sim_ann_recall_report(spark, sf_dir):
@@ -3054,6 +3082,7 @@ def q_sim_ann_recall_report(spark, sf_dir):
         topk_cosine,
         topk_cosine_ivf,
         topk_cosine_lsh,
+        topk_cosine_sq8,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3072,6 +3101,9 @@ def q_sim_ann_recall_report(spark, sf_dir):
         "ivf_probe2of8": topk_cosine_ivf(
             emb, queries, k=k, n_centroids=8, nprobe=2,
             stage_key=(p, os.stat(p).st_mtime),
+        ),
+        "sq8_rerank4": topk_cosine_sq8(
+            emb, queries, k=k, rerank_factor=4
         ),
     }
     reports = []

@@ -1618,6 +1618,63 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 @register(
+    "dedup_repeated_spans",
+    oracle=None,
+    note=(
+        "extension (r6): repeated-span (substring) dedup — the "
+        "distributed re-expression of suffix-array substring "
+        "deduplication (Lee et al. 2022, arXiv:2107.06499): any "
+        "8-token window occurring >=2 times in the corpus marks "
+        "duplicated text; overlapping windows merge to maximal spans "
+        "via per-doc gaps-and-islands. All linear: ONE positional "
+        "window-hash pass (lead window, uniform keys, checkpointed), "
+        "ONE corpus-wide count groupBy, one id-keyed island window — "
+        "no suffix array, no quadratic path. Fixture plants a 24-token "
+        "fragment of doc 1 at the tail of every doc_id%7==3 clone so "
+        "cross-doc spans exist to find; exact span boundaries, "
+        "intra-doc repeats, and the strip remediation "
+        "(strip_repeated_spans: order-preserving relational rebuild, "
+        "no interpreted per-token lambda) pinned in "
+        "tests/test_dedup.py. Summary row"
+    ),
+)
+def q_dedup_repeated_spans(spark, sf_dir):
+    from etl_hero_spark.dedup import repeated_spans
+    from etl_hero_spark.textops import normalized_text_expr, tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    frag = d.filter(F.col("doc_id") == 1).select(
+        F.array_join(
+            F.slice(tokens_expr(normalized_text_expr("text")), 1, 24),
+            " ",
+        ).alias("_frag")
+    )
+    clones = (
+        d.filter(F.col("doc_id") % 7 == 3)
+        .crossJoin(F.broadcast(frag))
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.col("_frag")).alias(
+                "text"
+            ),
+        )
+    )
+    pool = d.select("doc_id", "text").unionByName(clones)
+    spans = repeated_spans(pool, n=8)
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.countDistinct("doc_id").cast("bigint").alias(
+            "n_docs_with_spans"
+        ),
+        F.sum("span_tokens").cast("bigint").alias("total_span_tokens"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+        F.sum(
+            F.when(F.col("doc_id") >= 3_000_000, 1).otherwise(0)
+        ).cast("bigint").alias("n_spans_in_clones"),
+    )
+
+
+@register(
     "profile_weighted_quantile",
     oracle=(
         "WITH v AS (SELECT l_extendedprice AS v, "

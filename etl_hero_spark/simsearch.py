@@ -1337,3 +1337,147 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantized (int8) ANN — the missing rung between brute force
+# and PQ: 4x less scan traffic than raw floats at near-exact recall
+# ---------------------------------------------------------------------------
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = 3,
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale =
+    max|x_i| / 127, codes_i = round(x_i / scale) in [-127, 127]. The
+    encoded corpus (corpus_id, cv, sq_scale, sq_codes, cnorm) goes
+    behind a disk stage boundary so the probe reads codes+scale+norm
+    COLUMN-PRUNED — at 100 TB the approximate pass scans ~1/4 of the
+    raw float bytes (the faiss SQ8 posture), and the encode expression
+    is analyzed/compiled exactly once. Zero vectors take scale 1.0
+    (codes all zero — cosine undefined anyway, exact rerank keeps them
+    last deterministically)."""
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    mx = F.expr(
+        "greatest("
+        + ", ".join(
+            f"abs(cast({vec_col}[{i}] as double))" for i in range(dim)
+        )
+        + ")"
+    )
+    scale = F.when(mx > 0, mx / 127.0).otherwise(F.lit(1.0))
+    staged = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        quantized_vec(vec_col, quantize).alias("cv"),
+        scale.alias("sq_scale"),
+    )
+    enc = staged.select(
+        "corpus_id",
+        "cv",
+        "sq_scale",
+        F.expr(
+            "transform(cv, x -> cast(round(x / sq_scale) as int))"
+        ).alias("sq_codes"),
+        F.round(norm_expr(F.col("cv")), 9).alias("cnorm"),
+    )
+    return parquet_checkpoint(enc, "sq8_enc")
+
+
+def topk_cosine_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    quantize: int | None = 3,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Int8 scalar-quantized ANN top-k with exact rerank. The
+    approximate pass scores every corpus row against each query with an
+    UNROLLED integer dot product over the RAW sq_codes attribute
+    (codes[i] * <query code literal> — whole-stage-codegen'd flat
+    arithmetic, never an interpreted zip_with; the _dot_const_sql
+    constraints), normalized by the stored scales/norms into an
+    approximate cosine; the top k*rerank_factor candidates per query
+    rerank with the EXACT brute-force cosine expression, so overlap
+    with topk_cosine is bit-identical (pinned in tests — rerank over
+    the whole corpus equals brute force exactly).
+
+    ``queries`` is the bounded probe set: its rows collect driver-side
+    to become plan literals (the broadcast-constant probe shape every
+    unrolled rung here uses). Output: (query_id, corpus_id, score,
+    rank), (score DESC, corpus_id ASC)."""
+    enc = encoded if encoded is not None else sq8_encode(
+        corpus, id_col=id_col, vec_col=vec_col, quantize=quantize
+    )
+    qrows = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_v")
+    ).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    per_query = []
+    for r in qrows:
+        v = [float(x) for x in r["_v"]]
+        qmax = max((abs(x) for x in v), default=0.0)
+        qs = qmax / 127.0 if qmax > 0 else 1.0
+        qc = [int(round(x / qs)) for x in v]
+        qn = sum(
+            (round(x, quantize) if quantize is not None else x) ** 2
+            for x in v
+        ) ** 0.5
+        int_dot = " + ".join(
+            f"cast(sq_codes[{i}] as bigint)*{c}L"
+            for i, c in enumerate(qc)
+            if c != 0
+        ) or "0L"
+        approx = (
+            f"(sq_scale * cast({qs!r} as double) * cast(({int_dot}) as double))"
+            f" / (cnorm * cast({qn!r} as double))"
+        )
+        per_query.append(
+            enc.select(
+                F.lit(r["_qid"]).alias("query_id"),
+                "corpus_id",
+                F.expr(approx).alias("_approx"),
+            ).filter(F.col("cnorm") > 0)
+        )
+    scored = per_query[0]
+    for p in per_query[1:]:
+        scored = scored.unionByName(p)
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("_approx"), F.asc("corpus_id")
+    )
+    cands = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select("query_id", "corpus_id")
+    )
+    # exact rerank: candidates join back their raw (quantized) vectors
+    # — column-pruned second read of the encoded table
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantized_vec(vec_col, quantize).alias("qv"),
+    )
+    rer = (
+        cands.join(enc.select("corpus_id", "cv"), "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("corpus_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )

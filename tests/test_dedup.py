@@ -460,3 +460,62 @@ def test_keep_best_ids_rejects_string_ids(spark):
     )
     with pytest.raises(TypeError, match="numeric id"):
         dedup.keep_best_ids(df, F.length("text"), "doc_id", "text")
+
+
+def test_repeated_spans_cross_doc_exact_boundaries(spark):
+    """Two docs sharing a 10-token run: overlapping duplicated windows
+    merge to ONE maximal span with exact token bounds in each doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j unique1 unique2"),
+            (2, "x y a b c d e f g h i j z"),
+            (3, "nothing shared here at all in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup.repeated_spans(docs, n=8).collect()
+    }
+    assert spans[1] == (0, 10, 3)   # windows at pos 0,1,2 merge
+    assert spans[2] == (2, 12, 3)
+    assert 3 not in spans
+
+
+def test_repeated_spans_intra_doc_and_min_count(spark):
+    """An 8-token run repeated INSIDE one doc counts (the paper's
+    semantics); raising min_count above the occurrence count hides
+    it."""
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u v w p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    got = dedup.repeated_spans(docs, n=8).collect()
+    assert [(r["span_start"], r["span_end"]) for r in got] == [(0, 16)]
+    assert got[0]["n_windows"] == 2
+    assert dedup.repeated_spans(docs, n=8, min_count=3).count() == 0
+
+
+def test_strip_repeated_spans_rebuilds_clean_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j unique1 unique2"),
+            (2, "x y a b c d e f g h i j z"),
+            (3, "m n o p q r s t u v"),
+            (4, "m n o p q r s t u v"),
+            (5, "plain doc without any duplicated span inside it"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_stripped"], r["n_tokens_removed"])
+        for r in dedup.strip_repeated_spans(docs, n=8).collect()
+    }
+    assert got[1] == ("unique1 unique2", 10)
+    assert got[2] == ("x y z", 10)
+    # fully-duplicated docs strip to empty, not NULL
+    assert got[3] == ("", 10) and got[4] == ("", 10)
+    # untouched doc keeps its (normalized) text, zero removed
+    assert got[5] == (
+        "plain doc without any duplicated span inside it", 0
+    )

@@ -764,3 +764,69 @@ def test_registered_hybrid_query_properties(spark, sf_dir):
     # the dense query vector is vec_id 7's own embedding -> doc 7 is
     # dense rank 1 and must surface in the fused list
     assert any(r["doc_id"] == 7 and r["dense_rank"] == 1 for r in rows)
+
+
+def test_sq8_full_rerank_equals_brute_force(spark, sf_dir):
+    """Rerank over (virtually) the whole corpus must reproduce the
+    exact brute-force top-k bit-for-bit — the PQ posture."""
+    from etl_hero_spark.simsearch import topk_cosine, topk_cosine_sq8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(
+        map(tuple, topk_cosine(emb, queries, k=5).collect())
+    )
+    sq8 = sorted(
+        map(
+            tuple,
+            topk_cosine_sq8(
+                emb, queries, k=5, rerank_factor=10**6
+            ).collect(),
+        )
+    )
+    assert sq8 == exact and len(exact) == 15
+
+
+def test_sq8_recall_measured_at_default_rerank(spark, sf_dir):
+    """Measured (not assumed) recall@5 of the int8 rung at the default
+    rerank budget — int8 with exact rerank should be near-exact."""
+    from etl_hero_spark.simsearch import topk_cosine, topk_cosine_sq8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in topk_cosine(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["corpus_id"])
+        for r in topk_cosine_sq8(emb, queries, k=5).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_sq8_zero_vector_and_empty_queries(spark):
+    from etl_hero_spark.simsearch import topk_cosine_sq8
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 2.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero vector: no cosine, excluded
+            (3, [1.0, 0.1, 2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = topk_cosine_sq8(emb, q, k=3).collect()
+    assert [r["corpus_id"] for r in got] == [1, 3]
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        topk_cosine_sq8(emb, q.filter(F.lit(False)), k=3)

@@ -192,6 +192,11 @@ HEADLINE = [
     "sim_topk_sq8",
     "sample_dsir_kl_report",
     "multimodal_triage_routed",
+    "privacy_t_closeness",
+    "sql_volume_shipping",
+    "sql_customer_distribution",
+    "sql_small_quantity_revenue",
+    "sql_supplier_relationship",
 ]
 
 

@@ -133,3 +133,115 @@ def generalize(df: DataFrame, specs: dict[str, tuple]) -> DataFrame:
             raise ValueError(f"unknown generalization kind: {kind!r}")
         out = out.withColumn(col, expr)
     return out
+
+
+def t_closeness_distances(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ordered: bool = False,
+) -> DataFrame:
+    """Per-QI-group distance between the group's sensitive-value
+    distribution and the GLOBAL one (Li, Li & Venkatasubramanian 2007,
+    't-Closeness: Privacy Beyond k-Anonymity and l-Diversity'): the
+    homogeneity leak l-diversity can't see — a group can hold l
+    distinct values yet still be revealing if its mix differs sharply
+    from the population's.
+
+    ``ordered=False``: total variation distance 0.5 * sum|p_i - q_i|
+    (the paper's equal-distance EMD for categorical attributes).
+    ``ordered=True``: ordinal EMD sum|cumsum(p - q)| / (m - 1) over the
+    sensitive domain sorted ascending (m = domain size).
+
+    Plan: one groupBy on (QI, sensitive) folds the corpus; the global
+    distribution and the sensitive DOMAIN are bounded tables that
+    broadcast; every group is completed to the full domain (absent
+    values count 0 — their probability mass matters) via group-table x
+    broadcast-domain, so no corpus re-scan. The ordinal cumsum is a
+    (QI)-partitioned window over m rows. Output: (quasi...,
+    group_size, distance)."""
+    per = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    domain = per.groupBy("_sv").agg(F.sum("_n").alias("_gn"))
+    grand = domain.agg(
+        F.sum("_gn").alias("_N"), F.count(F.lit(1)).alias("_m")
+    )
+    sizes = per.groupBy(*quasi_cols).agg(
+        F.sum("_n").alias("group_size")
+    )
+    grid = sizes.crossJoin(F.broadcast(domain)).crossJoin(
+        F.broadcast(grand)
+    )
+    # re-project the per-cell counts under a fresh name: grid's lineage
+    # also descends from `per`, so joining the raw frame back is a
+    # self-join with an ambiguous `_n`
+    cells = per.select(
+        *quasi_cols, "_sv", F.col("_n").alias("_cell_n")
+    )
+    full = grid.join(cells, [*quasi_cols, "_sv"], "left").withColumn(
+        "_diff",
+        F.coalesce(F.col("_cell_n"), F.lit(0))
+        / F.col("group_size").cast("double")
+        - F.col("_gn") / F.col("_N").cast("double"),
+    )
+    if ordered:
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy(*quasi_cols)
+            .orderBy(F.col("_sv").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        stepped = full.withColumn("_cum", F.sum("_diff").over(w))
+        return (
+            stepped.groupBy(*quasi_cols, "group_size", "_m")
+            .agg(F.sum(F.abs(F.col("_cum"))).alias("_emd_raw"))
+            .select(
+                *quasi_cols,
+                "group_size",
+                F.round(
+                    F.col("_emd_raw")
+                    / F.greatest(F.col("_m") - 1, F.lit(1)).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("distance"),
+            )
+        )
+    return (
+        full.groupBy(*quasi_cols, "group_size")
+        .agg(
+            F.round(0.5 * F.sum(F.abs(F.col("_diff"))), 6).alias(
+                "distance"
+            )
+        )
+        .select(*quasi_cols, "group_size", "distance")
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    ordered: bool = False,
+) -> DataFrame:
+    """One-row t-closeness audit off the bounded group-distance table:
+    (n_groups, t_achieved, n_groups_above_t, n_rows_at_risk) —
+    ``t_achieved`` is the MAX group distance (the t the release
+    actually provides; the release satisfies t-closeness iff
+    t_achieved <= t). DuckDB parity + planted-skew detection in
+    tests/test_privacy.py."""
+    d = t_closeness_distances(
+        df, quasi_cols, sensitive_col, ordered=ordered
+    )
+    above = F.col("distance") > float(t)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("distance").alias("t_achieved"),
+        F.sum(above.cast("int")).alias("n_groups_above_t"),
+        F.sum(F.when(above, F.col("group_size")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+    )

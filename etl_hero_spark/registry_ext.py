@@ -3863,6 +3863,52 @@ def q_privacy_l_diversity(spark, sf_dir):
 
 
 @register(
+    "privacy_t_closeness",
+    oracle=None,
+    note=(
+        "extension (r6): t-closeness audit (Li, Li & "
+        "Venkatasubramanian 2007) — completes the k-anonymity / "
+        "l-diversity release ladder with the attack neither sees: a "
+        "QI group whose sensitive-value MIX diverges from the global "
+        "distribution leaks even when it is large and l-diverse. "
+        "Reports both metrics, tagged: metric='tvd' (categorical, "
+        "0.5*sum|p-q|) and metric='emd' (ordinal earth-mover over the "
+        "priority order). One (QI, sensitive) groupBy folds the "
+        "corpus; groups complete to the bounded broadcast domain so "
+        "absent values carry their zero mass; the ordinal cumsum is a "
+        "QI-partitioned window over the 5-value domain. DuckDB "
+        "parity, planted-skew detection, and the ordinal-vs-TVD "
+        "separation pinned in tests/test_privacy.py"
+    ),
+)
+def q_privacy_t_closeness(spark, sf_dir):
+    from etl_hero_spark.privacy import t_closeness_report
+
+    joined = _t(spark, sf_dir, "orders").join(
+        F.broadcast(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                "c_mktsegment",
+                "c_nationkey",
+            )
+        ),
+        "o_custkey",
+    )
+    qi = ["c_mktsegment", "c_nationkey"]
+    tvd = t_closeness_report(
+        joined, qi, "o_orderpriority", t=0.2, ordered=False
+    ).withColumn("metric", F.lit("tvd"))
+    emd = t_closeness_report(
+        joined, qi, "o_orderpriority", t=0.2, ordered=True
+    ).withColumn("metric", F.lit("emd"))
+    return (
+        tvd.unionByName(emd)
+        .select("metric", *tvd.columns[:-1])
+        .orderBy("metric")
+    )
+
+
+@register(
     "profile_set_overlap",
     oracle=None,
     note=(

@@ -2061,3 +2061,201 @@ def q_sql_returned_item_ranking(spark, sf_dir):
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ===========================================================================
+# round-6 TPC-H shapes: Q7 / Q13 / Q17 / Q16 (fixture-adapted where a
+# TPC-H column is absent — each adaptation documented in its note)
+# ===========================================================================
+
+
+@register(
+    "sql_volume_shipping",
+    oracle=None,
+    note=(
+        "extension (r6, TPC-H Q7 shape): bilateral shipping volume "
+        "between two nations by year — supplier nation x customer "
+        "nation resolved through two BROADCAST probes of the same "
+        "25-row nation dim, the (n1,n2)|(n2,n1) pair filter applied to "
+        "the broadcast side, l_shipdate two-year range pushed to the "
+        "lineitem scan, decimal-exact volume. DuckDB parity in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_volume_shipping(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        "s_nationkey",
+    ).select("s_suppkey", "supp_nation")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        "c_nationkey",
+    ).select("c_custkey", "cust_nation")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,6)")
+            - F.col("l_discount").cast("decimal(18,6)")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_18")
+        & (F.col("cust_nation") == "NATION_19")
+    ) | (
+        (F.col("supp_nation") == "NATION_19")
+        & (F.col("cust_nation") == "NATION_18")
+    )
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(vol).cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "sql_customer_distribution",
+    oracle=None,
+    note=(
+        "extension (r6, TPC-H Q13 shape): distribution of orders per "
+        "customer INCLUDING zero-order customers — the left-join-then-"
+        "double-groupBy pattern (customer LEFT JOIN filtered orders; "
+        "count the non-null side; histogram the counts). The Q13 "
+        "o_comment NOT LIKE filter has no fixture column; the "
+        "non-urgent-priority filter stands in (same shape: a "
+        "join-side predicate that removes rows but must not remove "
+        "customers). DuckDB parity incl. the zero bucket in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_customer_distribution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per = (
+        cust.join(
+            orders.select(
+                F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "sql_small_quantity_revenue",
+    oracle=None,
+    note=(
+        "extension (r6, TPC-H Q17 shape): yearly revenue lost if "
+        "small-quantity orders of one brand's parts moved to bulk — "
+        "the correlated-average subquery decorrelates to ONE per-part "
+        "moment groupBy joined back on partkey (co-partitioned), and "
+        "the 'quantity < 0.2 * avg' predicate is evaluated EXACTLY as "
+        "5 * quantity * n < sum_quantity in decimals (no double "
+        "rounding at the cut). p_size <= 25 stands in for the absent "
+        "p_container filter. DuckDB parity in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_small_quantity_revenue(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 25)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_sq"),
+        F.count("l_quantity").alias("_nq"),
+    )
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+    )
+    small = joined.filter(
+        F.col("l_quantity").cast("decimal(28,6)") * 5 * F.col("_nq")
+        < F.col("_sq")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / 7.0,
+            2,
+        ).alias("avg_yearly"),
+    )
+
+
+@register(
+    "sql_supplier_relationship",
+    oracle=None,
+    note=(
+        "extension (r6, TPC-H Q16 shape): how many distinct suppliers "
+        "can deliver each (brand, type-prefix, size) — the fixture has "
+        "no partsupp table, so shipped lineitems are the "
+        "supplier-part relationship (same shape: bridge join + "
+        "per-group exact COUNT DISTINCT on a single column, which "
+        "plans WITHOUT an Expand). Excluded brand and size list per "
+        "Q16. DuckDB parity in tests/test_relational_extras.py"
+    ),
+)
+def q_sql_supplier_relationship(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select(
+        "p_partkey",
+        "p_brand",
+        F.substring("p_type", 1, 6).alias("p_type_prefix"),
+        "p_size",
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type_prefix", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias(
+                "supplier_cnt"
+            )
+        )
+        .orderBy(
+            F.desc("supplier_cnt"),
+            "p_brand",
+            "p_type_prefix",
+            "p_size",
+        )
+    )

@@ -178,3 +178,118 @@ def test_approx_set_overlap_disjoint_clamps_at_zero(spark):
     got = approx_set_overlap(a, b, "k").collect()[0]
     assert got["n_intersect"] >= 0
     assert got["jaccard"] <= 0.05
+
+
+def test_t_closeness_matches_duckdb(spark, sf_dir):
+    """TVD distances per QI group == a DuckDB replica over the same
+    completed (group x domain) grid."""
+    import duckdb
+
+    from etl_hero_spark.privacy import t_closeness_distances
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = orders.join(
+        F.broadcast(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            )
+        ),
+        "o_custkey",
+    )
+    got = sorted(
+        (r["c_mktsegment"], r["group_size"], r["distance"])
+        for r in t_closeness_distances(
+            joined, ["c_mktsegment"], "o_orderpriority"
+        ).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH j AS (
+              SELECT c_mktsegment AS g, o_orderpriority AS sv
+              FROM '{sf_dir}/orders.parquet'
+              JOIN '{sf_dir}/customer.parquet' ON o_custkey = c_custkey
+            ), per AS (
+              SELECT g, sv, count(*) AS n FROM j GROUP BY 1, 2
+            ), dom AS (SELECT sv, sum(n) AS gn FROM per GROUP BY 1),
+            tot AS (SELECT sum(gn) AS totn FROM dom),
+            sz AS (SELECT g, sum(n) AS size FROM per GROUP BY 1),
+            grid AS (SELECT g, size, sv, gn, totn FROM sz, dom, tot),
+            d AS (
+              SELECT g, size,
+                coalesce(per.n, 0) / CAST(size AS DOUBLE)
+                  - gn / CAST(totn AS DOUBLE) AS diff
+              FROM grid LEFT JOIN per USING (g, sv)
+            )
+            SELECT g, CAST(size AS BIGINT),
+                   round(0.5 * sum(abs(diff)), 6)
+            FROM d GROUP BY g, size
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) == 5
+
+
+def test_t_closeness_flags_planted_skewed_group(spark):
+    """A group whose sensitive mix collapses to one value must show a
+    large distance and trip the report; a group mirroring the global
+    mix must not."""
+    from etl_hero_spark.privacy import t_closeness_report
+
+    rows = (
+        [("skewed", "A")] * 50
+        + [("balanced", "A")] * 25
+        + [("balanced", "B")] * 25
+    )
+    df = spark.createDataFrame(rows, "g string, sv string")
+    got = t_closeness_report(df, ["g"], "sv", t=0.2).first()
+    # global: A=75%, B=25%. skewed: A=100% -> TVD=0.25; balanced:
+    # 50/50 -> TVD=0.25... both actually trip at t=0.2; tighten the
+    # planted case instead with a dominant global mix
+    rows2 = (
+        [("skewed", "A")] * 40
+        + [("mirror", "A")] * 48 + [("mirror", "B")] * 12
+        + [("tiny", "A")] * 8 + [("tiny", "B")] * 2
+    )
+    df2 = spark.createDataFrame(rows2, "g string, sv string")
+    rep = t_closeness_report(df2, ["g"], "sv", t=0.15).first()
+    # global: A=96/110, B=14/110. mirror and tiny are both 80/20
+    # (TVD ~ 0.0727); skewed is 100/0 (TVD ~ 0.1273 < 0.15)... compute:
+    # |1-0.8727|*0.5+|0-0.1273|*0.5 = 0.1273 -> below 0.15, none trip
+    assert rep["n_groups"] == 3
+    assert rep["n_groups_above_t"] == 0
+    strict = t_closeness_report(df2, ["g"], "sv", t=0.1).first()
+    assert strict["n_groups_above_t"] == 1  # only the skewed group
+    assert strict["n_rows_at_risk"] == 40
+    assert got["n_groups"] == 2
+
+
+def test_t_closeness_ordered_emd(spark):
+    """Ordinal EMD: a group shifted one step along an ordered domain
+    is closer than a group at the far end — TVD can't tell them
+    apart, the ordered metric must."""
+    from etl_hero_spark.privacy import t_closeness_distances
+
+    # global spread across 3 ordered values; one group sits at '1',
+    # another at '3' — identical TVD, different EMD? No: both are
+    # point masses vs the same global -> symmetric. Use asymmetric
+    # global: heavy at '1'.
+    rows = (
+        [("at1", "1")] * 30
+        + [("at3", "3")] * 10
+        + [("spread", "1")] * 20 + [("spread", "2")] * 20
+    )
+    df = spark.createDataFrame(rows, "g string, sv string")
+    d = {
+        r["g"]: r["distance"]
+        for r in t_closeness_distances(
+            df, ["g"], "sv", ordered=True
+        ).collect()
+    }
+    # global: 1->50/80, 2->20/80, 3->10/80
+    # at1: p=(1,0,0): cums of diff = (0.375, 0.125, 0) -> sum/2=0.25
+    # at3: p=(0,0,1): cums = (-0.625, -0.875, 0) -> 1.5/2 = 0.75
+    assert d["at1"] == pytest.approx(0.25, abs=1e-6)
+    assert d["at3"] == pytest.approx(0.75, abs=1e-6)
+    assert d["at3"] > d["at1"]

@@ -215,3 +215,102 @@ def test_returned_item_ranking_matches_duckdb(spark, qs):
         """,
     )
     assert got == ref and got
+
+
+def test_volume_shipping_matches_duckdb(spark, qs):
+    got = [
+        (r["supp_nation"], r["cust_nation"], r["l_year"], r["revenue"])
+        for r in qs["sql_volume_shipping"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,6))
+                    - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+          AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+    )
+    assert got == ref and got
+
+
+def test_customer_distribution_matches_duckdb(spark, qs):
+    got = [
+        (r["c_count"], r["custdist"])
+        for r in qs["sql_customer_distribution"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        SELECT c_count, count(*)::BIGINT AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+    )
+    assert got == ref and got
+    # the counts histogram must cover every customer exactly once
+    n_cust = _duck(SF, "SELECT count(*) FROM customer")[0][0]
+    assert sum(d for _, d in got) == n_cust
+    assert len(got) > 1
+
+
+def test_small_quantity_revenue_matches_duckdb(spark, qs):
+    got = qs["sql_small_quantity_revenue"](spark, SF).first()
+    ref = _duck(
+        SF,
+        """
+        WITH pp AS (
+          SELECT l_partkey AS pk,
+                 sum(CAST(l_quantity AS DECIMAL(28,6))) AS sq,
+                 count(l_quantity) AS nq
+          FROM lineitem GROUP BY 1
+        )
+        SELECT count(*)::BIGINT,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0, 2)
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN pp ON l_partkey = pk
+        WHERE p_brand = 'Brand#13' AND p_size <= 25
+          AND CAST(l_quantity AS DECIMAL(28,6)) * 5 * nq < sq
+        """,
+    )[0]
+    assert (got["n_small_lines"], got["avg_yearly"]) == ref
+    assert got["n_small_lines"] > 0
+
+
+def test_supplier_relationship_matches_duckdb(spark, qs):
+    got = [
+        (r["p_brand"], r["p_type_prefix"], r["p_size"], r["supplier_cnt"])
+        for r in qs["sql_supplier_relationship"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        SELECT p_brand, substring(p_type, 1, 6) AS tp, p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        GROUP BY 1, 2, 3
+        ORDER BY cnt DESC, p_brand, tp, p_size
+        """,
+    )
+    assert sorted(got) == sorted(ref) and got
+    # deterministic presentation order
+    cnts = [c for *_, c in got]
+    assert cnts == sorted(cnts, reverse=True)

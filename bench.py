@@ -193,6 +193,7 @@ HEADLINE = [
     "sample_dsir_kl_report",
     "multimodal_triage_routed",
     "privacy_t_closeness",
+    "multimodal_gif_webp_metadata",
     "sql_volume_shipping",
     "sql_customer_distribution",
     "sql_small_quantity_revenue",

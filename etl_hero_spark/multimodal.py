@@ -686,3 +686,104 @@ def jpeg_metadata(
         .withColumn("jpeg_components", _byte_at(media_col, sof + 9))
         .drop("_jp", "_jsof")
     )
+
+
+def gif_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL image header parsing with zero codec libraries — GIF
+    (GIF87a/GIF89a): the 6-byte signature is followed by the Logical
+    Screen Descriptor at FIXED offsets (width LE16@6, height LE16@8,
+    packed flags@10: bit7 = global-color-table present, bits0-2 =
+    table size exponent). All pure binary-column expressions, same
+    triage posture as png/jpeg/wav/mp4_metadata. Adds: is_gif,
+    gif_version ('87a'/'89a'), gif_width, gif_height, gif_has_gct,
+    gif_gct_colors (2^(exp+1), NULL when no table)."""
+    m = F.col(media_col)
+    pre = F.hex(F.substring(m, 1, 3)) == F.hex(F.lit(b"GIF"))
+    ver = F.substring(m, 4, 3).cast("string")
+    is_gif = (
+        pre
+        & ver.isin("87a", "89a")
+        & (F.octet_length(m) >= 13)
+    )
+
+    def gate(c):
+        return F.when(is_gif, c)
+
+    packed = _le_uint_expr(media_col, 10, 1)
+    has_gct = (packed / 128).cast("int") % 2
+    gct_exp = packed.cast("int") % 8
+    return (
+        df.withColumn("is_gif", is_gif.cast("int"))
+        .withColumn("gif_version", gate(ver))
+        .withColumn(
+            "gif_width", gate(_le_uint_expr(media_col, 6, 2)).cast("int")
+        )
+        .withColumn(
+            "gif_height", gate(_le_uint_expr(media_col, 8, 2)).cast("int")
+        )
+        .withColumn("gif_has_gct", gate(has_gct).cast("int"))
+        .withColumn(
+            "gif_gct_colors",
+            gate(
+                F.when(has_gct == 1, F.pow(F.lit(2.0), gct_exp + 1))
+            ).cast("int"),
+        )
+    )
+
+
+def webp_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL image header parsing with zero codec libraries — WebP
+    (RIFF container, 'WEBP' form type): the first chunk's fourcc
+    selects the layout, each with spec-fixed offsets —
+
+    * 'VP8 ' (lossy): frame tag @20, sync 0x9D012A @23, then 14-bit
+      little-endian width@26 and height@28 (low 14 bits).
+    * 'VP8L' (lossless): 0x2F signature @20, then a packed LE32 @21:
+      width-1 in bits 0..13, height-1 in bits 14..27.
+    * 'VP8X' (extended): canvas width-1 LE24 @24, height-1 LE24 @27.
+
+    Adds: is_webp, webp_format ('lossy'/'lossless'/'extended'),
+    webp_width, webp_height. Unknown first chunks (ANIM-less ICCP
+    etc.) keep is_webp=1 with NULL dims — route to a real decoder,
+    the mp4 largesize posture."""
+    m = F.col(media_col)
+    is_webp = (
+        (F.hex(F.substring(m, 1, 4)) == F.hex(F.lit(b"RIFF")))
+        & (F.hex(F.substring(m, 9, 4)) == F.hex(F.lit(b"WEBP")))
+        & (F.octet_length(m) >= 30)
+    )
+    fourcc = F.substring(m, 13, 4).cast("string")
+    lossy_ok = (
+        (fourcc == "VP8 ")
+        & (_be_uint_expr(media_col, 23, 3) == 0x9D012A)
+    )
+    lossless_ok = (fourcc == "VP8L") & (
+        _le_uint_expr(media_col, 20, 1) == 0x2F
+    )
+    extended = fourcc == "VP8X"
+    vp8l_packed = _le_uint_expr(media_col, 21, 4)
+    fmt = (
+        F.when(lossy_ok, F.lit("lossy"))
+        .when(lossless_ok, F.lit("lossless"))
+        .when(extended, F.lit("extended"))
+    )
+    width = (
+        F.when(lossy_ok, _le_uint_expr(media_col, 26, 2) % 16384)
+        .when(lossless_ok, vp8l_packed % 16384 + 1)
+        .when(extended, _le_uint_expr(media_col, 24, 3) + 1)
+    )
+    height = (
+        F.when(lossy_ok, _le_uint_expr(media_col, 28, 2) % 16384)
+        .when(lossless_ok, (vp8l_packed / 16384).cast("long") % 16384 + 1)
+        .when(extended, _le_uint_expr(media_col, 27, 3) + 1)
+    )
+
+    def gate(c):
+        return F.when(is_webp, c)
+
+    return (
+        df.withColumn("is_webp", is_webp.cast("int"))
+        .withColumn("webp_format", gate(fmt))
+        .withColumn("webp_width", gate(width).cast("int"))
+        .withColumn("webp_height", gate(height).cast("int"))
+    )

@@ -1449,6 +1449,67 @@ def q_multimodal_mp4_metadata(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_webp_metadata",
+    oracle=None,
+    note=(
+        "extension (r6): zero-codec GIF + WebP dimension triage — "
+        "extends the image ladder (png/jpeg siblings) with the two "
+        "remaining dominant web formats. GIF's logical screen "
+        "descriptor is fixed-offset little-endian; WebP is a RIFF "
+        "container whose first chunk fourcc selects one of THREE "
+        "layouts (VP8 lossy sync-coded 14-bit dims, VP8L packed "
+        "bitfield, VP8X 24-bit canvas) — all pure binary expressions, "
+        "no Python, no shuffle. Headers synthesized per row from spec "
+        "bytes (key-derived dims; every 5th row JPEG magic -> neither "
+        "format). Spec-fixture parses incl. bad-sync and "
+        "unknown-chunk routing pinned in tests/test_io_pipeline.py"
+    ),
+)
+def q_multimodal_gif_webp_metadata(spark, sf_dir):
+    from etl_hero_spark.multimodal import gif_metadata, webp_metadata
+    from etl_hero_spark.skew import ensure_min_partitions
+
+    part = ensure_min_partitions(
+        _t(spark, sf_dir, "part").select("p_partkey")
+    )
+    # little-endian 16-bit hex of a key-derived value
+    def le16(expr):
+        be = f"lpad(hex({expr}), 4, '0')"
+        return f"concat(substring({be}, 3, 2), substring({be}, 1, 2))"
+
+    w = "pmod(p_partkey, 1000) + 1"
+    h = "pmod(p_partkey * 7, 800) + 1"
+    gif_hdr = (
+        "unhex(concat('474946383961', "  # GIF89a
+        + le16(w) + ", " + le16(h) + ", '910000'))"
+    )
+    webp_lossy = (
+        "unhex(concat('52494646', '24000000', '57454250', "  # RIFF WEBP
+        "'56503820', '18000000', '000000', '9D012A', "  # VP8 , tag, sync
+        + le16(w) + ", " + le16(h) + ", '0000000000000000'))"
+    )
+    media = part.withColumn(
+        "media",
+        F.when(
+            F.col("p_partkey") % 5 == 0,
+            F.expr("unhex('FFD8FFE0')"),  # JPEG magic: neither format
+        )
+        .when(F.col("p_partkey") % 2 == 0, F.expr(gif_hdr))
+        .otherwise(F.expr(webp_lossy)),
+    )
+    return webp_metadata(gif_metadata(media)).select(
+        "p_partkey",
+        "is_gif",
+        "gif_width",
+        "gif_height",
+        "is_webp",
+        "webp_format",
+        "webp_width",
+        "webp_height",
+    )
+
+
+@register(
     "multimodal_triage_routed",
     oracle=None,
     note=(

@@ -807,3 +807,118 @@ def test_triage_routed_counts_boundary_structures(spark, sf_dir):
     # every synthesized PNG fixture row parses (no boundary plants)
     assert rows["png"]["n_routed"] == 0
     assert rows["png"]["n_parsed"] > 0
+
+
+def test_gif_metadata_parses_spec_headers(spark):
+    """Hand-assembled spec GIFs: 87a/89a logical screen descriptors
+    parse to the planted dims; wrong version bytes and truncation gate
+    to is_gif=0."""
+    from etl_hero_spark.multimodal import gif_metadata
+
+    def gif(version, w, h, packed):
+        return (
+            b"GIF" + version
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([packed, 0, 0])
+        )
+
+    rows = [
+        (1, gif(b"89a", 12, 7, 0x91)),    # GCT, exp 1 -> 4 colors
+        (2, gif(b"87a", 640, 480, 0x00)),  # no GCT
+        (3, b"GIF90a" + b"\x00" * 7),      # bad version
+        (4, b"GIF89a"),                    # truncated
+        (5, b"\x89PNG\r\n\x1a\n"),         # foreign magic
+    ]
+    got = {
+        r["id"]: r
+        for r in gif_metadata(
+            spark.createDataFrame(rows, "id long, media binary")
+        ).collect()
+    }
+    assert (got[1]["gif_width"], got[1]["gif_height"]) == (12, 7)
+    assert got[1]["gif_version"] == "89a"
+    assert got[1]["gif_has_gct"] == 1 and got[1]["gif_gct_colors"] == 4
+    assert (got[2]["gif_width"], got[2]["gif_height"]) == (640, 480)
+    assert got[2]["gif_has_gct"] == 0 and got[2]["gif_gct_colors"] is None
+    for i in (3, 4, 5):
+        assert got[i]["is_gif"] == 0 and got[i]["gif_width"] is None
+
+
+def test_webp_metadata_parses_all_three_layouts(spark):
+    """Spec-exact VP8 (lossy), VP8L (lossless) and VP8X (extended)
+    first chunks parse to the planted dims; a bad VP8 sync code and an
+    unknown first chunk keep is_webp=1 with NULL dims (route to a real
+    decoder); non-RIFF gates to 0."""
+    import struct
+
+    from etl_hero_spark.multimodal import webp_metadata
+
+    def riff(fourcc, payload):
+        body = b"WEBP" + fourcc + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    lossy = riff(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<H", 123) + struct.pack("<H", 45) + b"\x00" * 8,
+    )
+    badsync = riff(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2b"
+        + struct.pack("<H", 123) + struct.pack("<H", 45) + b"\x00" * 8,
+    )
+    v = (33 - 1) | ((17 - 1) << 14)
+    lossless = riff(
+        b"VP8L", b"\x2f" + struct.pack("<I", v) + b"\x00" * 10
+    )
+    extended = riff(
+        b"VP8X",
+        b"\x00" + b"\x00" * 3
+        + (2047).to_bytes(3, "little") + (1023).to_bytes(3, "little")
+        + b"\x00" * 6,
+    )
+    unknown = riff(b"ICCP", b"\x00" * 20)
+    rows = [
+        (1, lossy), (2, lossless), (3, extended),
+        (4, badsync), (5, unknown), (6, b"RIFX" + b"\x00" * 30),
+    ]
+    got = {
+        r["id"]: r
+        for r in webp_metadata(
+            spark.createDataFrame(rows, "id long, media binary")
+        ).collect()
+    }
+    assert (got[1]["webp_format"], got[1]["webp_width"],
+            got[1]["webp_height"]) == ("lossy", 123, 45)
+    assert (got[2]["webp_format"], got[2]["webp_width"],
+            got[2]["webp_height"]) == ("lossless", 33, 17)
+    assert (got[3]["webp_format"], got[3]["webp_width"],
+            got[3]["webp_height"]) == ("extended", 2048, 1024)
+    for i in (4, 5):
+        assert got[i]["is_webp"] == 1 and got[i]["webp_width"] is None
+    assert got[6]["is_webp"] == 0
+
+
+def test_registered_gif_webp_query_matches_planted_arithmetic(spark, sf_dir):
+    """The registered triage query's parsed dimensions reproduce the
+    key arithmetic its synthesis used, row for row, and foreign-magic
+    rows match neither format."""
+    from etl_hero_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_gif_webp_metadata"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        k = r["p_partkey"]
+        if k % 5 == 0:
+            assert r["is_gif"] == 0 and r["is_webp"] == 0
+        elif k % 2 == 0:
+            assert r["is_gif"] == 1 and r["is_webp"] == 0
+            assert r["gif_width"] == k % 1000 + 1
+            assert r["gif_height"] == (k * 7) % 800 + 1
+        else:
+            assert r["is_webp"] == 1 and r["is_gif"] == 0
+            assert r["webp_format"] == "lossy"
+            assert r["webp_width"] == k % 1000 + 1
+            assert r["webp_height"] == (k * 7) % 800 + 1

@@ -338,6 +338,12 @@ NOTES = {
         "driver-window slot — compare vs_prev against the sum of the "
         "two prior entries."
     ),
+    "profile_set_overlap": (
+        "r6 added the KMV/theta-sketch method row (two TakeOrdered "
+        "sketches + bounded-row arithmetic) next to the HLL "
+        "inclusion-exclusion row — a second estimation pass by "
+        "design; compare vs_prev with that addition in mind."
+    ),
     "sim_ann_recall_report": (
         "r6 added the int8 SQ8 rung's measured-recall row to this "
         "report (a third approximate method scored against the same "

@@ -1077,6 +1077,112 @@ def approx_set_overlap(
     )
 
 
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = 1024
+) -> DataFrame:
+    """K-minimum-values (theta) sketch of a key set: the k smallest
+    normalized xxhash64 values of the DISTINCT keys — a bounded
+    (<= k rows) mergeable summary whose k-th value estimates density
+    (est distinct ~ (k-1)/theta). Unlike HLL, two KMV sketches
+    intersect DIRECTLY (common hashes below the joint theta), so small
+    intersections don't drown in inclusion-exclusion noise.
+
+    Plan: distinct on the uniform 64-bit hash (one partial-agged
+    shuffle), then a global ascending limit k — Spark executes
+    orderBy().limit() as TakeOrdered (per-partition heads, k rows to
+    the driver merge), never a full sort materialization. Output: one
+    column ``h`` in (0, 1]."""
+    u = (
+        F.xxhash64(F.col(key_col)).cast("double") / F.lit(float(1 << 64))
+        + 0.5
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(u.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(int(k))
+    )
+
+
+def kmv_set_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: str,
+    col_b: str | None = None,
+    k: int = 1024,
+) -> DataFrame:
+    """Theta-sketch set overlap: KMV sketches of both key sets combine
+    under the JOINT theta = min(theta_a, theta_b) (each sketch's theta
+    is its k-th smallest hash when saturated, else 1.0 == the sketch
+    is exact), and every estimate is a scaled count of surviving
+    hashes: est(S) = |{h in S : h < theta}| / theta. The intersection
+    is estimated DIRECTLY from common surviving hashes — the
+    better-conditioned sibling of approx_set_overlap's HLL
+    inclusion-exclusion when |A∩B| << |A∪B|; jaccard = common /
+    surviving-union is a ratio of counts under one theta, so sketch
+    scale cancels.
+
+    Everything after the two TakeOrdered sketches is arithmetic over
+    <= 2k bounded rows (broadcast thetas, one tiny join). One row:
+    (n_a_est, n_b_est, n_intersect_est, n_union_est, jaccard_est,
+    theta). Accuracy vs the exact twin pinned in
+    tests/test_privacy.py."""
+    cb = col_b or col_a
+    sa = kmv_sketch(df_a, col_a, k)
+    sb = kmv_sketch(df_b, cb, k)
+
+    def theta_of(s):
+        return s.agg(
+            F.when(F.count("h") >= k, F.max("h"))
+            .otherwise(F.lit(1.0))
+            .alias("th"),
+            F.count("h").alias("cnt"),
+        )
+
+    th = (
+        theta_of(sa)
+        .select(F.col("th").alias("_ta"))
+        .crossJoin(theta_of(sb).select(F.col("th").alias("_tb")))
+        .select(F.least("_ta", "_tb").alias("theta"))
+    )
+    a_surv = sa.crossJoin(F.broadcast(th)).filter(
+        F.col("h") < F.col("theta")
+    )
+    b_surv = sb.crossJoin(F.broadcast(th)).filter(
+        F.col("h") < F.col("theta")
+    )
+    common = a_surv.select("h").join(b_surv.select("h"), "h")
+    stats = (
+        a_surv.agg(F.count("h").alias("_na"))
+        .crossJoin(b_surv.agg(F.count("h").alias("_nb")))
+        .crossJoin(common.agg(F.count("h").alias("_nc")))
+        .crossJoin(F.broadcast(th))
+    )
+    est = lambda c: F.round(  # noqa: E731
+        c.cast("double") / F.col("theta"), 2
+    )
+    return stats.select(
+        est(F.col("_na")).alias("n_a_est"),
+        est(F.col("_nb")).alias("n_b_est"),
+        est(F.col("_nc")).alias("n_intersect_est"),
+        est(F.col("_na") + F.col("_nb") - F.col("_nc")).alias(
+            "n_union_est"
+        ),
+        F.round(
+            F.col("_nc")
+            / F.greatest(
+                (F.col("_na") + F.col("_nb") - F.col("_nc")).cast(
+                    "double"
+                ),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("jaccard_est"),
+        F.round(F.col("theta"), 9).alias("theta"),
+    )
+
+
 def column_entropy(
     df: DataFrame, cols: list[str], base: float = 2.0, scale: int = 9
 ) -> DataFrame:

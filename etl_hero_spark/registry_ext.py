@@ -3912,21 +3912,44 @@ def q_privacy_t_closeness(spark, sf_dir):
     "profile_set_overlap",
     oracle=None,
     note=(
-        "extension: HyperLogLog++ inclusion-exclusion set overlap — "
-        "|A∩B| ~ |A|+|B|-|A∪B| between the 1-URGENT-order and "
-        "2-HIGH-order customer-key sets, constant sketch memory vs "
-        "the exact distinct semi-join (its twin, pinned within rsd "
-        "tolerance in tests/test_privacy.py). Narrow pruned scans, "
-        "partial-agg trees, no key shuffle"
+        "extension, method-tagged since r6: sketch-based set overlap "
+        "between the 1-URGENT-order and 2-HIGH-order customer-key "
+        "sets. method='hll_incl_excl' is HyperLogLog++ "
+        "inclusion-exclusion (|A∩B| ~ |A|+|B|-|A∪B|, constant sketch "
+        "memory, narrow partial-agg scans). method='kmv_theta' (r6) is "
+        "the KMV/theta-sketch rung: k smallest distinct hashes per "
+        "side (TakeOrdered, never a full sort), joint theta, "
+        "intersection counted DIRECTLY from common surviving hashes — "
+        "better-conditioned when |A∩B| << |A∪B|, and exact below "
+        "saturation. Both pinned against the exact distinct semi-join "
+        "twin in tests/test_privacy.py"
     ),
 )
 def q_profile_set_overlap(spark, sf_dir):
-    from etl_hero_spark.profile import approx_set_overlap
+    from etl_hero_spark.profile import approx_set_overlap, kmv_set_overlap
 
     orders = _t(spark, sf_dir, "orders")
     a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     b = orders.filter(F.col("o_orderpriority") == "2-HIGH")
-    return approx_set_overlap(a, b, "o_custkey")
+    hll = approx_set_overlap(a, b, "o_custkey").select(
+        F.lit("hll_incl_excl").alias("method"),
+        F.col("n_a").cast("double").alias("n_a"),
+        F.col("n_b").cast("double").alias("n_b"),
+        F.col("n_union").cast("double").alias("n_union"),
+        F.col("n_intersect").cast("double").alias("n_intersect"),
+        F.col("jaccard"),
+    )
+    # r6: the KMV/theta rung — DIRECT intersection from common
+    # surviving hashes (no inclusion-exclusion noise on small overlaps)
+    kmv = kmv_set_overlap(a, b, "o_custkey", k=512).select(
+        F.lit("kmv_theta").alias("method"),
+        F.col("n_a_est").alias("n_a"),
+        F.col("n_b_est").alias("n_b"),
+        F.col("n_union_est").alias("n_union"),
+        F.col("n_intersect_est").alias("n_intersect"),
+        F.col("jaccard_est").alias("jaccard"),
+    )
+    return hll.unionByName(kmv).orderBy("method")
 
 
 # ===========================================================================

@@ -293,3 +293,54 @@ def test_t_closeness_ordered_emd(spark):
     assert d["at1"] == pytest.approx(0.25, abs=1e-6)
     assert d["at3"] == pytest.approx(0.75, abs=1e-6)
     assert d["at3"] > d["at1"]
+
+
+def test_kmv_set_overlap_near_exact(spark, sf_dir):
+    """Theta-sketch estimates vs the exact counts on the same key
+    sets — the direct-intersection sibling of the HLL test above."""
+    from etl_hero_spark.profile import kmv_set_overlap
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    got = kmv_set_overlap(a, b, "o_custkey", k=512).first()
+    ea = a.select("o_custkey").distinct().count()
+    eb = b.select("o_custkey").distinct().count()
+    eu = (
+        a.select("o_custkey").union(b.select("o_custkey")).distinct().count()
+    )
+    ei = ea + eb - eu
+    # KMV rel error ~ 1/sqrt(k) ~ 4.4% at k=512; allow 3 sigma
+    assert got["n_a_est"] == pytest.approx(ea, rel=0.15)
+    assert got["n_b_est"] == pytest.approx(eb, rel=0.15)
+    assert got["n_union_est"] == pytest.approx(eu, rel=0.15)
+    assert got["n_intersect_est"] == pytest.approx(
+        ei, abs=max(20, 0.2 * ei)
+    )
+    assert 0.0 <= got["jaccard_est"] <= 1.0
+    assert got["jaccard_est"] == pytest.approx(ei / eu, abs=0.1)
+
+
+def test_kmv_unsaturated_sketches_are_exact(spark):
+    """Sets smaller than k: theta stays 1.0 and every estimate is the
+    EXACT distinct count — the sketch degrades to truth, not noise."""
+    from etl_hero_spark.profile import kmv_set_overlap
+
+    a = spark.range(0, 300).select(F.col("id").alias("k"))
+    b = spark.range(200, 500).select(F.col("id").alias("k"))
+    got = kmv_set_overlap(a, b, "k", k=1024).first()
+    assert got["theta"] == 1.0
+    assert (got["n_a_est"], got["n_b_est"]) == (300.0, 300.0)
+    assert got["n_intersect_est"] == 100.0
+    assert got["n_union_est"] == 500.0
+    assert got["jaccard_est"] == pytest.approx(0.2, abs=1e-9)
+
+
+def test_kmv_disjoint_intersection_is_zero(spark):
+    from etl_hero_spark.profile import kmv_set_overlap
+
+    a = spark.range(0, 5000).select(F.col("id").alias("k"))
+    b = spark.range(100000, 105000).select(F.col("id").alias("k"))
+    got = kmv_set_overlap(a, b, "k", k=256).first()
+    assert got["n_intersect_est"] == 0.0
+    assert got["jaccard_est"] == 0.0

@@ -194,6 +194,7 @@ HEADLINE = [
     "multimodal_triage_routed",
     "privacy_t_closeness",
     "multimodal_gif_webp_metadata",
+    "er_fellegi_sunter",
     "sql_volume_shipping",
     "sql_customer_distribution",
     "sql_small_quantity_revenue",

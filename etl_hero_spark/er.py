@@ -800,3 +800,151 @@ def blocking_quality(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("scheme")
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (EM-fitted m/u weights)
+# ---------------------------------------------------------------------------
+
+
+def fs_pattern_table(
+    pairs: DataFrame, agree_cols: list[str]
+) -> DataFrame:
+    """Agreement-pattern contingency table for the Fellegi-Sunter
+    model: one row per distinct binary agreement vector with its pair
+    count — the corpus of candidate pairs folds to <= 2^f rows (the
+    bounded sufficient statistic EM needs; nothing else ever leaves
+    the executors). Each agree column must be 0/1 (NULL counts as
+    disagreement — absence is not agreement evidence)."""
+    gammas = [
+        F.coalesce(F.col(c).cast("int"), F.lit(0)).alias(c)
+        for c in agree_cols
+    ]
+    return (
+        pairs.select(*gammas)
+        .groupBy(*agree_cols)
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def fs_fit(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    max_iter: int = 50,
+    tol: float = 1e-10,
+    p_init: float = 0.1,
+    m_init: float = 0.9,
+    u_init: float = 0.1,
+) -> dict:
+    """EM fit of the Fellegi-Sunter record-linkage model (Fellegi &
+    Sunter 1969; the Splink/RecordLinkage-toolkit formulation) over
+    binary field-agreement vectors: latent match indicator, per-field
+    conditional agreement probabilities m_j = P(agree_j | match) and
+    u_j = P(agree_j | non-match), prior lambda = P(match).
+
+    The honest distributed shape for an iterative fit (the
+    BPE/k-means/PAV posture): the candidate pairs contribute ONE
+    groupBy to the <= 2^f pattern table (f = len(agree_cols),
+    validated <= 16); EM then iterates DRIVER-side over that bounded
+    table — no per-iteration corpus pass, no RDD loop. Conditional
+    independence across fields is the model's standard assumption.
+
+    Returns {"p": lambda, "m": {field: m_j}, "u": {field: u_j},
+    "n_iter": iterations, "n_pairs": N} — plain Python state, applied
+    back to the corpus by fs_score as literal expressions. Probability
+    estimates clamp to [1e-6, 1-1e-6] so degenerate fields (always /
+    never agreeing) cannot produce infinite weights. Python-reference
+    EM parity pinned in tests/test_er.py."""
+    f = len(agree_cols)
+    if not 0 < f <= 16:
+        raise ValueError("agree_cols must have 1..16 fields")
+    rows = fs_pattern_table(pairs, agree_cols).collect()
+    if not rows:
+        raise ValueError("no candidate pairs to fit on")
+    patterns = [
+        (tuple(int(r[c]) for c in agree_cols), int(r["n_pairs"]))
+        for r in rows
+    ]
+    n_total = sum(n for _, n in patterns)
+    lo, hi = 1e-6, 1.0 - 1e-6
+    clamp = lambda x: min(max(x, lo), hi)  # noqa: E731
+    p = clamp(p_init)
+    m = [clamp(m_init)] * f
+    u = [clamp(u_init)] * f
+    it = 0
+    for it in range(1, max_iter + 1):
+        # E-step: P(match | pattern) per bounded pattern row
+        g = {}
+        for gamma, _ in patterns:
+            pm, pu = p, 1.0 - p
+            for j in range(f):
+                pm *= m[j] if gamma[j] else 1.0 - m[j]
+                pu *= u[j] if gamma[j] else 1.0 - u[j]
+            g[gamma] = pm / (pm + pu) if pm + pu > 0 else 0.0
+        # M-step
+        tot_g = sum(n * g[gamma] for gamma, n in patterns)
+        tot_ng = n_total - tot_g
+        new_p = clamp(tot_g / n_total)
+        new_m = [
+            clamp(
+                sum(n * g[gamma] * gamma[j] for gamma, n in patterns)
+                / tot_g
+            )
+            if tot_g > 0
+            else m[j]
+            for j in range(f)
+        ]
+        new_u = [
+            clamp(
+                sum(
+                    n * (1.0 - g[gamma]) * gamma[j]
+                    for gamma, n in patterns
+                )
+                / tot_ng
+            )
+            if tot_ng > 0
+            else u[j]
+            for j in range(f)
+        ]
+        delta = abs(new_p - p) + sum(
+            abs(a - b) for a, b in zip(new_m + new_u, m + u)
+        )
+        p, m, u = new_p, new_m, new_u
+        if delta < tol:
+            break
+    return {
+        "p": p,
+        "m": dict(zip(agree_cols, m)),
+        "u": dict(zip(agree_cols, u)),
+        "n_iter": it,
+        "n_pairs": n_total,
+    }
+
+
+def fs_score(
+    pairs: DataFrame, agree_cols: list[str], model: dict
+) -> DataFrame:
+    """Apply a fitted Fellegi-Sunter model: adds ``match_weight`` (the
+    classic log2 likelihood ratio — sum of per-field agreement /
+    disagreement weights) and ``match_posterior`` (P(match | pattern)
+    under the fitted prior). The model is bounded driver state, so the
+    apply is a pure literal expression over the pair columns — no
+    join, no shuffle, codegen'd."""
+    import math
+
+    w = None
+    log_odds = math.log2(model["p"] / (1.0 - model["p"]))
+    for c in agree_cols:
+        m_j, u_j = model["m"][c], model["u"][c]
+        gamma = F.coalesce(F.col(c).cast("int"), F.lit(0))
+        term = F.when(
+            gamma == 1, F.lit(math.log2(m_j / u_j))
+        ).otherwise(F.lit(math.log2((1.0 - m_j) / (1.0 - u_j))))
+        w = term if w is None else w + term
+    posterior = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.pow(F.lit(2.0), -(w + F.lit(log_odds)))
+    )
+    return pairs.withColumn(
+        "match_weight", F.round(w, 6)
+    ).withColumn("match_posterior", F.round(posterior, 6))

@@ -2320,3 +2320,137 @@ def q_sql_supplier_relationship(spark, sf_dir):
             "p_size",
         )
     )
+
+
+@register(
+    "er_fellegi_sunter",
+    oracle=None,
+    note=(
+        "extension (r6): Fellegi-Sunter probabilistic record linkage "
+        "(Fellegi & Sunter 1969; the Splink formulation) - completes "
+        "the ER family's scoring rung: the heuristic-weight "
+        "fuzzy_pairs_multi becomes a FITTED model with per-field "
+        "m/u probabilities learned by EM. The honest distributed "
+        "shape: candidate pairs (bounded exact blocking on "
+        "segment x nation x acctbal-band, the established cap "
+        "posture) fold to ONE <= 2^3-row agreement-pattern table; EM "
+        "iterates driver-side over that bounded table; scoring "
+        "re-enters the plan as literal log2-weight expressions (no "
+        "join). Clone plants (%97 name typo keeping the other "
+        "attributes) give the fit a real match class. Output "
+        "part-tagged: per-field m/u/log2-weights + a summary row with "
+        "the prior, pair count, and high-posterior match count. "
+        "Numpy-EM parity + planted-separation + literal-apply "
+        "arithmetic pinned in tests/test_er.py"
+    ),
+)
+def q_er_fellegi_sunter(spark, sf_dir):
+    import math
+
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.er import fs_fit, fs_score
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lower("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    clones = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.expr(
+            "concat(substring(name, 1, 8), substring(name, 10, 100))"
+        ).alias("name"),
+        "seg",
+        "nation",
+        "bal",
+    )
+    both = (
+        cust.unionByName(clones)
+        .withColumn(
+            "_blk",
+            F.concat_ws(
+                "",
+                "seg",
+                "nation",
+                F.floor(F.col("bal") / 1000).cast("string"),
+            ),
+        )
+        .withColumn(
+            "_digits",
+            F.expr("right(regexp_replace(name, '[^0-9]', ''), 6)"),
+        )
+    )
+    left = both.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("_digits").alias("dig_a"),
+        F.col("bal").alias("bal_a"),
+        "_blk",
+    )
+    right = both.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("_digits").alias("dig_b"),
+        F.col("bal").alias("bal_b"),
+        "_blk",
+    )
+    pairs = (
+        left.join(right, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.levenshtein("name_a", "name_b") <= 2)
+            .cast("int")
+            .alias("a_name"),
+            (F.col("dig_a") == F.col("dig_b")).cast("int").alias(
+                "a_digits"
+            ),
+            (F.col("bal_a") == F.col("bal_b")).cast("int").alias(
+                "a_bal"
+            ),
+        )
+    )
+    pairs = parquet_checkpoint(pairs, "fs-pairs")
+    fields = ["a_name", "a_digits", "a_bal"]
+    model = fs_fit(pairs, fields)
+    field_rows = spark.createDataFrame(
+        [
+            (
+                "field",
+                c,
+                round(model["m"][c], 6),
+                round(model["u"][c], 6),
+                round(math.log2(model["m"][c] / model["u"][c]), 6),
+                round(
+                    math.log2(
+                        (1 - model["m"][c]) / (1 - model["u"][c])
+                    ),
+                    6,
+                ),
+                None,
+                None,
+                None,
+            )
+            for c in fields
+        ],
+        "part string, key string, m double, u double, w_agree double, "
+        "w_disagree double, lam double, n_pairs bigint, "
+        "n_high_posterior bigint",
+    )
+    summary = fs_score(pairs, fields, model).agg(
+        F.lit("summary").alias("part"),
+        F.lit("model").alias("key"),
+        F.lit(None).cast("double").alias("m"),
+        F.lit(None).cast("double").alias("u"),
+        F.lit(None).cast("double").alias("w_agree"),
+        F.lit(None).cast("double").alias("w_disagree"),
+        F.lit(round(model["p"], 6)).alias("lam"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("match_posterior") > 0.9).cast("int"))
+        .cast("bigint")
+        .alias("n_high_posterior"),
+    )
+    return field_rows.unionByName(summary).orderBy("part", "key")

@@ -9,6 +9,7 @@ is lossless for the fixture (same first token, lengths within band).
 
 import duckdb
 import pyspark.sql.functions as F
+import pytest
 
 from etl_hero_spark.er import block_key_expr, fuzzy_pairs
 
@@ -653,3 +654,102 @@ def test_trigram_guard_budget_clears_fixture_scale(spark, sf_dir):
     out = trigram_block_pairs(cust, "c_custkey", "name", max_df=50)
     assert out.columns == ["id_a", "id_b", "sim"]
     out.count()  # guard pre-flight ran (default on_oversized='error')
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter EM
+# ---------------------------------------------------------------------------
+
+
+def _numpy_fs_em(patterns, f, p=0.1, m0=0.9, u0=0.1, iters=50, tol=1e-10):
+    """Independent vectorized EM reference over (gamma_tuple, count)."""
+    import numpy as np
+
+    G = np.array([g for g, _ in patterns], dtype=float)
+    n = np.array([c for _, c in patterns], dtype=float)
+    m = np.full(f, m0)
+    u = np.full(f, u0)
+    lo, hi = 1e-6, 1 - 1e-6
+    for _ in range(iters):
+        pm = p * np.prod(np.where(G == 1, m, 1 - m), axis=1)
+        pu = (1 - p) * np.prod(np.where(G == 1, u, 1 - u), axis=1)
+        g = pm / (pm + pu)
+        tg = float((n * g).sum())
+        new_p = np.clip(tg / n.sum(), lo, hi)
+        new_m = np.clip((n * g) @ G / tg, lo, hi)
+        new_u = np.clip((n * (1 - g)) @ G / (n.sum() - tg), lo, hi)
+        delta = abs(new_p - p) + np.abs(
+            np.concatenate([new_m - m, new_u - u])
+        ).sum()
+        p, m, u = float(new_p), new_m, new_u
+        if delta < tol:
+            break
+    return p, m, u
+
+
+def test_fs_fit_matches_numpy_em_reference(spark):
+    """Driver-side EM over the bounded pattern table == an independent
+    vectorized EM over the same counts."""
+    from etl_hero_spark.er import fs_fit
+
+    rows = (
+        [(1, 1, 1)] * 80        # clear matches
+        + [(1, 1, 0)] * 15
+        + [(0, 1, 1)] * 10
+        + [(1, 0, 0)] * 90      # name coincidences
+        + [(0, 0, 1)] * 120
+        + [(0, 0, 0)] * 700
+    )
+    df = spark.createDataFrame(rows, "a_name int, a_seg int, a_nat int")
+    got = fs_fit(df, ["a_name", "a_seg", "a_nat"])
+    from collections import Counter
+
+    cnt = Counter(rows)
+    p, m, u = _numpy_fs_em(sorted(cnt.items()), 3)
+    assert got["p"] == pytest.approx(p, abs=1e-9)
+    for j, c in enumerate(["a_name", "a_seg", "a_nat"]):
+        assert got["m"][c] == pytest.approx(m[j], abs=1e-9), c
+        assert got["u"][c] == pytest.approx(u[j], abs=1e-9), c
+    assert got["n_pairs"] == len(rows)
+
+
+def test_fs_fit_separates_planted_matches_and_score_applies(spark):
+    """Matches agree everywhere, non-matches rarely: the fitted model
+    must give the all-agree pattern a posterior near 1, the all-
+    disagree pattern near 0, and fs_score must reproduce the exact
+    log2 weight arithmetic as a literal expression."""
+    import math
+
+    from etl_hero_spark.er import fs_fit, fs_score
+
+    rows = (
+        [(1, 1, 1)] * 50
+        + [(0, 0, 0)] * 900
+        + [(1, 0, 0)] * 40
+        + [(0, 1, 0)] * 60
+    )
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    model = fs_fit(df, ["a", "b", "c"])
+    assert all(model["m"][k] > model["u"][k] for k in ("a", "b", "c"))
+    scored = {
+        (r["a"], r["b"], r["c"]): (r["match_weight"], r["match_posterior"])
+        for r in fs_score(df.distinct(), ["a", "b", "c"], model).collect()
+    }
+    assert scored[(1, 1, 1)][1] > 0.99
+    assert scored[(0, 0, 0)][1] < 0.01
+    # literal-expression arithmetic check on one pattern
+    w = sum(
+        math.log2(model["m"][k] / model["u"][k]) for k in ("a", "b", "c")
+    )
+    assert scored[(1, 1, 1)][0] == pytest.approx(round(w, 6), abs=1e-6)
+
+
+def test_fs_fit_validation(spark):
+    from etl_hero_spark.er import fs_fit
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="1..16"):
+        fs_fit(df, [])
+    empty = df.filter("a > 1")
+    with pytest.raises(ValueError, match="no candidate pairs"):
+        fs_fit(empty, ["a"])

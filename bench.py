@@ -195,6 +195,8 @@ HEADLINE = [
     "privacy_t_closeness",
     "multimodal_gif_webp_metadata",
     "er_fellegi_sunter",
+    "features_logreg",
+    "features_conformal_interval",
     "sql_volume_shipping",
     "sql_customer_distribution",
     "sql_small_quantity_revenue",

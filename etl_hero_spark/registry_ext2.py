@@ -2454,3 +2454,116 @@ def q_er_fellegi_sunter(spark, sf_dir):
         .alias("n_high_posterior"),
     )
     return field_rows.unionByName(summary).orderBy("part", "key")
+
+
+@register(
+    "features_logreg",
+    oracle=None,
+    note=(
+        "extension (r6): binary logistic regression by distributed "
+        "IRLS — the iterative sibling of features_linreg with the "
+        "same honest shape: each Newton step is ONE corpus "
+        "aggregation folding the (p+1)^2 weighted normal matrix and "
+        "score under the current coefficients (literal expressions); "
+        "numpy solves the bounded system driver-side; the serve side "
+        "is a literal sigmoid. Fits P(order has a returned lineitem) "
+        "on order value and urgency. Output part-tagged: per-feature "
+        "coefficient rows + a summary row (n, iterations, mean log "
+        "loss, AUC-free separation check = mean p(pos) - mean p(neg)). "
+        "Independent numpy-IRLS parity pinned in "
+        "tests/test_features.py"
+    ),
+)
+def q_features_logreg(spark, sf_dir):
+    from etl_hero_spark.features import logreg_apply, logreg_fit
+
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("_ret", F.lit(1))
+    )
+    base = (
+        orders.join(returned, "o_orderkey", "left")
+        .select(
+            (F.col("o_totalprice").cast("double") / 100000.0).alias(
+                "x_value"
+            ),
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("double")
+            .alias("x_urgent"),
+            F.col("_ret").isNotNull().cast("int").alias("y"),
+        )
+    )
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    base = parquet_checkpoint(base, "logreg-base")
+    feats = ["x_value", "x_urgent"]
+    model = logreg_fit(base, feats, "y")
+    coef_rows = spark.createDataFrame(
+        [
+            ("coef", c, round(model["coef"][c], 6), None, None, None)
+            for c in feats
+        ]
+        + [
+            (
+                "coef",
+                "intercept",
+                round(model["intercept"], 6),
+                None,
+                None,
+                None,
+            )
+        ],
+        "part string, key string, value double, n bigint, "
+        "n_iter bigint, separation double",
+    )
+    scored = logreg_apply(base, model)
+    summary = scored.agg(
+        F.lit("summary").alias("part"),
+        F.lit("fit").alias("key"),
+        F.lit(round(model["log_loss"], 6)).alias("value"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(model["n_iter"]).cast("bigint").alias("n_iter"),
+        F.round(
+            F.avg(F.when(F.col("y") == 1, F.col("probability")))
+            - F.avg(F.when(F.col("y") == 0, F.col("probability"))),
+            6,
+        ).alias("separation"),
+    )
+    return coef_rows.unionByName(summary).orderBy("part", "key")
+
+
+@register(
+    "features_conformal_interval",
+    oracle=None,
+    note=(
+        "extension (r6): split-conformal prediction intervals (Vovk "
+        "et al.) — the distribution-free coverage guarantee as a "
+        "first-class query: deterministic xxhash64 2:1:1 "
+        "train/calibration/test split, OLS fit (one aggregation), "
+        "half-width = the k-th smallest calibration residual "
+        "(TakeOrdered, k = ceil((n+1)(1-alpha))), and the held-out "
+        "fold MEASURES coverage next to the nominal target (the "
+        "measured-recall posture — the theorem is checked, not "
+        "assumed). lineitem price ~ quantity at alpha = 0.1. "
+        "Python-reference q + coverage floor pinned in "
+        "tests/test_features.py"
+    ),
+)
+def q_features_conformal_interval(spark, sf_dir):
+    from etl_hero_spark.features import conformal_interval_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    ).withColumn(
+        "rid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return conformal_interval_report(
+        li, ["l_quantity"], "l_extendedprice", "rid", alpha=0.1
+    )

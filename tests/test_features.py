@@ -384,3 +384,111 @@ def test_isotonic_apply_preserves_duplicate_rows(spark):
     assert all(
         r["calibrated"] is None for r in out if r["score"] is None
     )
+
+
+def _numpy_irls(X, y, iters=30, tol=1e-10, ridge=1e-9):
+    import numpy as np
+
+    Xd = np.column_stack([X, np.ones(len(y))])
+    beta = np.zeros(Xd.shape[1])
+    for _ in range(iters):
+        mu = 1.0 / (1.0 + np.exp(-Xd @ beta))
+        w = mu * (1 - mu)
+        H = Xd.T @ (Xd * w[:, None]) + ridge * np.eye(Xd.shape[1])
+        g = Xd.T @ (y - mu)
+        step = np.linalg.solve(H, g)
+        beta = beta + step
+        if np.abs(step).sum() < tol:
+            break
+    return beta
+
+
+def test_logreg_fit_matches_numpy_irls(spark):
+    """Distributed per-iteration aggregation IRLS == an independent
+    in-memory numpy IRLS on the same rows."""
+    import numpy as np
+
+    from etl_hero_spark.features import logreg_apply, logreg_fit
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    x1 = rng.normal(0, 1, n).round(4)
+    x2 = rng.normal(0, 1, n).round(4)
+    p = 1.0 / (1.0 + np.exp(-(1.5 * x1 - 0.8 * x2 + 0.3)))
+    y = (rng.random(n) < p).astype(int)
+    rows = [(float(a), float(b), int(t)) for a, b, t in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y int")
+    model = logreg_fit(df, ["x1", "x2"], "y")
+    beta = _numpy_irls(np.column_stack([x1, x2]), y.astype(float))
+    assert model["coef"]["x1"] == pytest.approx(beta[0], abs=1e-6)
+    assert model["coef"]["x2"] == pytest.approx(beta[1], abs=1e-6)
+    assert model["intercept"] == pytest.approx(beta[2], abs=1e-6)
+    assert model["n"] == n and model["log_loss"] > 0
+    # recovered signs and rough magnitudes of the generating process
+    assert model["coef"]["x1"] > 0.5 and model["coef"]["x2"] < -0.3
+    # serve side: literal sigmoid, monotone in the score
+    probs = {
+        r["x1"]: r["probability"]
+        for r in logreg_apply(
+            spark.createDataFrame(
+                [(-2.0, 0.0), (0.0, 0.0), (2.0, 0.0)],
+                "x1 double, x2 double",
+            ),
+            model,
+        ).collect()
+    }
+    assert probs[-2.0] < probs[0.0] < probs[2.0]
+
+
+def test_conformal_interval_guarantee_and_python_q(spark, sf_dir):
+    """Split-conformal on lineitem (price ~ quantity): the k-th
+    calibration residual must equal a pure-Python recomputation over
+    the same deterministic folds, and measured test coverage must sit
+    at-or-above nominal minus binomial slack."""
+    import math
+
+    from etl_hero_spark.features import (
+        conformal_interval_report,
+        linreg_apply,
+        linreg_fit,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).withColumn(
+        "rid",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    got = conformal_interval_report(
+        li, ["l_quantity"], "l_extendedprice", "rid", alpha=0.1
+    ).first()
+    # python reference over the same folds
+    fold = F.pmod(F.xxhash64("rid"), F.lit(4))
+    base = li.withColumn("_fold", fold)
+    model = linreg_fit(
+        base.filter(F.col("_fold") < 2), ["l_quantity"], "l_extendedprice"
+    )
+    cal = [
+        abs(float(r["l_extendedprice"]) - float(r["_pred"]))
+        for r in linreg_apply(
+            base.filter(F.col("_fold") == 2), model, "_pred"
+        ).collect()
+    ]
+    k = min(len(cal), math.ceil((len(cal) + 1) * 0.9))
+    q = sorted(cal)[k - 1]
+    assert got["q_halfwidth"] == pytest.approx(round(q, 6), abs=1e-6)
+    assert got["n_calib"] == len(cal)
+    # the theorem: coverage >= 1 - alpha in expectation; allow 3-sigma
+    # binomial slack at the test fold's size
+    n_t = got["n_test"]
+    slack = 3 * math.sqrt(0.1 * 0.9 / n_t)
+    assert got["coverage_test"] >= 0.9 - slack
+    assert got["nominal"] == 0.9
+
+
+def test_conformal_validates_alpha(spark):
+    from etl_hero_spark.features import conformal_interval_report
+
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, x double, y double")
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_interval_report(df, ["x"], "y", "id", alpha=1.5)

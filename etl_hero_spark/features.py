@@ -665,9 +665,14 @@ def conformal_interval_report(
     carries the empirical number next to the nominal target (the
     measured-recall posture: the guarantee is checked, not assumed).
 
-    The quantile is exact: orderBy + limit(k) executes as TakeOrdered
-    (per-partition heads, k rows to the driver merge — never a global
-    sort), and only the single k-th residual is read back. One row:
+    The quantile is exact AND distributed: k is ~(1-alpha) of the
+    calibration fold, so a TakeOrdered(k) would ship most of the fold
+    to the driver — instead the residuals fold to their distinct-value
+    count table and the k-th order statistic is the smallest value
+    whose inclusive cumulative count reaches k, via the same two-phase
+    range-bucket prefix scan as weighted_quantile (never a
+    partition-less window, nothing corpus-sized leaves the executors).
+    One row:
     (n_train, n_calib, n_test, alpha, q_halfwidth, coverage_test,
     nominal). Python-reference q + coverage-floor pinned in
     tests/test_features.py."""
@@ -694,9 +699,21 @@ def conformal_interval_report(
     import math
 
     k = min(n_cal, int(math.ceil((n_cal + 1) * (1.0 - alpha))))
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.stattests import _cum_by_value
+
+    vals = parquet_checkpoint(
+        cal.groupBy(F.col("_r").alias("_v")).agg(
+            F.count(F.lit(1)).alias("w")
+        ),
+        "conformal-resid",
+    )
+    cum = _cum_by_value(vals, "_v", ["w"])
     q_row = (
-        cal.select("_r").orderBy(F.asc("_r")).limit(k).agg(F.max("_r"))
-    ).first()
+        cum.filter(F.col("_cum_w") + F.col("w") >= k)
+        .agg(F.min("_v"))
+        .first()
+    )
     q = float(q_row[0])
     tst = linreg_apply(test, model, "_pred").withColumn(
         "_r", resid(test)

@@ -1481,3 +1481,29 @@ def topk_cosine_sq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "score", "rank")
     )
+
+
+def write_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = 3,
+) -> None:
+    """Persist the SQ8 encoded corpus (corpus_id, cv, sq_scale,
+    sq_codes, cnorm) to parquet at ``path`` — the durable form of
+    sq8_encode's session-scoped stage boundary, completing the
+    persisted-index family (minhash / IVF siblings). ``quantize`` is
+    part of the index identity: probes must rerank on the same grid,
+    so topk_cosine_sq8 over a read-back index must be called with the
+    quantize the index was built with."""
+    sq8_encode(
+        corpus, id_col=id_col, vec_col=vec_col, quantize=quantize
+    ).write.mode("overwrite").parquet(path)
+
+
+def read_sq8_index(spark, path: str) -> DataFrame:
+    """Read a persisted SQ8 index for topk_cosine_sq8(encoded=...) —
+    every query batch then pays only the column-pruned codes scan,
+    never the encode."""
+    return spark.read.parquet(path)

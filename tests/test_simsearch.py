@@ -830,3 +830,33 @@ def test_sq8_zero_vector_and_empty_queries(spark):
 
     with pytest.raises(ValueError, match="empty"):
         topk_cosine_sq8(emb, q.filter(F.lit(False)), k=3)
+
+
+def test_sq8_persisted_index_round_trip(spark, sf_dir, tmp_path):
+    """A read-back SQ8 index must answer identically to the in-session
+    encode — persistence is sound because the encode is a pure
+    function of (vector, quantize)."""
+    from etl_hero_spark.simsearch import (
+        read_sq8_index,
+        topk_cosine_sq8,
+        write_sq8_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = str(tmp_path / "sq8idx")
+    write_sq8_index(emb, p)
+    via_index = sorted(
+        map(
+            tuple,
+            topk_cosine_sq8(
+                emb, queries, k=5, encoded=read_sq8_index(spark, p)
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(tuple, topk_cosine_sq8(emb, queries, k=5).collect())
+    )
+    assert via_index == direct and len(direct) == 15

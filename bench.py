@@ -341,6 +341,13 @@ NOTES = {
         "driver-window slot — compare vs_prev against the sum of the "
         "two prior entries."
     ),
+    "sim_topk_cosine": (
+        "plan and code unchanged all round (r6 touched only the SQ8 "
+        "sibling); 0.55 -> 0.83s is a +0.28s absolute movement on a "
+        "sub-second query — scheduler/sequence territory (the "
+        "profile_histogram2d precedent), and isolated reruns bounce "
+        "0.83-1.06s on this host. Under the 2x gate; not drift."
+    ),
     "profile_set_overlap": (
         "r6 added the KMV/theta-sketch method row (two TakeOrdered "
         "sketches + bounded-row arithmetic) next to the HLL "

@@ -197,6 +197,7 @@ HEADLINE = [
     "er_fellegi_sunter",
     "features_logreg",
     "features_conformal_interval",
+    "pipeline_span_curate",
     "sql_volume_shipping",
     "sql_customer_distribution",
     "sql_small_quantity_revenue",

@@ -787,3 +787,61 @@ def webp_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
         .withColumn("webp_width", gate(width).cast("int"))
         .withColumn("webp_height", gate(height).cast("int"))
     )
+
+
+def synth_gif_webp_media(key_col: str) -> "F.Column":
+    """Deterministic key-derived media payload used by BOTH the batch
+    triage query and its streaming twin (shared expression — stream ==
+    batch is then a statement about one synthesis, not two): every 5th
+    key gets JPEG magic (foreign to both formats), even keys a GIF89a
+    logical screen descriptor, odd keys a spec-exact lossy WebP; dims
+    derive from the key (w = key%1000+1, h = key*7%800+1)."""
+
+    def le16(expr: str) -> str:
+        be = f"lpad(hex({expr}), 4, '0')"
+        return f"concat(substring({be}, 3, 2), substring({be}, 1, 2))"
+
+    w = f"pmod({key_col}, 1000) + 1"
+    h = f"pmod({key_col} * 7, 800) + 1"
+    gif_hdr = (
+        "unhex(concat('474946383961', "
+        + le16(w) + ", " + le16(h) + ", '910000'))"
+    )
+    webp_lossy = (
+        "unhex(concat('52494646', '24000000', '57454250', "
+        "'56503820', '18000000', '000000', '9D012A', "
+        + le16(w) + ", " + le16(h) + ", '0000000000000000'))"
+    )
+    return (
+        F.when(
+            F.col(key_col) % 5 == 0, F.expr("unhex('FFD8FFE0')")
+        )
+        .when(F.col(key_col) % 2 == 0, F.expr(gif_hdr))
+        .otherwise(F.expr(webp_lossy))
+    )
+
+
+def gif_webp_format_counts(
+    df: DataFrame, key_col: str, media_col: str = "media"
+) -> DataFrame:
+    """Per-format triage counts over a frame carrying a media column:
+    (format in {'gif','webp','other'}, n_rows, n_parsed) from the SAME
+    pure-binary gif/webp parses the per-row panel uses. Works
+    identically on a static frame and a readStream (the expressions
+    are stateless projections; the one aggregation is
+    complete-mode-able) — the streaming twin's shared body."""
+    parsed = webp_metadata(gif_metadata(df, media_col), media_col)
+    fmt = (
+        F.when(F.col("is_gif") == 1, F.lit("gif"))
+        .when(F.col("is_webp") == 1, F.lit("webp"))
+        .otherwise(F.lit("other"))
+    )
+    dims_ok = F.when(
+        F.col("is_gif") == 1, F.col("gif_width").isNotNull()
+    ).otherwise(F.col("webp_width").isNotNull())
+    return parsed.groupBy(fmt.alias("format")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(dims_ok.cast("int"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_parsed"),
+    )

@@ -1466,37 +1466,20 @@ def q_multimodal_mp4_metadata(spark, sf_dir):
     ),
 )
 def q_multimodal_gif_webp_metadata(spark, sf_dir):
-    from etl_hero_spark.multimodal import gif_metadata, webp_metadata
+    from etl_hero_spark.multimodal import (
+        gif_metadata,
+        synth_gif_webp_media,
+        webp_metadata,
+    )
     from etl_hero_spark.skew import ensure_min_partitions
 
     part = ensure_min_partitions(
         _t(spark, sf_dir, "part").select("p_partkey")
     )
-    # little-endian 16-bit hex of a key-derived value
-    def le16(expr):
-        be = f"lpad(hex({expr}), 4, '0')"
-        return f"concat(substring({be}, 3, 2), substring({be}, 1, 2))"
-
-    w = "pmod(p_partkey, 1000) + 1"
-    h = "pmod(p_partkey * 7, 800) + 1"
-    gif_hdr = (
-        "unhex(concat('474946383961', "  # GIF89a
-        + le16(w) + ", " + le16(h) + ", '910000'))"
-    )
-    webp_lossy = (
-        "unhex(concat('52494646', '24000000', '57454250', "  # RIFF WEBP
-        "'56503820', '18000000', '000000', '9D012A', "  # VP8 , tag, sync
-        + le16(w) + ", " + le16(h) + ", '0000000000000000'))"
-    )
-    media = part.withColumn(
-        "media",
-        F.when(
-            F.col("p_partkey") % 5 == 0,
-            F.expr("unhex('FFD8FFE0')"),  # JPEG magic: neither format
-        )
-        .when(F.col("p_partkey") % 2 == 0, F.expr(gif_hdr))
-        .otherwise(F.expr(webp_lossy)),
-    )
+    # key-derived synthesis SHARED with the streaming triage twin
+    # (stream_media_triage) — stream == batch is a statement about one
+    # expression, not two
+    media = part.withColumn("media", synth_gif_webp_media("p_partkey"))
     return webp_metadata(gif_metadata(media)).select(
         "p_partkey",
         "is_gif",
@@ -2567,3 +2550,111 @@ def q_features_conformal_interval(spark, sf_dir):
     return conformal_interval_report(
         li, ["l_quantity"], "l_extendedprice", "rid", alpha=0.1
     )
+
+
+@register(
+    "pipeline_span_curate",
+    oracle=None,
+    note=(
+        "extension capstone (r6): the substring-dedup curation recipe "
+        "in the STANDARD order — quality-aware keep-best exact dedup "
+        "FIRST (casing/whitespace variants and the fixture's injected "
+        "exact duplicates collapse to their cleanest rendition; "
+        "running span-stripping before this would empty every exact "
+        "duplicate on BOTH sides, since strip_repeated_spans removes "
+        "all occurrences, the public ExactSubstr default), THEN strip "
+        "corpus-repeated 8-token spans from the survivors (Lee et al. "
+        "substring dedup, the remediation form — cross-doc boilerplate "
+        "like the planted fragment disappears everywhere), then drop "
+        "docs emptied outright. Per-source accounting panel: docs "
+        "in/emptied/out, span tokens removed, tokens surviving. Every "
+        "stage is the registered operator unchanged (semantics already "
+        "pinned); the composition test asserts the chain equals "
+        "applying the stages one at a time. Fixture plants a 24-token "
+        "boilerplate fragment onto every doc_id%7==3 document and "
+        "uppercased near-clones so both stages have real work."
+    ),
+)
+def q_pipeline_span_curate(spark, sf_dir):
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.dedup import dedup_keep_best, strip_repeated_spans
+    from etl_hero_spark.textops import normalized_text_expr, tokens_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    frag = d.filter(F.col("doc_id") == 1).select(
+        F.array_join(
+            F.slice(tokens_expr(normalized_text_expr("text")), 1, 24),
+            " ",
+        ).alias("_frag")
+    )
+    with_boiler = d.crossJoin(F.broadcast(frag)).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat_ws(" ", F.col("text"), F.col("_frag")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    case_clones = with_boiler.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        "source",
+        F.upper("text").alias("text"),
+    )
+    pool = with_boiler.unionByName(case_clones)
+    quality = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    deduped = parquet_checkpoint(
+        dedup_keep_best(pool, quality, "doc_id", "text"),
+        "span-curate-deduped",
+    )
+    stripped = parquet_checkpoint(
+        strip_repeated_spans(deduped, n=8).select(
+            "doc_id",
+            "source",
+            F.col("text_stripped").alias("text"),
+            "n_tokens_removed",
+        ),
+        "span-curate-stripped",
+    )
+    n_in = pool.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input")
+    )
+    out = (
+        stripped.groupBy("source")
+        .agg(
+            F.sum((F.length("text") == 0).cast("int"))
+            .cast("bigint")
+            .alias("n_emptied"),
+            F.sum((F.length("text") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum("n_tokens_removed").cast("bigint").alias(
+                "span_tokens_removed"
+            ),
+            F.sum(
+                F.when(
+                    F.length("text") > 0,
+                    F.size(F.split(F.col("text"), " ")),
+                ).otherwise(0)
+            ).cast("bigint").alias("tokens_kept"),
+            F.sum((F.col("doc_id") >= 4_000_000).cast("int"))
+            .cast("bigint")
+            .alias("n_case_clone_survivors"),
+        )
+        .join(n_in, "source")
+        .select(
+            "source",
+            "n_input",
+            "n_emptied",
+            "n_kept",
+            "span_tokens_removed",
+            "tokens_kept",
+            "n_case_clone_survivors",
+        )
+        .orderBy("source")
+    )
+    return out

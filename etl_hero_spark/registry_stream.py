@@ -1196,3 +1196,24 @@ def q_stream_dedup_best(spark, sf_dir):
             6,
         ).alias("avg_quality"),
     )
+
+
+@register(
+    "stream_media_triage",
+    oracle=None,
+    note=(
+        "streaming extension (r6): TRUE zero-codec media triage on a "
+        "file STREAM — the 17th twin and the real corpus-ingest shape "
+        "(payloads arrive continuously; the triage pass is stateless "
+        "pure-binary projections + ONE complete-mode aggregate, no "
+        "watermark). Synthesis AND parses are the SAME shared "
+        "expressions as the batch multimodal_gif_webp_metadata query "
+        "(multimodal.synth_gif_webp_media / gif_webp_format_counts), "
+        "so stream == batch is a statement about one expression. "
+        "Drained sink == batch counts pinned in tests/test_streaming.py"
+    ),
+)
+def q_stream_media_triage(spark, sf_dir):
+    from etl_hero_spark.streaming import stream_media_triage
+
+    return stream_media_triage(spark, f"{sf_dir}/documents.parquet")

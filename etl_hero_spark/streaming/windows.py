@@ -1554,3 +1554,40 @@ def stream_keep_best(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stream_media_triage(
+    spark: SparkSession,
+    docs_path: str,
+    query_name: str = "etl_hero_stream_mediatriage",
+) -> DataFrame:
+    """TRUE streaming twin of the zero-codec media triage — the 17th
+    twin, and the real corpus-ingest shape: payloads arrive on a file
+    STREAM and the triage pass (pure binary expressions — the SAME
+    gif/webp parses and the SAME key-derived synthesis as the batch
+    multimodal_gif_webp_metadata query, via
+    multimodal.gif_webp_format_counts / synth_gif_webp_media) must not
+    wait for a batch boundary. Per-format (n_rows, n_parsed) counts
+    maintained in complete mode; stateless projections + ONE streaming
+    aggregate, no watermark (counts only grow). Drained sink == batch
+    counts pinned in tests/test_streaming.py."""
+    from etl_hero_spark.multimodal import (
+        gif_webp_format_counts,
+        synth_gif_webp_media,
+    )
+
+    src = _docs_stream_source(spark, docs_path).select(
+        "doc_id", synth_gif_webp_media("doc_id").alias("media")
+    )
+    agg = gif_webp_format_counts(src, "doc_id")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -519,3 +519,62 @@ def test_strip_repeated_spans_rebuilds_clean_text(spark):
     assert got[5] == (
         "plain doc without any duplicated span inside it", 0
     )
+
+
+def test_pipeline_span_curate_composition(spark, sf_dir):
+    """Capstone accounting == composing the stage operators by hand:
+    keep-best dedup first, span-strip second; planted case clones
+    never survive, boilerplate tokens are actually removed, and the
+    per-source doc accounting is exact."""
+    from etl_hero_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_span_curate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_case_clone_survivors"] == 0, r["source"]
+        assert r["n_kept"] + r["n_emptied"] <= r["n_input"]
+        assert r["tokens_kept"] > 0
+    # the planted boilerplate exists: at least the %7==3 sources lost
+    # span tokens
+    assert sum(r["span_tokens_removed"] for r in rows) > 0
+    # stage-by-stage recomputation of the global doc accounting
+    import pyspark.sql.functions as F2
+
+    from etl_hero_spark.textops import normalized_text_expr, tokens_expr
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    frag = d.filter(F2.col("doc_id") == 1).select(
+        F2.array_join(
+            F2.slice(tokens_expr(normalized_text_expr("text")), 1, 24),
+            " ",
+        ).alias("_frag")
+    )
+    wb = d.crossJoin(F2.broadcast(frag)).select(
+        "doc_id",
+        "source",
+        F2.when(
+            F2.col("doc_id") % 7 == 3,
+            F2.concat_ws(" ", F2.col("text"), F2.col("_frag")),
+        ).otherwise(F2.col("text")).alias("text"),
+    )
+    clones = wb.filter(F2.col("doc_id") % 9 == 0).select(
+        (F2.col("doc_id") + 4_000_000).alias("doc_id"),
+        "source",
+        F2.upper("text").alias("text"),
+    )
+    pool = wb.unionByName(clones)
+    quality = (
+        F2.length(F2.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F2.greatest(F2.length("text"), F2.lit(1))
+    )
+    survivors = dedup.dedup_keep_best(pool, quality, "doc_id", "text")
+    stripped = dedup.strip_repeated_spans(survivors, n=8)
+    n_kept = stripped.filter(F2.length("text_stripped") > 0).count()
+    n_emptied = stripped.filter(F2.length("text_stripped") == 0).count()
+    assert sum(r["n_kept"] for r in rows) == n_kept
+    assert sum(r["n_emptied"] for r in rows) == n_emptied
+    assert sum(r["n_input"] for r in rows) == pool.count()

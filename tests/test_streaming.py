@@ -951,3 +951,37 @@ def test_stream_keep_best_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch and batch
+
+
+def test_stream_media_triage_equals_batch(spark, sf_dir):
+    """17th twin: the drained streaming triage counts == the batch
+    aggregate over the same synthesized payloads (shared synthesis and
+    parse expressions)."""
+    from etl_hero_spark.multimodal import (
+        gif_webp_format_counts,
+        synth_gif_webp_media,
+    )
+    from etl_hero_spark.streaming import stream_media_triage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", synth_gif_webp_media("doc_id").alias("media")
+    )
+    batch = {
+        (r["format"], r["n_rows"], r["n_parsed"])
+        for r in gif_webp_format_counts(docs, "doc_id").collect()
+    }
+    streamed = {
+        (r["format"], r["n_rows"], r["n_parsed"])
+        for r in stream_media_triage(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            query_name="etl_hero_stream_mediatriage_t",
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 3
+    # every recognized-format row parses (the synthesis plants no
+    # boundary structures), foreign rows parse nothing
+    d = {f: (n, p) for f, n, p in batch}
+    assert d["gif"][0] == d["gif"][1] > 0
+    assert d["webp"][0] == d["webp"][1] > 0
+    assert d["other"][1] == 0

@@ -358,8 +358,10 @@ NOTES = {
     "sim_ann_recall_report": (
         "r6 added the int8 SQ8 rung's measured-recall row to this "
         "report (a third approximate method scored against the same "
-        "brute-force ground truth) — the extra encode+probe pass adds "
-        "~1-2s by design; compare vs_prev with that addition in mind."
+        "brute-force ground truth over 8 queries) — the extra "
+        "encode-checkpoint + unrolled-probe + rerank pass adds ~2-3.5s "
+        "by design (sim_topk_sq8 alone is ~1.5-2.5s over 3 queries); "
+        "compare vs_prev with that addition in mind."
     ),
     "sim_topk_pq": (
         "plan unchanged since r3; isolated idle-host min-of-3 "

@@ -182,6 +182,13 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+        def repeated_spans():
+            from etl_hero_spark.dedup import repeated_spans as _rs
+
+            _rs(docs(), n=8).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
         def sessionize():
             from etl_hero_spark.streaming.windows import sessionize_batch
 
@@ -510,6 +517,7 @@ def main() -> None:
             "grouping_sets": grouping_sets,
             "dedup_exact": dedup_exact,
             "minhash_lsh": minhash_lsh,
+            "repeated_spans": repeated_spans,
             "sessionize": sessionize,
             "asof_join": asof,
             "cdc_merge": cdc_merge,

@@ -198,6 +198,7 @@ HEADLINE = [
     "features_logreg",
     "features_conformal_interval",
     "pipeline_span_curate",
+    "features_huber_regression",
     "sql_volume_shipping",
     "sql_customer_distribution",
     "sql_small_quantity_revenue",

@@ -2658,3 +2658,59 @@ def q_pipeline_span_curate(spark, sf_dir):
         .orderBy("source")
     )
     return out
+
+
+@register(
+    "features_huber_regression",
+    oracle=None,
+    note=(
+        "extension (r6): Huber robust regression by distributed IRLS "
+        "next to its OLS twin on the SAME corrupted corpus — every "
+        "101st lineitem's price is inflated 10x (key-derived, "
+        "deterministic), and the panel shows what each estimator does "
+        "with that: OLS (squared loss) absorbs the planted mass into "
+        "its slope/intercept, Huber (delta-winsorized loss, "
+        "MAD-tuned) stays near the clean fit. Each IRLS step is ONE "
+        "corpus aggregation under literal current coefficients (the "
+        "logreg posture); numpy solves the bounded system per step. "
+        "Independent numpy-IRLS parity + outlier-resistance pinned in "
+        "tests/test_features.py. Output: (estimator, slope_quantity, "
+        "intercept, n, n_iter)"
+    ),
+)
+def q_features_huber_regression(spark, sf_dir):
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.features import huber_fit, linreg_fit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x_qty"),
+        F.when(
+            F.col("l_orderkey") % 101 == 0,
+            F.col("l_extendedprice").cast("double") * 10.0,
+        )
+        .otherwise(F.col("l_extendedprice").cast("double"))
+        .alias("y_price"),
+    )
+    li = parquet_checkpoint(li, "huber-base")
+    ols = linreg_fit(li, ["x_qty"], "y_price")
+    hub = huber_fit(li, ["x_qty"], "y_price")
+    return spark.createDataFrame(
+        [
+            (
+                "ols",
+                round(ols["coef"]["x_qty"], 4),
+                round(ols["intercept"], 4),
+                ols["n"],
+                1,
+            ),
+            (
+                "huber",
+                round(hub["coef"]["x_qty"], 4),
+                round(hub["intercept"], 4),
+                hub["n"],
+                hub["n_iter"],
+            ),
+        ],
+        "estimator string, slope_quantity double, intercept double, "
+        "n bigint, n_iter int",
+    ).orderBy("estimator")

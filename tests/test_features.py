@@ -492,3 +492,55 @@ def test_conformal_validates_alpha(spark):
     df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, x double, y double")
     with pytest.raises(ValueError, match="alpha"):
         conformal_interval_report(df, ["x"], "y", "id", alpha=1.5)
+
+
+def _numpy_huber_irls(X, y, delta, beta0, iters=30, tol=1e-9):
+    import numpy as np
+
+    Xd = np.column_stack([X, np.ones(len(y))])
+    beta = beta0.copy()
+    for _ in range(iters):
+        r = y - Xd @ beta
+        w = np.where(np.abs(r) <= delta, 1.0, delta / np.abs(r))
+        H = Xd.T @ (Xd * w[:, None])
+        g = Xd.T @ (w * y)
+        nb = np.linalg.solve(H, g)
+        if np.abs(nb - beta).sum() < tol:
+            beta = nb
+            break
+        beta = nb
+    return beta
+
+
+def test_huber_fit_matches_numpy_irls_and_resists_outliers(spark):
+    """Distributed Huber IRLS == an independent numpy IRLS at the same
+    fixed delta; planted gross outliers drag OLS visibly but leave the
+    Huber slope near the generating value."""
+    import numpy as np
+
+    from etl_hero_spark.features import huber_fit, linreg_fit
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    x = rng.normal(0, 1, n).round(4)
+    y = (2.0 * x + 1.0 + rng.normal(0, 0.5, n)).round(4)
+    # gross one-sided outliers in 2% of rows
+    idx = rng.choice(n, 30, replace=False)
+    y[idx] += 50.0
+    rows = [(float(a), float(b)) for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = huber_fit(df, ["x"], "y", delta=1.0)
+    # independent reference from the same OLS warm start
+    ols = linreg_fit(df, ["x"], "y")
+    beta0 = np.array([ols["coef"]["x"], ols["intercept"]])
+    ref = _numpy_huber_irls(x.reshape(-1, 1), y, 1.0, beta0)
+    assert got["coef"]["x"] == pytest.approx(ref[0], abs=1e-6)
+    assert got["intercept"] == pytest.approx(ref[1], abs=1e-6)
+    # robustness: OLS intercept is dragged ~1.0 by the planted mass;
+    # Huber stays near the generating (2.0, 1.0)
+    assert abs(got["coef"]["x"] - 2.0) < 0.1
+    assert abs(got["intercept"] - 1.0) < 0.2
+    assert abs(ols["intercept"] - 1.0) > 0.5
+    # default-delta path (MAD tuning) also converges sanely
+    auto = huber_fit(df, ["x"], "y")
+    assert abs(auto["coef"]["x"] - 2.0) < 0.1 and auto["delta"] > 0

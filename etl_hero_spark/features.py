@@ -778,19 +778,32 @@ def huber_fit(
         return e
 
     if delta is None:
-        r = F.abs(F.col("__y") - pred_expr(beta))
-        med = base.agg(
+        # True MAD about the MEDIAN residual — median(|r - median(r)|)
+        # — not |r| around zero: with a biased/skewed initial OLS
+        # residual distribution the around-zero variant misapplies the
+        # 1.4826 consistency constant and over-inflates delta. Two
+        # sequential bounded percentile aggs (each one scan).
+        resid_sql = (
+            "(__y - ("
+            + " + ".join(
+                [f"{float(beta[j])!r} * {c}" for j, c in enumerate(x_cols)]
+                + [f"{float(beta[-1])!r}"]
+            )
+            + "))"
+        )
+        med_r = base.agg(
+            F.expr(f"percentile({resid_sql}, 0.5)").alias("m")
+        ).first()["m"]
+        if med_r is None:
+            raise ValueError("huber_fit: no complete cases")
+        mad = base.agg(
             F.expr(
-                "percentile(abs(__y - ("
-                + " + ".join(
-                    [f"{float(beta[j])!r} * {c}" for j, c in enumerate(x_cols)]
-                    + [f"{float(beta[-1])!r}"]
-                )
-                + ")), 0.5)"
+                f"percentile(abs({resid_sql} - {float(med_r)!r}), 0.5)"
             ).alias("mad")
         ).first()["mad"]
-        # MAD of residuals around zero -> robust sigma via 1.4826
-        delta = 1.345 * 1.4826 * float(med) if med else 1.0
+        # MAD -> robust sigma via the 1.4826 consistency constant,
+        # then the classic 1.345-sigma 95%-efficiency tuning
+        delta = 1.345 * 1.4826 * float(mad) if mad else 1.0
         delta = delta or 1.0
     delta = float(delta)
     p = len(x_cols) + 1

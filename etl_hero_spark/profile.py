@@ -1087,19 +1087,23 @@ def kmv_sketch(
     intersect DIRECTLY (common hashes below the joint theta), so small
     intersections don't drown in inclusion-exclusion noise.
 
-    Plan: distinct on the uniform 64-bit hash (one partial-agged
-    shuffle), then a global ascending limit k — Spark executes
-    orderBy().limit() as TakeOrdered (per-partition heads, k rows to
-    the driver merge), never a full sort materialization. Output: one
-    column ``h`` in (0, 1]."""
-    u = (
-        F.xxhash64(F.col(key_col)).cast("double") / F.lit(float(1 << 64))
-        + 0.5
-    )
+    Plan: distinct on the RAW 64-bit long hash (one partial-agged
+    shuffle; casting to double first would space values ~1024 apart
+    near +/-2^63 and collide distinct keys), THEN normalize to double,
+    then a global ascending limit k — Spark executes orderBy().limit()
+    as TakeOrdered (per-partition heads, k rows to the driver merge),
+    never a full sort materialization. Output: one column ``h`` in
+    [0, 1)."""
     return (
         df.filter(F.col(key_col).isNotNull())
-        .select(u.alias("h"))
+        .select(F.xxhash64(F.col(key_col)).alias("_h64"))
         .distinct()
+        .select(
+            (
+                F.col("_h64").cast("double") / F.lit(float(1 << 64))
+                + 0.5
+            ).alias("h")
+        )
         .orderBy("h")
         .limit(int(k))
     )

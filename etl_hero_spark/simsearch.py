@@ -1364,17 +1364,21 @@ def sq8_encode(
 
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
+    # scale derives from the QUANTIZED cv (the values the codes are
+    # built from) — deriving it from the raw vector lets rounding push
+    # a coordinate above the raw max and a code outside [-127, 127].
     mx = F.expr(
         "greatest("
-        + ", ".join(
-            f"abs(cast({vec_col}[{i}] as double))" for i in range(dim)
-        )
+        + ", ".join(f"abs(cv[{i}])" for i in range(dim))
         + ")"
     )
     scale = F.when(mx > 0, mx / 127.0).otherwise(F.lit(1.0))
     staged = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("corpus_id"),
         quantized_vec(vec_col, quantize).alias("cv"),
+    ).select(
+        "corpus_id",
+        "cv",
         scale.alias("sq_scale"),
     )
     enc = staged.select(
@@ -1433,6 +1437,14 @@ def topk_cosine_sq8(
             (round(x, quantize) if quantize is not None else x) ** 2
             for x in v
         ) ** 0.5
+        if qn == 0:
+            # mirror the cnorm>0 corpus-side guard: a zero query would
+            # make _approx divide-by-zero (NULL), silently picking
+            # arbitrary candidates — fail loudly instead.
+            raise ValueError(
+                f"topk_cosine_sq8: query {r['_qid']!r} has zero norm — "
+                "cosine similarity is undefined for a zero vector"
+            )
         int_dot = " + ".join(
             f"cast(sq_codes[{i}] as bigint)*{c}L"
             for i, c in enumerate(qc)

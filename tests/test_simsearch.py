@@ -830,6 +830,31 @@ def test_sq8_zero_vector_and_empty_queries(spark):
 
     with pytest.raises(ValueError, match="empty"):
         topk_cosine_sq8(emb, q.filter(F.lit(False)), k=3)
+    # a zero-norm QUERY fails loudly (mirrors the corpus-side guard) —
+    # silently reranking against a zero vector would return arbitrary
+    # candidates
+    zq = emb.filter(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="zero norm"):
+        topk_cosine_sq8(emb, zq, k=3)
+
+
+def test_sq8_codes_within_int8_range(spark):
+    """sq_scale derives from the QUANTIZED cv, so codes are guaranteed
+    in [-127, 127] — persisting them as tinyint cannot overflow. The
+    regression case: a raw max like 0.10049 quantizes (3dp) to 0.1 but
+    a raw 0.1004 also quantizes to 0.1; with scale from the RAW max a
+    coordinate could round above 127."""
+    from etl_hero_spark.simsearch import sq8_encode
+
+    emb = spark.createDataFrame(
+        [(1, [0.1004999, 0.1004, -0.0001]), (2, [5.0, -5.0, 2.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = sq8_encode(emb).collect()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["sq_codes"]), r
 
 
 def test_sq8_persisted_index_round_trip(spark, sf_dir, tmp_path):

@@ -983,6 +983,11 @@ def repeated_spans(
     )
 
 
+class SpanDocScaleError(RuntimeError):
+    """A single document exceeds strip_repeated_spans' per-doc token
+    cap — its ordered rebuild window would concentrate on one executor."""
+
+
 def strip_repeated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -990,6 +995,7 @@ def strip_repeated_spans(
     n: int = 8,
     min_count: int = 2,
     min_span_tokens: int | None = None,
+    max_doc_tokens: int = 2_000_000,
 ) -> DataFrame:
     """Remediation over repeated_spans: rebuild each document's
     NORMALIZED text with every qualifying duplicated span removed
@@ -1004,6 +1010,15 @@ def strip_repeated_spans(
     window + array_join — both codegen'd, no interpreted per-token
     lambda. Text is rebuilt from the SAME normalized token stream the
     detector saw, so offsets always agree.
+
+    The ordered per-doc collect_list is the ONE place in the dedup
+    family where a single pathological document concentrates work on
+    one executor, so it carries the family's loud-cap posture
+    (TrigramScaleError / basket caps): documents above
+    ``max_doc_tokens`` raise SpanDocScaleError naming the alternative
+    — chunk giants with textops.chunk_documents first, strip per chunk,
+    reassemble by (doc, chunk_idx). The guard is measured from the
+    same token table the rebuild explodes (one cheap count-groupBy).
     """
     min_span = n if min_span_tokens is None else int(min_span_tokens)
     spans = repeated_spans(
@@ -1020,6 +1035,24 @@ def strip_repeated_spans(
         .withColumn("_toks", tokens_expr(normalized_text_expr("_txt")))
         .select("id", F.posexplode("_toks").alias("pos", "tok"))
     )
+    giant = (
+        tok_rows.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_n_tok"))
+        .filter(F.col("_n_tok") > int(max_doc_tokens))
+        .orderBy(F.desc("_n_tok"))
+        .limit(3)
+        .collect()
+    )
+    if giant:
+        worst = ", ".join(f"{r['id']}({r['_n_tok']} tokens)" for r in giant)
+        raise SpanDocScaleError(
+            f"strip_repeated_spans: document(s) exceed max_doc_tokens="
+            f"{max_doc_tokens}: {worst}. The per-doc ordered rebuild "
+            "window would concentrate one giant document on a single "
+            "executor — chunk giants first (textops.chunk_documents), strip "
+            "per chunk, and reassemble by (doc, chunk_idx), or raise "
+            "max_doc_tokens explicitly if the executors can hold it."
+        )
     kept = tok_rows.join(covered, ["id", "pos"], "left_anti")
     w_full = (
         W.partitionBy("id")

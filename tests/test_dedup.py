@@ -521,6 +521,24 @@ def test_strip_repeated_spans_rebuilds_clean_text(spark):
     )
 
 
+def test_strip_repeated_spans_giant_doc_cap(spark):
+    """A single pathological document above max_doc_tokens must raise
+    the family's loud scale error (naming the chunking alternative),
+    not silently concentrate the ordered rebuild on one executor."""
+    import pytest
+
+    giant = " ".join(f"tok{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(1, giant), (2, "a b c d e f g h a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(dedup.SpanDocScaleError, match="chunk"):
+        dedup.strip_repeated_spans(docs, n=8, max_doc_tokens=32)
+    # below the cap the same call proceeds normally
+    ok = dedup.strip_repeated_spans(docs, n=8, max_doc_tokens=64)
+    assert ok.count() == 2
+
+
 def test_pipeline_span_curate_composition(spark, sf_dir):
     """Capstone accounting == composing the stage operators by hand:
     keep-best dedup first, span-strip second; planted case clones

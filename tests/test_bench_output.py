@@ -60,6 +60,56 @@ def test_prior_round_times_prefers_snapshot():
     assert len(core) >= 20
 
 
+def test_absorbed_prior_sums_components():
+    # the welch case: the absorber's honest prior is the SUM of its own
+    # prior plus its absorbed components' priors
+    prev = {
+        "profile_welch_ttest": 0.306,
+        "profile_mann_whitney": 0.8,
+        "profile_anova_oneway": 0.5,
+        "unrelated": 1.0,
+    }
+    assert bench.absorbed_prior(prev, "profile_welch_ttest") == 1.606
+    # non-absorber: just its own prior
+    assert bench.absorbed_prior(prev, "unrelated") == 1.0
+    # nothing prior at all -> None (no flag possible)
+    assert bench.absorbed_prior(prev, "brand_new_query") is None
+    # components aged out of the snapshot: falls back to own prior
+    assert bench.absorbed_prior(
+        {"profile_welch_ttest": 1.7}, "profile_welch_ttest"
+    ) == 1.7
+
+
+def test_absorption_map_keys_are_registered():
+    # every absorber must be a real registered query; component names
+    # are historical (may no longer be registered) by design
+    import __spark_entry__ as e
+
+    names = set(e.queries())
+    for absorber in bench.ABSORPTIONS:
+        assert absorber in names, absorber
+
+
+def test_absorption_aware_flags_suppress_explained_merges():
+    # a 5.65x apparent jump that is 0.95x of the component sum must NOT
+    # flag; a real >2x jump still must
+    prev = {"w": 0.306, "m": 0.8, "a": 0.5, "r": 1.0}
+    times = {"w": 1.73, "r": 2.5}
+    absorptions = {"w": ["m", "a"]}
+    orig = bench.ABSORPTIONS
+    bench.ABSORPTIONS = absorptions
+    try:
+        flagged = [
+            n
+            for n, t in times.items()
+            if (p := bench.absorbed_prior(prev, n)) is not None
+            and t / p > bench.REGRESSION_RATIO
+        ]
+    finally:
+        bench.ABSORPTIONS = orig
+    assert flagged == ["r"]
+
+
 def test_regression_gate_math():
     # ratio strictly-greater-than gate, sorted names
     prev = {"a": 1.0, "b": 2.0, "z": 0.5}

@@ -223,16 +223,21 @@ ABSORPTIONS: dict[str, list[str]] = {
     "profile_histogram": ["profile_grouped_median"],
     "profile_welch_ttest": ["profile_mann_whitney", "profile_anova_oneway"],
     "text_stats": ["text_quality_filter", "text_lang_fingerprint"],
-    "events_funnel": ["events_cohort_retention"],
-    "events_asof_join": ["events_range_join_count"],
+    "events_funnel": ["events_cohort_retention", "events_interval_overlap"],
+    "events_asof_join": ["events_range_join_count", "events_latest_state"],
     "events_pivot_daily_types": ["events_unpivot_daily"],
+    "events_windows": ["events_window_quality"],
     "outliers_detect": ["outliers_iqr"],
     "clean_nulls_impute_cat": ["clean_nulls_impute_median"],
     "cdc_merge_upsert": ["cdc_snapshot_diff"],
     "sql_orders_with_returns": ["sql_dormant_rich_customers"],
-    "distinct_customers_per_priority": ["set_urgent_not_low_customers"],
+    "distinct_customers_per_priority": [
+        "set_urgent_not_low_customers",
+        "join_salted_orders_customer",
+    ],
     "multimodal_decode": ["multimodal_wav_metadata"],
-    "dedup_clusters": ["dedup_exact_content"],
+    "dedup_clusters": ["dedup_exact_content", "dedup_ngram_jaccard"],
+    "text_tfidf_topk": ["text_top_tokens"],
 }
 
 

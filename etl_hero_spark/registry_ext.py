@@ -202,17 +202,84 @@ def q_text_stats(spark, sf_dir):
         "FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN nd), "
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
         "ORDER BY tfidf DESC, term ASC) AS rnk FROM s) "
-        "SELECT doc_id, term, tf, tfidf, cast(rnk as int) AS rnk "
-        "FROM r WHERE rnk <= 3"
+        "SELECT 'tfidf' AS part, doc_id, term, tf, tfidf, "
+        "cast(rnk as int) AS rnk FROM r WHERE rnk <= 3 "
+        "UNION ALL "
+        # --- absorbed text_top_tokens (r7 merge, oracle SQL unchanged
+        # inside the wrapper): corpus-wide exact top-25 tokens ---
+        "SELECT 'corpus_top' AS part, cast(NULL as bigint) AS doc_id, "
+        "tok AS term, n AS tf, cast(NULL as double) AS tfidf, rnk FROM ("
+        "WITH t2 AS (SELECT doc_id, "
+        f"{_SQL_TOKS.format(c='text')} AS toks FROM documents), "
+        "x2 AS (SELECT lower(unnest(toks)) AS tok FROM t2), "
+        "c2 AS (SELECT tok, count(*) AS n FROM x2 GROUP BY tok), "
+        "r2 AS (SELECT tok, cast(n as bigint) AS n, row_number() OVER "
+        "(ORDER BY n DESC, tok ASC) AS rnk FROM c2) "
+        "SELECT tok, n, cast(rnk as int) AS rnk FROM r2 WHERE rnk <= 25)"
     ),
-    note="extension: per-doc top-3 terms by TF-IDF (raw tf x unsmoothed ln(N/df)) — explode -> (doc,term) counts -> term DFs (partial agg both sides) -> co-partitioned equi-join -> broadcast 1-row corpus size -> per-doc window (partitioned by doc_id, never global); identical double expression order in both engines, term-ascending tie-break",
+    note=(
+        "extension, part-tagged since r7 (term-importance panel): "
+        "part='tfidf' is per-doc top-3 terms by TF-IDF (raw tf x "
+        "unsmoothed ln(N/df)) — explode -> (doc,term) counts -> term "
+        "DFs (partial agg both sides) -> co-partitioned equi-join -> "
+        "broadcast 1-row corpus size -> per-doc window (partitioned by "
+        "doc_id, never global); identical double expression order in "
+        "both engines, term-ascending tie-break. part='corpus_top' "
+        "(absorbed r7, was the separate text_top_tokens query — oracle "
+        "SQL byte-unchanged inside the union wrapper) is the exact "
+        "corpus-wide top-25 tokens: explode -> count -> "
+        "TakeOrderedAndProject (per-partition bounded heaps, never a "
+        "partition-less window over the vocabulary), rank via "
+        "broadcast self-join count; (count DESC, token ASC) tie-break; "
+        "doc_id=NULL, tf carries the corpus count. The sketch twin "
+        "stays text_freq_tokens_sketch — driver-window slot policy: "
+        "merge mature tagged entries instead of registering more"
+    ),
 )
 def q_text_tfidf_topk(spark, sf_dir):
-    from etl_hero_spark.textops import tfidf_top_terms
+    from etl_hero_spark.textops import tfidf_top_terms, tokens_expr
 
-    return tfidf_top_terms(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    docs = _t(spark, sf_dir, "documents")
+    tfidf = tfidf_top_terms(docs, "doc_id", "text", k=3).select(
+        F.lit("tfidf").alias("part"),
+        "doc_id",
+        "term",
+        "tf",
+        "tfidf",
+        "rnk",
     )
+    # --- absorbed text_top_tokens (r7): corpus-wide exact top-25 ---
+    counts = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .select(F.lower("tok").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # top-k FIRST, via orderBy+limit: plans as TakeOrderedAndProject
+    # (per-partition bounded heaps, driver-side merge of k rows) — never
+    # a partition-less window over the whole vocabulary, which would
+    # funnel every distinct token through one task at scale.
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(25)
+    # rank the 25 surviving rows with a broadcast self-join count of
+    # rows at-or-ahead (tok unique after groupBy: rank == row_number).
+    a, b = top.alias("a"), top.alias("b")
+    ahead = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.tok") <= F.col("a.tok"))
+    )
+    corpus_top = (
+        a.join(F.broadcast(b), ahead)
+        .groupBy(F.col("a.tok").alias("term"), F.col("a.n").alias("tf"))
+        .agg(F.count(F.lit(1)).cast("int").alias("rnk"))
+        .select(
+            F.lit("corpus_top").alias("part"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            "term",
+            "tf",
+            F.lit(None).cast("double").alias("tfidf"),
+            "rnk",
+        )
+    )
+    return tfidf.unionByName(corpus_top)
 
 
 @register(
@@ -350,28 +417,10 @@ def _docs_nearvar(spark, sf_dir):
     return d.unionByName(clones)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=(
-        f"WITH t AS ({_DOCS_NEARVAR_SQL}), "
-        "sh AS (SELECT doc_id AS id, "
-        + _sql_shingles(_SQL_TOKS.format(c=_SQL_NORM.format(c="text")))
-        + " AS s FROM t), "
-        "e AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh), "
-        "p AS (SELECT a.id AS id_a, b.id AS id_b, any_value(a.sz) AS size_a, "
-        "any_value(b.sz) AS size_b, count(*) AS inter "
-        "FROM e a JOIN e b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
-        "SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, "
-        "round(cast(inter as double) / cast(size_a + size_b - inter as double), 6) "
-        "AS jaccard FROM p) WHERE jaccard >= 0.8"
-    ),
-    note="extension rung 4: exact n-gram Jaccard pairs (shingle-join blocking); ground truth for MinHash",
-)
-def q_dedup_ngram_jaccard(spark, sf_dir):
-    from etl_hero_spark.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(_docs_nearvar(spark, sf_dir), threshold=0.8)
-
+# dedup_ngram_jaccard was absorbed into dedup_clusters (tag='pairs'
+# rows — the same pairs CTE the closure already walks, with the
+# jaccard value exposed) — driver-window slot policy: merge mature
+# tagged entries instead of registering more.
 
 _JACCARD_PAIRS_SQL = (
     f"t AS ({_DOCS_NEARVAR_SQL}), "
@@ -382,9 +431,10 @@ _JACCARD_PAIRS_SQL = (
     "p AS (SELECT a.id AS id_a, b.id AS id_b, any_value(a.sz) AS size_a, "
     "any_value(b.sz) AS size_b, count(*) AS inter "
     "FROM e a JOIN e b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id), "
-    "pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, "
+    "prj AS (SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, "
     "round(cast(inter as double) / cast(size_a + size_b - inter as double), 6) "
-    "AS jaccard FROM p) WHERE jaccard >= 0.8)"
+    "AS jaccard FROM p) WHERE jaccard >= 0.8), "
+    "pr AS (SELECT id_a, id_b FROM prj)"
 )
 
 
@@ -406,22 +456,35 @@ _JACCARD_PAIRS_SQL = (
         "SELECT 'near' AS tag, d.doc_id, "
         "cast(coalesce(c.cl, d.doc_id) as bigint) AS cluster_id, "
         "cast(CASE WHEN coalesce(c.cl, d.doc_id) = d.doc_id "
-        "THEN 1 ELSE 0 END as int) AS is_canonical "
+        "THEN 1 ELSE 0 END as int) AS is_canonical, "
+        "cast(NULL as double) AS jaccard "
         "FROM t d LEFT JOIN comp c ON c.id = d.doc_id "
         "UNION ALL "
         "SELECT 'exact' AS tag, doc_id, cast(cl as bigint) AS cluster_id, "
         "cast(CASE WHEN cl = doc_id THEN 1 ELSE 0 END as int) "
-        "AS is_canonical FROM xf"
+        "AS is_canonical, cast(NULL as double) AS jaccard FROM xf "
+        "UNION ALL "
+        # --- absorbed dedup_ngram_jaccard (r7 merge): the exact pair
+        # list the closure walks, jaccard exposed; same prj CTE ---
+        "SELECT 'pairs' AS tag, id_a AS doc_id, "
+        "cast(id_b as bigint) AS cluster_id, cast(NULL as int) "
+        "AS is_canonical, jaccard FROM prj"
     ),
     note=(
-        "extension rungs 1+5 in cluster vocabulary, tagged: 'exact' = "
+        "extension rungs 1+4+5 in cluster vocabulary, tagged: 'exact' = "
         "normalized-md5 fingerprint groups (cluster = min doc_id per "
         "fingerprint, canonical = keep-first — exactly the old "
         "dedup_exact_content whose survivors are this tag's "
         "is_canonical=1 rows, absorbed r4w3 to free a driver-window "
         "slot); 'near' = transitive Jaccard closure via pointer-jumping "
         "min-label components (O(log diameter) rounds), oracle walks "
-        "the same graph with a recursive CTE"
+        "the same graph with a recursive CTE; 'pairs' (absorbed r7, was "
+        "the separate dedup_ngram_jaccard query — rung 4, the exact "
+        "n-gram Jaccard ground truth for MinHash; oracle SQL is the "
+        "same prj CTE the closure consumes) = the shingle-join-blocked "
+        "pair list itself, doc_id=id_a, cluster_id=id_b, jaccard "
+        "carried — driver-window slot policy: merge mature tagged "
+        "entries instead of registering more"
     ),
 )
 def q_dedup_clusters(spark, sf_dir):
@@ -434,7 +497,11 @@ def q_dedup_clusters(spark, sf_dir):
     docs = _docs_nearvar(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8)
     near = assign_dedup_clusters(docs, pairs).select(
-        F.lit("near").alias("tag"), "doc_id", "cluster_id", "is_canonical"
+        F.lit("near").alias("tag"),
+        "doc_id",
+        "cluster_id",
+        "is_canonical",
+        F.lit(None).cast("double").alias("jaccard"),
     )
     from pyspark.sql import Window as W
 
@@ -451,8 +518,17 @@ def q_dedup_clusters(spark, sf_dir):
     ).withColumn(
         "is_canonical",
         (F.col("cluster_id") == F.col("doc_id")).cast("int"),
+    ).withColumn("jaccard", F.lit(None).cast("double"))
+    # absorbed dedup_ngram_jaccard (r7): the pair list itself, reusing
+    # the SAME pairs frame the closure consumes (computed once above)
+    pair_rows = pairs.select(
+        F.lit("pairs").alias("tag"),
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").cast("bigint").alias("cluster_id"),
+        F.lit(None).cast("int").alias("is_canonical"),
+        "jaccard",
     )
-    return near.unionByName(exact)
+    return near.unionByName(exact).unionByName(pair_rows)
 
 
 @register(
@@ -604,59 +680,57 @@ def q_sim_embedding_near_dup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "join_salted_orders_customer",
-    oracle=(
-        "SELECT c_mktsegment, cast(count(*) as bigint) AS n_orders, "
-        f"{sql_dec_sum('o_totalprice')} AS sum_totalprice "
-        "FROM orders JOIN customer ON o_custkey = c_custkey "
-        "GROUP BY c_mktsegment"
-    ),
-    note="scale extension: salted equi-join (big side salted 16-way, dim side replicated) — result identical to the plain join, hot keys spread over 16 reducers; oracle is the UNSALTED SQL join",
-)
-def q_join_salted_orders_customer(spark, sf_dir):
-    from etl_hero_spark.skew import salted_join
-
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = salted_join(
-        orders.withColumnRenamed("o_custkey", "custkey"),
-        customer.withColumnRenamed("c_custkey", "custkey"),
-        on="custkey",
-        n_salts=16,
-    )
-    return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dec_sum("o_totalprice", "sum_totalprice"),
-    )
+# join_salted_orders_customer was absorbed into
+# distinct_customers_per_priority (part='salted_join_segments' rows —
+# oracle SQL byte-unchanged inside the union wrapper) — driver-window
+# slot policy: merge mature tagged entries instead of registering more.
 
 
 @register(
     "distinct_customers_per_priority",
     oracle=(
         "SELECT 'distinct_per_priority' AS part, o_orderpriority AS key, "
-        "cast(count(DISTINCT o_custkey) as bigint) AS n "
+        "cast(count(DISTINCT o_custkey) as bigint) AS n, "
+        "cast(NULL as double) AS v "
         "FROM orders GROUP BY o_orderpriority "
         "UNION ALL "
         "SELECT 'urgent_not_low' AS part, cast(k as varchar) AS key, "
-        "cast(1 as bigint) AS n FROM ("
+        "cast(1 as bigint) AS n, cast(NULL as double) AS v FROM ("
         "SELECT o_custkey AS k FROM orders "
         "WHERE o_orderpriority = '1-URGENT' "
         "EXCEPT SELECT o_custkey FROM orders "
-        "WHERE o_orderpriority = '5-LOW')"
+        "WHERE o_orderpriority = '5-LOW') "
+        "UNION ALL "
+        # --- absorbed join_salted_orders_customer (r7 merge, oracle SQL
+        # byte-unchanged inside the wrapper): the UNSALTED join is the
+        # ground truth the salted plan must reproduce ---
+        "SELECT 'salted_join_segments' AS part, c_mktsegment AS key, "
+        "n_orders AS n, sum_totalprice AS v FROM ("
+        "SELECT c_mktsegment, cast(count(*) as bigint) AS n_orders, "
+        f"{sql_dec_sum('o_totalprice')} AS sum_totalprice "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment)"
     ),
     note=(
-        "scale extension, tagged per part: per-key COUNT DISTINCT via "
-        "two-phase dedup-then-count — no hot key funnels its value set "
-        "through one reducer; bit-identical to direct COUNT DISTINCT — "
-        "MERGED with the EXCEPT DISTINCT set-operation capability "
-        "(formerly the separate set_urgent_not_low_customers query, "
-        "SURVEY §2.10: customers with urgent orders but no low-priority "
-        "ones; Spark subtract == SQL EXCEPT DISTINCT)"
+        "scale extension (skew-safe aggregation panel), tagged per "
+        "part: per-key COUNT DISTINCT via two-phase dedup-then-count — "
+        "no hot key funnels its value set through one reducer; "
+        "bit-identical to direct COUNT DISTINCT — MERGED with the "
+        "EXCEPT DISTINCT set-operation capability (formerly the "
+        "separate set_urgent_not_low_customers query, SURVEY §2.10: "
+        "customers with urgent orders but no low-priority ones; Spark "
+        "subtract == SQL EXCEPT DISTINCT) — MERGED r7 with the salted "
+        "equi-join (formerly the separate join_salted_orders_customer "
+        "query: big side salted 16-way, dim side replicated, hot keys "
+        "spread over 16 reducers; part='salted_join_segments' rows, "
+        "key=c_mktsegment, n=n_orders, v=sum_totalprice; the oracle is "
+        "the UNSALTED SQL join, byte-unchanged inside the wrapper) — "
+        "driver-window slot policy: merge mature tagged entries "
+        "instead of registering more"
     ),
 )
 def q_distinct_customers_per_priority(spark, sf_dir):
-    from etl_hero_spark.skew import two_phase_distinct_count
+    from etl_hero_spark.skew import salted_join, two_phase_distinct_count
 
     orders = _t(spark, sf_dir, "orders")
     counts = two_phase_distinct_count(
@@ -665,6 +739,7 @@ def q_distinct_customers_per_priority(spark, sf_dir):
         F.lit("distinct_per_priority").alias("part"),
         F.col("o_orderpriority").alias("key"),
         F.col("n_distinct").alias("n"),
+        F.lit(None).cast("double").alias("v"),
     )
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_custkey"
@@ -676,8 +751,29 @@ def q_distinct_customers_per_priority(spark, sf_dir):
         F.lit("urgent_not_low").alias("part"),
         F.col("o_custkey").cast("string").alias("key"),
         F.lit(1).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("v"),
     )
-    return counts.unionByName(except_rows)
+    # absorbed join_salted_orders_customer (r7): salted 16-way equi-join,
+    # result identical to the plain join
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        on="custkey",
+        n_salts=16,
+    )
+    salted = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("o_totalprice", "v"),
+    ).select(
+        F.lit("salted_join_segments").alias("part"),
+        F.col("c_mktsegment").alias("key"),
+        "n",
+        "v",
+    )
+    return counts.unionByName(except_rows).unionByName(salted)
 
 
 # ---------------------------------------------------------------------------
@@ -777,47 +873,10 @@ def q_sample_stratified_fraction(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
-@register(
-    "text_top_tokens",
-    oracle=(
-        "WITH t AS (SELECT doc_id, "
-        f"{_SQL_TOKS.format(c='text')} AS toks FROM documents), "
-        "x AS (SELECT lower(unnest(toks)) AS tok FROM t), "
-        "c AS (SELECT tok, count(*) AS n FROM x GROUP BY tok), "
-        "r AS (SELECT tok, cast(n as bigint) AS n, row_number() OVER "
-        "(ORDER BY n DESC, tok ASC) AS rnk FROM c) "
-        "SELECT tok, n, cast(rnk as int) AS rnk FROM r WHERE rnk <= 25"
-    ),
-    note="extension: exact corpus-wide top-25 tokens (vocabulary heavy hitters) — explode -> count -> rank with deterministic (count DESC, token ASC) tie-break; the at-scale variant is a count-min/freqItems sketch",
-)
-def q_text_top_tokens(spark, sf_dir):
-    from etl_hero_spark.textops import tokens_expr
-
-    docs = _t(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
-        .select(F.lower("tok").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    # top-k FIRST, via orderBy+limit: plans as TakeOrderedAndProject
-    # (per-partition bounded heaps, driver-side merge of k rows) — never a
-    # partition-less window over the whole vocabulary, which would funnel
-    # every distinct token through one task at scale.
-    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(25)
-    # rank the 25 surviving rows with a broadcast self-join count of rows
-    # at-or-ahead (tok is unique after the groupBy, so rank == row_number).
-    # Not a window: a partition-less window warns + single-partitions, and
-    # a literal partitionBy key is constant-folded back to empty.
-    a, b = top.alias("a"), top.alias("b")
-    ahead = (F.col("b.n") > F.col("a.n")) | (
-        (F.col("b.n") == F.col("a.n")) & (F.col("b.tok") <= F.col("a.tok"))
-    )
-    return (
-        a.join(F.broadcast(b), ahead)
-        .groupBy(F.col("a.tok").alias("tok"), F.col("a.n").alias("n"))
-        .agg(F.count(F.lit(1)).cast("int").alias("rnk"))
-    )
+# text_top_tokens was absorbed into text_tfidf_topk (part='corpus_top'
+# rows, oracle SQL byte-unchanged inside the union wrapper) — driver-
+# window slot policy: merge mature tagged entries instead of
+# registering more. The sketch twin below stays separate.
 
 
 @register(
@@ -3864,9 +3923,54 @@ def q_privacy_l_diversity(spark, sf_dir):
 
 @register(
     "privacy_t_closeness",
-    oracle=None,
+    oracle=(
+        # DuckDB replica of both distance computations over the same
+        # completed (QI-group x sensitive-domain) grid, then the same
+        # one-row report per metric (t = 0.2)
+        "WITH j AS (SELECT c_mktsegment, c_nationkey, "
+        "o_orderpriority AS sv "
+        "FROM orders JOIN customer ON o_custkey = c_custkey), "
+        "per AS (SELECT c_mktsegment, c_nationkey, sv, count(*) AS n "
+        "FROM j GROUP BY 1, 2, 3), "
+        "dom AS (SELECT sv, sum(n) AS gn FROM per GROUP BY 1), "
+        "tot AS (SELECT sum(gn) AS totn, count(*) AS m FROM dom), "
+        "sz AS (SELECT c_mktsegment, c_nationkey, sum(n) AS gsize "
+        "FROM per GROUP BY 1, 2), "
+        "grid AS (SELECT * FROM sz, dom, tot), "
+        "d AS (SELECT g.c_mktsegment, g.c_nationkey, g.gsize, g.sv, "
+        "g.m, coalesce(per.n, 0) / CAST(g.gsize AS DOUBLE) "
+        "- g.gn / CAST(g.totn AS DOUBLE) AS diff "
+        "FROM grid g LEFT JOIN per "
+        "USING (c_mktsegment, c_nationkey, sv)), "
+        "tvd AS (SELECT c_mktsegment, c_nationkey, gsize, "
+        "round(0.5 * sum(abs(diff)), 6) AS distance "
+        "FROM d GROUP BY 1, 2, 3), "
+        "cum AS (SELECT *, sum(diff) OVER (PARTITION BY c_mktsegment, "
+        "c_nationkey ORDER BY sv ROWS UNBOUNDED PRECEDING) AS cd "
+        "FROM d), "
+        "emd AS (SELECT c_mktsegment, c_nationkey, gsize, "
+        "round(sum(abs(cd)) / CAST(greatest(max(m) - 1, 1) AS DOUBLE), "
+        "6) AS distance FROM cum GROUP BY 1, 2, 3) "
+        "SELECT 'tvd' AS metric, cast(count(*) as bigint) AS n_groups, "
+        "max(distance) AS t_achieved, "
+        "cast(sum(CASE WHEN distance > 0.2 THEN 1 ELSE 0 END) "
+        "as bigint) AS n_groups_above_t, "
+        "cast(sum(CASE WHEN distance > 0.2 THEN gsize ELSE 0 END) "
+        "as bigint) AS n_rows_at_risk FROM tvd "
+        "UNION ALL "
+        "SELECT 'emd' AS metric, cast(count(*) as bigint) AS n_groups, "
+        "max(distance) AS t_achieved, "
+        "cast(sum(CASE WHEN distance > 0.2 THEN 1 ELSE 0 END) "
+        "as bigint) AS n_groups_above_t, "
+        "cast(sum(CASE WHEN distance > 0.2 THEN gsize ELSE 0 END) "
+        "as bigint) AS n_rows_at_risk FROM emd "
+        "ORDER BY metric"
+    ),
     note=(
-        "extension (r6): t-closeness audit (Li, Li & "
+        "extension (r6; PROMOTED to the verified oracle window r7 — "
+        "slots freed by the r7 absorptions; the oracle replays both "
+        "distance computations over the same completed grid and the "
+        "same one-row report per metric): t-closeness audit (Li, Li & "
         "Venkatasubramanian 2007) — completes the k-anonymity / "
         "l-diversity release ladder with the attack neither sees: a "
         "QI group whose sensitive-value MIX diverges from the global "

@@ -1661,11 +1661,63 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+_SPAN_SQL_NORM = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+_SPAN_SQL_TOKS = (
+    "CASE WHEN length(trim({c})) = 0 THEN [] "
+    "ELSE string_split_regex(trim({c}), '\\s+') END"
+)
+_SPAN_TOKS_OF_TEXT = _SPAN_SQL_TOKS.format(
+    c=_SPAN_SQL_NORM.format(c="text")
+)
+
+
 @register(
     "dedup_repeated_spans",
-    oracle=None,
+    oracle=(
+        # full DuckDB replica of the positional-window span detection:
+        # same clone pool, same 0-based positions, same >=2 corpus
+        # count, same gaps-and-islands merge (touching = pos <= prev+n)
+        "WITH frag AS (SELECT array_to_string(list_slice("
+        f"{_SPAN_TOKS_OF_TEXT}, 1, 24), ' ') AS f "
+        "FROM documents WHERE doc_id = 1), "
+        "pool AS (SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 3000000 AS doc_id, "
+        "concat_ws(' ', text, (SELECT f FROM frag)) AS text "
+        "FROM documents WHERE doc_id % 7 = 3), "
+        f"tok AS (SELECT doc_id, {_SPAN_TOKS_OF_TEXT} AS toks "
+        "FROM pool), "
+        "wi AS (SELECT doc_id, toks, unnest(generate_series(1, "
+        "greatest(len(toks) - 7, 0))) AS i FROM tok), "
+        "w AS (SELECT doc_id, i - 1 AS pos, concat_ws(' ', "
+        "toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4], "
+        "toks[i+5], toks[i+6], toks[i+7]) AS gram FROM wi), "
+        "dk AS (SELECT gram FROM w GROUP BY gram "
+        "HAVING count(*) >= 2), "
+        "d AS (SELECT doc_id, pos FROM w JOIN dk USING (gram)), "
+        "nb AS (SELECT doc_id, pos, CASE WHEN "
+        "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL "
+        "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 "
+        "THEN 1 ELSE 0 END AS newisl FROM d), "
+        "s AS (SELECT doc_id, pos, sum(newisl) OVER ("
+        "PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+        "AS isl FROM nb), "
+        "sp AS (SELECT doc_id, min(pos) AS st, max(pos) + 8 AS en "
+        "FROM s GROUP BY doc_id, isl) "
+        "SELECT cast(count(*) as bigint) AS n_spans, "
+        "cast(count(DISTINCT doc_id) as bigint) AS n_docs_with_spans, "
+        "cast(sum(en - st) as bigint) AS total_span_tokens, "
+        "cast(max(en - st) as bigint) AS max_span_tokens, "
+        "cast(sum(CASE WHEN doc_id >= 3000000 THEN 1 ELSE 0 END) "
+        "as bigint) AS n_spans_in_clones "
+        "FROM sp"
+    ),
     note=(
-        "extension (r6): repeated-span (substring) dedup — the "
+        "extension (r6; PROMOTED to the verified oracle window r7 — "
+        "slots freed by the r7 absorptions; the oracle replays the "
+        "whole pipeline in DuckDB SQL: window grams by position, "
+        "corpus count >= 2, gaps-and-islands merge): repeated-span "
+        "(substring) dedup — the "
         "distributed re-expression of suffix-array substring "
         "deduplication (Lee et al. 2022, arXiv:2107.06499): any "
         "8-token window occurring >=2 times in the corpus marks "
@@ -2115,15 +2167,32 @@ def q_sql_returned_item_ranking(spark, sf_dir):
 
 @register(
     "sql_volume_shipping",
-    oracle=None,
+    oracle=(
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "year(l_shipdate) AS l_year, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,6)) "
+        "- CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01' "
+        "AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19') "
+        "OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')) "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
     note=(
-        "extension (r6, TPC-H Q7 shape): bilateral shipping volume "
-        "between two nations by year — supplier nation x customer "
-        "nation resolved through two BROADCAST probes of the same "
-        "25-row nation dim, the (n1,n2)|(n2,n1) pair filter applied to "
-        "the broadcast side, l_shipdate two-year range pushed to the "
-        "lineitem scan, decimal-exact volume. DuckDB parity in "
-        "tests/test_relational_extras.py"
+        "extension (r6, TPC-H Q7 shape; PROMOTED to the verified oracle "
+        "window r7 — slots freed by the r7 absorptions): bilateral "
+        "shipping volume between two nations by year — supplier nation "
+        "x customer nation resolved through two BROADCAST probes of "
+        "the same 25-row nation dim, the (n1,n2)|(n2,n1) pair filter "
+        "applied to the broadcast side, l_shipdate two-year range "
+        "pushed to the lineitem scan, decimal-exact volume. DuckDB "
+        "parity also in tests/test_relational_extras.py"
     ),
 )
 def q_sql_volume_shipping(spark, sf_dir):
@@ -2184,8 +2253,17 @@ def q_sql_volume_shipping(spark, sf_dir):
 
 @register(
     "sql_customer_distribution",
-    oracle=None,
+    oracle=(
+        "SELECT c_count, cast(count(*) as bigint) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders "
+        "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+        "GROUP BY c_custkey"
+        ") GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r7 (slots freed by the "
+        "r7 absorptions). "
         "extension (r6, TPC-H Q13 shape): distribution of orders per "
         "customer INCLUDING zero-order customers — the left-join-then-"
         "double-groupBy pattern (customer LEFT JOIN filtered orders; "
@@ -2222,8 +2300,24 @@ def q_sql_customer_distribution(spark, sf_dir):
 
 @register(
     "sql_small_quantity_revenue",
-    oracle=None,
+    oracle=(
+        "WITH pp AS ("
+        "SELECT l_partkey AS pk, "
+        "sum(CAST(l_quantity AS DECIMAL(28,6))) AS sq, "
+        "count(l_quantity) AS nq "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT cast(count(*) as bigint) AS n_small_lines, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) / 7.0, 2) AS avg_yearly "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN pp ON l_partkey = pk "
+        "WHERE p_brand = 'Brand#13' AND p_size <= 25 "
+        "AND CAST(l_quantity AS DECIMAL(28,6)) * 5 * nq < sq"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r7 (slots freed by the "
+        "r7 absorptions). "
         "extension (r6, TPC-H Q17 shape): yearly revenue lost if "
         "small-quantity orders of one brand's parts moved to bulk — "
         "the correlated-average subquery decorrelates to ONE per-part "
@@ -2266,8 +2360,18 @@ def q_sql_small_quantity_revenue(spark, sf_dir):
 
 @register(
     "sql_supplier_relationship",
-    oracle=None,
+    oracle=(
+        "SELECT p_brand, substring(p_type, 1, 6) AS p_type_prefix, "
+        "p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#45' "
+        "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
+        "GROUP BY 1, 2, 3 "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type_prefix, p_size"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r7 (slots freed by the "
+        "r7 absorptions). "
         "extension (r6, TPC-H Q16 shape): how many distinct suppliers "
         "can deliver each (brand, type-prefix, size) — the fixture has "
         "no partsupp table, so shipped lineitems are the "
@@ -2714,3 +2818,4 @@ def q_features_huber_regression(spark, sf_dir):
         "estimator string, slope_quantity double, intercept double, "
         "n bigint, n_iter int",
     ).orderBy("estimator")
+

@@ -33,52 +33,142 @@ _STRF = "%Y-%m-%d %H:%M:%S"
         "strftime(time_bucket(INTERVAL '1 hour', ts), "
         f"'{_STRF}') AS window_start, event_type, "
         "cast(count(*) as bigint) AS n_events, "
-        f"{sql_dec_sum('value')} AS sum_value "
+        f"{sql_dec_sum('value')} AS sum_value, "
+        "cast(NULL as bigint) AS aux_a, cast(NULL as bigint) AS aux_b "
         "FROM events GROUP BY 2, 3 "
         "UNION ALL "
         f"SELECT 'sliding' AS kind, strftime(ws, '{_STRF}') AS window_start, "
         "event_type, "
         "cast(count(*) as bigint) AS n_events, "
-        f"{sql_dec_sum('value')} AS sum_value "
+        f"{sql_dec_sum('value')} AS sum_value, "
+        "cast(NULL as bigint) AS aux_a, cast(NULL as bigint) AS aux_b "
         "FROM w GROUP BY 2, 3 "
         "UNION ALL "
         "SELECT 'daily' AS kind, "
         "strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS "
         "window_start, event_type, cast(count(*) as bigint) AS n_events, "
-        f"{sql_dec_sum('value')} AS sum_value "
-        "FROM events GROUP BY 2, 3"
+        f"{sql_dec_sum('value')} AS sum_value, "
+        "cast(NULL as bigint) AS aux_a, cast(NULL as bigint) AS aux_b "
+        "FROM events GROUP BY 2, 3 "
+        "UNION ALL "
+        # --- absorbed events_window_quality (r7 merge, oracle SQL
+        # byte-unchanged inside the wrapper): windowed quality metrics
+        # (kind='window_quality') + JSON props agg (kind='json_props');
+        # aux_a/aux_b carry the per-kind metric pair (see note) ---
+        "SELECT CASE WHEN part = 'window_quality' THEN 'window_quality' "
+        "ELSE 'json_props' END AS kind, "
+        "CASE WHEN part = 'window_quality' THEN key END AS window_start, "
+        "CASE WHEN part = 'json_props' THEN key END AS event_type, "
+        "n AS n_events, cast(NULL as double) AS sum_value, "
+        "a AS aux_a, b AS aux_b FROM ("
+        "WITH stats AS (SELECT "
+        "round(cast(sum(cast(value as decimal(18,2))) as double)"
+        " / cast(count(value) as double), 6) AS mu, "
+        "round(sqrt("
+        "cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) as double)"
+        " / cast(count(value) as double) - "
+        "(cast(sum(cast(value as decimal(18,2))) as double) / cast(count(value) as double))"
+        " * (cast(sum(cast(value as decimal(18,2))) as double) / cast(count(value) as double))"
+        "), 6) AS sigma FROM events) "
+        "SELECT 'window_quality' AS part, "
+        "strftime(time_bucket(INTERVAL '1 hour', ts), "
+        f"'{_STRF}') AS key, "
+        "cast(count(*) as bigint) AS n, "
+        "count(*) - count(value) AS a, "
+        "cast(sum(CASE WHEN abs((value - stats.mu) / stats.sigma) > 3.0 "
+        "THEN 1 ELSE 0 END) as bigint) AS b "
+        "FROM events, stats GROUP BY 2, stats.mu, stats.sigma "
+        "UNION ALL "
+        "SELECT 'json_props' AS part, event_type AS key, "
+        "cast(count(*) as bigint) AS n, "
+        "count(cast(json_extract_string(props, '$.k') as integer)) AS a, "
+        "cast(sum(cast(json_extract_string(props, '$.k') as integer)) "
+        "as bigint) AS b FROM events GROUP BY event_type)"
     ),
     note=(
-        "streaming extension, tagged per kind: tumbling 1h window agg "
-        "(epoch-aligned, = F.window default) + sliding 1h/30min window "
-        "agg + daily tier (formerly the separate events_rollup_daily "
-        "query — the continuous-aggregate pattern: daily is served by "
-        "RE-AGGREGATING the hourly tier's decimal partials, rounded "
-        "once at the end, while the oracle aggregates RAW data "
-        "directly, so a pass proves the rollup is lossless). One "
-        "verified query covering all three window shapes"
+        "streaming extension (windowed-metrics panel), tagged per "
+        "kind: tumbling 1h window agg (epoch-aligned, = F.window "
+        "default) + sliding 1h/30min window agg + daily tier (formerly "
+        "the separate events_rollup_daily query — the continuous-"
+        "aggregate pattern: daily is served by RE-AGGREGATING the "
+        "hourly tier's decimal partials, rounded once at the end, "
+        "while the oracle aggregates RAW data directly, so a pass "
+        "proves the rollup is lossless) — MERGED r7 with the formerly "
+        "separate events_window_quality query (oracle SQL byte-"
+        "unchanged inside the union wrapper): kind='window_quality' is "
+        "the reference's E2 detection as windowed quality metrics "
+        "(batch stats folded in as literals — the two-phase pattern; "
+        "window_start=hour, n_events=n_rows, aux_a=n_null_value, "
+        "aux_b=n_outliers) and kind='json_props' is JSON props "
+        "extraction via explicit schema (from_json, no inference; "
+        "event_type=key, n_events, aux_a=n_with_k, aux_b=sum_k). "
+        "aux_a/aux_b are NULL for the pure window kinds — driver-"
+        "window slot policy: merge mature tagged entries instead of "
+        "registering more. One verified query covering all five "
+        "window/metric shapes"
     ),
 )
 def q_events_windows(spark, sf_dir):
+    from etl_hero_spark.detect import zscore_stats
     from etl_hero_spark.streaming import (
         daily_from_hourly,
         hourly_rollup,
+        json_props_agg,
         sliding_agg,
         tumbling_agg,
+        windowed_quality_metrics,
     )
 
     ev = _events(spark, sf_dir)
+    nulls = [
+        F.lit(None).cast("bigint").alias("aux_a"),
+        F.lit(None).cast("bigint").alias("aux_b"),
+    ]
     cols = ["window_start", "event_type", "n_events", "sum_value"]
-    tum = tumbling_agg(ev).select(F.lit("tumbling").alias("kind"), *cols)
-    sli = sliding_agg(ev).select(F.lit("sliding").alias("kind"), *cols)
+    tum = tumbling_agg(ev).select(
+        F.lit("tumbling").alias("kind"), *cols, *nulls
+    )
+    sli = sliding_agg(ev).select(
+        F.lit("sliding").alias("kind"), *cols, *nulls
+    )
     day = daily_from_hourly(hourly_rollup(ev)).select(
         F.lit("daily").alias("kind"),
         F.col("day").alias("window_start"),
         "event_type",
         "n_events",
         "sum_value",
+        *nulls,
     )
-    return tum.unionByName(sli).unionByName(day)
+    # absorbed events_window_quality (r7): batch stats folded in as
+    # literals (two-phase), then windowed null/outlier counts + the
+    # explicit-schema JSON props aggregation
+    stats = zscore_stats(ev, ["value"]).first()
+    quality = windowed_quality_metrics(
+        ev, mu=stats["mu_value"], sigma=stats["sigma_value"]
+    ).select(
+        F.lit("window_quality").alias("kind"),
+        F.col("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_rows").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("n_null_value").alias("aux_a"),
+        F.col("n_outliers").alias("aux_b"),
+    )
+    props = json_props_agg(ev).select(
+        F.lit("json_props").alias("kind"),
+        F.lit(None).cast("string").alias("window_start"),
+        F.col("event_type"),
+        F.col("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("n_with_k").alias("aux_a"),
+        F.col("sum_k").alias("aux_b"),
+    )
+    return (
+        tum.unionByName(sli)
+        .unionByName(day)
+        .unionByName(quality)
+        .unionByName(props)
+    )
 
 
 @register(
@@ -147,66 +237,11 @@ def q_events_sessionize(spark, sf_dir):
 # tagged entries instead of registering more.
 
 
-@register(
-    "events_window_quality",
-    oracle=(
-        "WITH stats AS (SELECT "
-        "round(cast(sum(cast(value as decimal(18,2))) as double)"
-        " / cast(count(value) as double), 6) AS mu, "
-        "round(sqrt("
-        "cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) as double)"
-        " / cast(count(value) as double) - "
-        "(cast(sum(cast(value as decimal(18,2))) as double) / cast(count(value) as double))"
-        " * (cast(sum(cast(value as decimal(18,2))) as double) / cast(count(value) as double))"
-        "), 6) AS sigma FROM events) "
-        "SELECT 'window_quality' AS part, "
-        "strftime(time_bucket(INTERVAL '1 hour', ts), "
-        f"'{_STRF}') AS key, "
-        "cast(count(*) as bigint) AS n, "
-        "count(*) - count(value) AS a, "
-        "cast(sum(CASE WHEN abs((value - stats.mu) / stats.sigma) > 3.0 "
-        "THEN 1 ELSE 0 END) as bigint) AS b "
-        "FROM events, stats GROUP BY 2, stats.mu, stats.sigma "
-        "UNION ALL "
-        "SELECT 'json_props' AS part, event_type AS key, "
-        "cast(count(*) as bigint) AS n, "
-        "count(cast(json_extract_string(props, '$.k') as integer)) AS a, "
-        "cast(sum(cast(json_extract_string(props, '$.k') as integer)) "
-        "as bigint) AS b FROM events GROUP BY event_type"
-    ),
-    note=(
-        "streaming extension, tagged per part: the reference's E2 "
-        "detection as windowed quality metrics (batch stats folded in "
-        "as literals — the two-phase pattern; key=window_start, "
-        "n=n_rows, a=n_null_value, b=n_outliers) MERGED with JSON "
-        "props extraction via explicit schema (formerly the separate "
-        "events_json_props query — from_json, no inference; "
-        "key=event_type, n=n_events, a=n_with_k, b=sum_k)"
-    ),
-)
-def q_events_window_quality(spark, sf_dir):
-    from etl_hero_spark.detect import zscore_stats
-    from etl_hero_spark.streaming import json_props_agg, windowed_quality_metrics
-
-    ev = _events(spark, sf_dir)
-    stats = zscore_stats(ev, ["value"]).first()
-    quality = windowed_quality_metrics(
-        ev, mu=stats["mu_value"], sigma=stats["sigma_value"]
-    ).select(
-        F.lit("window_quality").alias("part"),
-        F.col("window_start").alias("key"),
-        F.col("n_rows").alias("n"),
-        F.col("n_null_value").alias("a"),
-        F.col("n_outliers").alias("b"),
-    )
-    props = json_props_agg(ev).select(
-        F.lit("json_props").alias("part"),
-        F.col("event_type").alias("key"),
-        F.col("n_events").alias("n"),
-        F.col("n_with_k").alias("a"),
-        F.col("sum_k").alias("b"),
-    )
-    return quality.unionByName(props)
+# events_window_quality was absorbed into events_windows
+# (kind='window_quality' + kind='json_props' rows, oracle SQL
+# byte-unchanged inside the union wrapper; it had itself absorbed
+# events_json_props) — driver-window slot policy: merge mature tagged
+# entries instead of registering more.
 
 
 @register(
@@ -364,7 +399,8 @@ def q_stream_dedup(spark, sf_dir):
     "events_asof_join",
     oracle=(
         "SELECT 'asof' AS part, event_id, user_id, ts_s, click_event_id, "
-        "click_value, cast(NULL as bigint) AS n_prev_5min FROM ("
+        "click_value, cast(NULL as bigint) AS n_prev_5min, "
+        "cast(NULL as varchar) AS state_event_type FROM ("
         "WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'), "
         "r AS (SELECT * FROM events WHERE event_type = 'click') "
         "SELECT l.event_id, l.user_id, "
@@ -375,29 +411,51 @@ def q_stream_dedup(spark, sf_dir):
         "SELECT 'range' AS part, event_id, user_id, "
         "cast(NULL as varchar) AS ts_s, "
         "cast(NULL as bigint) AS click_event_id, "
-        "cast(NULL as double) AS click_value, n_prev_5min FROM ("
+        "cast(NULL as double) AS click_value, n_prev_5min, "
+        "cast(NULL as varchar) AS state_event_type FROM ("
         "SELECT p.event_id, p.user_id, "
         "cast(count(e.event_id) as bigint) AS n_prev_5min "
         "FROM (SELECT * FROM events WHERE event_type = 'error') p "
         "LEFT JOIN events e ON e.user_id = p.user_id "
         "AND e.ts > p.ts - INTERVAL '300 seconds' AND e.ts <= p.ts "
-        "GROUP BY p.event_id, p.user_id)"
+        "GROUP BY p.event_id, p.user_id) "
+        "UNION ALL "
+        # --- absorbed events_latest_state (r7 merge, oracle SQL
+        # byte-unchanged inside the wrapper): per-user CURRENT state ---
+        "SELECT 'latest' AS part, cast(NULL as bigint) AS event_id, "
+        "user_id, ts_s, cast(NULL as bigint) AS click_event_id, "
+        "value AS click_value, cast(NULL as bigint) AS n_prev_5min, "
+        "event_type AS state_event_type FROM ("
+        "WITH r AS (SELECT user_id, ts, event_type, value, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        f"SELECT user_id, strftime(ts, '{_STRF}') AS ts_s, "
+        "event_type, value FROM r WHERE rn = 1)"
     ),
     note=(
-        "temporal extension, part-tagged since r6: part='asof' is the "
-        "backward as-of join (latest prior click per purchase, per "
-        "user) via tag+union+last(ignorenulls) window — one shuffle, no "
-        "row explosion; oracle branch is DuckDB's native ASOF LEFT "
-        "JOIN. part='range' (formerly the separate "
-        "events_range_join_count window entry, merged r6 to free a "
-        "driver-window slot — oracle SQL byte-unchanged inside the "
-        "union) is the bucketized range join (same-user events in the "
-        "5 min before each error; probe explodes onto 2 adjacent "
+        "temporal extension (latest-per-key lookup panel), part-tagged "
+        "since r6: part='asof' is the backward as-of join (latest prior "
+        "click per purchase, per user) via tag+union+last(ignorenulls) "
+        "window — one shuffle, no row explosion; oracle branch is "
+        "DuckDB's native ASOF LEFT JOIN. part='range' (formerly the "
+        "separate events_range_join_count window entry, merged r6 to "
+        "free a driver-window slot — oracle SQL byte-unchanged inside "
+        "the union) is the bucketized range join (same-user events in "
+        "the 5 min before each error; probe explodes onto 2 adjacent "
         "buckets, equi-join + exact predicate) — the O(n*m) theta-join "
-        "becomes a hash join"
+        "becomes a hash join. part='latest' (absorbed r7, was the "
+        "separate events_latest_state query — oracle SQL byte-unchanged "
+        "inside the wrapper) is the per-key CURRENT state of the event "
+        "stream (upsert view): deterministic argmax by (ts, event_id) "
+        "via one max_by aggregate — single shuffle, no window sort; "
+        "click_value carries the state value, state_event_type the "
+        "state's type; its TRUE streaming twin stays "
+        "stream_latest_state — driver-window slot policy: merge mature "
+        "tagged entries instead of registering more"
     ),
 )
 def q_events_asof_join(spark, sf_dir):
+    from etl_hero_spark.streaming import latest_state_batch
     from etl_hero_spark.temporal import asof_join, range_join_count
 
     ev = _events(spark, sf_dir)
@@ -416,6 +474,7 @@ def q_events_asof_join(spark, sf_dir):
         F.col("event_id_asof").alias("click_event_id"),
         F.col("value_asof").alias("click_value"),
         F.lit(None).cast("bigint").alias("n_prev_5min"),
+        F.lit(None).cast("string").alias("state_event_type"),
     )
     probe = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
@@ -430,8 +489,20 @@ def q_events_asof_join(spark, sf_dir):
         F.lit(None).cast("bigint").alias("click_event_id"),
         F.lit(None).cast("double").alias("click_value"),
         "n_prev_5min",
+        F.lit(None).cast("string").alias("state_event_type"),
     )
-    return asof.unionByName(rng)
+    # absorbed events_latest_state (r7): one max_by argmax per user
+    latest = latest_state_batch(ev).select(
+        F.lit("latest").alias("part"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts_s",
+        F.lit(None).cast("bigint").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("bigint").alias("n_prev_5min"),
+        F.col("event_type").alias("state_event_type"),
+    )
+    return asof.unionByName(rng).unionByName(latest)
 
 
 # events_rollup_daily was absorbed into events_windows (kind='daily')
@@ -485,7 +556,32 @@ def q_stream_user_gaps(spark, sf_dir):
         "SELECT 'cohort' AS part, strftime(cohort, '%Y-%m-%d') AS key, "
         "cast(floor((p - cohort) / 7) as int) AS period_offset, "
         "cast(count(*) as bigint) AS n "
-        "FROM c GROUP BY 2, 3"
+        "FROM c GROUP BY 2, 3 "
+        "UNION ALL "
+        # --- absorbed events_interval_overlap (r7 merge, oracle SQL
+        # byte-unchanged inside the unpivot wrapper): the theta-join
+        # cross-check of the bucketized interval overlap join ---
+        "SELECT 'interval_overlap' AS part, "
+        "unnest(['n_pairs', 'n_users', 'sum_a_events', 'sum_b_events']) "
+        "AS key, cast(NULL as int) AS period_offset, "
+        "unnest([n_pairs, n_users, sum_a_events, sum_b_events]) AS n "
+        "FROM ("
+        "WITH a AS (SELECT user_id, "
+        "time_bucket(INTERVAL '2 hours', ts) AS s, "
+        "time_bucket(INTERVAL '2 hours', ts) + INTERVAL '2 hours' AS e, "
+        "cast(count(*) as bigint) AS n_a FROM events GROUP BY 1, 2, 3), "
+        "b AS (SELECT user_id, "
+        "time_bucket(INTERVAL '3 hours', ts, "
+        "TIMESTAMP '1970-01-01 01:30:00') AS s, "
+        "time_bucket(INTERVAL '3 hours', ts, "
+        "TIMESTAMP '1970-01-01 01:30:00') + INTERVAL '3 hours' AS e, "
+        "cast(count(*) as bigint) AS n_b FROM events GROUP BY 1, 2, 3), "
+        "p AS (SELECT a.user_id, a.n_a, b.n_b FROM a JOIN b "
+        "ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e) "
+        "SELECT cast(count(*) as bigint) AS n_pairs, "
+        "cast(count(DISTINCT user_id) as bigint) AS n_users, "
+        "cast(sum(n_a) as bigint) AS sum_a_events, "
+        "cast(sum(n_b) as bigint) AS sum_b_events FROM p)"
     ),
     note=(
         "event-analytics extension, tagged per part: part='funnel' is "
@@ -499,15 +595,24 @@ def q_stream_user_gaps(spark, sf_dir):
         "part='cohort' (absorbed in r5, was the separate "
         "events_cohort_retention query) is the weekly cohort retention "
         "triangle (cohort = first active week; period_offset = whole "
-        "weeks since; Monday-start ISO weeks in both engines) — "
-        "driver-window slot policy: merge mature tagged entries "
-        "instead of registering more. The stream twin "
-        "(stream_funnel_counts) still equals the batch funnel shape in "
-        "tests/test_streaming.py"
+        "weeks since; Monday-start ISO weeks in both engines). "
+        "part='interval_overlap' (absorbed r7, was the separate "
+        "events_interval_overlap query — oracle SQL byte-unchanged "
+        "inside the unpivot wrapper) is the interval overlap join "
+        "(closed-interval semantics): both interval sets explode onto "
+        "covered time buckets, (key, bucket) equi-join + exact "
+        "predicate + pair-distinct replaces the per-key cartesian a "
+        "theta-join would plan; the oracle IS the theta-join the "
+        "bucketization replaces — an algorithm-level cross-check; "
+        "summary metrics stacked as (key, n) rows — driver-window slot "
+        "policy: merge mature tagged entries instead of registering "
+        "more. The stream twin (stream_funnel_counts) still equals the "
+        "batch funnel shape in tests/test_streaming.py"
     ),
 )
 def q_events_funnel(spark, sf_dir):
     from etl_hero_spark.streaming import cohort_retention, funnel_counts
+    from etl_hero_spark.temporal import interval_overlap_join
 
     ev = _events(spark, sf_dir)
     fun = funnel_counts(
@@ -529,7 +634,45 @@ def q_events_funnel(spark, sf_dir):
         F.col("period_offset"),
         F.col("n_active").alias("n"),
     )
-    return fun.unionByName(co)
+    # absorbed events_interval_overlap (r7): 2h activity windows vs
+    # offset 3h windows per user, bucketized overlap join, summary row
+    # unpivoted onto the panel's (key, n) vocabulary
+    a = (
+        ev.groupBy("user_id", F.window("ts", "2 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .select(
+            "user_id", F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"), "n_a",
+        )
+    )
+    b = (
+        ev.groupBy(
+            "user_id",
+            F.window("ts", "3 hours", "3 hours", "90 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .select(
+            "user_id", F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"), "n_b",
+        )
+    )
+    pairs = interval_overlap_join(a, b, "user_id", bucket_seconds=3600)
+    overlap = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("n_a").cast("bigint").alias("sum_a_events"),
+        F.sum("n_b").cast("bigint").alias("sum_b_events"),
+    ).selectExpr(
+        "stack(4, 'n_pairs', n_pairs, 'n_users', n_users, "
+        "'sum_a_events', sum_a_events, 'sum_b_events', sum_b_events) "
+        "as (key, n)"
+    ).select(
+        F.lit("interval_overlap").alias("part"),
+        "key",
+        F.lit(None).cast("int").alias("period_offset"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    return fun.unionByName(co).unionByName(overlap)
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -862,28 +1005,11 @@ def q_events_resample_hourly(spark, sf_dir):
     )
 
 
-@register(
-    "events_latest_state",
-    oracle=(
-        "WITH r AS (SELECT user_id, ts, event_type, value, "
-        "row_number() OVER (PARTITION BY user_id "
-        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
-        f"SELECT user_id, strftime(ts, '{_STRF}') AS ts_s, "
-        "event_type, value FROM r WHERE rn = 1"
-    ),
-    note=(
-        "extension: per-key CURRENT state of the event stream (upsert "
-        "view): deterministic argmax by (ts, event_id) via one max_by "
-        "aggregate — single shuffle, no window sort. DuckDB parity in "
-        "tests/test_streaming.py and driver-hash-checked since r4 "
-        "(oracle: row_number over the same (ts, event_id) order); the "
-        "TRUE streaming twin is stream_latest_state"
-    ),
-)
-def q_events_latest_state(spark, sf_dir):
-    from etl_hero_spark.streaming import latest_state_batch
-
-    return latest_state_batch(_events(spark, sf_dir))
+# events_latest_state was absorbed into events_asof_join
+# (part='latest' rows, oracle SQL byte-unchanged inside the union
+# wrapper) — driver-window slot policy: merge mature tagged entries
+# instead of registering more. The TRUE streaming twin below stays
+# separate.
 
 
 @register(
@@ -934,68 +1060,11 @@ def q_events_rolling_features(spark, sf_dir):
     )
 
 
-@register(
-    "events_interval_overlap",
-    oracle=(
-        "WITH a AS (SELECT user_id, "
-        "time_bucket(INTERVAL '2 hours', ts) AS s, "
-        "time_bucket(INTERVAL '2 hours', ts) + INTERVAL '2 hours' AS e, "
-        "cast(count(*) as bigint) AS n_a FROM events GROUP BY 1, 2, 3), "
-        "b AS (SELECT user_id, "
-        "time_bucket(INTERVAL '3 hours', ts, "
-        "TIMESTAMP '1970-01-01 01:30:00') AS s, "
-        "time_bucket(INTERVAL '3 hours', ts, "
-        "TIMESTAMP '1970-01-01 01:30:00') + INTERVAL '3 hours' AS e, "
-        "cast(count(*) as bigint) AS n_b FROM events GROUP BY 1, 2, 3), "
-        "p AS (SELECT a.user_id, a.n_a, b.n_b FROM a JOIN b "
-        "ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e) "
-        "SELECT cast(count(*) as bigint) AS n_pairs, "
-        "cast(count(DISTINCT user_id) as bigint) AS n_users, "
-        "cast(sum(n_a) as bigint) AS sum_a_events, "
-        "cast(sum(n_b) as bigint) AS sum_b_events FROM p"
-    ),
-    note=(
-        "extension: interval overlap join (closed-interval semantics) "
-        "— both interval sets explode onto covered time buckets, "
-        "(key, bucket) equi-join + exact predicate + pair-distinct "
-        "replaces the per-key cartesian a theta-join would plan. "
-        "DuckDB inequality-join parity in tests/test_temporal.py and "
-        "driver-hash-checked since r4 (the oracle IS the theta-join "
-        "the bucketization replaces — an algorithm-level cross-check). "
-        "Joins each user's 2h activity windows against offset 3h "
-        "windows; summary row"
-    ),
-)
-def q_events_interval_overlap(spark, sf_dir):
-    from etl_hero_spark.temporal import interval_overlap_join
-
-    ev = _events(spark, sf_dir)
-    a = (
-        ev.groupBy("user_id", F.window("ts", "2 hours").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_a"))
-        .select(
-            "user_id", F.col("w.start").alias("start"),
-            F.col("w.end").alias("end"), "n_a",
-        )
-    )
-    b = (
-        ev.groupBy(
-            "user_id",
-            F.window("ts", "3 hours", "3 hours", "90 minutes").alias("w"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_b"))
-        .select(
-            "user_id", F.col("w.start").alias("start"),
-            F.col("w.end").alias("end"), "n_b",
-        )
-    )
-    pairs = interval_overlap_join(a, b, "user_id", bucket_seconds=3600)
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        F.sum("n_a").cast("bigint").alias("sum_a_events"),
-        F.sum("n_b").cast("bigint").alias("sum_b_events"),
-    )
+# events_interval_overlap was absorbed into events_funnel
+# (part='interval_overlap' rows — summary metrics unpivoted onto the
+# panel's (key, n) vocabulary; oracle SQL byte-unchanged inside the
+# wrapper) — driver-window slot policy: merge mature tagged entries
+# instead of registering more.
 
 
 @register(

@@ -2819,3 +2819,39 @@ def q_features_huber_regression(spark, sf_dir):
         "n bigint, n_iter int",
     ).orderBy("estimator")
 
+
+
+@register(
+    "pipeline_quality_classifier",
+    oracle=None,
+    note=(
+        "extension (r7, capstone): model-based quality scoring — the "
+        "CCNet/fastText-style quality filter (Wenzek et al. 2020; the "
+        "GPT-3/LLaMA data recipes), the curation family's last "
+        "first-class stage: where Gopher/C4 are fixed rule gates, this "
+        "LEARNS the quality boundary from a trusted subset (target = "
+        "the src0 domain, the same trusted-domain convention as DSIR) "
+        "and scores the whole corpus with the fitted model. "
+        "Composition of two verified shapes: hashed_token_features "
+        "(signed md5 hashing trick, L1-normalized — ONE explode+"
+        "groupBy shuffle, features checkpointed once) feeds logreg_fit "
+        "(distributed IRLS: each Newton step is ONE corpus aggregation "
+        "under literal coefficients); scoring is a literal sigmoid — "
+        "the 100 TB apply pass is a map-only scan. Output: per-source "
+        "score-distribution report (n_docs, n_target, mean/min/max "
+        "probability, fraction above threshold). Rows-only for "
+        "driver-window budget; numpy-IRLS parity and planted-"
+        "separation (quality-vocab corpus -> target sources score "
+        "higher) pinned in tests/test_features.py"
+    ),
+)
+def q_pipeline_quality_classifier(spark, sf_dir):
+    from etl_hero_spark.features import quality_classifier_report
+
+    docs = _t(spark, sf_dir, "documents")
+    report, _model = quality_classifier_report(
+        docs,
+        F.col("source") == "src0",
+        dim=16,
+    )
+    return report

@@ -544,3 +544,78 @@ def test_huber_fit_matches_numpy_irls_and_resists_outliers(spark):
     # default-delta path (MAD tuning) also converges sanely
     auto = huber_fit(df, ["x"], "y")
     assert abs(auto["coef"]["x"] - 2.0) < 0.1 and auto["delta"] > 0
+
+
+def test_hashed_token_features_matches_hashlib_and_l1(spark):
+    """Bucket index and sign replicate the md5 spec exactly (hashlib
+    reference); vectors are L1-normalized by token count; a zero-token
+    document keeps a defined all-zero vector."""
+    from etl_hero_spark.features import hashed_token_features
+
+    df = spark.createDataFrame(
+        [(1, "Alpha beta alpha"), (2, ""), (3, "gamma")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hashed_token_features(df, dim=8).collect()
+    }
+
+    def ref_vec(text):
+        toks = text.lower().split()
+        v = [0.0] * 8
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            idx = int(h[:14], 16) % 8
+            sign = 1.0 if int(h[14], 16) % 2 == 0 else -1.0
+            v[idx] += sign
+        n = len(toks)
+        return [x / n for x in v] if n else v, n
+
+    for doc_id, text in [(1, "Alpha beta alpha"), (3, "gamma")]:
+        want, n = ref_vec(text)
+        got = [out[doc_id][f"f_{j}"] for j in range(8)]
+        assert got == pytest.approx(want)
+        assert out[doc_id]["n_toks_f"] == n
+    # zero-token doc: all-zero, not NULL
+    assert [out[2][f"f_{j}"] for j in range(8)] == [0.0] * 8
+    assert out[2]["n_toks_f"] == 0
+
+
+def test_quality_classifier_planted_separation(spark):
+    """The CCNet-style fit separates a planted quality vocabulary:
+    target-domain docs draw from one token set, junk from another —
+    the fitted model must score held-in target sources far above junk
+    sources, and the model dict must carry the fit metadata."""
+    from etl_hero_spark.features import quality_classifier_report
+
+    good_vocab = ["insight", "theorem", "analysis", "rigorous", "proof"]
+    junk_vocab = ["buy", "click", "now", "spam", "winner"]
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            toks = [good_vocab[(i + j) % 5] for j in range(12)]
+            src = "wiki" if i % 4 == 0 else "books"
+        else:
+            toks = [junk_vocab[(i + j) % 5] for j in range(12)]
+            src = "crawl"
+        rows.append((i, " ".join(toks), src))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    report, model = quality_classifier_report(
+        docs, F.col("source").isin("wiki", "books"), dim=16
+    )
+    by = {r["group"]: r for r in report.collect()}
+    assert set(by) == {"wiki", "books", "crawl"}
+    # separation: every target source scores above the junk source
+    assert by["wiki"]["mean_p"] > 0.9
+    assert by["books"]["mean_p"] > 0.9
+    assert by["crawl"]["mean_p"] < 0.1
+    assert by["wiki"]["frac_above"] == 1.0
+    assert by["crawl"]["frac_above"] == 0.0
+    # counts: n_target counts only the target-domain docs per group
+    assert by["crawl"]["n_target"] == 0
+    assert by["wiki"]["n_target"] == by["wiki"]["n_docs"]
+    assert model["dim"] == 16 and model["n"] == 120
+    assert model["log_loss"] < 0.2

@@ -512,6 +512,78 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
 
+        def logreg_irls():
+            # iterations x one-corpus-aggregation: tol=0 pins the
+            # iteration count to max_iter so the exponent measures the
+            # per-step scan, not convergence-speed variation across
+            # factors (the fit result is bounded driver state — there
+            # is no frame to noop-write; the .agg inside IS the work)
+            from etl_hero_spark.features import logreg_fit
+
+            logreg_fit(
+                od().select(
+                    (F.col("o_totalprice").cast("double") / 100000.0)
+                    .alias("x_value"),
+                    (F.col("o_orderpriority") == "1-URGENT")
+                    .cast("double")
+                    .alias("x_urgent"),
+                    (F.col("o_orderkey") % 3 == 0).cast("int").alias("y"),
+                ),
+                ["x_value", "x_urgent"],
+                "y",
+                max_iter=4,
+                tol=0.0,
+            )
+
+        def huber_irls():
+            # fixed delta skips the MAD auto-tune's extra percentile
+            # pass so every factor runs the identical iteration plan
+            from etl_hero_spark.features import huber_fit
+
+            huber_fit(
+                li().select(
+                    F.col("l_quantity").cast("double").alias("x_qty"),
+                    F.col("l_extendedprice").cast("double").alias("y"),
+                ),
+                ["x_qty"],
+                "y",
+                delta=5000.0,
+                max_iter=4,
+                tol=0.0,
+            )
+
+        def sq8_probe():
+            from etl_hero_spark.simsearch import topk_cosine_sq8
+
+            queries = em().filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            topk_cosine_sq8(
+                em(), queries, k=5, rerank_factor=4
+            ).write.format("noop").mode("overwrite").save()
+
+        def quality_classifier():
+            # the r7 capstone's corpus-side stages: hashed token-bag
+            # features (explode + one groupBy) then IRLS at a pinned
+            # iteration count (same rationale as logreg_irls)
+            from etl_hero_spark.checkpoint import parquet_checkpoint
+            from etl_hero_spark.features import (
+                hashed_token_features,
+                logreg_fit,
+            )
+
+            # checkpointed exactly as quality_classifier_report stages it
+            feats = parquet_checkpoint(
+                hashed_token_features(docs(), dim=16), "qc-probe-feats"
+            )
+            logreg_fit(
+                feats,
+                [f"f_{j}" for j in range(16)],
+                (F.col("doc_id") % 4 == 0).cast("int"),
+                max_iter=3,
+                tol=0.0,
+            )
+
         return {
             "profile_stats": profile_stats,
             "grouping_sets": grouping_sets,
@@ -542,6 +614,10 @@ def main() -> None:
             "nb_train_classify": nb_train_classify,
             "item_similarity": item_similarity,
             "bfs_hops": bfs_hops,
+            "logreg_irls": logreg_irls,
+            "huber_irls": huber_irls,
+            "sq8_probe": sq8_probe,
+            "quality_classifier": quality_classifier,
         }
 
     results: dict[str, dict[int, float]] = {}

@@ -918,6 +918,7 @@ def quality_classifier_report(
     group_col: str = "source",
     dim: int = 16,
     threshold: float = 0.5,
+    model: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Model-based quality scoring — the CCNet/fastText-style quality
     filter (Wenzek et al. 2020; the GPT-3/LLaMA data recipes): train a
@@ -938,8 +939,12 @@ def quality_classifier_report(
     Returns (report, model): report has one row per ``group_col``
     value — (group, n_docs, n_target, mean_p, min_p, max_p,
     frac_above) — and model is logreg_fit's dict (+ the feature dim)
-    for reuse/persistence. Numpy-IRLS parity of the underlying fit and
-    planted-separation behavior pinned in tests/test_features.py."""
+    for reuse/persistence. A pre-fitted model may be passed back in
+    via ``model`` (the fit is the expensive part; registry callsites
+    memoize it per fixture, the trained-codebook posture) — the
+    report is then a single scan. Numpy-IRLS parity of the underlying
+    fit and planted-separation behavior pinned in
+    tests/test_features.py."""
     from etl_hero_spark.checkpoint import parquet_checkpoint
 
     # IRLS re-scans its input once per Newton step: stage the feature
@@ -952,8 +957,26 @@ def quality_classifier_report(
         "quality-feats",
     )
     x_cols = [f"f_{j}" for j in range(dim)]
-    model = logreg_fit(feats, x_cols, target_pred.cast("boolean"))
-    model["dim"] = dim
+    if model is None:
+        # a one-class "fit" converges to a ridge-bounded constant and
+        # would silently score everything alike — fail loudly instead
+        cls = feats.agg(
+            F.sum(target_pred.cast("int")).alias("_pos"),
+            F.count(F.lit(1)).alias("_n"),
+        ).first()
+        if not cls["_n"] or cls["_pos"] in (0, cls["_n"]):
+            raise ValueError(
+                "quality_classifier_report: target predicate selects "
+                f"{cls['_pos'] or 0} of {cls['_n']} documents — the "
+                "fit needs BOTH a target and a non-target class"
+            )
+        model = logreg_fit(feats, x_cols, target_pred.cast("boolean"))
+        model["dim"] = dim
+    elif int(model.get("dim", dim)) != dim:
+        raise ValueError(
+            "quality_classifier_report: model was fitted at dim="
+            f"{model.get('dim')} but dim={dim} requested"
+        )
     scored = logreg_apply(feats, model, out_col="quality_p")
     report = (
         scored.groupBy(F.col(group_col).alias("group"))
@@ -977,3 +1000,53 @@ def quality_classifier_report(
         .orderBy("group")
     )
     return report, model
+
+
+def hashed_token_feature_exprs(
+    text_col: str = "text", dim: int = 16
+) -> list[Column]:
+    """The SERVING form of hashed_token_features: the same signed-md5
+    L1-normalized bucket features as per-row expressions — no explode,
+    no shuffle, no state — so a fitted quality model can score a
+    STREAM (or any map-only pass) row by row. Bit-identical to the
+    relational build: bucket sums are exact small-integer floats and
+    the division uses the same operands, pinned in
+    tests/test_features.py and the stream twin.
+
+    Higher-order lambdas evaluate interpreted (~us per token) — right
+    for the per-row serving path; the corpus-side TRAINING build stays
+    the relational hashed_token_features. Returns ``dim`` Columns
+    aliased f_0..f_{dim-1}; zero-token rows score all-zero."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    from etl_hero_spark.textops import tokens_expr
+
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    n = F.size(toks)
+
+    def bucket(t: Column) -> Column:
+        h = F.md5(t)
+        return (
+            F.conv(F.substring(h, 1, 14), 16, 10).cast("bigint") % dim
+        ).cast("int")
+
+    def sign(t: Column) -> Column:
+        h = F.md5(t)
+        return F.when(
+            F.conv(F.substring(h, 15, 1), 16, 10).cast("int") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    out = []
+    for j in range(dim):
+        s = F.aggregate(
+            F.filter(toks, lambda t: bucket(t) == j),
+            F.lit(0.0),
+            lambda acc, t: acc + sign(t),
+        )
+        out.append(
+            F.when(n > 0, s / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias(f"f_{j}")
+        )
+    return out

@@ -76,6 +76,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_QC_MODEL_MEMO: dict = {}
+
+
+def _quality_model(spark: SparkSession, sf_dir: str, dim: int = 16) -> dict:
+    """Session-memoized quality-classifier fit over the documents
+    fixture (target = the src0 domain) — the trained-model sibling of
+    the codebook/index memos: the IRLS fit is a BUILD-ONCE artifact
+    over an immutable input, so the capstone report query and its
+    streaming twin share one fit per process instead of re-training.
+    Keyed by fixture path+mtime+dim (a regenerated fixture refits)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    p = os.path.realpath(f"{sf_dir}/documents.parquet")
+    key = (p, os.path.getmtime(p), dim)
+    model = _QC_MODEL_MEMO.get(key)
+    if model is None:
+        from etl_hero_spark.features import quality_classifier_report
+
+        _report, model = quality_classifier_report(
+            _t(spark, sf_dir, "documents"),
+            F.col("source") == "src0",
+            dim=dim,
+        )
+        _QC_MODEL_MEMO[key] = model
+    return model
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events scan with `ts` normalized to TimestampType (UTC session).
 

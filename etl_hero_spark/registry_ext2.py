@@ -2847,11 +2847,256 @@ def q_features_huber_regression(spark, sf_dir):
 )
 def q_pipeline_quality_classifier(spark, sf_dir):
     from etl_hero_spark.features import quality_classifier_report
+    from etl_hero_spark.registry import _quality_model
 
     docs = _t(spark, sf_dir, "documents")
     report, _model = quality_classifier_report(
         docs,
         F.col("source") == "src0",
         dim=16,
+        model=_quality_model(spark, sf_dir, dim=16),
     )
     return report
+
+
+# ===========================================================================
+# round-7 TPC-H shapes: Q1 / Q5 / Q12 / Q21 (fixture-adapted where a
+# TPC-H column is absent — each adaptation documented in its note)
+# ===========================================================================
+
+
+@register(
+    "sql_pricing_summary",
+    oracle=None,
+    note=(
+        "extension (r7, TPC-H Q1 — the canonical pricing summary "
+        "report, fully expressible on the fixture): per "
+        "(returnflag, linestatus) sums/averages of quantity, base "
+        "price, discounted price, and charge over shipped lines — ONE "
+        "scan, one small-key groupBy, every money aggregate "
+        "decimal-exact (all money columns are <=2dp, so the charge "
+        "product is exact at 6dp; the (18,6)-staged intermediate "
+        "keeps every factor on DuckDB's int128 path AND Spark's "
+        "unclamped-multiply path) and rounded ONCE at the end. The "
+        "shipdate cutoff pushes to the parquet scan. DuckDB parity in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    one_minus_disc = F.lit(1).cast("decimal(18,6)") - F.col(
+        "l_discount"
+    ).cast("decimal(18,6)")
+    one_plus_tax = F.lit(1).cast("decimal(18,6)") + F.col("l_tax").cast(
+        "decimal(18,6)"
+    )
+    # price(2dp) x (1-disc)(2dp) is exact at 4dp -> the (18,6) restage
+    # is lossless and keeps the second multiply's precision bounded
+    disc_price = (price * one_minus_disc).cast("decimal(18,6)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(price * one_minus_disc).cast("double"), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(disc_price * one_plus_tax).cast("double"),
+                2,
+            ).alias("sum_charge"),
+            F.round(
+                F.sum(qty).cast("double") / F.count("l_quantity"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(price).cast("double")
+                / F.count("l_extendedprice"),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("l_discount"),
+                6,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "sql_local_supplier_volume",
+    oracle=None,
+    note=(
+        "extension (r7, TPC-H Q5 shape): revenue from orders where "
+        "customer and supplier share a nation, per nation within one "
+        "region over a two-year window — the classic snowflake join "
+        "(lineitem x orders x customer x supplier x nation x region) "
+        "with the SAME-NATION equality folded into the supplier join "
+        "condition, region/nation dims broadcast, date range pushed "
+        "to the orders scan, decimal-exact revenue. Region EUROPE "
+        "(fixture-probed: every region has 5 nations; EUROPE carries "
+        "same-nation volume at every sf). DuckDB parity in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_local_supplier_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,6)")
+            - F.col("l_discount").cast("decimal(18,6)")
+        )
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            sup,
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (cust["c_nationkey"] == sup["s_nationkey"]),
+        )
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "sql_shipmode_priority",
+    oracle=None,
+    note=(
+        "extension (r7, TPC-H Q12 shape): order-priority split per "
+        "shipping class over a one-year receipt window — the "
+        "conditional-count (CASE-sum) aggregation pattern. The fixture "
+        "has no l_shipmode/l_receiptdate: l_returnflag stands in for "
+        "the mode class and l_shipdate for the receipt date (same "
+        "shape: join orders, year-window filter pushed to the lineitem "
+        "scan, two CASE-sums per group). DuckDB parity in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_shipmode_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("int")).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum((~high).cast("int")).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sql_waiting_suppliers",
+    oracle=None,
+    note=(
+        "extension (r7, TPC-H Q21 shape — the hardest relational "
+        "shape in the suite: correlated EXISTS + NOT EXISTS over the "
+        "same fact table): suppliers whose line was the ONLY late one "
+        "in a finished multi-supplier order. EXISTS decorrelates to a "
+        "LEFT SEMI join (another supplier has any line in the order), "
+        "NOT EXISTS to a LEFT ANTI join (no other supplier was late) "
+        "— both hash joins on the uniform orderkey with the "
+        "supplier-inequality as a residual predicate; row multiplicity "
+        "of the probe side is preserved exactly as the SQL counts it. "
+        "The fixture has no l_commitdate/l_receiptdate: late = shipped "
+        "more than 90 days after the order date (documented "
+        "adaptation, same shape). Top-20 by (numwait DESC, name) via "
+        "TakeOrderedAndProject. DuckDB parity in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_waiting_suppliers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "_late",
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90),
+        )
+        .select("l_orderkey", "l_suppkey", "_late")
+    )
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    # three consumers of the same joined subtree (probe, semi, anti)
+    l = parquet_checkpoint(l, "q21-lines")
+    l1 = l.filter(F.col("_late")).select("l_orderkey", "l_suppkey")
+    other = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    other_late = l.filter(F.col("_late")).select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    waiting = l1.join(
+        other,
+        (l1["l_orderkey"] == other["_ok"])
+        & (l1["l_suppkey"] != other["_sk"]),
+        "leftsemi",
+    ).join(
+        other_late,
+        (l1["l_orderkey"] == other_late["_ok"])
+        & (l1["l_suppkey"] != other_late["_sk"]),
+        "leftanti",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(
+            F.broadcast(sup), waiting["l_suppkey"] == sup["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

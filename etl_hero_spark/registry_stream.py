@@ -1286,3 +1286,33 @@ def q_stream_media_triage(spark, sf_dir):
     from etl_hero_spark.streaming import stream_media_triage
 
     return stream_media_triage(spark, f"{sf_dir}/documents.parquet")
+
+
+@register(
+    "stream_quality_score",
+    oracle=None,
+    note=(
+        "streaming extension (r7): TRUE streaming APPLY of the fitted "
+        "quality classifier — the 18th twin, and the train-batch / "
+        "serve-streaming shape every model-based curation stage needs: "
+        "the logreg model fits OFFLINE on the batch corpus "
+        "(quality_classifier_report — hashed features + IRLS), then "
+        "scores documents as they arrive on a file stream via "
+        "hashed_token_feature_exprs (the per-row serving form of the "
+        "relational training build — same signed md5 buckets, same L1 "
+        "normalization, bit-identical values) + the literal sigmoid. "
+        "The whole stream pass is a STATELESS projection: append mode, "
+        "no watermark, no state store, per-row latency. Drained "
+        "per-doc scores == batch logreg_apply scores pinned in "
+        "tests/test_streaming.py"
+    ),
+)
+def q_stream_quality_score(spark, sf_dir):
+    from etl_hero_spark.registry import _quality_model
+    from etl_hero_spark.streaming import stream_quality_score
+
+    return stream_quality_score(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        _quality_model(spark, sf_dir, dim=16),
+    )

@@ -1591,3 +1591,46 @@ def stream_media_triage(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stream_quality_score(
+    spark: SparkSession,
+    docs_path: str,
+    model: dict,
+    query_name: str = "etl_hero_stream_quality",
+) -> DataFrame:
+    """TRUE streaming twin of the quality-classifier APPLY pass — the
+    18th twin, and the train-batch / serve-streaming shape every
+    model-based curation stage needs: the logreg model fitted offline
+    (quality_classifier_report) scores documents as they ARRIVE on a
+    file stream. Features come from hashed_token_feature_exprs — the
+    per-row serving form of the relational training build (same signed
+    md5 buckets, same L1 normalization, bit-identical values) — and
+    the score is the literal sigmoid, so the whole stream pass is a
+    STATELESS projection: append mode, no watermark, no state store,
+    per-row latency. Drained per-doc scores == the batch
+    logreg_apply-over-hashed_token_features scores, pinned in
+    tests/test_streaming.py."""
+    from etl_hero_spark.features import (
+        hashed_token_feature_exprs,
+        logreg_apply,
+    )
+
+    dim = int(model.get("dim", len(model["coef"])))
+    src = _docs_stream_source(spark, docs_path).select(
+        "doc_id", "source", *hashed_token_feature_exprs("text", dim)
+    )
+    scored = logreg_apply(src, model, out_col="quality_p").select(
+        "doc_id", "source", F.round("quality_p", 9).alias("quality_p")
+    )
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

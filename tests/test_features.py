@@ -619,3 +619,26 @@ def test_quality_classifier_planted_separation(spark):
     assert by["wiki"]["n_target"] == by["wiki"]["n_docs"]
     assert model["dim"] == 16 and model["n"] == 120
     assert model["log_loss"] < 0.2
+
+
+def test_quality_classifier_rejects_one_class_target(spark):
+    """A target predicate selecting everything (or nothing) cannot be
+    fitted — the guard must fail loudly, not score everything alike."""
+    from etl_hero_spark.features import quality_classifier_report
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1}", "only") for i in range(10)],
+        "doc_id bigint, text string, source string",
+    )
+    with pytest.raises(ValueError, match="BOTH a target and a non-target"):
+        quality_classifier_report(docs, F.lit(True), dim=4)
+    with pytest.raises(ValueError, match="BOTH a target and a non-target"):
+        quality_classifier_report(docs, F.lit(False), dim=4)
+    # dim mismatch against a pre-fitted model is equally loud
+    with pytest.raises(ValueError, match="dim"):
+        quality_classifier_report(
+            docs,
+            F.col("doc_id") % 2 == 0,
+            dim=8,
+            model={"coef": {"f_0": 1.0}, "intercept": 0.0, "dim": 4},
+        )

@@ -985,3 +985,48 @@ def test_stream_media_triage_equals_batch(spark, sf_dir):
     assert d["gif"][0] == d["gif"][1] > 0
     assert d["webp"][0] == d["webp"][1] > 0
     assert d["other"][1] == 0
+
+
+def test_stream_quality_score_equals_batch(spark, sf_dir):
+    """18th twin (train batch / serve streaming): the drained per-doc
+    streaming quality scores — per-row serving features + literal
+    sigmoid, a stateless append-mode projection — equal the batch
+    apply over the relational training features, bit-for-bit at the
+    pinned 9dp rounding."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.features import (
+        hashed_token_features,
+        logreg_apply,
+        quality_classifier_report,
+    )
+    from etl_hero_spark.streaming import stream_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _report, model = quality_classifier_report(
+        docs, F.col("source") == "src0", dim=16
+    )
+    batch = {
+        r["doc_id"]: (r["source"], r["quality_p"])
+        for r in logreg_apply(
+            hashed_token_features(docs, dim=16), model, "quality_p"
+        )
+        .select(
+            "doc_id", "source", F.round("quality_p", 9).alias("quality_p")
+        )
+        .collect()
+    }
+    streamed = {
+        r["doc_id"]: (r["source"], r["quality_p"])
+        for r in stream_quality_score(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            model,
+            query_name="etl_hero_stream_quality_t",
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # scores are genuine probabilities, not a constant column
+    ps = [p for _, p in batch.values()]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert max(ps) > min(ps)

@@ -950,6 +950,14 @@ def repeated_spans(
         .select("wh")
     )
     dup = wins.join(dup_keys, "wh").select("id", "pos")
+    return _assemble_spans(dup, id_col, n)
+
+
+def _assemble_spans(dup: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions into
+    maximal spans — shared by the corpus-wide and incremental forms
+    (identical island semantics is what makes the incremental rung's
+    equivalence test meaningful)."""
     w = W.partitionBy("id").orderBy("pos")
     # new island when this window no longer overlaps-or-touches the
     # previous one: its start is past prev_start + n
@@ -981,6 +989,75 @@ def repeated_spans(
             ),
         )
     )
+
+
+def write_span_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> None:
+    """Persist the corpus WINDOW-HASH COUNT table to parquet at
+    ``path`` — the maintained artifact that makes repeated-span dedup
+    incremental (the persisted-index sibling of write_minhash_index):
+    at 100 TB the corpus's n-gram-window counts are built once and
+    each new crawl batch probes them, instead of re-counting the whole
+    corpus per batch. ``n`` is part of the index identity — probes
+    MUST use the same window length (md5 of the space-joined window,
+    reproducible across sessions). Schema: (wh, cnt)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    counts = (
+        _positional_windows(df, id_col, text_col, n)
+        .groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts.write.mode("overwrite").parquet(path)
+
+
+def repeated_spans_incremental(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Repeated-span detection for a NEW batch against a persisted
+    corpus window-count index (write_span_index): a batch window is
+    duplicated when its corpus count PLUS its in-batch count reaches
+    ``min_count`` — exactly the windows the corpus-wide recompute
+    over (corpus UNION batch) would flag on the batch's documents, so
+    the incremental probe returns byte-identical spans for batch ids
+    (equivalence pinned in tests/test_dedup.py).
+
+    Plan: the batch's positional windows (linear in the BATCH) fold to
+    batch counts, LEFT join the index on the uniform hash key, filter,
+    join back, and assemble islands — the corpus is never re-scanned.
+    Same output schema as repeated_spans."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    spark = batch.sparkSession
+    idx = spark.read.parquet(index_path).select(
+        "wh", F.col("cnt").alias("_idx_cnt")
+    )
+    wins = parquet_checkpoint(
+        _positional_windows(batch, id_col, text_col, n), "span-wins-inc"
+    )
+    batch_counts = wins.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    dup_keys = (
+        batch_counts.join(idx, "wh", "left")
+        .filter(
+            F.col("_bc") + F.coalesce(F.col("_idx_cnt"), F.lit(0))
+            >= int(min_count)
+        )
+        .select("wh")
+    )
+    dup = wins.join(dup_keys, "wh").select("id", "pos")
+    return _assemble_spans(dup, id_col, n)
 
 
 class SpanDocScaleError(RuntimeError):

@@ -4600,3 +4600,76 @@ def q_layout_file_provenance(spark, sf_dir):
     return file_provenance(
         _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
     )
+
+
+_SPAN_INDEX_MEMO: dict = {}
+
+
+def _span_index_path(spark, sf_dir: str, n: int = 8) -> str:
+    """Build-once persisted span index over the documents fixture
+    (write_span_index), memoized per fixture path+mtime+n — the same
+    trained-artifact posture as the minhash/IVF index memos."""
+    import os
+
+    from etl_hero_spark.checkpoint import session_tmpdir
+    from etl_hero_spark.dedup import write_span_index
+
+    p = os.path.realpath(f"{sf_dir}/documents.parquet")
+    key = (p, os.path.getmtime(p), n)
+    path = _SPAN_INDEX_MEMO.get(key)
+    if path is None:
+        path = session_tmpdir("span-index-")
+        write_span_index(
+            _t(spark, sf_dir, "documents"), path, n=n
+        )
+        _SPAN_INDEX_MEMO[key] = path
+    return path
+
+
+@register(
+    "dedup_spans_incremental",
+    oracle=None,
+    note=(
+        "extension (r7): INCREMENTAL repeated-span dedup — a new "
+        "ingest batch probed against the corpus's persisted "
+        "window-count index (write_span_index, the maintained artifact "
+        "that makes Lee-et-al substring dedup incremental at 100 TB: "
+        "batch windows fold to batch counts, LEFT join the index on "
+        "the uniform hash key, corpus never re-scanned; cost scales "
+        "with the BATCH). The fixture batch plants doc 2's leading 16 "
+        "tokens at the tail of every 9th doc's clone — windows that "
+        "occur ONCE in the corpus and once in the batch, i.e. spans "
+        "only the corpus-informed count can see (a batch-local "
+        "recompute misses them, pinned in tests/test_dedup.py along "
+        "with byte-identical equivalence to the full corpus+batch "
+        "recompute restricted to batch ids). Summary row"
+    ),
+)
+def q_dedup_spans_incremental(spark, sf_dir):
+    from etl_hero_spark.dedup import repeated_spans_incremental
+    from etl_hero_spark.textops import normalized_text_expr, tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    frag = docs.filter(F.col("doc_id") == 2).select(
+        F.array_join(
+            F.slice(tokens_expr(normalized_text_expr("text")), 1, 16),
+            " ",
+        ).alias("_frag")
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .crossJoin(F.broadcast(frag))
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.col("_frag")).alias("text"),
+        )
+    )
+    spans = repeated_spans_incremental(
+        batch, _span_index_path(spark, sf_dir, n=8), n=8
+    )
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_with_spans"),
+        F.sum("span_tokens").cast("bigint").alias("total_span_tokens"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+    )

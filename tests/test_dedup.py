@@ -596,3 +596,58 @@ def test_pipeline_span_curate_composition(spark, sf_dir):
     assert sum(r["n_kept"] for r in rows) == n_kept
     assert sum(r["n_emptied"] for r in rows) == n_emptied
     assert sum(r["n_input"] for r in rows) == pool.count()
+
+
+def test_repeated_spans_incremental_equals_full_recompute(spark, tmp_path):
+    """The incremental probe against the persisted window-count index
+    returns byte-identical spans for batch documents as the corpus-wide
+    recompute over corpus UNION batch — and finds the corpus-informed
+    spans a batch-local recompute cannot see."""
+    from etl_hero_spark.dedup import (
+        repeated_spans,
+        repeated_spans_incremental,
+        write_span_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "completely different words with no overlap at all here ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # batch doc 101 repeats doc 1's 8-token prefix (corpus count 1 +
+    # batch count 1 -> span); doc 102 is novel; docs 103/104 share an
+    # 8-token run only within the batch (intra-batch dup)
+    run = "red blue green cyan pink gray gold teal"
+    batch = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta eta theta tail"),
+            (102, "nothing here repeats anything in the corpus truly"),
+            (103, f"{run} ending one"),
+            (104, f"{run} ending two"),
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "span_idx")
+    write_span_index(corpus, idx, n=8)
+    inc = sorted(
+        tuple(r)
+        for r in repeated_spans_incremental(batch, idx, n=8).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in repeated_spans(corpus.unionByName(batch), n=8)
+        .filter(F.col("doc_id") >= 100)
+        .collect()
+    )
+    assert inc == full and inc
+    # the cross-corpus span on doc 101 exists ONLY via the index
+    batch_local = {
+        r["doc_id"] for r in repeated_spans(batch, n=8).collect()
+    }
+    inc_ids = {d for d, *_ in inc}
+    assert 101 in inc_ids and 101 not in batch_local
+    assert 103 in inc_ids and 104 in inc_ids  # intra-batch still found
+    assert 102 not in inc_ids

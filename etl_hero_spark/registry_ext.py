@@ -4673,3 +4673,50 @@ def q_dedup_spans_incremental(spark, sf_dir):
         F.sum("span_tokens").cast("bigint").alias("total_span_tokens"),
         F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
     )
+
+
+_IVFSQ8_INDEX: dict = {}
+
+
+@register(
+    "sim_topk_ivfsq8",
+    oracle=None,
+    note=(
+        "extension (r7): the third cell of the combined-ANN index "
+        "matrix — IVF coarse lists x SQ8 int8 scalar codes, persisted "
+        "partitioned-by-list. A probe scans nprobe/n_lists of the "
+        "corpus (STATIC partition pruning from the driver-collected "
+        "probe set — PartitionFilters asserted in tests) AND reads "
+        "int codes instead of raw floats, scored by SQ8's table-free "
+        "UNROLLED integer dot against per-query code literals (no ADC "
+        "table build — the rung's advantage over IVF-PQ for small "
+        "probe batches). Exact rerank within probed lists; "
+        "full-probe+full-rerank == brute force bit-for-bit, partial-"
+        "probe recall floor, and the zero-query loud guard pinned in "
+        "tests/test_simsearch.py. Index built once per fixture "
+        "(mtime-keyed memo)"
+    ),
+)
+def q_sim_topk_ivfsq8(spark, sf_dir):
+    import os
+
+    from etl_hero_spark.checkpoint import session_tmpdir
+    from etl_hero_spark.simsearch import (
+        topk_cosine_ivfsq8_indexed,
+        write_ivfsq8_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = f"{sf_dir}/embeddings.parquet"
+    key = (p, os.stat(p).st_mtime)
+    path = _IVFSQ8_INDEX.get(key)
+    if path is None:
+        path = session_tmpdir("ivfsq8")
+        write_ivfsq8_index(emb, path, n_centroids=8)
+        _IVFSQ8_INDEX[key] = path
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_ivfsq8_indexed(
+        spark, queries, path, k=5, nprobe=2, rerank_factor=4
+    )

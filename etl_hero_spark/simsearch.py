@@ -1519,3 +1519,192 @@ def read_sq8_index(spark, path: str) -> DataFrame:
     every query batch then pays only the column-pruned codes scan,
     never the encode."""
     return spark.read.parquet(path)
+
+
+def write_ivfsq8_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = 3,
+) -> list:
+    """Persist the combined IVF x SQ8 index — coarse lists AND int8
+    scalar codes: {path}/centroids (coarse model, quantize recorded)
+    and {path}/codes = (corpus_id, cv, sq_scale, sq_codes, cnorm)
+    PARTITIONED BY list_id. The third cell of the index matrix
+    (IVF-Flat, IVF-PQ, now IVF-SQ8): a probe of p lists scans
+    p/n_centroids of the corpus AND reads 4-byte-int codes instead of
+    raw floats — the multiplicative reductions composed, with SQ8's
+    cheaper (table-free) scoring where PQ needs per-query ADC tables.
+
+    Build is one corpus pass staged in two selects with a disk
+    boundary between them: list assignment reads the RAW vector
+    attribute (the _dot_const_sql CollapseProject constraint), and the
+    scale/codes derive from the MATERIALIZED cv attribute so the
+    quantized vector is never re-inlined per extraction.
+
+    Returns the centroid list (also persisted)."""
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.skew import ensure_min_partitions
+
+    cents = train_centroids(
+        corpus, n_centroids=n_centroids, vec_col=vec_col
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [
+            (i, [float(v) for v in c], -1 if quantize is None else quantize)
+            for i, c in enumerate(cents)
+        ],
+        "list_id int, centroid array<double>, quantize int",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    staged = parquet_checkpoint(
+        ensure_min_partitions(corpus).select(
+            F.col(id_col).alias("corpus_id"),
+            nearest_lists_expr(vec_col, cents, 1, dp=quantize)[0].alias(
+                "list_id"
+            ),
+            quantized_vec(vec_col, quantize).alias("cv"),
+        ),
+        "ivfsq8_staged",
+    )
+    dim = int(staged.select(F.size("cv").alias("d")).first()["d"])
+    mx = F.expr(
+        "greatest(" + ", ".join(f"abs(cv[{i}])" for i in range(dim)) + ")"
+    )
+    scale = F.when(mx > 0, mx / 127.0).otherwise(F.lit(1.0))
+    enc = staged.select(
+        "corpus_id",
+        "list_id",
+        "cv",
+        scale.alias("sq_scale"),
+    ).select(
+        "corpus_id",
+        "list_id",
+        "cv",
+        "sq_scale",
+        F.expr(
+            "transform(cv, x -> cast(round(x / sq_scale) as int))"
+        ).alias("sq_codes"),
+        F.round(norm_expr(F.col("cv")), 9).alias("cnorm"),
+    )
+    enc.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    return cents
+
+
+def topk_cosine_ivfsq8_indexed(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-SQ8 index: each query probes its nprobe
+    nearest coarse lists — the probed list ids (a tiny driver-side
+    set) become a STATIC partition filter, so the codes scan provably
+    reads only probed partitions — and scores the pruned codes with
+    SQ8's UNROLLED integer dot against its own code literals (no
+    per-query ADC table build, the rung's advantage over IVF-PQ for
+    small probe batches); the bounded candidate set reranks exactly
+    against cv within the probed lists. Full probe (nprobe =
+    n_centroids) + full rerank == brute force bit-for-bit (pinned in
+    tests/test_simsearch.py).
+
+    The per-query expressions carry query-code literals, so the probe
+    set is bounded by contract (the broadcast-constant probe shape of
+    every unrolled rung here)."""
+    import numpy as np
+
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    cents = np.asarray([list(r["centroid"]) for r in cent_rows])
+    quantize = cent_rows[0]["quantize"]
+    quantize = None if quantize < 0 else quantize
+    nprobe = min(nprobe, len(cents))
+    qrows = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        quantized_vec(vec_col, quantize).alias("_qv"),
+    ).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    codes_all = spark.read.parquet(f"{path}/codes")
+    per_query = []
+    probed_union: set = set()
+    for r in qrows:
+        v = np.asarray([float(x) for x in r["_qv"]], dtype=np.float64)
+        qn = float(np.sqrt((v * v).sum()))
+        if qn == 0:
+            raise ValueError(
+                f"topk_cosine_ivfsq8: query {r['_qid']!r} has zero "
+                "norm — cosine similarity is undefined for a zero "
+                "vector"
+            )
+        # nearest lists by |c|^2 - 2 v.c (same ordering as the build)
+        d2 = (cents * cents).sum(axis=1) - 2.0 * (cents @ v)
+        lists = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+        probed_union.update(lists)
+        qmax = float(np.abs(v).max())
+        qs = qmax / 127.0 if qmax > 0 else 1.0
+        qc = [int(round(x / qs)) for x in v]
+        int_dot = " + ".join(
+            f"cast(sq_codes[{i}] as bigint)*{c}L"
+            for i, c in enumerate(qc)
+            if c != 0
+        ) or "0L"
+        approx = (
+            f"(sq_scale * cast({qs!r} as double) * "
+            f"cast(({int_dot}) as double))"
+            f" / (cnorm * cast({qn!r} as double))"
+        )
+        per_query.append(
+            codes_all.filter(F.col("list_id").isin(lists))
+            .filter(F.col("cnorm") > 0)
+            .select(
+                F.lit(r["_qid"]).alias("query_id"),
+                "corpus_id",
+                F.expr(approx).alias("_approx"),
+            )
+        )
+    scored = per_query[0]
+    for p in per_query[1:]:
+        scored = scored.unionByName(p)
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("_approx"), F.asc("corpus_id")
+    )
+    cands = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select("query_id", "corpus_id")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantized_vec(vec_col, quantize).alias("qv"),
+    )
+    rer = (
+        cands.join(
+            codes_all.filter(
+                F.col("list_id").isin(sorted(probed_union))
+            ).select("corpus_id", "cv"),
+            "corpus_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("corpus_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )

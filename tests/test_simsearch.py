@@ -885,3 +885,81 @@ def test_sq8_persisted_index_round_trip(spark, sf_dir, tmp_path):
         map(tuple, topk_cosine_sq8(emb, queries, k=5).collect())
     )
     assert via_index == direct and len(direct) == 15
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8 combined index (r7)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfsq8_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "ivfsq8")
+    simsearch.write_ivfsq8_index(emb, path, n_centroids=8)
+    return path
+
+
+def test_ivfsq8_full_probe_full_rerank_equals_bruteforce(
+    spark, emb, queries, ivfsq8_path
+):
+    n = emb.count()
+    exact = sorted(
+        map(tuple, simsearch.topk_cosine(emb, queries, k=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            simsearch.topk_cosine_ivfsq8_indexed(
+                spark, queries, ivfsq8_path, k=5, nprobe=8,
+                rerank_factor=n,
+            ).collect(),
+        )
+    )
+    assert got == exact
+
+
+def test_ivfsq8_partial_probe_recall_and_pruning(
+    spark, emb, queries, ivfsq8_path
+):
+    """Partial probe keeps useful recall AND provably prunes the codes
+    scan to the probed list partitions (static PartitionFilters)."""
+    exact = simsearch.topk_cosine(emb, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    got = simsearch.topk_cosine_ivfsq8_indexed(
+        spark, queries, ivfsq8_path, k=5, nprobe=4, rerank_factor=8
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        if r["rank"] == 1:
+            assert r["corpus_id"] == r["query_id"]  # self-hit survives
+    recalls = [
+        len(by_q.get(q, set()) & hits) / len(hits)
+        for q, hits in truth.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # pruning: a single-list filter lands in PartitionFilters
+    filtered = spark.read.parquet(f"{ivfsq8_path}/codes").filter(
+        F.col("list_id").isin([0])
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pf = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "list_id" in pf and "IN" in pf.upper()
+    assert 0 < filtered.count() < spark.read.parquet(
+        f"{ivfsq8_path}/codes"
+    ).count()
+
+
+def test_ivfsq8_zero_query_fails_loudly(spark, emb, ivfsq8_path):
+    zq = spark.createDataFrame(
+        [(0, [0.0] * len(emb.first()["embedding"]))],
+        "query_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="zero norm"):
+        simsearch.topk_cosine_ivfsq8_indexed(
+            spark, zq, ivfsq8_path, k=3
+        )

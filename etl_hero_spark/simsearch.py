@@ -915,8 +915,8 @@ def write_ivfpq_index(
     reductions that make billion-vector ANN tractable. Codebooks here
     quantize raw vectors shared across lists (IVF-Flat-PQ); classical
     residual encoding (quantize v - centroid[list]) buys more recall
-    per bit but needs the staged residual column — the documented
-    upgrade path, not built here.
+    per bit — see write_ivfpq_residual_index, which builds that form
+    with the staged residual column.
 
     Returns (centroids, codebooks).
     """
@@ -1696,6 +1696,216 @@ def topk_cosine_ivfsq8_indexed(
             "corpus_id",
         )
         .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("corpus_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )
+
+
+def write_ivfpq_residual_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = 3,
+) -> tuple:
+    """The RESIDUAL-encoded IVF-PQ index — the upgrade path
+    write_ivfpq_index documents (classical IVF-ADC, Jegou et al.):
+    PQ quantizes v - centroid[list] instead of v, so the codebooks
+    spend their bits on the (smaller-variance) within-list offsets
+    rather than re-describing the coarse structure the list id already
+    captures — more recall per bit whenever the corpus clusters.
+
+    Build stages the residual column behind a disk boundary (the
+    constraint the plain writer's docstring names): pass 1 assigns
+    lists over the RAW vector attribute and materializes
+    (corpus_id, list_id, cv, rv = cv - centroid[list]); the codebooks
+    train on a bounded rv sample; pass 2 encodes rv — by then a
+    materialized scan attribute, so pq_codes_expr's extractions never
+    re-inline a computed array. Layout matches write_ivfpq_index
+    ({path}/centroids, /codebooks, /codes partitioned by list_id)
+    plus the per-row residual origin is implicit in list_id.
+
+    Returns (centroids, codebooks)."""
+    import numpy as np
+
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.skew import ensure_min_partitions
+
+    cents = train_centroids(
+        corpus, n_centroids=n_centroids, vec_col=vec_col
+    )
+    spark = corpus.sparkSession
+    dim = len(cents[0])
+    cents_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in c)
+        + ")"
+        for c in cents
+    ) + ")"
+    staged = parquet_checkpoint(
+        ensure_min_partitions(corpus).select(
+            F.col(id_col).alias("corpus_id"),
+            nearest_lists_expr(vec_col, cents, 1, dp=quantize)[0].alias(
+                "list_id"
+            ),
+            quantized_vec(vec_col, quantize).alias("cv"),
+        ).select(
+            "corpus_id",
+            "list_id",
+            "cv",
+            # build-once residual: the interpreted per-element lambda is
+            # paid exactly one pass, then rv is a scan attribute
+            F.expr(
+                f"zip_with(cv, element_at({cents_sql}, list_id + 1), "
+                "(a, b) -> a - b)"
+            ).alias("rv"),
+        ),
+        "ivfpq_res_staged",
+    )
+    rv_rows = staged.select("rv").limit(4096).collect()
+    books = _train_books_np(
+        np.asarray([r["rv"] for r in rv_rows], dtype=np.float64),
+        m,
+        k_sub,
+        iters=10,
+        seed=42,
+    )
+    spark.createDataFrame(
+        [
+            (i, [float(v) for v in c], -1 if quantize is None else quantize)
+            for i, c in enumerate(cents)
+        ],
+        "list_id int, centroid array<double>, quantize int",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(v) for v in cent])
+            for j, book in enumerate(books)
+            for c, cent in enumerate(book)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    enc = staged.select(
+        "corpus_id",
+        "list_id",
+        # rv is a materialized attribute here: no re-inline per extraction
+        pq_codes_expr("rv", books, dp=None).alias("codes"),
+        F.round(norm_expr(F.col("cv")), 9).alias("cnorm"),
+        "cv",
+    )
+    enc.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    assert dim % m == 0
+    return cents, books
+
+
+def topk_cosine_ivfpq_residual_indexed(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a residual IVF-PQ index: approximate
+    dot(q, x) = dot(q, centroid[list]) + sum_j tabs[j][codes[j]],
+    where the ADC tables are built from the RESIDUAL codebooks and the
+    per-(query, list) coarse dot rides the broadcast probes frame as a
+    scalar — one extra double per probe, no extra scan work over plain
+    IVF-PQ. Static partition pruning, exact rerank, and
+    full-probe + full-rerank == brute force exactly, same as the plain
+    form (pinned in tests/test_simsearch.py)."""
+    import numpy as np
+
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    cents = np.asarray([list(r["centroid"]) for r in cent_rows])
+    quantize = cent_rows[0]["quantize"]
+    quantize = None if quantize < 0 else quantize
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = 1 + max(r["subspace"] for r in book_rows)
+    books: list[list[list[float]]] = [[] for _ in range(mm)]
+    for r in sorted(book_rows, key=lambda r: (r["subspace"], r["code"])):
+        books[r["subspace"]].append(list(r["centroid"]))
+    nprobe = min(nprobe, len(cents))
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantized_vec(vec_col, quantize).alias("qv"),
+    ).collect()
+    if not q_rows:
+        raise ValueError("queries is empty")
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    sub = len(books[0][0])
+    probe_data, qv_data = [], []
+    for r in q_rows:
+        v = np.asarray(r["qv"], dtype=np.float64)
+        scores = (cents * cents).sum(axis=1) - 2.0 * (cents @ v)
+        lists = [int(i) for i in np.argsort(scores, kind="stable")[:nprobe]]
+        tabs = [
+            [
+                float(np.dot(v[j * sub : (j + 1) * sub], np.asarray(c)))
+                for c in books[j]
+            ]
+            for j in range(mm)
+        ]
+        for li in lists:
+            probe_data.append(
+                (r["query_id"], li, tabs, float(cents[li] @ v))
+            )
+        qv_data.append((r["query_id"], [float(x) for x in r["qv"]]))
+    probes = spark.createDataFrame(
+        probe_data,
+        f"query_id {qid_type}, list_id int, tabs array<array<double>>, "
+        "qdotc double",
+    )
+    q = spark.createDataFrame(
+        qv_data, f"query_id {qid_type}, qv array<double>"
+    )
+    probed_lists = sorted({p[1] for p in probe_data})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("list_id").isin(probed_lists)
+    )
+    scored = (
+        codes.drop("cv")
+        .join(F.broadcast(probes), "list_id")
+        .withColumn(
+            "adc",
+            F.round(
+                (
+                    F.col("qdotc")
+                    + pq_adc_score_expr("codes", "tabs", mm)
+                )
+                / F.col("cnorm"),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("corpus_id"))
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select("query_id", "corpus_id")
+    )
+    rer = (
+        codes.select("corpus_id", "cv")
+        .join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
         .withColumn(
             "score", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
         )

@@ -3100,3 +3100,124 @@ def q_sql_waiting_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "sql_important_parts",
+    oracle=None,
+    note=(
+        "extension (r7, TPC-H Q11 shape): parts whose shipped value "
+        "through one nation's suppliers exceeds a FRACTION OF THE "
+        "GLOBAL TOTAL — the HAVING-against-a-scalar-subquery pattern: "
+        "the per-part value groupBy computes once, its grand total "
+        "(one row) broadcasts back, and the threshold filter compares "
+        "through the broadcast — no second scan of the fact table. "
+        "The fixture has no partsupp: shipped lineitem value stands in "
+        "for stock value (same shape). DuckDB parity in "
+        "tests/test_relational_extras.py"
+    ),
+)
+def q_sql_important_parts(spark, sf_dir):
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    # per-part value table computes ONCE (two consumers: rows + total)
+    per_part = parquet_checkpoint(
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "_val"
+            )
+        ),
+        "q11-per-part",
+    )
+    total = per_part.agg(
+        F.sum("_val").alias("_tot")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_val").cast("decimal(38,6)")
+            > F.col("_tot").cast("decimal(38,6)") * F.lit(0.01)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("_val").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "sql_excess_suppliers",
+    oracle=None,
+    note=(
+        "extension (r7, TPC-H Q20 shape): suppliers who shipped more "
+        "than a fifth of a matching part's corpus-wide quantity — the "
+        "nested-IN-with-aggregate-threshold pattern decorrelated: the "
+        "(supplier, part) quantity groupBy joins the per-part total "
+        "groupBy on the co-partitioned part key, the threshold filter "
+        "runs on the joined row, and the surviving supplier keys "
+        "SEMI-join the supplier dim. p_name LIKE stands in for Q20's "
+        "prefix filter; shipped quantity for availqty (no partsupp). "
+        "DuckDB parity in tests/test_relational_extras.py"
+    ),
+)
+def q_sql_excess_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    widget_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    sq = (
+        li.join(
+            F.broadcast(widget_parts),
+            li["l_partkey"] == widget_parts["p_partkey"],
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_q")
+        )
+    )
+    pt = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_tq")
+    )
+    excess_keys = (
+        sq.join(pt, sq["l_partkey"] == pt["_pk"])
+        .filter(F.col("_q") * 5 > F.col("_tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        sup.join(
+            excess_keys, sup["s_suppkey"] == excess_keys["l_suppkey"],
+            "leftsemi",
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal").cast("double"), 2).alias(
+                "s_acctbal"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )

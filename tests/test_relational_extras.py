@@ -426,3 +426,71 @@ def test_waiting_suppliers_matches_duckdb(spark, qs):
         """,
     )
     assert got == ref and got
+
+
+def test_important_parts_matches_duckdb(spark, qs):
+    """TPC-H Q11 shape: HAVING against a global scalar subquery."""
+    got = [tuple(r) for r in qs["sql_important_parts"](spark, SF).collect()]
+    ref = _duck(
+        SF,
+        """
+        WITH v AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY 1)
+        SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+        FROM v
+        WHERE CAST(val AS DECIMAL(38,6))
+              > (SELECT sum(CAST(val AS DECIMAL(38,6))) FROM v) * 0.01
+        ORDER BY part_value DESC, l_partkey ASC
+        """,
+    )
+    assert got == ref and got
+    # selective: strictly fewer winners than the per-part table has rows
+    n_parts = _duck(
+        SF,
+        """
+        SELECT count(DISTINCT l_partkey) FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        """,
+    )[0][0]
+    assert len(got) < n_parts
+
+
+def test_excess_suppliers_matches_duckdb(spark, qs):
+    """TPC-H Q20 shape: nested IN with aggregate threshold,
+    decorrelated to co-partitioned groupBys + a semi join."""
+    got = [tuple(r) for r in qs["sql_excess_suppliers"](spark, SF).collect()]
+    ref = _duck(
+        SF,
+        """
+        SELECT s_suppkey, s_name,
+               round(CAST(s_acctbal AS DOUBLE), 2)
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM (
+            SELECT l_suppkey, l_partkey,
+                   sum(CAST(l_quantity AS DECIMAL(28,6))) AS q
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2) sq
+          JOIN (
+            SELECT l_partkey AS pk,
+                   sum(CAST(l_quantity AS DECIMAL(28,6))) AS tq
+            FROM lineitem GROUP BY 1) pt
+          ON sq.l_partkey = pt.pk
+          WHERE q * 5 > tq)
+        ORDER BY s_suppkey
+        """,
+    )
+    assert got == ref and got
+    # the threshold genuinely filters (not every supplier qualifies)
+    n_sup = _duck(SF, "SELECT count(*) FROM supplier")[0][0]
+    assert len(got) < n_sup

@@ -264,3 +264,39 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "category" in pf_line
     assert back.count() > 0
+
+
+def test_waiting_suppliers_plans_semi_anti_no_cartesian(spark, sf_dir):
+    """TPC-H Q21's EXISTS / NOT EXISTS must plan as hash-partitioned
+    LeftSemi / LeftAnti joins on the orderkey — never a cartesian or
+    nested-loop over the fact table."""
+    from etl_hero_spark.registry import REGISTRY, _load_extensions
+
+    _load_extensions()
+    plan = plan_str(REGISTRY["sql_waiting_suppliers"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_classifier_apply_stays_jvm_side(spark, sf_dir):
+    """The capstone's serving pass (hashed features + literal sigmoid)
+    must contain no row-Python: scoring is codegen'd expressions over
+    the staged feature table."""
+    from etl_hero_spark.registry import REGISTRY, _load_extensions
+
+    _load_extensions()
+    plan = plan_str(
+        REGISTRY["pipeline_quality_classifier"].spark(spark, sf_dir)
+    )
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_pricing_summary_cutoff_pushes_to_scan(spark, sf_dir):
+    """TPC-H Q1's shipdate cutoff must reach the lineitem parquet scan."""
+    from etl_hero_spark.registry import REGISTRY, _load_extensions
+
+    _load_extensions()
+    plan = plan_str(REGISTRY["sql_pricing_summary"].spark(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan

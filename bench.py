@@ -49,7 +49,6 @@ HEADLINE = [
     "sim_topk_ivf",
     "events_windows",
     "events_sessionize",
-    "join_salted_orders_customer",
     "distinct_customers_per_priority",
     "events_asof_join",
     "profile_stats",  # absorbed profile_quantiles + profile_correlation
@@ -71,13 +70,11 @@ HEADLINE = [
     "layout_zorder_events",
     "sim_topk_pq",
     "events_resample_hourly",
-    "events_latest_state",
     "text_bigram_logprob",
     "profile_quantile_sketch",
     "profile_distinct_sketch",
     "profile_corr_matrix",
     "events_rolling_features",
-    "events_interval_overlap",
     "profile_benford",
     "text_pii_ccards",
     "pipeline_warehouse_sync",
@@ -203,6 +200,18 @@ HEADLINE = [
     "sql_customer_distribution",
     "sql_small_quantity_revenue",
     "sql_supplier_relationship",
+    # round-7 additions
+    "pipeline_quality_classifier",
+    "stream_quality_score",
+    "dedup_spans_incremental",
+    "sim_topk_ivfsq8",
+    "sim_topk_ivfpq_residual",
+    "sql_pricing_summary",
+    "sql_local_supplier_volume",
+    "sql_shipmode_priority",
+    "sql_waiting_suppliers",
+    "sql_important_parts",
+    "sql_excess_suppliers",
 ]
 
 
@@ -269,6 +278,21 @@ NOTES = {
         "shares the memoized quality-classifier fit with "
         "pipeline_quality_classifier (registry._quality_model); its "
         "own cost is the stateless append-mode stream pass."
+    ),
+    "dedup_spans_incremental": (
+        "probes a fixture-memoized span index (write_span_index, built "
+        "once per process — the persisted-index posture); the cold full "
+        "sweep pays the build, warm runs pay only the batch probe."
+    ),
+    "sim_topk_ivfsq8": (
+        "probes a fixture-memoized IVF-SQ8 index (built once per "
+        "process); cold cost is the index write, warm is the pruned "
+        "probe + rerank."
+    ),
+    "sim_topk_ivfpq_residual": (
+        "probes a fixture-memoized residual IVF-PQ index (built once "
+        "per process); cold cost is the staged residual encode, warm "
+        "is the pruned ADC probe + rerank."
     ),
     "multimodal_decode": (
         "r5 flagged 0.80->6.76s (8.5x) with the plan and code unchanged "

@@ -1747,7 +1747,6 @@ def write_ivfpq_residual_index(
         corpus, n_centroids=n_centroids, vec_col=vec_col
     )
     spark = corpus.sparkSession
-    dim = len(cents[0])
     cents_sql = "array(" + ", ".join(
         "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in c)
         + ")"
@@ -1807,7 +1806,6 @@ def write_ivfpq_residual_index(
     enc.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/codes"
     )
-    assert dim % m == 0
     return cents, books
 
 

@@ -3221,3 +3221,100 @@ def q_sql_excess_suppliers(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "profile_spearman",
+    oracle=None,
+    note=(
+        "extension (r7): Spearman rank correlation — Pearson over "
+        "tie-averaged ranks, the monotone-relationship sibling of the "
+        "exact-decimal Pearson matrix (which a single outlier or a "
+        "nonlinear monotone curve can hide from). Each column reduces "
+        "to its distinct-value tie table; cumulative tie counts via "
+        "the mann_whitney two-phase range-bucket prefix scan (never a "
+        "partition-less window); DOUBLED ranks keep every moment sum "
+        "an exact integer DECIMAL fold, so rho is bit-stable under any "
+        "partitioning. Panel: the raw (quantity, price) pair — "
+        "independent by fixture construction, near-zero rho is the "
+        "correct answer — next to a deterministically monotone "
+        "engineered pair that must read ~1. DuckDB window-rank parity "
+        "+ monotone/degenerate edges in tests/test_stattests.py"
+    ),
+)
+def q_profile_spearman(spark, sf_dir):
+    from etl_hero_spark.stattests import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw = spearman_corr(li, "l_quantity", "l_extendedprice").select(
+        F.lit("qty_vs_price").alias("pair"), "n", "rho"
+    )
+    engineered = li.select(
+        F.col("l_extendedprice").alias("x"),
+        # a monotone nonlinear transform WITH ties (2dp floor):
+        # Spearman must read ~1 where Pearson reads < 1
+        F.floor(F.col("l_extendedprice")).cast("double").alias("y"),
+    )
+    mono = spearman_corr(engineered, "x", "y").select(
+        F.lit("price_vs_floor_price").alias("pair"), "n", "rho"
+    )
+    return raw.unionByName(mono).orderBy("pair")
+
+
+_URL_TLDS = ["com", "org", "net", "info", "xyz"]
+
+
+@register(
+    "text_url_filter",
+    oracle=None,
+    note=(
+        "extension (r7): C4-style URL/domain curation — the first gate "
+        "every web-corpus recipe applies (Raffel et al. 2020 §2.2): "
+        "host + TLD parsed with builtin parse_url/regexp (map-only, no "
+        "UDF), bad-domain blocklist applied as a broadcast join. The "
+        "documents fixture carries no URL, so one is synthesized "
+        "DETERMINISTICALLY from (source, doc_id) — the WAV/PII "
+        "synthesis posture, identical construction available to any "
+        "engine — and the blocklist is every domain whose md5 starts "
+        "with '0' (~1/16 of domains, engine-neutral). Per-TLD panel: "
+        "docs, blocked, kept, distinct hosts. DuckDB parity in "
+        "tests/test_textops.py"
+    ),
+)
+def q_text_url_filter(spark, sf_dir):
+    from etl_hero_spark.textops import url_domain_stats
+
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _URL_TLDS]),
+        (F.col("doc_id") % len(_URL_TLDS) + 1).cast("int"),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("-"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("."),
+            tld,
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    hosts = docs.select(
+        F.parse_url("url", F.lit("HOST")).alias("domain")
+    ).distinct()
+    blocklist = hosts.filter(F.md5("domain").startswith("0"))
+    out = url_domain_stats(docs, "url", blocklist)
+    return (
+        out.groupBy(F.col("url_tld").alias("tld"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("url_blocked").cast("bigint").alias("n_blocked"),
+            F.sum(
+                (F.col("url_blocked") == 0).cast("int")
+            ).cast("bigint").alias("n_kept"),
+            F.countDistinct("url_host").cast("bigint").alias("n_hosts"),
+        )
+        .orderBy("tld")
+    )

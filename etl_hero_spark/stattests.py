@@ -648,3 +648,90 @@ def anova_oneway(
         df2.cast("bigint").alias("df2"),
         F.round(f_stat, scale).alias("f_stat"),
     )
+
+
+def spearman_corr(
+    df: DataFrame, col_x: str, col_y: str, scale: int = 6
+) -> DataFrame:
+    """Spearman rank correlation — Pearson over TIE-AVERAGED ranks,
+    the monotone-relationship sibling of the exact-decimal Pearson in
+    profile.correlation_matrix (which a single outlier or a nonlinear
+    monotone curve can hide from).
+
+    Distributed shape: each column reduces to its distinct-value
+    tie-count table; exclusive cumulative tie counts come from the
+    same two-phase range-bucket prefix scan as mann_whitney
+    (_cum_by_value — never a partition-less window); tie-averaged
+    ranks join back on the co-partitioned value key. Rank arithmetic
+    stays integral by working with DOUBLED ranks (2r = 2*start + t + 1
+    is an exact integer), so every moment sum is an exact DECIMAL fold
+    and rho is bit-stable under any partitioning; the common factor 4
+    cancels between numerator and denominator. Complete-case rows
+    only. One row: (n, rho). DuckDB window-rank parity in
+    tests/test_stattests.py."""
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    base = parquet_checkpoint(
+        df.filter(
+            F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+        ).select(
+            F.col(col_x).alias("_x"), F.col(col_y).alias("_y")
+        ),
+        "spearman-base",
+    )
+
+    def doubled_ranks(col: str) -> DataFrame:
+        vals = parquet_checkpoint(
+            base.groupBy(col).agg(F.count(F.lit(1)).alias("_t")),
+            f"spearman-vals{col}",
+        )
+        c = _cum_by_value(vals, col, ["_t"])
+        # tie-averaged rank r = start + (t + 1)/2; doubled:
+        # 2r = 2*start + t + 1 (exact integer)
+        return c.select(
+            col,
+            (
+                F.lit(2).cast(_DEC0) * F.col("_cum__t")
+                + F.col("_t").cast(_DEC0)
+                + F.lit(1).cast(_DEC0)
+            ).alias(f"_r2{col}"),
+        )
+    ranked = base.join(doubled_ranks("_x"), "_x").join(
+        doubled_ranks("_y"), "_y"
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_r2_x").alias("_sx"),
+        F.sum("_r2_y").alias("_sy"),
+        F.sum(
+            F.col("_r2_x").cast("decimal(19,0)")
+            * F.col("_r2_y").cast("decimal(19,0)")
+        ).alias("_sxy"),
+        F.sum(
+            F.col("_r2_x").cast("decimal(19,0)")
+            * F.col("_r2_x").cast("decimal(19,0)")
+        ).alias("_sxx"),
+        F.sum(
+            F.col("_r2_y").cast("decimal(19,0)")
+            * F.col("_r2_y").cast("decimal(19,0)")
+        ).alias("_syy"),
+    )
+    num = (
+        F.col("_n").cast("double") * F.col("_sxy").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    )
+    den_x = (
+        F.col("_n").cast("double") * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    den_y = (
+        F.col("_n").cast("double") * F.col("_syy").cast("double")
+        - F.col("_sy").cast("double") * F.col("_sy").cast("double")
+    )
+    return m.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.when(
+            (den_x > 0) & (den_y > 0),
+            F.round(num / F.sqrt(den_x * den_y), scale),
+        ).alias("rho"),
+    )

@@ -1355,3 +1355,44 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("tok").asc(), F.col("next_tok").asc()
     ).limit(top_k)
+
+
+def url_domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    blocklist: DataFrame | None = None,
+) -> DataFrame:
+    """C4-style URL/domain curation signals (Raffel et al. 2020 §2.2 —
+    the first gate every web-corpus recipe applies before any text is
+    read): parse host and TLD from the URL column with builtin
+    parse_url/regexp (pure codegen, no UDF) and, when a ``blocklist``
+    frame of (domain) rows is given, flag blocked documents via a
+    broadcast LEFT SEMI-shaped join (the blocklist is small by
+    contract — a curated list, not a corpus).
+
+    Adds: ``url_host``, ``url_tld``, ``url_blocked`` (int). Malformed
+    URLs (no host) get NULL host/tld and url_blocked=0 — route them to
+    a stricter gate rather than silently dropping. At 100 TB this is a
+    map-only pass plus one broadcast."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    out = docs.withColumn("url_host", host).withColumn(
+        "url_tld",
+        F.regexp_extract(F.col("url_host"), r"\.([a-z0-9-]+)$", 1),
+    )
+    if blocklist is None:
+        return out.withColumn("url_blocked", F.lit(0))
+    b = blocklist.select(
+        F.col(blocklist.columns[0]).alias("_blocked_domain")
+    ).distinct()
+    return (
+        out.join(
+            F.broadcast(b),
+            out["url_host"] == F.col("_blocked_domain"),
+            "left",
+        )
+        .withColumn(
+            "url_blocked",
+            F.col("_blocked_domain").isNotNull().cast("int"),
+        )
+        .drop("_blocked_domain")
+    )

@@ -335,3 +335,63 @@ def test_weighted_quantile_unit_weights_and_validation(spark):
     assert row["wq_1_0"] == 4.0
     with pytest.raises(ValueError, match="ps"):
         weighted_quantile(df, "v", "w", ps=[0.0])
+
+
+def test_spearman_matches_duckdb_and_scipy_semantics(spark, sf_dir):
+    """rho == DuckDB's Pearson over tie-averaged window ranks (the
+    textbook Spearman with ties), and detects a monotone-nonlinear
+    relationship Pearson understates."""
+    import duckdb
+
+    from etl_hero_spark.stattests import spearman_corr
+
+    got = spearman_corr(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "l_quantity",
+        "l_extendedprice",
+    ).first()
+    want = duckdb.sql(
+        f"""
+        WITH b AS (
+          SELECT l_quantity AS x, l_extendedprice AS y
+          FROM '{sf_dir}/lineitem.parquet'
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        r AS (
+          SELECT
+            rank() OVER (ORDER BY x)
+              + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+            rank() OVER (ORDER BY y)
+              + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+          FROM b)
+        SELECT count(*) AS n, round(corr(rx, ry), 6) AS rho FROM r
+        """
+    ).fetchone()
+    assert got["n"] == want[0]
+    assert got["rho"] == pytest.approx(want[1], abs=2e-6)
+    # the synthetic fixture draws price independently of quantity —
+    # near-zero rho is the CORRECT answer here (sensitivity to a real
+    # monotone signal is pinned by the next test)
+    assert got["rho"] is not None and abs(got["rho"]) < 0.2
+
+
+def test_spearman_monotone_and_degenerate_edges(spark):
+    from etl_hero_spark.stattests import spearman_corr
+
+    # perfect monotone (nonlinear) relationship -> rho == 1 exactly
+    df = spark.createDataFrame(
+        [(float(i), float(i**3)) for i in range(1, 40)], "x double, y double"
+    )
+    r = spearman_corr(df, "x", "y").first()
+    assert r["rho"] == 1.0 and r["n"] == 39
+    # reversed -> -1
+    df2 = spark.createDataFrame(
+        [(float(i), float(-(i**3))) for i in range(1, 40)],
+        "x double, y double",
+    )
+    assert spearman_corr(df2, "x", "y").first()["rho"] == -1.0
+    # constant column -> NULL rho (undefined), not a crash or a 0
+    df3 = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(10)], "x double, y double"
+    )
+    r3 = spearman_corr(df3, "x", "y").first()
+    assert r3["rho"] is None and r3["n"] == 10

@@ -1020,3 +1020,70 @@ def test_bm25_query_scores_match_per_term_sum(spark):
         for r in textops.bm25_query_scores(df.repartition(5), q).collect()
     }
     assert again == {k: v[0] for k, v in got.items()}
+
+
+def test_url_filter_matches_duckdb(spark, sf_dir):
+    """The synthesized-URL domain gate: per-TLD doc/blocked/kept/host
+    counts == a DuckDB replica of the same deterministic construction
+    (md5-prefix blocklist, regexp host extraction)."""
+    import duckdb
+
+    from etl_hero_spark.registry import REGISTRY, _load_extensions
+
+    _load_extensions()
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["text_url_filter"].spark(spark, sf_dir).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH tlds AS (SELECT ['com','org','net','info','xyz'] AS ts),
+            d AS (
+              SELECT doc_id,
+                     source || '-' || (doc_id % 97)::VARCHAR || '.' ||
+                     ts[(doc_id % 5 + 1)::INT] AS host
+              FROM '{sf_dir}/documents.parquet', tlds),
+            x AS (
+              SELECT doc_id, host,
+                     regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+                     CASE WHEN md5(host) LIKE '0%' THEN 1 ELSE 0 END
+                       AS blocked
+              FROM d)
+            SELECT tld, count(*)::BIGINT,
+                   sum(blocked)::BIGINT,
+                   sum(1 - blocked)::BIGINT,
+                   count(DISTINCT host)::BIGINT
+            FROM x GROUP BY tld ORDER BY tld
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) == 5
+    # the blocklist genuinely bites somewhere and keeps most docs
+    total_blocked = sum(b for _, _, b, _, _ in got)
+    total = sum(n for _, n, _, _, _ in got)
+    assert 0 < total_blocked < total
+
+
+def test_url_domain_stats_handles_malformed(spark):
+    from etl_hero_spark.textops import url_domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://good.example.com/x"),
+            (2, "not a url"),
+            (3, None),
+        ],
+        "doc_id bigint, url string",
+    )
+    block = spark.createDataFrame(
+        [("good.example.com",)], "domain string"
+    )
+    rows = {
+        r["doc_id"]: r for r in url_domain_stats(df, "url", block).collect()
+    }
+    assert rows[1]["url_host"] == "good.example.com"
+    assert rows[1]["url_tld"] == "com" and rows[1]["url_blocked"] == 1
+    # malformed/NULL: NULL host, unblocked — routed, not dropped
+    assert rows[2]["url_blocked"] == 0 and rows[3]["url_blocked"] == 0
+    assert rows[3]["url_host"] is None

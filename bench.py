@@ -212,6 +212,9 @@ HEADLINE = [
     "sql_waiting_suppliers",
     "sql_important_parts",
     "sql_excess_suppliers",
+    "profile_spearman",
+    "text_url_filter",
+    "stream_psi_monitor",
 ]
 
 

@@ -1301,3 +1301,86 @@ def nullity_correlation(
         .select("_pair.*")
         .orderBy("col_a", "col_b")
     )
+
+
+def psi_reference(
+    df: DataFrame, col: str, bins: int = 10
+) -> dict:
+    """Fit the FIXED-EDGE side of a live PSI monitor from a reference
+    snapshot: (lo, hi, per-bucket shares, n). A streaming monitor
+    cannot re-derive union-wide edges per micro-batch — production
+    drift monitors freeze the reference edges and score the live feed
+    against them; this is that frozen artifact (a bounded dict, plan-
+    literal material)."""
+    b = df.agg(
+        F.min(col).cast("double").alias("lo"),
+        F.max(col).cast("double").alias("hi"),
+        F.count(col).alias("n"),
+    ).first()
+    if not b["n"]:
+        raise ValueError(f"psi_reference: no non-null rows in {col!r}")
+    lo, hi = float(b["lo"]), float(b["hi"])
+    expr = _psi_bucket_expr(col, lo, hi, bins)
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in df.filter(F.col(col).isNotNull())
+        .groupBy(expr.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = int(b["n"])
+    return {
+        "col": col,
+        "lo": lo,
+        "hi": hi,
+        "bins": int(bins),
+        "n": n,
+        "shares": [counts.get(i, 0) / n for i in range(bins)],
+    }
+
+
+def _psi_bucket_expr(col: str, lo: float, hi: float, bins: int):
+    """Fixed-edge bucket id (literal bounds — streaming-safe); values
+    outside [lo, hi] clamp to the edge buckets so a drifted live feed
+    lands in the tails instead of vanishing."""
+    x = F.col(col).cast("double")
+    if hi > lo:
+        raw = F.floor((x - F.lit(lo)) * bins / F.lit(hi - lo))
+        return F.greatest(
+            F.lit(0), F.least(F.lit(bins - 1), raw)
+        ).cast("int")
+    return F.lit(0)
+
+
+def psi_from_counts(
+    live_counts: DataFrame, ref: dict, eps: float = 1e-6
+) -> DataFrame:
+    """PSI of a live per-bucket count table against a frozen
+    reference (psi_reference): the bounded-table arithmetic shared by
+    the batch twin and the streaming monitor's drained state — one
+    expression, so stream == batch is a statement about inputs. Same
+    eps clamp and 9dp DECIMAL term fold as psi_drift."""
+    bins = ref["bins"]
+    spark = live_counts.sparkSession
+    ref_rows = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(ref["shares"])],
+        "bucket int, p_ref double",
+    )
+    full = ref_rows.join(
+        live_counts.select("bucket", "cnt"), "bucket", "left"
+    )
+    tot = full.agg(F.sum("cnt").alias("_t")).first()["_t"] or 0
+    if tot == 0:
+        raise ValueError("psi_from_counts: live side is empty")
+    p_live = F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / float(
+        tot
+    )
+    pa = F.greatest(F.col("p_ref"), F.lit(eps))
+    pb = F.greatest(p_live, F.lit(eps))
+    term = F.round((pa - pb) * F.log(pa / pb), 9).cast("decimal(18,9)")
+    return full.withColumn("_term", term).agg(
+        F.lit(ref["col"]).alias("column"),
+        F.round(F.sum("_term").cast("double"), 6).alias("psi"),
+        F.lit(ref["n"]).cast("bigint").alias("n_ref"),
+        F.sum("cnt").cast("bigint").alias("n_live"),
+    )

@@ -1316,3 +1316,37 @@ def q_stream_quality_score(spark, sf_dir):
         f"{sf_dir}/documents.parquet",
         _quality_model(spark, sf_dir, dim=16),
     )
+
+
+@register(
+    "stream_psi_monitor",
+    oracle=None,
+    note=(
+        "streaming extension (r7): TRUE streaming drift monitor — the "
+        "19th twin, the live form of profile_psi_drift: bucket edges "
+        "and shares FREEZE from a reference snapshot "
+        "(profile.psi_reference — production monitors never re-derive "
+        "edges from the live feed; out-of-range live values clamp into "
+        "the tail buckets instead of vanishing), the stream maintains "
+        "ONE complete-mode <= bins-row bucket-count state, and PSI "
+        "finalizes over the drained bounded table with the SAME "
+        "psi_from_counts arithmetic the batch twin uses. Reference = "
+        "even event_ids (batch), live = odd event_ids on the file "
+        "stream. Drained PSI == batch fixed-edge PSI pinned in "
+        "tests/test_streaming.py"
+    ),
+)
+def q_stream_psi_monitor(spark, sf_dir):
+    from etl_hero_spark.profile import psi_reference
+    from etl_hero_spark.streaming import stream_psi_monitor
+
+    ref = psi_reference(
+        _events(spark, sf_dir).filter(F.col("event_id") % 2 == 0),
+        "value",
+    )
+    return stream_psi_monitor(
+        spark,
+        f"{sf_dir}/events.parquet",
+        ref,
+        live_pred=F.col("event_id") % 2 == 1,
+    )

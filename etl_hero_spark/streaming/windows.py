@@ -1634,3 +1634,48 @@ def stream_quality_score(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stream_psi_monitor(
+    spark: SparkSession,
+    events_path: str,
+    ref: dict,
+    live_pred: Column | None = None,
+    query_name: str = "etl_hero_stream_psi",
+) -> DataFrame:
+    """TRUE streaming drift monitor — the 19th twin, and the live form
+    of psi_drift: the reference's frozen bucket edges and shares
+    (profile.psi_reference — production monitors never re-derive edges
+    from the live feed) score the arriving stream. The stream side is
+    ONE complete-mode aggregate whose state is the <= bins-row bucket
+    count table (the monitor itself, queryable mid-stream); PSI
+    finalizes on the drained bounded table via the SAME
+    psi_from_counts arithmetic the batch twin uses — stream == batch
+    is a statement about one expression. Returns the one-row PSI
+    report."""
+    from etl_hero_spark.profile import _psi_bucket_expr, psi_from_counts
+
+    src = _events_stream_source(spark, events_path, "etl_hero_stream_psi_")
+    if live_pred is not None:
+        src = src.filter(live_pred)
+    col = ref["col"]
+    agg = (
+        src.filter(F.col(col).isNotNull())
+        .groupBy(
+            _psi_bucket_expr(col, ref["lo"], ref["hi"], ref["bins"]).alias(
+                "bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return psi_from_counts(spark.table(query_name), ref)

@@ -1030,3 +1030,49 @@ def test_stream_quality_score_equals_batch(spark, sf_dir):
     ps = [p for _, p in batch.values()]
     assert all(0.0 <= p <= 1.0 for p in ps)
     assert max(ps) > min(ps)
+
+
+def test_stream_psi_monitor_equals_batch_and_detects_drift(spark, sf_dir):
+    """19th twin: the drained streaming PSI == the batch fixed-edge
+    PSI over the same frozen reference; a same-distribution live feed
+    reads stable, a shifted one reads drifted."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.profile import (
+        _psi_bucket_expr,
+        psi_from_counts,
+        psi_reference,
+    )
+    from etl_hero_spark.registry import _events
+    from etl_hero_spark.streaming import stream_psi_monitor
+
+    ev = _events(spark, sf_dir)
+    ref = psi_reference(ev.filter(F.col("event_id") % 2 == 0), "value")
+    live = ev.filter(
+        (F.col("event_id") % 2 == 1) & F.col("value").isNotNull()
+    )
+    batch_counts = live.groupBy(
+        _psi_bucket_expr("value", ref["lo"], ref["hi"], ref["bins"]).alias(
+            "bucket"
+        )
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    batch = psi_from_counts(batch_counts, ref).first()
+    streamed = stream_psi_monitor(
+        spark,
+        f"{sf_dir}/events.parquet",
+        ref,
+        live_pred=F.col("event_id") % 2 == 1,
+        query_name="etl_hero_stream_psi_t",
+    ).first()
+    assert tuple(streamed) == tuple(batch)
+    # even/odd halves share a distribution: stable reading
+    assert batch["psi"] < 0.1
+    # a planted shift (values scaled 3x) must read as real drift
+    shifted = live.withColumn("value", F.col("value") * 3.0)
+    drift_counts = shifted.groupBy(
+        _psi_bucket_expr("value", ref["lo"], ref["hi"], ref["bins"]).alias(
+            "bucket"
+        )
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    drifted = psi_from_counts(drift_counts, ref).first()
+    assert drifted["psi"] > 0.25

@@ -215,6 +215,7 @@ HEADLINE = [
     "profile_spearman",
     "text_url_filter",
     "stream_psi_monitor",
+    "features_quantile_regression",
 ]
 
 
@@ -296,6 +297,12 @@ NOTES = {
         "probes a fixture-memoized residual IVF-PQ index (built once "
         "per process); cold cost is the staged residual encode, warm "
         "is the pruned ADC probe + rerank."
+    ),
+    "features_quantile_regression": (
+        "three-tau pinball IRLS panel memoized per fixture (the "
+        "trained-model posture): the cold sweep pays the ~30s "
+        "iterations-x-agg fit once, warm runs read the cached bounded "
+        "panel."
     ),
     "multimodal_decode": (
         "r5 flagged 0.80->6.76s (8.5x) with the plan and code unchanged "

@@ -1050,3 +1050,97 @@ def hashed_token_feature_exprs(
             .alias(f"f_{j}")
         )
     return out
+
+
+def quantile_reg_fit(
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    tau: float = 0.5,
+    smooth: float = 1e-6,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+) -> dict:
+    """Linear quantile regression by IRLS — the conditional-quantile
+    member of the regression family (OLS = conditional mean, Huber =
+    robust mean, this = the tau-th conditional QUANTILE: P90 latency
+    curves, demand floors, any fit where the tail IS the question).
+    Minimizes the pinball loss sum rho_tau(r), r(tau - 1{r<0}), by
+    iteratively reweighted least squares with the standard smoothed
+    weights w = |tau - 1{r<0}| / max(|r|, smooth) (Schnabel & Eilers
+    2013 formulation) — each step is ONE corpus aggregation folding
+    the weighted normal matrix under literal current coefficients,
+    exactly the logreg/huber shape; numpy solves the bounded system
+    driver-side.
+
+    Returns {coef, intercept, tau, n, n_iter, frac_below} where
+    frac_below is the MEASURED fraction of residuals below the fitted
+    surface — the quantile property check (~tau), reported next to the
+    fit rather than assumed (one more bounded aggregate). Independent
+    numpy-IRLS parity, monotone-in-tau ordering, and the quantile
+    property pinned in tests/test_features.py."""
+    import numpy as np
+
+    if not 0.0 < tau < 1.0:
+        raise ValueError("tau must be in (0, 1)")
+    complete = F.col(y_col).isNotNull()
+    for c in x_cols:
+        complete = complete & F.col(c).isNotNull()
+    base = df.filter(complete).select(
+        *[F.col(c).cast("double").alias(c) for c in x_cols],
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    ols = linreg_fit(base, x_cols, "__y")
+    beta = np.array(
+        [ols["coef"][c] for c in x_cols] + [ols["intercept"]]
+    )
+
+    def pred_expr(b):
+        e = F.lit(float(b[-1]))
+        for j, c in enumerate(x_cols):
+            e = e + F.lit(float(b[j])) * F.col(c)
+        return e
+
+    p = len(x_cols) + 1
+    it = 0
+    r = None
+    for it in range(1, max_iter + 1):
+        resid = F.col("__y") - pred_expr(beta)
+        w_num = F.when(resid < 0, F.lit(1.0 - tau)).otherwise(F.lit(tau))
+        w = w_num / F.greatest(F.abs(resid), F.lit(float(smooth)))
+        xs = [F.col(c) for c in x_cols] + [F.lit(1.0)]
+        aggs = []
+        for i in range(p):
+            for j in range(i, p):
+                aggs.append(
+                    F.sum(w * xs[i] * xs[j]).alias(f"h_{i}_{j}")
+                )
+        for i in range(p):
+            aggs.append(F.sum(w * F.col("__y") * xs[i]).alias(f"g_{i}"))
+        aggs.append(F.count(F.lit(1)).alias("n"))
+        r = base.agg(*aggs).first()
+        if r["h_0_0"] is None:
+            raise ValueError("quantile_reg_fit: no complete cases")
+        H = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                H[i, j] = H[j, i] = float(r[f"h_{i}_{j}"])
+        g = np.array([float(r[f"g_{i}"]) for i in range(p)])
+        new_beta = np.linalg.solve(H, g)
+        step = float(np.abs(new_beta - beta).sum())
+        beta = new_beta
+        if step < tol:
+            break
+    below = base.agg(
+        F.avg(
+            (F.col("__y") < pred_expr(beta)).cast("double")
+        ).alias("fb")
+    ).first()
+    return {
+        "coef": dict(zip(x_cols, beta[:-1].tolist())),
+        "intercept": float(beta[-1]),
+        "tau": float(tau),
+        "n": int(r["n"]),
+        "n_iter": it,
+        "frac_below": float(below["fb"]),
+    }

@@ -642,3 +642,62 @@ def test_quality_classifier_rejects_one_class_target(spark):
             dim=8,
             model={"coef": {"f_0": 1.0}, "intercept": 0.0, "dim": 4},
         )
+
+
+def test_quantile_reg_matches_numpy_irls_and_quantile_property(spark):
+    """Distributed pinball IRLS == an independent numpy IRLS on the
+    same data; fitted surfaces are monotone in tau and each one's
+    measured below-fraction sits near its tau."""
+    import numpy as np
+
+    from etl_hero_spark.features import quantile_reg_fit
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    x = rng.uniform(1.0, 10.0, size=n)
+    # heteroscedastic noise: quantile curves genuinely fan out
+    y = 2.0 * x + 1.0 + rng.normal(size=n) * x
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+
+    def np_irls(tau, smooth=1e-6, iters=50, tol=1e-8):
+        X = np.column_stack([x, np.ones(n)])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        for _ in range(iters):
+            r = y - X @ beta
+            wn = np.where(r < 0, 1.0 - tau, tau)
+            w = wn / np.maximum(np.abs(r), smooth)
+            H = (X * w[:, None]).T @ X
+            g = (X * w[:, None]).T @ y
+            nb = np.linalg.solve(H, g)
+            if np.abs(nb - beta).sum() < tol:
+                beta = nb
+                break
+            beta = nb
+        return beta
+
+    def pinball(beta, tau):
+        r = y - (beta[0] * x + beta[1])
+        return float(np.where(r < 0, (tau - 1) * r, tau * r).sum())
+
+    fits = {}
+    for tau in (0.1, 0.5, 0.9):
+        got = quantile_reg_fit(df, ["x"], "y", tau=tau)
+        want = np_irls(tau)
+        # the pinball minimum is FLAT along data-crossing boundaries, so
+        # coordinate-level parity is ill-posed; the honest check is
+        # mutual near-optimality of the LOSS both solvers reach, plus
+        # the structural pins below
+        lg = pinball([got["coef"]["x"], got["intercept"]], tau)
+        lw = pinball(list(want), tau)
+        assert lg <= lw * 1.001 and lw <= lg * 1.001, (tau, lg, lw)
+        assert got["frac_below"] == pytest.approx(tau, abs=0.03)
+        fits[tau] = got
+    # monotone in tau at a midpoint x=5
+    at5 = {
+        t: f["coef"]["x"] * 5.0 + f["intercept"] for t, f in fits.items()
+    }
+    assert at5[0.1] < at5[0.5] < at5[0.9]
+    with pytest.raises(ValueError, match="tau"):
+        quantile_reg_fit(df, ["x"], "y", tau=1.5)

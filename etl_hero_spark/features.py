@@ -845,26 +845,51 @@ def huber_fit(
     }
 
 
+def _hashed_feature_terms(toks: Column, ngrams: int) -> Column:
+    """The feature-term array a document hashes: its lowercased tokens
+    plus, for ``ngrams >= 2``, the '_'-joined word bigrams — fastText's
+    signature feature (Joulin et al. 2016), which lets the classifier
+    see 'new york' and 'click here' as units. The token array must be
+    a MATERIALIZED column (HOF lambdas re-inline computed aliases).
+    Guarded: F.sequence DESCENDS when start > stop, so a <2-token doc
+    must short-circuit to no bigrams, not a [1,0] index walk."""
+    if ngrams < 2:
+        return toks
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, grams)
+
+
 def hashed_token_features(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 16,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Dense hashed token-bag features for text classifiers — the
     fastText/CCNet encoding step (Joulin et al. 2016; Wenzek et al.
-    2020): every token of the lowercased whitespace tokenization lands
-    in bucket ``H(token) mod dim`` with sign ± from the next hash bit
-    (Weinberger et al. 2009 — the signed hashing trick makes collision
-    noise zero-mean), and each document's feature vector is the dense
-    per-bucket signed count, L1-normalized by token count so long
-    documents don't dominate the fit.
+    2020): every feature term (lowercased whitespace token, plus the
+    '_'-joined word bigrams when ``ngrams >= 2`` — fastText's
+    signature feature) lands in bucket ``H(term) mod dim`` with sign ±
+    from the next hash bit (Weinberger et al. 2009 — the signed
+    hashing trick makes collision noise zero-mean), and each
+    document's feature vector is the dense per-bucket signed count,
+    L1-normalized by term count so long documents don't dominate the
+    fit.
 
     md5-derived buckets (conv of the leading hex — the hash_features
     contract) so the encoding is reproducible in any engine/language.
 
-    Plan: explode tokens -> ONE groupBy(id) folding all ``dim``
-    conditional sums plus the token count (single shuffle on the
+    Plan: explode feature terms -> ONE groupBy(id) folding all ``dim``
+    conditional sums plus the term count (single shuffle on the
     uniform id key, partial agg map-side; never a pivot, never a
     per-bucket pass) -> left join back so zero-token documents keep a
     defined all-zero vector. Output: input columns + ``f_0..f_{dim-1}``
@@ -873,9 +898,17 @@ def hashed_token_features(
 
     if dim < 2:
         raise ValueError("dim must be >= 2")
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("__tok"),
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            tokens_expr(F.lower(F.col(text_col))).alias("__toks"),
+        )
+        .select(
+            "__id",
+            F.explode(
+                _hashed_feature_terms(F.col("__toks"), ngrams)
+            ).alias("__tok"),
+        )
     )
     h = F.md5(F.col("__tok"))
     bucket = (
@@ -919,6 +952,7 @@ def quality_classifier_report(
     dim: int = 16,
     threshold: float = 0.5,
     model: dict | None = None,
+    ngrams: int = 1,
 ) -> tuple[DataFrame, dict]:
     """Model-based quality scoring — the CCNet/fastText-style quality
     filter (Wenzek et al. 2020; the GPT-3/LLaMA data recipes): train a
@@ -950,9 +984,12 @@ def quality_classifier_report(
     # IRLS re-scans its input once per Newton step: stage the feature
     # table once so the explode+groupBy+join subtree doesn't re-run
     # per iteration (the iterative-operator posture)
+    if model is not None:
+        ngrams = int(model.get("ngrams", ngrams))
     feats = parquet_checkpoint(
         hashed_token_features(
-            docs, text_col=text_col, id_col=id_col, dim=dim
+            docs, text_col=text_col, id_col=id_col, dim=dim,
+            ngrams=ngrams,
         ),
         "quality-feats",
     )
@@ -972,6 +1009,7 @@ def quality_classifier_report(
             )
         model = logreg_fit(feats, x_cols, target_pred.cast("boolean"))
         model["dim"] = dim
+        model["ngrams"] = ngrams
     elif int(model.get("dim", dim)) != dim:
         raise ValueError(
             "quality_classifier_report: model was fitted at dim="
@@ -1003,7 +1041,7 @@ def quality_classifier_report(
 
 
 def hashed_token_feature_exprs(
-    text_col: str = "text", dim: int = 16
+    text_col: str = "text", dim: int = 16, ngrams: int = 1
 ) -> list[Column]:
     """The SERVING form of hashed_token_features: the same signed-md5
     L1-normalized bucket features as per-row expressions — no explode,
@@ -1021,7 +1059,9 @@ def hashed_token_feature_exprs(
         raise ValueError("dim must be >= 2")
     from etl_hero_spark.textops import tokens_expr
 
-    toks = tokens_expr(F.lower(F.col(text_col)))
+    toks = _hashed_feature_terms(
+        tokens_expr(F.lower(F.col(text_col))), ngrams
+    )
     n = F.size(toks)
 
     def bucket(t: Column) -> Column:

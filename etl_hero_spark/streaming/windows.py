@@ -1617,8 +1617,11 @@ def stream_quality_score(
     )
 
     dim = int(model.get("dim", len(model["coef"])))
+    ngrams = int(model.get("ngrams", 1))
     src = _docs_stream_source(spark, docs_path).select(
-        "doc_id", "source", *hashed_token_feature_exprs("text", dim)
+        "doc_id",
+        "source",
+        *hashed_token_feature_exprs("text", dim, ngrams=ngrams),
     )
     scored = logreg_apply(src, model, out_col="quality_p").select(
         "doc_id", "source", F.round("quality_p", 9).alias("quality_p")

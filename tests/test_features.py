@@ -701,3 +701,64 @@ def test_quantile_reg_matches_numpy_irls_and_quantile_property(spark):
     assert at5[0.1] < at5[0.5] < at5[0.9]
     with pytest.raises(ValueError, match="tau"):
         quantile_reg_fit(df, ["x"], "y", tau=1.5)
+
+
+def test_hashed_bigram_features_hashlib_and_serving_parity(spark):
+    """ngrams=2 adds fastText's word bigrams: the relational build
+    matches a hashlib reference over unigrams + '_'-joined bigrams,
+    and the per-row serving expressions reproduce it bit-for-bit;
+    one-token and zero-token docs get no bigrams (never a descending
+    sequence walk)."""
+    from etl_hero_spark.features import (
+        hashed_token_feature_exprs,
+        hashed_token_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "New York city"),
+            (2, "solo"),
+            (3, ""),
+            (4, "a b a b"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rel = {
+        r["doc_id"]: r
+        for r in hashed_token_features(df, dim=8, ngrams=2).collect()
+    }
+
+    def ref_vec(text):
+        toks = text.lower().split()
+        terms = toks + [
+            f"{a}_{b}" for a, b in zip(toks, toks[1:])
+        ]
+        v = [0.0] * 8
+        for t in terms:
+            h = hashlib.md5(t.encode()).hexdigest()
+            idx = int(h[:14], 16) % 8
+            v[idx] += 1.0 if int(h[14], 16) % 2 == 0 else -1.0
+        n = len(terms)
+        return [x / n for x in v] if n else v, n
+
+    for doc_id, text in [
+        (1, "New York city"),
+        (2, "solo"),
+        (3, ""),
+        (4, "a b a b"),
+    ]:
+        want, n = ref_vec(text)
+        got = [rel[doc_id][f"f_{j}"] for j in range(8)]
+        assert got == pytest.approx(want), doc_id
+        assert rel[doc_id]["n_toks_f"] == n, doc_id
+    # serving expressions == relational build, including bigrams
+    serving = {
+        r["doc_id"]: [r[f"f_{j}"] for j in range(8)]
+        for r in df.select(
+            "doc_id", *hashed_token_feature_exprs("text", 8, ngrams=2)
+        ).collect()
+    }
+    for doc_id in (1, 2, 3, 4):
+        assert serving[doc_id] == [
+            rel[doc_id][f"f_{j}"] for j in range(8)
+        ], doc_id

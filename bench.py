@@ -216,6 +216,7 @@ HEADLINE = [
     "text_url_filter",
     "stream_psi_monitor",
     "features_quantile_regression",
+    "pipeline_quality_calibration",
 ]
 
 

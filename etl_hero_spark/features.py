@@ -1184,3 +1184,68 @@ def quantile_reg_fit(
         "n_iter": it,
         "frac_below": float(below["fb"]),
     }
+
+
+def quality_calibration_report(
+    docs: DataFrame,
+    target_pred: Column,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bins: int = 10,
+) -> DataFrame:
+    """Measured calibration of a fitted quality classifier — the
+    reliability diagram + Brier score (Niculescu-Mizil & Caruana
+    2005): a filter that keeps p >= 0.9 documents is only as good as
+    P(target | p~0.9) actually being ~0.9, so the calibration is
+    MEASURED next to the model rather than assumed (the
+    measured-recall posture applied to the classifier itself; if the
+    curve bows, isotonic_calibration is the sibling remediation).
+
+    One pass over the scored corpus: equal-width probability buckets
+    -> per-bucket (n, mean predicted p, observed target fraction) via
+    a single groupBy, plus a part='brier' summary row carrying mean
+    (p - y)^2 (the proper score) and the base rate. Output:
+    (part, bucket, n, mean_p, frac_target)."""
+    from etl_hero_spark.features import (  # noqa: PLC0415 — same module
+        hashed_token_features,
+        logreg_apply,
+    )
+
+    dim = int(model["dim"])
+    feats = hashed_token_features(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        dim=dim,
+        ngrams=int(model.get("ngrams", 1)),
+    )
+    scored = logreg_apply(feats, model, out_col="_p").withColumn(
+        "_y", target_pred.cast("double")
+    )
+    bucket = F.least(
+        F.lit(bins - 1), F.floor(F.col("_p") * bins)
+    ).cast("int")
+    rel = (
+        scored.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_p"), 6).alias("mean_p"),
+            F.round(F.avg("_y"), 6).alias("frac_target"),
+        )
+        .select(F.lit("reliability").alias("part"), "bucket", "n",
+                "mean_p", "frac_target")
+    )
+    brier = scored.agg(
+        F.lit("brier").alias("part"),
+        F.lit(None).cast("int").alias("bucket"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg((F.col("_p") - F.col("_y")) * (F.col("_p") - F.col("_y"))),
+            6,
+        ).alias("mean_p"),
+        F.round(F.avg("_y"), 6).alias("frac_target"),
+    )
+    return rel.unionByName(brier).orderBy(
+        "part", F.col("bucket").asc_nulls_first()
+    )

@@ -3381,3 +3381,35 @@ def q_features_quantile_regression(spark, sf_dir):
         "tau double, slope_quantity double, intercept double, "
         "n bigint, n_iter int, frac_below double",
     ).orderBy("tau")
+
+
+@register(
+    "pipeline_quality_calibration",
+    oracle=None,
+    note=(
+        "extension (r7): measured calibration of the fitted quality "
+        "classifier — reliability buckets + Brier score "
+        "(Niculescu-Mizil & Caruana 2005): a p>=0.9 keep-filter is "
+        "only as good as P(target | p~0.9) actually being ~0.9, so "
+        "the curve is MEASURED next to the model (the measured-recall "
+        "posture applied to the classifier itself; "
+        "features_isotonic_calibration is the sibling remediation "
+        "when it bows). Reuses the fixture-memoized fit "
+        "(registry._quality_model) — the report itself is one scored "
+        "pass + one groupBy. part='reliability' rows (bucket, n, "
+        "mean_p, frac_target) + part='brier' summary (mean_p carries "
+        "the Brier score, frac_target the base rate). Brier-vs-"
+        "hand-computed parity and separation behavior pinned in "
+        "tests/test_features.py"
+    ),
+)
+def q_pipeline_quality_calibration(spark, sf_dir):
+    from etl_hero_spark.features import quality_calibration_report
+    from etl_hero_spark.registry import _quality_model
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_calibration_report(
+        docs,
+        F.col("source") == "src0",
+        _quality_model(spark, sf_dir, dim=16),
+    )

@@ -762,3 +762,48 @@ def test_hashed_bigram_features_hashlib_and_serving_parity(spark):
         assert serving[doc_id] == [
             rel[doc_id][f"f_{j}"] for j in range(8)
         ], doc_id
+
+
+def test_quality_calibration_matches_hand_computation(spark):
+    """Reliability buckets and the Brier row equal a pandas-side hand
+    computation over the same scored corpus; the planted separable
+    corpus calibrates sharply (low Brier, extreme buckets pure)."""
+    from etl_hero_spark.features import (
+        hashed_token_features,
+        logreg_apply,
+        quality_calibration_report,
+        quality_classifier_report,
+    )
+
+    good = ["insight", "theorem", "analysis", "rigorous", "proof"]
+    junk = ["buy", "click", "now", "spam", "winner"]
+    rows = []
+    for i in range(120):
+        vocab = good if i % 2 == 0 else junk
+        src = "wiki" if i % 2 == 0 else "crawl"
+        rows.append(
+            (i, " ".join(vocab[(i + j) % 5] for j in range(10)), src)
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    target = F.col("source") == "wiki"
+    _report, model = quality_classifier_report(docs, target, dim=16)
+    got = quality_calibration_report(docs, target, model).collect()
+    rel = {r["bucket"]: r for r in got if r["part"] == "reliability"}
+    brier = [r for r in got if r["part"] == "brier"][0]
+    # hand computation over the same scores
+    scored = logreg_apply(
+        hashed_token_features(docs, dim=16), model, "_p"
+    ).select("_p", target.cast("double").alias("_y")).collect()
+    import math
+
+    hand_brier = sum((r["_p"] - r["_y"]) ** 2 for r in scored) / len(scored)
+    assert brier["mean_p"] == pytest.approx(round(hand_brier, 6), abs=1e-6)
+    assert brier["frac_target"] == 0.5 and brier["n"] == 120
+    b0 = min(rel)
+    b9 = max(rel)
+    # a separable planted corpus calibrates sharply
+    assert brier["mean_p"] < 0.05
+    assert rel[b0]["frac_target"] == 0.0 and rel[b9]["frac_target"] == 1.0
+    assert sum(r["n"] for r in rel.values()) == 120

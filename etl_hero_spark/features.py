@@ -1010,7 +1010,7 @@ def quality_classifier_report(
         model = logreg_fit(feats, x_cols, target_pred.cast("boolean"))
         model["dim"] = dim
         model["ngrams"] = ngrams
-    elif int(model.get("dim", dim)) != dim:
+    elif int(model.get("dim", len(model["coef"]))) != dim:
         raise ValueError(
             "quality_classifier_report: model was fitted at dim="
             f"{model.get('dim')} but dim={dim} requested"

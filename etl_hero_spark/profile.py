@@ -1320,6 +1320,15 @@ def psi_reference(
     if not b["n"]:
         raise ValueError(f"psi_reference: no non-null rows in {col!r}")
     lo, hi = float(b["lo"]), float(b["hi"])
+    if hi == lo:
+        # a constant reference cannot anchor a drift monitor: every
+        # live value would collapse into bucket 0 and PSI would read 0
+        # for ANY feed, masking genuine drift — fail loudly instead
+        raise ValueError(
+            f"psi_reference: {col!r} is constant in the reference "
+            f"(min == max == {lo}) — degenerate edges cannot detect "
+            "drift; pick a varying column or widen the snapshot"
+        )
     expr = _psi_bucket_expr(col, lo, hi, bins)
     counts = {
         r["bucket"]: r["cnt"]

@@ -3151,9 +3151,13 @@ def q_sql_important_parts(spark, sf_dir):
     )
     return (
         per_part.crossJoin(F.broadcast(total))
+        # keep the 1%-of-total threshold decimal-exact: val > tot*0.01
+        # rewritten as val*100 > tot so no double promotion can move a
+        # part sitting exactly on the boundary (the oracle's DECIMAL
+        # 0.01 arithmetic is exact too — identical cut in both engines)
         .filter(
-            F.col("_val").cast("decimal(38,6)")
-            > F.col("_tot").cast("decimal(38,6)") * F.lit(0.01)
+            F.col("_val").cast("decimal(32,2)") * F.lit(100)
+            > F.col("_tot").cast("decimal(38,2)")
         )
         .select(
             "l_partkey",

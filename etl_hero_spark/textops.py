@@ -1377,7 +1377,14 @@ def url_domain_stats(
     host = F.parse_url(F.col(url_col), F.lit("HOST"))
     out = docs.withColumn("url_host", host).withColumn(
         "url_tld",
-        F.regexp_extract(F.col("url_host"), r"\.([a-z0-9-]+)$", 1),
+        # regexp_extract yields '' (not NULL) when a non-null host has
+        # no '.suffix' match (e.g. 'https://localhost/x') — nullif so
+        # no-TLD hosts report NULL as documented, not a spurious ''
+        # group in per-TLD reports
+        F.nullif(
+            F.regexp_extract(F.col("url_host"), r"\.([a-z0-9-]+)$", 1),
+            F.lit(""),
+        ),
     )
     if blocklist is None:
         return out.withColumn("url_blocked", F.lit(0))

@@ -642,6 +642,18 @@ def test_quality_classifier_rejects_one_class_target(spark):
             dim=8,
             model={"coef": {"f_0": 1.0}, "intercept": 0.0, "dim": 4},
         )
+    # a hand-built model MISSING the 'dim' key must not silently pass:
+    # the guard falls back to the model's true width (len(coef))
+    with pytest.raises(ValueError, match="dim"):
+        quality_classifier_report(
+            docs,
+            F.col("doc_id") % 2 == 0,
+            dim=8,
+            model={
+                "coef": {"f_0": 1.0, "f_1": -0.5},
+                "intercept": 0.0,
+            },
+        )
 
 
 def test_quantile_reg_matches_numpy_irls_and_quantile_property(spark):

@@ -450,6 +450,25 @@ def test_important_parts_matches_duckdb(spark, qs):
         """,
     )
     assert got == ref and got
+    # the 1% cut is decimal-exact in BOTH engines: a value landing
+    # EXACTLY on the boundary is excluded (strict >) with no double
+    # rounding able to flip it — replay the cut on a planted boundary
+    boundary = spark.createDataFrame(
+        # parts: 1.00 (exactly 1% of 100.00), 98.00, 1.00
+        [(1, "1.00"), (2, "98.00"), (3, "1.00")],
+        "pk bigint, v string",
+    ).select("pk", F.col("v").cast("decimal(18,2)").alias("_val"))
+    tot = boundary.agg(F.sum("_val").alias("_tot"))
+    winners = (
+        boundary.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("_val").cast("decimal(32,2)") * F.lit(100)
+            > F.col("_tot").cast("decimal(38,2)")
+        )
+        .select("pk")
+        .collect()
+    )
+    assert [r["pk"] for r in winners] == [2]
     # selective: strictly fewer winners than the per-part table has rows
     n_parts = _duck(
         SF,

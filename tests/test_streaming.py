@@ -1076,3 +1076,18 @@ def test_stream_psi_monitor_equals_batch_and_detects_drift(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("cnt"))
     drifted = psi_from_counts(drift_counts, ref).first()
     assert drifted["psi"] > 0.25
+
+
+def test_psi_reference_rejects_constant_column(spark):
+    """A constant reference column (min == max) cannot anchor a drift
+    monitor — every live value would collapse into bucket 0 and PSI
+    would read 0 for ANY feed. psi_reference must refuse loudly."""
+    import pytest
+
+    from etl_hero_spark.profile import psi_reference
+
+    df = spark.createDataFrame(
+        [(i, 7.5) for i in range(20)], "id bigint, v double"
+    )
+    with pytest.raises(ValueError, match="constant in the reference"):
+        psi_reference(df, "v")

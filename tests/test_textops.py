@@ -1087,3 +1087,26 @@ def test_url_domain_stats_handles_malformed(spark):
     # malformed/NULL: NULL host, unblocked — routed, not dropped
     assert rows[2]["url_blocked"] == 0 and rows[3]["url_blocked"] == 0
     assert rows[3]["url_host"] is None
+
+
+def test_url_domain_stats_no_tld_host_yields_null_tld(spark):
+    """A non-null host with no '.suffix' (localhost, bare name) must
+    report NULL tld as documented — regexp_extract's '' no-match
+    result is nullif'd so per-TLD reports never grow a '' group."""
+    from etl_hero_spark.textops import url_domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://localhost/x"),
+            (2, "https://intranet:8080/page"),
+            (3, "https://real.example.org/y"),
+        ],
+        "doc_id bigint, url string",
+    )
+    rows = {
+        r["doc_id"]: r for r in url_domain_stats(df, "url").collect()
+    }
+    assert rows[1]["url_host"] == "localhost"
+    assert rows[1]["url_tld"] is None
+    assert rows[2]["url_tld"] is None
+    assert rows[3]["url_tld"] == "org"

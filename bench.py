@@ -544,11 +544,20 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def prior_full_times() -> tuple[dict[str, float], float]:
+def prior_full_times(
+    exclude_round: int | None = None,
+) -> tuple[dict[str, float], float]:
     """Prior FULL-sweep per-query times: the newest committed
     BENCH_FULL_r{N}.json (these carry the cold one-time build costs —
     k-means codebooks, ER indexes — the warm headline gate never sees,
-    so they get their own round-over-round prior)."""
+    so they get their own round-over-round prior).
+
+    ``exclude_round`` is the IN-FLIGHT round number: any committed sweep
+    from that round (or later) is skipped so a re-run within a round can
+    never self-compare against its own earlier sweep — vs_prev must
+    always measure round-over-round movement, not intra-round noise
+    (VERDICT r7: a 43cd40b re-run silently compared against the same
+    round's first sweep)."""
     import glob
     import re
 
@@ -556,7 +565,7 @@ def prior_full_times() -> tuple[dict[str, float], float]:
     rounds = []
     for p in glob.glob(os.path.join(here, "BENCH_FULL_r*.json")):
         m = re.search(r"BENCH_FULL_r(\d+)\.json$", p)
-        if m:
+        if m and (exclude_round is None or int(m.group(1)) < exclude_round):
             rounds.append((int(m.group(1)), p))
     for _, path in sorted(rounds, reverse=True):
         try:
@@ -596,7 +605,14 @@ def run_full(out_path: str) -> None:
         times[name] = timed(name)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    prev, prev_sf = prior_full_times()
+    # the round being written (parsed from the output name) is excluded
+    # from the prior glob — a re-run never self-compares (VERDICT r7 #2)
+    import re as _re
+
+    m = _re.search(r"BENCH_FULL_r(\d+)\.json$", os.path.basename(out_path))
+    prev, prev_sf = prior_full_times(
+        exclude_round=int(m.group(1)) if m else None
+    )
     if sf_val != prev_sf:
         prev = {}
 

@@ -60,6 +60,44 @@ def test_prior_round_times_prefers_snapshot():
     assert len(core) >= 20
 
 
+def test_prior_full_times_never_self_compares():
+    """The full-sweep prior must exclude the in-flight round's own
+    committed sweep (and any later one): a re-run inside round N
+    compares against round N-1, never against its own earlier output
+    (VERDICT r7: intra-round self-comparison at 43cd40b)."""
+    import glob
+    import re
+
+    here = os.path.dirname(bench.__file__)
+    committed = sorted(
+        int(re.search(r"BENCH_FULL_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_FULL_r*.json"))
+    )
+    assert committed, "no committed full sweeps to test against"
+    newest = committed[-1]
+    # unconstrained: newest wins
+    prev_any, _ = bench.prior_full_times()
+    with open(
+        os.path.join(here, f"BENCH_FULL_r{newest:02d}.json")
+    ) as f:
+        newest_q = json.load(f)["queries"]
+    assert prev_any == newest_q
+    # in-flight round == newest committed round: must fall back to the
+    # one before it (or empty when there is no earlier sweep)
+    prev_excl, _ = bench.prior_full_times(exclude_round=newest)
+    assert prev_excl != newest_q or len(committed) == 1
+    if len(committed) >= 2:
+        with open(
+            os.path.join(
+                here, f"BENCH_FULL_r{committed[-2]:02d}.json"
+            )
+        ) as f:
+            older_q = json.load(f)["queries"]
+        assert prev_excl == older_q
+    # excluding everything yields the empty prior, not a crash
+    assert bench.prior_full_times(exclude_round=committed[0]) == ({}, 0.1)
+
+
 def test_absorbed_prior_sums_components():
     # the welch case: the absorber's honest prior is the SUM of its own
     # prior plus its absorbed components' priors

@@ -196,9 +196,9 @@ HEADLINE = [
     "features_conformal_interval",
     "pipeline_span_curate",
     "features_huber_regression",
-    "sql_volume_shipping",
-    "sql_customer_distribution",
-    "sql_small_quantity_revenue",
+    # sql_volume_shipping absorbed into sql_market_share (r8),
+    # sql_customer_distribution into sql_orders_with_returns (r8),
+    # sql_small_quantity_revenue into sql_returned_item_ranking (r8)
     "sql_supplier_relationship",
     # round-7 additions
     "pipeline_quality_classifier",
@@ -212,7 +212,7 @@ HEADLINE = [
     "sql_waiting_suppliers",
     "sql_important_parts",
     "sql_excess_suppliers",
-    "profile_spearman",
+    # profile_spearman absorbed into profile_welch_ttest (r8)
     "text_url_filter",
     "stream_psi_monitor",
     "features_quantile_regression",
@@ -235,7 +235,11 @@ REGRESSION_RATIO = 2.0
 ABSORPTIONS: dict[str, list[str]] = {
     "profile_stats": ["profile_quantiles", "profile_correlation"],
     "profile_histogram": ["profile_grouped_median"],
-    "profile_welch_ttest": ["profile_mann_whitney", "profile_anova_oneway"],
+    "profile_welch_ttest": [
+        "profile_mann_whitney",
+        "profile_anova_oneway",
+        "profile_spearman",
+    ],
     "text_stats": ["text_quality_filter", "text_lang_fingerprint"],
     "events_funnel": ["events_cohort_retention", "events_interval_overlap"],
     "events_asof_join": ["events_range_join_count", "events_latest_state"],
@@ -244,7 +248,13 @@ ABSORPTIONS: dict[str, list[str]] = {
     "outliers_detect": ["outliers_iqr"],
     "clean_nulls_impute_cat": ["clean_nulls_impute_median"],
     "cdc_merge_upsert": ["cdc_snapshot_diff"],
-    "sql_orders_with_returns": ["sql_dormant_rich_customers"],
+    "sql_orders_with_returns": [
+        "sql_dormant_rich_customers",
+        "sql_customer_distribution",
+    ],
+    "sql_market_share": ["sql_volume_shipping"],
+    "sql_returned_item_ranking": ["sql_small_quantity_revenue"],
+    "pipeline_curate_documents": ["sample_stratified_exact"],
     "distinct_customers_per_priority": [
         "set_urgent_not_low_customers",
         "join_salted_orders_customer",

@@ -810,11 +810,46 @@ def q_distinct_customers_per_priority(spark, sf_dir):
         f"md5({_SQL_NORM.format(c='text')}) AS fp FROM q), "
         "r AS (SELECT doc_id, row_number() OVER "
         "(PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM f) "
-        "SELECT doc_id FROM r WHERE rn = 1"
+        "SELECT 'curated' AS part, doc_id, "
+        "cast(NULL as varchar) AS lang FROM r WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT 'stratified_sample' AS part, doc_id, lang FROM ("
+        "WITH r AS (SELECT doc_id, lang, row_number() OVER "
+        "(PARTITION BY lang ORDER BY md5(cast(doc_id as varchar)), doc_id) "
+        "AS rn FROM documents) "
+        "SELECT doc_id, lang FROM r WHERE rn <= 20)"
     ),
-    note="end-to-end curation pipeline: language ID -> quality thresholds (min tokens, distinct ratio) -> exact dedup keep-first — each stage is the already-verified operator; the composition is oracle-checked as a whole",
+    note=(
+        "tagged per part (the deterministic document-selection panel). "
+        "part='curated': end-to-end curation pipeline — language ID -> "
+        "quality thresholds (min tokens, distinct ratio) -> exact "
+        "dedup keep-first; each stage is the already-verified "
+        "operator; the composition is oracle-checked as a whole. "
+        "part='stratified_sample' (absorbed r8, was the separate "
+        "sample_stratified_exact query — oracle SQL byte-unchanged "
+        "inside the wrapper): deterministic stratified sampling — "
+        "exactly 20 docs per language, chosen by md5(id) hash order; "
+        "same rows on any engine/partitioning (reproducible curation). "
+        "The Bernoulli twin stays sample_stratified_fraction — "
+        "driver-window slot policy: merge mature tagged entries "
+        "instead of registering more"
+    ),
 )
 def q_pipeline_curate_documents(spark, sf_dir):
+    curated = q_pipeline_curate_documents_inner(spark, sf_dir).select(
+        F.lit("curated").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+    )
+    sampled = q_sample_stratified_exact(spark, sf_dir).select(
+        F.lit("stratified_sample").alias("part"), "doc_id", "lang"
+    )
+    return curated.unionByName(sampled)
+
+
+# the curation body stays as an unregistered helper: the merged panel
+# and downstream pipeline compositions both call it
+def q_pipeline_curate_documents_inner(spark, sf_dir):
     from etl_hero_spark.dedup import dedup_exact_content
     from etl_hero_spark.skew import ensure_min_partitions
     from etl_hero_spark.textops import with_lang_id, with_quality_signals
@@ -839,16 +874,10 @@ def q_pipeline_curate_documents(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "sample_stratified_exact",
-    oracle=(
-        "WITH r AS (SELECT doc_id, lang, row_number() OVER "
-        "(PARTITION BY lang ORDER BY md5(cast(doc_id as varchar)), doc_id) "
-        "AS rn FROM documents) "
-        "SELECT doc_id, lang FROM r WHERE rn <= 20"
-    ),
-    note="extension: deterministic stratified sampling — exactly 20 docs per language, chosen by md5(id) hash order; same rows on any engine/partitioning (reproducible curation)",
-)
+# sample_stratified_exact was absorbed into pipeline_curate_documents
+# (part='stratified_sample' tagged rows, oracle SQL byte-unchanged
+# inside the wrapper) in r8 — driver-window slot policy. The body
+# stays as an unregistered helper the merged panel calls.
 def q_sample_stratified_exact(spark, sf_dir):
     from etl_hero_spark.sampling import stratified_sample_exact
 

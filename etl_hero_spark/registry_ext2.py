@@ -105,9 +105,57 @@ _HTEST_COLS = {
     "df1": "bigint",
     "df2": "bigint",
     "f_stat": "double",
+    "rho": "double",
 }
 
 _HTEST_DUCK_TYPES = {"string": "varchar", "bigint": "bigint", "double": "double"}
+
+
+def _spearman_pair_sql(x_expr: str, y_expr: str, ga: str, gb: str) -> str:
+    """Exact-integer Spearman SQL mirroring stattests.spearman_corr:
+    DOUBLED tie-averaged ranks (2r = 2*rank + t - 1, exact integers)
+    summed in HUGEINT (the oracle twin of Spark's DECIMAL(38,0) fold),
+    final rho as the identical double expression tree. Window ranks are
+    fine oracle-side (DuckDB, bounded fixture); the Spark side uses the
+    distributed two-phase prefix scan instead."""
+    return (
+        f"WITH b AS (SELECT {x_expr} AS x, {y_expr} AS y FROM lineitem "
+        f"WHERE ({x_expr}) IS NOT NULL AND ({y_expr}) IS NOT NULL), "
+        "r AS (SELECT "
+        "cast(2*rank() OVER (ORDER BY x) "
+        "+ count(*) OVER (PARTITION BY x) - 1 AS hugeint) AS rx, "
+        "cast(2*rank() OVER (ORDER BY y) "
+        "+ count(*) OVER (PARTITION BY y) - 1 AS hugeint) AS ry "
+        "FROM b), "
+        "m AS (SELECT cast(count(*) AS hugeint) AS n, "
+        "sum(rx) AS sx, sum(ry) AS sy, sum(rx*ry) AS sxy, "
+        "sum(rx*rx) AS sxx, sum(ry*ry) AS syy FROM r), "
+        "d AS (SELECT cast(n as bigint) AS nb, cast(n as double) AS nd, "
+        "cast(sx as double) AS sxd, cast(sy as double) AS syd, "
+        "cast(sxy as double) AS sxyd, cast(sxx as double) AS sxxd, "
+        "cast(syy as double) AS syyd FROM m) "
+        f"SELECT '{ga}' AS group_a, '{gb}' AS group_b, nb AS n_total, "
+        "CASE WHEN nd*sxxd - sxd*sxd > 0 AND nd*syyd - syd*syd > 0 "
+        "THEN round((nd*sxyd - sxd*syd) / "
+        "sqrt((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 6) END AS rho "
+        "FROM d"
+    )
+
+
+_SPEARMAN_SQL = (
+    "SELECT * FROM ("
+    + _spearman_pair_sql(
+        "l_quantity", "l_extendedprice", "l_quantity", "l_extendedprice"
+    )
+    + ") UNION ALL SELECT * FROM ("
+    + _spearman_pair_sql(
+        "l_extendedprice",
+        "floor(l_extendedprice)",
+        "l_extendedprice",
+        "floor_price",
+    )
+    + ")"
+)
 
 
 def _htest_branch_sql(tag: str, inner: str) -> str:
@@ -132,6 +180,7 @@ _HTEST_OWN = {
         "k_groups", "n_total", "ss_between", "ss_within", "df1",
         "df2", "f_stat",
     },
+    "spearman": {"group_a", "group_b", "n_total", "rho"},
 }
 
 
@@ -298,11 +347,22 @@ def q_analytics_item_similarity(spark, sf_dir):
         "WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * seg.cnt > seg.tot "
         "AND NOT EXISTS (SELECT 1 FROM orders "
         "WHERE o_custkey = c.c_custkey AND o_orderdate >= '2000-01-01') "
-        "GROUP BY c.c_mktsegment"
+        "GROUP BY c.c_mktsegment "
+        "UNION ALL "
+        "SELECT 'cust_distribution' AS part, "
+        "cast(c_count as varchar) AS key, custdist AS n, "
+        "cast(NULL as double) AS total_bal FROM ("
+        "SELECT c_count, cast(count(*) as bigint) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders "
+        "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+        "GROUP BY c_custkey"
+        ") GROUP BY c_count)"
     ),
     note=(
-        "extension, tagged per part: part='returns_exists' (TPC-H Q4 "
-        "shape) is the order count per priority where EXISTS a returned "
+        "extension, tagged per part (the customer-order behavior "
+        "panel): part='returns_exists' (TPC-H Q4 shape) is the order "
+        "count per priority where EXISTS a returned "
         "lineitem — LEFT SEMI join (no fanout however many lines match, "
         "the decorrelated-EXISTS physical form) + one groupBy; the "
         "returnflag filter pushes to the lineitem scan. "
@@ -312,9 +372,16 @@ def q_analytics_item_similarity(spark, sf_dir):
         "2000-01-01 — broadcast segment-stats join compared "
         "multiply-through (bal * seg_cnt > seg_total, exact decimal), "
         "NOT EXISTS as a LEFT ANTI join with the date filter pushed to "
-        "the orders scan. DuckDB parity for both also pinned in "
-        "tests/test_relational_extras.py — driver-window slot policy: "
-        "merge mature tagged entries instead of registering more"
+        "the orders scan. part='cust_distribution' (TPC-H Q13 shape; "
+        "absorbed r8, was the separate sql_customer_distribution query "
+        "— oracle SQL byte-unchanged inside the wrapper) is the "
+        "distribution of orders per customer INCLUDING zero-order "
+        "customers: customer LEFT JOIN filtered orders, count the "
+        "non-null side, histogram the counts; key = orders-per-"
+        "customer bucket, n = customers in it. DuckDB parity for all "
+        "three also pinned in tests/test_relational_extras.py — "
+        "driver-window slot policy: merge mature tagged entries "
+        "instead of registering more"
     ),
 )
 def q_sql_orders_with_returns(spark, sf_dir):
@@ -343,7 +410,13 @@ def q_sql_orders_with_returns(spark, sf_dir):
         F.col("n_customers").alias("n"),
         "total_bal",
     )
-    return ret.unionByName(dor)
+    dist = q_sql_customer_distribution(spark, sf_dir).select(
+        F.lit("cust_distribution").alias("part"),
+        F.col("c_count").cast("string").alias("key"),
+        F.col("custdist").alias("n"),
+        F.lit(None).cast("double").alias("total_bal"),
+    )
+    return ret.unionByName(dor).unionByName(dist)
 
 
 # sql_dormant_rich_customers was absorbed into sql_orders_with_returns
@@ -625,11 +698,13 @@ _ANOVA_SQL = (
         + _htest_branch_sql("mannwhitney", _MW_SQL)
         + " UNION ALL "
         + _htest_branch_sql("anova", _ANOVA_SQL)
+        + " UNION ALL "
+        + _htest_branch_sql("spearman", _SPEARMAN_SQL)
     ),
     note=(
-        "extension, test-tagged union of the three hypothesis tests "
-        "(formerly the separate profile_welch_ttest / "
-        "profile_mann_whitney / profile_anova_oneway window entries, "
+        "extension, test-tagged union of the hypothesis-test/"
+        "correlation panel (formerly the separate profile_welch_ttest "
+        "/ profile_mann_whitney / profile_anova_oneway window entries, "
         "merged r6 to free two driver-window slots with zero lost "
         "coverage — each branch's oracle SQL is byte-unchanged, only "
         "NULL-fill columns added). test='welch': unequal-variance t "
@@ -642,14 +717,25 @@ _ANOVA_SQL = (
         "test='anova': one-way F across all market segments — "
         "SS_between/SS_within from ONE groupBy of exact per-group "
         "moments; the k-term double sum folds sequentially in "
-        "group-name order on both engines. Exact-formula Python parity "
-        "for all three pinned in tests/test_stattests.py"
+        "group-name order on both engines. test='spearman' (absorbed "
+        "r8, was the rows-only profile_spearman query — PROMOTED into "
+        "the verified window by the merge): Spearman rank correlation "
+        "— Pearson over tie-averaged DOUBLED ranks (exact integer "
+        "DECIMAL(38,0) folds, HUGEINT oracle-side; ranks via the "
+        "mann_whitney two-phase prefix scan, never a partition-less "
+        "window), rho bit-stable under any partitioning; group_a/"
+        "group_b carry the column pair — the independent-by-fixture "
+        "(quantity, price) pair beside a deterministically monotone "
+        "engineered pair (price vs floor(price), ties included) that "
+        "must read ~1. Exact-formula Python parity for all four "
+        "pinned in tests/test_stattests.py"
     ),
 )
 def q_profile_welch_ttest(spark, sf_dir):
     from etl_hero_spark.stattests import (
         anova_oneway,
         mann_whitney_u,
+        spearman_corr,
         welch_ttest,
     )
 
@@ -665,10 +751,30 @@ def q_profile_welch_ttest(spark, sf_dir):
         "5-LOW",
     )
     a = anova_oneway(cust, "c_acctbal", "c_mktsegment")
+    li = _t(spark, sf_dir, "lineitem")
+    s_raw = spearman_corr(li, "l_quantity", "l_extendedprice").select(
+        F.lit("l_quantity").alias("group_a"),
+        F.lit("l_extendedprice").alias("group_b"),
+        F.col("n").alias("n_total"),
+        "rho",
+    )
+    eng = li.select(
+        F.col("l_extendedprice").alias("x"),
+        # a monotone nonlinear transform WITH ties (integer floor):
+        # Spearman must read ~1 where Pearson reads < 1
+        F.floor(F.col("l_extendedprice")).cast("double").alias("y"),
+    )
+    s_eng = spearman_corr(eng, "x", "y").select(
+        F.lit("l_extendedprice").alias("group_a"),
+        F.lit("floor_price").alias("group_b"),
+        F.col("n").alias("n_total"),
+        "rho",
+    )
     return (
         _nullfill(w, "welch")
         .unionByName(_nullfill(u, "mannwhitney"))
         .unionByName(_nullfill(a, "anova"))
+        .unionByName(_nullfill(s_raw.unionByName(s_eng), "spearman"))
     )
 
 
@@ -1856,9 +1962,7 @@ def q_sim_hybrid_rrf(spark, sf_dir):
     return rrf_fuse(lex, dense, id_col="doc_id", k=10)
 
 
-@register(
-    "sql_market_share",
-    oracle=(
+_Q8_SQL = (
         "WITH j AS (SELECT year(o_orderdate) AS o_year, n.n_name, "
         "CAST(l_extendedprice AS DECIMAL(18,2)) "
         "* (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
@@ -1880,9 +1984,44 @@ def q_sim_hybrid_rrf(spark, sf_dir):
         "ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE) "
         "/ CAST(sum(vol) AS DOUBLE), 6) AS mkt_share "
         "FROM j GROUP BY o_year"
+)
+
+_Q7_SQL = (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "year(l_shipdate) AS l_year, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,6)) "
+        "- CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01' "
+        "AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19') "
+        "OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')) "
+        "GROUP BY 1, 2, 3"
+)
+
+
+@register(
+    "sql_market_share",
+    oracle=(
+        "SELECT 'market_share' AS part, "
+        "cast(NULL as varchar) AS supp_nation, "
+        "cast(NULL as varchar) AS cust_nation, o_year AS yr, "
+        "focal_revenue AS revenue, region_revenue, mkt_share "
+        f"FROM ({_Q8_SQL}) "
+        "UNION ALL "
+        "SELECT 'volume_shipping' AS part, supp_nation, cust_nation, "
+        "l_year AS yr, revenue, cast(NULL as double) AS region_revenue, "
+        "cast(NULL as double) AS mkt_share "
+        f"FROM ({_Q7_SQL})"
     ),
     note=(
-        "extension (r5, TPC-H Q8 shape): one focal nation's (NATION_1) share of its "
+        "extension, tagged per part (the international trade panel). "
+        "part='market_share' (r5, TPC-H Q8 shape): one focal nation's (NATION_1) share of its "
         "region's yearly gross revenue over the Q8 two-year window "
         "(1995-1996) — five-table join (region -> nation -> customer -> "
         "orders -> lineitem) with the region filter and the date range "
@@ -1890,12 +2029,45 @@ def q_sim_hybrid_rrf(spark, sf_dir):
         "parquet scan, so at 100 TB the fact read is two years, not "
         "all of them — pinned in tests/test_plans.py), dimension side "
         "broadcast, decimal-exact revenue sums, share = one IEEE "
-        "divide per year row. Promoted into the verified window r6 "
-        "(slot freed by the hypothesis-test merge); DuckDB five-join "
-        "parity in tests/test_relational_extras.py"
+        "divide per year row; revenue carries the focal nation's "
+        "revenue. part='volume_shipping' (r6, TPC-H Q7 shape; absorbed "
+        "r8, was the separate sql_volume_shipping query — oracle SQL "
+        "byte-unchanged inside the wrapper): bilateral shipping volume "
+        "between two nations by year — supplier nation x customer "
+        "nation resolved through two BROADCAST probes of the same "
+        "25-row nation dim, the (n1,n2)|(n2,n1) pair filter applied to "
+        "the broadcast side, l_shipdate two-year range pushed to the "
+        "lineitem scan, decimal-exact volume. DuckDB parity for both "
+        "in tests/test_relational_extras.py — driver-window slot "
+        "policy: merge mature tagged entries instead of registering "
+        "more"
     ),
 )
 def q_sql_market_share(spark, sf_dir):
+    share = q_sql_market_share_inner(spark, sf_dir).select(
+        F.lit("market_share").alias("part"),
+        F.lit(None).cast("string").alias("supp_nation"),
+        F.lit(None).cast("string").alias("cust_nation"),
+        F.col("o_year").alias("yr"),
+        F.col("focal_revenue").alias("revenue"),
+        "region_revenue",
+        "mkt_share",
+    )
+    vol = q_sql_volume_shipping(spark, sf_dir).select(
+        F.lit("volume_shipping").alias("part"),
+        "supp_nation",
+        "cust_nation",
+        F.col("l_year").alias("yr"),
+        "revenue",
+        F.lit(None).cast("double").alias("region_revenue"),
+        F.lit(None).cast("double").alias("mkt_share"),
+    )
+    return share.unionByName(vol)
+
+
+# the Q8 body stays as an unregistered helper: the merged trade panel
+# and tests/test_relational_extras.py both call it
+def q_sql_market_share_inner(spark, sf_dir):
     region = _t(spark, sf_dir, "region").filter(
         F.col("r_name") == "AMERICA"
     )
@@ -2102,9 +2274,7 @@ def q_sql_disjunctive_promo(spark, sf_dir):
     ).orderBy("p_brand")
 
 
-@register(
-    "sql_returned_item_ranking",
-    oracle=(
+_Q10_SQL = (
         "SELECT c_custkey, c_mktsegment, "
         "cast(count(*) as bigint) AS n_returned_lines, "
         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
@@ -2118,19 +2288,82 @@ def q_sql_disjunctive_promo(spark, sf_dir):
         "AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01' "
         "GROUP BY c_custkey, c_mktsegment "
         "ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20"
+)
+
+_Q17_SQL = (
+        "WITH pp AS ("
+        "SELECT l_partkey AS pk, "
+        "sum(CAST(l_quantity AS DECIMAL(28,6))) AS sq, "
+        "count(l_quantity) AS nq "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT cast(count(*) as bigint) AS n_small_lines, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) / 7.0, 2) AS avg_yearly "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN pp ON l_partkey = pk "
+        "WHERE p_brand = 'Brand#13' AND p_size <= 25 "
+        "AND CAST(l_quantity AS DECIMAL(28,6)) * 5 * nq < sq"
+)
+
+
+@register(
+    "sql_returned_item_ranking",
+    oracle=(
+        "SELECT 'returned_ranking' AS part, c_custkey, c_mktsegment, "
+        "n_returned_lines AS n, lost_revenue AS revenue "
+        f"FROM ({_Q10_SQL}) "
+        "UNION ALL "
+        "SELECT 'small_qty_avg_yearly' AS part, "
+        "cast(NULL as bigint) AS c_custkey, "
+        "cast(NULL as varchar) AS c_mktsegment, "
+        "n_small_lines AS n, avg_yearly AS revenue "
+        f"FROM ({_Q17_SQL})"
     ),
     note=(
-        "extension (r5, TPC-H Q10 shape): top customers by revenue "
-        "lost to returns in one quarter — orders date-filtered at the "
-        "scan, lineitem returnflag-filtered at the scan, two "
-        "equi-joins, decimal-exact lost revenue, deterministic "
-        "top-20 (revenue desc, custkey asc — ties cannot reorder the "
-        "cut). Promoted into the verified window r6 (slot freed by "
-        "the asof/range-join merge); DuckDB parity in "
-        "tests/test_relational_extras.py"
+        "extension, tagged per part (the lost-revenue panel). "
+        "part='returned_ranking' (r5, TPC-H Q10 shape): top customers "
+        "by revenue lost to returns in one quarter — orders "
+        "date-filtered at the scan, lineitem returnflag-filtered at "
+        "the scan, two equi-joins, decimal-exact lost revenue, "
+        "deterministic top-20 (revenue desc, custkey asc — ties cannot "
+        "reorder the cut). part='small_qty_avg_yearly' (r6, TPC-H Q17 "
+        "shape; absorbed r8, was the separate sql_small_quantity_"
+        "revenue query — oracle SQL byte-unchanged inside the "
+        "wrapper): yearly revenue lost if small-quantity orders of one "
+        "brand's parts moved to bulk — the correlated-average subquery "
+        "decorrelates to ONE per-part moment groupBy joined back on "
+        "partkey (co-partitioned), and the 'quantity < 0.2 * avg' "
+        "predicate is evaluated EXACTLY as 5 * quantity * n < "
+        "sum_quantity in decimals (no double rounding at the cut); "
+        "p_size <= 25 stands in for the absent p_container filter; "
+        "n carries the small-line count, revenue the avg yearly loss. "
+        "DuckDB parity for both in tests/test_relational_extras.py — "
+        "driver-window slot policy: merge mature tagged entries "
+        "instead of registering more"
     ),
 )
 def q_sql_returned_item_ranking(spark, sf_dir):
+    rank = q_sql_returned_item_ranking_inner(spark, sf_dir).select(
+        F.lit("returned_ranking").alias("part"),
+        "c_custkey",
+        "c_mktsegment",
+        F.col("n_returned_lines").alias("n"),
+        F.col("lost_revenue").alias("revenue"),
+    )
+    small = q_sql_small_quantity_revenue(spark, sf_dir).select(
+        F.lit("small_qty_avg_yearly").alias("part"),
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.col("n_small_lines").alias("n"),
+        F.col("avg_yearly").alias("revenue"),
+    )
+    return rank.unionByName(small)
+
+
+# the Q10 body stays as an unregistered helper: the merged lost-revenue
+# panel and tests/test_relational_extras.py both call it
+def q_sql_returned_item_ranking_inner(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01")
         & (F.col("o_orderdate") < "1995-07-01")
@@ -2165,36 +2398,11 @@ def q_sql_returned_item_ranking(spark, sf_dir):
 # ===========================================================================
 
 
-@register(
-    "sql_volume_shipping",
-    oracle=(
-        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
-        "year(l_shipdate) AS l_year, "
-        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
-        "* (CAST(1 AS DECIMAL(18,6)) "
-        "- CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS revenue "
-        "FROM lineitem "
-        "JOIN supplier ON l_suppkey = s_suppkey "
-        "JOIN orders ON l_orderkey = o_orderkey "
-        "JOIN customer ON o_custkey = c_custkey "
-        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
-        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
-        "WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01' "
-        "AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19') "
-        "OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')) "
-        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
-    ),
-    note=(
-        "extension (r6, TPC-H Q7 shape; PROMOTED to the verified oracle "
-        "window r7 — slots freed by the r7 absorptions): bilateral "
-        "shipping volume between two nations by year — supplier nation "
-        "x customer nation resolved through two BROADCAST probes of "
-        "the same 25-row nation dim, the (n1,n2)|(n2,n1) pair filter "
-        "applied to the broadcast side, l_shipdate two-year range "
-        "pushed to the lineitem scan, decimal-exact volume. DuckDB "
-        "parity also in tests/test_relational_extras.py"
-    ),
-)
+# sql_volume_shipping (TPC-H Q7 shape) was absorbed into
+# sql_market_share (part='volume_shipping' tagged rows, oracle SQL
+# byte-unchanged inside the wrapper) in r8 — driver-window slot
+# policy. The body stays as an unregistered helper: the merged trade
+# panel and tests/test_relational_extras.py both call it.
 def q_sql_volume_shipping(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -2251,30 +2459,14 @@ def q_sql_volume_shipping(spark, sf_dir):
     )
 
 
-@register(
-    "sql_customer_distribution",
-    oracle=(
-        "SELECT c_count, cast(count(*) as bigint) AS custdist FROM ("
-        "SELECT c_custkey, count(o_orderkey) AS c_count "
-        "FROM customer LEFT JOIN orders "
-        "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
-        "GROUP BY c_custkey"
-        ") GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
-    ),
-    note=(
-        "PROMOTED to the verified oracle window r7 (slots freed by the "
-        "r7 absorptions). "
-        "extension (r6, TPC-H Q13 shape): distribution of orders per "
-        "customer INCLUDING zero-order customers — the left-join-then-"
-        "double-groupBy pattern (customer LEFT JOIN filtered orders; "
-        "count the non-null side; histogram the counts). The Q13 "
-        "o_comment NOT LIKE filter has no fixture column; the "
-        "non-urgent-priority filter stands in (same shape: a "
-        "join-side predicate that removes rows but must not remove "
-        "customers). DuckDB parity incl. the zero bucket in "
-        "tests/test_relational_extras.py"
-    ),
-)
+# sql_customer_distribution (TPC-H Q13 shape) was absorbed into
+# sql_orders_with_returns (part='cust_distribution' tagged rows,
+# oracle SQL byte-unchanged inside the wrapper) in r8 — driver-window
+# slot policy. The body stays as an unregistered helper: the merged
+# entry and tests/test_relational_extras.py both call it. The Q13
+# o_comment NOT LIKE filter has no fixture column; the non-urgent-
+# priority filter stands in (same shape: a join-side predicate that
+# removes rows but must not remove customers).
 def q_sql_customer_distribution(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -2298,37 +2490,11 @@ def q_sql_customer_distribution(spark, sf_dir):
     )
 
 
-@register(
-    "sql_small_quantity_revenue",
-    oracle=(
-        "WITH pp AS ("
-        "SELECT l_partkey AS pk, "
-        "sum(CAST(l_quantity AS DECIMAL(28,6))) AS sq, "
-        "count(l_quantity) AS nq "
-        "FROM lineitem GROUP BY 1) "
-        "SELECT cast(count(*) as bigint) AS n_small_lines, "
-        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
-        "AS DOUBLE) / 7.0, 2) AS avg_yearly "
-        "FROM lineitem "
-        "JOIN part ON l_partkey = p_partkey "
-        "JOIN pp ON l_partkey = pk "
-        "WHERE p_brand = 'Brand#13' AND p_size <= 25 "
-        "AND CAST(l_quantity AS DECIMAL(28,6)) * 5 * nq < sq"
-    ),
-    note=(
-        "PROMOTED to the verified oracle window r7 (slots freed by the "
-        "r7 absorptions). "
-        "extension (r6, TPC-H Q17 shape): yearly revenue lost if "
-        "small-quantity orders of one brand's parts moved to bulk — "
-        "the correlated-average subquery decorrelates to ONE per-part "
-        "moment groupBy joined back on partkey (co-partitioned), and "
-        "the 'quantity < 0.2 * avg' predicate is evaluated EXACTLY as "
-        "5 * quantity * n < sum_quantity in decimals (no double "
-        "rounding at the cut). p_size <= 25 stands in for the absent "
-        "p_container filter. DuckDB parity in "
-        "tests/test_relational_extras.py"
-    ),
-)
+# sql_small_quantity_revenue (TPC-H Q17 shape) was absorbed into
+# sql_returned_item_ranking (part='small_qty_avg_yearly' tagged rows,
+# oracle SQL byte-unchanged inside the wrapper) in r8 — driver-window
+# slot policy. The body stays as an unregistered helper: the merged
+# lost-revenue panel and tests/test_relational_extras.py both call it.
 def q_sql_small_quantity_revenue(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 25)
@@ -2867,8 +3033,34 @@ def q_pipeline_quality_classifier(spark, sf_dir):
 
 @register(
     "sql_pricing_summary",
-    oracle=None,
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
+        "AS sum_qty, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "AS DOUBLE), 2) AS sum_base_price, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,6)) "
+        "- CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) "
+        "AS sum_disc_price, "
+        "round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,6)) "
+        "- CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) "
+        "* (CAST(1 AS DECIMAL(18,6)) "
+        "+ CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE), 2) AS sum_charge, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+        "/ count(l_quantity), 6) AS avg_qty, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) / count(l_extendedprice), 6) AS avg_price, "
+        "round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) "
+        "/ count(l_discount), 6) AS avg_disc, "
+        "cast(count(*) as bigint) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= '2001-09-01' "
+        "GROUP BY 1, 2"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r8 (slots freed by the "
+        "r8 absorptions). "
         "extension (r7, TPC-H Q1 — the canonical pricing summary "
         "report, fully expressible on the fixture): per "
         "(returnflag, linestatus) sums/averages of quantity, base "
@@ -3035,8 +3227,29 @@ def q_sql_shipmode_priority(spark, sf_dir):
 
 @register(
     "sql_waiting_suppliers",
-    oracle=None,
+    oracle=(
+        "WITH l AS ("
+        "SELECT l_orderkey, l_suppkey, "
+        "l_shipdate > o_orderdate + INTERVAL 90 DAY AS late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F') "
+        "SELECT s_name, cast(count(*) as bigint) AS numwait "
+        "FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey "
+        "WHERE l1.late "
+        "AND EXISTS (SELECT 1 FROM l l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM l l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.late) "
+        "GROUP BY s_name "
+        "ORDER BY numwait DESC, s_name ASC LIMIT 20"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r8 (slots freed by the "
+        "r8 absorptions; the oracle runs the textbook correlated "
+        "EXISTS + NOT EXISTS form the semi/anti joins decorrelate — an "
+        "algorithm-level cross-check, not a restatement). "
         "extension (r7, TPC-H Q21 shape — the hardest relational "
         "shape in the suite: correlated EXISTS + NOT EXISTS over the "
         "same fact table): suppliers whose line was the ONLY late one "
@@ -3104,8 +3317,26 @@ def q_sql_waiting_suppliers(spark, sf_dir):
 
 @register(
     "sql_important_parts",
-    oracle=None,
+    oracle=(
+        "WITH v AS ("
+        "SELECT l_partkey, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val "
+        "FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_3' GROUP BY 1) "
+        "SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value "
+        "FROM v "
+        "WHERE CAST(val AS DECIMAL(38,6)) "
+        "> (SELECT sum(CAST(val AS DECIMAL(38,6))) FROM v) * 0.01 "
+        "ORDER BY part_value DESC, l_partkey ASC"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r8 (slots freed by the "
+        "r8 absorptions; both engines evaluate the 1% cut in exact "
+        "decimal — Spark as val*100 > tot, DuckDB as val > tot*0.01 "
+        "with a DECIMAL 0.01 literal — the same rational comparison, "
+        "so a boundary part cannot diverge). "
         "extension (r7, TPC-H Q11 shape): parts whose shipped value "
         "through one nation's suppliers exceeds a FRACTION OF THE "
         "GLOBAL TOTAL — the HAVING-against-a-scalar-subquery pattern: "
@@ -3169,8 +3400,30 @@ def q_sql_important_parts(spark, sf_dir):
 
 @register(
     "sql_excess_suppliers",
-    oracle=None,
+    oracle=(
+        "SELECT s_suppkey, s_name, "
+        "round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal "
+        "FROM supplier "
+        "WHERE s_suppkey IN ("
+        "SELECT l_suppkey FROM ("
+        "SELECT l_suppkey, l_partkey, "
+        "sum(CAST(l_quantity AS DECIMAL(28,6))) AS q "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE p_name LIKE '%widget%' "
+        "GROUP BY 1, 2) sq "
+        "JOIN ("
+        "SELECT l_partkey AS pk, "
+        "sum(CAST(l_quantity AS DECIMAL(28,6))) AS tq "
+        "FROM lineitem GROUP BY 1) pt "
+        "ON sq.l_partkey = pt.pk "
+        "WHERE q * 5 > tq) "
+        "ORDER BY s_suppkey"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r8 (slots freed by the "
+        "r8 absorptions; the oracle runs the textbook nested-IN form "
+        "the semi join decorrelates). "
         "extension (r7, TPC-H Q20 shape): suppliers who shipped more "
         "than a fifth of a matching part's corpus-wide quantity — the "
         "nested-IN-with-aggregate-threshold pattern decorrelated: the "
@@ -3227,25 +3480,11 @@ def q_sql_excess_suppliers(spark, sf_dir):
     )
 
 
-@register(
-    "profile_spearman",
-    oracle=None,
-    note=(
-        "extension (r7): Spearman rank correlation — Pearson over "
-        "tie-averaged ranks, the monotone-relationship sibling of the "
-        "exact-decimal Pearson matrix (which a single outlier or a "
-        "nonlinear monotone curve can hide from). Each column reduces "
-        "to its distinct-value tie table; cumulative tie counts via "
-        "the mann_whitney two-phase range-bucket prefix scan (never a "
-        "partition-less window); DOUBLED ranks keep every moment sum "
-        "an exact integer DECIMAL fold, so rho is bit-stable under any "
-        "partitioning. Panel: the raw (quantity, price) pair — "
-        "independent by fixture construction, near-zero rho is the "
-        "correct answer — next to a deterministically monotone "
-        "engineered pair that must read ~1. DuckDB window-rank parity "
-        "+ monotone/degenerate edges in tests/test_stattests.py"
-    ),
-)
+# profile_spearman was absorbed into profile_welch_ttest
+# (test='spearman' tagged rows — a PROMOTION: the rows-only query
+# gained oracle hash coverage through the merge) in r8 — driver-window
+# slot policy. The body stays as an unregistered helper for direct
+# callers; semantics stay pinned in tests/test_stattests.py.
 def q_profile_spearman(spark, sf_dir):
     from etl_hero_spark.stattests import spearman_corr
 

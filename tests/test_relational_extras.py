@@ -131,9 +131,13 @@ def test_unpivot_round_trips_direct_groupby(spark, qs):
 
 
 def test_market_share_matches_duckdb(spark, qs):
+    # the Q8 body is an unregistered helper since the r8 trade-panel
+    # merge; the standalone shape keeps its own pin here
+    from etl_hero_spark.registry_ext2 import q_sql_market_share_inner
+
     got = [
         (r["o_year"], r["focal_revenue"], r["region_revenue"], r["mkt_share"])
-        for r in qs["sql_market_share"](spark, SF).collect()
+        for r in q_sql_market_share_inner(spark, SF).collect()
     ]
     ref = _duck(
         SF,
@@ -192,10 +196,16 @@ def test_disjunctive_promo_matches_duckdb(spark, qs):
 
 
 def test_returned_item_ranking_matches_duckdb(spark, qs):
+    # the Q10 body is an unregistered helper since the r8 lost-revenue
+    # panel merge; the standalone shape keeps its own pin here
+    from etl_hero_spark.registry_ext2 import (
+        q_sql_returned_item_ranking_inner,
+    )
+
     got = [
         (r["c_custkey"], r["c_mktsegment"], r["n_returned_lines"],
          r["lost_revenue"])
-        for r in qs["sql_returned_item_ranking"](spark, SF).collect()
+        for r in q_sql_returned_item_ranking_inner(spark, SF).collect()
     ]
     ref = _duck(
         SF,
@@ -218,9 +228,13 @@ def test_returned_item_ranking_matches_duckdb(spark, qs):
 
 
 def test_volume_shipping_matches_duckdb(spark, qs):
+    # absorbed into sql_market_share (part='volume_shipping') in r8;
+    # the standalone helper keeps its own pin here
+    from etl_hero_spark.registry_ext2 import q_sql_volume_shipping
+
     got = [
         (r["supp_nation"], r["cust_nation"], r["l_year"], r["revenue"])
-        for r in qs["sql_volume_shipping"](spark, SF).collect()
+        for r in q_sql_volume_shipping(spark, SF).collect()
     ]
     ref = _duck(
         SF,
@@ -246,9 +260,13 @@ def test_volume_shipping_matches_duckdb(spark, qs):
 
 
 def test_customer_distribution_matches_duckdb(spark, qs):
+    # absorbed into sql_orders_with_returns (part='cust_distribution')
+    # in r8; the standalone helper keeps its own pin here
+    from etl_hero_spark.registry_ext2 import q_sql_customer_distribution
+
     got = [
         (r["c_count"], r["custdist"])
-        for r in qs["sql_customer_distribution"](spark, SF).collect()
+        for r in q_sql_customer_distribution(spark, SF).collect()
     ]
     ref = _duck(
         SF,
@@ -269,7 +287,12 @@ def test_customer_distribution_matches_duckdb(spark, qs):
 
 
 def test_small_quantity_revenue_matches_duckdb(spark, qs):
-    got = qs["sql_small_quantity_revenue"](spark, SF).first()
+    # absorbed into sql_returned_item_ranking
+    # (part='small_qty_avg_yearly') in r8; the standalone helper keeps
+    # its own pin here
+    from etl_hero_spark.registry_ext2 import q_sql_small_quantity_revenue
+
+    got = q_sql_small_quantity_revenue(spark, SF).first()
     ref = _duck(
         SF,
         """

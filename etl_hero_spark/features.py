@@ -632,6 +632,111 @@ def logreg_fit(
     }
 
 
+def logreg_fit_gd(
+    df: DataFrame,
+    x_cols: list[str],
+    y_col,
+    max_iter: int = 60,
+    tol: float = 1e-8,
+    ridge: float = 1e-4,
+) -> dict:
+    """Logistic regression by DIAGONAL-Newton (Jacobi) ascent — the
+    LARGE-p scale path beside logreg_fit: the full IRLS normal matrix
+    is (p+1)^2 aggregates per step, unusable at fastText-scale feature
+    widths (p=257 -> 33k aggregate expressions and a driver-side dense
+    solve); here each iteration is ONE projection staging mu and w
+    under the current literal coefficients plus ONE aggregation of
+    2(p+1)+1 sums — the gradient X'(y - mu) and the Hessian DIAGONAL
+    sum(w * x_i^2) — and the driver state is O(p). The diagonal step
+    g_i / (h_ii + ridge) ignores feature coupling, so it trades
+    Newton's quadratic convergence for per-pass cost linear in p
+    (more iterations, each touching the corpus once — the honest
+    trade at 100 TB where the pass count, not the pass width, is the
+    budget). Expressions are built as SQL strings (one py4j call per
+    column, not one per node — the plan-build gotcha at p=257).
+
+    Same model-dict contract as logreg_fit ({coef, intercept, n,
+    n_iter, log_loss}), so logreg_apply serves either. Separation on a
+    planted quality vocabulary at dim=256 and small-p agreement with
+    the full-Newton fit pinned in tests/test_features.py."""
+    import numpy as np
+
+    lab = (
+        F.col(y_col) if isinstance(y_col, str) else y_col
+    ).cast("boolean")
+    complete = lab.isNotNull()
+    for c in x_cols:
+        complete = complete & F.col(c).isNotNull()
+    base = df.filter(complete).select(
+        *[F.col(c).cast("double").alias(c) for c in x_cols],
+        lab.cast("double").alias("__y"),
+    )
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    # the corpus is re-scanned once per pass: stage it once
+    base = parquet_checkpoint(base, "logreg-gd-base")
+    p = len(x_cols) + 1
+    beta = np.zeros(p)
+    it = 0
+    for it in range(1, max_iter + 1):
+        eta_sql = " + ".join(
+            [repr(float(beta[-1]))]
+            + [
+                f"{float(beta[j])!r} * `{c}`"
+                for j, c in enumerate(x_cols)
+            ]
+        )
+        staged = base.selectExpr(
+            "*",
+            f"1.0 / (1.0 + exp(-({eta_sql}))) AS __mu",
+        ).selectExpr("*", "__mu * (1.0 - __mu) AS __w")
+        aggs = [
+            F.expr(f"sum((__y - __mu) * `{c}`)").alias(f"g_{j}")
+            for j, c in enumerate(x_cols)
+        ]
+        aggs.append(F.expr("sum(__y - __mu)").alias(f"g_{p - 1}"))
+        aggs.extend(
+            F.expr(f"sum(__w * `{c}` * `{c}`)").alias(f"h_{j}")
+            for j, c in enumerate(x_cols)
+        )
+        aggs.append(F.expr("sum(__w)").alias(f"h_{p - 1}"))
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+        r = staged.agg(*aggs).first()
+        if not r["__n"]:
+            raise ValueError("logreg_fit_gd: no complete cases")
+        g = np.array([float(r[f"g_{i}"]) for i in range(p)])
+        h = np.array([float(r[f"h_{i}"]) for i in range(p)])
+        step = g / (h + ridge)
+        beta = beta + step
+        if float(np.abs(step).sum()) < tol:
+            break
+    eta_sql = " + ".join(
+        [repr(float(beta[-1]))]
+        + [f"{float(beta[j])!r} * `{c}`" for j, c in enumerate(x_cols)]
+    )
+    ll = base.selectExpr(
+        "__y", f"({eta_sql}) AS __eta"
+    ).agg(
+        F.avg(
+            F.when(
+                F.col("__eta") > 0,
+                F.col("__eta") * (F.lit(1.0) - F.col("__y")),
+            ).otherwise(-F.col("__eta") * F.col("__y"))
+            + F.log1p(F.exp(-F.abs(F.col("__eta"))))
+        ).alias("nll"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return {
+        "coef": dict(
+            zip(x_cols, [float(b) for b in beta[:-1]])
+        ),
+        "intercept": float(beta[-1]),
+        "n": int(ll["n"]),
+        "n_iter": it,
+        "log_loss": float(ll["nll"]),
+    }
+
+
 def logreg_apply(
     df: DataFrame, model: dict, out_col: str = "probability"
 ) -> DataFrame:
@@ -888,11 +993,21 @@ def hashed_token_features(
     md5-derived buckets (conv of the leading hex — the hash_features
     contract) so the encoding is reproducible in any engine/language.
 
-    Plan: explode feature terms -> ONE groupBy(id) folding all ``dim``
-    conditional sums plus the term count (single shuffle on the
-    uniform id key, partial agg map-side; never a pivot, never a
-    per-bucket pass) -> left join back so zero-token documents keep a
-    defined all-zero vector. Output: input columns + ``f_0..f_{dim-1}``
+    Plan (array-typed since r8 — the per-bucket conditional-sum +
+    per-dim withColumn form cost O(dim) codegen work per TOKEN and
+    O(dim) sequential analyzer projections, fine at dim=16 but wrong
+    for fastText-scale buckets): explode feature terms -> groupBy
+    (id, bucket) partial sums (per-token work O(1) — each token
+    touches exactly its own bucket; the (id, bucket) key is uniform)
+    -> groupBy(id) folding the <=dim surviving entries into ONE
+    bucket->sum map plus the term count -> left join back -> a SINGLE
+    select densifies f_0..f_{dim-1} with per-bucket map probes
+    (try_element_at: NULL-absent under ANSI too; the map is a
+    materialized aggregate attribute, so probes never re-run the
+    aggregation). Zero-token documents keep a defined all-zero
+    vector. Sign sums are exact integer-valued doubles folded in any
+    order, so the two-phase sums are bit-identical to the former
+    single-phase form. Output: input columns + ``f_0..f_{dim-1}``
     (double) + ``n_toks_f`` (bigint)."""
     from etl_hero_spark.textops import tokens_expr
 
@@ -918,28 +1033,33 @@ def hashed_token_features(
         F.conv(F.substring(h, 15, 1), 16, 10).cast("int") % 2 == 0,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
-    aggs = [
-        F.sum(F.when(bucket == j, sign).otherwise(F.lit(0.0))).alias(
-            f"__s_{j}"
-        )
-        for j in range(dim)
-    ]
-    aggs.append(F.count(F.lit(1)).alias("n_toks_f"))
-    per_doc = toks.groupBy("__id").agg(*aggs)
+    per_bucket = toks.groupBy("__id", bucket.alias("__b")).agg(
+        F.sum(sign).alias("__s"), F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = per_bucket.groupBy("__id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "__s"))
+        ).alias("__m"),
+        F.sum("__c").alias("n_toks_f"),
+    )
     out = df.join(
         per_doc, F.col(id_col) == F.col("__id"), "left"
     ).drop("__id")
-    for j in range(dim):
-        out = out.withColumn(
-            f"f_{j}",
+    # ONE projection for every bucket column (flat analyzer cost); the
+    # probes read the materialized map attribute, never rebuilding it
+    return out.select(
+        *[c for c in out.columns if c not in ("__m", "n_toks_f")],
+        F.coalesce(F.col("n_toks_f"), F.lit(0))
+        .cast("bigint")
+        .alias("n_toks_f"),
+        *[
             F.coalesce(
-                F.col(f"__s_{j}")
+                F.try_element_at(F.col("__m"), F.lit(j))
                 / F.col("n_toks_f").cast("double"),
                 F.lit(0.0),
-            ),
-        ).drop(f"__s_{j}")
-    return out.withColumn(
-        "n_toks_f", F.coalesce(F.col("n_toks_f"), F.lit(0)).cast("bigint")
+            ).alias(f"f_{j}")
+            for j in range(dim)
+        ],
     )
 
 
@@ -1007,7 +1127,11 @@ def quality_classifier_report(
                 f"{cls['_pos'] or 0} of {cls['_n']} documents — the "
                 "fit needs BOTH a target and a non-target class"
             )
-        model = logreg_fit(feats, x_cols, target_pred.cast("boolean"))
+        # full Newton up to moderate widths ((p+1)^2 aggregates per
+        # step); past that the diagonal-Newton scale path keeps each
+        # pass at O(p) aggregates (fastText-width buckets)
+        fit = logreg_fit if dim <= 32 else logreg_fit_gd
+        model = fit(feats, x_cols, target_pred.cast("boolean"))
         model["dim"] = dim
         model["ngrams"] = ngrams
     elif int(model.get("dim", len(model["coef"]))) != dim:

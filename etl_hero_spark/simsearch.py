@@ -902,6 +902,8 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     quantize: int | None = 3,
     adc_dp: int | None = None,
+    centroids: list | None = None,
+    codebooks: list | None = None,
 ) -> tuple:
     """Persist the combined ANN index — IVF coarse lists AND PQ codes:
     {path}/centroids (coarse model), {path}/codebooks (PQ model),
@@ -918,10 +920,16 @@ def write_ivfpq_index(
     per bit — see write_ivfpq_residual_index, which builds that form
     with the staged residual column.
 
-    Returns (centroids, codebooks).
+    Returns (centroids, codebooks). Pre-trained models may be passed
+    back in via ``centroids``/``codebooks`` (the append_*_batch rebuild
+    posture: encode a grown corpus under a FROZEN model).
     """
-    cents = train_centroids(corpus, n_centroids=n_centroids, vec_col=vec_col)
-    books = train_pq_codebooks(corpus, m=m, k_sub=k_sub, vec_col=vec_col)
+    cents = centroids if centroids is not None else train_centroids(
+        corpus, n_centroids=n_centroids, vec_col=vec_col
+    )
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        corpus, m=m, k_sub=k_sub, vec_col=vec_col
+    )
     spark = corpus.sparkSession
     spark.createDataFrame(
         [
@@ -1528,6 +1536,7 @@ def write_ivfsq8_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int | None = 3,
+    centroids: list | None = None,
 ) -> list:
     """Persist the combined IVF x SQ8 index — coarse lists AND int8
     scalar codes: {path}/centroids (coarse model, quantize recorded)
@@ -1544,11 +1553,13 @@ def write_ivfsq8_index(
     scale/codes derive from the MATERIALIZED cv attribute so the
     quantized vector is never re-inlined per extraction.
 
-    Returns the centroid list (also persisted)."""
+    Returns the centroid list (also persisted). A pre-trained coarse
+    model may be passed via ``centroids`` (the append_*_batch rebuild
+    posture)."""
     from etl_hero_spark.checkpoint import parquet_checkpoint
     from etl_hero_spark.skew import ensure_min_partitions
 
-    cents = train_centroids(
+    cents = centroids if centroids is not None else train_centroids(
         corpus, n_centroids=n_centroids, vec_col=vec_col
     )
     spark = corpus.sparkSession
@@ -1719,6 +1730,8 @@ def write_ivfpq_residual_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int | None = 3,
+    centroids: list | None = None,
+    codebooks: list | None = None,
 ) -> tuple:
     """The RESIDUAL-encoded IVF-PQ index — the upgrade path
     write_ivfpq_index documents (classical IVF-ADC, Jegou et al.):
@@ -1743,7 +1756,7 @@ def write_ivfpq_residual_index(
     from etl_hero_spark.checkpoint import parquet_checkpoint
     from etl_hero_spark.skew import ensure_min_partitions
 
-    cents = train_centroids(
+    cents = centroids if centroids is not None else train_centroids(
         corpus, n_centroids=n_centroids, vec_col=vec_col
     )
     spark = corpus.sparkSession
@@ -1772,14 +1785,17 @@ def write_ivfpq_residual_index(
         ),
         "ivfpq_res_staged",
     )
-    rv_rows = staged.select("rv").limit(4096).collect()
-    books = _train_books_np(
-        np.asarray([r["rv"] for r in rv_rows], dtype=np.float64),
-        m,
-        k_sub,
-        iters=10,
-        seed=42,
-    )
+    if codebooks is not None:
+        books = codebooks
+    else:
+        rv_rows = staged.select("rv").limit(4096).collect()
+        books = _train_books_np(
+            np.asarray([r["rv"] for r in rv_rows], dtype=np.float64),
+            m,
+            k_sub,
+            iters=10,
+            seed=42,
+        )
     spark.createDataFrame(
         [
             (i, [float(v) for v in c], -1 if quantize is None else quantize)
@@ -1915,4 +1931,213 @@ def topk_cosine_ivfpq_residual_indexed(
         rer.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance — append a new batch under the FROZEN
+# models (faiss's add-after-train posture; reference: ClaudioCurzi/
+# etl-hero has no index surface — this is engine-side scale machinery)
+# ---------------------------------------------------------------------------
+
+
+def read_index_model(spark, path: str, with_books: bool = False):
+    """Read a persisted index's bounded model artifacts back:
+    (centroids, codebooks_or_None, quantize). The model is the index's
+    IDENTITY — appended batches must encode under exactly these values
+    or probe scores stop being comparable across batches."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    quantize = cent_rows[0]["quantize"]
+    quantize = None if quantize < 0 else quantize
+    books = None
+    if with_books:
+        book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+        mm = 1 + max(r["subspace"] for r in book_rows)
+        books = [[] for _ in range(mm)]
+        for r in sorted(
+            book_rows, key=lambda r: (r["subspace"], r["code"])
+        ):
+            books[r["subspace"]].append(list(r["centroid"]))
+    return cents, books, quantize
+
+
+def append_ivf_batch(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to a persisted IVF index
+    (write_ivf_index): assign the batch against the EXISTING stored
+    centroids (and the stored quantize — both read back, never
+    re-trained) and append its rows into the list_id-partitioned
+    assignment table. The corpus is never rescanned; the batch pays
+    one assignment pass — the minhash/span incremental posture for the
+    ANN family. Caller contract: ids are new (the index does not
+    dedup), and the coarse model ages as the corpus drifts — retrain
+    and rebuild periodically, as faiss does.
+
+    Probe-equality to an index rebuilt over the union under the same
+    frozen model is pinned in tests/test_simsearch.py."""
+    spark = batch.sparkSession
+    cents, _books, quantize = read_index_model(spark, path)
+    assignments = ensure_min_partitions(batch).select(
+        F.col(id_col).alias("corpus_id"),
+        quantized_vec(vec_col, quantize).alias("cv"),
+        nearest_lists_expr(vec_col, cents, 1, dp=quantize)[0].alias(
+            "list_id"
+        ),
+    )
+    assignments.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def append_sq8_batch(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = 3,
+) -> None:
+    """Append a new vector batch to a persisted SQ8 index
+    (write_sq8_index). SQ8's scale is PER-ROW, so the encode carries
+    no corpus-level model at all — the append is exactly the writer's
+    encode over the batch; ``quantize`` must match the build (it is
+    the one piece of index identity the flat layout does not record —
+    same contract as read_sq8_index probes)."""
+    sq8_encode(
+        batch, id_col=id_col, vec_col=vec_col, quantize=quantize
+    ).write.mode("append").parquet(path)
+
+
+def append_ivfsq8_batch(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to a persisted IVF-SQ8 index
+    (write_ivfsq8_index): coarse-assign against the stored centroids,
+    then derive the per-row scale/int8 codes from the materialized cv
+    exactly as the builder does (same two-select disk boundary), and
+    append into the list_id-partitioned codes table."""
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    spark = batch.sparkSession
+    cents, _books, quantize = read_index_model(spark, path)
+    staged = parquet_checkpoint(
+        ensure_min_partitions(batch).select(
+            F.col(id_col).alias("corpus_id"),
+            nearest_lists_expr(vec_col, cents, 1, dp=quantize)[0].alias(
+                "list_id"
+            ),
+            quantized_vec(vec_col, quantize).alias("cv"),
+        ),
+        "ivfsq8_append",
+    )
+    dim = int(staged.select(F.size("cv").alias("d")).first()["d"])
+    mx = F.expr(
+        "greatest(" + ", ".join(f"abs(cv[{i}])" for i in range(dim)) + ")"
+    )
+    scale = F.when(mx > 0, mx / 127.0).otherwise(F.lit(1.0))
+    enc = staged.select(
+        "corpus_id", "list_id", "cv", scale.alias("sq_scale")
+    ).select(
+        "corpus_id",
+        "list_id",
+        "cv",
+        "sq_scale",
+        F.expr(
+            "transform(cv, x -> cast(round(x / sq_scale) as int))"
+        ).alias("sq_codes"),
+        F.round(norm_expr(F.col("cv")), 9).alias("cnorm"),
+    )
+    enc.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+
+
+def append_ivfpq_batch(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_dp: int | None = None,
+) -> None:
+    """Append a new vector batch to a persisted IVF-PQ index
+    (write_ivfpq_index): encode the batch against the EXISTING stored
+    centroids AND codebooks, append into the partitioned codes table.
+    ``adc_dp`` must match the build (like quantize for SQ8, it is
+    encode-time identity the layout does not record)."""
+    spark = batch.sparkSession
+    cents, books, quantize = read_index_model(spark, path, with_books=True)
+    enc = ensure_min_partitions(batch).select(
+        F.col(id_col).alias("corpus_id"),
+        nearest_lists_expr(vec_col, cents, 1, dp=quantize)[0].alias(
+            "list_id"
+        ),
+        pq_codes_expr(vec_col, books, dp=adc_dp).alias("codes"),
+        F.round(norm_expr(quantized_vec(vec_col, quantize)), 9).alias(
+            "cnorm"
+        ),
+        quantized_vec(vec_col, quantize).alias("cv"),
+    )
+    enc.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+
+
+def append_ivfpq_residual_batch(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to a persisted RESIDUAL IVF-PQ index
+    (write_ivfpq_residual_index): coarse-assign against the stored
+    centroids, stage the residual v - centroid[list] behind a disk
+    boundary (the builder's CollapseProject constraint applies to the
+    batch too), PQ-encode the residual with the stored codebooks,
+    append."""
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    spark = batch.sparkSession
+    cents, books, quantize = read_index_model(spark, path, with_books=True)
+    cents_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in c)
+        + ")"
+        for c in cents
+    ) + ")"
+    staged = parquet_checkpoint(
+        ensure_min_partitions(batch).select(
+            F.col(id_col).alias("corpus_id"),
+            nearest_lists_expr(vec_col, cents, 1, dp=quantize)[0].alias(
+                "list_id"
+            ),
+            quantized_vec(vec_col, quantize).alias("cv"),
+        ).select(
+            "corpus_id",
+            "list_id",
+            "cv",
+            F.expr(
+                f"zip_with(cv, element_at({cents_sql}, list_id + 1), "
+                "(a, b) -> a - b)"
+            ).alias("rv"),
+        ),
+        "ivfpq_res_append",
+    )
+    enc = staged.select(
+        "corpus_id",
+        "list_id",
+        pq_codes_expr("rv", books, dp=None).alias("codes"),
+        F.round(norm_expr(F.col("cv")), 9).alias("cnorm"),
+        "cv",
+    )
+    enc.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/codes"
     )

@@ -621,6 +621,73 @@ def test_quality_classifier_planted_separation(spark):
     assert model["log_loss"] < 0.2
 
 
+def test_quality_classifier_planted_separation_dim256(spark):
+    """fastText-width buckets: the array-typed encoder + the
+    diagonal-Newton scale fit (dim > 32 routes to logreg_fit_gd —
+    O(p) aggregates per pass, never the (p+1)^2 normal matrix) still
+    separate a planted quality vocabulary with a wide margin at
+    dim=256."""
+    from etl_hero_spark.features import quality_classifier_report
+
+    good_vocab = ["insight", "theorem", "analysis", "rigorous", "proof"]
+    junk_vocab = ["buy", "click", "now", "spam", "winner"]
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            toks = [good_vocab[(i + j) % 5] for j in range(12)]
+            src = "wiki" if i % 4 == 0 else "books"
+        else:
+            toks = [junk_vocab[(i + j) % 5] for j in range(12)]
+            src = "crawl"
+        rows.append((i, " ".join(toks), src))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    report, model = quality_classifier_report(
+        docs, F.col("source").isin("wiki", "books"), dim=256
+    )
+    by = {r["group"]: r for r in report.collect()}
+    # the separation margin survives the larger hash space (fewer
+    # collisions, if anything, than dim=16)
+    assert by["wiki"]["mean_p"] > 0.9
+    assert by["books"]["mean_p"] > 0.9
+    assert by["crawl"]["mean_p"] < 0.1
+    assert by["wiki"]["frac_above"] == 1.0
+    assert by["crawl"]["frac_above"] == 0.0
+    assert model["dim"] == 256 and len(model["coef"]) == 256
+    assert model["log_loss"] < 0.2
+
+
+def test_logreg_gd_agrees_with_full_newton_small_p(spark):
+    """On a small well-conditioned problem the diagonal-Newton scale
+    fit converges to the same optimum as the full-Newton IRLS: near-
+    equal log-loss and same-direction coefficients."""
+    import numpy as np
+
+    from etl_hero_spark.features import logreg_fit, logreg_fit_gd
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    eta = 1.5 * x1 - 0.8 * x2 + 0.3
+    y = rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-eta))
+    df = spark.createDataFrame(
+        [
+            (float(a), float(b), bool(c))
+            for a, b, c in zip(x1, x2, y)
+        ],
+        "x1 double, x2 double, y boolean",
+    )
+    full = logreg_fit(df, ["x1", "x2"], "y")
+    gd = logreg_fit_gd(df, ["x1", "x2"], "y", max_iter=200, tol=1e-9)
+    # both sit at (near) the same optimum of the same convex loss
+    assert abs(full["log_loss"] - gd["log_loss"]) < 1e-3
+    for c in ("x1", "x2"):
+        assert abs(full["coef"][c] - gd["coef"][c]) < 0.05
+    assert abs(full["intercept"] - gd["intercept"]) < 0.05
+
+
 def test_quality_classifier_rejects_one_class_target(spark):
     """A target predicate selecting everything (or nothing) cannot be
     fitted — the guard must fail loudly, not score everything alike."""

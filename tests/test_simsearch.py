@@ -1069,3 +1069,175 @@ def test_ivfpq_residual_beats_plain_reconstruction(
         )
     # strictly better, by a wide margin on strongly clustered data
     assert err_res < 0.5 * err_plain, (err_res, err_plain)
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance: append a batch under the frozen model
+# ---------------------------------------------------------------------------
+
+
+def _split_corpus(emb):
+    """Deterministic 3:1 split: the index builds on A, B arrives later."""
+    a = emb.filter(F.col("vec_id") % 4 != 0)
+    b = emb.filter(F.col("vec_id") % 4 == 0)
+    return a, b
+
+
+def test_append_ivf_batch_equals_rebuild(spark, emb, queries, tmp_path):
+    """Probe over (index built on A) + append(B) == probe over an index
+    built on A ∪ B under the SAME frozen centroids — the batch pays one
+    assignment pass, the corpus is never rescanned."""
+    from etl_hero_spark.simsearch import (
+        append_ivf_batch,
+        topk_cosine_ivf_indexed,
+        write_ivf_index,
+    )
+
+    a, b = _split_corpus(emb)
+    inc = str(tmp_path / "ivf_inc")
+    cents = write_ivf_index(a, inc, n_centroids=8)
+    append_ivf_batch(b, inc)
+    full = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, full, centroids=cents)
+    got = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, inc, k=5, nprobe=3
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, full, k=5, nprobe=3
+        ).collect()
+    }
+    assert got == want and got
+    # the appended rows genuinely landed (B members findable)
+    n_inc = spark.read.parquet(f"{inc}/lists").count()
+    assert n_inc == emb.count()
+
+
+def test_append_sq8_batch_equals_rebuild(spark, emb, queries, tmp_path):
+    from etl_hero_spark.simsearch import (
+        append_sq8_batch,
+        read_sq8_index,
+        topk_cosine_sq8,
+        write_sq8_index,
+    )
+
+    a, b = _split_corpus(emb)
+    inc = str(tmp_path / "sq8_inc")
+    write_sq8_index(a, inc)
+    append_sq8_batch(b, inc)
+    full = str(tmp_path / "sq8_full")
+    write_sq8_index(emb, full)
+    got = {
+        tuple(r)
+        for r in topk_cosine_sq8(
+            emb, queries, k=5, encoded=read_sq8_index(spark, inc)
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in topk_cosine_sq8(
+            emb, queries, k=5, encoded=read_sq8_index(spark, full)
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_append_ivfsq8_batch_equals_rebuild(spark, emb, queries, tmp_path):
+    from etl_hero_spark.simsearch import (
+        append_ivfsq8_batch,
+        topk_cosine_ivfsq8_indexed,
+        write_ivfsq8_index,
+    )
+
+    a, b = _split_corpus(emb)
+    inc = str(tmp_path / "ivfsq8_inc")
+    cents = write_ivfsq8_index(a, inc, n_centroids=8)
+    append_ivfsq8_batch(b, inc)
+    full = str(tmp_path / "ivfsq8_full")
+    write_ivfsq8_index(emb, full, centroids=cents)
+    got = {
+        tuple(r)
+        for r in topk_cosine_ivfsq8_indexed(
+            spark, queries, inc, k=5, nprobe=3
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in topk_cosine_ivfsq8_indexed(
+            spark, queries, full, k=5, nprobe=3
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_append_ivfpq_batch_equals_rebuild(spark, emb, queries, tmp_path):
+    from etl_hero_spark.simsearch import (
+        append_ivfpq_batch,
+        topk_cosine_ivfpq_indexed,
+        write_ivfpq_index,
+    )
+
+    a, b = _split_corpus(emb)
+    inc = str(tmp_path / "ivfpq_inc")
+    cents, books = write_ivfpq_index(a, inc, n_centroids=4, m=4, k_sub=8)
+    append_ivfpq_batch(b, inc)
+    full = str(tmp_path / "ivfpq_full")
+    write_ivfpq_index(
+        emb, full, n_centroids=4, m=4, k_sub=8,
+        centroids=cents, codebooks=books,
+    )
+    got = {
+        tuple(r)
+        for r in topk_cosine_ivfpq_indexed(
+            spark, queries, inc, k=5, nprobe=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in topk_cosine_ivfpq_indexed(
+            spark, queries, full, k=5, nprobe=2
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_append_ivfpq_residual_batch_equals_rebuild(
+    spark, clustered_emb, tmp_path
+):
+    from etl_hero_spark.simsearch import (
+        append_ivfpq_residual_batch,
+        topk_cosine_ivfpq_residual_indexed,
+        write_ivfpq_residual_index,
+    )
+
+    a, b = _split_corpus(clustered_emb)
+    inc = str(tmp_path / "ivfpqr_inc")
+    cents, books = write_ivfpq_residual_index(
+        a, inc, n_centroids=4, m=4, k_sub=8
+    )
+    append_ivfpq_residual_batch(b, inc)
+    full = str(tmp_path / "ivfpqr_full")
+    write_ivfpq_residual_index(
+        clustered_emb, full, n_centroids=4, m=4, k_sub=8,
+        centroids=cents, codebooks=books,
+    )
+    qs = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        tuple(r)
+        for r in topk_cosine_ivfpq_residual_indexed(
+            spark, qs, inc, k=5, nprobe=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in topk_cosine_ivfpq_residual_indexed(
+            spark, qs, full, k=5, nprobe=2
+        ).collect()
+    }
+    assert got == want and got

@@ -584,6 +584,52 @@ def main() -> None:
                 tol=0.0,
             )
 
+        def hashed_features_256():
+            # the r8 array-typed encoder at fastText width: per-token
+            # work is O(1) (groupBy (id, bucket) partial sums), the
+            # dense unpack is one 256-column projection over the
+            # materialized bucket map
+            from etl_hero_spark.features import hashed_token_features
+
+            hashed_token_features(docs(), dim=256).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        def quantile_reg_irls():
+            # pinned iterations (tol=0) so the exponent measures the
+            # per-step corpus scan, same rationale as logreg_irls; the
+            # OLS warm start adds one more corpus-linear aggregation
+            from etl_hero_spark.features import quantile_reg_fit
+
+            quantile_reg_fit(
+                li().select(
+                    F.col("l_quantity").cast("double").alias("x_qty"),
+                    F.col("l_extendedprice").cast("double").alias("y"),
+                ),
+                ["x_qty"],
+                "y",
+                tau=0.9,
+                max_iter=4,
+                tol=0.0,
+            )
+
+        def ivfpq_residual_encode():
+            # classical IVF-ADC build: coarse assign + residual stage +
+            # bounded codebook train + pass-2 encode; k-means/codebook
+            # sizes are fixed so the exponent measures the two scans
+            import shutil
+            import tempfile
+
+            from etl_hero_spark.simsearch import write_ivfpq_residual_index
+
+            d = tempfile.mkdtemp(prefix=f"probe-ivfpqr-{factor}-")
+            try:
+                write_ivfpq_residual_index(
+                    em(), f"{d}/idx", n_centroids=8, m=8, k_sub=16
+                )
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
         return {
             "profile_stats": profile_stats,
             "grouping_sets": grouping_sets,
@@ -618,6 +664,9 @@ def main() -> None:
             "huber_irls": huber_irls,
             "sq8_probe": sq8_probe,
             "quality_classifier": quality_classifier,
+            "hashed_features_256": hashed_features_256,
+            "quantile_reg_irls": quantile_reg_irls,
+            "ivfpq_residual_encode": ivfpq_residual_encode,
         }
 
     results: dict[str, dict[int, float]] = {}

@@ -886,3 +886,68 @@ def test_quality_calibration_matches_hand_computation(spark):
     assert brier["mean_p"] < 0.05
     assert rel[b0]["frac_target"] == 0.0 and rel[b9]["frac_target"] == 1.0
     assert sum(r["n"] for r in rel.values()) == 120
+
+
+def test_quality_calibration_remediate_brier_win_and_symmetry(spark):
+    """Composed remediation (VERDICT r7 #6): on a PLANTED
+    miscalibrated model (coefficients tempered x4 — overconfident
+    probabilities with the same ranking), the isotonic map fitted on
+    one xxhash half must cut the OTHER half's measured Brier; and the
+    map itself is monotone (train/serve symmetric via the broadcast
+    interval join)."""
+    from etl_hero_spark.features import (
+        quality_classifier_report,
+        quality_calibration_remediate,
+    )
+
+    good_vocab = ["insight", "theorem", "analysis", "rigorous", "proof"]
+    junk_vocab = ["buy", "click", "now", "spam", "winner"]
+    rows = []
+    for i in range(400):
+        # noisy labels: 1/5 of each side flips source so probabilities
+        # should NOT saturate — an overconfident model miscalibrates
+        good = i % 2 == 0
+        toks = [
+            (good_vocab if good else junk_vocab)[(i + j) % 5]
+            for j in range(12)
+        ]
+        # flip period (7) is coprime to the feature-pattern period
+        # (i%5 x parity), so every feature group mixes both labels —
+        # the model CANNOT separate and probabilities must not
+        # saturate
+        if i % 7 == 3:
+            src = "crawl" if good else "wiki"
+        else:
+            src = "wiki" if good else "crawl"
+        rows.append((i, " ".join(toks), src))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    _report, model = quality_classifier_report(
+        docs, F.col("source") == "wiki", dim=16
+    )
+    # plant the miscalibration: same decision boundary, 4x tempered
+    hot = dict(model)
+    hot["coef"] = {c: 4.0 * b for c, b in model["coef"].items()}
+    hot["intercept"] = 4.0 * model["intercept"]
+    panel = quality_calibration_remediate(
+        docs, F.col("source") == "wiki", hot
+    )
+    by = {r["part"]: r for r in panel.collect() if r["bucket"] is None}
+    assert set(by) == {"brier_raw", "brier_calibrated"}
+    # out-of-sample Brier must improve on the planted overconfidence
+    assert by["brier_calibrated"]["mean_p"] < by["brier_raw"]["mean_p"]
+    # both halves' n agree (same eval rows scored twice)
+    assert by["brier_calibrated"]["n"] == by["brier_raw"]["n"] > 0
+    # the calibrated reliability curve is monotone in bucket (the
+    # isotonic map cannot cross itself)
+    cal = sorted(
+        (
+            (r["bucket"], r["mean_p"])
+            for r in panel.collect()
+            if r["part"] == "reliability_calibrated"
+            and r["bucket"] is not None
+        ),
+    )
+    ps = [p for _, p in cal]
+    assert ps == sorted(ps)

@@ -280,6 +280,25 @@ def absorbed_prior(prev: dict[str, float], name: str) -> float | None:
 # for drift ratios under 1.15x OR an explanation here; written into
 # BENCH_DETAIL.json so the judge sees them next to the numbers).
 NOTES = {
+    "sim_semantic_dedup": (
+        "r7 cold-sweep flag RECONCILED r8 (VERDICT r7 #3) with the "
+        "isolated idle-host min-of-3 posture: 30.2/27.0/24.3 s cold "
+        "(fresh JVM per run, load avg ~1) — min 24.3 s vs the r6 "
+        "sweep's 23.3 s, i.e. 1.04x. The r7 in-sweep 38.4 s (and its "
+        "same-session retry) was sweep contention, not a plan change; "
+        "the plan is unchanged and correctness-pinned."
+    ),
+    "pipeline_curate_v2": (
+        "r7 cold-sweep flag RECONCILED r8 (VERDICT r7 #3), isolated "
+        "idle-host min-of-3: 13.2/12.2/12.1 s truly-cold (fresh JVM, "
+        "only lineitem warmed) with the stage split measured at ~6.9 s "
+        "line-dedup+gopher+checkpoint / ~4.7 s score+mix — i.e. the "
+        "in-sweep 'cold' numbers (r6 4.8 s, r7 9.0 s) are BOTH faster "
+        "than true cold because 200 earlier queries warm the JIT/"
+        "footer caches; their round-over-round movement is sweep-"
+        "position/JIT-state variance, not plan drift (plan unchanged, "
+        "warm min-of-2 1.075x, correctness-pinned)."
+    ),
     "pipeline_quality_classifier": (
         "r7 capstone: the IRLS fit (8 Newton steps x ~4s plan-compile "
         "for the 17-feature weighted normal matrix — codegen cost, "
@@ -293,6 +312,13 @@ NOTES = {
         "shares the memoized quality-classifier fit with "
         "pipeline_quality_classifier (registry._quality_model); its "
         "own cost is the stateless append-mode stream pass."
+    ),
+    "pipeline_quality_calibration": (
+        "r8: the isotonic remediation is COMPOSED onto the report "
+        "(VERDICT r7 #6) — the query now also fits PAV on one xxhash "
+        "half of the scored corpus and reports the out-of-sample "
+        "before/after Brier panel, so vs_prev reflects added work "
+        "(one more scored pass + the bounded PAV fold), not drift."
     ),
     "dedup_spans_incremental": (
         "probes a fixture-memoized span index (write_span_index, built "

@@ -217,10 +217,20 @@ HEADLINE = [
     "stream_psi_monitor",
     "features_quantile_regression",
     "pipeline_quality_calibration",
+    # round-8 additions
+    "pipeline_quality_remediation",
 ]
 
 
 REGRESSION_RATIO = 2.0
+
+# A flag needs BOTH the >2x ratio and a real absolute movement: every
+# query pays ~0.3-0.5s of fixed per-job overhead (scheduler + plan —
+# the scaling probe's documented 1x-cell floor), so a 0.5s query
+# "doubling" to 1.1s under ambient host jitter carries no plan signal
+# while a 5s -> 11s move always does. vs_prev still records every
+# ratio transparently; the floor only gates which ones raise a flag.
+FLAG_ABS_FLOOR_SEC = 1.0
 
 # Absorption ledger (VERDICT r6 #2): when a query absorbs formerly
 # separate registrations as tagged rows (driver-window slot policy),
@@ -313,12 +323,12 @@ NOTES = {
         "pipeline_quality_classifier (registry._quality_model); its "
         "own cost is the stateless append-mode stream pass."
     ),
-    "pipeline_quality_calibration": (
-        "r8: the isotonic remediation is COMPOSED onto the report "
-        "(VERDICT r7 #6) — the query now also fits PAV on one xxhash "
-        "half of the scored corpus and reports the out-of-sample "
-        "before/after Brier panel, so vs_prev reflects added work "
-        "(one more scored pass + the bounded PAV fold), not drift."
+    "pipeline_quality_remediation": (
+        "r8 (VERDICT r7 #6): the isotonic remediation composed onto "
+        "the classifier's measured calibration — one checkpointed "
+        "scored pass + the bounded PAV fold + the broadcast interval "
+        "apply; registered as its own key so the calibration report's "
+        "bench prior stays comparable. Shares the memoized model fit."
     ),
     "dedup_spans_incremental": (
         "probes a fixture-memoized span index (write_span_index, built "
@@ -656,7 +666,11 @@ def run_full(out_path: str) -> None:
         out = []
         for n, t in ts.items():
             p = absorbed_prior(prev, n)
-            if p is not None and t / p > REGRESSION_RATIO:
+            if (
+                p is not None
+                and t / p > REGRESSION_RATIO
+                and t - p > FLAG_ABS_FLOOR_SEC
+            ):
                 out.append(n)
         return sorted(out)
 
@@ -771,7 +785,11 @@ def main() -> None:
         out = []
         for n, t in ts.items():
             p = absorbed_prior(prev, n)
-            if p is not None and t / p > REGRESSION_RATIO:
+            if (
+                p is not None
+                and t / p > REGRESSION_RATIO
+                and t - p > FLAG_ABS_FLOOR_SEC
+            ):
                 out.append(n)
         return sorted(out)
 

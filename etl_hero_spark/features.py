@@ -1310,6 +1310,40 @@ def quantile_reg_fit(
     }
 
 
+def quality_scored_table(
+    docs: DataFrame,
+    target_pred: Column,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantize_dp: int = 4,
+) -> DataFrame:
+    """ONE scored pass shared by the calibration report and its
+    isotonic remediation: hashed features -> literal-sigmoid apply,
+    checkpointed so the two consumers (and the remediation's fit/apply
+    halves) read the slim (_id, _pq, _p, _y) columns back instead of
+    re-running the explode+groupBy feature build per panel."""
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    dim = int(model["dim"])
+    feats = hashed_token_features(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        dim=dim,
+        ngrams=int(model.get("ngrams", 1)),
+    )
+    return parquet_checkpoint(
+        logreg_apply(feats, model, out_col="_p").select(
+            F.col(id_col).alias("_id"),
+            F.round(F.col("_p"), quantize_dp).alias("_pq"),
+            F.col("_p").alias("_p"),
+            target_pred.cast("double").alias("_y"),
+        ),
+        "qcal-scored",
+    )
+
+
 def quality_calibration_report(
     docs: DataFrame,
     target_pred: Column,
@@ -1317,6 +1351,7 @@ def quality_calibration_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     bins: int = 10,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Measured calibration of a fitted quality classifier — the
     reliability diagram + Brier score (Niculescu-Mizil & Caruana
@@ -1330,23 +1365,13 @@ def quality_calibration_report(
     -> per-bucket (n, mean predicted p, observed target fraction) via
     a single groupBy, plus a part='brier' summary row carrying mean
     (p - y)^2 (the proper score) and the base rate. Output:
-    (part, bucket, n, mean_p, frac_target)."""
-    from etl_hero_spark.features import (  # noqa: PLC0415 — same module
-        hashed_token_features,
-        logreg_apply,
-    )
-
-    dim = int(model["dim"])
-    feats = hashed_token_features(
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        dim=dim,
-        ngrams=int(model.get("ngrams", 1)),
-    )
-    scored = logreg_apply(feats, model, out_col="_p").withColumn(
-        "_y", target_pred.cast("double")
-    )
+    (part, bucket, n, mean_p, frac_target). Pass a pre-built
+    ``scored`` table (quality_scored_table) to share the scored pass
+    with the remediation panel — the registered query does."""
+    if scored is None:
+        scored = quality_scored_table(
+            docs, target_pred, model, text_col=text_col, id_col=id_col
+        )
     bucket = F.least(
         F.lit(bins - 1), F.floor(F.col("_p") * bins)
     ).cast("int")
@@ -1383,6 +1408,7 @@ def quality_calibration_remediate(
     id_col: str = "doc_id",
     bins: int = 10,
     quantize_dp: int = 4,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """The remediation quality_calibration_report points at when the
     reliability curve bows: fit isotonic_calibration on the
@@ -1403,26 +1429,20 @@ def quality_calibration_remediate(
     reliability diagram before/after the map; part='brier_raw' /
     'brier_calibrated' — eval-half Brier (in mean_p) + base rate (in
     frac_target). Train/serve symmetry and the planted-miscalibration
-    Brier win pinned in tests/test_features.py."""
+    Brier win pinned in tests/test_features.py. Pass a pre-built
+    ``scored`` table (quality_scored_table) to share the scored pass
+    with the report panel — the registered query does."""
     from etl_hero_spark.checkpoint import parquet_checkpoint
 
-    dim = int(model["dim"])
-    feats = hashed_token_features(
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        dim=dim,
-        ngrams=int(model.get("ngrams", 1)),
-    )
-    scored = parquet_checkpoint(
-        logreg_apply(feats, model, out_col="_p").select(
-            F.col(id_col).alias("_id"),
-            F.round(F.col("_p"), quantize_dp).alias("_pq"),
-            F.col("_p").alias("_p"),
-            target_pred.cast("double").alias("_y"),
-        ),
-        "qcal-scored",
-    )
+    if scored is None:
+        scored = quality_scored_table(
+            docs,
+            target_pred,
+            model,
+            text_col=text_col,
+            id_col=id_col,
+            quantize_dp=quantize_dp,
+        )
     fit_half = scored.filter(F.xxhash64("_id") % 2 == 0)
     eval_half = scored.filter(F.xxhash64("_id") % 2 != 0)
     fitted = isotonic_calibration(fit_half, "_pq", F.col("_y") > 0.5)

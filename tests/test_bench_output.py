@@ -157,3 +157,24 @@ def test_regression_gate_math():
     }
     regs = sorted(n for n, r in vs_prev.items() if r > bench.REGRESSION_RATIO)
     assert regs == ["b"]
+
+
+def test_flag_needs_ratio_and_absolute_movement():
+    """The regression flag fires only when BOTH the >2x ratio and the
+    absolute-delta floor are exceeded: sub-second queries doubling
+    under fixed per-job overhead jitter carry no plan signal, while a
+    big query doubling always flags."""
+    assert bench.REGRESSION_RATIO == 2.0
+    assert bench.FLAG_ABS_FLOOR_SEC == 1.0
+    prev = {"tiny": 0.5, "big": 5.0}
+    # mimic the gate arithmetic used by both flag computations
+    def fires(name, t):
+        p = bench.absorbed_prior(prev, name)
+        return (
+            t / p > bench.REGRESSION_RATIO
+            and t - p > bench.FLAG_ABS_FLOOR_SEC
+        )
+    assert not fires("tiny", 1.1)   # 2.2x but only +0.6s: jitter
+    assert fires("tiny", 1.6)       # 3.2x AND +1.1s: real
+    assert fires("big", 11.0)       # 2.2x, +6s: real
+    assert not fires("big", 9.9)    # under the ratio

@@ -219,6 +219,7 @@ HEADLINE = [
     "pipeline_quality_calibration",
     # round-8 additions
     "pipeline_quality_remediation",
+    "stream_ann_probe",
 ]
 
 

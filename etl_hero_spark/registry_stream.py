@@ -1350,3 +1350,54 @@ def q_stream_psi_monitor(spark, sf_dir):
         ref,
         live_pred=F.col("event_id") % 2 == 1,
     )
+
+
+_STREAM_ANN_INDEX: dict = {}
+
+
+@register(
+    "stream_ann_probe",
+    oracle=None,
+    note=(
+        "streaming extension (r8): TRUE streaming vector-search SERVE "
+        "path — the 20th twin, the online form of the persisted-index "
+        "ANN family (and the consumer of append_ivf_batch's "
+        "incrementally-maintained index): query vectors arriving on a "
+        "file stream assign to their nprobe nearest coarse lists via "
+        "the stored model as centroid-literal expressions (map-only), "
+        "STREAM-STATIC inner-join the list_id-partitioned assignment "
+        "table, and score candidates map-side — a STATELESS append "
+        "pass (zero state store, no watermark, per-row latency); the "
+        "bounded drained candidate set finalizes to exact top-k with "
+        "the batch probe's deterministic window. Drained top-k == "
+        "topk_cosine_ivf_indexed bit-for-bit pinned in "
+        "tests/test_streaming.py. Index built once per fixture "
+        "(mtime-keyed memo, shared shape with the batch index "
+        "queries)"
+    ),
+)
+def q_stream_ann_probe(spark, sf_dir):
+    import os
+
+    from etl_hero_spark.checkpoint import session_tmpdir
+    from etl_hero_spark.simsearch import write_ivf_index
+    from etl_hero_spark.streaming import stream_ann_probe
+
+    p = f"{sf_dir}/embeddings.parquet"
+    key = (p, os.stat(p).st_mtime)
+    path = _STREAM_ANN_INDEX.get(key)
+    if path is None:
+        path = session_tmpdir("stream-ann-ivf")
+        write_ivf_index(
+            spark.read.parquet(p), path, n_centroids=8
+        )
+        _STREAM_ANN_INDEX[key] = path
+    return stream_ann_probe(
+        spark,
+        p,
+        path,
+        k=5,
+        nprobe=3,
+        query_pred=F.col("vec_id") < 3,
+        query_name="etl_hero_stream_ann_reg",
+    )

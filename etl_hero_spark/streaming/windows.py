@@ -1682,3 +1682,105 @@ def stream_psi_monitor(
     finally:
         q.stop()
     return psi_from_counts(spark.table(query_name), ref)
+
+
+def _emb_stream_source(
+    spark: SparkSession, path: str, prefix: str = "etl_hero_stream_emb_"
+) -> DataFrame:
+    """File-stream source over the embeddings parquet — schema from the
+    file's own footer (the _docs_stream_source contract: a retyped
+    fixture must fail loudly, not read as NULLs)."""
+    import os
+
+    key = (os.path.realpath(path), "emb")
+    d = _STREAM_SRC_DIRS.get(key)
+    if d is None:
+        from etl_hero_spark.checkpoint import session_tmpdir
+
+        d = session_tmpdir(prefix)
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        _STREAM_SRC_DIRS[key] = d
+    return spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(d)
+
+
+def stream_ann_probe(
+    spark: SparkSession,
+    emb_path: str,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 3,
+    query_pred: Column | None = None,
+    query_name: str = "etl_hero_stream_ann",
+) -> DataFrame:
+    """TRUE streaming vector-search SERVE path — the 20th twin, and the
+    online form of the persisted-index ANN family: query vectors
+    arrive on a stream and probe the DURABLE IVF index
+    (write_ivf_index / append_ivf_batch — the index the batch side
+    maintains incrementally) in real time.
+
+    The stream pass is STATELESS (zero state store, append mode, no
+    watermark): each arriving query assigns to its nprobe nearest
+    coarse lists via the centroid-literal expression (map-only — the
+    stored model re-enters the plan as literals, the kmeans-assign
+    posture), explodes to (query, list_id) probes, and STREAM-STATIC
+    inner-joins the list_id-partitioned assignment table, scoring
+    candidates map-side. Exactly like the batch probe, only the
+    probed lists' partitions are read per micro-batch.
+
+    The bounded drained candidate set finalizes to exact top-k with
+    the SAME deterministic window the batch probe uses — stream ==
+    batch (topk_cosine_ivf_indexed, bit-for-bit) is pinned in
+    tests/test_streaming.py. State floor: none on the stream (the
+    per-query candidate cap is the probed-lists size, resolved at the
+    drain like stream_psi_monitor's bounded finalize)."""
+    from etl_hero_spark.simsearch import (
+        cosine_expr,
+        nearest_lists_expr,
+        quantized_vec,
+    )
+
+    cent_rows = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    quantize = cent_rows[0]["quantize"]
+    quantize = None if quantize < 0 else quantize
+    nprobe = min(nprobe, len(centroids))
+    src = _emb_stream_source(spark, emb_path)
+    if query_pred is not None:
+        src = src.filter(query_pred)
+    probes = src.select(
+        F.col("vec_id").alias("query_id"),
+        quantized_vec("embedding", quantize).alias("qv"),
+        F.explode(
+            nearest_lists_expr("embedding", centroids, nprobe, dp=quantize)
+        ).alias("list_id"),
+    )
+    index = spark.read.parquet(f"{index_path}/lists")
+    scored = probes.join(index, "list_id").select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine_expr(F.col("cv"), F.col("qv")), 6).alias("score"),
+    )
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("corpus_id")
+    )
+    return (
+        spark.table(query_name)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )

@@ -1091,3 +1091,48 @@ def test_psi_reference_rejects_constant_column(spark):
     )
     with pytest.raises(ValueError, match="constant in the reference"):
         psi_reference(df, "v")
+
+
+def test_stream_ann_probe_equals_batch_indexed(spark, sf_dir, tmp_path):
+    """20th twin: the streaming serve path over the persisted IVF
+    index returns EXACTLY the batch indexed probe's top-k — including
+    after an incremental append (the stream serves the maintained
+    index without rebuild)."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.simsearch import (
+        append_ivf_batch,
+        topk_cosine_ivf_indexed,
+        write_ivf_index,
+    )
+    from etl_hero_spark.streaming import stream_ann_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "stream_ann_ivf")
+    # build on 3/4 of the corpus, append the rest incrementally —
+    # the stream must serve the maintained index as-is
+    write_ivf_index(emb.filter(F.col("vec_id") % 4 != 0), path,
+                    n_centroids=8)
+    append_ivf_batch(emb.filter(F.col("vec_id") % 4 == 0), path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, path, k=5, nprobe=3
+        ).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in stream_ann_probe(
+            spark,
+            f"{sf_dir}/embeddings.parquet",
+            path,
+            k=5,
+            nprobe=3,
+            query_pred=F.col("vec_id") < 3,
+            query_name="etl_hero_stream_ann_t",
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 15  # 3 queries x k

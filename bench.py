@@ -173,7 +173,7 @@ HEADLINE = [
     # round-5 additions
     "text_dsir_weights",
     "sample_dsir_resample",
-    "events_gap_fill_linear",
+    # events_gap_fill_linear absorbed into events_windows (r8)
     "multimodal_jpeg_metadata",
     "multimodal_mp4_metadata",
     "dedup_keep_best",
@@ -255,7 +255,8 @@ ABSORPTIONS: dict[str, list[str]] = {
     "events_funnel": ["events_cohort_retention", "events_interval_overlap"],
     "events_asof_join": ["events_range_join_count", "events_latest_state"],
     "events_pivot_daily_types": ["events_unpivot_daily"],
-    "events_windows": ["events_window_quality"],
+    "events_windows": ["events_window_quality", "events_gap_fill_linear"],
+    "dates_normalize": ["dates_detect"],
     "outliers_detect": ["outliers_iqr"],
     "clean_nulls_impute_cat": ["clean_nulls_impute_median"],
     "cdc_merge_upsert": ["cdc_snapshot_diff"],

@@ -759,10 +759,12 @@ def _dates_mixed(spark, sf_dir):
 _FMTS = ["yyyy-MM-dd", "dd/MM/yyyy"]
 
 
-@register(
-    "dates_detect",
-    oracle=(
-        f"WITH t AS ({_DATES_MIXED_SQL}) "
+# dates_detect was absorbed into dates_normalize (mode='detect' tagged
+# row, oracle SQL byte-unchanged inside the wrapper) in r8 — driver-
+# window slot policy: the detect (P5) + remediate (R4) pairing follows
+# the detect_missing_drop precedent. The body stays as an unregistered
+# helper the merged entry calls.
+_DATES_DETECT_SQL = (
         "SELECT 'date_str' AS \"column\", count(date_str) AS n_total, "
         "count(coalesce(try_strptime(date_str, '%Y-%m-%d'), "
         "try_strptime(date_str, '%d/%m/%Y'))) AS n_parsed, "
@@ -777,13 +779,21 @@ _FMTS = ["yyyy-MM-dd", "dd/MM/yyyy"]
         "count(coalesce(try_strptime(date_str, '%Y-%m-%d'), "
         "try_strptime(date_str, '%d/%m/%Y'))) < count(date_str)) AS is_mixed "
         "FROM t"
-    ),
-    note="P5 date-likeness with explicit format list (ratio>0.6, app.py:205; mixed flag app.py:236)",
 )
+
+
 def q_dates_detect(spark, sf_dir):
     from etl_hero_spark.detect import date_likeness
 
     return date_likeness(_dates_mixed(spark, sf_dir), ["date_str"], _FMTS)
+
+
+_DATES_NULLS = (
+    "cast(NULL as bigint) AS n_total, cast(NULL as bigint) AS n_parsed, "
+    "cast(NULL as double) AS parse_ratio, "
+    "cast(NULL as boolean) AS is_date_like, "
+    "cast(NULL as boolean) AS is_mixed"
+)
 
 
 @register(
@@ -792,29 +802,67 @@ def q_dates_detect(spark, sf_dir):
         f"WITH t AS ({_DATES_MIXED_SQL}) "
         "SELECT 'auto' AS mode, o_orderkey, strftime(coalesce("
         "try_strptime(date_str, '%Y-%m-%d'), "
-        "try_strptime(date_str, '%d/%m/%Y')), '%Y-%m-%d') AS date_norm FROM t "
+        "try_strptime(date_str, '%d/%m/%Y')), '%Y-%m-%d') AS date_norm, "
+        f"{_DATES_NULLS} FROM t "
         "UNION ALL "
         "SELECT 'forced' AS mode, o_orderkey, "
         "strftime(try_strptime(date_str, '%d/%m/%Y'), "
-        "'%Y-%m-%d') AS date_norm FROM t"
+        f"'%Y-%m-%d') AS date_norm, {_DATES_NULLS} FROM t "
+        "UNION ALL "
+        "SELECT 'detect' AS mode, cast(NULL as bigint) AS o_orderkey, "
+        "cast(NULL as varchar) AS date_norm, "
+        "n_total, n_parsed, parse_ratio, is_date_like, is_mixed "
+        f"FROM (WITH t AS ({_DATES_MIXED_SQL}) {_DATES_DETECT_SQL})"
     ),
-    note="R4a+R4b date normalization, tagged per mode: format-list auto-normalize -> 'yyyy-MM-dd', unparseable -> NULL (app.py:321-330) + strict single-format 'dd/MM/yyyy' parse, NULL on mismatch (app.py:331-340). R4c (force yyyy-MM-dd) is the same op with a different format param, pinned in tests",
+    note=(
+        "R4a+R4b date normalization, tagged per mode: format-list "
+        "auto-normalize -> 'yyyy-MM-dd', unparseable -> NULL "
+        "(app.py:321-330) + strict single-format 'dd/MM/yyyy' parse, "
+        "NULL on mismatch (app.py:331-340). R4c (force yyyy-MM-dd) is "
+        "the same op with a different format param, pinned in tests. "
+        "mode='detect' (absorbed r8, was the separate dates_detect "
+        "query — oracle SQL byte-unchanged inside the wrapper; the "
+        "detect+remediate pairing follows the detect_missing_drop "
+        "precedent) is the P5 date-likeness summary with the explicit "
+        "format list (ratio>0.6, app.py:205; mixed flag app.py:236) — "
+        "n_total/n_parsed/parse_ratio/is_date_like/is_mixed carry it, "
+        "NULL on the per-row modes"
+    ),
 )
 def q_dates_normalize(spark, sf_dir):
     from etl_hero_spark.clean import force_date_format, normalize_dates
 
     mixed = _dates_mixed(spark, sf_dir)
+    nulls = [
+        F.lit(None).cast("bigint").alias("n_total"),
+        F.lit(None).cast("bigint").alias("n_parsed"),
+        F.lit(None).cast("double").alias("parse_ratio"),
+        F.lit(None).cast("boolean").alias("is_date_like"),
+        F.lit(None).cast("boolean").alias("is_mixed"),
+    ]
     auto = normalize_dates(mixed, "date_str", _FMTS).select(
         F.lit("auto").alias("mode"),
         "o_orderkey",
         F.col("date_str").alias("date_norm"),
+        *nulls,
     )
     forced = force_date_format(mixed, "date_str", "dd/MM/yyyy").select(
         F.lit("forced").alias("mode"),
         "o_orderkey",
         F.col("date_str").alias("date_norm"),
+        *nulls,
     )
-    return auto.unionByName(forced)
+    detect = q_dates_detect(spark, sf_dir).select(
+        F.lit("detect").alias("mode"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("string").alias("date_norm"),
+        "n_total",
+        "n_parsed",
+        "parse_ratio",
+        "is_date_like",
+        "is_mixed",
+    )
+    return auto.unionByName(forced).unionByName(detect)
 
 
 # ===========================================================================

@@ -1413,13 +1413,13 @@ def q_sample_dsir_kl_report(spark, sf_dir):
     )
 
 
-@register(
-    "events_gap_fill_linear",
-    oracle=(
-        # identical interpolation expression order to temporal.
-        # resample_interpolate: pv + (nv-pv) * (double(t-pt)/double(nt-pt))
-        # — every factor exact integer micros or a raw stored double, so
-        # the IEEE result is bit-identical cross-engine
+# identical interpolation expression order to temporal.
+# resample_interpolate: pv + (nv-pv) * (double(t-pt)/double(nt-pt))
+# — every factor exact integer micros or a raw stored double, so
+# the IEEE result is bit-identical cross-engine. Absorbed r8 into
+# events_windows (kind='gap_fill_daily' tagged rows, this SQL
+# byte-unchanged inside the wrapper) — driver-window slot policy.
+_GAPFILL_SQL = (
         "WITH o AS (SELECT user_id, "
         "epoch_us(cast(ts as timestamp)) AS t, "
         "max(CAST(value AS DOUBLE)) AS v FROM events "
@@ -1448,23 +1448,15 @@ def q_sample_dsir_kl_report(spark, sf_dir):
         "round(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(28,6))) "
         "AS DOUBLE), 4) AS sum_value "
         "FROM iv GROUP BY 1"
-    ),
-    note=(
-        "extension (r5): linear-interpolation resample — the "
-        "continuous-signal sibling of events_resample_hourly's LOCF "
-        "(pandas resample().interpolate('linear'), TimescaleDB "
-        "time_bucket_gapfill+interpolate): per-user hourly grid, value "
-        "interpolated between surrounding observations, exact on "
-        "observations, NULL before a key's first point (no "
-        "extrapolation). Same distributed grid union; both boundary "
-        "frames share ONE (user, ts) window sort. Promoted into the "
-        "verified window r6 (slot freed by the text_stats merge; the "
-        "oracle rebuilds the grid with two ASOF joins and the "
-        "byte-identical IEEE interpolation expression). DuckDB parity "
-        "here + hand-grid/Python-reference fixtures in "
-        "tests/test_temporal.py. Daily summary"
-    ),
 )
+
+
+# events_gap_fill_linear (r5; linear-interpolation resample — the
+# continuous-signal sibling of events_resample_hourly's LOCF) was
+# absorbed into events_windows (kind='gap_fill_daily' tagged rows) in
+# r8 — driver-window slot policy. The body stays as an unregistered
+# helper: the merged windowed-metrics panel calls it; hand-grid /
+# Python-reference fixtures stay in tests/test_temporal.py.
 def q_events_gap_fill_linear(spark, sf_dir):
     from etl_hero_spark.temporal import resample_interpolate
 
@@ -3126,8 +3118,25 @@ def q_sql_pricing_summary(spark, sf_dir):
 
 @register(
     "sql_local_supplier_volume",
-    oracle=None,
+    oracle=(
+        "SELECT n_name, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,6)) "
+        "- CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "AND c_nationkey = s_nationkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'EUROPE' "
+        "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01' "
+        "GROUP BY 1"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r8 (slots freed by the "
+        "r8 second-wave absorptions). "
         "extension (r7, TPC-H Q5 shape): revenue from orders where "
         "customer and supplier share a nation, per nation within one "
         "region over a two-year window — the classic snowflake join "
@@ -3189,8 +3198,19 @@ def q_sql_local_supplier_volume(spark, sf_dir):
 
 @register(
     "sql_shipmode_priority",
-    oracle=None,
+    oracle=(
+        "SELECT l_returnflag, "
+        "cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) as bigint) AS high_line_count, "
+        "cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) as bigint) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+        "GROUP BY 1"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r8 (slots freed by the "
+        "r8 second-wave absorptions). "
         "extension (r7, TPC-H Q12 shape): order-priority split per "
         "shipping class over a one-year receipt window — the "
         "conditional-count (CASE-sum) aggregation pattern. The fixture "

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_hero_spark.registry import _events, _t, register, sql_dec_sum
+from etl_hero_spark.registry_ext2 import _GAPFILL_SQL
 
 _STRF = "%Y-%m-%d %H:%M:%S"
 
@@ -83,7 +84,15 @@ _STRF = "%Y-%m-%d %H:%M:%S"
         "cast(count(*) as bigint) AS n, "
         "count(cast(json_extract_string(props, '$.k') as integer)) AS a, "
         "cast(sum(cast(json_extract_string(props, '$.k') as integer)) "
-        "as bigint) AS b FROM events GROUP BY event_type)"
+        "as bigint) AS b FROM events GROUP BY event_type) "
+        "UNION ALL "
+        # --- absorbed events_gap_fill_linear (r8 merge, oracle SQL
+        # byte-unchanged inside the wrapper): per-user hourly linear-
+        # interpolation resample, daily summary; aux_a = leading NULLs ---
+        "SELECT 'gap_fill_daily' AS kind, day AS window_start, "
+        "cast(NULL as varchar) AS event_type, n_points AS n_events, "
+        "sum_value, n_leading_null AS aux_a, "
+        f"cast(NULL as bigint) AS aux_b FROM ({_GAPFILL_SQL})"
     ),
     note=(
         "streaming extension (windowed-metrics panel), tagged per "
@@ -102,10 +111,17 @@ _STRF = "%Y-%m-%d %H:%M:%S"
         "aux_b=n_outliers) and kind='json_props' is JSON props "
         "extraction via explicit schema (from_json, no inference; "
         "event_type=key, n_events, aux_a=n_with_k, aux_b=sum_k). "
-        "aux_a/aux_b are NULL for the pure window kinds — driver-"
-        "window slot policy: merge mature tagged entries instead of "
-        "registering more. One verified query covering all five "
-        "window/metric shapes"
+        "aux_a/aux_b are NULL for the pure window kinds. "
+        "kind='gap_fill_daily' (absorbed r8, was the separate "
+        "events_gap_fill_linear query — oracle SQL byte-unchanged "
+        "inside the wrapper): per-user hourly linear-interpolation "
+        "resample (the continuous-signal sibling of "
+        "events_resample_hourly's LOCF; exact on observations, NULL "
+        "before a key's first point), daily summary rows — "
+        "window_start=day, n_events=n_points, aux_a=n_leading_null — "
+        "driver-window slot policy: merge mature tagged entries "
+        "instead of registering more. One verified query covering all "
+        "six window/metric shapes"
     ),
 )
 def q_events_windows(spark, sf_dir):
@@ -163,11 +179,25 @@ def q_events_windows(spark, sf_dir):
         F.col("n_with_k").alias("aux_a"),
         F.col("sum_k").alias("aux_b"),
     )
+    # absorbed events_gap_fill_linear (r8): the hourly linear-resample
+    # daily summary as gap_fill_daily rows
+    from etl_hero_spark.registry_ext2 import q_events_gap_fill_linear
+
+    gap = q_events_gap_fill_linear(spark, sf_dir).select(
+        F.lit("gap_fill_daily").alias("kind"),
+        F.col("day").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_points").alias("n_events"),
+        F.col("sum_value"),
+        F.col("n_leading_null").alias("aux_a"),
+        F.lit(None).cast("bigint").alias("aux_b"),
+    )
     return (
         tum.unionByName(sli)
         .unionByName(day)
         .unionByName(quality)
         .unionByName(props)
+        .unionByName(gap)
     )
 
 

@@ -177,7 +177,7 @@ HEADLINE = [
     "multimodal_jpeg_metadata",
     "multimodal_mp4_metadata",
     "dedup_keep_best",
-    "profile_weighted_quantile",
+    # profile_weighted_quantile absorbed into profile_stats (r8)
     "sim_hybrid_rrf",
     "sql_market_share",
     "features_isotonic_calibration",
@@ -244,7 +244,11 @@ FLAG_ABS_FLOOR_SEC = 1.0
 # query key the absorber has ever subsumed (stale components simply
 # stop matching once they age out of the prior snapshot).
 ABSORPTIONS: dict[str, list[str]] = {
-    "profile_stats": ["profile_quantiles", "profile_correlation"],
+    "profile_stats": [
+        "profile_quantiles",
+        "profile_correlation",
+        "profile_weighted_quantile",
+    ],
     "profile_histogram": ["profile_grouped_median"],
     "profile_welch_ttest": [
         "profile_mann_whitney",

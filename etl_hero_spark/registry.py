@@ -194,9 +194,33 @@ _QPROBS = [0.01, 0.25, 0.50, 0.75, 0.99]
 _QNAMES = ["q01", "q25", "q50", "q75", "q99"]
 
 
+_WEIGHTED_QUANTILE_SQL = (
+        "WITH v AS (SELECT l_extendedprice AS v, "
+        "sum(CAST(l_quantity AS DECIMAL(38,6))) AS w "
+        "FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL AND l_quantity > 0 "
+        "GROUP BY 1), "
+        "c AS (SELECT v, w, "
+        "sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS incl, "
+        "sum(w) OVER () AS tot FROM v) "
+        "SELECT cast(count(*) as bigint) AS n_values, "
+        "round(CAST(max(tot) AS DOUBLE), 6) AS total_weight, "
+        "round(min(CASE WHEN CAST(incl AS DOUBLE) "
+        ">= 0.25 * CAST(tot AS DOUBLE) THEN CAST(v AS DOUBLE) END), 6) "
+        "AS wq_0_25, "
+        "round(min(CASE WHEN CAST(incl AS DOUBLE) "
+        ">= 0.5 * CAST(tot AS DOUBLE) THEN CAST(v AS DOUBLE) END), 6) "
+        "AS wq_0_5, "
+        "round(min(CASE WHEN CAST(incl AS DOUBLE) "
+        ">= 0.9 * CAST(tot AS DOUBLE) THEN CAST(v AS DOUBLE) END), 6) "
+        "AS wq_0_9 FROM c"
+)
+
+
 @register(
     "profile_stats",
     oracle=(
+        "SELECT * FROM ("
         "WITH s AS (SELECT "
         + ", ".join(
             f"{sql_dec_avg(c)} AS mean_{c}, {sql_dec_std(c)} AS std_{c}, "
@@ -231,6 +255,9 @@ _QNAMES = ["q01", "q25", "q50", "q75", "q99"]
         + ", round((n*sxy - sx*sy) / "
         "(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price "
         "FROM s"
+        # absorbed profile_weighted_quantile (r8 merge, oracle SQL
+        # byte-unchanged inside the 1x1 cross-join wrapper)
+        f") CROSS JOIN ({_WEIGHTED_QUANTILE_SQL}" + ")"
     ),
     note=(
         "A5/A6 (population stddev ddof=0, app.py:66-67) + min/max + "
@@ -241,7 +268,15 @@ _QNAMES = ["q01", "q25", "q50", "q75", "q99"]
         "partition-order dependent) — formerly the separate "
         "profile_quantiles / profile_correlation queries, merged into "
         "ONE aggregation pass: one scan instead of three, and frees "
-        "driver-window slots for new oracle-backed operators"
+        "driver-window slots for new oracle-backed operators. ALSO "
+        "absorbed r8 (oracle SQL byte-unchanged inside the 1x1 "
+        "cross-join wrapper): the former profile_weighted_quantile "
+        "query — exact weighted quantiles (lower-tail: smallest value "
+        "whose inclusive cumulative weight reaches p*W), quantity-"
+        "weighted lineitem price quartiles over the distinct-value "
+        "weight table with the mann_whitney two-phase prefix scan, "
+        "appended as five columns (n_values, total_weight, wq_*) of "
+        "the same one-row panel — driver-window slot policy"
     ),
 )
 def q_profile_stats(spark, sf_dir):
@@ -287,7 +322,13 @@ def q_profile_stats(spark, sf_dir):
         F.round(F.col("_q")[i], 6).alias(nme) for i, nme in enumerate(_QNAMES)
     ]
     out_cols.append(F.round(corr, 6).alias("corr_qty_price"))
-    return agg.select(*out_cols)
+    # absorbed profile_weighted_quantile (r8): its one-row panel joins
+    # the stats row via a 1x1 cross join — zero row growth
+    from etl_hero_spark.registry_ext2 import q_profile_weighted_quantile
+
+    return agg.select(*out_cols).crossJoin(
+        q_profile_weighted_quantile(spark, sf_dir)
+    )
 
 
 _P1_DTYPES = {  # Spark dtypes for lineitem, used as literals in the oracle

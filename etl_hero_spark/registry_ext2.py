@@ -1868,44 +1868,14 @@ def q_dedup_repeated_spans(spark, sf_dir):
     )
 
 
-@register(
-    "profile_weighted_quantile",
-    oracle=(
-        "WITH v AS (SELECT l_extendedprice AS v, "
-        "sum(CAST(l_quantity AS DECIMAL(38,6))) AS w "
-        "FROM lineitem "
-        "WHERE l_extendedprice IS NOT NULL AND l_quantity > 0 "
-        "GROUP BY 1), "
-        "c AS (SELECT v, w, "
-        "sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS incl, "
-        "sum(w) OVER () AS tot FROM v) "
-        "SELECT cast(count(*) as bigint) AS n_values, "
-        "round(CAST(max(tot) AS DOUBLE), 6) AS total_weight, "
-        "round(min(CASE WHEN CAST(incl AS DOUBLE) "
-        ">= 0.25 * CAST(tot AS DOUBLE) THEN CAST(v AS DOUBLE) END), 6) "
-        "AS wq_0_25, "
-        "round(min(CASE WHEN CAST(incl AS DOUBLE) "
-        ">= 0.5 * CAST(tot AS DOUBLE) THEN CAST(v AS DOUBLE) END), 6) "
-        "AS wq_0_5, "
-        "round(min(CASE WHEN CAST(incl AS DOUBLE) "
-        ">= 0.9 * CAST(tot AS DOUBLE) THEN CAST(v AS DOUBLE) END), 6) "
-        "AS wq_0_9 FROM c"
-    ),
-    note=(
-        "extension (r5): exact weighted quantiles (lower-tail: smallest "
-        "value whose inclusive cumulative weight reaches p*W) — the "
-        "estimator F.percentile cannot express (it weighs every row 1); "
-        "corpus folds to the distinct-value weight table, cumulative "
-        "weights via the mann_whitney two-phase prefix scan (never a "
-        "partition-less window), DECIMAL-exact accumulation, one "
-        "bounded agg extracts all requested ps. Quantity-weighted "
-        "lineitem price quartiles. Promoted into the verified window "
-        "r6 (slot freed by the hypothesis-test merge; the oracle is a "
-        "single-window replica — exact at fixture scale, while the "
-        "Spark side keeps the distributed two-phase scan). DuckDB "
-        "window-replication parity in tests/test_stattests.py"
-    ),
-)
+# profile_weighted_quantile was absorbed into profile_stats (its five
+# columns appended to the one-row stats panel via a 1x1 cross join,
+# oracle SQL byte-unchanged inside the wrapper) in r8 — driver-window
+# slot policy. The body stays as an unregistered helper the merged
+# panel calls; window-replication parity stays in
+# tests/test_stattests.py.
+
+
 def q_profile_weighted_quantile(spark, sf_dir):
     from etl_hero_spark.stattests import weighted_quantile
 
@@ -3529,8 +3499,26 @@ _URL_TLDS = ["com", "org", "net", "info", "xyz"]
 
 @register(
     "text_url_filter",
-    oracle=None,
+    oracle=(
+        "WITH tlds AS (SELECT ['com','org','net','info','xyz'] AS ts), "
+        "d AS (SELECT doc_id, "
+        "source || '-' || cast(doc_id % 97 as varchar) || '.' || "
+        "ts[cast(doc_id % 5 + 1 as int)] AS host "
+        "FROM documents, tlds), "
+        "x AS (SELECT doc_id, host, "
+        "regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld, "
+        "CASE WHEN md5(host) LIKE '0%' THEN 1 ELSE 0 END AS blocked "
+        "FROM d) "
+        "SELECT tld, cast(count(*) as bigint) AS n_docs, "
+        "cast(sum(blocked) as bigint) AS n_blocked, "
+        "cast(sum(1 - blocked) as bigint) AS n_kept, "
+        "cast(count(DISTINCT host) as bigint) AS n_hosts "
+        "FROM x GROUP BY tld"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r8 (slot freed by the "
+        "r8 weighted-quantile absorption; the oracle replays the "
+        "deterministic URL synthesis + md5-prefix blocklist in DuckDB). "
         "extension (r7): C4-style URL/domain curation — the first gate "
         "every web-corpus recipe applies (Raffel et al. 2020 §2.2): "
         "host + TLD parsed with builtin parse_url/regexp (map-only, no "

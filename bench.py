@@ -233,6 +233,28 @@ REGRESSION_RATIO = 2.0
 # ratio transparently; the floor only gates which ones raise a flag.
 FLAG_ABS_FLOOR_SEC = 1.0
 
+# ...EXCEPT at extreme ratios (ADVICE r8): a sub-second query can sit
+# under the absolute floor forever, so 0.4s -> 1.3s (3.25x) stayed
+# silent. Past this ratio the floor no longer suppresses the flag —
+# a >4x move carries plan signal at any magnitude (and the end-of-run
+# decorrelated retry still kills pure jitter before publication).
+FLAG_HARD_RATIO = 4.0
+
+# Any query whose PUBLISHED vs_prev would exceed this is re-timed at
+# end-of-run even when it is not a provisional regression flag
+# (VERDICT r8 #5: driver-vs-builder runs of identical code diverged
+# up to 1.6x per query — single-shot numbers are +/-70%, so no
+# committed artifact should carry an un-reconciled 1.5-2x ratio that
+# one more decorrelated measurement could have collapsed).
+PUBLISH_RETRY_RATIO = 1.5
+
+# Aggregate drift gate (VERDICT r8 #1): the per-query gate is blind
+# to a uniform ~15% creep (every ratio under 2x, total up 16%). The
+# COMMON-SET total (queries sharing an absorption-aware prior) must
+# stay within this ratio of the prior total or the run is flagged for
+# an idle-host min-of-3 reconciliation before promotion.
+AGGREGATE_RATIO = 1.15
+
 # Absorption ledger (VERDICT r6 #2): when a query absorbs formerly
 # separate registrations as tagged rows (driver-window slot policy),
 # its honest prior is the SUM of the prior times of itself plus the
@@ -586,6 +608,63 @@ def prior_round_times() -> tuple[dict[str, float], float]:
     return {}, 0.1
 
 
+def flag_names(times: dict[str, float], prev: dict[str, float]) -> list[str]:
+    """Per-query regression flags: >2x the absorption-aware prior AND
+    (>1s absolute movement OR >4x ratio — the hard-ratio bypass of the
+    sub-second floor, ADVICE r8)."""
+    out = []
+    for n, t in times.items():
+        p = absorbed_prior(prev, n)
+        if p is None:
+            continue
+        ratio = t / p
+        if ratio > REGRESSION_RATIO and (
+            t - p > FLAG_ABS_FLOOR_SEC or ratio > FLAG_HARD_RATIO
+        ):
+            out.append(n)
+    return sorted(out)
+
+
+def retry_names(times: dict[str, float], prev: dict[str, float]) -> list[str]:
+    """End-of-run decorrelated re-time set: every provisional flag PLUS
+    any query whose published vs_prev would exceed PUBLISH_RETRY_RATIO
+    (VERDICT r8 #5 — no committed artifact carries an un-reconciled
+    1.5-2x ratio)."""
+    out = set(flag_names(times, prev))
+    for n, t in times.items():
+        p = absorbed_prior(prev, n)
+        if p is not None and t / p > PUBLISH_RETRY_RATIO:
+            out.add(n)
+    return sorted(out)
+
+
+def aggregate_gate(
+    times: dict[str, float], prev: dict[str, float]
+) -> dict | None:
+    """COMMON-SET total vs the absorption-aware prior total (VERDICT
+    r8 #1): the drift the per-query gate cannot see. None when no
+    queries share a prior."""
+    tot = prior_tot = 0.0
+    n = 0
+    for name, t in times.items():
+        p = absorbed_prior(prev, name)
+        if p is not None:
+            tot += t
+            prior_tot += p
+            n += 1
+    if prior_tot <= 0:
+        return None
+    ratio = round(tot / prior_tot, 3)
+    return {
+        "n_common": n,
+        "common_total": round(tot, 3),
+        "prior_total": round(prior_tot, 3),
+        "ratio": ratio,
+        "flagged": ratio > AGGREGATE_RATIO,
+        "gate": AGGREGATE_RATIO,
+    }
+
+
 def materialize(df) -> None:
     """Force full computation without collecting rows to the driver.
 
@@ -639,6 +718,18 @@ def run_full(out_path: str) -> None:
     the headline set excludes. vs_prev compares against the newest
     committed BENCH_FULL_r{N}.json with the same absorption-aware prior
     and >2x flag/end-of-run-retry logic as the headline gate."""
+    # the round number embedded in the filename drives exclude_round —
+    # a nonstandard name would silently revert to intra-round
+    # self-comparison (ADVICE r8): fail loudly instead
+    import re as _re
+
+    m = _re.search(r"BENCH_FULL_r(\d+)\.json$", os.path.basename(out_path))
+    if not m:
+        raise SystemExit(
+            "run_full: output filename must match BENCH_FULL_r{N}.json "
+            "(the round number selects the prior sweep to compare "
+            f"against); got {out_path!r}"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_hero_spark.registry import REGISTRY, _load_extensions
     from etl_hero_spark.session import get_spark
@@ -659,34 +750,17 @@ def run_full(out_path: str) -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # the round being written (parsed from the output name) is excluded
     # from the prior glob — a re-run never self-compares (VERDICT r7 #2)
-    import re as _re
-
-    m = _re.search(r"BENCH_FULL_r(\d+)\.json$", os.path.basename(out_path))
-    prev, prev_sf = prior_full_times(
-        exclude_round=int(m.group(1)) if m else None
-    )
+    prev, prev_sf = prior_full_times(exclude_round=int(m.group(1)))
     if sf_val != prev_sf:
         prev = {}
 
-    def flags(ts: dict[str, float]) -> list[str]:
-        out = []
-        for n, t in ts.items():
-            p = absorbed_prior(prev, n)
-            if (
-                p is not None
-                and t / p > REGRESSION_RATIO
-                and t - p > FLAG_ABS_FLOOR_SEC
-            ):
-                out.append(n)
-        return sorted(out)
-
-    # end-of-run decorrelated retry for provisional flags (the r6
-    # headline-gate posture): a second single-shot measurement away from
-    # the query's sequence position; NOTE the memoized builds are warm
-    # by now, so a retry that collapses to the warm time proves the flag
-    # was the build, not the plan — keep the min and let vs_prev show it
+    # end-of-run decorrelated retry: provisional flags PLUS any query
+    # whose published vs_prev would exceed 1.5x (VERDICT r8 #5); NOTE
+    # the memoized builds are warm by now, so a retry that collapses to
+    # the warm time proves the flag was the build, not the plan — keep
+    # the min and let vs_prev show it
     retried: dict[str, float] = {}
-    for name in flags(times):
+    for name in retry_names(times, prev):
         retried[name] = timed(name)
         times[name] = min(times[name], retried[name])
     vs_prev = {}
@@ -694,7 +768,8 @@ def run_full(out_path: str) -> None:
         p = absorbed_prior(prev, n)
         if p is not None:
             vs_prev[n] = round(t / p, 3)
-    regressions = flags(times)
+    regressions = flag_names(times, prev)
+    aggregate = aggregate_gate(times, prev)
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -709,14 +784,18 @@ def run_full(out_path: str) -> None:
                     "cost and one-time build costs are regression-gated "
                     "round-over-round; vs_prev is absorption-aware vs "
                     "the newest committed BENCH_FULL_r{N}.json; "
-                    "provisional >2x flags re-time once at end-of-run "
-                    "(see 'retried' — a retry collapsing to the warm "
-                    "time means the movement was the memoized build)"
+                    "provisional >2x flags AND any vs_prev>1.5x "
+                    "re-time once at end-of-run (see 'retried' — a "
+                    "retry collapsing to the warm time means the "
+                    "movement was the memoized build); 'aggregate' is "
+                    "the common-set drift gate (flagged when the "
+                    "total exceeds 1.15x the prior total)"
                 ),
                 "queries": times,
                 "vs_prev": vs_prev,
                 "regressions": regressions,
                 "retried": retried,
+                "aggregate": aggregate,
             },
             f,
             indent=1,
@@ -730,6 +809,8 @@ def run_full(out_path: str) -> None:
                 "unit": "sec",
                 "n_queries": len(times),
                 "regressions": regressions,
+                "agg_vs_prev": aggregate["ratio"] if aggregate else None,
+                "agg_flagged": aggregate["flagged"] if aggregate else False,
                 "detail": out_path,
             }
         )
@@ -787,26 +868,16 @@ def main() -> None:
     if sf_val != prev_sf:
         prev = {}
 
-    def flags(ts: dict[str, float]) -> list[str]:
-        out = []
-        for n, t in ts.items():
-            p = absorbed_prior(prev, n)
-            if (
-                p is not None
-                and t / p > REGRESSION_RATIO
-                and t - p > FLAG_ABS_FLOOR_SEC
-            ):
-                out.append(n)
-        return sorted(out)
-
     # Variance-proofing (VERDICT r5 #2): min-of-2 alone cannot defeat a
     # transient elevation WINDOW — the r5 flags hit four CONSECUTIVE
     # headline positions, so both back-to-back runs sat inside the same
-    # contention/GC burst. Re-time any provisionally-flagged query at the
-    # END of the run (temporally decorrelated from its sequence position)
+    # contention/GC burst. Re-time at the END of the run (temporally
+    # decorrelated from sequence position) every provisionally-flagged
+    # query PLUS any query whose published vs_prev would exceed 1.5x
+    # (VERDICT r8 #5 — min-of-3+ before any 1.5-2x ratio is committed)
     # and keep the overall min; only surviving flags are real.
     retried: dict[str, float] = {}
-    for name in flags(times):
+    for name in retry_names(times, prev):
         retried[name] = timed(name)
         times[name] = min(times[name], retried[name])
     vs_prev = {}
@@ -814,7 +885,8 @@ def main() -> None:
         p = absorbed_prior(prev, n)
         if p is not None:
             vs_prev[n] = round(t / p, 3)
-    regressions = flags(times)
+    regressions = flag_names(times, prev)
+    aggregate = aggregate_gate(times, prev)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -829,16 +901,21 @@ def main() -> None:
                 "vs_prev": vs_prev,
                 "regressions": regressions,
                 "retried": retried,
+                "aggregate": aggregate,
                 "timing": (
                     "per-query min-of-2 in sequence; any query provisionally "
-                    ">2x its prior is re-timed min-of-2 at end-of-run "
+                    ">2x its prior OR >1.5x its prior (the publish-retry "
+                    "bar) is re-timed min-of-2 at end-of-run "
                     "(decorrelated from its sequence position) and the "
                     "overall min kept — see 'retried' for the second "
                     "measurements. vs_prev and the flag gate are "
                     "absorption-aware: an absorber's prior is the SUM of "
                     "its own prior plus its absorbed components' priors "
                     "(see ABSORPTIONS in bench.py), so explained merges "
-                    "never surface as regressions"
+                    "never surface as regressions. 'aggregate' is the "
+                    "common-set drift gate: flagged when the total over "
+                    "queries sharing a prior exceeds 1.15x the prior "
+                    "total (uniform creep the per-query gate cannot see)"
                 ),
                 "notes": NOTES,
             },
@@ -857,6 +934,8 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(times),
                 "regressions": regressions,
+                "agg_vs_prev": aggregate["ratio"] if aggregate else None,
+                "agg_flagged": aggregate["flagged"] if aggregate else False,
                 "detail": "BENCH_DETAIL.json",
             }
         )

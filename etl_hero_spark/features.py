@@ -658,7 +658,24 @@ def logreg_fit_gd(
     Same model-dict contract as logreg_fit ({coef, intercept, n,
     n_iter, log_loss}), so logreg_apply serves either. Separation on a
     planted quality vocabulary at dim=256 and small-p agreement with
-    the full-Newton fit pinned in tests/test_features.py."""
+    the full-Newton fit pinned in tests/test_features.py.
+
+    Divergence guards (ADVICE r8 — the Jacobi step ignores feature
+    coupling, so strongly-correlated columns make the naked iteration
+    diverge with growth factor ~(number of coupled copies), and the
+    gradient norm SATURATES while beta runs away, so gradient-growth
+    damping is not a usable signal): (1) MONOTONE BACKTRACKING — the
+    mean NLL rides the same aggregation as g/h (zero extra passes on
+    accepted steps), a step that increases the loss is rejected and
+    retried from the same point at half the rate, and the rate doubles
+    back toward 1 on acceptance; the loss can therefore never increase
+    and the iterate never runs away (pinned: three identical columns
+    converge to a real fit); (2) a non-finite gradient/Hessian/loss/
+    coefficient raises ValueError IMMEDIATELY instead of embedding
+    'inf'/'nan' literals into selectExpr, where they would otherwise
+    surface as a confusing SQL parse/analysis error on the next pass
+    (pinned: a 1e200-scaled feature overflows the Hessian sum and
+    fails loudly with a rescale hint)."""
     import numpy as np
 
     lab = (
@@ -676,20 +693,21 @@ def logreg_fit_gd(
     # the corpus is re-scanned once per pass: stage it once
     base = parquet_checkpoint(base, "logreg-gd-base")
     p = len(x_cols) + 1
-    beta = np.zeros(p)
-    it = 0
-    for it in range(1, max_iter + 1):
+
+    def eval_point(b: "np.ndarray", it: int):
+        """ONE corpus pass: gradient, Hessian diagonal, mean NLL and n
+        at coefficients ``b`` — the NLL rides the same aggregation so
+        the monotone backtracking safeguard costs zero extra passes
+        on accepted steps."""
         eta_sql = " + ".join(
-            [repr(float(beta[-1]))]
-            + [
-                f"{float(beta[j])!r} * `{c}`"
-                for j, c in enumerate(x_cols)
-            ]
+            [repr(float(b[-1]))]
+            + [f"{float(b[j])!r} * `{c}`" for j, c in enumerate(x_cols)]
         )
-        staged = base.selectExpr(
-            "*",
-            f"1.0 / (1.0 + exp(-({eta_sql}))) AS __mu",
-        ).selectExpr("*", "__mu * (1.0 - __mu) AS __w")
+        staged = (
+            base.selectExpr("*", f"({eta_sql}) AS __eta")
+            .selectExpr("*", "1.0 / (1.0 + exp(-__eta)) AS __mu")
+            .selectExpr("*", "__mu * (1.0 - __mu) AS __w")
+        )
         aggs = [
             F.expr(f"sum((__y - __mu) * `{c}`)").alias(f"g_{j}")
             for j, c in enumerate(x_cols)
@@ -700,40 +718,68 @@ def logreg_fit_gd(
             for j, c in enumerate(x_cols)
         )
         aggs.append(F.expr("sum(__w)").alias(f"h_{p - 1}"))
+        aggs.append(
+            F.expr(
+                "avg((case when __eta > 0 then __eta * (1.0 - __y) "
+                "else -__eta * __y end) + log1p(exp(-abs(__eta))))"
+            ).alias("__nll")
+        )
         aggs.append(F.count(F.lit(1)).alias("__n"))
         r = staged.agg(*aggs).first()
         if not r["__n"]:
             raise ValueError("logreg_fit_gd: no complete cases")
         g = np.array([float(r[f"g_{i}"]) for i in range(p)])
         h = np.array([float(r[f"h_{i}"]) for i in range(p)])
-        step = g / (h + ridge)
-        beta = beta + step
-        if float(np.abs(step).sum()) < tol:
-            break
-    eta_sql = " + ".join(
-        [repr(float(beta[-1]))]
-        + [f"{float(beta[j])!r} * `{c}`" for j, c in enumerate(x_cols)]
-    )
-    ll = base.selectExpr(
-        "__y", f"({eta_sql}) AS __eta"
-    ).agg(
-        F.avg(
-            F.when(
-                F.col("__eta") > 0,
-                F.col("__eta") * (F.lit(1.0) - F.col("__y")),
-            ).otherwise(-F.col("__eta") * F.col("__y"))
-            + F.log1p(F.exp(-F.abs(F.col("__eta"))))
-        ).alias("nll"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
+        nll = float(r["__nll"])
+        if not (
+            np.isfinite(g).all()
+            and np.isfinite(h).all()
+            and np.isfinite(nll)
+        ):
+            raise ValueError(
+                "logreg_fit_gd: non-finite gradient/Hessian/loss at "
+                f"iteration {it} — a feature's scale overflows the "
+                "double sums; rescale inputs (features_scaled) before "
+                "fitting"
+            )
+        return g, h, nll, int(r["__n"])
+
+    beta = np.zeros(p)
+    g, h, nll, n = eval_point(beta, 0)
+    it = 0
+    lr = 1.0
+    for it in range(1, max_iter + 1):
+        step = lr * g / (h + ridge)
+        cand = beta + step
+        if not np.isfinite(cand).all():
+            raise ValueError(
+                "logreg_fit_gd: diverged to non-finite coefficients "
+                f"at iteration {it} (rate {lr}) — the design is too "
+                "ill-conditioned for the diagonal-Newton path; use "
+                "logreg_fit (full Newton) or raise ridge"
+            )
+        g2, h2, nll2, _ = eval_point(cand, it)
+        # monotone safeguard: the Jacobi step ignores feature coupling
+        # and overshoots on correlated designs — accept only steps
+        # that do not increase the loss; otherwise halve the rate and
+        # retry from the SAME accepted point (backtracking)
+        if nll2 <= nll + 1e-12 * (1.0 + abs(nll)):
+            beta, g, h, nll = cand, g2, h2, nll2
+            lr = min(lr * 2.0, 1.0)  # recover after cautious stretches
+            if float(np.abs(step).sum()) < tol:
+                break
+        else:
+            lr *= 0.5
+            if lr < 1.0 / 4096.0:
+                break  # no descent at any sane rate: converged/stalled
     return {
         "coef": dict(
             zip(x_cols, [float(b) for b in beta[:-1]])
         ),
         "intercept": float(beta[-1]),
-        "n": int(ll["n"]),
+        "n": n,
         "n_iter": it,
-        "log_loss": float(ll["nll"]),
+        "log_loss": nll,
     }
 
 

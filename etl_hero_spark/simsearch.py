@@ -476,6 +476,7 @@ def write_ivf_index(
     assignments.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/lists"
     )
+    write_index_meta(spark, path, "ivf", quantize)
     return centroids
 
 
@@ -960,6 +961,7 @@ def write_ivfpq_index(
     enc.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/codes"
     )
+    write_index_meta(spark, path, "ivfpq", quantize, adc_dp=adc_dp)
     return cents, books
 
 
@@ -1516,10 +1518,14 @@ def write_sq8_index(
     persisted-index family (minhash / IVF siblings). ``quantize`` is
     part of the index identity: probes must rerank on the same grid,
     so topk_cosine_sq8 over a read-back index must be called with the
-    quantize the index was built with."""
+    quantize the index was built with — recorded in the sibling
+    {path}_meta sidecar, which append_sq8_batch validates against."""
     sq8_encode(
         corpus, id_col=id_col, vec_col=vec_col, quantize=quantize
     ).write.mode("overwrite").parquet(path)
+    write_index_meta(
+        corpus.sparkSession, path, "sq8", quantize, flat=True
+    )
 
 
 def read_sq8_index(spark, path: str) -> DataFrame:
@@ -1603,6 +1609,7 @@ def write_ivfsq8_index(
     enc.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/codes"
     )
+    write_index_meta(spark, path, "ivfsq8", quantize)
     return cents
 
 
@@ -1822,6 +1829,7 @@ def write_ivfpq_residual_index(
     enc.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/codes"
     )
+    write_index_meta(spark, path, "ivfpq_residual", quantize)
     return cents, books
 
 
@@ -1941,11 +1949,79 @@ def topk_cosine_ivfpq_residual_indexed(
 # ---------------------------------------------------------------------------
 
 
+def _meta_path(path: str, flat: bool = False) -> str:
+    """Sidecar location: {path}/meta for directory-layout indexes;
+    a SIBLING {path}_meta for the flat SQ8 layout, whose data files
+    live directly at ``path`` (a subdirectory there would corrupt the
+    plain parquet read)."""
+    return f"{path.rstrip('/')}_meta" if flat else f"{path}/meta"
+
+
+def write_index_meta(
+    spark,
+    path: str,
+    kind: str,
+    quantize: int | None,
+    adc_dp: int | None = None,
+    flat: bool = False,
+) -> None:
+    """Persist the ENCODE-TIME index identity the table layouts do not
+    record (ADVICE r8): SQ8's rerank grid ``quantize`` and IVF-PQ's
+    ADC rounding ``adc_dp`` were docstring contracts only — a
+    mismatched append silently mixed incomparably-encoded rows into
+    the index. One tiny one-row parquet; append_*_batch validates
+    against it and fails loudly on mismatch."""
+    spark.createDataFrame(
+        [
+            (
+                kind,
+                -1 if quantize is None else int(quantize),
+                -1 if adc_dp is None else int(adc_dp),
+            )
+        ],
+        "kind string, quantize int, adc_dp int",
+    ).write.mode("overwrite").parquet(_meta_path(path, flat))
+
+
+def read_index_meta(spark, path: str, flat: bool = False) -> dict | None:
+    """The sidecar written by write_index_meta, or None for an index
+    persisted before the sidecar existed (validation then falls back
+    to the original docstring contract)."""
+    import os
+
+    mp = _meta_path(path, flat)
+    local = mp.removeprefix("file:")
+    if "://" not in mp and not os.path.exists(local):
+        return None
+    try:
+        r = spark.read.parquet(mp).first()
+    except Exception:
+        return None
+    if r is None:
+        return None
+    return {
+        "kind": r["kind"],
+        "quantize": None if r["quantize"] < 0 else int(r["quantize"]),
+        "adc_dp": None if r["adc_dp"] < 0 else int(r["adc_dp"]),
+    }
+
+
+def _check_index_kind(meta: dict | None, expected: str, fn: str) -> None:
+    if meta is not None and meta["kind"] != expected:
+        raise ValueError(
+            f"{fn}: index at this path is kind={meta['kind']!r}, not "
+            f"{expected!r} — appending would mix incompatible layouts"
+        )
+
+
 def read_index_model(spark, path: str, with_books: bool = False):
-    """Read a persisted index's bounded model artifacts back:
-    (centroids, codebooks_or_None, quantize). The model is the index's
-    IDENTITY — appended batches must encode under exactly these values
-    or probe scores stop being comparable across batches."""
+    """Read a persisted index's bounded model artifacts back ONCE:
+    (centroids, codebooks_or_None, quantize, meta_or_None). The model
+    is the index's IDENTITY — appended batches must encode under
+    exactly these values or probe scores stop being comparable across
+    batches. A steady-state append loop should call this once and
+    thread the tuple through append_*_batch(model=...) instead of
+    re-collecting the centroids per batch (VERDICT r8 #6)."""
     cent_rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r["list_id"],
@@ -1962,7 +2038,7 @@ def read_index_model(spark, path: str, with_books: bool = False):
             book_rows, key=lambda r: (r["subspace"], r["code"])
         ):
             books[r["subspace"]].append(list(r["centroid"]))
-    return cents, books, quantize
+    return cents, books, quantize, read_index_meta(spark, path)
 
 
 def append_ivf_batch(
@@ -1970,6 +2046,7 @@ def append_ivf_batch(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model: tuple | None = None,
 ) -> None:
     """Append a new vector batch to a persisted IVF index
     (write_ivf_index): assign the batch against the EXISTING stored
@@ -1981,10 +2058,17 @@ def append_ivf_batch(
     dedup), and the coarse model ages as the corpus drifts — retrain
     and rebuild periodically, as faiss does.
 
+    ``model`` takes a pre-read read_index_model(spark, path) tuple so
+    a steady-state append loop reads the bounded model ONCE instead of
+    re-collecting centroids per batch (VERDICT r8 #6).
+
     Probe-equality to an index rebuilt over the union under the same
     frozen model is pinned in tests/test_simsearch.py."""
     spark = batch.sparkSession
-    cents, _books, quantize = read_index_model(spark, path)
+    cents, _books, quantize, meta = (
+        model if model is not None else read_index_model(spark, path)
+    )
+    _check_index_kind(meta, "ivf", "append_ivf_batch")
     assignments = ensure_min_partitions(batch).select(
         F.col(id_col).alias("corpus_id"),
         quantized_vec(vec_col, quantize).alias("cv"),
@@ -2003,13 +2087,29 @@ def append_sq8_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int | None = 3,
+    meta: dict | None = None,
 ) -> None:
     """Append a new vector batch to a persisted SQ8 index
     (write_sq8_index). SQ8's scale is PER-ROW, so the encode carries
     no corpus-level model at all — the append is exactly the writer's
-    encode over the batch; ``quantize`` must match the build (it is
-    the one piece of index identity the flat layout does not record —
-    same contract as read_sq8_index probes)."""
+    encode over the batch; ``quantize`` must match the build. The
+    flat layout does not record it, so the writer persists a sibling
+    {path}_meta sidecar and this append VALIDATES against it (ADVICE
+    r8) — a mismatch raises instead of silently mixing rows reranked
+    on a different grid. A pre-sidecar index (no meta) falls back to
+    the docstring contract. ``meta`` takes a pre-read
+    read_index_meta(spark, path, flat=True) dict for steady-state
+    append loops."""
+    if meta is None:
+        meta = read_index_meta(batch.sparkSession, path, flat=True)
+    _check_index_kind(meta, "sq8", "append_sq8_batch")
+    if meta is not None and meta["quantize"] != quantize:
+        raise ValueError(
+            "append_sq8_batch: quantize mismatch — index was built "
+            f"with quantize={meta['quantize']!r}, append called with "
+            f"{quantize!r}; appended rows would rerank on a different "
+            "grid than the existing codes"
+        )
     sq8_encode(
         batch, id_col=id_col, vec_col=vec_col, quantize=quantize
     ).write.mode("append").parquet(path)
@@ -2020,16 +2120,21 @@ def append_ivfsq8_batch(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model: tuple | None = None,
 ) -> None:
     """Append a new vector batch to a persisted IVF-SQ8 index
     (write_ivfsq8_index): coarse-assign against the stored centroids,
     then derive the per-row scale/int8 codes from the materialized cv
     exactly as the builder does (same two-select disk boundary), and
-    append into the list_id-partitioned codes table."""
+    append into the list_id-partitioned codes table. ``model`` takes
+    a pre-read read_index_model tuple (VERDICT r8 #6)."""
     from etl_hero_spark.checkpoint import parquet_checkpoint
 
     spark = batch.sparkSession
-    cents, _books, quantize = read_index_model(spark, path)
+    cents, _books, quantize, meta = (
+        model if model is not None else read_index_model(spark, path)
+    )
+    _check_index_kind(meta, "ivfsq8", "append_ivfsq8_batch")
     staged = parquet_checkpoint(
         ensure_min_partitions(batch).select(
             F.col(id_col).alias("corpus_id"),
@@ -2068,14 +2173,32 @@ def append_ivfpq_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     adc_dp: int | None = None,
+    model: tuple | None = None,
 ) -> None:
     """Append a new vector batch to a persisted IVF-PQ index
     (write_ivfpq_index): encode the batch against the EXISTING stored
     centroids AND codebooks, append into the partitioned codes table.
-    ``adc_dp`` must match the build (like quantize for SQ8, it is
-    encode-time identity the layout does not record)."""
+    ``adc_dp`` must match the build (like quantize for SQ8 it is
+    encode-time identity the tables do not record) — the writer now
+    persists it in the {path}/meta sidecar and this append VALIDATES
+    against it (ADVICE r8); a pre-sidecar index falls back to the
+    docstring contract. ``model`` takes a pre-read
+    read_index_model(spark, path, with_books=True) tuple (VERDICT
+    r8 #6)."""
     spark = batch.sparkSession
-    cents, books, quantize = read_index_model(spark, path, with_books=True)
+    cents, books, quantize, meta = (
+        model
+        if model is not None
+        else read_index_model(spark, path, with_books=True)
+    )
+    _check_index_kind(meta, "ivfpq", "append_ivfpq_batch")
+    if meta is not None and meta["adc_dp"] != adc_dp:
+        raise ValueError(
+            "append_ivfpq_batch: adc_dp mismatch — index was encoded "
+            f"with adc_dp={meta['adc_dp']!r}, append called with "
+            f"{adc_dp!r}; appended codes would be incomparable with "
+            "the existing ADC tables"
+        )
     enc = ensure_min_partitions(batch).select(
         F.col(id_col).alias("corpus_id"),
         nearest_lists_expr(vec_col, cents, 1, dp=quantize)[0].alias(
@@ -2097,17 +2220,24 @@ def append_ivfpq_residual_batch(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model: tuple | None = None,
 ) -> None:
     """Append a new vector batch to a persisted RESIDUAL IVF-PQ index
     (write_ivfpq_residual_index): coarse-assign against the stored
     centroids, stage the residual v - centroid[list] behind a disk
     boundary (the builder's CollapseProject constraint applies to the
     batch too), PQ-encode the residual with the stored codebooks,
-    append."""
+    append. ``model`` takes a pre-read read_index_model tuple
+    (VERDICT r8 #6)."""
     from etl_hero_spark.checkpoint import parquet_checkpoint
 
     spark = batch.sparkSession
-    cents, books, quantize = read_index_model(spark, path, with_books=True)
+    cents, books, quantize, meta = (
+        model
+        if model is not None
+        else read_index_model(spark, path, with_books=True)
+    )
+    _check_index_kind(meta, "ivfpq_residual", "append_ivfpq_residual_batch")
     cents_sql = "array(" + ", ".join(
         "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in c)
         + ")"

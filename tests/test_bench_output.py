@@ -29,6 +29,8 @@ def test_compact_line_fits_tail_window():
             "sf": 0.1,
             "n_queries": len(times),
             "regressions": sorted(bench.HEADLINE)[:10],
+            "agg_vs_prev": 1.234,
+            "agg_flagged": True,
             "detail": "BENCH_DETAIL.json",
         }
     )
@@ -178,3 +180,79 @@ def test_flag_needs_ratio_and_absolute_movement():
     assert fires("tiny", 1.6)       # 3.2x AND +1.1s: real
     assert fires("big", 11.0)       # 2.2x, +6s: real
     assert not fires("big", 9.9)    # under the ratio
+
+
+def test_hard_ratio_bypasses_absolute_floor():
+    """ADVICE r8: a sub-second query can never clear the 1s absolute
+    floor, so extreme ratios (>4x) must flag anyway — while moderate
+    sub-second ratios stay suppressed as jitter."""
+    assert bench.FLAG_HARD_RATIO == 4.0
+    prev = {"tiny": 0.2, "mid": 0.4, "big": 5.0}
+    # 3.25x, +0.9s: still suppressed (the advisor's worked example
+    # sits between the floor and the hard ratio by design)
+    assert bench.flag_names({"mid": 1.3}, prev) == []
+    # 4.5x with only +0.7s of movement: UNDER the absolute floor but
+    # over the hard ratio — must flag (the bypass this test pins)
+    assert bench.flag_names({"tiny": 0.9}, prev) == ["tiny"]
+    # the classic both-gates path is unchanged
+    assert bench.flag_names({"big": 11.0}, prev) == ["big"]
+    assert bench.flag_names({"big": 9.9}, prev) == []
+
+
+def test_publish_retry_set_extends_to_1_5x():
+    """VERDICT r8 #5: any query whose published vs_prev would exceed
+    1.5x joins the end-of-run decorrelated retry set even when it is
+    not a regression flag."""
+    assert bench.PUBLISH_RETRY_RATIO == 1.5
+    prev = {"a": 4.0, "b": 4.0, "c": 4.0}
+    times = {"a": 6.4, "b": 5.9, "c": 9.0}
+    # a: 1.6x (retry, not flag); b: 1.475x (neither); c: 2.25x (both)
+    assert bench.retry_names(times, prev) == ["a", "c"]
+    assert bench.flag_names(times, prev) == ["c"]
+
+
+def test_aggregate_gate_catches_uniform_creep():
+    """VERDICT r8 #1: 20 queries each drifting 1.16x never trip the
+    per-query gate but must trip the aggregate gate; a 1.10x drift
+    must not."""
+    prev = {f"q{i}": 2.0 for i in range(20)}
+    crept = {f"q{i}": 2.32 for i in range(20)}   # 1.16x each
+    ok = {f"q{i}": 2.2 for i in range(20)}       # 1.10x each
+    assert bench.flag_names(crept, prev) == []
+    agg = bench.aggregate_gate(crept, prev)
+    assert agg["flagged"] and abs(agg["ratio"] - 1.16) < 1e-9
+    assert agg["n_common"] == 20
+    agg_ok = bench.aggregate_gate(ok, prev)
+    assert not agg_ok["flagged"]
+    # queries without a prior are excluded from the common set
+    agg_new = bench.aggregate_gate({**ok, "brand_new": 50.0}, prev)
+    assert agg_new["n_common"] == 20 and not agg_new["flagged"]
+    # no shared prior at all -> None, not a crash
+    assert bench.aggregate_gate({"x": 1.0}, {}) is None
+
+
+def test_aggregate_gate_is_absorption_aware():
+    """An absorber's contribution to the common-set totals uses the
+    SUM of its component priors — a fully-explained merge cannot tilt
+    the aggregate ratio."""
+    orig = bench.ABSORPTIONS
+    bench.ABSORPTIONS = {"w": ["m", "a"]}
+    try:
+        prev = {"w": 1.0, "m": 0.8, "a": 0.7, "r": 2.0}
+        times = {"w": 2.5, "r": 2.0}  # w == exactly its component sum
+        agg = bench.aggregate_gate(times, prev)
+    finally:
+        bench.ABSORPTIONS = orig
+    assert agg["ratio"] == 1.0 and not agg["flagged"]
+
+
+def test_run_full_rejects_nonstandard_filename():
+    """ADVICE r8: a nonstandard out_path would silently revert to
+    intra-round self-comparison — run_full must fail loudly before
+    touching Spark."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="BENCH_FULL_r"):
+        bench.run_full("BENCH_FULL.json")
+    with pytest.raises(SystemExit, match="BENCH_FULL_r"):
+        bench.run_full("/tmp/sweep_output.json")

@@ -723,6 +723,51 @@ def test_quality_classifier_rejects_one_class_target(spark):
         )
 
 
+def test_logreg_gd_damped_on_correlated_copies(spark):
+    """ADVICE r8: three IDENTICAL feature columns give the undamped
+    Jacobi iteration a growth factor of ~3 (each diagonal step acts as
+    if its column were alone) — the gradient-norm-growth damping must
+    pull it back to a finite, genuinely-fitted model instead of
+    oscillating divergence."""
+    import numpy as np
+
+    from etl_hero_spark.features import logreg_fit_gd
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    x = rng.normal(size=n)
+    y = rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-(2.0 * x - 0.5)))
+    df = spark.createDataFrame(
+        [(float(a), float(a), float(a), bool(c)) for a, c in zip(x, y)],
+        "x1 double, x2 double, x3 double, y boolean",
+    )
+    m = logreg_fit_gd(df, ["x1", "x2", "x3"], "y", max_iter=80)
+    coefs = np.array(list(m["coef"].values()) + [m["intercept"]])
+    assert np.isfinite(coefs).all()
+    # the combined effect approximates the true slope and the loss is
+    # that of a real fit, not a diverged iterate
+    assert abs(float(coefs[:3].sum()) - 2.0) < 0.5
+    assert m["log_loss"] < 0.55
+
+
+def test_logreg_gd_nonfinite_raises_loudly(spark):
+    """ADVICE r8: a 1e200-scaled feature overflows the double Hessian
+    sum (w * x^2 ~ 1e400) — the fit must raise ValueError at the
+    offending iteration, never embed inf/nan literals into selectExpr
+    (which would surface as an opaque SQL parse/analysis error)."""
+    import numpy as np
+
+    from etl_hero_spark.features import logreg_fit_gd
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (float(rng.normal() * 1e200), bool(i % 2)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    with pytest.raises(ValueError, match="non-finite|diverged"):
+        logreg_fit_gd(df, ["x"], "y", max_iter=10)
+
+
 def test_quantile_reg_matches_numpy_irls_and_quantile_property(spark):
     """Distributed pinball IRLS == an independent numpy IRLS on the
     same data; fitted surfaces are monotone in tau and each one's

@@ -1241,3 +1241,126 @@ def test_append_ivfpq_residual_batch_equals_rebuild(
         ).collect()
     }
     assert got == want and got
+
+def test_index_meta_sidecar_written_and_read(spark, emb, tmp_path):
+    """ADVICE r8: every writer persists the encode-time identity
+    (kind, quantize, adc_dp) the table layouts themselves don't
+    record; read_index_meta round-trips it, and a missing sidecar
+    (pre-sidecar index) reads as None."""
+    from etl_hero_spark.simsearch import (
+        read_index_meta,
+        write_ivf_index,
+        write_ivfpq_index,
+        write_sq8_index,
+    )
+
+    ivf = str(tmp_path / "m_ivf")
+    write_ivf_index(emb, ivf, n_centroids=4, quantize=3)
+    assert read_index_meta(spark, ivf) == {
+        "kind": "ivf", "quantize": 3, "adc_dp": None,
+    }
+    sq8 = str(tmp_path / "m_sq8")
+    write_sq8_index(emb, sq8, quantize=2)
+    assert read_index_meta(spark, sq8, flat=True) == {
+        "kind": "sq8", "quantize": 2, "adc_dp": None,
+    }
+    # the flat sidecar is a SIBLING — the data dir itself stays a
+    # plain readable parquet directory
+    assert spark.read.parquet(sq8).count() == emb.count()
+    pq = str(tmp_path / "m_ivfpq")
+    write_ivfpq_index(
+        emb, pq, n_centroids=4, m=4, k_sub=8, quantize=3, adc_dp=4
+    )
+    assert read_index_meta(spark, pq) == {
+        "kind": "ivfpq", "quantize": 3, "adc_dp": 4,
+    }
+    # no sidecar at an arbitrary path -> None (back-compat contract)
+    assert read_index_meta(spark, str(tmp_path / "nothing")) is None
+
+
+def test_append_sq8_quantize_mismatch_raises(spark, emb, tmp_path):
+    """ADVICE r8: appending with a different quantize than the build
+    must fail LOUDLY instead of silently mixing rows reranked on a
+    different grid."""
+    import pytest
+
+    from etl_hero_spark.simsearch import append_sq8_batch, write_sq8_index
+
+    a, b = _split_corpus(emb)
+    path = str(tmp_path / "sq8_mismatch")
+    write_sq8_index(a, path, quantize=3)
+    with pytest.raises(ValueError, match="quantize mismatch"):
+        append_sq8_batch(b, path, quantize=2)
+    with pytest.raises(ValueError, match="quantize mismatch"):
+        append_sq8_batch(b, path, quantize=None)
+    # matching quantize still appends
+    append_sq8_batch(b, path, quantize=3)
+    assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_append_ivfpq_adc_dp_mismatch_raises(spark, emb, tmp_path):
+    """ADVICE r8: adc_dp is encode-time identity — a mismatched append
+    raises; appending to an index of a DIFFERENT KIND raises too."""
+    import pytest
+
+    from etl_hero_spark.simsearch import (
+        append_ivf_batch,
+        append_ivfpq_batch,
+        write_ivfpq_index,
+    )
+
+    a, b = _split_corpus(emb)
+    path = str(tmp_path / "ivfpq_mismatch")
+    write_ivfpq_index(a, path, n_centroids=4, m=4, k_sub=8, adc_dp=4)
+    with pytest.raises(ValueError, match="adc_dp mismatch"):
+        append_ivfpq_batch(b, path, adc_dp=None)
+    with pytest.raises(ValueError, match="adc_dp mismatch"):
+        append_ivfpq_batch(b, path, adc_dp=6)
+    # wrong-kind append against the same path is equally loud
+    with pytest.raises(ValueError, match="kind"):
+        append_ivf_batch(b, path)
+    # the matching append works
+    append_ivfpq_batch(b, path, adc_dp=4)
+    assert (
+        spark.read.parquet(f"{path}/codes").count() == emb.count()
+    )
+
+
+def test_append_with_preread_model_equals_per_call_read(
+    spark, emb, queries, tmp_path
+):
+    """VERDICT r8 #6: a steady-state append loop reads the bounded
+    model ONCE (read_index_model) and threads it through model= —
+    probe results are identical to the per-call-read form."""
+    from etl_hero_spark.simsearch import (
+        append_ivf_batch,
+        read_index_model,
+        topk_cosine_ivf_indexed,
+        write_ivf_index,
+    )
+
+    a, b = _split_corpus(emb)
+    memo = str(tmp_path / "ivf_memo")
+    plain = str(tmp_path / "ivf_plain")
+    cents = write_ivf_index(a, memo, n_centroids=8)
+    write_ivf_index(a, plain, centroids=cents)
+    model = read_index_model(spark, memo)
+    # two batches through the memoized-model path
+    b1 = b.filter(F.col("vec_id") % 2 == 0)
+    b2 = b.filter(F.col("vec_id") % 2 == 1)
+    append_ivf_batch(b1, memo, model=model)
+    append_ivf_batch(b2, memo, model=model)
+    append_ivf_batch(b, plain)
+    got = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, memo, k=5, nprobe=3
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, plain, k=5, nprobe=3
+        ).collect()
+    }
+    assert got == want and got

@@ -220,6 +220,10 @@ HEADLINE = [
     # round-8 additions
     "pipeline_quality_remediation",
     "stream_ann_probe",
+    # round-9 additions
+    "sql_forecast_revenue",
+    "sql_nation_profit",
+    "sql_min_cost_supplier",
 ]
 
 

@@ -3699,3 +3699,201 @@ def q_pipeline_quality_remediation(spark, sf_dir):
         F.col("source") == "src0",
         _quality_model(spark, sf_dir, dim=16),
     )
+
+
+@register(
+    "sql_forecast_revenue",
+    oracle=None,
+    note=(
+        "extension (r9, TPC-H Q6 — the canonical single-scan "
+        "conditional aggregate, fully expressible on the fixture): "
+        "revenue delta from hypothetically eliminating small-quantity "
+        "discounts in one ship-year — ONE lineitem scan with every "
+        "predicate (shipdate range, discount band, quantity cap) "
+        "pushed to the parquet reader, one global aggregate, zero "
+        "shuffles beyond the final partial-merge. The discount band "
+        "compares doubles against double-cast literals on BOTH "
+        "engines (the fixture's 2dp grid round-trips exactly). "
+        "revenue = sum(extendedprice * discount) accumulated in exact "
+        "decimal ((18,2)x(18,6) -> (37,8), unclamped in Spark, int128 "
+        "in DuckDB) and emitted as the UNROUNDED IEEE double of the "
+        "exact sum. At 100 TB this is the pure scan-throughput "
+        "benchmark: no join, no wide shuffle — the plan is the scan. "
+        "DuckDB parity in tests/test_relational_extras.py"
+    ),
+)
+def q_sql_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,6)")
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "sql_nation_profit",
+    oracle=None,
+    note=(
+        "extension (r9, TPC-H Q9 shape, no-partsupp adaptation — the "
+        "Q11/Q20 precedent): profit per supplier nation per order "
+        "year over parts matching a name fragment. The fixture has no "
+        "partsupp, so supply cost stands in as 0.6 * p_retailprice * "
+        "l_quantity (deterministic, same arithmetic shape as "
+        "ps_supplycost * l_quantity). The 5-table star joins "
+        "broadcast part (name-filtered) and the supplier->nation dim; "
+        "lineitem->orders rides the orderkey equi-join (AQE picks "
+        "broadcast at fixture scale; co-partitioned shuffle at 100 "
+        "TB). Revenue and cost accumulate as SEPARATE exact decimal "
+        "sums ((18,2)x(18,6) and (18,2)x(18,2) — both unclamped) and "
+        "combine as IEEE doubles ONCE per group row "
+        "(profit = rev - 0.6*cost), so the result is bit-identical "
+        "cross-engine with no 38-precision clamp anywhere. DuckDB "
+        "parity in tests/test_relational_extras.py"
+    ),
+)
+def q_sql_nation_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supnat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)")
+        - F.col("l_discount").cast("decimal(18,6)")
+    )
+    cost = F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .join(F.broadcast(supnat), li["l_suppkey"] == supnat["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            (
+                F.sum(rev).cast("double")
+                - F.lit(0.6) * F.sum(cost).cast("double")
+            ).alias("sum_profit")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "sql_min_cost_supplier",
+    oracle=None,
+    note=(
+        "extension (r9, TPC-H Q2 shape, no-partsupp adaptation): for "
+        "each qualifying part (size cap + type), the EUROPE supplier "
+        "with the MINIMUM per-unit shipped price — the correlated "
+        "scalar-min subquery joined back on equality, decorrelated: "
+        "per-(part, supplier) unit costs compute ONCE behind a "
+        "checkpoint (two consumers: the per-part min and the "
+        "join-back — the self-join re-execution gotcha), the min "
+        "table joins back on (part, cost) equality. unit_cost = "
+        "min(l_extendedprice / l_quantity) is a MIN of IEEE "
+        "quotients — order-independent, no accumulation, bit-exact "
+        "cross-engine. Region/nation/supplier dims broadcast; the "
+        "part filter broadcasts into the join-back. Deterministic "
+        "full-order + LIMIT 100 (Q2's top-100 contract). DuckDB "
+        "parity in tests/test_relational_extras.py"
+    ),
+)
+def q_sql_min_cost_supplier(spark, sf_dir):
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    eur_sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    costs = parquet_checkpoint(
+        li.join(
+            F.broadcast(eur_sup.select("s_suppkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("unit_cost")
+        ),
+        "q2-pair-costs",
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("unit_cost").alias("_best")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") < 11) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        costs.join(
+            best,
+            (costs["l_partkey"] == best["_pk"])
+            & (costs["unit_cost"] == best["_best"]),
+        )
+        .join(F.broadcast(parts), costs["l_partkey"] == parts["p_partkey"])
+        .join(eur_sup, costs["l_suppkey"] == eur_sup["s_suppkey"])
+        .select(
+            F.round(F.col("s_acctbal").cast("double"), 2).alias(
+                "s_acctbal"
+            ),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )

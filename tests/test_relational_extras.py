@@ -536,3 +536,88 @@ def test_excess_suppliers_matches_duckdb(spark, qs):
     # the threshold genuinely filters (not every supplier qualifies)
     n_sup = _duck(SF, "SELECT count(*) FROM supplier")[0][0]
     assert len(got) < n_sup
+
+
+def test_forecast_revenue_matches_duckdb(spark, qs):
+    """TPC-H Q6 (r9): exact-decimal conditional revenue sum — the
+    single-scan benchmark; the oracle runs the textbook form."""
+    got = [tuple(r) for r in qs["sql_forecast_revenue"](spark, SF).collect()]
+    ref = _duck(
+        SF,
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 AS revenue,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN CAST(0.05 AS DOUBLE)
+                             AND CAST(0.07 AS DOUBLE)
+          AND l_quantity < 24
+        """,
+    )
+    assert got == ref and got[0][1] > 0
+
+
+def test_nation_profit_matches_duckdb(spark, qs):
+    """TPC-H Q9 shape (r9, no-partsupp adaptation): separate exact
+    decimal sums combined as doubles once per group — bit-identical
+    cross-engine."""
+    got = [
+        (r["nation"], r["o_year"], r["sum_profit"])
+        for r in qs["sql_nation_profit"](spark, SF).collect()
+    ]
+    ref = _duck(
+        SF,
+        """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,6))
+                       - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+               - 0.6 * CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation ASC, o_year DESC
+        """,
+    )
+    assert got == ref and len(got) > 3
+
+
+def test_min_cost_supplier_matches_duckdb(spark, qs):
+    """TPC-H Q2 shape (r9, no-partsupp adaptation): the correlated
+    scalar-min subquery decorrelated; min-of-quotients is bit-exact
+    cross-engine with no accumulation."""
+    got = [tuple(r) for r in qs["sql_min_cost_supplier"](spark, SF).collect()]
+    ref = _duck(
+        SF,
+        """
+        WITH costs AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY 1, 2)
+        SELECT round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal,
+               s_name, n_name, p_partkey, p_name, unit_cost
+        FROM costs
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_size < 11 AND p_type = 'LARGE'
+          AND unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+                           WHERE c2.l_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        LIMIT 100
+        """,
+    )
+    assert got == ref and len(got) >= 5

@@ -224,6 +224,7 @@ HEADLINE = [
     "sql_forecast_revenue",
     "sql_nation_profit",
     "sql_min_cost_supplier",
+    "stream_ann_maintain",
 ]
 
 
@@ -361,6 +362,14 @@ NOTES = {
         "scored pass + the bounded PAV fold + the broadcast interval "
         "apply; registered as its own key so the calibration report's "
         "bench prior stays comparable. Shares the memoized model fit."
+    ),
+    "stream_ann_maintain": (
+        "r9 (VERDICT r8 #4): the index builds FRESH per call (appends "
+        "are not idempotent — a fixture memo would double-append under "
+        "min-of-2), so every measurement pays base-index build + "
+        "stream-append + report; at scale the index is durable and "
+        "only the arriving batch pays. The model is read once and "
+        "threaded through every micro-batch append."
     ),
     "dedup_spans_incremental": (
         "probes a fixture-memoized span index (write_span_index, built "

@@ -1431,3 +1431,47 @@ def q_stream_ann_probe(spark, sf_dir):
         query_pred=F.col("vec_id") < 3,
         query_name="etl_hero_stream_ann_reg",
     )
+
+
+@register(
+    "stream_ann_maintain",
+    oracle=None,
+    note=(
+        "streaming extension (r9, VERDICT r8 #4): TRUE streaming index "
+        "MAINTENANCE — the 21st twin, closing the maintain+serve loop "
+        "whose serve half is stream_ann_probe: new vectors arriving on "
+        "a file stream append into a persisted IVF index via "
+        "foreachBatch -> append_ivf_batch, encoding under the FROZEN "
+        "stored model read ONCE before the stream starts and threaded "
+        "through every micro-batch (the memoized-model steady-state "
+        "posture — zero per-batch driver collects). Map-only per "
+        "batch: no state store, no watermark, result independent of "
+        "micro-batch boundaries. Returns the bounded per-list "
+        "maintenance report. The index builds FRESH per call on the "
+        "base 3/4 of the fixture (appends are not idempotent — a memo "
+        "would double-append under bench's min-of-2), so the benched "
+        "cost is build + stream-append + report; at scale the index "
+        "is durable and only the arriving batch pays. Drained "
+        "maintain + probe == batch append + batch probe pinned in "
+        "tests/test_streaming.py"
+    ),
+)
+def q_stream_ann_maintain(spark, sf_dir):
+    from etl_hero_spark.checkpoint import session_tmpdir
+    from etl_hero_spark.simsearch import write_ivf_index
+    from etl_hero_spark.streaming import stream_ann_maintain
+
+    p = f"{sf_dir}/embeddings.parquet"
+    path = session_tmpdir("stream-ann-maint")
+    write_ivf_index(
+        spark.read.parquet(p).filter(F.col("vec_id") % 4 != 0),
+        path,
+        n_centroids=8,
+    )
+    return stream_ann_maintain(
+        spark,
+        p,
+        path,
+        new_pred=F.col("vec_id") % 4 == 0,
+        query_name="etl_hero_stream_ann_maint_reg",
+    )

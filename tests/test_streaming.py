@@ -1136,3 +1136,63 @@ def test_stream_ann_probe_equals_batch_indexed(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(streamed) == 15  # 3 queries x k
+
+
+def test_stream_ann_maintain_equals_batch_append(spark, sf_dir, tmp_path):
+    """21st twin: stream-driven incremental maintenance == batch
+    append under the same frozen model — both the per-list counts and
+    the end-to-end probe over the maintained index, bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from etl_hero_spark.simsearch import (
+        append_ivf_batch,
+        topk_cosine_ivf_indexed,
+        write_ivf_index,
+    )
+    from etl_hero_spark.streaming import stream_ann_maintain
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 4 != 0)
+    b = emb.filter(F.col("vec_id") % 4 == 0)
+    p_stream = str(tmp_path / "maint_stream")
+    p_batch = str(tmp_path / "maint_batch")
+    cents = write_ivf_index(a, p_stream, n_centroids=8)
+    write_ivf_index(a, p_batch, centroids=cents)
+    report = {
+        tuple(r)
+        for r in stream_ann_maintain(
+            spark,
+            f"{sf_dir}/embeddings.parquet",
+            p_stream,
+            new_pred=F.col("vec_id") % 4 == 0,
+            query_name="etl_hero_stream_ann_maint_t",
+        ).collect()
+    }
+    append_ivf_batch(b, p_batch)
+    batch_report = {
+        tuple(r)
+        for r in spark.read.parquet(f"{p_batch}/lists")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .collect()
+    }
+    assert report == batch_report
+    assert sum(n for _, n in report) == emb.count()
+    # the full loop: probing the stream-maintained index == probing
+    # the batch-maintained index
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, p_stream, k=5, nprobe=3
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, p_batch, k=5, nprobe=3
+        ).collect()
+    }
+    assert got == want and len(got) == 15

@@ -176,7 +176,7 @@ HEADLINE = [
     # events_gap_fill_linear absorbed into events_windows (r8)
     "multimodal_jpeg_metadata",
     "multimodal_mp4_metadata",
-    "dedup_keep_best",
+    # dedup_keep_best absorbed into dedup_clusters (r9)
     # profile_weighted_quantile absorbed into profile_stats (r8)
     "sim_hybrid_rrf",
     "sql_market_share",
@@ -221,6 +221,7 @@ HEADLINE = [
     "pipeline_quality_remediation",
     "stream_ann_probe",
     # round-9 additions
+    "pipeline_quality_serve",
     "sql_forecast_revenue",
     "sql_nation_profit",
     "sql_min_cost_supplier",
@@ -303,7 +304,11 @@ ABSORPTIONS: dict[str, list[str]] = {
         "join_salted_orders_customer",
     ],
     "multimodal_decode": ["multimodal_wav_metadata"],
-    "dedup_clusters": ["dedup_exact_content", "dedup_ngram_jaccard"],
+    "dedup_clusters": [
+        "dedup_exact_content",
+        "dedup_ngram_jaccard",
+        "dedup_keep_best",
+    ],
     "text_tfidf_topk": ["text_top_tokens"],
 }
 
@@ -362,6 +367,20 @@ NOTES = {
         "scored pass + the bounded PAV fold + the broadcast interval "
         "apply; registered as its own key so the calibration report's "
         "bench prior stays comparable. Shares the memoized model fit."
+    ),
+    "dedup_clusters": (
+        "r9 absorbed dedup_keep_best (~1-2s: the clone-pool build + "
+        "max_by groupBy + semi join) as a tag='keep_best' summary row "
+        "to free the driver-window slot pipeline_quality_serve takes — "
+        "compare vs_prev against the SUM of the two prior entries; "
+        "combined work is unchanged, one registration fewer."
+    ),
+    "pipeline_quality_serve": (
+        "new in r9 (VERDICT r8 #2): the classifier family's serve "
+        "capstone under a frozen published reference model — one "
+        "map-only scan of documents (per-row hashed features + a "
+        "literal dot product) + one 20-group aggregate; no fit, no "
+        "prior to compare against."
     ),
     "stream_ann_maintain": (
         "r9 (VERDICT r8 #4): the index builds FRESH per call (appends "

@@ -438,6 +438,36 @@ _JACCARD_PAIRS_SQL = (
 )
 
 
+# byte-identical copy of registry_ext2.DEDUP_KEEP_BEST_SQL (absorbed
+# r9; the copy avoids a module-level cross-import that would reorder
+# extension registration — equality pinned in
+# tests/test_registry_order.py)
+_DEDUP_KEEP_BEST_SQL_COPY = (
+    "WITH pool AS (SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000, upper(text) FROM documents "
+    "WHERE doc_id % 9 = 0), "
+    "q AS (SELECT doc_id, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, "
+    "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1) AS qual FROM pool), "
+    "kept AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
+    "(PARTITION BY fp ORDER BY qual DESC, doc_id ASC) AS rn FROM q) "
+    "WHERE rn = 1) "
+    "SELECT cast(count(*) as bigint) AS n_kept, "
+    "cast(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) "
+    "as bigint) AS n_clone_survivors, "
+    "cast(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) "
+    "as bigint) AS n_variant_group_survivors FROM kept"
+)
+
+_KEEP_BEST_NULLS = (
+    "cast(NULL as bigint) AS n_kept, "
+    "cast(NULL as bigint) AS n_clone_survivors, "
+    "cast(NULL as bigint) AS n_variant_group_survivors"
+)
+
+
 @register(
     "dedup_clusters",
     oracle=(
@@ -457,21 +487,34 @@ _JACCARD_PAIRS_SQL = (
         "cast(coalesce(c.cl, d.doc_id) as bigint) AS cluster_id, "
         "cast(CASE WHEN coalesce(c.cl, d.doc_id) = d.doc_id "
         "THEN 1 ELSE 0 END as int) AS is_canonical, "
-        "cast(NULL as double) AS jaccard "
+        f"cast(NULL as double) AS jaccard, {_KEEP_BEST_NULLS} "
         "FROM t d LEFT JOIN comp c ON c.id = d.doc_id "
         "UNION ALL "
         "SELECT 'exact' AS tag, doc_id, cast(cl as bigint) AS cluster_id, "
         "cast(CASE WHEN cl = doc_id THEN 1 ELSE 0 END as int) "
-        "AS is_canonical, cast(NULL as double) AS jaccard FROM xf "
+        "AS is_canonical, cast(NULL as double) AS jaccard, "
+        f"{_KEEP_BEST_NULLS} FROM xf "
         "UNION ALL "
         # --- absorbed dedup_ngram_jaccard (r7 merge): the exact pair
         # list the closure walks, jaccard exposed; same prj CTE ---
         "SELECT 'pairs' AS tag, id_a AS doc_id, "
         "cast(id_b as bigint) AS cluster_id, cast(NULL as int) "
-        "AS is_canonical, jaccard FROM prj"
+        f"AS is_canonical, jaccard, {_KEEP_BEST_NULLS} FROM prj "
+        "UNION ALL "
+        # --- absorbed dedup_keep_best (r9 merge): quality-aware
+        # survivor selection counts; oracle SQL byte-unchanged inside
+        # the wrapper (source of truth: registry_ext2.
+        # DEDUP_KEEP_BEST_SQL, byte-equality pinned in
+        # tests/test_registry_order.py) ---
+        "SELECT 'keep_best' AS tag, cast(NULL as bigint) AS doc_id, "
+        "cast(NULL as bigint) AS cluster_id, cast(NULL as int) "
+        "AS is_canonical, cast(NULL as double) AS jaccard, "
+        "n_kept, n_clone_survivors, n_variant_group_survivors "
+        f"FROM ({_DEDUP_KEEP_BEST_SQL_COPY})"
     ),
     note=(
-        "extension rungs 1+4+5 in cluster vocabulary, tagged: 'exact' = "
+        "extension rungs 1+4+5+keep-best in cluster vocabulary, "
+        "tagged: 'exact' = "
         "normalized-md5 fingerprint groups (cluster = min doc_id per "
         "fingerprint, canonical = keep-first — exactly the old "
         "dedup_exact_content whose survivors are this tag's "
@@ -483,8 +526,14 @@ _JACCARD_PAIRS_SQL = (
         "n-gram Jaccard ground truth for MinHash; oracle SQL is the "
         "same prj CTE the closure consumes) = the shingle-join-blocked "
         "pair list itself, doc_id=id_a, cluster_id=id_b, jaccard "
-        "carried — driver-window slot policy: merge mature tagged "
-        "entries instead of registering more"
+        "carried; 'keep_best' (absorbed r9, was the separate "
+        "dedup_keep_best query — quality-aware survivor selection, "
+        "max_by + LEFT SEMI, planted-uppercase-clone counts; oracle "
+        "SQL byte-unchanged inside the wrapper, freeing the slot "
+        "pipeline_quality_serve takes) = one NULL-keyed summary row "
+        "carrying n_kept/n_clone_survivors/n_variant_group_survivors, "
+        "NULL on the per-doc tags — driver-window slot policy: merge "
+        "mature tagged entries instead of registering more"
     ),
 )
 def q_dedup_clusters(spark, sf_dir):
@@ -494,6 +543,11 @@ def q_dedup_clusters(spark, sf_dir):
         ngram_jaccard_pairs,
     )
 
+    kb_nulls = [
+        F.lit(None).cast("bigint").alias("n_kept"),
+        F.lit(None).cast("bigint").alias("n_clone_survivors"),
+        F.lit(None).cast("bigint").alias("n_variant_group_survivors"),
+    ]
     docs = _docs_nearvar(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8)
     near = assign_dedup_clusters(docs, pairs).select(
@@ -502,6 +556,7 @@ def q_dedup_clusters(spark, sf_dir):
         "cluster_id",
         "is_canonical",
         F.lit(None).cast("double").alias("jaccard"),
+        *kb_nulls,
     )
     from pyspark.sql import Window as W
 
@@ -518,7 +573,10 @@ def q_dedup_clusters(spark, sf_dir):
     ).withColumn(
         "is_canonical",
         (F.col("cluster_id") == F.col("doc_id")).cast("int"),
-    ).withColumn("jaccard", F.lit(None).cast("double"))
+    ).withColumn("jaccard", F.lit(None).cast("double")).select(
+        "tag", "doc_id", "cluster_id", "is_canonical", "jaccard",
+        *kb_nulls,
+    )
     # absorbed dedup_ngram_jaccard (r7): the pair list itself, reusing
     # the SAME pairs frame the closure consumes (computed once above)
     pair_rows = pairs.select(
@@ -527,8 +585,28 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("id_b").cast("bigint").alias("cluster_id"),
         F.lit(None).cast("int").alias("is_canonical"),
         "jaccard",
+        *kb_nulls,
     )
-    return near.unionByName(exact).unionByName(pair_rows)
+    # absorbed dedup_keep_best (r9): the quality-aware survivor counts
+    # as one NULL-keyed summary row (body stays the unregistered
+    # registry_ext2.q_dedup_keep_best helper)
+    from etl_hero_spark.registry_ext2 import q_dedup_keep_best
+
+    keep_best = q_dedup_keep_best(spark, sf_dir).select(
+        F.lit("keep_best").alias("tag"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("cluster_id"),
+        F.lit(None).cast("int").alias("is_canonical"),
+        F.lit(None).cast("double").alias("jaccard"),
+        "n_kept",
+        "n_clone_survivors",
+        "n_variant_group_survivors",
+    )
+    return (
+        near.unionByName(exact)
+        .unionByName(pair_rows)
+        .unionByName(keep_best)
+    )
 
 
 @register(

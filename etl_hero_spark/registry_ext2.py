@@ -1694,41 +1694,32 @@ def q_multimodal_triage_routed(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_keep_best",
-    oracle=(
-        "WITH pool AS (SELECT doc_id, text FROM documents "
-        "UNION ALL "
-        "SELECT doc_id + 1000000, upper(text) FROM documents "
-        "WHERE doc_id % 9 = 0), "
-        "q AS (SELECT doc_id, "
-        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, "
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
-        " / greatest(length(text), 1) AS qual FROM pool), "
-        "kept AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
-        "(PARTITION BY fp ORDER BY qual DESC, doc_id ASC) AS rn FROM q) "
-        "WHERE rn = 1) "
-        "SELECT cast(count(*) as bigint) AS n_kept, "
-        "cast(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) "
-        "as bigint) AS n_clone_survivors, "
-        "cast(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) "
-        "as bigint) AS n_variant_group_survivors FROM kept"
-    ),
-    note=(
-        "extension (r5): quality-aware survivor selection — keep the "
-        "highest-quality row per normalized-content fingerprint group "
-        "(casing/whitespace variants collapse; ties to smallest id) "
-        "via ONE max_by groupBy on the md5 key + a LEFT SEMI join "
-        "back on the unique id; no window, both shuffles on uniform "
-        "keys. Fixture plants UPPERCASED clones (same fingerprint, "
-        "lower lowercase-ratio quality) — every survivor must be an "
-        "original. Promoted into the verified window r6 (slot freed by "
-        "the pivot/unpivot merge; the oracle replicates the arg-max as "
-        "a row_number window — exact at fixture scale, while the Spark "
-        "side keeps the windowless max_by + LEFT SEMI shape). DuckDB "
-        "arg-max parity in tests/test_dedup.py"
-    ),
+# dedup_keep_best was absorbed into dedup_clusters (tag='keep_best'
+# row, oracle SQL byte-unchanged inside the wrapper — the string below
+# is the source of truth; registry_ext.py carries a byte-identical
+# copy pinned equal in tests/test_registry_order.py) in r9 — driver-
+# window slot policy, freeing the slot pipeline_quality_serve takes.
+# The body stays as an unregistered helper the merged entry calls.
+DEDUP_KEEP_BEST_SQL = (
+    "WITH pool AS (SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000, upper(text) FROM documents "
+    "WHERE doc_id % 9 = 0), "
+    "q AS (SELECT doc_id, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, "
+    "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1) AS qual FROM pool), "
+    "kept AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
+    "(PARTITION BY fp ORDER BY qual DESC, doc_id ASC) AS rn FROM q) "
+    "WHERE rn = 1) "
+    "SELECT cast(count(*) as bigint) AS n_kept, "
+    "cast(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) "
+    "as bigint) AS n_clone_survivors, "
+    "cast(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) "
+    "as bigint) AS n_variant_group_survivors FROM kept"
 )
+
+
 def q_dedup_keep_best(spark, sf_dir):
     from etl_hero_spark.dedup import dedup_keep_best
 
@@ -2985,6 +2976,142 @@ def q_pipeline_quality_classifier(spark, sf_dir):
         model=_quality_model(spark, sf_dir, dim=16),
     )
     return report
+
+
+# --- pipeline_quality_serve: the classifier family's oracle-window
+# member (VERDICT r8 #2). The FITTED model's coefficients are corpus-
+# derived double sums (IRLS partials are partition-order dependent at
+# the last ulp), so the fitted report can never be a static SQL
+# oracle; what IS hash-checkable end-to-end is the SERVE path — the
+# 100 TB-hot half — under a FROZEN PUBLISHED model. The reference
+# model compiles a seed vocabulary into hashed-bucket space exactly
+# the way fastText compiles word weights (coef_j = sum of sign(w) *
+# weight(w) over vocab words hashing to bucket j, so a vocab token's
+# margin contribution is sign(w)^2 * weight / n = weight / n), and
+# the report lives in MARGIN space: sigmoid is monotone, so the serve
+# decision p >= 0.5 is exactly margin >= 0 while every reported value
+# stays in exact cross-engine arithmetic (integer-valued sign sums,
+# one IEEE division per feature, a fixed-order literal dot product —
+# no exp, no raw double accumulation; the mean is over floor-
+# quantized micro-margins summed as exact bigints).
+_QUALITY_REF_POS = ["fast", "merge", "vector", "spark", "agg"]
+_QUALITY_REF_NEG = ["slow", "small", "dup"]
+_QUALITY_REF_DIM = 16
+
+
+def _quality_ref_coefs() -> dict[int, float]:
+    """Bucket weights of the frozen reference model — pure hashlib
+    (engine-free, deterministic), same md5 bucket/sign convention as
+    hashed_token_feature_exprs (conv(substr(md5,1,14),16,10) % dim;
+    sign from hex digit 15 parity)."""
+    import hashlib
+
+    coef: dict[int, float] = {}
+    for w, wt in [(w, 1.0) for w in _QUALITY_REF_POS] + [
+        (w, -1.0) for w in _QUALITY_REF_NEG
+    ]:
+        h = hashlib.md5(w.encode()).hexdigest()
+        j = int(h[:14], 16) % _QUALITY_REF_DIM
+        s = 1.0 if int(h[14], 16) % 2 == 0 else -1.0
+        coef[j] = coef.get(j, 0.0) + s * wt
+    return {j: c for j, c in sorted(coef.items()) if c != 0.0}
+
+
+def _quality_serve_oracle() -> str:
+    toks = (
+        "CASE WHEN length(trim(lower(text))) = 0 THEN [] "
+        "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+    )
+    fj = (
+        "CASE WHEN len(toks) > 0 THEN coalesce(list_sum("
+        "list_transform(list_filter(toks, t -> "
+        "('0x' || substring(md5(t), 1, 14))::BIGINT % {dim} = {j}), "
+        "t -> CASE WHEN ('0x' || substring(md5(t), 15, 1))::INT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END)), 0.0) / CAST(len(toks) AS DOUBLE) "
+        "ELSE 0.0 END"
+    )
+    coefs = _quality_ref_coefs()
+    f_cols = ", ".join(
+        fj.format(dim=_QUALITY_REF_DIM, j=j) + f" AS f_{j}" for j in coefs
+    )
+    margin = " + ".join(f"{c!r} * f_{j}" for j, c in coefs.items())
+    return (
+        f"WITH tok AS (SELECT source, {toks} AS toks FROM documents), "
+        f"feat AS (SELECT source, {f_cols} FROM tok), "
+        f"m AS (SELECT source, {margin} AS margin FROM feat) "
+        "SELECT source, cast(count(*) as bigint) AS n_docs, "
+        "cast(sum(CASE WHEN margin >= 0.0 THEN 1 ELSE 0 END) as bigint) "
+        "AS n_keep, "
+        "cast(sum(CASE WHEN margin >= 0.05 THEN 1 ELSE 0 END) as bigint) "
+        "AS n_keep_strict, "
+        "min(margin) AS min_margin, max(margin) AS max_margin, "
+        "cast(sum(cast(floor(margin * 1000000.0) as bigint)) as bigint) "
+        "AS sum_margin_micro, "
+        "cast(sum(cast(floor(margin * 1000000.0) as bigint)) as double) "
+        "/ count(*) AS mean_margin_micro "
+        "FROM m GROUP BY source ORDER BY source"
+    )
+
+
+@register(
+    "pipeline_quality_serve",
+    oracle=_quality_serve_oracle(),
+    note=(
+        "PROMOTED into the verified oracle window r9 (VERDICT r8 #2; "
+        "slot freed by absorbing dedup_keep_best into dedup_clusters): "
+        "the quality-classifier family's SERVE capstone under a FROZEN "
+        "published reference model — the production posture where the "
+        "fit is a build-once artifact and the map-only scoring pass is "
+        "what touches 100 TB. The reference model compiles a seed "
+        "vocabulary (5 positive / 3 negative markers) into md5-hashed "
+        "bucket space with the EXACT hashed_token_feature_exprs "
+        "bucket/sign convention (hashlib-derived literals — engine-"
+        "free); scoring reuses those serving expressions verbatim, so "
+        "this query hash-checks the same per-row feature pipeline "
+        "stream_quality_score and the fitted classifier serve through. "
+        "Report is in MARGIN space: keep/drop counts at margin >= 0 "
+        "(== p >= 0.5, sigmoid is monotone) and >= 0.05, raw min/max "
+        "margins (per-doc margins are bit-identical cross-engine: "
+        "integer-valued sign sums, one IEEE division, fixed-order "
+        "literal dot product), and floor-quantized micro-margin "
+        "sum/mean (exact bigint accumulation — no raw double sums, "
+        "no exp, no decimal-rounding midpoints anywhere). The FITTED "
+        "report stays the rows-only pipeline_quality_classifier (its "
+        "IRLS coefficients are corpus-derived double sums — never a "
+        "static SQL oracle)"
+    ),
+)
+def q_pipeline_quality_serve(spark, sf_dir):
+    from etl_hero_spark.features import hashed_token_feature_exprs
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_token_feature_exprs("text", dim=_QUALITY_REF_DIM)
+    coefs = _quality_ref_coefs()
+    margin = None
+    for j, c in coefs.items():
+        term = F.lit(c) * feats[j]
+        margin = term if margin is None else margin + term
+    scored = docs.select("source", margin.alias("margin"))
+    micro = F.floor(F.col("margin") * F.lit(1000000.0))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("margin") >= 0.0).cast("int"))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.sum((F.col("margin") >= 0.05).cast("int"))
+            .cast("bigint")
+            .alias("n_keep_strict"),
+            F.min("margin").alias("min_margin"),
+            F.max("margin").alias("max_margin"),
+            F.sum(micro).cast("bigint").alias("sum_margin_micro"),
+            (
+                F.sum(micro).cast("double") / F.count(F.lit(1))
+            ).alias("mean_margin_micro"),
+        )
+        .orderBy("source")
+    )
 
 
 # ===========================================================================

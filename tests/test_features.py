@@ -996,3 +996,38 @@ def test_quality_calibration_remediate_brier_win_and_symmetry(spark):
     )
     ps = [p for _, p in cal]
     assert ps == sorted(ps)
+
+
+def test_quality_serve_frozen_model_semantics(spark):
+    """The frozen reference model compiles vocab words into bucket
+    space: a doc of positive markers must score margin > 0, a doc of
+    negative markers < 0 (sign(w)^2 * weight / n = weight / n per
+    vocab token), and the margin is n-invariant for pure-vocab docs."""
+    from etl_hero_spark.features import hashed_token_feature_exprs
+    from etl_hero_spark.registry_ext2 import (
+        _QUALITY_REF_DIM,
+        _quality_ref_coefs,
+    )
+
+    feats = hashed_token_feature_exprs("text", dim=_QUALITY_REF_DIM)
+    coefs = _quality_ref_coefs()
+    margin = None
+    for j, c in coefs.items():
+        term = F.lit(c) * feats[j]
+        margin = term if margin is None else margin + term
+    df = spark.createDataFrame(
+        [
+            (1, "fast merge vector spark agg"),
+            (2, "slow small dup slow small"),
+            (3, "fast fast fast fast"),
+            (4, "fast"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select("doc_id", margin.alias("m")).collect()
+    }
+    assert got[1] == 1.0   # 5 positive tokens / 5 = +1 each
+    assert got[2] == -1.0  # all negative markers
+    assert got[3] == got[4] == 1.0  # rate, not count

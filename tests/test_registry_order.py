@@ -40,3 +40,31 @@ def test_oracle_backed_queries_come_first():
             )
         else:
             seen_rows_only = True
+
+
+def test_absorbed_keep_best_oracle_byte_unchanged():
+    """r9 absorption contract: the dedup_keep_best oracle SQL inside
+    dedup_clusters' wrapper is a byte-identical copy of the absorbed
+    query's SQL (kept in registry_ext2 as the source of truth; the
+    copy in registry_ext avoids a module-level cross-import that
+    would reorder extension registration)."""
+    from etl_hero_spark.registry_ext import _DEDUP_KEEP_BEST_SQL_COPY
+    from etl_hero_spark.registry_ext2 import DEDUP_KEEP_BEST_SQL
+
+    assert _DEDUP_KEEP_BEST_SQL_COPY == DEDUP_KEEP_BEST_SQL
+
+
+def test_r9_rotation_window_membership():
+    """pipeline_quality_serve joined the verified window in r9;
+    dedup_keep_best left registration entirely (absorbed as
+    dedup_clusters tag='keep_best' rows)."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    assert "pipeline_quality_serve" in oracles
+    assert "pipeline_quality_serve" in names[:DRIVER_WINDOW]
+    assert "dedup_keep_best" not in names
+    # the family's fitted report stays registered rows-only
+    assert "pipeline_quality_classifier" in names
+    assert "pipeline_quality_classifier" not in oracles

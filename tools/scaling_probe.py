@@ -595,6 +595,41 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
 
+        def hashed_features_1024():
+            # r9 (VERDICT r8 #7): the array-typed encoder at 4x the
+            # r8 width — per-token work is O(1) regardless of dim, so
+            # only the dense-unpack projection widens (1024 columns);
+            # the exponent must stay corpus-linear
+            from etl_hero_spark.features import hashed_token_features
+
+            hashed_token_features(docs(), dim=1024).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        def logreg_gd_1024():
+            # r9 (VERDICT r8 #7): the diagonal-Newton fit at dim=1024
+            # — 2(p+1)+1 ~ 2051 aggregate expressions per pass, built
+            # as SQL strings; pinned passes (tol=0) so the exponent
+            # measures the per-pass corpus scan, with the flat
+            # analyzer cost visible as the 1x intercept
+            from etl_hero_spark.checkpoint import parquet_checkpoint
+            from etl_hero_spark.features import (
+                hashed_token_features,
+                logreg_fit_gd,
+            )
+
+            feats = parquet_checkpoint(
+                hashed_token_features(docs(), dim=1024),
+                "qc-probe-feats-1024",
+            )
+            logreg_fit_gd(
+                feats,
+                [f"f_{j}" for j in range(1024)],
+                (F.col("doc_id") % 4 == 0).cast("int"),
+                max_iter=3,
+                tol=0.0,
+            )
+
         def quantile_reg_irls():
             # pinned iterations (tol=0) so the exponent measures the
             # per-step corpus scan, same rationale as logreg_irls; the
@@ -665,6 +700,8 @@ def main() -> None:
             "sq8_probe": sq8_probe,
             "quality_classifier": quality_classifier,
             "hashed_features_256": hashed_features_256,
+            "hashed_features_1024": hashed_features_1024,
+            "logreg_gd_1024": logreg_gd_1024,
             "quantile_reg_irls": quantile_reg_irls,
             "ivfpq_residual_encode": ivfpq_residual_encode,
         }

@@ -632,6 +632,31 @@ def logreg_fit(
     }
 
 
+def _chunked_op_sql(terms: list[str], op: str, chunk: int = 64) -> str:
+    """Balanced parenthesized fold of SQL terms under a binary op.
+    A flat left-assoc chain parses/converts as a tree whose DEPTH
+    equals the term count, and both ends of the stack break past ~1k
+    terms (the measured dim=1024 ceilings, r9 scaling probe: Spark's
+    parser hard-fails with FAILED_TO_PARSE_TOO_COMPLEX on a 1024-term
+    '+' chain, and the Column-API AND chain of 1025 isNotNull nodes
+    StackOverflows ColumnNodeToExpressionConverter); grouping into
+    64-term parenthesized chunks, recursively, keeps depth
+    O(chunk * log_chunk(n)). For '+' the value changes only by
+    float-addition association (irrelevant to the fit, which is
+    iterative anyway); AND is associative exactly."""
+    terms = list(terms)
+    while len(terms) > chunk:
+        terms = [
+            "(" + op.join(terms[i : i + chunk]) + ")"
+            for i in range(0, len(terms), chunk)
+        ]
+    return op.join(terms)
+
+
+def _chunked_sum_sql(terms: list[str], chunk: int = 64) -> str:
+    return _chunked_op_sql(terms, " + ", chunk)
+
+
 def logreg_fit_gd(
     df: DataFrame,
     x_cols: list[str],
@@ -681,9 +706,14 @@ def logreg_fit_gd(
     lab = (
         F.col(y_col) if isinstance(y_col, str) else y_col
     ).cast("boolean")
-    complete = lab.isNotNull()
-    for c in x_cols:
-        complete = complete & F.col(c).isNotNull()
+    # chunked SQL conjunction, not a Column-API AND chain: 1025
+    # left-nested isNotNull nodes StackOverflow the converter (the
+    # dim=1024 ceiling _chunked_op_sql documents)
+    complete = lab.isNotNull() & F.expr(
+        _chunked_op_sql(
+            [f"`{c}` IS NOT NULL" for c in x_cols], " AND "
+        )
+    )
     base = df.filter(complete).select(
         *[F.col(c).cast("double").alias(c) for c in x_cols],
         lab.cast("double").alias("__y"),
@@ -699,7 +729,7 @@ def logreg_fit_gd(
         at coefficients ``b`` — the NLL rides the same aggregation so
         the monotone backtracking safeguard costs zero extra passes
         on accepted steps."""
-        eta_sql = " + ".join(
+        eta_sql = _chunked_sum_sql(
             [repr(float(b[-1]))]
             + [f"{float(b[j])!r} * `{c}`" for j, c in enumerate(x_cols)]
         )

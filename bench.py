@@ -328,6 +328,22 @@ def absorbed_prior(prev: dict[str, float], name: str) -> float | None:
 # for drift ratios under 1.15x OR an explanation here; written into
 # BENCH_DETAIL.json so the judge sees them next to the numbers).
 NOTES = {
+    "_aggregate_drift_r8_reconciliation": (
+        "VERDICT r8 #1 CLOSED: the first-ever round-over-round "
+        "aggregate drift (r8 warm headline 1.11-1.16x, cold sweep "
+        "1.165x on the common set) was HOST CONDITIONS, not plan "
+        "drift. Evidence: the r9 idle-host headline re-run (load avg "
+        "0.10 at launch, zero concurrent Spark) on the SAME plans "
+        "reads common-set aggregate 0.825x of the r8 driver prior "
+        "(234.7 s vs 284.6 s over 166 shared queries, median vs_prev "
+        "0.847, worst single query 1.38x, regressions: [], retried: "
+        "{} — nothing crossed even the 1.5x publish-retry bar). A "
+        "uniform ~17% reversal with untouched plans is the shared-"
+        "host contention signature (the r4 'uniform 1.2-1.8x "
+        "elevation across unrelated queries' precedent). The new "
+        "aggregate_gate (flag at >1.15x common-set total) now "
+        "catches any future uniform creep structurally."
+    ),
     "sim_semantic_dedup": (
         "r7 cold-sweep flag RECONCILED r8 (VERDICT r7 #3) with the "
         "isolated idle-host min-of-3 posture: 30.2/27.0/24.3 s cold "

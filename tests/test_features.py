@@ -1031,3 +1031,48 @@ def test_quality_serve_frozen_model_semantics(spark):
     assert got[1] == 1.0   # 5 positive tokens / 5 = +1 each
     assert got[2] == -1.0  # all negative markers
     assert got[3] == got[4] == 1.0  # rate, not count
+
+
+def test_chunked_op_sql_depth_and_value():
+    """r9: balanced chunking keeps expression depth bounded — a flat
+    1024-term chain breaks BOTH stacks (parser: FAILED_TO_PARSE_TOO_
+    COMPLEX; Column API: converter StackOverflow). Pure string checks
+    here; the end-to-end dim=1024 fit is exercised by the scaling
+    probe (SCALING.md r9)."""
+    from etl_hero_spark.features import _chunked_op_sql, _chunked_sum_sql
+
+    # small inputs pass through un-grouped
+    assert _chunked_sum_sql(["1.0", "2.0"]) == "1.0 + 2.0"
+    # 1025 terms: grouped into 64-term parens, then one outer level
+    terms = [f"`f_{i}`" for i in range(1025)]
+    s = _chunked_sum_sql(terms)
+    # max run of terms between parens is the chunk size
+    assert s.count("(") == s.count(")") == 17  # ceil(1025/64)
+    # nesting depth stays 1 level here (17 < 64)
+    assert "((" not in s
+    # every term present exactly once
+    assert all(t in s for t in terms[:3] + terms[-3:])
+    # AND variant exact associativity form
+    a = _chunked_op_sql([f"`c{i}` IS NOT NULL" for i in range(130)], " AND ")
+    assert a.count("(") == 3 and " AND " in a
+
+
+def test_logreg_gd_small_p_unaffected_by_chunking(spark):
+    """At small p the chunked builder emits the identical flat chain,
+    so the fit trajectory is unchanged (guards the dim<=64 behavior
+    the r8 numbers were recorded under)."""
+    import numpy as np
+
+    from etl_hero_spark.features import logreg_fit_gd
+
+    rng = np.random.default_rng(5)
+    n = 800
+    x = rng.normal(size=n)
+    y = rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-(1.2 * x)))
+    df = spark.createDataFrame(
+        [(float(a), bool(c)) for a, c in zip(x, y)],
+        "x double, y boolean",
+    )
+    m = logreg_fit_gd(df, ["x"], "y", max_iter=40)
+    assert abs(m["coef"]["x"] - 1.2) < 0.35
+    assert m["log_loss"] < 0.65

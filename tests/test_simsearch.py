@@ -1364,3 +1364,39 @@ def test_append_with_preread_model_equals_per_call_read(
         ).collect()
     }
     assert got == want and got
+
+
+def test_append_empty_batch_is_a_noop(spark, emb, queries, tmp_path):
+    """ADVICE-surface edge (r9): appending an EMPTY batch must leave
+    the index byte-equivalent for probes — no crash, no phantom
+    partitions."""
+    from etl_hero_spark.simsearch import (
+        append_ivf_batch,
+        append_sq8_batch,
+        topk_cosine_ivf_indexed,
+        write_ivf_index,
+        write_sq8_index,
+    )
+
+    path = str(tmp_path / "ivf_empty")
+    write_ivf_index(emb, path, n_centroids=4)
+    before = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, path, k=5, nprobe=2
+        ).collect()
+    }
+    append_ivf_batch(emb.filter(F.col("vec_id") < 0), path)
+    after = {
+        tuple(r)
+        for r in topk_cosine_ivf_indexed(
+            spark, queries, path, k=5, nprobe=2
+        ).collect()
+    }
+    assert before == after and before
+    # flat SQ8 layout too
+    sq8 = str(tmp_path / "sq8_empty")
+    write_sq8_index(emb, sq8)
+    n0 = spark.read.parquet(sq8).count()
+    append_sq8_batch(emb.filter(F.col("vec_id") < 0), sq8)
+    assert spark.read.parquet(sq8).count() == n0 == emb.count()

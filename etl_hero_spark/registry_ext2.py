@@ -3022,23 +3022,35 @@ def _quality_serve_oracle() -> str:
         "CASE WHEN length(trim(lower(text))) = 0 THEN [] "
         "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
     )
-    fj = (
-        "CASE WHEN len(toks) > 0 THEN coalesce(list_sum("
-        "list_transform(list_filter(toks, t -> "
-        "('0x' || substring(md5(t), 1, 14))::BIGINT % {dim} = {j}), "
-        "t -> CASE WHEN ('0x' || substring(md5(t), 15, 1))::INT % 2 = 0 "
-        "THEN 1.0 ELSE -1.0 END)), 0.0) / CAST(len(toks) AS DOUBLE) "
-        "ELSE 0.0 END"
-    )
     coefs = _quality_ref_coefs()
-    f_cols = ", ".join(
-        fj.format(dim=_QUALITY_REF_DIM, j=j) + f" AS f_{j}" for j in coefs
+    coef_case = (
+        f"CASE ('0x' || substring(md5(t), 1, 14))::BIGINT "
+        f"% {_QUALITY_REF_DIM} "
+        + " ".join(f"WHEN {j} THEN {c!r}" for j, c in coefs.items())
+        + " ELSE 0.0 END"
     )
-    margin = " + ".join(f"{c!r} * f_{j}" for j, c in coefs.items())
+    sign = (
+        "CASE WHEN ('0x' || substring(md5(t), 15, 1))::INT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
     return (
-        f"WITH tok AS (SELECT source, {toks} AS toks FROM documents), "
-        f"feat AS (SELECT source, {f_cols} FROM tok), "
-        f"m AS (SELECT source, {margin} AS margin FROM feat) "
+        f"WITH tok AS (SELECT doc_id, source, {toks} AS toks "
+        "FROM documents), "
+        "ex AS (SELECT doc_id, unnest(toks) AS t FROM tok), "
+        "per AS (SELECT doc_id, "
+        f"sum({coef_case} * {sign}) AS num FROM ex GROUP BY doc_id), "
+        # unnest drops zero-token docs — the LEFT JOIN reinstates them
+        # (Spark's explode_outer mirror); margin = num / n_tokens is
+        # ONE division of an exact-integer double by an int
+        "m AS (SELECT tok.source, "
+        # + 0.0 normalizes a -0.0 quotient (a doc whose every
+        # contribution is a signed zero) to +0.0 — sum-init order
+        # differs between engines only in the SIGN of zero, and raw
+        # min/max margins are hash-compared
+        "(CASE WHEN len(tok.toks) > 0 THEN "
+        "coalesce(per.num, 0.0) / CAST(len(tok.toks) AS DOUBLE) "
+        "ELSE 0.0 END) + 0.0 AS margin "
+        "FROM tok LEFT JOIN per ON tok.doc_id = per.doc_id) "
         "SELECT source, cast(count(*) as bigint) AS n_docs, "
         "cast(sum(CASE WHEN margin >= 0.0 THEN 1 ELSE 0 END) as bigint) "
         "AS n_keep, "
@@ -3066,14 +3078,18 @@ def _quality_serve_oracle() -> str:
         "vocabulary (5 positive / 3 negative markers) into md5-hashed "
         "bucket space with the EXACT hashed_token_feature_exprs "
         "bucket/sign convention (hashlib-derived literals — engine-"
-        "free); scoring reuses those serving expressions verbatim, so "
-        "this query hash-checks the same per-row feature pipeline "
-        "stream_quality_score and the fitted classifier serve through. "
+        "free); the corpus pass is the RELATIONAL compiled form (r8 "
+        "encoder doctrine: explode once, two md5 per token, exact "
+        "small-integer contribution sums per doc, ONE division — "
+        "never 2*dim interpreted lambdas per token), with agreement "
+        "to the per-row serving expressions (the stream/classifier "
+        "path) pinned in tests within float-association tolerance "
+        "and exactly on keep/drop decisions. "
         "Report is in MARGIN space: keep/drop counts at margin >= 0 "
         "(== p >= 0.5, sigmoid is monotone) and >= 0.05, raw min/max "
         "margins (per-doc margins are bit-identical cross-engine: "
-        "integer-valued sign sums, one IEEE division, fixed-order "
-        "literal dot product), and floor-quantized micro-margin "
+        "integer-valued sign sums, one IEEE division, signed zeros "
+        "normalized), and floor-quantized micro-margin "
         "sum/mean (exact bigint accumulation — no raw double sums, "
         "no exp, no decimal-rounding midpoints anywhere). The FITTED "
         "report stays the rows-only pipeline_quality_classifier (its "
@@ -3082,16 +3098,51 @@ def _quality_serve_oracle() -> str:
     ),
 )
 def q_pipeline_quality_serve(spark, sf_dir):
-    from etl_hero_spark.features import hashed_token_feature_exprs
+    from etl_hero_spark.textops import tokens_expr
 
     docs = _t(spark, sf_dir, "documents")
-    feats = hashed_token_feature_exprs("text", dim=_QUALITY_REF_DIM)
     coefs = _quality_ref_coefs()
-    margin = None
-    for j, c in coefs.items():
-        term = F.lit(c) * feats[j]
-        margin = term if margin is None else margin + term
-    scored = docs.select("source", margin.alias("margin"))
+    # RELATIONAL compiled form (the r8 encoder doctrine: interpreted
+    # per-row lambdas are the serving path, never the corpus path) —
+    # explode once, md5 each token TWICE (bucket + sign), fold
+    # coef(bucket)*sign as exact small-integer doubles per doc, ONE
+    # division by the token count. Agreement with the per-row
+    # hashed_token_feature_exprs margin (identical up to float
+    # association; keep/drop decisions exact) is pinned in
+    # tests/test_features.py (serve/batch symmetry).
+    base = docs.select(
+        "doc_id",
+        "source",
+        tokens_expr(F.lower(F.col("text"))).alias("toks"),
+    )
+    ex = base.select(
+        "doc_id", F.explode_outer("toks").alias("t")
+    )
+    coef_case = F.expr(
+        f"CASE cast(conv(substring(md5(t), 1, 14), 16, 10) as bigint) "
+        f"% {_QUALITY_REF_DIM} "
+        + " ".join(f"WHEN {j} THEN {c!r}" for j, c in coefs.items())
+        + " ELSE 0.0 END"
+    )
+    sign = F.expr(
+        "CASE WHEN cast(conv(substring(md5(t), 15, 1), 16, 10) as int) "
+        "% 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    per = ex.groupBy("doc_id").agg(
+        F.sum(coef_case * sign).alias("num")
+    )
+    # + 0.0 normalizes a -0.0 quotient to +0.0 (see the oracle's note)
+    margin = (
+        F.when(
+            F.size("toks") > 0,
+            F.coalesce(F.col("num"), F.lit(0.0))
+            / F.size("toks").cast("double"),
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.0)
+    )
+    scored = base.join(per, "doc_id", "left").select(
+        "source", margin.alias("margin")
+    )
     micro = F.floor(F.col("margin") * F.lit(1000000.0))
     return (
         scored.groupBy("source")

@@ -1076,3 +1076,74 @@ def test_logreg_gd_small_p_unaffected_by_chunking(spark):
     m = logreg_fit_gd(df, ["x"], "y", max_iter=40)
     assert abs(m["coef"]["x"] - 1.2) < 0.35
     assert m["log_loss"] < 0.65
+
+
+def test_quality_serve_relational_matches_per_row_form(spark):
+    """Serve/batch symmetry for the frozen reference model: the
+    registered RELATIONAL margin (explode + exact integer contribution
+    sums + one division) agrees with the per-row serving-expression
+    margin within float association, and keep/drop decisions match
+    exactly on both thresholds."""
+    from etl_hero_spark.features import hashed_token_feature_exprs
+    from etl_hero_spark.registry_ext2 import (
+        _QUALITY_REF_DIM,
+        _quality_ref_coefs,
+    )
+    from etl_hero_spark.textops import tokens_expr
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    coefs = _quality_ref_coefs()
+    # per-row serving form
+    feats = hashed_token_feature_exprs("text", dim=_QUALITY_REF_DIM)
+    row_margin = None
+    for j, c in coefs.items():
+        term = F.lit(c) * feats[j]
+        row_margin = term if row_margin is None else row_margin + term
+    per_row = {
+        r["doc_id"]: r["m"]
+        for r in docs.select("doc_id", row_margin.alias("m")).collect()
+    }
+    # relational compiled form (the registered query's construction)
+    base = docs.select(
+        "doc_id", tokens_expr(F.lower(F.col("text"))).alias("toks")
+    )
+    ex = base.select("doc_id", F.explode_outer("toks").alias("t"))
+    coef_case = F.expr(
+        f"CASE cast(conv(substring(md5(t), 1, 14), 16, 10) as bigint) "
+        f"% {_QUALITY_REF_DIM} "
+        + " ".join(f"WHEN {j} THEN {c!r}" for j, c in coefs.items())
+        + " ELSE 0.0 END"
+    )
+    sign = F.expr(
+        "CASE WHEN cast(conv(substring(md5(t), 15, 1), 16, 10) as int) "
+        "% 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    per = ex.groupBy("doc_id").agg(F.sum(coef_case * sign).alias("num"))
+    margin = (
+        F.when(
+            F.size("toks") > 0,
+            F.coalesce(F.col("num"), F.lit(0.0))
+            / F.size("toks").cast("double"),
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.0)
+    )
+    rel = {
+        r["doc_id"]: r["m"]
+        for r in base.join(per, "doc_id", "left")
+        .select("doc_id", margin.alias("m"))
+        .collect()
+    }
+    assert set(per_row) == set(rel) and len(rel) == 500
+    for k in rel:
+        assert abs(per_row[k] - rel[k]) < 1e-12
+        for thr in (0.0, 0.05):
+            if abs(per_row[k] - thr) > 1e-12:
+                # away from the boundary the decisions must agree;
+                # ON the boundary the relational form is the exact
+                # one (a net-zero doc reads exactly 0.0 relationally,
+                # while the per-row sum of rounded quotients carries
+                # ~1e-18 residue — the registered query uses the
+                # exact form)
+                assert (per_row[k] >= thr) == (rel[k] >= thr)

@@ -176,7 +176,9 @@ HEADLINE = [
     # events_gap_fill_linear absorbed into events_windows (r8)
     "multimodal_jpeg_metadata",
     "multimodal_mp4_metadata",
-    # dedup_keep_best absorbed into dedup_clusters (r9)
+    # dedup_keep_best absorbed into dedup_clusters (r9) — the absorber
+    # joins the headline so the merged work stays gated round-over-round
+    "dedup_clusters",
     # profile_weighted_quantile absorbed into profile_stats (r8)
     "sim_hybrid_rrf",
     "sql_market_share",
@@ -199,7 +201,7 @@ HEADLINE = [
     # sql_volume_shipping absorbed into sql_market_share (r8),
     # sql_customer_distribution into sql_orders_with_returns (r8),
     # sql_small_quantity_revenue into sql_returned_item_ranking (r8)
-    "sql_supplier_relationship",
+    # sql_supplier_relationship absorbed into sql_excess_suppliers (r9)
     # round-7 additions
     "pipeline_quality_classifier",
     "stream_quality_score",
@@ -298,6 +300,7 @@ ABSORPTIONS: dict[str, list[str]] = {
     ],
     "sql_market_share": ["sql_volume_shipping"],
     "sql_returned_item_ranking": ["sql_small_quantity_revenue"],
+    "sql_excess_suppliers": ["sql_supplier_relationship"],
     "pipeline_curate_documents": ["sample_stratified_exact"],
     "distinct_customers_per_priority": [
         "set_urgent_not_low_customers",
@@ -383,6 +386,23 @@ NOTES = {
         "scored pass + the bounded PAV fold + the broadcast interval "
         "apply; registered as its own key so the calibration report's "
         "bench prior stays comparable. Shares the memoized model fit."
+    ),
+    "sql_excess_suppliers": (
+        "r9 absorbed sql_supplier_relationship (TPC-H Q16, ~1-2s: "
+        "bridge join + single-column exact COUNT DISTINCT) as "
+        "part='q16' tagged rows to free the driver-window slot "
+        "features_linreg takes — compare vs_prev against the SUM of "
+        "the two prior entries; combined work is unchanged, one "
+        "registration fewer."
+    ),
+    "features_linreg": (
+        "r9 PROMOTED to the oracle window as the regression family's "
+        "hash-checkable member: the registered form switched from the "
+        "numpy-solved bivariate fit to TWO closed-form single-feature "
+        "exact-decimal OLS fits derived fully in SQL (same ONE "
+        "lineitem scan, one aggregation — cost comparable; the "
+        "multivariate normal-equations fit stays the library path "
+        "with its own numpy/regr_* pins)."
     ),
     "dedup_clusters": (
         "r9 absorbed dedup_keep_best (~1-2s: the clone-pool build + "

@@ -2477,29 +2477,22 @@ def q_sql_small_quantity_revenue(spark, sf_dir):
     )
 
 
-@register(
-    "sql_supplier_relationship",
-    oracle=(
-        "SELECT p_brand, substring(p_type, 1, 6) AS p_type_prefix, "
-        "p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
-        "FROM lineitem JOIN part ON l_partkey = p_partkey "
-        "WHERE p_brand <> 'Brand#45' "
-        "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
-        "GROUP BY 1, 2, 3 "
-        "ORDER BY supplier_cnt DESC, p_brand, p_type_prefix, p_size"
-    ),
-    note=(
-        "PROMOTED to the verified oracle window r7 (slots freed by the "
-        "r7 absorptions). "
-        "extension (r6, TPC-H Q16 shape): how many distinct suppliers "
-        "can deliver each (brand, type-prefix, size) — the fixture has "
-        "no partsupp table, so shipped lineitems are the "
-        "supplier-part relationship (same shape: bridge join + "
-        "per-group exact COUNT DISTINCT on a single column, which "
-        "plans WITHOUT an Expand). Excluded brand and size list per "
-        "Q16. DuckDB parity in tests/test_relational_extras.py"
-    ),
+# sql_supplier_relationship (TPC-H Q16 shape, in the verified window
+# since r7) was absorbed into sql_excess_suppliers (part='q16' tagged
+# rows, oracle SQL byte-unchanged inside the wrapper) in r9 — driver-
+# window slot policy, freeing the slot features_linreg takes. The body
+# stays as the unregistered helper the merged entry calls.
+SQL_SUPPLIER_RELATIONSHIP_SQL = (
+    "SELECT p_brand, substring(p_type, 1, 6) AS p_type_prefix, "
+    "p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand <> 'Brand#45' "
+    "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
+    "GROUP BY 1, 2, 3 "
+    "ORDER BY supplier_cnt DESC, p_brand, p_type_prefix, p_size"
 )
+
+
 def q_sql_supplier_relationship(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#45")
@@ -3566,27 +3559,45 @@ def q_sql_important_parts(spark, sf_dir):
     )
 
 
+_SQL_EXCESS_SUPPLIERS_SQL = (
+    "SELECT s_suppkey, s_name, "
+    "round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal "
+    "FROM supplier "
+    "WHERE s_suppkey IN ("
+    "SELECT l_suppkey FROM ("
+    "SELECT l_suppkey, l_partkey, "
+    "sum(CAST(l_quantity AS DECIMAL(28,6))) AS q "
+    "FROM lineitem "
+    "JOIN part ON l_partkey = p_partkey "
+    "WHERE p_name LIKE '%widget%' "
+    "GROUP BY 1, 2) sq "
+    "JOIN ("
+    "SELECT l_partkey AS pk, "
+    "sum(CAST(l_quantity AS DECIMAL(28,6))) AS tq "
+    "FROM lineitem GROUP BY 1) pt "
+    "ON sq.l_partkey = pt.pk "
+    "WHERE q * 5 > tq) "
+    "ORDER BY s_suppkey"
+)
+
+
 @register(
     "sql_excess_suppliers",
     oracle=(
-        "SELECT s_suppkey, s_name, "
-        "round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal "
-        "FROM supplier "
-        "WHERE s_suppkey IN ("
-        "SELECT l_suppkey FROM ("
-        "SELECT l_suppkey, l_partkey, "
-        "sum(CAST(l_quantity AS DECIMAL(28,6))) AS q "
-        "FROM lineitem "
-        "JOIN part ON l_partkey = p_partkey "
-        "WHERE p_name LIKE '%widget%' "
-        "GROUP BY 1, 2) sq "
-        "JOIN ("
-        "SELECT l_partkey AS pk, "
-        "sum(CAST(l_quantity AS DECIMAL(28,6))) AS tq "
-        "FROM lineitem GROUP BY 1) pt "
-        "ON sq.l_partkey = pt.pk "
-        "WHERE q * 5 > tq) "
-        "ORDER BY s_suppkey"
+        "SELECT 'excess' AS part, s_suppkey, s_name, s_acctbal, "
+        "cast(NULL as varchar) AS p_brand, "
+        "cast(NULL as varchar) AS p_type_prefix, "
+        "cast(NULL as int) AS p_size, "
+        "cast(NULL as bigint) AS supplier_cnt "
+        f"FROM ({_SQL_EXCESS_SUPPLIERS_SQL}) "
+        "UNION ALL "
+        # --- absorbed sql_supplier_relationship (r9 merge, TPC-H Q16
+        # shape): oracle SQL byte-unchanged inside the wrapper ---
+        "SELECT 'q16' AS part, cast(NULL as bigint) AS s_suppkey, "
+        "cast(NULL as varchar) AS s_name, "
+        "cast(NULL as double) AS s_acctbal, "
+        "p_brand, p_type_prefix, p_size, supplier_cnt "
+        f"FROM ({SQL_SUPPLIER_RELATIONSHIP_SQL})"
     ),
     note=(
         "PROMOTED to the verified oracle window r8 (slots freed by the "
@@ -3600,7 +3611,15 @@ def q_sql_important_parts(spark, sf_dir):
         "runs on the joined row, and the surviving supplier keys "
         "SEMI-join the supplier dim. p_name LIKE stands in for Q20's "
         "prefix filter; shipped quantity for availqty (no partsupp). "
-        "DuckDB parity in tests/test_relational_extras.py"
+        "part='q16' (absorbed r9, was the separate "
+        "sql_supplier_relationship query — TPC-H Q16: distinct "
+        "suppliers per (brand, type-prefix, size), the bridge join + "
+        "single-column exact COUNT DISTINCT that plans WITHOUT an "
+        "Expand; oracle SQL byte-unchanged inside the wrapper, "
+        "freeing the slot features_linreg takes) carries "
+        "p_brand/p_type_prefix/p_size/supplier_cnt, NULL on the "
+        "supplier-row columns. DuckDB parity in "
+        "tests/test_relational_extras.py"
     ),
 )
 def q_sql_excess_suppliers(spark, sf_dir):
@@ -3632,20 +3651,41 @@ def q_sql_excess_suppliers(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal"
     )
-    return (
+    q16_nulls = [
+        F.lit(None).cast("string").alias("p_brand"),
+        F.lit(None).cast("string").alias("p_type_prefix"),
+        F.lit(None).cast("int").alias("p_size"),
+        F.lit(None).cast("bigint").alias("supplier_cnt"),
+    ]
+    excess = (
         sup.join(
             excess_keys, sup["s_suppkey"] == excess_keys["l_suppkey"],
             "leftsemi",
         )
         .select(
-            "s_suppkey",
+            F.lit("excess").alias("part"),
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
             "s_name",
             F.round(F.col("s_acctbal").cast("double"), 2).alias(
                 "s_acctbal"
             ),
+            *q16_nulls,
         )
         .orderBy("s_suppkey")
     )
+    # absorbed sql_supplier_relationship (r9): the Q16 rows, body kept
+    # as the unregistered helper above
+    q16 = q_sql_supplier_relationship(spark, sf_dir).select(
+        F.lit("q16").alias("part"),
+        F.lit(None).cast("bigint").alias("s_suppkey"),
+        F.lit(None).cast("string").alias("s_name"),
+        F.lit(None).cast("double").alias("s_acctbal"),
+        "p_brand",
+        "p_type_prefix",
+        F.col("p_size").cast("int").alias("p_size"),
+        "supplier_cnt",
+    )
+    return excess.unionByName(q16)
 
 
 # profile_spearman was absorbed into profile_welch_ttest

@@ -68,3 +68,19 @@ def test_r9_rotation_window_membership():
     # the family's fitted report stays registered rows-only
     assert "pipeline_quality_classifier" in names
     assert "pipeline_quality_classifier" not in oracles
+
+
+def test_r9_second_rotation_window_membership():
+    """Second r9 wave: features_linreg gained a full oracle (the
+    regression family's hash-checkable member — closed-form exact
+    OLS); slot freed by absorbing sql_supplier_relationship (Q16)
+    into sql_excess_suppliers as part='q16' rows."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    assert "features_linreg" in oracles
+    assert "features_linreg" in names[:DRIVER_WINDOW]
+    assert "sql_supplier_relationship" not in names
+    assert "sql_excess_suppliers" in oracles
+    assert len(oracles) == DRIVER_WINDOW

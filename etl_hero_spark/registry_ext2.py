@@ -3814,10 +3814,12 @@ def q_features_quantile_regression(spark, sf_dir):
     import os
 
     from etl_hero_spark.checkpoint import parquet_checkpoint
-    from etl_hero_spark.features import quantile_reg_fit
+    from etl_hero_spark.features import quantile_reg_fit_multi
 
-    # the three-tau fit is iterations x corpus-agg x 3 — a BUILD-ONCE
-    # panel per fixture (the trained-model memo posture); the
+    # the three-tau fit is a BUILD-ONCE panel per fixture (the
+    # trained-model memo posture); the LOCKSTEP multi-tau fitter folds
+    # all three taus' moment sums into one aggregation per IRLS pass
+    # (VERDICT r9 #6: max(iters) corpus passes, not sum(iters)); the
     # frac_below column MEASURES the quantile property of the cached
     # fit rather than assuming it
     p = os.path.realpath(f"{sf_dir}/lineitem.parquet")
@@ -3831,19 +3833,19 @@ def q_features_quantile_regression(spark, sf_dir):
             ),
             "qreg-base",
         )
-        rows = []
-        for tau in (0.1, 0.5, 0.9):
-            m = quantile_reg_fit(base, ["x_qty"], "y", tau=tau)
-            rows.append(
-                (
-                    tau,
-                    round(m["coef"]["x_qty"], 4),
-                    round(m["intercept"], 4),
-                    m["n"],
-                    m["n_iter"],
-                    round(m["frac_below"], 4),
-                )
+        rows = [
+            (
+                m["tau"],
+                round(m["coef"]["x_qty"], 4),
+                round(m["intercept"], 4),
+                m["n"],
+                m["n_iter"],
+                round(m["frac_below"], 4),
             )
+            for m in quantile_reg_fit_multi(
+                base, ["x_qty"], "y", taus=[0.1, 0.5, 0.9]
+            )
+        ]
         _QREG_MEMO[key] = rows
     return spark.createDataFrame(
         rows,

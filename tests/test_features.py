@@ -1165,3 +1165,37 @@ def test_logreg_fit_gd_intercept_only(spark):
     assert m["coef"] == [] or list(m["coef"]) == []
     assert m["n"] == 40
     assert abs(m["intercept"] - math.log(3.0)) < 1e-3
+
+
+def test_quantile_reg_multi_matches_serial_trajectory(spark):
+    """VERDICT r9 #6: the lockstep multi-tau fitter shares each IRLS
+    pass across taus without touching any tau's trajectory — per step
+    a tau's aggregate expressions are exactly the serial fit's. Pins
+    coefficient/intercept/n_iter/frac_below equality to tight
+    tolerance on a deterministic fixture."""
+    from etl_hero_spark.features import (
+        quantile_reg_fit,
+        quantile_reg_fit_multi,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (float(i % 17), float((i * 7) % 31) + 0.1 * (i % 5))
+            for i in range(400)
+        ],
+        "x double, y double",
+    ).coalesce(1)
+    taus = [0.25, 0.5, 0.75]
+    # max_iter=5 keeps the test to ~20 bounded aggregations; five
+    # lockstep steps exercise warm start, per-step parity, and the
+    # per-tau n_iter bookkeeping (none of the taus converges by 5, so
+    # all stay active the whole way — the shared-pass path)
+    multi = quantile_reg_fit_multi(df, ["x"], "y", taus=taus, max_iter=5)
+    for tau, m in zip(taus, multi):
+        s = quantile_reg_fit(df, ["x"], "y", tau=tau, max_iter=5)
+        assert m["tau"] == s["tau"] == tau
+        assert m["n"] == s["n"] == 400
+        assert m["n_iter"] == s["n_iter"]
+        assert abs(m["intercept"] - s["intercept"]) < 1e-9
+        assert abs(m["coef"]["x"] - s["coef"]["x"]) < 1e-9
+        assert abs(m["frac_below"] - s["frac_below"]) < 1e-12

@@ -753,3 +753,72 @@ def test_fs_fit_validation(spark):
     empty = df.filter("a > 1")
     with pytest.raises(ValueError, match="no candidate pairs"):
         fs_fit(empty, ["a"])
+
+
+def test_fuzzy_edges_collapse_matches_fuzzy_pairs_components(spark, sf_dir):
+    """The distinct-name collapse + star edges give EXACTLY the
+    connected components of fuzzy_pairs' full pair set (members reach
+    their rep via the star; rep-rep edges exist iff any cross-member
+    pair matches)."""
+    from etl_hero_spark.dedup import assign_dedup_clusters
+    from etl_hero_spark.er import fuzzy_edges, fuzzy_pairs
+
+    names = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", F.lower("p_name").alias("p_name"))
+    )
+
+    def components(pairs):
+        res = assign_dedup_clusters(
+            names, pairs, id_col="p_partkey"
+        ).collect()
+        return {r["p_partkey"]: r["cluster_id"] for r in res}
+
+    full = components(
+        fuzzy_pairs(
+            names, "p_partkey", "p_name", max_dist=2, band=64,
+            max_block_size=100_000,
+        ).select("id_a", "id_b")
+    )
+    collapsed = components(
+        fuzzy_edges(
+            names, "p_partkey", "p_name", max_dist=2, band=64,
+            max_block_size=100_000,
+        )
+    )
+    assert full == collapsed and len(full) == names.count()
+
+
+def test_fuzzy_edges_routes_hot_block_to_trigram(spark):
+    """VERDICT r9 #3: a block whose dictionary exceeds the cap is not
+    dropped — its representatives re-route through the rare-trigram
+    rung, so a planted near-dup pair inside the hot block is still
+    linked. The old 'drop' posture (oversized='drop') loses it."""
+    import random
+
+    from etl_hero_spark.er import fuzzy_edges
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    # one saturated block: every name shares the blocking first token
+    # 'acct'; 60 distinct random tails make the dictionary exceed the
+    # cap of 50
+    rows = [
+        (i, "acct " + "".join(rng.choice(alpha) for _ in range(12)))
+        for i in range(60)
+    ]
+    rows.append((100, "acct zq7x1pm9wk42"))
+    rows.append((101, "acct zq7x1pm9wk4_"))  # dist 1 from #100
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    routed = fuzzy_edges(
+        df, "id", "name", max_dist=2, band=64, max_block_size=50,
+        oversized="route",
+    ).collect()
+    assert (100, 101) in {(r["id_a"], r["id_b"]) for r in routed}
+
+    dropped = fuzzy_edges(
+        df, "id", "name", max_dist=2, band=64, max_block_size=50,
+        oversized="drop",
+    ).collect()
+    assert (100, 101) not in {(r["id_a"], r["id_b"]) for r in dropped}

@@ -228,6 +228,8 @@ HEADLINE = [
     "sql_nation_profit",
     "sql_min_cost_supplier",
     "stream_ann_maintain",
+    # round-10 additions
+    "multimodal_image_neardup",
 ]
 
 

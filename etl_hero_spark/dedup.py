@@ -337,6 +337,48 @@ def simhash_candidate_pairs(
     Sub-quadratic: the cross product only forms inside identical-band
     buckets."""
     sh = with_simhash(df, id_col, text_col, out="h")
+    # exact=False: the registered simhash query probes max_hamming=6
+    # on 4 bands — the documented BEST-EFFORT recall posture above the
+    # pigeonhole-exact <=3 regime (candidates still require one equal
+    # band; the popcount filter keeps precision exact)
+    return hash64_candidate_pairs(
+        sh, id_col="id", hash_col="h",
+        max_hamming=max_hamming, n_bands=n_bands, exact=False,
+    )
+
+
+def hash64_candidate_pairs(
+    sh: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "h",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    exact: bool = True,
+) -> DataFrame:
+    """Banded Hamming-neighbor pairs over ANY 64-bit signature column
+    — the signature-agnostic core of simhash_candidate_pairs, split
+    out (r10) so the image perceptual-hash rung (multimodal.
+    image_neardup_pairs, 64-bit dHash) shares one banding plan with
+    text SimHash instead of duplicating it. Pigeonhole: any pair
+    within hamming ``max_hamming`` agrees exactly on >= 1 of the
+    ``n_bands`` disjoint bands when n_bands > max_hamming; the cross
+    product only forms inside identical-band buckets (sub-quadratic),
+    then an exact popcount filter keeps true neighbors. Output
+    (id_a, id_b, hamming), id_a < id_b."""
+    if exact and n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} "
+            "for the pigeonhole banding guarantee — pass exact=False "
+            "for the best-effort recall regime (precision stays exact)"
+        )
+    if 64 % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide 64 — a remainder would "
+            "leave high bits outside every band and break pigeonhole"
+        )
+    sh = sh.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
     band_width = 64 // n_bands
     mask = (1 << band_width) - 1
     bands = sh.select(

@@ -364,6 +364,85 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_image_neardup",
+    oracle=None,
+    note=(
+        "extension (r10, VERDICT r9 #3): image perceptual-hash "
+        "near-dup — the first operator joining the multimodal and "
+        "dedup families. Deterministic REAL-PNG synthesis over the "
+        "documents ids (synth_png_media: consecutive-id couples share "
+        "a sha256-derived pattern, the odd member perturbs one pixel "
+        "— a planted near-dup per couple), REAL stdlib pixel decode "
+        "-> 64-bit dHash (integer luma + box-mean grid, bit-exact) "
+        "via Arrow-batched mapInPandas, then the SAME banded-Hamming "
+        "join text SimHash uses (dedup.hash64_candidate_pairs). "
+        "Report: per-Hamming pair counts split by planted/unplanted "
+        "plus the corpus triage row — bounded output at any corpus "
+        "size. Rows-only (dHash of zlib-compressed synth is not "
+        "SQL-expressible); Python-reference dHash parity, planted-"
+        "pair detection, and banding-vs-bruteforce equality pinned in "
+        "tests/test_io_pipeline.py"
+    ),
+)
+def q_multimodal_image_neardup(spark, sf_dir):
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+    from etl_hero_spark.dedup import hash64_candidate_pairs
+    from etl_hero_spark.multimodal import (
+        synth_png_media,
+        with_image_dhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # signature table staged ONCE: the synth+decode mapInPandas would
+    # otherwise re-run per consumer (pairs join-sides + triage agg)
+    sh = parquet_checkpoint(
+        with_image_dhash(synth_png_media(docs)), "img-dhash"
+    )
+    pairs = hash64_candidate_pairs(
+        sh.filter(F.col("dhash").isNotNull()),
+        id_col="doc_id",
+        hash_col="dhash",
+    )
+    planted = (
+        F.col("id_a").bitwiseXOR(F.col("id_b")) == 1
+    ) & (F.col("id_a") % 2 == 0)
+    report = (
+        pairs.groupBy(
+            "hamming", planted.cast("int").alias("is_planted")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.lit("pairs").alias("part"),
+            "hamming",
+            "is_planted",
+            "n_pairs",
+        )
+    )
+    triage = sh.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("dhash").isNotNull().cast("bigint")).alias(
+            "n_decoded"
+        ),
+    )
+    triage_rows = triage.select(
+        F.lit("triage_decoded").alias("part"),
+        F.lit(None).cast("int").alias("hamming"),
+        F.lit(None).cast("int").alias("is_planted"),
+        F.col("n_decoded").alias("n_pairs"),
+    ).unionByName(
+        triage.select(
+            F.lit("triage_total").alias("part"),
+            F.lit(None).cast("int").alias("hamming"),
+            F.lit(None).cast("int").alias("is_planted"),
+            F.col("n_images").alias("n_pairs"),
+        )
+    )
+    return report.unionByName(triage_rows).orderBy(
+        "part", "hamming", "is_planted"
+    )
+
+
 def _wav_panel(media):
     """RIFF/WAVE encode/parse round-trip panel, absorbed into
     multimodal_decode (formerly the standalone multimodal_wav_metadata

@@ -922,3 +922,116 @@ def test_registered_gif_webp_query_matches_planted_arithmetic(spark, sf_dir):
             assert r["webp_format"] == "lossy"
             assert r["webp_width"] == k % 1000 + 1
             assert r["webp_height"] == (k * 7) % 800 + 1
+
+
+# ---------------------------------------------------------------------------
+# image perceptual-hash near-dup rung (r10, VERDICT r9 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_matches_python_reference(spark):
+    """The Spark dHash (mapInPandas) is bit-identical to the driver-
+    side pure-Python reference over real decoded pixels, and the
+    decode is the REAL stdlib PNG path (png_decode_rgb round-trips
+    synth_png_media's CRC'd output)."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.multimodal import (
+        dhash64_rgb,
+        png_decode_dims,
+        png_decode_rgb,
+        synth_png_media,
+        with_image_dhash,
+    )
+
+    ids = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    media = synth_png_media(ids)
+    rows = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in with_image_dhash(media).collect()
+    }
+    assert len(got) == 24
+    for did, png in rows.items():
+        w, h, rgb = png_decode_rgb(png)
+        assert (w, h) == (9, 8) and len(rgb) == w * h * 3
+        assert png_decode_dims(png) == (9, 8, 1)
+        assert got[did] == dhash64_rgb(w, h, rgb)
+
+
+def test_image_neardup_banding_equals_bruteforce(spark):
+    """Banded Hamming candidates == the all-pairs popcount truth at
+    max_hamming=3 (pigeonhole exactness, not just recall), planted
+    couples all found, unrelated images not paired, and an
+    undecodable payload is excluded rather than crashing."""
+    import pyspark.sql.functions as F
+
+    from etl_hero_spark.multimodal import (
+        image_neardup_pairs,
+        synth_png_media,
+        with_image_dhash,
+    )
+
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    media = synth_png_media(ids).unionByName(
+        spark.createDataFrame(
+            [(999, bytearray(b"not a png at all"))],
+            "doc_id long, media binary",
+        )
+    )
+    sh = {
+        r["doc_id"]: r["dhash"]
+        for r in with_image_dhash(media).collect()
+    }
+    assert sh[999] is None  # undecodable -> NULL, not a crash
+    truth = set()
+    keys = [k for k in sh if sh[k] is not None]
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            lo, hi = min(a, b), max(a, b)
+            if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                truth.add((lo, hi))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in image_neardup_pairs(media).collect()
+    }
+    assert got == truth
+    for k in range(30):
+        assert (2 * k, 2 * k + 1) in got  # every planted couple
+    assert all(b != 999 and a != 999 for a, b in got)
+
+
+def test_hash64_banding_guards(spark):
+    """Pigeonhole preconditions fail loudly: n_bands must exceed
+    max_hamming and divide 64."""
+    import pytest
+
+    from etl_hero_spark.dedup import hash64_candidate_pairs
+
+    sh = spark.createDataFrame([(1, 5), (2, 7)], "id long, h long")
+    with pytest.raises(ValueError, match="must exceed"):
+        hash64_candidate_pairs(sh, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        hash64_candidate_pairs(sh, max_hamming=4, n_bands=5)
+
+
+def test_registered_image_neardup_report(spark, sf_dir):
+    """The registered report finds EVERY planted couple (one per
+    consecutive-id pair), no unplanted pairs on the fixture, and the
+    triage rows account for the whole corpus."""
+    from etl_hero_spark.registry_stream import q_multimodal_image_neardup
+
+    rows = q_multimodal_image_neardup(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    planted = sum(
+        r["n_pairs"] for r in rows
+        if r["part"] == "pairs" and r["is_planted"] == 1
+    )
+    unplanted = sum(
+        r["n_pairs"] for r in rows
+        if r["part"] == "pairs" and r["is_planted"] == 0
+    )
+    assert planted == n_docs // 2
+    assert unplanted == 0
+    triage = {r["part"]: r["n_pairs"] for r in rows if r["part"].startswith("triage")}
+    assert triage == {"triage_decoded": n_docs, "triage_total": n_docs}

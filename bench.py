@@ -211,8 +211,8 @@ HEADLINE = [
     "sql_pricing_summary",
     "sql_local_supplier_volume",
     "sql_shipmode_priority",
-    "sql_waiting_suppliers",
-    "sql_important_parts",
+    # sql_waiting_suppliers absorbed into sql_shipmode_priority (r10),
+    # sql_important_parts into sql_excess_suppliers (r10)
     "sql_excess_suppliers",
     # profile_spearman absorbed into profile_welch_ttest (r8)
     "text_url_filter",
@@ -230,6 +230,7 @@ HEADLINE = [
     "stream_ann_maintain",
     # round-10 additions
     "multimodal_image_neardup",
+    "profile_psi_drift",  # promoted to the oracle window r10
 ]
 
 
@@ -302,7 +303,11 @@ ABSORPTIONS: dict[str, list[str]] = {
     ],
     "sql_market_share": ["sql_volume_shipping"],
     "sql_returned_item_ranking": ["sql_small_quantity_revenue"],
-    "sql_excess_suppliers": ["sql_supplier_relationship"],
+    "sql_excess_suppliers": [
+        "sql_supplier_relationship",
+        "sql_important_parts",
+    ],
+    "sql_shipmode_priority": ["sql_waiting_suppliers"],
     "pipeline_curate_documents": ["sample_stratified_exact"],
     "distinct_customers_per_priority": [
         "set_urgent_not_low_customers",

@@ -1227,15 +1227,60 @@ def q_text_c4_line_stats(spark, sf_dir):
 
 @register(
     "profile_psi_drift",
-    oracle=None,
+    oracle=(
+        "WITH t AS (SELECT * FROM lineitem), "
+        "x AS ("
+        + " UNION ALL ".join(
+            f"SELECT '{c}' AS col, "
+            "cast(l_orderkey % 2 = 0 as int) AS is_a, "
+            "CASE WHEN _hi > _lo THEN least(9, cast(floor("
+            f"(cast({c} as double) - _lo) * 10 / (_hi - _lo)) as int)) "
+            "ELSE 0 END AS bucket "
+            f"FROM t, (SELECT cast(min({c}) as double) AS _lo, "
+            f"cast(max({c}) as double) AS _hi FROM t) b "
+            f"WHERE {c} IS NOT NULL"
+            for c in [
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_linenumber",
+            ]
+        )
+        + "), "
+        "cnt AS (SELECT col, bucket, is_a, count(*) AS n FROM x "
+        "GROUP BY col, bucket, is_a), "
+        "tot AS (SELECT col, is_a, sum(n) AS tot FROM cnt "
+        "GROUP BY col, is_a), "
+        "sh AS (SELECT cnt.col, bucket, cnt.is_a, "
+        "cast(n as double)/cast(tot as double) AS p, tot "
+        "FROM cnt JOIN tot ON cnt.col = tot.col AND cnt.is_a = tot.is_a), "
+        "pv AS (SELECT col, bucket, "
+        "greatest(coalesce(max(CASE WHEN is_a = 1 THEN p END), 0.0), "
+        "1e-6) AS pa, "
+        "greatest(coalesce(max(CASE WHEN is_a = 0 THEN p END), 0.0), "
+        "1e-6) AS pb, "
+        "max(CASE WHEN is_a = 1 THEN tot END) AS n_a, "
+        "max(CASE WHEN is_a = 0 THEN tot END) AS n_b "
+        "FROM sh GROUP BY col, bucket) "
+        'SELECT col AS "column", '
+        "round(cast(sum(cast(round((pa - pb) * ln(pa / pb), 9) "
+        "as decimal(18,9))) as double), 6) AS psi, "
+        "cast(max(n_a) as bigint) AS n_a, "
+        "cast(max(n_b) as bigint) AS n_b "
+        "FROM pv GROUP BY col"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r10 (VERDICT r9 next-5: "
+        "the DuckDB parity SQL proven in tests/test_profile.py since r5 "
+        "now runs as the driver oracle; slot freed by absorbing "
+        "sql_important_parts into sql_excess_suppliers). "
         "extension: PSI distribution drift per numeric column between "
         "two corpus slices (even vs odd orderkeys — a null-drift "
         "fixture; real use: yesterday's crawl vs today's). Shared "
         "union-wide bucket edges, one scan + one tiny-table pass; "
-        "per-bucket terms summed as DECIMAL for run-deterministic "
-        "doubles. Rows-only for driver-window budget; DuckDB parity "
-        "pinned in tests/test_profile.py"
+        "per-bucket terms rounded 9dp and summed as DECIMAL so the "
+        "hash-compared doubles are fold-order independent cross-engine."
     ),
 )
 def q_profile_psi_drift(spark, sf_dir):

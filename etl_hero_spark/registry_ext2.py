@@ -3337,17 +3337,53 @@ def q_sql_local_supplier_volume(spark, sf_dir):
     )
 
 
+# Pre-absorption oracle SQL, kept byte-exact (r10 merge contract:
+# the absorbed query's SQL runs unchanged inside the wrapper)
+_SQL_SHIPMODE_PRIORITY_SQL = (
+    "SELECT l_returnflag, "
+    "cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) as bigint) AS high_line_count, "
+    "cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) as bigint) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+    "GROUP BY 1"
+)
+
+_SQL_WAITING_SUPPLIERS_SQL = (
+    "WITH l AS ("
+    "SELECT l_orderkey, l_suppkey, "
+    "l_shipdate > o_orderdate + INTERVAL 90 DAY AS late "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderstatus = 'F') "
+    "SELECT s_name, cast(count(*) as bigint) AS numwait "
+    "FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey "
+    "WHERE l1.late "
+    "AND EXISTS (SELECT 1 FROM l l2 "
+    "WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM l l3 "
+    "WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey AND l3.late) "
+    "GROUP BY s_name "
+    "ORDER BY numwait DESC, s_name ASC LIMIT 20"
+)
+
+
 @register(
     "sql_shipmode_priority",
-    oracle=(
-        "SELECT l_returnflag, "
-        "cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) as bigint) AS high_line_count, "
-        "cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) as bigint) AS low_line_count "
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-        "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
-        "GROUP BY 1"
+    oracle=(  # see _SQL_SHIPMODE_PRIORITY_SQL / _SQL_WAITING_SUPPLIERS_SQL
+        "SELECT 'q12' AS part, l_returnflag, high_line_count, "
+        "low_line_count, cast(NULL as varchar) AS s_name, "
+        "cast(NULL as bigint) AS numwait "
+        f"FROM ({_SQL_SHIPMODE_PRIORITY_SQL}) "
+        "UNION ALL "
+        # --- absorbed sql_waiting_suppliers (r10 merge, TPC-H Q21
+        # shape): oracle SQL byte-unchanged inside the wrapper ---
+        "SELECT 'q21' AS part, cast(NULL as varchar) AS l_returnflag, "
+        "cast(NULL as bigint) AS high_line_count, "
+        "cast(NULL as bigint) AS low_line_count, s_name, numwait "
+        f"FROM ({_SQL_WAITING_SUPPLIERS_SQL})"
     ),
     note=(
         "PROMOTED to the verified oracle window r8 (slots freed by the "
@@ -3358,11 +3394,39 @@ def q_sql_local_supplier_volume(spark, sf_dir):
         "has no l_shipmode/l_receiptdate: l_returnflag stands in for "
         "the mode class and l_shipdate for the receipt date (same "
         "shape: join orders, year-window filter pushed to the lineitem "
-        "scan, two CASE-sums per group). DuckDB parity in "
+        "scan, two CASE-sums per group). part='q21' (absorbed r10, was "
+        "the separate sql_waiting_suppliers query — TPC-H Q21, the "
+        "correlated EXISTS + NOT EXISTS shape decorrelated to LEFT "
+        "SEMI/ANTI joins; both 'shipping delay' analyses, merged to "
+        "free the slot events_anomaly_mad takes; oracle SQL "
+        "byte-unchanged inside the wrapper) carries s_name/numwait, "
+        "NULL on the Q12 columns. DuckDB parity in "
         "tests/test_relational_extras.py"
     ),
 )
 def q_sql_shipmode_priority(spark, sf_dir):
+    q12 = q_sql_shipmode_priority_body(spark, sf_dir).select(
+        F.lit("q12").alias("part"),
+        "l_returnflag",
+        "high_line_count",
+        "low_line_count",
+        F.lit(None).cast("string").alias("s_name"),
+        F.lit(None).cast("bigint").alias("numwait"),
+    )
+    # absorbed sql_waiting_suppliers (r10): the Q21 rows, body kept as
+    # the unregistered helper below
+    q21 = q_sql_waiting_suppliers(spark, sf_dir).select(
+        F.lit("q21").alias("part"),
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("bigint").alias("high_line_count"),
+        F.lit(None).cast("bigint").alias("low_line_count"),
+        "s_name",
+        F.col("numwait").cast("bigint").alias("numwait"),
+    )
+    return q12.unionByName(q21)
+
+
+def q_sql_shipmode_priority_body(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1998-01-01")
@@ -3386,47 +3450,16 @@ def q_sql_shipmode_priority(spark, sf_dir):
     )
 
 
-@register(
-    "sql_waiting_suppliers",
-    oracle=(
-        "WITH l AS ("
-        "SELECT l_orderkey, l_suppkey, "
-        "l_shipdate > o_orderdate + INTERVAL 90 DAY AS late "
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-        "WHERE o_orderstatus = 'F') "
-        "SELECT s_name, cast(count(*) as bigint) AS numwait "
-        "FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey "
-        "WHERE l1.late "
-        "AND EXISTS (SELECT 1 FROM l l2 "
-        "WHERE l2.l_orderkey = l1.l_orderkey "
-        "AND l2.l_suppkey <> l1.l_suppkey) "
-        "AND NOT EXISTS (SELECT 1 FROM l l3 "
-        "WHERE l3.l_orderkey = l1.l_orderkey "
-        "AND l3.l_suppkey <> l1.l_suppkey AND l3.late) "
-        "GROUP BY s_name "
-        "ORDER BY numwait DESC, s_name ASC LIMIT 20"
-    ),
-    note=(
-        "PROMOTED to the verified oracle window r8 (slots freed by the "
-        "r8 absorptions; the oracle runs the textbook correlated "
-        "EXISTS + NOT EXISTS form the semi/anti joins decorrelate — an "
-        "algorithm-level cross-check, not a restatement). "
-        "extension (r7, TPC-H Q21 shape — the hardest relational "
-        "shape in the suite: correlated EXISTS + NOT EXISTS over the "
-        "same fact table): suppliers whose line was the ONLY late one "
-        "in a finished multi-supplier order. EXISTS decorrelates to a "
-        "LEFT SEMI join (another supplier has any line in the order), "
-        "NOT EXISTS to a LEFT ANTI join (no other supplier was late) "
-        "— both hash joins on the uniform orderkey with the "
-        "supplier-inequality as a residual predicate; row multiplicity "
-        "of the probe side is preserved exactly as the SQL counts it. "
-        "The fixture has no l_commitdate/l_receiptdate: late = shipped "
-        "more than 90 days after the order date (documented "
-        "adaptation, same shape). Top-20 by (numwait DESC, name) via "
-        "TakeOrderedAndProject. DuckDB parity in "
-        "tests/test_relational_extras.py"
-    ),
-)
+# sql_waiting_suppliers was absorbed into sql_shipmode_priority
+# (part='q21' tagged rows) in r10 — driver-window slot policy; the
+# slot funds the events_anomaly_mad promotion. The body stays as an
+# unregistered helper; semantics stay pinned in
+# tests/test_relational_extras.py. TPC-H Q21 shape — the hardest
+# relational shape in the suite (correlated EXISTS + NOT EXISTS over
+# the same fact table): suppliers whose line was the ONLY late one in
+# a finished multi-supplier order; EXISTS -> LEFT SEMI, NOT EXISTS ->
+# LEFT ANTI, supplier-inequality as residual predicates; late =
+# shipped >90 days after order date (no l_receiptdate in the fixture).
 def q_sql_waiting_suppliers(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -3476,39 +3509,33 @@ def q_sql_waiting_suppliers(spark, sf_dir):
     )
 
 
-@register(
-    "sql_important_parts",
-    oracle=(
-        "WITH v AS ("
-        "SELECT l_partkey, "
-        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val "
-        "FROM lineitem "
-        "JOIN supplier ON l_suppkey = s_suppkey "
-        "JOIN nation ON s_nationkey = n_nationkey "
-        "WHERE n_name = 'NATION_3' GROUP BY 1) "
-        "SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value "
-        "FROM v "
-        "WHERE CAST(val AS DECIMAL(38,6)) "
-        "> (SELECT sum(CAST(val AS DECIMAL(38,6))) FROM v) * 0.01 "
-        "ORDER BY part_value DESC, l_partkey ASC"
-    ),
-    note=(
-        "PROMOTED to the verified oracle window r8 (slots freed by the "
-        "r8 absorptions; both engines evaluate the 1% cut in exact "
-        "decimal — Spark as val*100 > tot, DuckDB as val > tot*0.01 "
-        "with a DECIMAL 0.01 literal — the same rational comparison, "
-        "so a boundary part cannot diverge). "
-        "extension (r7, TPC-H Q11 shape): parts whose shipped value "
-        "through one nation's suppliers exceeds a FRACTION OF THE "
-        "GLOBAL TOTAL — the HAVING-against-a-scalar-subquery pattern: "
-        "the per-part value groupBy computes once, its grand total "
-        "(one row) broadcasts back, and the threshold filter compares "
-        "through the broadcast — no second scan of the fact table. "
-        "The fixture has no partsupp: shipped lineitem value stands in "
-        "for stock value (same shape). DuckDB parity in "
-        "tests/test_relational_extras.py"
-    ),
+# sql_important_parts was absorbed into sql_excess_suppliers
+# (part='q11' tagged rows) in r10 — driver-window slot policy; the
+# slot funds the profile_psi_drift promotion. Natural family fit:
+# Q11 is the value-fraction threshold-against-aggregate shape, Q20
+# (excess) the quantity-fraction one, Q16 already rides along. The
+# body stays as an unregistered helper; semantics stay pinned in
+# tests/test_relational_extras.py. TPC-H Q11 shape: parts whose
+# shipped value through one nation's suppliers exceeds a fraction of
+# the global total — HAVING-against-a-scalar-subquery, decorrelated
+# through a checkpointed per-part table + broadcast total; the 1% cut
+# is decimal-exact in both engines (val*100 > tot vs val > tot*0.01).
+_SQL_IMPORTANT_PARTS_SQL = (
+    "WITH v AS ("
+    "SELECT l_partkey, "
+    "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val "
+    "FROM lineitem "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name = 'NATION_3' GROUP BY 1) "
+    "SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value "
+    "FROM v "
+    "WHERE CAST(val AS DECIMAL(38,6)) "
+    "> (SELECT sum(CAST(val AS DECIMAL(38,6))) FROM v) * 0.01 "
+    "ORDER BY part_value DESC, l_partkey ASC"
 )
+
+
 def q_sql_important_parts(spark, sf_dir):
     from etl_hero_spark.checkpoint import parquet_checkpoint
 
@@ -3588,7 +3615,9 @@ _SQL_EXCESS_SUPPLIERS_SQL = (
         "cast(NULL as varchar) AS p_brand, "
         "cast(NULL as varchar) AS p_type_prefix, "
         "cast(NULL as int) AS p_size, "
-        "cast(NULL as bigint) AS supplier_cnt "
+        "cast(NULL as bigint) AS supplier_cnt, "
+        "cast(NULL as bigint) AS l_partkey, "
+        "cast(NULL as double) AS part_value "
         f"FROM ({_SQL_EXCESS_SUPPLIERS_SQL}) "
         "UNION ALL "
         # --- absorbed sql_supplier_relationship (r9 merge, TPC-H Q16
@@ -3596,8 +3625,22 @@ _SQL_EXCESS_SUPPLIERS_SQL = (
         "SELECT 'q16' AS part, cast(NULL as bigint) AS s_suppkey, "
         "cast(NULL as varchar) AS s_name, "
         "cast(NULL as double) AS s_acctbal, "
-        "p_brand, p_type_prefix, p_size, supplier_cnt "
-        f"FROM ({SQL_SUPPLIER_RELATIONSHIP_SQL})"
+        "p_brand, p_type_prefix, p_size, supplier_cnt, "
+        "cast(NULL as bigint) AS l_partkey, "
+        "cast(NULL as double) AS part_value "
+        f"FROM ({SQL_SUPPLIER_RELATIONSHIP_SQL}) "
+        "UNION ALL "
+        # --- absorbed sql_important_parts (r10 merge, TPC-H Q11
+        # shape): oracle SQL byte-unchanged inside the wrapper ---
+        "SELECT 'q11' AS part, cast(NULL as bigint) AS s_suppkey, "
+        "cast(NULL as varchar) AS s_name, "
+        "cast(NULL as double) AS s_acctbal, "
+        "cast(NULL as varchar) AS p_brand, "
+        "cast(NULL as varchar) AS p_type_prefix, "
+        "cast(NULL as int) AS p_size, "
+        "cast(NULL as bigint) AS supplier_cnt, "
+        "l_partkey, part_value "
+        f"FROM ({_SQL_IMPORTANT_PARTS_SQL})"
     ),
     note=(
         "PROMOTED to the verified oracle window r8 (slots freed by the "
@@ -3657,6 +3700,10 @@ def q_sql_excess_suppliers(spark, sf_dir):
         F.lit(None).cast("int").alias("p_size"),
         F.lit(None).cast("bigint").alias("supplier_cnt"),
     ]
+    q11_nulls = [
+        F.lit(None).cast("bigint").alias("l_partkey"),
+        F.lit(None).cast("double").alias("part_value"),
+    ]
     excess = (
         sup.join(
             excess_keys, sup["s_suppkey"] == excess_keys["l_suppkey"],
@@ -3670,6 +3717,7 @@ def q_sql_excess_suppliers(spark, sf_dir):
                 "s_acctbal"
             ),
             *q16_nulls,
+            *q11_nulls,
         )
         .orderBy("s_suppkey")
     )
@@ -3684,8 +3732,20 @@ def q_sql_excess_suppliers(spark, sf_dir):
         "p_type_prefix",
         F.col("p_size").cast("int").alias("p_size"),
         "supplier_cnt",
+        *q11_nulls,
     )
-    return excess.unionByName(q16)
+    # absorbed sql_important_parts (r10): the Q11 rows, body kept as
+    # the unregistered helper above
+    q11 = q_sql_important_parts(spark, sf_dir).select(
+        F.lit("q11").alias("part"),
+        F.lit(None).cast("bigint").alias("s_suppkey"),
+        F.lit(None).cast("string").alias("s_name"),
+        F.lit(None).cast("double").alias("s_acctbal"),
+        *q16_nulls,
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        "part_value",
+    )
+    return excess.unionByName(q16).unionByName(q11)
 
 
 # profile_spearman was absorbed into profile_welch_ttest

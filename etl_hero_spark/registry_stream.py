@@ -978,15 +978,35 @@ def q_stream_funnel(spark, sf_dir):
 
 @register(
     "events_anomaly_mad",
-    oracle=None,
+    oracle=(
+        "WITH ev AS (SELECT event_type, value FROM events), "
+        "med AS (SELECT event_type, median(value) AS m FROM ev "
+        "WHERE value IS NOT NULL GROUP BY 1), "
+        "dev AS (SELECT ev.event_type, ev.value, "
+        "abs(ev.value - med.m) AS ad, med.m "
+        "FROM ev JOIN med USING (event_type)), "
+        "mad AS (SELECT event_type, median(ad) AS md FROM dev "
+        "WHERE value IS NOT NULL GROUP BY 1) "
+        "SELECT dev.event_type AS event_type, "
+        "cast(count(dev.value) as bigint) AS n, "
+        "cast(sum(CASE WHEN mad.md > 0 AND dev.ad > 3.5 * mad.md "
+        "THEN 1 ELSE 0 END) as bigint) AS n_anomalies, "
+        "any_value(dev.m) AS med, any_value(mad.md) AS mad "
+        "FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type"
+    ),
     note=(
+        "PROMOTED to the verified oracle window r10 (VERDICT r9 next-5: "
+        "the DuckDB parity SQL proven in tests/test_detect.py now runs "
+        "as the driver oracle — median/MAD are exact interpolated "
+        "percentiles, bit-matching quantile_cont, and the 3.5*mad "
+        "cutoff is one IEEE multiply in both engines; slot freed by "
+        "absorbing sql_waiting_suppliers into sql_shipmode_priority). "
         "extension: robust per-type anomaly detection via median/MAD "
         "(50% breakdown point — a burst of extremes cannot inflate the "
         "cutoff the way it inflates mean/stddev for z-scores). Two "
         "grouped exact-percentile passes + a final conditional count; "
         "the tiny per-group stats broadcast back, so the fact table "
-        "shuffles only aggregate state. Rows-only for driver-window "
-        "budget; DuckDB parity pinned in tests/test_detect.py"
+        "shuffles only aggregate state."
     ),
 )
 def q_events_anomaly_mad(spark, sf_dir):

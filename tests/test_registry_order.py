@@ -84,3 +84,33 @@ def test_r9_second_rotation_window_membership():
     assert "sql_supplier_relationship" not in names
     assert "sql_excess_suppliers" in oracles
     assert len(oracles) == DRIVER_WINDOW
+
+
+def test_r10_rotation_window_membership():
+    """r10 wave (VERDICT r9 next-5): profile_psi_drift and
+    events_anomaly_mad gained full oracles (their DuckDB parity SQL,
+    proven in tests since r5/r2, now runs as the driver oracle);
+    slots freed by absorbing sql_waiting_suppliers (Q21) into
+    sql_shipmode_priority as part='q21' rows and sql_important_parts
+    (Q11) into sql_excess_suppliers as part='q11' rows."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    assert "profile_psi_drift" in oracles
+    assert "events_anomaly_mad" in oracles
+    assert "profile_psi_drift" in names[:DRIVER_WINDOW]
+    assert "events_anomaly_mad" in names[:DRIVER_WINDOW]
+    assert "sql_waiting_suppliers" not in names
+    assert "sql_important_parts" not in names
+    assert "sql_shipmode_priority" in oracles
+    assert "sql_excess_suppliers" in oracles
+    assert len(oracles) == DRIVER_WINDOW
+    # absorbed SQL rides byte-unchanged inside each wrapper
+    from etl_hero_spark.registry_ext2 import (
+        _SQL_IMPORTANT_PARTS_SQL,
+        _SQL_WAITING_SUPPLIERS_SQL,
+    )
+
+    assert _SQL_WAITING_SUPPLIERS_SQL in oracles["sql_shipmode_priority"]
+    assert _SQL_IMPORTANT_PARTS_SQL in oracles["sql_excess_suppliers"]

@@ -1143,6 +1143,303 @@ def hashed_token_features(
     )
 
 
+def hashed_token_features_map(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 65536,
+    ngrams: int = 1,
+) -> DataFrame:
+    """MAP-TYPED (never-densified) hashed token-bag features — the
+    width-unbounded sibling of hashed_token_features (VERDICT r9 #7 /
+    SCALING.md's own conclusion): the dense form's f_0..f_{dim-1}
+    unpack projection is a FIXED plan tax growing ~linearly with dim
+    (~4x cost at 4x width — the analyzer, not the scan), so fastText's
+    2M-bucket widths want the features kept as the bucket->signed-sum
+    map the aggregation already produces, never widened into columns.
+
+    Same encoding contract as the dense form (md5 bucket/sign, term
+    count): output is the input columns + ``fmap`` (map<int,double> of
+    RAW per-bucket sign sums — exact integer-valued doubles, only
+    nonzero buckets present) + ``n_toks_f``. A consumer normalizes as
+    fmap[j] / n_toks_f, which is bit-identical to the dense f_j (same
+    two operands, one division). Zero-token documents carry an empty
+    map, n_toks_f = 0. Plan cost is O(nnz) at ANY dim: explode terms
+    -> (id, bucket) partial sums -> one map_from_entries fold — no
+    dim-wide projection anywhere. Dense-parity at dim<=256 pinned in
+    tests/test_features.py."""
+    from etl_hero_spark.textops import tokens_expr
+
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            tokens_expr(F.lower(F.col(text_col))).alias("__toks"),
+        )
+        .select(
+            "__id",
+            F.explode(
+                _hashed_feature_terms(F.col("__toks"), ngrams)
+            ).alias("__tok"),
+        )
+    )
+    h = F.md5(F.col("__tok"))
+    bucket = (
+        F.conv(F.substring(h, 1, 14), 16, 10).cast("bigint") % dim
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 15, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    per_bucket = toks.groupBy("__id", bucket.alias("__b")).agg(
+        F.sum(sign).alias("__s"), F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = per_bucket.groupBy("__id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "__s"))
+        ).alias("fmap"),
+        F.sum("__c").alias("n_toks_f"),
+    )
+    out = df.join(
+        per_doc, F.col(id_col) == F.col("__id"), "left"
+    ).drop("__id")
+    return out.select(
+        *[c for c in out.columns if c not in ("fmap", "n_toks_f")],
+        F.coalesce(
+            F.col("fmap"),
+            F.expr("map()").cast("map<int,double>"),
+        ).alias("fmap"),
+        F.coalesce(F.col("n_toks_f"), F.lit(0))
+        .cast("bigint")
+        .alias("n_toks_f"),
+    )
+
+
+def logreg_fit_gd_map(
+    df: DataFrame,
+    y_col,
+    id_col: str = "doc_id",
+    fmap_col: str = "fmap",
+    n_toks_col: str = "n_toks_f",
+    max_iter: int = 60,
+    tol: float = 1e-8,
+    ridge: float = 1e-4,
+) -> dict:
+    """Diagonal-Newton logistic regression over MAP-TYPED hashed
+    features — the never-densified fit closing VERDICT r9 #7: where
+    logreg_fit_gd stages a dim-wide column schema (per-pass analyzer
+    cost linear in dim — the measured width ceiling past ~1k),
+    this consumes the sparse (row, bucket, value) ENTRY relation, so
+    every per-pass cost is O(nnz + observed buckets), independent of
+    the declared dim — fastText's 2M buckets cost the same as 256 on
+    the same corpus.
+
+    Per pass (same diagonal-Newton semantics as logreg_fit_gd,
+    including the monotone backtracking and non-finite guards):
+    (1) the bounded coefficient table (observed buckets only)
+    broadcast-joins the staged entries and one groupBy(row) folds the
+    sparse dot products; (2) a per-row staging of mu/w/NLL rides one
+    docs-table aggregation for the intercept gradient/Hessian/loss;
+    (3) the per-row residuals join back to the entries and one
+    groupBy(bucket) folds the per-bucket gradient and Hessian
+    diagonal. Driver state: one coefficient per OBSERVED bucket
+    (<= nnz, usually << dim). Features normalize as map[j]/n_toks —
+    the dense form's exact operands.
+
+    Returns {coef: {bucket:int -> coef}, intercept, n, n_iter,
+    log_loss}; serve with logreg_apply_map. Dense-fit parity at
+    dim<=256 and the 65536-width scaling gate pinned in
+    tests/test_features.py / SCALING.md."""
+    import numpy as np
+
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    spark = df.sparkSession
+    lab = (
+        F.col(y_col) if isinstance(y_col, str) else y_col
+    ).cast("boolean")
+    base = df.filter(lab.isNotNull()).select(
+        F.col(id_col).alias("__rid"),
+        lab.cast("double").alias("__y"),
+        F.col(fmap_col).alias("__m"),
+        F.col(n_toks_col).cast("double").alias("__n"),
+    )
+    base = parquet_checkpoint(base, "logreg-map-base")
+    labels = base.select("__rid", "__y")
+    entries = parquet_checkpoint(
+        base.filter(F.col("__n") > 0)
+        .select("__rid", "__n", F.explode("__m").alias("__j", "__v"))
+        .select(
+            "__rid",
+            "__j",
+            (F.col("__v") / F.col("__n")).alias("__x"),
+        ),
+        "logreg-map-entries",
+    )
+    buckets = sorted(
+        r["__j"] for r in entries.select("__j").distinct().collect()
+    )
+    bidx = {j: i for i, j in enumerate(buckets)}
+    p = len(buckets) + 1  # + intercept, last
+
+    def eval_point(b: "np.ndarray", it: int):
+        bt = spark.createDataFrame(
+            [(int(j), float(b[i])) for i, j in enumerate(buckets)]
+            or [(0, 0.0)],
+            "__j int, __c double",
+        )
+        dot = (
+            entries.join(F.broadcast(bt), "__j")
+            .groupBy("__rid")
+            .agg(F.sum(F.col("__x") * F.col("__c")).alias("__dot"))
+        )
+        # two consumers (docs agg + entries join-back): stage once
+        scored = parquet_checkpoint(
+            labels.join(dot, "__rid", "left")
+            .select(
+                "__rid",
+                "__y",
+                (
+                    F.coalesce(F.col("__dot"), F.lit(0.0))
+                    + F.lit(float(b[-1]))
+                ).alias("__eta"),
+            )
+            .selectExpr("*", "1.0 / (1.0 + exp(-__eta)) AS __mu")
+            .selectExpr("*", "__mu * (1.0 - __mu) AS __w"),
+            "logreg-map-scored",
+        )
+        drow = scored.agg(
+            F.expr("sum(__y - __mu)").alias("g0"),
+            F.expr("sum(__w)").alias("h0"),
+            F.expr(
+                "avg((case when __eta > 0 then __eta * (1.0 - __y) "
+                "else -__eta * __y end) + log1p(exp(-abs(__eta))))"
+            ).alias("__nll"),
+            F.count(F.lit(1)).alias("__n"),
+        ).first()
+        if not drow["__n"]:
+            raise ValueError("logreg_fit_gd_map: no complete cases")
+        per_b = (
+            entries.join(
+                scored.select(
+                    "__rid",
+                    (F.col("__y") - F.col("__mu")).alias("__r"),
+                    "__w",
+                ),
+                "__rid",
+            )
+            .groupBy("__j")
+            .agg(
+                F.sum(F.col("__x") * F.col("__r")).alias("g"),
+                F.sum(
+                    F.col("__w") * F.col("__x") * F.col("__x")
+                ).alias("h"),
+            )
+            .collect()
+        )
+        g = np.zeros(p)
+        h = np.zeros(p)
+        for r in per_b:
+            i = bidx[r["__j"]]
+            g[i] = float(r["g"])
+            h[i] = float(r["h"])
+        g[-1] = float(drow["g0"])
+        h[-1] = float(drow["h0"])
+        nll = float(drow["__nll"])
+        if not (
+            np.isfinite(g).all()
+            and np.isfinite(h).all()
+            and np.isfinite(nll)
+        ):
+            raise ValueError(
+                "logreg_fit_gd_map: non-finite gradient/Hessian/loss "
+                f"at iteration {it} — rescale inputs before fitting"
+            )
+        return g, h, nll, int(drow["__n"])
+
+    beta = np.zeros(p)
+    g, h, nll, n = eval_point(beta, 0)
+    it = 0
+    lr = 1.0
+    for it in range(1, max_iter + 1):
+        step = lr * g / (h + ridge)
+        cand = beta + step
+        if not np.isfinite(cand).all():
+            raise ValueError(
+                "logreg_fit_gd_map: diverged to non-finite "
+                f"coefficients at iteration {it} (rate {lr}) — raise "
+                "ridge or use the dense full-Newton path"
+            )
+        g2, h2, nll2, _ = eval_point(cand, it)
+        if nll2 <= nll + 1e-12 * (1.0 + abs(nll)):
+            beta, g, h, nll = cand, g2, h2, nll2
+            lr = min(lr * 2.0, 1.0)
+            if float(np.abs(step).sum()) < tol:
+                break
+        else:
+            lr *= 0.5
+            if lr < 1.0 / 4096.0:
+                break
+    return {
+        "coef": {
+            int(j): float(beta[i]) for i, j in enumerate(buckets)
+        },
+        "intercept": float(beta[-1]),
+        "n": n,
+        "n_iter": it,
+        "log_loss": nll,
+    }
+
+
+def logreg_apply_map(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    fmap_col: str = "fmap",
+    n_toks_col: str = "n_toks_f",
+    out_col: str = "probability",
+) -> DataFrame:
+    """Serve a logreg_fit_gd_map model over map-typed features without
+    densifying — RELATIONAL, not a map-literal probe: element_at on a
+    Spark map literal is O(entries) PER ROW (maps are entry arrays),
+    so embedding a 65536-coefficient map would cost O(|model|) per
+    document. Instead the row's own entries explode, broadcast-join
+    the bounded coefficient table, and one groupBy(id) folds the dot
+    product — per-row work O(nnz), independent of both dim and model
+    width. Normalization uses the fit's exact operands (v / n_toks
+    per entry). Train/serve symmetric with logreg_apply."""
+    spark = df.sparkSession
+    coefs = sorted(model["coef"].items())
+    bt = spark.createDataFrame(
+        [(int(j), float(c)) for j, c in coefs] or [(0, 0.0)],
+        "__j int, __c double",
+    )
+    ent = df.select(
+        F.col(id_col).alias("__rid"),
+        F.col(n_toks_col).cast("double").alias("__n"),
+        F.explode(fmap_col).alias("__j", "__v"),
+    )
+    dots = (
+        ent.join(F.broadcast(bt), "__j")
+        .groupBy("__rid")
+        .agg(
+            F.sum(
+                F.col("__v") / F.col("__n") * F.col("__c")
+            ).alias("__dot")
+        )
+    )
+    out = df.join(dots, F.col(id_col) == F.col("__rid"), "left").drop(
+        "__rid"
+    )
+    eta = F.coalesce(F.col("__dot"), F.lit(0.0)) + F.lit(
+        float(model["intercept"])
+    )
+    return out.withColumn(
+        out_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))).cast("double")
+    ).drop("__dot")
+
+
 def quality_classifier_report(
     docs: DataFrame,
     target_pred: Column,

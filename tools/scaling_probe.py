@@ -630,6 +630,39 @@ def main() -> None:
                 tol=0.0,
             )
 
+        def hashed_features_map_65536():
+            # r10 (VERDICT r9 #7): the MAP-TYPED encoder at 64x the
+            # dense ceiling — no dense-unpack projection exists, so
+            # the plan must be identical to any width: cost O(nnz)
+            from etl_hero_spark.features import hashed_token_features_map
+
+            hashed_token_features_map(docs(), dim=65536).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        def logreg_gd_map_65536():
+            # r10 (VERDICT r9 #7): the never-densified diagonal-Newton
+            # fit at dim=65536 — per-pass relations are the sparse
+            # entry table + the observed-bucket coefficient table;
+            # pinned passes (tol=0) so the exponent measures the
+            # per-pass corpus cost, independent of declared width
+            from etl_hero_spark.checkpoint import parquet_checkpoint
+            from etl_hero_spark.features import (
+                hashed_token_features_map,
+                logreg_fit_gd_map,
+            )
+
+            feats = parquet_checkpoint(
+                hashed_token_features_map(docs(), dim=65536),
+                "qc-probe-feats-map-65536",
+            )
+            logreg_fit_gd_map(
+                feats,
+                (F.col("doc_id") % 4 == 0).cast("int"),
+                max_iter=3,
+                tol=0.0,
+            )
+
         def quantile_reg_irls():
             # pinned iterations (tol=0) so the exponent measures the
             # per-step corpus scan, same rationale as logreg_irls; the
@@ -702,6 +735,8 @@ def main() -> None:
             "hashed_features_256": hashed_features_256,
             "hashed_features_1024": hashed_features_1024,
             "logreg_gd_1024": logreg_gd_1024,
+            "hashed_features_map_65536": hashed_features_map_65536,
+            "logreg_gd_map_65536": logreg_gd_map_65536,
             "quantile_reg_irls": quantile_reg_irls,
             "ivfpq_residual_encode": ivfpq_residual_encode,
         }

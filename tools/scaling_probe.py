@@ -250,6 +250,40 @@ def main() -> None:
                 a, b, "user_id", bucket_seconds=3600
             ).write.format("noop").mode("overwrite").save()
 
+        def er_resolve_collapsed():
+            # r10 (VERDICT r9 #3): the distinct-name-collapse +
+            # star-edge resolve over customer names — names derive
+            # from the shifted key so the DICTIONARY grows with the
+            # corpus; the verify stage must scale with dictionary^2
+            # per block, never members^2, and the edge count stays
+            # linear in members
+            from etl_hero_spark.er import resolve_entities
+
+            cust = cu().select(
+                "c_custkey",
+                F.concat(
+                    F.lit("customer#"),
+                    F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+                ).alias("name"),
+            )
+            resolve_entities(
+                cust, "c_custkey", "name", max_dist=1, band=64
+            ).write.format("noop").mode("overwrite").save()
+
+        def image_neardup():
+            # r10 (VERDICT r9 #3): PNG synth -> real pixel decode ->
+            # dHash -> banded Hamming pairs; the mapInPandas stages
+            # are narrow maps and the banding join buckets are
+            # 2-member couples, so the whole chain must stay linear
+            from etl_hero_spark.multimodal import (
+                image_neardup_pairs,
+                synth_png_media,
+            )
+
+            image_neardup_pairs(
+                synth_png_media(docs().select("doc_id"))
+            ).write.format("noop").mode("overwrite").save()
+
         def er_multi():
             # mirrors q_er_multi_attr_customers post-r4 fix: names are
             # re-derived from the SHIFTED key so each scale copy brings
@@ -736,6 +770,8 @@ def main() -> None:
             "hashed_features_1024": hashed_features_1024,
             "logreg_gd_1024": logreg_gd_1024,
             "hashed_features_map_65536": hashed_features_map_65536,
+            "er_resolve_collapsed": er_resolve_collapsed,
+            "image_neardup": image_neardup,
             "logreg_gd_map_65536": logreg_gd_map_65536,
             "quantile_reg_irls": quantile_reg_irls,
             "ivfpq_residual_encode": ivfpq_residual_encode,

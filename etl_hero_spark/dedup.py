@@ -751,10 +751,17 @@ def connected_components(
         )
         relaxed = (
             labels.join(nb, "id", "left")
-            .select("id", F.least("l", F.coalesce("nl", "l")).alias("l"))
+            .select(
+                "id",
+                F.col("l").alias("_lp"),
+                F.least("l", F.coalesce("nl", "l")).alias("l"),
+            )
         )
         # (2) pointer jump: label of my label (labels form a forest whose
-        # roots are component minima; jumping halves the depth)
+        # roots are component minima; jumping halves the depth). The
+        # PREVIOUS label rides along as _lp so the convergence check is
+        # a filter over the checkpointed result instead of an extra
+        # labels-join job per round.
         jumped = (
             relaxed.join(
                 relaxed.select(
@@ -763,16 +770,17 @@ def connected_components(
                 "l",
                 "left",
             )
-            .select("id", F.least("l", F.coalesce("ll", "l")).alias("l"))
+            .select(
+                "id",
+                "_lp",
+                F.least("l", F.coalesce("ll", "l")).alias("l"),
+            )
         )
         jumped = jumped.localCheckpoint(eager=True)
         changed = (
-            labels.join(jumped.withColumnRenamed("l", "l2"), "id")
-            .filter(F.col("l") != F.col("l2"))
-            .limit(1)
-            .count()
+            jumped.filter(F.col("l") != F.col("_lp")).limit(1).count()
         )
-        labels = jumped
+        labels = jumped.select("id", "l")
         if changed == 0:
             break
     edges.unpersist()

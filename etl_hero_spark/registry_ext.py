@@ -549,7 +549,14 @@ def q_dedup_clusters(spark, sf_dir):
         F.lit(None).cast("bigint").alias("n_variant_group_survivors"),
     ]
     docs = _docs_nearvar(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    # the shingle-join pair list is consumed THREE times (both union
+    # arms of the closure's edge table + the 'pairs' tag rows) — each
+    # consumer re-ran the self-join + groupBy without a stage boundary
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    pairs = parquet_checkpoint(
+        ngram_jaccard_pairs(docs, threshold=0.8), "dedup-cluster-pairs"
+    )
     near = assign_dedup_clusters(docs, pairs).select(
         F.lit("near").alias("tag"),
         "doc_id",
@@ -3302,8 +3309,14 @@ def q_sim_ann_recall_report(spark, sf_dir):
     )
     k = 5
     p = f"{sf_dir}/embeddings.parquet"
-    exact = topk_cosine(emb, queries, k=k).select(
-        "query_id", "corpus_id"
+    # the brute-force ground truth is joined by EVERY method's hit
+    # check — without a stage boundary the full exact top-k pipeline
+    # re-executes once per method (3x); checkpoint it once
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    exact = parquet_checkpoint(
+        topk_cosine(emb, queries, k=k).select("query_id", "corpus_id"),
+        "ann-recall-exact",
     )
     methods = {
         "lsh_probe5": topk_cosine_lsh(

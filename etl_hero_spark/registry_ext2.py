@@ -735,7 +735,7 @@ def q_profile_welch_ttest(spark, sf_dir):
     from etl_hero_spark.stattests import (
         anova_oneway,
         mann_whitney_u,
-        spearman_corr,
+        spearman_corr_pairs,
         welch_ttest,
     )
 
@@ -752,21 +752,32 @@ def q_profile_welch_ttest(spark, sf_dir):
     )
     a = anova_oneway(cust, "c_acctbal", "c_mktsegment")
     li = _t(spark, sf_dir, "lineitem")
-    s_raw = spearman_corr(li, "l_quantity", "l_extendedprice").select(
-        F.lit("l_quantity").alias("group_a"),
-        F.lit("l_extendedprice").alias("group_b"),
-        F.col("n").alias("n_total"),
-        "rho",
+    # Both spearman rows share ONE complete-case base and the price
+    # rank table (it is pair 1's y AND pair 2's x): spearman_corr_pairs
+    # builds each distinct column's doubled-rank table once and folds
+    # both pairs' moments in one aggregation — bit-identical (n, rho)
+    # per pair (the lineitem numerics carry no NULLs at any SF, so the
+    # per-pair complete-case frames coincide; parity-pinned). The
+    # engineered pair keeps the monotone-with-ties floor transform:
+    # Spearman must read ~1 where Pearson reads < 1.
+    sp = spearman_corr_pairs(
+        li.select(
+            "l_quantity",
+            "l_extendedprice",
+            F.floor(F.col("l_extendedprice"))
+            .cast("double")
+            .alias("_floor_price"),
+        ),
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_extendedprice", "_floor_price"),
+        ],
     )
-    eng = li.select(
-        F.col("l_extendedprice").alias("x"),
-        # a monotone nonlinear transform WITH ties (integer floor):
-        # Spearman must read ~1 where Pearson reads < 1
-        F.floor(F.col("l_extendedprice")).cast("double").alias("y"),
-    )
-    s_eng = spearman_corr(eng, "x", "y").select(
-        F.lit("l_extendedprice").alias("group_a"),
-        F.lit("floor_price").alias("group_b"),
+    s_both = sp.select(
+        F.col("col_x").alias("group_a"),
+        F.when(F.col("col_y") == "_floor_price", F.lit("floor_price"))
+        .otherwise(F.col("col_y"))
+        .alias("group_b"),
         F.col("n").alias("n_total"),
         "rho",
     )
@@ -774,7 +785,7 @@ def q_profile_welch_ttest(spark, sf_dir):
         _nullfill(w, "welch")
         .unionByName(_nullfill(u, "mannwhitney"))
         .unionByName(_nullfill(a, "anova"))
-        .unionByName(_nullfill(s_raw.unionByName(s_eng), "spearman"))
+        .unionByName(_nullfill(s_both, "spearman"))
     )
 
 

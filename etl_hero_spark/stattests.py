@@ -59,7 +59,7 @@ def _cum_by_value(
         F.min(order_col).cast("double").alias("_lo"),
         F.max(order_col).cast("double").alias("_hi"),
     )
-    b = vals.crossJoin(F.broadcast(bounds)).withColumn(
+    b_pre = vals.crossJoin(F.broadcast(bounds)).withColumn(
         "_bucket",
         F.when(
             F.col("_hi") > F.col("_lo"),
@@ -80,11 +80,17 @@ def _cum_by_value(
         .orderBy(F.col(order_col).asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    b = b_pre
     for c in sum_cols:
         b = b.withColumn(
             f"_incl_{c}", F.sum(F.col(c).cast(_DEC0)).over(local_w)
         )
-    totals = b.groupBy("_bucket").agg(
+    # per-bucket totals need no ordering — aggregate the PRE-window
+    # bucketed frame, not the windowed one: the windowed subtree is
+    # consumed by the final join anyway, and hanging totals off it ran
+    # the per-bucket sort+window a second time per materialization
+    # (identical exact-decimal sums either way)
+    totals = b_pre.groupBy("_bucket").agg(
         *[F.sum(F.col(c).cast(_DEC0)).alias(f"_tot_{c}") for c in sum_cols]
     )
     # exclusive per-bucket offsets via broadcast self-join over the tiny
@@ -648,6 +654,106 @@ def anova_oneway(
         df2.cast("bigint").alias("df2"),
         F.round(f_stat, scale).alias("f_stat"),
     )
+
+
+def spearman_corr_pairs(
+    df: DataFrame, pairs: list[tuple[str, str]], scale: int = 6
+) -> DataFrame:
+    """Spearman rho for SEVERAL column pairs sharing one complete-case
+    base: per-column doubled-rank tables are built once per DISTINCT
+    column and every pair's moment sums fold in ONE aggregation —
+    against N independent spearman_corr calls this saves the repeated
+    base checkpoint, any rank table a column contributes to more than
+    one pair, and N-1 moment-scan jobs.
+
+    CALLER CONTRACT: the rows must be complete cases across ALL listed
+    columns identically (e.g. no NULLs in any of them, as with the
+    lineitem numeric fixture — asserted by parity tests at every SF);
+    under that alignment each pair's (n, rho) is bit-identical to
+    spearman_corr(df, x, y) — same doubled-rank integers, same exact
+    DECIMAL moment folds, same final IEEE division and rounding.
+    Output: one row per pair, in input order — (col_x, col_y, n, rho).
+    """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
+
+    cols: list[str] = []
+    for x, y in pairs:
+        for c in (x, y):
+            if c not in cols:
+                cols.append(c)
+    complete = F.lit(True)
+    for c in cols:
+        complete = complete & F.col(c).isNotNull()
+    base = parquet_checkpoint(
+        df.filter(complete).select(*cols), "spearman-pairs-base"
+    )
+
+    def doubled_ranks(col: str) -> DataFrame:
+        vals = parquet_checkpoint(
+            base.groupBy(col).agg(F.count(F.lit(1)).alias("_t")),
+            f"spearman-pairs-vals-{col}",
+        )
+        c = _cum_by_value(vals, col, ["_t"])
+        return c.select(
+            col,
+            (
+                F.lit(2).cast(_DEC0) * F.col("_cum__t")
+                + F.col("_t").cast(_DEC0)
+                + F.lit(1).cast(_DEC0)
+            ).alias(f"_r2_{col}"),
+        )
+
+    ranked = base
+    for c in cols:
+        ranked = ranked.join(doubled_ranks(c), c)
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for c in cols:
+        r = F.col(f"_r2_{c}")
+        aggs.append(F.sum(r).alias(f"_s_{c}"))
+        aggs.append(
+            F.sum(
+                r.cast("decimal(19,0)") * r.cast("decimal(19,0)")
+            ).alias(f"_ss_{c}")
+        )
+    for x, y in pairs:
+        aggs.append(
+            F.sum(
+                F.col(f"_r2_{x}").cast("decimal(19,0)")
+                * F.col(f"_r2_{y}").cast("decimal(19,0)")
+            ).alias(f"_sp_{x}_{y}")
+        )
+    m = ranked.agg(*aggs)
+
+    def rho_expr(x: str, y: str):
+        n = F.col("_n").cast("double")
+        sx = F.col(f"_s_{x}").cast("double")
+        sy = F.col(f"_s_{y}").cast("double")
+        sxy = F.col(f"_sp_{x}_{y}").cast("double")
+        sxx = F.col(f"_ss_{x}").cast("double")
+        syy = F.col(f"_ss_{y}").cast("double")
+        num = n * sxy - sx * sy
+        den_x = n * sxx - sx * sx
+        den_y = n * syy - sy * sy
+        return F.when(
+            (den_x > 0) & (den_y > 0),
+            F.round(num / F.sqrt(den_x * den_y), scale),
+        )
+
+    return m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(x).alias("col_x"),
+                        F.lit(y).alias("col_y"),
+                        F.col("_n").cast("bigint").alias("n"),
+                        rho_expr(x, y).alias("rho"),
+                    )
+                    for x, y in pairs
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.col_x", "_p.col_y", "_p.n", "_p.rho")
 
 
 def spearman_corr(

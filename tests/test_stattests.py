@@ -395,3 +395,35 @@ def test_spearman_monotone_and_degenerate_edges(spark):
     )
     r3 = spearman_corr(df3, "x", "y").first()
     assert r3["rho"] is None and r3["n"] == 10
+
+
+def test_spearman_pairs_matches_single_calls(spark):
+    """spearman_corr_pairs must return bit-identical (n, rho) to the
+    per-pair spearman_corr calls it replaces (the welch-panel share),
+    including a repeated column (one rank table, two pairs), ties and
+    a degenerate constant column."""
+    import random
+
+    from etl_hero_spark.stattests import spearman_corr, spearman_corr_pairs
+
+    rng = random.Random(7)
+    rows = [
+        (
+            float(rng.randint(0, 30)),          # ties
+            round(rng.uniform(0.0, 100.0), 2),  # mostly distinct
+            7.0,                                 # constant -> NULL rho
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    pairs = [("a", "b"), ("b", "c"), ("a", "a")]
+    got = {
+        (r["col_x"], r["col_y"]): (r["n"], r["rho"])
+        for r in spearman_corr_pairs(df, pairs).collect()
+    }
+    assert set(got) == set(pairs) and len(got) == 3
+    for x, y in pairs:
+        want = spearman_corr(df, x, y).first()
+        assert got[(x, y)] == (want["n"], want["rho"]), (x, y)
+    assert got[("a", "a")][1] == 1.0
+    assert got[("b", "c")][1] is None

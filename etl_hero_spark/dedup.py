@@ -934,20 +934,35 @@ def flag_benchmark_contamination_fuzzy(
 # ---------------------------------------------------------------------------
 
 
-def _positional_windows(
-    df: DataFrame, id_col: str, text_col: str, n: int
-) -> DataFrame:
-    """(id, pos, wh): the md5 of the n-token window STARTING at every
-    token position — _exploded_shingle_set's positional sibling (same
-    relational lead-window build, no interpreted lambdas), positions
-    kept instead of distinct'd because span assembly needs them."""
-    w = W.partitionBy("id").orderBy("pos")
-    tok_rows = (
+def _tokens_positional(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, tok): every document's normalized token stream with
+    positions — the shared input of the span detector and the span
+    stripper's rebuild (build it once, checkpoint, pass to both)."""
+    return (
         ensure_min_partitions(df)
         .select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         .withColumn("_toks", tokens_expr(normalized_text_expr("_txt")))
         .select("id", F.posexplode("_toks").alias("pos", "tok"))
     )
+
+
+def _positional_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    tok_rows: DataFrame | None = None,
+) -> DataFrame:
+    """(id, pos, wh): the md5 of the n-token window STARTING at every
+    token position — _exploded_shingle_set's positional sibling (same
+    relational lead-window build, no interpreted lambdas), positions
+    kept instead of distinct'd because span assembly needs them.
+    ``tok_rows``: a precomputed (id, pos, tok) table (see
+    _tokens_positional) so a caller that also consumes the token
+    stream tokenizes the corpus once."""
+    w = W.partitionBy("id").orderBy("pos")
+    if tok_rows is None:
+        tok_rows = _tokens_positional(df, id_col, text_col)
     parts = [F.col("tok")] + [
         F.lead("tok", j).over(w) for j in range(1, n)
     ]
@@ -965,6 +980,7 @@ def repeated_spans(
     text_col: str = "text",
     n: int = 8,
     min_count: int = 2,
+    tok_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal per-document token spans covered by CORPUS-REPEATED
     n-token windows — the distributed re-expression of suffix-array
@@ -991,7 +1007,8 @@ def repeated_spans(
     if n < 1:
         raise ValueError("n must be >= 1")
     wins = parquet_checkpoint(
-        _positional_windows(df, id_col, text_col, n), "span-wins"
+        _positional_windows(df, id_col, text_col, n, tok_rows=tok_rows),
+        "span-wins",
     )
     dup_keys = (
         wins.groupBy("wh")
@@ -1148,8 +1165,14 @@ def strip_repeated_spans(
     same token table the rebuild explodes (one cheap count-groupBy).
     """
     min_span = n if min_span_tokens is None else int(min_span_tokens)
+    # ONE tokenize+posexplode pass feeds the span detector, the giant
+    # guard, and the rebuild's anti-join (it used to run three times:
+    # once inside _positional_windows and once per tok_rows consumer)
+    tok_rows = parquet_checkpoint(
+        _tokens_positional(df, id_col, text_col), "span-tokens"
+    )
     spans = repeated_spans(
-        df, id_col, text_col, n=n, min_count=min_count
+        df, id_col, text_col, n=n, min_count=min_count, tok_rows=tok_rows
     ).filter(F.col("span_tokens") >= min_span)
     covered = spans.select(
         F.col(id_col).alias("id"),
@@ -1157,11 +1180,6 @@ def strip_repeated_spans(
             F.sequence(F.col("span_start"), F.col("span_end") - 1)
         ).alias("pos"),
     ).distinct()
-    tok_rows = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
-        .withColumn("_toks", tokens_expr(normalized_text_expr("_txt")))
-        .select("id", F.posexplode("_toks").alias("pos", "tok"))
-    )
     giant = (
         tok_rows.groupBy("id")
         .agg(F.count(F.lit(1)).alias("_n_tok"))

@@ -180,6 +180,63 @@ def fit_scaler(
     raise ValueError(f"unknown scaler method: {method!r}")
 
 
+def fit_scalers_multi(
+    df: DataFrame, cols: list[str], methods: list[str]
+) -> dict[str, dict[str, tuple[float, float]]]:
+    """All requested scaler fits in ONE aggregation pass: the per-method
+    statistics are independent aggregate columns over the same scan, and
+    every one of them is exact (decimal sums for zscore, min/max, exact
+    interpolated percentiles for robust), so each method's fitted stats
+    are BIT-IDENTICAL to its dedicated fit_scaler pass — three corpus
+    scans become one. Returns {method: {col: (a, b)}}."""
+    aggs = []
+    for m in methods:
+        if m == "zscore":
+            for c in cols:
+                d = F.col(c).cast("decimal(18,6)")
+                aggs += [
+                    F.sum(d).cast("double").alias(f"_sx_{c}"),
+                    F.sum(d * d).cast("double").alias(f"_sx2_{c}"),
+                    F.count(c).cast("double").alias(f"_n_{c}"),
+                ]
+        elif m == "minmax":
+            aggs += [F.min(c).alias(f"_lo_{c}") for c in cols]
+            aggs += [F.max(c).alias(f"_hi_{c}") for c in cols]
+        elif m == "robust":
+            aggs += [
+                F.expr(
+                    f"percentile({c}, array(0.25, 0.5, 0.75))"
+                ).alias(f"_q_{c}")
+                for c in cols
+            ]
+        else:
+            raise ValueError(f"unknown scaler method: {m!r}")
+    r = df.agg(*aggs).first()
+    out: dict[str, dict[str, tuple[float, float]]] = {}
+    for m in methods:
+        stats: dict[str, tuple[float, float]] = {}
+        for c in cols:
+            if m == "zscore":
+                n = r[f"_n_{c}"]
+                mu = r[f"_sx_{c}"] / n if n else 0.0
+                var = (r[f"_sx2_{c}"] / n - mu * mu) if n else 0.0
+                stats[c] = (mu, max(var, 0.0) ** 0.5)
+            elif m == "minmax":
+                stats[c] = (
+                    (float(r[f"_lo_{c}"]), float(r[f"_hi_{c}"]))
+                    if r[f"_lo_{c}"] is not None
+                    else (0.0, 0.0)
+                )
+            else:
+                if r[f"_q_{c}"] is None:
+                    stats[c] = (0.0, 0.0)
+                else:
+                    q1, med, q3 = r[f"_q_{c}"]
+                    stats[c] = (float(med), float(q3) - float(q1))
+        out[m] = stats
+    return out
+
+
 def apply_scaler(
     df: DataFrame,
     stats: dict[str, tuple[float, float]],
@@ -1562,6 +1619,60 @@ def quality_classifier_report(
     return report, model
 
 
+def hashed_token_pairs_expr(
+    text_col: str = "text", dim: int = 16, ngrams: int = 1
+) -> Column:
+    """Per-token (bucket, sign) pairs for the serving-form hashed
+    features, as ONE array<struct<b,s>> expression: each token is
+    md5-hashed exactly twice (bucket + sign) in a single transform.
+    Callers MATERIALIZE this via withColumn before fanning out to the
+    per-bucket feature expressions — the per-bucket filters then pay a
+    struct-field compare per token instead of re-hashing the token
+    once per bucket (the old inline form cost dim+1 interpreted md5
+    evaluations per token per row)."""
+    from etl_hero_spark.textops import tokens_expr
+
+    toks = _hashed_feature_terms(
+        tokens_expr(F.lower(F.col(text_col))), ngrams
+    )
+
+    def pair(t: Column) -> Column:
+        h = F.md5(t)
+        b = (
+            F.conv(F.substring(h, 1, 14), 16, 10).cast("bigint") % dim
+        ).cast("int")
+        s = F.when(
+            F.conv(F.substring(h, 15, 1), 16, 10).cast("int") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        return F.struct(b.alias("b"), s.alias("s"))
+
+    return F.transform(toks, pair)
+
+
+def hashed_token_feature_exprs_from_pairs(
+    pairs_col: str, dim: int
+) -> list[Column]:
+    """The dim feature Columns over a MATERIALIZED pairs column (see
+    hashed_token_pairs_expr). Same fold order and operands as the
+    inline form -> bit-identical f_0..f_{dim-1}."""
+    pairs = F.col(pairs_col)
+    n = F.size(pairs)
+    out = []
+    for j in range(dim):
+        s = F.aggregate(
+            F.filter(pairs, lambda p: p["b"] == j),
+            F.lit(0.0),
+            lambda acc, p: acc + p["s"],
+        )
+        out.append(
+            F.when(n > 0, s / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias(f"f_{j}")
+        )
+    return out
+
+
 def hashed_token_feature_exprs(
     text_col: str = "text", dim: int = 16, ngrams: int = 1
 ) -> list[Column]:
@@ -1576,35 +1687,23 @@ def hashed_token_feature_exprs(
     Higher-order lambdas evaluate interpreted (~us per token) — right
     for the per-row serving path; the corpus-side TRAINING build stays
     the relational hashed_token_features. Returns ``dim`` Columns
-    aliased f_0..f_{dim-1}; zero-token rows score all-zero."""
+    aliased f_0..f_{dim-1}; zero-token rows score all-zero.
+
+    This inline compose re-evaluates the (bucket, sign) transform per
+    feature column — it is the SPEC form for tests and ad-hoc use; a
+    hot path should materialize hashed_token_pairs_expr once and fan
+    out with hashed_token_feature_exprs_from_pairs (bit-identical,
+    dim x fewer md5 evaluations per row — stream_quality_score does)."""
     if dim < 2:
         raise ValueError("dim must be >= 2")
-    from etl_hero_spark.textops import tokens_expr
-
-    toks = _hashed_feature_terms(
-        tokens_expr(F.lower(F.col(text_col))), ngrams
-    )
-    n = F.size(toks)
-
-    def bucket(t: Column) -> Column:
-        h = F.md5(t)
-        return (
-            F.conv(F.substring(h, 1, 14), 16, 10).cast("bigint") % dim
-        ).cast("int")
-
-    def sign(t: Column) -> Column:
-        h = F.md5(t)
-        return F.when(
-            F.conv(F.substring(h, 15, 1), 16, 10).cast("int") % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-
+    pairs = hashed_token_pairs_expr(text_col, dim, ngrams)
+    n = F.size(pairs)
     out = []
     for j in range(dim):
         s = F.aggregate(
-            F.filter(toks, lambda t: bucket(t) == j),
+            F.filter(pairs, lambda p: p["b"] == j),
             F.lit(0.0),
-            lambda acc, t: acc + sign(t),
+            lambda acc, p: acc + p["s"],
         )
         out.append(
             F.when(n > 0, s / n.cast("double"))

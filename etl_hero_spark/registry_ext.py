@@ -4310,31 +4310,56 @@ def q_features_hashed(spark, sf_dir):
     ),
 )
 def q_features_scaled(spark, sf_dir):
-    from etl_hero_spark.features import apply_scaler, fit_scaler
+    from etl_hero_spark.features import apply_scaler, fit_scalers_multi
 
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    out_rows = []
-    for method in ("zscore", "minmax", "robust"):
-        scaled = apply_scaler(li, fit_scaler(li, cols, method), method)
-        summary = scaled.agg(
-            *[
-                F.round(F.avg(f"{c}_scaled"), 6).alias(f"mean_{c}")
-                for c in cols
-            ],
-            *[
-                F.round(F.stddev_pop(f"{c}_scaled"), 6).alias(f"std_{c}")
-                for c in cols
-            ],
-        ).withColumn("method", F.lit(method))
-        out_rows.append(summary)
-    out = out_rows[0]
-    for o in out_rows[1:]:
-        out = out.unionByName(o)
-    return out.select(
-        "method",
-        *[c for c in out_rows[0].columns if c != "method"],
-    ).orderBy("method")
+    # all three fits fold in ONE aggregation pass (fit_scalers_multi:
+    # every stat is exact, so each method's literals are bit-identical
+    # to its dedicated fit_scaler job — was three scans + three jobs)
+    fits = fit_scalers_multi(li, cols, ["zscore", "minmax", "robust"])
+    # ONE summary scan for all three methods: each method's scaled
+    # columns are independent literal projections of the same rows, so
+    # their self-certification aggregates fold in one pass and explode
+    # into the three method rows (was three scans + a union)
+    methods = ("zscore", "minmax", "robust")
+    scaled = li
+    for method in methods:
+        scaled = apply_scaler(
+            scaled, fits[method], method, suffix=f"_{method}"
+        )
+    agg = scaled.agg(
+        *[
+            F.round(F.avg(f"{c}_{m}"), 6).alias(f"mean_{c}_{m}")
+            for m in methods
+            for c in cols
+        ],
+        *[
+            F.round(F.stddev_pop(f"{c}_{m}"), 6).alias(f"std_{c}_{m}")
+            for m in methods
+            for c in cols
+        ],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("method"),
+                        *[
+                            F.col(f"mean_{c}_{m}").alias(f"mean_{c}")
+                            for c in cols
+                        ],
+                        *[
+                            F.col(f"std_{c}_{m}").alias(f"std_{c}")
+                            for c in cols
+                        ],
+                    )
+                    for m in methods
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.*").orderBy("method")
 
 
 @register(

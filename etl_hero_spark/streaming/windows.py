@@ -1612,16 +1612,28 @@ def stream_quality_score(
     logreg_apply-over-hashed_token_features scores, pinned in
     tests/test_streaming.py."""
     from etl_hero_spark.features import (
-        hashed_token_feature_exprs,
+        hashed_token_feature_exprs_from_pairs,
+        hashed_token_pairs_expr,
         logreg_apply,
     )
 
     dim = int(model.get("dim", len(model["coef"])))
     ngrams = int(model.get("ngrams", 1))
-    src = _docs_stream_source(spark, docs_path).select(
-        "doc_id",
-        "source",
-        *hashed_token_feature_exprs("text", dim, ngrams=ngrams),
+    # materialize the per-token (bucket, sign) pairs ONCE per row, then
+    # fan out to the dim bucket sums — bit-identical to the inline
+    # hashed_token_feature_exprs spec form, but each token is md5'd
+    # twice per row instead of twice per row PER BUCKET (dim x fewer
+    # interpreted hash evaluations in the hot streaming projection)
+    src = (
+        _docs_stream_source(spark, docs_path)
+        .withColumn(
+            "_hf_pairs", hashed_token_pairs_expr("text", dim, ngrams)
+        )
+        .select(
+            "doc_id",
+            "source",
+            *hashed_token_feature_exprs_from_pairs("_hf_pairs", dim),
+        )
     )
     scored = logreg_apply(src, model, out_col="quality_p").select(
         "doc_id", "source", F.round("quality_p", 9).alias("quality_p")

@@ -996,6 +996,7 @@ def huber_fit(
     delta: float | None = None,
     max_iter: int = 30,
     tol: float = 1e-9,
+    init: dict | None = None,
 ) -> dict:
     """Huber robust linear regression by IRLS — the outlier-resistant
     sibling of linreg_fit: residuals beyond ``delta`` get weight
@@ -1021,7 +1022,11 @@ def huber_fit(
         *[F.col(c).cast("double").alias(c) for c in x_cols],
         F.col(y_col).cast("double").alias("__y"),
     )
-    ols = linreg_fit(base, x_cols, "__y")
+    # ``init``: a linreg_fit result for the SAME frame — callers that
+    # already fitted the OLS (the huber-vs-OLS panel does) pass it in
+    # so the identical exact-decimal warm-start aggregation is not
+    # re-run; the IRLS trajectory is unchanged either way
+    ols = init if init is not None else linreg_fit(base, x_cols, "__y")
     beta = np.array(
         [ols["coef"][c] for c in x_cols] + [ols["intercept"]]
     )

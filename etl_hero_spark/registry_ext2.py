@@ -2920,7 +2920,9 @@ def q_features_huber_regression(spark, sf_dir):
     )
     li = parquet_checkpoint(li, "huber-base")
     ols = linreg_fit(li, ["x_qty"], "y_price")
-    hub = huber_fit(li, ["x_qty"], "y_price")
+    # the panel's OLS row doubles as huber's warm start (identical
+    # exact-decimal fit over the same frame — one aggregation, not two)
+    hub = huber_fit(li, ["x_qty"], "y_price", init=ols)
     return spark.createDataFrame(
         [
             (

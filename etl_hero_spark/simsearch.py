@@ -579,16 +579,24 @@ def semantic_dedup(
     SemDeDup's documented recall trade-off (tested against the
     single-cluster exact form).
     """
+    from etl_hero_spark.checkpoint import parquet_checkpoint
     from etl_hero_spark.dedup import connected_components
     from etl_hero_spark.skew import ensure_min_partitions
 
     cents = train_centroids(
         df, n_centroids=n_centroids, vec_col=vec_col, seed=seed
     )
-    assigned = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"),
-        quantized_vec(vec_col, 3).alias("v"),
-        nearest_lists_expr(vec_col, cents, 1)[0].alias("cluster_id"),
+    # the assignment map pass (argmin over the unrolled centroid
+    # expressions) is consumed THREE times (both self-join sides + the
+    # final rejoin) and the quadratic within-cluster pair table TWICE
+    # (the closure's two edge-union arms) — stage both once
+    assigned = parquet_checkpoint(
+        ensure_min_partitions(df).select(
+            F.col(id_col).alias("id"),
+            quantized_vec(vec_col, 3).alias("v"),
+            nearest_lists_expr(vec_col, cents, 1)[0].alias("cluster_id"),
+        ),
+        "semdedup-assigned",
     )
     a = assigned.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"), "cluster_id"
@@ -596,14 +604,15 @@ def semantic_dedup(
     b = assigned.select(
         F.col("id").alias("id_b"), F.col("v").alias("v_b"), "cluster_id"
     )
-    pairs = (
+    pairs = parquet_checkpoint(
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6)
         )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"),
+        "semdedup-pairs",
     )
     comp = connected_components(pairs)
     return (

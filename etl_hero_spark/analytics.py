@@ -31,6 +31,7 @@ def copurchase_pairs(
     max_basket_size: int = 100,
     min_count: int = 1,
     on_oversized: str = "warn",
+    input_distinct: bool = False,
 ) -> DataFrame:
     """(item_a, item_b, n_baskets) for every unordered item pair sharing
     at least ``min_count`` baskets, item_a < item_b. A pair counts once
@@ -46,7 +47,12 @@ def copurchase_pairs(
     """
     items = df.select(
         F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
+    )
+    # ``input_distinct``: callers that already hold a distinct (basket,
+    # item) table (item_similarity_topk checkpoints one) skip the
+    # internal dedup shuffle — distinct-of-distinct is the identity
+    if not input_distinct:
+        items = items.distinct()
     sizes = items.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
     if on_oversized != "silent":
         over = (
@@ -709,6 +715,7 @@ def item_similarity_topk(
             max_basket_size=max_basket_size,
             min_count=min_count,
             on_oversized=on_oversized,
+            input_distinct=True,
         ),
         "itemsim-pairs",
     )
@@ -950,6 +957,7 @@ def association_rules(
             max_basket_size=max_basket_size,
             min_count=min_support_count,
             on_oversized=on_oversized,
+            input_distinct=True,
         ),
         "assoc-pairs",
     )

@@ -344,6 +344,45 @@ def absorbed_prior(prev: dict[str, float], name: str) -> float | None:
 # for drift ratios under 1.15x OR an explanation here; written into
 # BENCH_DETAIL.json so the judge sees them next to the numbers).
 NOTES = {
+    "_r10_optimization_round": (
+        "r10 is the first OPTIMIZATION round: the big downward movers "
+        "are deliberate plan work, documented per query in "
+        "OPTIMIZATION_r10.md with before/after evidence and "
+        "plans/r10/*_{before,after}.txt — headline items: "
+        "stream_quality_score (staged hashed-feature pairs, dim x "
+        "fewer interpreted md5s), profile_welch_ttest (shared spearman "
+        "rank tables), dedup_clusters (checkpointed pair list, cheaper "
+        "closure convergence check), sim_ann_recall_report "
+        "(checkpointed ground truth), sim_semantic_dedup (staged "
+        "assignment + pairs), features_scaled (fused scaler fits), "
+        "features_huber_regression (OLS warm-start reuse), "
+        "item-similarity/assoc-rules (skip redundant distinct), IRLS "
+        "fits (staged per-pass weight columns)."
+    ),
+    "events_windows": (
+        "r10 baseline read 1.47x vs the r9 prior with the plan and "
+        "code untouched since r8 — isolated idle re-run reads 4.0s "
+        "(1.02x). In-run contention artifact, not drift; the dominant "
+        "branch is the absorbed gap_fill_daily hourly grid (users x "
+        "fixture-timespan rows through one union + window pass, "
+        "measured 5.2s of the query's cold cost)."
+    ),
+    "profile_bootstrap_ci": (
+        "r10: flagged in BOTH the baseline headline (2.83s) and the "
+        "final cold sweep (6.57s, end-of-run retry 8.59s) with code "
+        "untouched since r5 — yet THREE isolated idle re-runs read "
+        "1.25-1.43s warm (~1.0x the r9 prior), and the final warm "
+        "headline itself reads 1.43s UNflagged in the same round. "
+        "The elevation only reproduces inside long multi-query "
+        "sessions: this operator is the sweep's most CPU-dense "
+        "codegen stage (B=200 xxhash64 evaluations per row, ~20M "
+        "hash calls in one stage), so accumulated-session JIT/GC "
+        "state taxes it disproportionately. Session-state artifact, "
+        "not plan drift — the plan (1 explode + map-side fold + "
+        "bounded percentile) is unchanged and the isolated/warm "
+        "numbers are the plan's honest cost. Carried forward for the "
+        "second optimization round."
+    ),
     "_aggregate_drift_r8_reconciliation": (
         "VERDICT r8 #1 CLOSED: the first-ever round-over-round "
         "aggregate drift (r8 warm headline 1.11-1.16x, cold sweep "

@@ -4,8 +4,11 @@
 Prints ONE COMPACT final JSON line (the driver captures a bounded stdout
 tail — round 3's full per-query line outgrew it and the driver recorded
 "parsed": null): {"metric", "value", "unit", "sf", "n_queries",
-"regressions", "detail"}. The full per-query map + vs_prev ratios are
-written to BENCH_DETAIL.json next to this file.
+"regressions", "queries", "detail"}. "queries" carries the
+largest-cost-first per-query subset that fits the 2000-char tail window
+(VERDICT r10 #2 — the full 171-name map is ~5 KB and cannot fit); the
+full per-query map + vs_prev ratios are written to BENCH_DETAIL.json
+next to this file.
 
 Each query is materialized with a noop-format write (full compute, no
 driver-side result transfer — the honest cost of the plan).
@@ -235,6 +238,40 @@ HEADLINE = [
 
 
 REGRESSION_RATIO = 2.0
+
+# The driver captures a BOUNDED stdout tail (2000 chars — every
+# committed BENCH_r{N}.json tail is exactly that, and round 3's full
+# per-query line overflowed it: parsed=null). VERDICT r10 #2 asks for
+# per-query visibility back in the one-line JSON so the driver's PERF
+# comparator can build per-query statuses — a full 171-name map is
+# ~5 KB and can never fit, so the line carries the LARGEST-COST-FIRST
+# subset that keeps the whole line under the window (names exact,
+# seconds rounded to 2dp; the complete map stays in BENCH_DETAIL.json).
+# Entries are only ever ADDED relative to what fits — nothing is
+# renamed; membership follows measured cost, documented here and in
+# OPTIMIZATION_r11.md.
+DRIVER_TAIL_CHARS = 2000
+LINE_BUDGET_CHARS = 1900  # headroom for the trailing newline + jitter
+
+
+def queries_for_line(
+    times: dict[str, float], base_obj: dict, budget: int = LINE_BUDGET_CHARS
+) -> dict[str, float]:
+    """The largest-cost-first per-query subset whose inclusion keeps
+    the compact-serialized final line within ``budget`` chars. Greedy
+    by (-seconds, name): the expensive queries are the ones a
+    round-over-round comparator must see; ties and the long tail of
+    sub-second entries fall off deterministically."""
+    picked: dict[str, float] = {}
+    obj = dict(base_obj)
+    for name in sorted(times, key=lambda n: (-times[n], n)):
+        cand = dict(picked)
+        cand[name] = round(times[name], 2)
+        obj["queries"] = {k: cand[k] for k in sorted(cand)}
+        if len(json.dumps(obj, separators=(",", ":"))) > budget:
+            continue
+        picked = cand
+    return {k: picked[k] for k in sorted(picked)}
 
 # A flag needs BOTH the >2x ratio and a real absolute movement: every
 # query pays ~0.3-0.5s of fixed per-job overhead (scheduler + plan —
@@ -1050,22 +1087,24 @@ def main() -> None:
         )
         f.write("\n")
     # ONE compact final line — must fit the driver's bounded stdout tail
-    # (2000 chars; the round-3 full-map line overflowed it)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(times),
-                "regressions": regressions,
-                "agg_vs_prev": aggregate["ratio"] if aggregate else None,
-                "agg_flagged": aggregate["flagged"] if aggregate else False,
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
-    )
+    # (2000 chars; the round-3 full-map line overflowed it). VERDICT
+    # r10 #2: the line now ALSO carries the largest-cost-first
+    # per-query subset that fits the window (queries_for_line), so the
+    # driver's PERF comparator can compute per-query statuses; the
+    # complete 171-name map remains in BENCH_DETAIL.json.
+    final_obj = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(times),
+        "regressions": regressions,
+        "agg_vs_prev": aggregate["ratio"] if aggregate else None,
+        "agg_flagged": aggregate["flagged"] if aggregate else False,
+        "detail": "BENCH_DETAIL.json",
+    }
+    final_obj["queries"] = queries_for_line(times, final_obj)
+    print(json.dumps(final_obj, separators=(",", ":")))
     spark.stop()
 
 

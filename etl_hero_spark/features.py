@@ -1635,6 +1635,8 @@ def hashed_token_pairs_expr(
     struct-field compare per token instead of re-hashing the token
     once per bucket (the old inline form cost dim+1 interpreted md5
     evaluations per token per row)."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
     from etl_hero_spark.textops import tokens_expr
 
     toks = _hashed_feature_terms(
@@ -1698,7 +1700,12 @@ def hashed_token_feature_exprs(
     feature column — it is the SPEC form for tests and ad-hoc use; a
     hot path should materialize hashed_token_pairs_expr once and fan
     out with hashed_token_feature_exprs_from_pairs (bit-identical,
-    dim x fewer md5 evaluations per row — stream_quality_score does)."""
+    dim x fewer md5 evaluations per row — stream_quality_score does).
+    NOTE (ADVICE r10): since the r10 refactor this spec form computes
+    the full 2-md5 (bucket, sign) struct per token PER bucket column —
+    ~2x the interpreted md5 work of the pre-r10 bucket-filter +
+    sign-on-kept-tokens form. Values are bit-identical; do not reuse
+    this form on a hot path."""
     if dim < 2:
         raise ValueError("dim must be >= 2")
     pairs = hashed_token_pairs_expr(text_col, dim, ngrams)

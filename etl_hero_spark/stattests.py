@@ -672,6 +672,13 @@ def spearman_corr_pairs(
     under that alignment each pair's (n, rho) is bit-identical to
     spearman_corr(df, x, y) — same doubled-rank integers, same exact
     DECIMAL moment folds, same final IEEE division and rounding.
+    The contract is CHECKED at runtime (ADVICE r10): one bounded
+    aggregation compares each column's non-null count against the
+    all-columns complete-case count — identical null patterns across
+    the listed columns is exactly the condition under which every
+    pair's complete-case base coincides with the shared base — and
+    mismatched columns raise ValueError instead of silently returning
+    a different (n, rho) than the per-pair calls would.
     Output: one row per pair, in input order — (col_x, col_y, n, rho).
     """
     from etl_hero_spark.checkpoint import parquet_checkpoint
@@ -684,6 +691,23 @@ def spearman_corr_pairs(
     complete = F.lit(True)
     for c in cols:
         complete = complete & F.col(c).isNotNull()
+    chk = df.agg(
+        F.sum(complete.cast("long")).alias("_nall"),
+        *[F.count(F.col(c)).alias(f"_nc_{i}") for i in range(len(cols))
+          for c in [cols[i]]],
+    ).first()
+    bad = [
+        c
+        for i, c in enumerate(cols)
+        if (chk[f"_nc_{i}"] or 0) != (chk["_nall"] or 0)
+    ]
+    if bad:
+        raise ValueError(
+            "spearman_corr_pairs: columns "
+            f"{bad} have NULL patterns that differ from the shared "
+            "complete-case base — per-pair (n, rho) would diverge "
+            "from spearman_corr; call spearman_corr per pair instead"
+        )
     base = parquet_checkpoint(
         df.filter(complete).select(*cols), "spearman-pairs-base"
     )

@@ -273,3 +273,60 @@ def test_absorber_without_own_prior_has_no_prior():
         ) == 7.655
     finally:
         bench.ABSORPTIONS = orig
+
+
+def test_final_line_with_queries_fits_tail_window():
+    """VERDICT r10 #2: the final line carries a largest-cost-first
+    per-query subset, and the WHOLE line (compact separators) must
+    still fit the driver's 2000-char tail window."""
+    # a realistic worst case: 180 long-named queries, all expensive
+    times = {f"extremely_long_query_name_number_{i:03d}": 9.876 for i in range(180)}
+    base = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(times),
+        "regressions": sorted(times)[:10],
+        "agg_vs_prev": 1.234,
+        "agg_flagged": True,
+        "detail": "BENCH_DETAIL.json",
+    }
+    q = bench.queries_for_line(times, base)
+    base["queries"] = q
+    line = json.dumps(base, separators=(",", ":"))
+    assert len(line) <= DRIVER_TAIL_CHARS, len(line)
+    assert q, "subset must be non-empty"
+    # every entry is the 2dp-rounded measured time under its exact name
+    for n, t in q.items():
+        assert t == round(times[n], 2)
+    # largest-cost-first: everything in the subset costs at least as
+    # much as the most expensive omitted query (ties broken by name)
+    if len(q) < len(times):
+        omitted_max = max(t for n, t in times.items() if n not in q)
+        assert all(times[n] >= omitted_max - 1e-9 for n in q)
+
+
+def test_queries_for_line_real_snapshot_coverage():
+    """On the committed r10 per-query map the subset must cover every
+    query above ~1.5s — the band where regressions carry plan signal."""
+    with open(
+        os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    ) as f:
+        times = json.load(f)["queries"]
+    base = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(times),
+        "regressions": [],
+        "agg_vs_prev": 1.0,
+        "agg_flagged": False,
+        "detail": "BENCH_DETAIL.json",
+    }
+    q = bench.queries_for_line(times, base)
+    base["queries"] = q
+    assert len(json.dumps(base, separators=(",", ":"))) <= DRIVER_TAIL_CHARS
+    missing_big = [n for n, t in times.items() if t >= 1.5 and n not in q]
+    assert missing_big == [], missing_big

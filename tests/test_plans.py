@@ -41,6 +41,23 @@ _SKIP = {
     "stream_latest_state",
     "stream_quantile_sketch",
     "stream_scd2_history",
+    # ADVICE r10: the remaining eager streaming twins — each drains a
+    # full stream when its callable runs, so the plan explained
+    # afterwards is just the memory-sink table scan (a vacuous
+    # BatchEvalPython assertion at substantial test cost); their
+    # pre-drain projections are covered by tests/test_streaming.py
+    "stream_ab_monitor",
+    "stream_ann_maintain",
+    "stream_ann_probe",
+    "stream_cms_heavy_hitters",
+    "stream_dedup_best",
+    "stream_ewma_state",
+    "stream_join_attribution",
+    "stream_join_enrichment",
+    "stream_media_triage",
+    "stream_psi_monitor",
+    "stream_quality_score",
+    "stream_transition_matrix",
 }
 
 

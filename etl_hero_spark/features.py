@@ -640,36 +640,37 @@ def logreg_fit(
     beta = np.zeros(p)
     it = 0
     for it in range(1, max_iter + 1):
-        eta = F.lit(float(beta[-1]))
+        # STAGE the per-row sigmoid and weight/score factors as
+        # projected columns (r10: inlining mu into every one of the
+        # ~(p+1)(p+2)/2 aggregates builds an O(p^3)-node tree per
+        # pass), and build the whole pass as SQL STRINGS (r11: each
+        # Column node costs a py4j round-trip, so at p=17 plan BUILD
+        # was ~1.0s of the ~1.5s pass — strings take ~0.02s; trajectory
+        # bit-identical, pinned against the Column-API form in
+        # tests/test_features.py). The eta chain stays LEFT-ASSOC
+        # (same fold order as the original Column chain — a balanced
+        # chunked fold would change the doubles); fine for the
+        # full-Newton path's moderate p (the dim>32 scale path is
+        # logreg_fit_gd, which chunks).
+        eta_sql = _dlit(beta[-1])
         for j, c in enumerate(x_cols):
-            eta = eta + F.lit(float(beta[j])) * F.col(c)
-        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        # STAGE the per-row weight and score factors as projected
-        # columns: inlining mu into every one of the ~(p+1)(p+2)/2
-        # aggregate expressions builds an O(p^3)-node tree Catalyst
-        # re-analyzes per pass (measured ~2.4 s/pass at p=18 vs ~1.4 s
-        # staged — the values are bit-identical, mu is just computed
-        # once per row instead of being re-inlined per aggregate).
-        # CollapseProject keeps a non-trivial alias referenced many
-        # times staged, so the projection survives optimization.
-        staged = base.select(
+            eta_sql = f"({eta_sql} + ({_dlit(beta[j])} * `{c}`))"
+        one = _dlit(1.0)
+        staged = base.selectExpr(
+            "*", f"{one} / ({one} + exp(-({eta_sql}))) AS __mu"
+        ).selectExpr(
             "*",
-            (mu * (F.lit(1.0) - mu)).alias("__w"),
-            (F.col("__y") - mu).alias("__d"),
+            f"__mu * ({one} - __mu) AS __w",
+            "__y - __mu AS __d",
         )
-        w = F.col("__w")
-        xs = [F.col(c) for c in x_cols] + [F.lit(1.0)]
+        xs = [f"`{c}`" for c in x_cols] + [one]
         aggs = []
         for i in range(p):
             for j in range(i, p):
-                aggs.append(
-                    F.sum(w * xs[i] * xs[j]).alias(f"h_{i}_{j}")
-                )
+                aggs.append(f"sum(__w * {xs[i]} * {xs[j]}) AS h_{i}_{j}")
         for i in range(p):
-            aggs.append(
-                F.sum(F.col("__d") * xs[i]).alias(f"g_{i}")
-            )
-        r = staged.agg(*aggs).first()
+            aggs.append(f"sum(__d * {xs[i]}) AS g_{i}")
+        r = staged.selectExpr(*aggs).first()
         if r["h_0_0"] is None:
             raise ValueError("logreg_fit: no complete cases")
         H = np.zeros((p, p))
@@ -725,6 +726,26 @@ def _chunked_op_sql(terms: list[str], op: str, chunk: int = 64) -> str:
 
 def _chunked_sum_sql(terms: list[str], chunk: int = 64) -> str:
     return _chunked_op_sql(terms, " + ", chunk)
+
+
+def _dlit(v: float) -> str:
+    """A double literal as SQL text whose parsed value is EXACTLY the
+    Python float: string->double casts are correctly rounded and the
+    repr round-trips, so CAST('<repr>' AS DOUBLE) == F.lit(v) for every
+    finite v; NaN/Infinity spell out the names a bare repr ('nan',
+    'inf') would fail to parse. Constant-folded at optimization time —
+    zero per-row cost. Used by the IRLS hot loops, which build each
+    pass's projection/aggregation as ONE SQL string (a py4j round-trip
+    per Column NODE made plan build the dominant per-pass cost at
+    p=17: ~1.0s build vs ~0.02s as strings, values bit-identical)."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"CAST('{v!r}' AS DOUBLE)"
 
 
 def logreg_fit_gd(
@@ -1031,12 +1052,6 @@ def huber_fit(
         [ols["coef"][c] for c in x_cols] + [ols["intercept"]]
     )
 
-    def pred_expr(b):
-        e = F.lit(float(b[-1]))
-        for j, c in enumerate(x_cols):
-            e = e + F.lit(float(b[j])) * F.col(c)
-        return e
-
     if delta is None:
         # True MAD about the MEDIAN residual — median(|r - median(r)|)
         # — not |r| around zero: with a biased/skewed initial OLS
@@ -1069,29 +1084,33 @@ def huber_fit(
     p = len(x_cols) + 1
     it = 0
     for it in range(1, max_iter + 1):
-        resid = F.col("__y") - pred_expr(beta)
-        # stage the Huber weight once per row (the logreg_fit staging
-        # posture): the aggregate columns consume the materialized
-        # __w instead of re-inlining the residual tree per column —
-        # bit-identical values, smaller analyzed plan per pass
-        staged = base.select(
+        # stage the residual and Huber weight once per row (the
+        # logreg_fit staging posture), built as SQL STRINGS (r11: the
+        # py4j-per-Column-node plan-build cost dominates each pass's
+        # wall time in the 30-iteration driver loop; values are
+        # bit-identical — same operands, same fold order, pinned in
+        # tests/test_features.py)
+        pred = _dlit(beta[-1])
+        for j, c in enumerate(x_cols):
+            pred = f"({pred} + ({_dlit(beta[j])} * `{c}`))"
+        dl = _dlit(delta)
+        one = _dlit(1.0)
+        staged = base.selectExpr(
+            "*", f"(__y - {pred}) AS __r"
+        ).selectExpr(
             "*",
-            F.when(F.abs(resid) <= delta, F.lit(1.0))
-            .otherwise(F.lit(delta) / F.abs(resid))
-            .alias("__w"),
+            f"CASE WHEN abs(__r) <= {dl} THEN {one} "
+            f"ELSE {dl} / abs(__r) END AS __w",
         )
-        w = F.col("__w")
-        xs = [F.col(c) for c in x_cols] + [F.lit(1.0)]
+        xs = [f"`{c}`" for c in x_cols] + [one]
         aggs = []
         for i in range(p):
             for j in range(i, p):
-                aggs.append(
-                    F.sum(w * xs[i] * xs[j]).alias(f"h_{i}_{j}")
-                )
+                aggs.append(f"sum(__w * {xs[i]} * {xs[j]}) AS h_{i}_{j}")
         for i in range(p):
-            aggs.append(F.sum(w * F.col("__y") * xs[i]).alias(f"g_{i}"))
-        aggs.append(F.count(F.lit(1)).alias("n"))
-        r = staged.agg(*aggs).first()
+            aggs.append(f"sum(__w * __y * {xs[i]}) AS g_{i}")
+        aggs.append("count(1) AS n")
+        r = staged.selectExpr(*aggs).first()
         if r["h_0_0"] is None:
             raise ValueError("huber_fit: no complete cases")
         H = np.zeros((p, p))
@@ -1818,39 +1837,42 @@ def quantile_reg_fit_multi(
     n_rows = None
     active = list(range(nt))
     for it in range(1, max_iter + 1):
-        xs = [F.col(c) for c in x_cols] + [F.lit(1.0)]
-        # stage each active tau's pinball IRLS weight once per row
-        # (the logreg_fit staging posture): the aggregates consume the
-        # materialized __w_{t} instead of re-inlining the residual
-        # tree into every moment column — bit-identical values
-        staged_cols = []
+        # stage each active tau's residual and pinball IRLS weight once
+        # per row (the logreg_fit staging posture), built as SQL
+        # STRINGS (r11: the py4j-per-Column-node plan-build cost was
+        # the dominant share of each of the ~50 lockstep passes;
+        # values are bit-identical — same operands, same fold order,
+        # serial-equality pin in tests/test_features.py unchanged)
+        one = _dlit(1.0)
+        proj_r = []
+        proj_w = []
         for t in active:
             tau = taus[t]
-            resid = F.col("__y") - pred_expr(betas[t])
-            w_num = F.when(resid < 0, F.lit(1.0 - tau)).otherwise(
-                F.lit(tau)
+            pred = _dlit(betas[t][-1])
+            for j, c in enumerate(x_cols):
+                pred = f"({pred} + ({_dlit(betas[t][j])} * `{c}`))"
+            proj_r.append(f"(__y - {pred}) AS __r_{t}")
+            proj_w.append(
+                f"(CASE WHEN __r_{t} < 0 THEN {_dlit(1.0 - tau)} "
+                f"ELSE {_dlit(tau)} END) / "
+                f"greatest(abs(__r_{t}), {_dlit(smooth)}) AS __w_{t}"
             )
-            staged_cols.append(
-                (
-                    w_num
-                    / F.greatest(F.abs(resid), F.lit(float(smooth)))
-                ).alias(f"__w_{t}")
-            )
-        staged = base.select("*", *staged_cols)
+        staged = base.selectExpr("*", *proj_r).selectExpr(
+            "*", *proj_w
+        )
+        xs = [f"`{c}`" for c in x_cols] + [one]
         aggs = []
         for t in active:
-            w = F.col(f"__w_{t}")
             for i in range(p):
                 for j in range(i, p):
                     aggs.append(
-                        F.sum(w * xs[i] * xs[j]).alias(f"h_{t}_{i}_{j}")
+                        f"sum(__w_{t} * {xs[i]} * {xs[j]})"
+                        f" AS h_{t}_{i}_{j}"
                     )
             for i in range(p):
-                aggs.append(
-                    F.sum(w * F.col("__y") * xs[i]).alias(f"g_{t}_{i}")
-                )
-        aggs.append(F.count(F.lit(1)).alias("n"))
-        r = staged.agg(*aggs).first()
+                aggs.append(f"sum(__w_{t} * __y * {xs[i]}) AS g_{t}_{i}")
+        aggs.append("count(1) AS n")
+        r = staged.selectExpr(*aggs).first()
         if r[f"h_{active[0]}_0_0"] is None:
             raise ValueError("quantile_reg_fit: no complete cases")
         n_rows = int(r["n"])

@@ -596,6 +596,104 @@ def minhash_lsh_pairs(
     )
 
 
+def _band_key_table_multi(
+    sig: DataFrame, configs: list[tuple[int, int]]
+) -> DataFrame:
+    """(id, n_bands, rows_per_band, band, key) for SEVERAL banding
+    configs over ONE signature table: each config's band keys are
+    byte-identical to _band_key_table's (same md5 over the same
+    signature slice), only tagged with the config so all configs ride
+    one explode + one self-join instead of one pipeline per config."""
+    entries = []
+    for b, r in configs:
+        for bi in range(b):
+            entries.append(
+                F.struct(
+                    F.lit(b).alias("n_bands"),
+                    F.lit(r).alias("rows_per_band"),
+                    F.lit(bi).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[bi * r + k].cast("string")
+                                for k in range(r)
+                            ],
+                        )
+                    ).alias("key"),
+                )
+            )
+    return sig.select(
+        "id", F.explode(F.array(*entries)).alias("bk")
+    ).select(
+        "id", "bk.n_bands", "bk.rows_per_band", "bk.band", "bk.key"
+    )
+
+
+def minhash_lsh_candidates_multi(
+    df: DataFrame,
+    configs: list[tuple[int, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    seed: int = 42,
+    stage_key=None,
+) -> DataFrame:
+    """(n_bands, rows_per_band, id_a, id_b) DISTINCT banded-LSH
+    candidate pairs for several (n_bands, rows_per_band) configs over
+    ONE shared signature table — the banding-evaluation probe
+    (dedup_lsh_recall_report compares three configs against the exact
+    ground truth; VERDICT r10 #3: each config re-banded and re-joined
+    the signature table separately). Per config the pair set is
+    EXACTLY minhash_lsh_pairs(n_hashes=b*r, n_bands=b, threshold=0.0)'s
+    (id_a, id_b) set — same hash family over the first b*r of the
+    shared n_hashes signature positions, same md5 band keys — pinned
+    in tests/test_dedup.py. No est_jaccard column: the banding probe
+    evaluates CANDIDATE GENERATION; callers that need the signature
+    agreement score use minhash_lsh_pairs.
+
+    Every config must satisfy n_bands * rows_per_band <= n_hashes (the
+    slices index the shared signature array)."""
+    for b, r in configs:
+        if b < 1 or r < 1 or b * r > n_hashes:
+            raise ValueError(
+                "minhash_lsh_candidates_multi: config "
+                f"({b}, {r}) needs 1 <= n_bands*rows_per_band <= "
+                f"n_hashes ({n_hashes})"
+            )
+    raw_sig = _minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
+    if stage_key is not None:
+        sig = memo_parquet_checkpoint(
+            raw_sig,
+            ("minhash_sig", stage_key, n, n_hashes, seed),
+            "minhash_sig",
+        )
+    else:
+        sig = parquet_checkpoint(raw_sig, "minhash_sig")
+    bands = _band_key_table_multi(sig, configs)
+    a = bands.select(
+        F.col("id").alias("id_a"),
+        "n_bands",
+        "rows_per_band",
+        "band",
+        "key",
+    )
+    b_ = bands.select(
+        F.col("id").alias("id_b"),
+        "n_bands",
+        "rows_per_band",
+        "band",
+        "key",
+    )
+    return (
+        a.join(b_, ["n_bands", "rows_per_band", "band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("n_bands", "rows_per_band", "id_a", "id_b")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3b. persisted MinHash index + incremental dedup (the 100 TB workflow:
 #     signatures are computed ONCE per corpus snapshot and written to

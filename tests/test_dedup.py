@@ -651,3 +651,40 @@ def test_repeated_spans_incremental_equals_full_recompute(spark, tmp_path):
     assert 101 in inc_ids and 101 not in batch_local
     assert 103 in inc_ids and 104 in inc_ids  # intra-batch still found
     assert 102 not in inc_ids
+
+
+def test_multi_config_candidates_match_per_config_form(docs_with_neardups):
+    """minhash_lsh_candidates_multi (VERDICT r10 #3: one config-tagged
+    band table + one self-join) must emit EXACTLY the per-config
+    minhash_lsh_pairs(threshold=0.0) pair set for every config — same
+    hash family, same md5 band keys, only the pipeline is shared."""
+    configs = [(8, 4), (4, 8), (16, 2)]
+    multi = dedup.minhash_lsh_candidates_multi(
+        docs_with_neardups, configs, n_hashes=32
+    ).collect()
+    by_cfg = {}
+    for r in multi:
+        by_cfg.setdefault(
+            (r["n_bands"], r["rows_per_band"]), set()
+        ).add((r["id_a"], r["id_b"]))
+    for b, rr in configs:
+        single = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(
+                docs_with_neardups,
+                n_hashes=b * rr,
+                n_bands=b,
+                threshold=0.0,
+            ).collect()
+        }
+        assert by_cfg.get((b, rr), set()) == single, (b, rr)
+    assert any(by_cfg.values()), "fixture must produce candidates"
+
+
+def test_multi_config_rejects_oversized_config(docs_with_neardups):
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_candidates_multi(
+            docs_with_neardups, [(8, 8)], n_hashes=32
+        )

@@ -417,8 +417,13 @@ NOTES = {
         "state taxes it disproportionately. Session-state artifact, "
         "not plan drift — the plan (1 explode + map-side fold + "
         "bounded percentile) is unchanged and the isolated/warm "
-        "numbers are the plan's honest cost. Carried forward for the "
-        "second optimization round."
+        "numbers are the plan's honest cost. r11 (VERDICT r10 #4, "
+        "option b): the end-of-run retry now runs min-of-3 AFTER an "
+        "explicit JVM System.gc() + settle, so a pure session-state "
+        "elevation is measured from a collected heap before it can "
+        "flag; the weight-hash semantics (and hence the declared CI "
+        "values) are unchanged. r11 baseline runs read 1.62s warm / "
+        "~2.9s in-sweep, unflagged."
     ),
     "_aggregate_drift_r8_reconciliation": (
         "VERDICT r8 #1 CLOSED: the first-ever round-over-round "
@@ -921,10 +926,18 @@ def run_full(out_path: str) -> None:
     # whose published vs_prev would exceed 1.5x (VERDICT r8 #5); NOTE
     # the memoized builds are warm by now, so a retry that collapses to
     # the warm time proves the flag was the build, not the plan — keep
-    # the min and let vs_prev show it
+    # the min and let vs_prev show it. VERDICT r10 #4: the retry is
+    # min-of-3 after an explicit JVM GC + settle — a session-state
+    # artifact (accumulated JIT/GC pressure taxing one CPU-dense
+    # codegen stage, the profile_bootstrap_ci signature) must not be
+    # able to flag the same untouched query two rounds running.
     retried: dict[str, float] = {}
-    for name in retry_names(times, prev):
-        retried[name] = timed(name)
+    retry_list = retry_names(times, prev)
+    if retry_list:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+    for name in retry_list:
+        retried[name] = min(timed(name) for _ in range(3))
         times[name] = min(times[name], retried[name])
     vs_prev = {}
     for n, t in times.items():
@@ -1039,9 +1052,18 @@ def main() -> None:
     # query PLUS any query whose published vs_prev would exceed 1.5x
     # (VERDICT r8 #5 — min-of-3+ before any 1.5-2x ratio is committed)
     # and keep the overall min; only surviving flags are real.
+    # VERDICT r10 #4: the retry now runs after an explicit JVM GC +
+    # settle and takes min-of-3 (timed() is min-of-2, so 6 shots) — a
+    # session-state artifact (accumulated JIT/GC pressure taxing one
+    # CPU-dense codegen stage, the profile_bootstrap_ci signature)
+    # must not be able to flag an untouched query two rounds running.
     retried: dict[str, float] = {}
-    for name in retry_names(times, prev):
-        retried[name] = timed(name)
+    retry_list = retry_names(times, prev)
+    if retry_list:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+    for name in retry_list:
+        retried[name] = min(timed(name) for _ in range(3))
         times[name] = min(times[name], retried[name])
     vs_prev = {}
     for n, t in times.items():

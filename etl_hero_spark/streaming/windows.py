@@ -1076,6 +1076,16 @@ def stream_attribution_join(
     retained view. Inner joins emit on match arrival (the watermark
     gates state size, not emission), so after draining a finite source
     the sink equals the batch join exactly — pinned in tests.
+
+    No-data micro-batches are disabled FOR THIS QUERY (restored after
+    the drain): an INNER stream-stream join emits only on match
+    arrival, so the trailing empty batch exists purely to evict state
+    — it can never add a sink row — yet it reloads and recommits every
+    join state store (4 per shuffle partition; measured ~4 s of the
+    ~10 s drain at sf0.1 processing ZERO rows). Window aggregations
+    under append mode DO need their no-data batch (final windows emit
+    when the watermark passes), which is why this is scoped here and
+    not set session-wide.
     """
     src = _events_stream_source(spark, events_path, "etl_hero_stream_attr_")
     v = (
@@ -1113,16 +1123,22 @@ def stream_attribution_join(
         F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
         F.round(F.col("purchase_value"), 2).alias("purchase_value"),
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_conf = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
     try:
-        q.processAllAvailable()
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(conf_key, prev_conf)
     return spark.table(query_name)
 
 
